@@ -1,0 +1,112 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every catalog query on Spark AND its DuckDB oracle over the same
+parquet tables, then compares row count, sorted column names, and an
+order-insensitive canonical value dump. Usage:
+
+    python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from shopify_etl_spark.plans.catalog import TABLES  # noqa: E402
+from shopify_etl_spark.session import get_spark  # noqa: E402
+
+
+def canon(val) -> str:
+    if val is None:
+        return "NULL"
+    if isinstance(val, float):
+        if math.isnan(val):
+            return "NaN"
+        return f"{val:.9g}"
+    if isinstance(val, bool):
+        return str(val).lower()
+    return str(val)
+
+
+def frame_to_canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    spark = get_spark("correctness-check", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, builder in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = builder(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = list(sdf.columns)
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only check, {len(srows)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: oracle error: {e}")
+            failures.append(name)
+            continue
+
+        sc, sv = frame_to_canon(scols, srows)
+        oc, ov = frame_to_canon(ocols, orows)
+        if sc != oc:
+            print(f"FAIL {name}: columns differ spark={sc} oracle={oc}")
+            failures.append(name)
+            continue
+        if len(sv) != len(ov):
+            print(f"FAIL {name}: rowcount spark={len(sv)} oracle={len(ov)}")
+            failures.append(name)
+            continue
+        diff = [i for i, (a, b) in enumerate(zip(sv, ov)) if a != b]
+        if diff:
+            i = diff[0]
+            print(f"FAIL {name}: {len(diff)} mismatched rows; first at {i}:")
+            print(f"  cols   {sc}")
+            print(f"  spark  {sv[i]}")
+            print(f"  oracle {ov[i]}")
+            failures.append(name)
+            continue
+        print(f"ok   {name}: {len(sv)} rows match ({time.time()-t0:.1f}s)")
+
+    spark.stop()
+    if failures:
+        print(f"\n{len(failures)} FAILURES: {failures}")
+        return 1
+    print("\nall queries match the oracle")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
