@@ -13,7 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from shopify_etl_spark.plans.catalog import QUERIES
+from shopify_etl_spark.plans import QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,99 @@
+"""Text-analysis operators for large-scale document pipelines.
+
+All hot-path expressions are JVM-side Column functions (no Python UDFs),
+so they stay inside whole-stage codegen and scale linearly with executors.
+Generalizes the reference's scalar/text handling (tags CSV, SKU
+normalization — SURVEY.md §2.4) to the document-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword marker sets for the n-gram/stopword language
+#: heuristic. Deliberately small and deterministic — a real deployment
+#: would swap in proper profiles; the *plumbing* (score-and-argmax over
+#: language profiles, all JVM-side) is what matters at scale.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "la", "que", "los", "es"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens with empties removed (ArrayType<String>)."""
+    return F.filter(F.split(col, " "), lambda x: x != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality scores: token count, average token length,
+    stopword ratio, punctuation count.
+
+    Length/punct/stopword-ratio style scoring is the standard cheap
+    pre-filter in training-data pipelines; one projection, no shuffle.
+    """
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    word_chars = F.length(F.regexp_replace(text_col, " ", ""))
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    return df.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        word_chars.alias("n_word_chars"),
+        F.round(word_chars.cast("double") / n_tokens, 4).alias("avg_token_len"),
+        F.round(stop_hits.cast("double") / n_tokens, 4).alias("stopword_ratio"),
+        F.length(F.regexp_replace(text_col, r"[^.,!?;:]", "")).alias("n_punct"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: argmax of marker-word hit counts.
+
+    Score computation is a handful of `size(filter(tokens))` expressions —
+    one codegen'd projection per document, embarrassingly parallel.
+    Ties resolve to the lexicographically first language (deterministic).
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+
+    # Factory, not a default-arg lambda: PySpark infers higher-order-function
+    # arity from the Python signature, so `lambda x, m=...` would be bound as
+    # a (element, index) two-arg lambda.
+    def _in_set(values):
+        return lambda x: x.isin(*values)
+
+    scores = [
+        F.size(F.filter(toks, _in_set(markers))).alias(f"score_{lang}")
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    scored = df.select(id_col, *scores)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.coalesce(
+        *[F.when(F.col(f"score_{lang}") == best, F.lit(lang)) for lang in langs]
+    )
+    return scored.select(id_col, pred.alias("pred_lang"), best.alias("marker_hits"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit document fingerprint over normalized text (xxhash64).
+
+    The dedup key for exact-dup removal at scale: grouping on an 8-byte
+    hash instead of multi-KB text bodies keeps shuffle volume flat no
+    matter how long the documents are.
+    """
+    norm = F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " ")))
+    return df.select(
+        id_col,
+        F.xxhash64(norm).alias("fp64"),
+        F.length(text_col).alias("n_chars"),
+    )

@@ -1,1 +1,2 @@
 from .catalog import QUERIES, QuerySpec, load_table, register  # noqa: F401
+from . import catalog_ext  # noqa: F401,E402  (registers extension queries)

@@ -1,0 +1,259 @@
+"""Extension queries: dedup, similarity search, text analysis, multimodal.
+
+The large-scale training-data-pipeline surface (BASELINE.json north star)
+declared as catalog queries. SQL-expressible ops carry a DuckDB oracle;
+signature/LSH ops (engine-specific hashing) are rows-only checks whose
+correctness is instead proven in tests/ against the exact-oracle variants
+(e.g. MinHash candidates must cover every true Jaccard≥0.8 pair).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity, text
+from .catalog import load_table, register
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_quality_scores",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x <> ''))  AS n_tokens,
+           length(replace(text, ' ', ''))                           AS n_word_chars,
+           ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(list_filter(string_split(text, ' '), x -> x <> '')), 4) AS avg_token_len,
+           ROUND(CAST(len(list_filter(string_split(text, ' '),
+                                      x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
+                 / len(list_filter(string_split(text, ' '), x -> x <> '')), 4) AS stopword_ratio,
+           length(regexp_replace(text, '[^.,!?;:]', '', 'g'))       AS n_punct
+    FROM documents
+    """,
+    doc="Per-document quality scoring (length / punctuation / stopword "
+    "ratios) — the standard cheap pre-filter for training corpora. One "
+    "codegen'd projection, no shuffle, no Python. operators/text.py.",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_metrics(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_count_by_source",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS total_tokens,
+           ROUND(AVG(len(list_filter(string_split(text, ' '), x -> x <> ''))), 4) AS avg_tokens
+    FROM documents GROUP BY source
+    """,
+    doc="Corpus token accounting per source — the 'how many tokens do we "
+    "have' query every dataset build starts with. Token counting stays in "
+    "the scan stage; only per-source partials shuffle.",
+)
+def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count("text")).alias("total_tokens"),
+        F.round(F.avg(text.token_count("text")), 4).alias("avg_tokens"),
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    oracle="""
+    SELECT doc_id,
+      CASE
+        WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+        WHEN s_en >= greatest(s_es, s_fr, s_zh)       THEN 'en'
+        WHEN s_es >= greatest(s_fr, s_zh)             THEN 'es'
+        WHEN s_fr >= s_zh                             THEN 'fr'
+        ELSE 'zh' END AS pred_lang,
+      greatest(s_de, s_en, s_es, s_fr, s_zh) AS marker_hits
+    FROM (
+      SELECT doc_id,
+        len(list_filter(string_split(lower(text), ' '), x -> x IN ('der','die','und','das','ist'))) AS s_de,
+        len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','and','of','to','is')))    AS s_en,
+        len(list_filter(string_split(lower(text), ' '), x -> x IN ('el','la','que','los','es')))    AS s_es,
+        len(list_filter(string_split(lower(text), ' '), x -> x IN ('le','la','et','les','est')))    AS s_fr,
+        len(list_filter(string_split(lower(text), ' '), x -> x IN ('的','是','了','在','我')))      AS s_zh
+      FROM documents
+    )
+    """,
+    doc="Marker-word language-ID heuristic: score per language profile, "
+    "argmax with deterministic lexicographic tie-break. All JVM-side "
+    "size(filter(tokens)) expressions. operators/text.py::lang_id.",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exact_dedup_docs",
+    oracle="""
+    SELECT text, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+    doc="Exact dedup via hash-groupBy (generalizes W1 latest-per-key, "
+    "run_logs.txt:346-361, to content identity). At scale the group key is "
+    "the 64-bit fingerprint (doc_fingerprints), not the text body. "
+    "operators/dedup.py::exact_duplicates.",
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d1, d2,
+           ROUND(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = d1
+    JOIN sizes sb ON sb.doc_id = d2
+    WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.8
+    """,
+    doc="Exact word-3-gram Jaccard near-dup pairs via inverted-index "
+    "self-join — the verification oracle for the MinHash/LSH scale path. "
+    "Integer arithmetic until the final division so both engines agree "
+    "exactly. operators/dedup.py::ngram_jaccard_pairs.",
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@register(
+    "doc_fingerprints",
+    oracle=None,  # engine-specific xxhash64; covered by tests/test_dedup.py
+    doc="64-bit fingerprint (xxhash64 over whitespace-normalized text) — "
+    "the exact-dedup key at scale: 8-byte shuffle rows regardless of "
+    "document size. Rows-only check (hash function is engine-specific); "
+    "tests assert fp collisions ≡ exact text equality on fixtures.",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "minhash_dedup_candidates",
+    oracle=None,  # probabilistic bucketing; recall vs ngram_jaccard_pairs proven in tests
+    doc="MinHash(32 perms) + LSH(8 bands) candidate pairs — the 100 TB "
+    "near-dup path: cost scales with near-dup pairs, not all pairs. "
+    "tests/test_dedup.py proves candidates ⊇ all true Jaccard≥0.8 pairs "
+    "on the testdata. operators/dedup.py::minhash_dedup_candidates.",
+)
+def minhash_dedup_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_dedup_candidates(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "simhash_near_pairs",
+    oracle=None,  # engine-specific hashing; blocking soundness proven in tests
+    doc="SimHash(64-bit) near-dup pairs within Hamming≤8 via 16-bit block "
+    "LSH (pigeonhole guarantees recall for ≤3 differing blocks). "
+    "operators/dedup.py::simhash_near_pairs.",
+)
+def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def _embedding_queries(spark: SparkSession, sf_dir: str, n: int = 5):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    return queries, corpus
+
+
+@register(
+    "ann_cosine_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ), c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings
+    ), sims AS (
+      SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim
+      FROM q CROSS JOIN c WHERE neighbor_id <> query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rn
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 4) AS cosine_sim
+    FROM ranked WHERE rn <= 10
+    """,
+    doc="Brute-force cosine top-10 for 5 query vectors — the exact ANN "
+    "baseline. Dot/norms via zip_with+aggregate (JVM, no UDF); query side "
+    "broadcast; per-query ranking window with deterministic tie-break. "
+    "operators/similarity.py::cosine_topk. Scale path: lsh_ann_topk.",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    queries, corpus = _embedding_queries(spark, sf_dir)
+    return similarity.cosine_topk(queries, corpus, k=10)
+
+
+@register(
+    "lsh_ann_topk",
+    oracle=None,  # approximate by design; recall vs ann_cosine_topk measured in tests
+    doc="LSH-bucketed approximate top-k: 8 random-hyperplane sign bits "
+    "bucket the corpus, each query scores only its bucket (expected "
+    "|corpus|/256 per query at 100 TB vs full scan). Deterministic "
+    "seed-derived hyperplanes. operators/similarity.py::lsh_bucket_topk.",
+)
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    queries, corpus = _embedding_queries(spark, sf_dir)
+    return similarity.lsh_bucket_topk(queries, corpus, dim=64, k=10, n_planes=8)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # mapInPandas plumbing; byte-stat parity vs JVM exprs in tests
+    doc="Binary-column pipeline: documents → binary payload + metadata "
+    "struct → Arrow-batched mapInPandas feature extraction (decode step "
+    "stubbed with deterministic byte stats; codecs absent here). The "
+    "schema/partitioning/batch plumbing is the real thing. "
+    "operators/multimodal.py.",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_features(multimodal.assets_from_documents(docs), fake=True)

@@ -1,0 +1,79 @@
+"""Dedup operator tests: the probabilistic paths are pinned to the exact
+oracle variants (MinHash candidates must cover every true Jaccard pair;
+fingerprint collisions must equal exact text equality)."""
+
+from pyspark.sql import functions as F
+
+from shopify_etl_spark.operators import dedup, text
+from shopify_etl_spark.plans.catalog import load_table
+
+
+def test_minhash_candidates_cover_true_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    true_pairs = {
+        (r.d1, r.d2) for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    candidates = {
+        (r.d1, r.d2) for r in dedup.minhash_dedup_candidates(docs).collect()
+    }
+    assert true_pairs, "testdata should contain planted near-duplicates"
+    missed = true_pairs - candidates
+    assert not missed, f"LSH missed true near-dup pairs: {missed}"
+
+
+def test_fingerprint_collisions_equal_exact_dups(spark):
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "the quick brown fox"),
+        (3, "the  quick   brown fox"),  # whitespace-normalized → same fp
+        (4, "a different document"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = text.fingerprint(df).collect()
+    by_id = {r.doc_id: r.fp64 for r in fps}
+    assert by_id[1] == by_id[2] == by_id[3]
+    assert by_id[4] != by_id[1]
+
+
+def test_exact_duplicates_counts(spark):
+    rows = [(1, "aaa"), (2, "aaa"), (3, "bbb")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.text: (r.canonical_id, r.n_copies) for r in dedup.exact_duplicates(df).collect()}
+    assert out == {"aaa": (1, 2), "bbb": (3, 1)}
+
+
+def test_word_shingles_edge_cases(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, ""), (4, "x  y   z")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r.sh
+        for r in df.select("doc_id", dedup.word_shingles("text", 3).alias("sh")).collect()
+    }
+    assert out[1] == ["a b c", "b c d"]
+    assert out[2] == []  # fewer tokens than n → empty, not descending-sequence garbage
+    assert out[3] == []
+    assert out[4] == ["x y z"]  # empty tokens from runs of spaces are dropped
+
+
+def test_simhash_near_pairs_finds_planted_near_dups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sim_pairs = {
+        (r.d1, r.d2)
+        for r in dedup.simhash_near_pairs(docs, max_hamming=8).collect()
+    }
+    true_pairs = {
+        (r.d1, r.d2) for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    # SimHash is a different similarity notion; require it to catch most
+    # of the strongly-near-duplicate (J>=0.8) pairs.
+    caught = len(true_pairs & sim_pairs)
+    assert caught >= 0.7 * len(true_pairs), (caught, len(true_pairs))
+
+
+def test_minhash_signature_deterministic(spark):
+    df = spark.createDataFrame([(1, "alpha beta gamma delta epsilon")], ["doc_id", "text"])
+    s1 = dedup.minhash_signatures(df).collect()[0].signature
+    s2 = dedup.minhash_signatures(df).collect()[0].signature
+    assert s1 == s2
+    assert len(s1) == 32
