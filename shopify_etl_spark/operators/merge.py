@@ -1,0 +1,146 @@
+"""Merge-layer operators: the reference's seven SQL jobs as DataFrame
+pipelines (SURVEY.md §2.9 M1-M7; rendered SQL at reference
+run_logs.txt:240-573).
+
+Pure-Spark merge semantics (no Delta dependency in this environment):
+upsert/delete-reload are anti-join + unionByName rewrites, full refresh is
+``mode("overwrite")``, snapshots are date-partitioned with per-partition
+overwrite. Each write is atomic per table (staged temp dir + commit
+protocol); cross-table atomicity is replaced by the reference's own crash
+model — lookback re-extraction + idempotent keyed merges
+(daily_scheduler.py:75-81).
+
+Scale notes baked into each op:
+
+* Upsert touches only (staged ∪ matching-key) rows; at 100 TB the target
+  is partitioned (by date) and the anti-join right side — the staged key
+  set — is small per run, so AQE broadcasts it and unchanged partitions
+  are never rewritten (see ``upsert_partitioned``).
+* The inventory pipeline broadcasts the dim sides and dedups with one
+  window over the normalized key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalars import non_empty, norm_sku
+
+
+def combine_stores(*stores: DataFrame) -> DataFrame:
+    """U1 — UNION ALL of per-store staging frames, resolved by name
+    (reference make_combined_staging_table, run_etl_with_retries.py:41-44)."""
+    out = stores[0]
+    for df in stores[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def latest_per_key(df: DataFrame, key_cols, order_col: str, tiebreak_col: str) -> DataFrame:
+    """W1 — latest-per-key dedup (Postgres DISTINCT ON … ORDER BY … DESC,
+    reference run_logs.txt:346-361) with a pinned deterministic tie-break
+    (PG leaves equal-order ties nondeterministic; we order by
+    ``tiebreak_col`` DESC as documented in SURVEY §7.4)."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(order_col), F.desc(tiebreak_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+def priority_fill(primary: DataFrame, secondary: DataFrame, key_cols) -> DataFrame:
+    """J3/U2 — retail-priority gap fill: primary ∪ (secondary ∖ primary
+    keys) (reference run_logs.txt:381-390). left_anti is NOT-IN-safe here
+    because upstream filtering guarantees non-null keys (run_logs.txt:359)."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    gap = secondary.join(primary.select(*key_cols).distinct(), key_cols, "left_anti")
+    return primary.unionByName(gap)
+
+
+def upsert(target: DataFrame, staged: DataFrame, key_cols) -> DataFrame:
+    """M4/M6/J4 — keyed upsert (ON CONFLICT … DO UPDATE, reference
+    run_logs.txt:510-536): staged rows win, target rows survive only where
+    their key is absent from the batch. Staged is deduped on the key first
+    (last-write-wins needs an explicit order; callers use latest_per_key
+    when the batch may contain multiple versions)."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    survivors = target.join(staged.select(*key_cols).distinct(), key_cols, "left_anti")
+    return staged.unionByName(survivors)
+
+
+def delete_reload(target: DataFrame, staged: DataFrame, parent_keys) -> DataFrame:
+    """M7/J5 — delete+reload of child rows (DELETE WHERE order_id IN
+    (SELECT DISTINCT …) then INSERT, reference run_logs.txt:550-565):
+    every old child of a staged parent is dropped, staged children
+    appended."""
+    parent_keys = [parent_keys] if isinstance(parent_keys, str) else list(parent_keys)
+    kept = target.join(staged.select(*parent_keys).distinct(), parent_keys, "left_anti")
+    return kept.unionByName(staged)
+
+
+def stamp_ingested(df: DataFrame, ts=None) -> DataFrame:
+    """Append the audit ``ingested_at`` column the merge layer stamps on
+    every target (reference run_logs.txt:246,277). ``ts`` is a driver-side
+    literal (the reference resolves it via a scalar subquery on the run
+    log, J6 at run_logs.txt:277)."""
+    col = F.lit(ts).cast("timestamp") if ts is not None else F.current_timestamp()
+    return df.withColumn("ingested_at", col)
+
+
+def snapshot_rows(inventory: DataFrame, snapshot_date=None) -> DataFrame:
+    """M5 — daily snapshot projection: inventory + snapshot_date literal
+    (reference incremental_loaders.py:271-272,336-348). Idempotent per
+    (sku, snapshot_date) via upsert on those keys; at scale the target is
+    partitioned by snapshot_date and each run overwrites one partition."""
+    date_col = (
+        F.lit(snapshot_date).cast("date") if snapshot_date is not None else F.current_date()
+    )
+    return inventory.select(
+        "sku",
+        date_col.alias("snapshot_date"),
+        "available",
+        "committed",
+        "on_hand",
+        "incoming",
+        "reserved",
+    )
+
+
+def current_inventory(
+    inv_retail: DataFrame,
+    inv_wholesale: DataFrame,
+    variants: DataFrame,
+    products: DataFrame,
+) -> DataFrame:
+    """M4 head — the most query-like pipeline in the reference
+    (run_logs.txt:335-401): per store, filter dirty SKUs (F9), normalize
+    (F7), dedup latest-per-SKU (W1), join variants (J1) and ACTIVE
+    products (J2), then retail-priority merge (J3).
+
+    The dim joins broadcast (variants/products are small relative to
+    inventory rows and shrink further after the ACTIVE filter).
+    """
+    active = products.filter(F.col("status") == "ACTIVE").select("product_id")
+    dims = variants.join(F.broadcast(active), "product_id").select(
+        F.col("variant_id").alias("v_variant_id"), F.col("product_id").alias("v_product_id")
+    )
+
+    def per_store(inv: DataFrame) -> DataFrame:
+        cleaned = (
+            inv.filter(non_empty("sku"))
+            .withColumn("sku", norm_sku("sku"))
+        )
+        deduped = latest_per_key(cleaned, "sku", "created_at", "variant_id")
+        return (
+            deduped.join(F.broadcast(dims), deduped.variant_id == dims.v_variant_id)
+            .select(
+                "sku",
+                *["available", "committed", "on_hand", "incoming", "reserved"],
+                "variant_id",
+                F.col("v_product_id").alias("product_id"),
+                "source_system",
+            )
+        )
+
+    return priority_fill(per_store(inv_retail), per_store(inv_wholesale), "sku")

@@ -1,0 +1,207 @@
+"""Two-phase pipeline runner: parallel staging → barrier → serial merge.
+
+Spark twin of the reference's daily job (reference daily_scheduler.py:
+100-216, O1-O5 in SURVEY.md §2.12):
+
+* **Phase 1** — store×entity staging tasks run concurrently via a thread
+  pool (Spark's scheduler is thread-safe; concurrent jobs share the
+  executors). Each task: read raw envelope → flatten → overwrite the
+  staging table → log the watermark.
+* **Barrier** — any staging failure skips the merge phase
+  (daily_scheduler.py:168-172).
+* **Phase 2** — serial merges per entity with a 2-attempt retry
+  (run_etl_with_retries.py; 'attempt 1/2' markers at run_logs.txt:239).
+  Full refresh for dims, upsert for orders/inventory, delete+reload for
+  order items, keyed snapshot append.
+
+Warehouse tables are parquet directories; merged results are staged to a
+``_tmp`` sibling and atomically swapped, replacing the reference's
+per-entity Postgres transaction with per-table atomicity + idempotent
+re-runs (SURVEY §7.4 risk 1).
+"""
+
+from __future__ import annotations
+
+import shutil
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import flatten, merge
+from ..schemas import MERGE_KEYS, SCHEMA_MAP, project_declared
+from ..sources import read_envelope
+from .watermark import RunLog
+
+STORES = ("retail", "wholesale")
+ENTITIES = ("customers", "orders", "products")
+
+
+@dataclass
+class PipelineConfig:
+    raw_paths: dict[str, str]  # f"{store}_{entity}" -> envelope path
+    warehouse_dir: str
+    run_log_dir: str
+    snapshot_date: str | None = None
+    max_workers: int = 4
+    retries: int = 2
+    stores: tuple = STORES
+    results: dict = field(default_factory=dict)
+
+
+def atomic_overwrite(df: DataFrame, path: str) -> None:
+    """Write to a _tmp sibling, then swap — readers never see a half table,
+    and the source table can be part of ``df``'s own plan (parquet can't
+    overwrite a path it is concurrently reading)."""
+    tmp = f"{path}._tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    target = Path(path)
+    if target.exists():
+        shutil.rmtree(target)
+    Path(tmp).rename(target)
+
+
+def _read_table(spark: SparkSession, path: str) -> DataFrame | None:
+    return spark.read.parquet(path) if Path(path).exists() else None
+
+
+def _stage_one(spark: SparkSession, cfg: PipelineConfig, runlog: RunLog, store: str, entity: str):
+    """One staging task (reference process_entity, daily_scheduler.py:100-148)."""
+    run_id = runlog.log_start(store, entity)
+    try:
+        nodes = read_envelope(spark, cfg.raw_paths[f"{store}_{entity}"], entity)
+        out_dir = f"{cfg.warehouse_dir}/staging/{store}"
+        if entity == "customers":
+            frames = {"dim_customers": flatten.flatten_customers(nodes, store)}
+        elif entity == "orders":
+            frames = {
+                "fact_orders": flatten.flatten_orders(nodes, store),
+                "fact_order_items": flatten.explode_order_items(nodes, store),
+            }
+        else:
+            frames = {
+                "dim_products": flatten.flatten_products(nodes),
+                "dim_product_variants": flatten.explode_variants(nodes),
+                "fact_current_inventory": flatten.inventory_from_products(nodes, store),
+            }
+        for table, df in frames.items():
+            # staging keeps extra plumbing cols (e.g. created_at on
+            # inventory) — projection to declared happens at merge time
+            atomic_overwrite(df, f"{out_dir}/{table}")
+        watermark = flatten.max_updated_at(nodes)
+        runlog.log_staging_success(run_id, store, entity, watermark)
+        return True
+    except Exception as e:  # noqa: BLE001
+        runlog.log_failure(run_id, store, entity, str(e))
+        return False
+
+
+def _merge_entity(spark: SparkSession, cfg: PipelineConfig, entity: str, ingest_ts) -> None:
+    """Serial merge for one entity (reference run_entity_merge)."""
+    wh = cfg.warehouse_dir
+    stores = list(cfg.stores)
+
+    def staged(table: str) -> DataFrame:
+        frames = [
+            df
+            for s in stores
+            if (df := _read_table(spark, f"{wh}/staging/{s}/{table}")) is not None
+        ]
+        return merge.combine_stores(*frames)
+
+    def finish(table: str, df: DataFrame) -> None:
+        out = merge.stamp_ingested(project_declared(df, table), ingest_ts)
+        atomic_overwrite(out, f"{wh}/{table}")
+
+    if entity == "customers":
+        # M1: TRUNCATE+INSERT full refresh (run_logs.txt:240-285)
+        finish("dim_customers", staged("dim_customers"))
+    elif entity == "products":
+        # M2/M3 full refreshes
+        finish("dim_products", staged("dim_products"))
+        finish("dim_product_variants", staged("dim_product_variants"))
+        # M4: current inventory pipeline + upsert on sku (run_logs.txt:335-435)
+        inv_r = _read_table(spark, f"{wh}/staging/retail/fact_current_inventory")
+        inv_w = _read_table(spark, f"{wh}/staging/wholesale/fact_current_inventory")
+        # single-store runs degrade to an empty other side rather than
+        # silently skipping the inventory pipeline
+        if inv_r is None and inv_w is not None:
+            inv_r = inv_w.limit(0)
+        if inv_w is None and inv_r is not None:
+            inv_w = inv_r.limit(0)
+        if inv_r is not None and inv_w is not None:
+            current = merge.current_inventory(
+                inv_r, inv_w, staged("dim_product_variants"), staged("dim_products")
+            )
+            target = _read_table(spark, f"{wh}/fact_current_inventory")
+            staged_inv = merge.stamp_ingested(
+                project_declared(current, "fact_current_inventory"), ingest_ts
+            )
+            if target is not None:
+                staged_inv = merge.upsert(target, staged_inv, MERGE_KEYS["fact_current_inventory"])
+            atomic_overwrite(staged_inv, f"{wh}/fact_current_inventory")
+            # M5: daily snapshot, idempotent per (sku, snapshot_date)
+            snap = merge.stamp_ingested(
+                merge.snapshot_rows(current, cfg.snapshot_date), ingest_ts
+            )
+            target_snap = _read_table(spark, f"{wh}/inventory_snapshot")
+            if target_snap is not None:
+                snap = merge.upsert(target_snap, snap, MERGE_KEYS["inventory_snapshot"])
+            atomic_overwrite(snap, f"{wh}/inventory_snapshot")
+    else:  # orders
+        # M6: keyed upsert; M7: delete+reload of child items (run_logs.txt:472-573)
+        staged_orders = merge.stamp_ingested(
+            project_declared(staged("fact_orders"), "fact_orders"), ingest_ts
+        )
+        target_o = _read_table(spark, f"{wh}/fact_orders")
+        out_o = (
+            merge.upsert(target_o, staged_orders, MERGE_KEYS["fact_orders"])
+            if target_o is not None
+            else staged_orders
+        )
+        atomic_overwrite(out_o, f"{wh}/fact_orders")
+
+        staged_items = merge.stamp_ingested(
+            project_declared(staged("fact_order_items"), "fact_order_items"), ingest_ts
+        )
+        target_i = _read_table(spark, f"{wh}/fact_order_items")
+        out_i = (
+            merge.delete_reload(target_i, staged_items, ["order_id"])
+            if target_i is not None
+            else staged_items
+        )
+        atomic_overwrite(out_i, f"{wh}/fact_order_items")
+
+
+def run_daily(spark: SparkSession, cfg: PipelineConfig, ingest_ts=None) -> dict:
+    """Full daily run: parallel staging → barrier → serial merge+retries.
+
+    Returns {'staging': {(store, entity): bool}, 'merge': {entity: bool}}.
+    """
+    runlog = RunLog(spark, cfg.run_log_dir)
+    tasks = [(s, e) for s in cfg.stores for e in ENTITIES if f"{s}_{e}" in cfg.raw_paths]
+
+    with ThreadPoolExecutor(max_workers=cfg.max_workers) as pool:
+        futures = {
+            (s, e): pool.submit(_stage_one, spark, cfg, runlog, s, e) for s, e in tasks
+        }
+        staging = {k: f.result() for k, f in futures.items()}
+
+    results = {"staging": staging, "merge": {}}
+    if not all(staging.values()):  # barrier (daily_scheduler.py:168-172)
+        return results
+
+    for entity in ENTITIES:
+        ok, err = False, None
+        for _attempt in range(cfg.retries):
+            try:
+                _merge_entity(spark, cfg, entity, ingest_ts)
+                ok = True
+                break
+            except Exception as e:  # noqa: BLE001
+                err = e
+        results["merge"][entity] = ok
+        if not ok and err is not None:
+            results.setdefault("errors", {})[entity] = str(err)
+    return results

@@ -1,0 +1,105 @@
+"""End-to-end pipeline tests: two-store daily run, replay idempotence,
+watermark/lookback semantics, barrier on failure."""
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from shopify_etl_spark.pipeline import PipelineConfig, RunLog, run_daily
+from shopify_etl_spark.schemas import SCHEMA_MAP
+
+from tests.shopify_fixtures import make_fixture_set
+
+
+@pytest.fixture(scope="module")
+def fixture_paths(tmp_path_factory):
+    return make_fixture_set(tmp_path_factory.mktemp("shopify_pipe"))
+
+
+def _cfg(tmp_path, fixture_paths, **overrides):
+    raw = {k: str(v) for k, v in fixture_paths.items() if not k.endswith("_b2")}
+    base = dict(
+        raw_paths=raw,
+        warehouse_dir=str(tmp_path / "wh"),
+        run_log_dir=str(tmp_path / "runlog"),
+        snapshot_date="2025-11-28",
+        max_workers=4,
+    )
+    base.update(overrides)
+    return PipelineConfig(**base)
+
+
+def test_daily_run_end_to_end_and_replay(spark, tmp_path, fixture_paths):
+    cfg = _cfg(tmp_path, fixture_paths)
+    res = run_daily(spark, cfg, ingest_ts="2025-11-28 06:00:00")
+    assert all(res["staging"].values()), res
+    assert all(res["merge"].values()), res
+
+    wh = cfg.warehouse_dir
+    dim_customers = spark.read.parquet(f"{wh}/dim_customers")
+    fact_orders = spark.read.parquet(f"{wh}/fact_orders")
+    items = spark.read.parquet(f"{wh}/fact_order_items")
+    inv = spark.read.parquet(f"{wh}/fact_current_inventory")
+    snap = spark.read.parquet(f"{wh}/inventory_snapshot")
+
+    assert dim_customers.count() == 60  # 30 per store
+    assert dim_customers.columns == SCHEMA_MAP["dim_customers"] + ["ingested_at"]
+    assert fact_orders.count() == 80
+    assert set(r.order_id[:2] for r in fact_orders.select("order_id").collect()) == {"R-", "W-"}
+    assert items.groupBy("order_id", "line_item_id").count().filter("count>1").count() == 0
+    assert inv.groupBy("sku").count().filter("count>1").count() == 0
+    assert snap.select("snapshot_date").distinct().count() == 1
+
+    before = {
+        t: sorted(map(tuple, spark.read.parquet(f"{wh}/{t}").collect()))
+        for t in ("dim_customers", "fact_orders", "fact_order_items",
+                  "fact_current_inventory", "inventory_snapshot")
+    }
+    # replay the same day — idempotent end-to-end (C.1 + C.8)
+    res2 = run_daily(spark, cfg, ingest_ts="2025-11-28 06:00:00")
+    assert all(res2["merge"].values())
+    for t, rows in before.items():
+        after = sorted(map(tuple, spark.read.parquet(f"{wh}/{t}").collect()))
+        assert after == rows, f"{t} changed on replay"
+
+
+def test_incremental_batch2_upserts(spark, tmp_path, fixture_paths):
+    cfg = _cfg(tmp_path, fixture_paths)
+    run_daily(spark, cfg, ingest_ts="2025-11-28 06:00:00")
+    # day 2: orders batch 2 (8 updated + 10 new per store)
+    cfg.raw_paths = dict(cfg.raw_paths)
+    cfg.raw_paths["retail_orders"] = str(fixture_paths["retail_orders_b2"])
+    cfg.raw_paths["wholesale_orders"] = str(fixture_paths["wholesale_orders_b2"])
+    res = run_daily(spark, cfg, ingest_ts="2025-11-29 06:00:00")
+    assert all(res["merge"].values())
+    fact_orders = spark.read.parquet(f"{cfg.warehouse_dir}/fact_orders")
+    assert fact_orders.count() == 100  # 80 + 10 new per store
+    upd = fact_orders.filter(F.col("order_id") == "R-0").collect()[0]
+    assert upd.updated_at.day == 28  # updated row won
+    assert upd.ingested_at.day == 29  # re-stamped by day-2 run
+
+
+def test_barrier_skips_merge_on_staging_failure(spark, tmp_path, fixture_paths):
+    cfg = _cfg(tmp_path, fixture_paths)
+    cfg.raw_paths = dict(cfg.raw_paths)
+    cfg.raw_paths["retail_orders"] = str(tmp_path / "missing.json")
+    res = run_daily(spark, cfg)
+    assert res["staging"][("retail", "orders")] is False
+    assert res["merge"] == {}  # barrier held
+
+
+def test_runlog_watermark_and_lookback(spark, tmp_path):
+    log = RunLog(spark, str(tmp_path / "rl"))
+    now = datetime(2025, 11, 28, 6, 0, 0)
+    # no history → default lookback
+    assert log.get_start_date("retail", "orders", default_days=30, now=now) == now - timedelta(days=30)
+    rid = log.log_start("retail", "orders")
+    log.log_staging_success(rid, "retail", "orders", "2025-11-26T12:00:00")
+    # days_gap = 1 → start = wm - 3 days (reference daily_scheduler.py:75-81)
+    start = log.get_start_date("retail", "orders", now=now)
+    assert start == datetime(2025, 11, 23, 12, 0, 0)
+    # failed runs don't move the watermark
+    rid2 = log.log_start("retail", "orders")
+    log.log_failure(rid2, "retail", "orders", "boom")
+    assert log.last_watermark("retail", "orders") == datetime(2025, 11, 26, 12, 0, 0)
