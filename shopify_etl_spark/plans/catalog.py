@@ -704,3 +704,262 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sess = flagged.withColumn("session_id", F.sum("new_sess").over(run))
     return sess.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+# ---------------------------------------------------------------------------
+# Extended relational surface — operators the reference lacks but Spark
+# provides "for free" (SURVEY §2.5/§2.8 notes); exposed for engine
+# completeness and oracle-checked like everything else.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cube_order_stats",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE grouping sets over two dimensions — all 4 grouping "
+    "combinations in one expand+aggregate pass (no per-set re-scan).",
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "customer_intersect_years",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    """,
+    doc="INTERSECT (set semantics — implicit dedup): customers active in "
+    "both 1995 and 1996. Not in the reference (SURVEY §2.8: no INTERSECT/"
+    "EXCEPT); part of the complete set-op surface.",
+)
+def customer_intersect_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year(y):
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y+1}-01-01 00:00:00").cast("timestamp"))
+        ).select("o_custkey")
+
+    return year(1995).intersect(year(1996))
+
+
+@register(
+    "customer_except_years",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    """,
+    doc="EXCEPT (set difference with dedup): 1995 customers who went "
+    "silent in 1996. Complements the anti-join (row-preserving) variant.",
+)
+def customer_except_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year(y):
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y+1}-01-01 00:00:00").cast("timestamp"))
+        ).select("o_custkey")
+
+    # subtract == EXCEPT (set semantics); exceptAll would be bag difference
+    # and keep customers with merely MORE 1995 orders than 1996 ones.
+    return year(1995).subtract(year(1996))
+
+
+@register(
+    "full_outer_nation_counts",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+               FROM customer GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+               FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+    doc="FULL OUTER join of two pre-aggregated sides with COALESCE'd "
+    "keys — nations appear even when one side is empty. Completes the "
+    "join-type surface (reference has inner + anti only).",
+)
+def full_outer_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    joined = cust.join(sup, cust.nk_c == sup.nk_s, "full_outer")
+    return joined.select(
+        F.coalesce("nk_c", "nk_s").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+    doc="Semi-structured JSON column extraction (get_json_object) + "
+    "aggregate — the props payload stays an opaque string until queried, "
+    "the standard pattern for evolving event properties at scale.",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
+
+
+@register(
+    "weekly_revenue",
+    oracle="""
+    SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY date_trunc('week', o_orderdate)
+    """,
+    doc="Calendar-week tumbling rollup via date_trunc (both engines are "
+    "ISO/Monday-based) — the batch form of a weekly windowed aggregation.",
+)
+def weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        orders.groupBy(F.date_trunc("week", "o_orderdate").cast("date").alias("week_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "price_quantiles_by_brand",
+    oracle="""
+    SELECT p_brand,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS p75
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    doc="Exact interpolated percentiles per group (Spark `percentile` ≡ "
+    "DuckDB `quantile_cont`). The approximate scale path is "
+    "approx_percentile/approx_count_distinct (see approx_event_stats).",
+)
+def price_quantiles_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.groupBy("p_brand").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 2).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 2).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 2).alias("p75"),
+    )
+
+
+@register(
+    "first_last_event_per_user",
+    oracle="""
+    SELECT user_id,
+           arg_min(event_type, ts) AS first_event,
+           arg_max(event_type, ts) AS last_event,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    doc="min_by/max_by (arg_min/arg_max): first and last event type per "
+    "user in ONE aggregate pass — no self-join, no window sort.",
+)
+def first_last_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_type", "ts").alias("first_event"),
+        F.max_by("event_type", "ts").alias("last_event"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "string_surface_extended",
+    oracle="""
+    SELECT c_custkey,
+           substr(c_name, 1, 8)                    AS name_prefix,
+           lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS nation_padded,
+           strpos(c_name, '0')                     AS first_zero_pos,
+           reverse(c_mktsegment)                   AS segment_rev,
+           repeat('*', c_nationkey % 4)            AS stars,
+           ascii(c_mktsegment)                     AS seg_ascii,
+           levenshtein(c_mktsegment, 'BUILDING')   AS dist_building,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated
+    FROM customer
+    """,
+    doc="Extended string-function surface (substr/lpad/instr/reverse/"
+    "repeat/ascii/levenshtein/translate) — one codegen'd projection.",
+)
+def string_surface_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("nation_padded"),
+        F.instr(F.col("c_name"), "0").alias("first_zero_pos"),
+        F.reverse("c_mktsegment").alias("segment_rev"),
+        F.repeat(F.lit("*"), F.col("c_nationkey") % 4).alias("stars"),
+        F.ascii("c_mktsegment").alias("seg_ascii"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("dist_building"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_translated"),
+    )
+
+
+@register(
+    "approx_event_stats",
+    oracle=None,  # approximate by design; tolerance vs exact pinned in tests
+    doc="Approximate aggregates — the 100 TB versions of COUNT(DISTINCT) "
+    "and percentiles: approx_count_distinct (HLL) and approx_percentile "
+    "(single pass, bounded memory vs exact sort-based percentile). "
+    "tests/test_catalog_extras.py pins them within tolerance of exact.",
+)
+def approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("approx_median_value"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -1,0 +1,38 @@
+"""Extended-surface checks that the oracle can't express exactly:
+approximate aggregates pinned within tolerance of their exact twins."""
+
+from pyspark.sql import functions as F
+
+from shopify_etl_spark.plans import QUERIES
+from shopify_etl_spark.plans.catalog import load_table
+
+
+def test_approx_event_stats_within_tolerance(spark, sf_dir):
+    approx = {
+        r.event_type: r
+        for r in QUERIES["approx_event_stats"].builder(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.percentile("value", F.lit(0.5)).alias("median"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, a in approx.items():
+        e = exact[et]
+        assert abs(a.approx_users - e.users) <= max(0.05 * e.users, 2), et
+        assert abs(a.approx_median_value - e.median) <= max(0.05 * abs(e.median), 0.5), et
+
+
+def test_every_query_has_doc_and_runs_lazily(spark, sf_dir):
+    """Contract hygiene: every catalog entry documents its operator
+    coverage and builds a plan without triggering execution."""
+    for name, spec in QUERIES.items():
+        assert spec.doc and len(spec.doc) > 20, name
+        df = spec.builder(spark, sf_dir)  # plan only — no action
+        assert df.columns, name
