@@ -144,3 +144,21 @@ def current_inventory(
         )
 
     return priority_fill(per_store(inv_retail), per_store(inv_wholesale), "sku")
+
+
+def overwrite_partitions(df: DataFrame, path: str, partition_cols) -> None:
+    """Dynamic partition overwrite: rewrite ONLY the partitions present in
+    ``df``, leave every other partition untouched — the parquet analog of
+    Delta ``replaceWhere`` and the 100 TB shape for M5 snapshots
+    (SURVEY §7.4: 'snapshot via partition overwrite not full rewrite').
+
+    A same-day re-run replaces just that day's directory; history is never
+    read, never rewritten.
+    """
+    partition_cols = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

@@ -141,14 +141,13 @@ def _merge_entity(spark: SparkSession, cfg: PipelineConfig, entity: str, ingest_
             if target is not None:
                 staged_inv = merge.upsert(target, staged_inv, MERGE_KEYS["fact_current_inventory"])
             atomic_overwrite(staged_inv, f"{wh}/fact_current_inventory")
-            # M5: daily snapshot, idempotent per (sku, snapshot_date)
+            # M5: daily snapshot — dynamic overwrite of ONLY today's
+            # partition (same-day reruns idempotent, history never
+            # rewritten; the 100 TB shape vs a full-table upsert)
             snap = merge.stamp_ingested(
                 merge.snapshot_rows(current, cfg.snapshot_date), ingest_ts
             )
-            target_snap = _read_table(spark, f"{wh}/inventory_snapshot")
-            if target_snap is not None:
-                snap = merge.upsert(target_snap, snap, MERGE_KEYS["inventory_snapshot"])
-            atomic_overwrite(snap, f"{wh}/inventory_snapshot")
+            merge.overwrite_partitions(snap, f"{wh}/inventory_snapshot", "snapshot_date")
     else:  # orders
         # M6: keyed upsert; M7: delete+reload of child items (run_logs.txt:472-573)
         staged_orders = merge.stamp_ingested(
