@@ -81,8 +81,17 @@ def ngram_jaccard_pairs(
     shared-count per pair → Jaccard = shared / (|A| + |B| - shared).
     Integer arithmetic until the final division, so Spark and any SQL
     oracle agree bit-for-bit.
+
+    The posting list carries ``xxhash64(shingle)`` instead of the shingle
+    text: the self-join shuffles 8-byte keys, not multi-word strings
+    (~4× less shuffle volume; a 64-bit collision merging two distinct
+    shingles has p≈n²/2⁶⁴ — irrelevant at any realistic corpus size, and
+    results still match the string-keyed oracle on the test corpora).
     """
-    sh = df.select(F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("s"))
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(text_col, n)).alias("s_raw"),
+    ).select("doc", F.xxhash64("s_raw").alias("s"))
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     left = sh.alias("a")
     right = sh.alias("b")
