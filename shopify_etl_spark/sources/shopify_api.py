@@ -54,15 +54,50 @@ from pyspark.sql.types import StructType
 from ..schemas import NODE_SCHEMAS
 
 
+def field_selection(schema, indent: int = 0) -> str:
+    """Render a GraphQL field selection from a Spark StructType.
+
+    Reconstructs the reference's missing ``graphql_queries/`` files
+    (referenced at extract_table.py:194,206,213 but absent from the tree;
+    SURVEY §0 recovers them from the loaders' field accesses — which are
+    exactly what NODE_SCHEMAS encodes). One source of truth: the schema
+    both types the DataFrame AND prunes the columns requested from the
+    API — source-side column pruning, the GraphQL analog of ReadSchema.
+
+    Connection-shaped structs ({edges:[{node}]}) render in connection
+    syntax automatically.
+    """
+    from pyspark.sql.types import ArrayType
+    from pyspark.sql.types import StructType as ST
+
+    pad = "  " * indent
+    lines = []
+    for f in schema.fields:
+        dt = f.dataType
+        if isinstance(dt, ST):
+            lines.append(f"{pad}{f.name} {{\n{field_selection(dt, indent + 1)}\n{pad}}}")
+        elif isinstance(dt, ArrayType) and isinstance(dt.elementType, ST):
+            lines.append(
+                f"{pad}{f.name} {{\n{field_selection(dt.elementType, indent + 1)}\n{pad}}}"
+            )
+        else:
+            lines.append(f"{pad}{f.name}")
+    return "\n".join(lines)
+
+
 def build_graphql_query(entity: str, page_size: int, updated_at_min: str | None) -> str:
     """Render the connection query with the source-side filter baked in —
     the S2 pushdown exactly as the reference builds it
-    (extract_table.py:183-191: ``query: "updated_at:>'X'"``)."""
+    (extract_table.py:183-191: ``query: "updated_at:>'X'"``) — and the
+    full field selection derived from the entity schema."""
     filter_arg = f", query: \"updated_at:>'{updated_at_min}'\"" if updated_at_min else ""
+    selection = field_selection(NODE_SCHEMAS[entity], indent=3)
     return (
-        f"query($cursor: String) {{ {entity}(first: {page_size}, after: $cursor"
-        f"{filter_arg}) {{ edges {{ cursor node {{ ... }} }} "
-        f"pageInfo {{ hasNextPage endCursor }} }} }}"
+        f"query($cursor: String) {{\n"
+        f"  {entity}(first: {page_size}, after: $cursor{filter_arg}) {{\n"
+        f"    edges {{\n      cursor\n      node {{\n{selection}\n      }}\n    }}\n"
+        f"    pageInfo {{ hasNextPage endCursor }}\n"
+        f"  }}\n}}"
     )
 
 
