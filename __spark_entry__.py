@@ -9,11 +9,18 @@ DuckDB SQL for the hash-compare gate.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from shopify_etl_spark.plans import QUERIES
+# Make the package importable no matter which cwd the driver imports from.
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+from shopify_etl_spark.plans import QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1027,3 +1027,46 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
     )
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view so users can drive the
+    engine through raw ``spark.sql`` — the SQL front door next to the
+    DataFrame API (both compile to the same Catalyst plans)."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@register(
+    "sql_interface_nation_stats",
+    oracle="""
+    WITH cust_orders AS (
+      SELECT c_nationkey, o_totalprice
+      FROM customer JOIN orders ON c_custkey = o_custkey
+    )
+    SELECT n_name,
+           COUNT(*) AS n_orders,
+           ROUND(AVG(o_totalprice), 2) AS avg_order_value
+    FROM cust_orders JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="The SQL front door: this builder is pure ``spark.sql`` over "
+    "registered temp views (CTE + joins + agg), proving the engine is "
+    "drivable as SQL text, not only through the DataFrame API — both "
+    "compile to identical Catalyst plans.",
+)
+def sql_interface_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH cust_orders AS (
+          SELECT c_nationkey, o_totalprice
+          FROM customer JOIN orders ON c_custkey = o_custkey
+        )
+        SELECT n_name,
+               COUNT(*) AS n_orders,
+               ROUND(AVG(o_totalprice), 2) AS avg_order_value
+        FROM cust_orders JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
