@@ -1070,3 +1070,112 @@ def sql_interface_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name
         """
     )
+
+
+@register(
+    "current_inventory_analog",
+    oracle="""
+    WITH cleaned AS (
+      SELECT UPPER(TRIM(l_returnflag || '-' || CAST(l_partkey AS VARCHAR))) AS sku,
+             l_quantity, l_shipdate, l_suppkey, l_partkey,
+             CASE WHEN l_linestatus = 'F' THEN 'retail' ELSE 'wholesale' END AS source_system
+      FROM lineitem
+      WHERE l_partkey IS NOT NULL
+    ), deduped AS (
+      SELECT * FROM (
+        SELECT c.*, ROW_NUMBER() OVER (
+          PARTITION BY source_system, sku
+          ORDER BY l_shipdate DESC, l_suppkey DESC) AS rn
+        FROM cleaned c
+      ) WHERE rn = 1
+    ), joined AS (
+      SELECT d.sku, ROUND(d.l_quantity, 2) AS qty, d.source_system
+      FROM deduped d JOIN part p ON d.l_partkey = p.p_partkey
+      WHERE p.p_size <= 40
+    ), retail AS (SELECT * FROM joined WHERE source_system = 'retail'),
+       wholesale AS (SELECT * FROM joined WHERE source_system = 'wholesale')
+    SELECT * FROM retail
+    UNION ALL
+    SELECT * FROM wholesale w
+    WHERE NOT EXISTS (SELECT 1 FROM retail r WHERE r.sku = w.sku)
+    """,
+    doc="The M4 fact_current_inventory pipeline composed end-to-end on "
+    "testdata (reference run_logs.txt:335-401): SKU normalize (F7) + "
+    "non-null filter (F9) → latest-per-key window dedup with pinned "
+    "tie-break (W1) → dimension join with status filter (J1/J2) → "
+    "retail-priority anti-join gap fill (J3/U2). Exercises "
+    "operators/merge.py::latest_per_key + priority_fill under the "
+    "driver's oracle gate, not just unit tests.",
+)
+def current_inventory_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import latest_per_key, priority_fill
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 40)
+    cleaned = li.filter(F.col("l_partkey").isNotNull()).select(
+        F.upper(
+            F.trim(F.concat(F.col("l_returnflag"), F.lit("-"), F.col("l_partkey").cast("string")))
+        ).alias("sku"),
+        "l_quantity",
+        "l_shipdate",
+        "l_suppkey",
+        "l_partkey",
+        F.when(F.col("l_linestatus") == "F", F.lit("retail"))
+        .otherwise(F.lit("wholesale"))
+        .alias("source_system"),
+    )
+    deduped = latest_per_key(
+        cleaned, ["source_system", "sku"], "l_shipdate", "l_suppkey"
+    )
+    joined = deduped.join(F.broadcast(part), deduped.l_partkey == part.p_partkey).select(
+        "sku", F.round("l_quantity", 2).alias("qty"), "source_system"
+    )
+    retail = joined.filter(F.col("source_system") == "retail")
+    wholesale = joined.filter(F.col("source_system") == "wholesale")
+    return priority_fill(retail, wholesale, "sku")
+
+
+@register(
+    "date_functions_surface",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)          AS order_year,
+           CAST(month(o_orderdate) AS INT)         AS order_month,
+           CAST(dayofweek(o_orderdate) AS INT) + 1 AS order_dow,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE)  AS due_date,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+           CAST(last_day(o_orderdate) AS DATE)     AS month_end,
+           GREATEST(o_totalprice, 1000.0)          AS price_floor,
+           CASE WHEN o_orderstatus = 'O' THEN 'open'
+                WHEN o_orderstatus = 'F' THEN 'filled'
+                ELSE 'partial' END                 AS status_label,
+           NULLIF(o_orderpriority, '1-URGENT')     AS priority_or_null
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1995-03-01 00:00:00'
+    """,
+    doc="Date/time + conditional function surface (F8/F10 family widened): "
+    "year/month/dayofweek, interval arithmetic, datediff, last_day, "
+    "greatest, CASE, NULLIF — one codegen'd projection. DuckDB dayofweek "
+    "is 0-based Sunday vs Spark's 1-based, hence the +1 in the oracle.",
+)
+def date_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-01 00:00:00").cast("timestamp")
+    )
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofweek("o_orderdate").alias("order_dow"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_y2k"
+        ),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.greatest("o_totalprice", F.lit(1000.0)).alias("price_floor"),
+        F.when(F.col("o_orderstatus") == "O", "open")
+        .when(F.col("o_orderstatus") == "F", "filled")
+        .otherwise("partial")
+        .alias("status_label"),
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("priority_or_null"),
+    )

@@ -37,8 +37,40 @@ def read_envelope(spark: SparkSession, path: str, entity: str) -> DataFrame:
     ).select("_store_type", "_entity_type", "_extracted_at", F.col("edge.node").alias("node"))
 
 
-def read_jsonl(spark: SparkSession, path: str, entity: str) -> DataFrame:
-    """Bulk JSONL (one node per line) → one row per node."""
+def read_jsonl(
+    spark: SparkSession, path: str, entity: str, keep_corrupt: bool = False
+) -> DataFrame:
+    """Bulk JSONL (one node per line) → one row per node.
+
+    ``keep_corrupt=True`` adds a ``_corrupt_record`` column carrying the
+    raw text of unparseable lines (PERMISSIVE mode) so bad data is
+    *reported*, not silently nulled — the drift-visibility upgrade over
+    the reference's silent column drops (SURVEY §7.4 risk 4). Callers
+    split on ``_corrupt_record IS NULL`` and route the rest to a
+    quarantine sink.
+    """
+    if keep_corrupt:
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        # Copy, never .add() on the registry schema: StructType.add MUTATES
+        # in place and would pollute the shared NODE_SCHEMAS entry.
+        schema = StructType(
+            list(NODE_SCHEMAS[entity].fields)
+            + [StructField("_corrupt_record", StringType(), True)]
+        )
+        raw = spark.read.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", "_corrupt_record"
+        ).json(path, schema=schema)
+        node_cols = [f.name for f in NODE_SCHEMAS[entity].fields]
+        out = raw.select(
+            F.struct(*node_cols).alias("node"), F.col("_corrupt_record")
+        )
+        # Spark forbids queries that reference ONLY the corrupt-record
+        # column of a raw JSON scan (UNSUPPORTED_FEATURE.QUERY_ONLY_
+        # CORRUPT_RECORD_COLUMN); caching the parsed frame is the
+        # documented remedy and what a quarantine split needs anyway
+        # (both halves read the same parse).
+        return out.cache()
     return spark.read.json(path, schema=NODE_SCHEMAS[entity]).select(
         F.struct("*").alias("node")
     )

@@ -48,3 +48,28 @@ def test_bucketed_join_exchange_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_items")
+
+
+def test_jsonl_corrupt_record_quarantine(spark, tmp_path):
+    import json as _json
+
+    from tests.shopify_fixtures import gen_order
+    import random
+
+    rng = random.Random(3)
+    good = [_json.dumps(gen_order(rng, i)) for i in range(5)]
+    bad = ['{"id": "gid://shopify/Order/99", "name": ', "not json at all"]
+    src = tmp_path / "mixed.jsonl"
+    src.write_text("\n".join(good[:3] + [bad[0]] + good[3:] + [bad[1]]))
+
+    df = read_jsonl(spark, str(src), "orders", keep_corrupt=True)
+    ok = df.filter("_corrupt_record IS NULL")
+    quarantined = df.filter("_corrupt_record IS NOT NULL")
+    assert ok.count() == 5
+    assert quarantined.count() == 2
+    # quarantined rows carry the raw offending text for the report
+    texts = [r._corrupt_record for r in quarantined.collect()]
+    assert "not json at all" in texts
+    # default (strict parity) path still nulls silently, like the reference
+    silent = read_jsonl(spark, str(src), "orders")
+    assert silent.count() == 7
