@@ -38,8 +38,8 @@ def main() -> int:
         smj = plan.count("SortMergeJoin")
         pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
         pushed_nonempty = sum(1 for p in pushed if p.strip())
-        scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
-        widths = [len(s.split(",")) if s else 0 for s in scans]
+        scans = re.findall(r"ReadSchema: struct<([^>\n]*)", plan)
+        widths = [s.count(":") for s in scans]  # fields = typed entries, robust to truncation
         wsc = plan.count("WholeStageCodegen")
         print(
             f"{name}: shuffles={shuffles} bhj={bhj} smj={smj} "
