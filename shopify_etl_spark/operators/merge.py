@@ -162,3 +162,45 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols) -> None:
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def upsert_partitioned(
+    spark,
+    target_path: str,
+    staged: DataFrame,
+    key_cols,
+    partition_col: str,
+) -> list:
+    """Partition-scoped keyed upsert — the 100 TB shape of M6.
+
+    A full-table upsert rewrites everything; at scale the target is
+    partitioned (fact_orders by month of created_at) and a daily batch
+    touches a handful of partitions. This reads ONLY the partitions whose
+    values appear in the staged batch (static partition pruning on the
+    IN-filter), merges staged-wins semantics there, and rewrites just
+    those directories via dynamic partition overwrite. Every other
+    partition's files are never opened.
+
+    Caveat (same as Delta's MERGE on partitioned tables): if an UPDATE
+    moves a row ACROSS partitions (its partition value changed), the old
+    row lives in an untouched partition and survives. Keys must be stable
+    within their partition value — true for fact_orders (created_at never
+    changes; updated_at does) and for snapshots.
+
+    Returns the list of partition values rewritten.
+    """
+    from pathlib import Path
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    values = [r[0] for r in staged.select(partition_col).distinct().collect()]
+    target = Path(target_path)
+    if not target.exists():
+        overwrite_partitions(staged, target_path, partition_col)
+        return values
+
+    existing = spark.read.parquet(target_path).filter(
+        F.col(partition_col).isin(values)
+    )
+    merged = upsert(existing, staged.select(*existing.columns), key_cols)
+    overwrite_partitions(merged, target_path, partition_col)
+    return values

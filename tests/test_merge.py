@@ -131,3 +131,40 @@ def test_snapshot_rows_idempotent_key(spark):
     two_days = merge.upsert(snap, merge.snapshot_rows(inv, "2025-11-29"),
                             ["sku", "snapshot_date"])
     assert two_days.count() == 2  # next day appends
+
+
+def test_upsert_partitioned_touches_only_staged_partitions(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "fact")
+    base = spark.createDataFrame(
+        [(1, "2025-01", "a"), (2, "2025-01", "b"), (3, "2025-02", "c"), (4, "2025-03", "d")],
+        ["k", "month", "v"],
+    )
+    merge.overwrite_partitions(base, path, "month")
+    jan_files = sorted(os.listdir(tmp_path / "fact" / "month=2025-01"))
+    mar_files = sorted(os.listdir(tmp_path / "fact" / "month=2025-03"))
+
+    staged = spark.createDataFrame(
+        [(3, "2025-02", "c2"), (5, "2025-02", "e")], ["k", "month", "v"]
+    )
+    touched = merge.upsert_partitioned(spark, path, staged, "k", "month")
+    assert touched == ["2025-02"]
+    # untouched partitions: identical files on disk
+    assert sorted(os.listdir(tmp_path / "fact" / "month=2025-01")) == jan_files
+    assert sorted(os.listdir(tmp_path / "fact" / "month=2025-03")) == mar_files
+
+    out = {r.k: (r.v, r.month) for r in spark.read.parquet(path).collect()}
+    assert out == {
+        1: ("a", "2025-01"), 2: ("b", "2025-01"),
+        3: ("c2", "2025-02"),  # updated in place
+        4: ("d", "2025-03"), 5: ("e", "2025-02"),  # inserted
+    }
+    # replay the same staged batch → identical table (idempotent)
+    merge.upsert_partitioned(spark, path, staged, "k", "month")
+    assert {r.k: (r.v, r.month) for r in spark.read.parquet(path).collect()} == out
+
+    # bootstrap path: nonexistent target
+    p2 = str(tmp_path / "fresh")
+    merge.upsert_partitioned(spark, p2, staged, "k", "month")
+    assert spark.read.parquet(p2).count() == 2
