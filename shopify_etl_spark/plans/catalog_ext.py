@@ -257,3 +257,46 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.decode_features(multimodal.assets_from_documents(docs), fake=True)
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS d1, b.vec_id AS d2,
+           ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+    """,
+    doc="Embedding-cosine near-dup pairs with label blocking: the "
+    "all-pairs comparison runs only within a blocking key (label — in a "
+    "real pipeline: an LSH bucket or cluster id), shrinking n² to "
+    "sum(block²). Dot/norms via zip_with+aggregate, JVM-side. The "
+    "unblocked scale path chains minhash-style bucketing "
+    "(similarity.lsh_bucket_topk) in front.",
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("d1"), F.col("label").alias("l1"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("d2"), F.col("label").alias("l2"), F.col("embedding").alias("vb")
+    )
+    pairs = a.join(b, (F.col("l1") == F.col("l2")) & (F.col("d1") < F.col("d2")))
+    dot = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.expr(
+            f"aggregate(transform({c}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+        )
+    )
+    sim = dot / (norm("va") * norm("vb"))
+    return (
+        pairs.withColumn("sim", sim)
+        .filter(F.col("sim") >= 0.35)
+        .select("d1", "d2", F.round("sim", 4).alias("cosine_sim"))
+    )
