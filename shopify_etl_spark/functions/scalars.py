@@ -34,11 +34,14 @@ def safe_num(col: Column | str, typ: str = "double", default: float = 0.0) -> Co
 
 
 def get_money(col: Column | str) -> Column:
-    """F3 — ``x.shopMoney.amount`` else ``x.amount`` else 0.0, as double.
+    """F3 for money-SET structs: ``x.shopMoney.amount`` else 0.0, double.
 
-    Reference get_money, incremental_loaders.py:71-77. Accepts either a
-    money-set struct ({shopMoney:{amount}}) or a bare money struct
-    ({amount}); missing structs resolve to null fields → 0.0 default.
+    Reference get_money (incremental_loaders.py:71-77) branches at
+    runtime between money-sets and bare money dicts; Spark columns are
+    schema-typed, so the two shapes are separate functions — use
+    :func:`get_money_bare` for bare ``{amount, currencyCode}`` structs
+    (passing the wrong shape fails at analysis time, not silently).
+    Missing/null structs resolve to the 0.0 default either way.
     """
     c = F.col(col) if isinstance(col, str) else col
     shop = c.getField("shopMoney").getField("amount")

@@ -237,16 +237,30 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
 
-    Blocking: 4 blocks of 16 bits — any pair within Hamming ≤ 3·16/16
-    shares at least one exact block (pigeonhole for ≤ 3 differing blocks);
-    join per block, then verify true Hamming distance with bit_count.
+    Blocking with **max_hamming + 1** bit-blocks: a pair differing in at
+    most ``max_hamming`` bits cannot touch every block (pigeonhole), so
+    at least one block matches exactly and the pair becomes a join
+    candidate — *guaranteed* recall, unlike a fixed block count which
+    silently misses pairs whose differing bits spread across all blocks.
+    Candidates are then verified with the true bit_count distance.
     """
+    n_blocks = max_hamming + 1
+    if n_blocks > 64:
+        raise ValueError("max_hamming must be < 64")
+    base, extra = divmod(64, n_blocks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
     sigs = simhash(df, text_col, id_col)
     blocked = sigs.select(
         F.col(id_col).alias("doc"),
         "simhash64",
         F.posexplode(
-            F.array(*[(F.shiftright("simhash64", b * 16).bitwiseAND(F.lit(0xFFFF))) for b in range(4)])
+            F.array(
+                *[
+                    F.shiftright("simhash64", off).bitwiseAND(F.lit((1 << w) - 1))
+                    for off, w in zip(offsets, widths)
+                ]
+            )
         ).alias("block", "block_val"),
     )
     a, b = blocked.alias("a"), blocked.alias("b")

@@ -31,6 +31,8 @@ from ..functions.scalars import non_empty, norm_sku
 def combine_stores(*stores: DataFrame) -> DataFrame:
     """U1 — UNION ALL of per-store staging frames, resolved by name
     (reference make_combined_staging_table, run_etl_with_retries.py:41-44)."""
+    if not stores:
+        raise ValueError("combine_stores needs at least one staging frame")
     out = stores[0]
     for df in stores[1:]:
         out = out.unionByName(df)
@@ -189,12 +191,13 @@ def upsert_partitioned(
 
     Returns the list of partition values rewritten.
     """
-    from pathlib import Path
+    from ..pipeline.runner import table_exists
 
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     values = [r[0] for r in staged.select(partition_col).distinct().collect()]
-    target = Path(target_path)
-    if not target.exists():
+    # Hadoop-FS existence check, NOT pathlib: Path('s3://...').exists() is
+    # always False and would silently overwrite instead of merging.
+    if not table_exists(spark, target_path):
         overwrite_partitions(staged, target_path, partition_col)
         return values
 

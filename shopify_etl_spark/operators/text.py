@@ -27,8 +27,13 @@ STOPWORDS = ("the", "a", "of", "and", "to")
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokens with empties removed (ArrayType<String>)."""
-    return F.filter(F.split(col, " "), lambda x: x != "")
+    """Whitespace tokens with empties removed (ArrayType<String>).
+
+    Splits on runs of ANY whitespace (``\\s+``), not just the space
+    character — real corpora contain tabs and newlines, and a tokenizer
+    that misses them corrupts every downstream count/shingle/signature.
+    """
+    return F.filter(F.split(col, r"\s+"), lambda x: x != "")
 
 
 def token_count(col: Column | str) -> Column:
@@ -44,14 +49,17 @@ def quality_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     """
     toks = tokens(text_col)
     n_tokens = F.size(toks)
-    word_chars = F.length(F.regexp_replace(text_col, " ", ""))
+    word_chars = F.length(F.regexp_replace(text_col, r"\s", ""))
     stop_hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    # nullif guards empty/whitespace-only documents: ratios become NULL
+    # (visibly absent) instead of a divide-by-zero artifact
+    denom = F.nullif(n_tokens, F.lit(0))
     return df.select(
         id_col,
         n_tokens.alias("n_tokens"),
         word_chars.alias("n_word_chars"),
-        F.round(word_chars.cast("double") / n_tokens, 4).alias("avg_token_len"),
-        F.round(stop_hits.cast("double") / n_tokens, 4).alias("stopword_ratio"),
+        F.round(word_chars.cast("double") / denom, 4).alias("avg_token_len"),
+        F.round(stop_hits.cast("double") / denom, 4).alias("stopword_ratio"),
         F.length(F.regexp_replace(text_col, r"[^.,!?;:]", "")).alias("n_punct"),
     )
 

@@ -22,10 +22,8 @@ re-runs (SURVEY §7.4 risk 1).
 
 from __future__ import annotations
 
-import shutil
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -50,20 +48,37 @@ class PipelineConfig:
     results: dict = field(default_factory=dict)
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) via the Hadoop API — scheme-agnostic (file://,
+    hdfs://, s3a://…), unlike ``pathlib``/``shutil`` which silently report
+    'missing' for any non-local URI."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def table_exists(spark: SparkSession, path: str) -> bool:
+    fs, hpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(hpath))
+
+
 def atomic_overwrite(df: DataFrame, path: str) -> None:
     """Write to a _tmp sibling, then swap — readers never see a half table,
     and the source table can be part of ``df``'s own plan (parquet can't
-    overwrite a path it is concurrently reading)."""
+    overwrite a path it is concurrently reading). Uses the Hadoop FS API
+    so the swap works on any filesystem scheme."""
     tmp = f"{path}._tmp"
     df.write.mode("overwrite").parquet(tmp)
-    target = Path(path)
-    if target.exists():
-        shutil.rmtree(target)
-    Path(tmp).rename(target)
+    spark = df.sparkSession
+    fs, target = _hadoop_fs(spark, path)
+    if fs.exists(target):
+        fs.delete(target, True)
+    fs.rename(_hadoop_fs(spark, tmp)[1], target)
 
 
 def _read_table(spark: SparkSession, path: str) -> DataFrame | None:
-    return spark.read.parquet(path) if Path(path).exists() else None
+    return spark.read.parquet(path) if table_exists(spark, path) else None
 
 
 def _stage_one(spark: SparkSession, cfg: PipelineConfig, runlog: RunLog, store: str, entity: str):
@@ -191,7 +206,10 @@ def run_daily(spark: SparkSession, cfg: PipelineConfig, ingest_ts=None) -> dict:
     if not all(staging.values()):  # barrier (daily_scheduler.py:168-172)
         return results
 
-    for entity in ENTITIES:
+    # merge only entities that actually staged this run — a partial config
+    # (orders-only) must not attempt customer/product merges over nothing
+    staged_entities = [e for e in ENTITIES if any(ent == e for (_s, ent) in tasks)]
+    for entity in staged_entities:
         ok, err = False, None
         for _attempt in range(cfg.retries):
             try:

@@ -639,7 +639,7 @@ def scalar_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_explode_counts",
     oracle="""
     SELECT token, COUNT(*) AS n
-    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents)
     WHERE token <> ''
     GROUP BY token
     HAVING COUNT(*) >= 10
@@ -652,7 +652,7 @@ def scalar_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 def token_explode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        docs.select(F.explode(F.split("text", r"\s+")).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -24,13 +24,13 @@ from .catalog import load_table, register
     "text_quality_scores",
     oracle="""
     SELECT doc_id,
-           len(list_filter(string_split(text, ' '), x -> x <> ''))  AS n_tokens,
-           length(replace(text, ' ', ''))                           AS n_word_chars,
-           ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-                 / len(list_filter(string_split(text, ' '), x -> x <> '')), 4) AS avg_token_len,
-           ROUND(CAST(len(list_filter(string_split(text, ' '),
+           len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))  AS n_tokens,
+           length(regexp_replace(text, '\s', '', 'g'))                           AS n_word_chars,
+           ROUND(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+                 / len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')), 4) AS avg_token_len,
+           ROUND(CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
                                       x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
-                 / len(list_filter(string_split(text, ' '), x -> x <> '')), 4) AS stopword_ratio,
+                 / len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')), 4) AS stopword_ratio,
            length(regexp_replace(text, '[^.,!?;:]', '', 'g'))       AS n_punct
     FROM documents
     """,
@@ -47,8 +47,8 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS total_tokens,
-           ROUND(AVG(len(list_filter(string_split(text, ' '), x -> x <> ''))), 4) AS avg_tokens
+           SUM(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS total_tokens,
+           ROUND(AVG(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))), 4) AS avg_tokens
     FROM documents GROUP BY source
     """,
     doc="Corpus token accounting per source — the 'how many tokens do we "
@@ -77,11 +77,11 @@ def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
       greatest(s_de, s_en, s_es, s_fr, s_zh) AS marker_hits
     FROM (
       SELECT doc_id,
-        len(list_filter(string_split(lower(text), ' '), x -> x IN ('der','die','und','das','ist'))) AS s_de,
-        len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','and','of','to','is')))    AS s_en,
-        len(list_filter(string_split(lower(text), ' '), x -> x IN ('el','la','que','los','es')))    AS s_es,
-        len(list_filter(string_split(lower(text), ' '), x -> x IN ('le','la','et','les','est')))    AS s_fr,
-        len(list_filter(string_split(lower(text), ' '), x -> x IN ('的','是','了','在','我')))      AS s_zh
+        len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x IN ('der','die','und','das','ist'))) AS s_de,
+        len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x IN ('the','and','of','to','is')))    AS s_en,
+        len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x IN ('el','la','que','los','es')))    AS s_es,
+        len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x IN ('le','la','et','les','est')))    AS s_fr,
+        len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x IN ('的','是','了','在','我')))      AS s_zh
       FROM documents
     )
     """,
@@ -117,7 +117,7 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_jaccard_pairs",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
       FROM documents
     ), sh AS (
       SELECT doc_id,

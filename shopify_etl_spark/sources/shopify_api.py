@@ -85,12 +85,22 @@ def field_selection(schema, indent: int = 0) -> str:
     return "\n".join(lines)
 
 
-def build_graphql_query(entity: str, page_size: int, updated_at_min: str | None) -> str:
+def build_graphql_query(
+    entity: str,
+    page_size: int,
+    updated_at_min: str | None,
+    inclusive: bool = False,
+) -> str:
     """Render the connection query with the source-side filter baked in —
     the S2 pushdown exactly as the reference builds it
     (extract_table.py:183-191: ``query: "updated_at:>'X'"``) — and the
-    full field selection derived from the entity schema."""
-    filter_arg = f", query: \"updated_at:>'{updated_at_min}'\"" if updated_at_min else ""
+    full field selection derived from the entity schema. ``inclusive``
+    renders ``>=`` (a pushed GreaterThanOrEqual must not drop the
+    boundary row)."""
+    op = ">=" if inclusive else ">"
+    filter_arg = (
+        f", query: \"updated_at:{op}'{updated_at_min}'\"" if updated_at_min else ""
+    )
     selection = field_selection(NODE_SCHEMAS[entity], indent=3)
     return (
         f"query($cursor: String) {{\n"
@@ -105,23 +115,36 @@ def build_graphql_query(entity: str, page_size: int, updated_at_min: str | None)
 class FileTransport:
     """Envelope-fixture transport simulating cursor pagination.
 
-    Picklable (path only); each executor partition re-opens the file.
+    Picklable (path + scalars); each executor partition re-opens the file
+    once (the parsed node list is cached per instance — a partition
+    scanning P pages must not re-parse the file P times).
     ``updated_at_min`` is applied source-side, mirroring a server that
-    filters before paginating.
+    filters before paginating; ``inclusive`` distinguishes a pushed
+    ``>=`` from ``>`` so boundary rows aren't silently dropped.
     """
 
     path: str
     page_size: int = 100
     updated_at_min: str | None = None
+    inclusive: bool = False
 
     def _nodes(self) -> list[dict]:
+        cached = getattr(self, "_node_cache", None)
+        if cached is not None:
+            return cached
         with open(self.path) as f:
             doc = json.load(f)
         nodes = [e["node"] for e in doc.get("data", [])]
         if self.updated_at_min:
-            nodes = [
-                n for n in nodes if (n.get("updatedAt") or "") > self.updated_at_min
-            ]
+            if self.inclusive:
+                nodes = [
+                    n for n in nodes if (n.get("updatedAt") or "") >= self.updated_at_min
+                ]
+            else:
+                nodes = [
+                    n for n in nodes if (n.get("updatedAt") or "") > self.updated_at_min
+                ]
+        self._node_cache = nodes
         return nodes
 
     def page_count(self) -> int:
@@ -167,17 +190,22 @@ class ShopifyReader(DataSourceReader):
         self.rate_limit_s = float(options.get("rate_limit_s", "0"))
         self.max_pages = int(options.get("max_pages", "1000"))  # S1 page cap
         self.updated_at_min: str | None = options.get("updated_at_min")
+        # option-provided bounds mirror the reference's > semantics
+        self.inclusive: bool = options.get("updated_at_inclusive", "false") == "true"
 
     def _transport(self) -> FileTransport:
         return FileTransport(
             path=self.options["path"],
             page_size=self.page_size,
             updated_at_min=self.updated_at_min,
+            inclusive=self.inclusive,
         )
 
     def pushFilters(self, filters: list[Filter]):  # noqa: N802 (Spark API name)
         """Consume updatedAt lower-bound filters (S2); everything else
-        stays in Spark. Column paths arrive as tuples like ('updatedAt',)."""
+        stays in Spark. Column paths arrive as tuples like ('updatedAt',).
+        Strictness is tracked per bound: consuming a >= filter but
+        applying > at the source would silently drop boundary rows."""
         remaining = []
         for f in filters:
             if (
@@ -185,9 +213,16 @@ class ShopifyReader(DataSourceReader):
                 and tuple(f.attribute) == ("updatedAt",)
                 and isinstance(f.value, str)
             ):
-                # keep the tightest bound if several arrive
-                if self.updated_at_min is None or f.value > self.updated_at_min:
+                inclusive = isinstance(f, GreaterThanOrEqual)
+                # keep the tightest bound: higher value wins; at equal
+                # values the strict (>) bound is tighter than >=
+                if (
+                    self.updated_at_min is None
+                    or f.value > self.updated_at_min
+                    or (f.value == self.updated_at_min and not inclusive)
+                ):
                     self.updated_at_min = f.value
+                    self.inclusive = inclusive
             else:
                 remaining.append(f)
         return remaining
@@ -200,7 +235,6 @@ class ShopifyReader(DataSourceReader):
 
     def read(self, partition: _PageRange):
         transport = self._transport()
-        field_names = self.schema.fieldNames()
         last_fetch = 0.0
         for page in range(partition.start, partition.end):
             # S8 rate limit: minimum interval between page fetches
@@ -210,10 +244,10 @@ class ShopifyReader(DataSourceReader):
                     time.sleep(wait)
             last_fetch = time.monotonic()
             for node in transport.fetch_page(page):
-                yield _node_to_tuple(node, self.schema, field_names)
+                yield _node_to_tuple(node, self.schema)
 
 
-def _node_to_tuple(value, dtype, field_names=None):
+def _node_to_tuple(value, dtype):
     """Recursively convert a node dict to a tuple matching the schema
     (Spark's Python datasource consumes tuples/Rows, not dicts)."""
     from pyspark.sql.types import ArrayType
@@ -222,7 +256,6 @@ def _node_to_tuple(value, dtype, field_names=None):
     if value is None:
         return None
     if isinstance(dtype, ST):
-        names = field_names or dtype.fieldNames()
         return tuple(
             _node_to_tuple(value.get(f.name), f.dataType) for f in dtype.fields
         ) if isinstance(value, dict) else None
