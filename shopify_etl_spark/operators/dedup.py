@@ -88,10 +88,21 @@ def ngram_jaccard_pairs(
     shingles has p≈n²/2⁶⁴ — irrelevant at any realistic corpus size, and
     results still match the string-keyed oracle on the test corpora).
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(text_col, n)).alias("s_raw"),
-    ).select("doc", F.xxhash64("s_raw").alias("s"))
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(word_shingles(text_col, n)).alias("s_raw"),
+        )
+        .select("doc", F.xxhash64("s_raw").alias("s"))
+        # Lazy localCheckpoint: the posting list feeds three consumers
+        # (both self-join sides + the per-doc sizes); as a plain DataFrame
+        # subtree Spark re-evaluates the scan+explode for each, ~2× the
+        # total cost. The checkpoint collapses lineage to one RDD that
+        # computes once per job. Lives in executor storage for the
+        # session; a cluster deployment would materialize the posting
+        # list as a staging table instead.
+        .localCheckpoint(eager=False)
+    )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     left = sh.alias("a")
     right = sh.alias("b")

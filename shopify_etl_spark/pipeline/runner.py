@@ -83,6 +83,10 @@ def _read_table(spark: SparkSession, path: str) -> DataFrame | None:
 
 def _stage_one(spark: SparkSession, cfg: PipelineConfig, runlog: RunLog, store: str, entity: str):
     """One staging task (reference process_entity, daily_scheduler.py:100-148)."""
+    # Each staging thread gets its own scheduler pool so concurrent jobs
+    # share executors fairly (needs spark.scheduler.mode=FAIR, set in
+    # session.py; a no-op under FIFO). Local properties are thread-local.
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"staging-{store}-{entity}")
     run_id = runlog.log_start(store, entity)
     try:
         nodes = read_envelope(spark, cfg.raw_paths[f"{store}_{entity}"], entity)

@@ -45,6 +45,9 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI_ENABLED", "false"))
+        # FAIR scheduling: concurrent jobs (parallel staging threads, O1)
+        # share executors instead of FIFO head-of-line blocking
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.driver.maxResultSize", "4g")
     )
     for k, v in (extra_conf or {}).items():
