@@ -300,3 +300,44 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim") >= 0.35)
         .select("d1", "d2", F.round("sim", 4).alias("cosine_sim"))
     )
+
+
+@register(
+    "purchase_click_asof",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts AS p_ts, event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts AS c_ts, event_id AS click_id, value AS click_value
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.purchase_id, p.user_id, c.click_id,
+           ROUND(c.click_value, 2) AS click_value
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.p_ts >= c.c_ts
+    """,
+    doc="AS-OF join (purchase → latest prior click per user): an operator "
+    "Spark lacks natively, composed as the scalable union+window pattern "
+    "(one shuffle+sort over |L|+|R|, no range-join row explosion) and "
+    "oracle-checked against DuckDB's native ASOF JOIN. "
+    "operators/joins.py::asof_join_backward.",
+)
+def purchase_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import asof_join_backward
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+        F.round("value", 2).alias("click_value"),
+    )
+    joined = asof_join_backward(
+        purchases, clicks, on="user_id", left_ts="p_ts", right_ts="c_ts",
+        payload_cols=["click_id", "click_value"],
+    )
+    return joined.select("purchase_id", "user_id", "click_id", "click_value")

@@ -1,0 +1,60 @@
+"""As-of join edge cases: no-prior-match nulls, equal-ts inclusion,
+payload-struct integrity (fields must come from ONE right row)."""
+
+from datetime import datetime
+
+from shopify_etl_spark.operators.joins import asof_join_backward
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "p1"),  # after r1, before r2
+            (1, _ts("2024-01-01T12:00:00"), "p2"),  # exactly at r2 → matches r2
+            (1, _ts("2024-01-01T08:00:00"), "p0"),  # before any right row → nulls
+            (2, _ts("2024-01-01T10:00:00"), "p3"),  # key with no right rows at all
+        ],
+        ["user_id", "p_ts", "purchase"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T09:00:00"), "c1", 10.0),
+            (1, _ts("2024-01-01T12:00:00"), "c2", None),  # null value field
+        ],
+        ["user_id", "c_ts", "click", "value"],
+    )
+    out = {
+        r.purchase: (r.click, r.value)
+        for r in asof_join_backward(
+            left, right, on="user_id", left_ts="p_ts", right_ts="c_ts",
+            payload_cols=["click", "value"],
+        ).collect()
+    }
+    assert out["p0"] == (None, None)  # nothing at or before
+    assert out["p1"] == ("c1", 10.0)
+    # equal-ts right row is eligible; its null value must NOT be stitched
+    # with c1's 10.0 (single-struct carry, not per-column last)
+    assert out["p2"] == ("c2", None)
+    assert out["p3"] == (None, None)  # key absent from right
+
+
+def test_asof_preserves_left_cardinality(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from shopify_etl_spark.plans.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("click_id")
+    )
+    joined = asof_join_backward(
+        purchases, clicks, "user_id", "p_ts", "c_ts", ["click_id"]
+    )
+    assert joined.count() == purchases.count()  # exactly one row per left row
