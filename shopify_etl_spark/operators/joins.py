@@ -71,3 +71,35 @@ def asof_join_backward(
     )
     out = carried.filter(F.col("_side") == 1)
     return out.select("_left.*", *[F.col("_p").getField(c).alias(c) for c in payload_cols])
+
+
+def range_join_window(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Bounded-window range join: pairs (l, r) sharing ``on`` with
+    ``l.ts < r.ts <= l.ts + window``.
+
+    Naive formulations (key equi-join + range post-filter) degrade to
+    per-key cross products when keys are dense. Here both sides bucket
+    time by the window width; a qualifying right row is always in the
+    left row's bucket or the next one, so the left side fans out to two
+    (key, bucket) rows and the join becomes a plain equi-join on
+    (key, bucket) + an exact range filter — candidate pairs are bounded
+    by bucket co-residency, not per-key row counts.
+    """
+    bucket = lambda c: F.floor(F.unix_micros(F.col(c)) / (window_seconds * 1_000_000))  # noqa: E731
+    l_b = left.withColumn(
+        "_bucket", F.explode(F.array(bucket(left_ts), bucket(left_ts) + 1))
+    )
+    r_b = right.withColumn("_bucket", bucket(right_ts))
+    joined = l_b.join(r_b, [on, "_bucket"])
+    in_window = (F.col(right_ts) > F.col(left_ts)) & (
+        F.unix_micros(F.col(right_ts))
+        <= F.unix_micros(F.col(left_ts)) + window_seconds * 1_000_000
+    )
+    return joined.filter(in_window).drop("_bucket")

@@ -341,3 +341,49 @@ def purchase_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload_cols=["click_id", "click_value"],
     )
     return joined.select("purchase_id", "user_id", "click_id", "click_value")
+
+
+@register(
+    "purchase_error_range_join",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts AS p_ts, event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+    ), errors AS (
+      SELECT user_id, ts AS e_ts, event_id AS error_id
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT p.purchase_id, e.error_id, p.user_id,
+           epoch_us(e.e_ts) - epoch_us(p.p_ts) AS us_after
+    FROM purchases p JOIN errors e
+      ON p.user_id = e.user_id
+     AND e.e_ts > p.p_ts
+     AND epoch_us(e.e_ts) <= epoch_us(p.p_ts) + CAST(1800 AS BIGINT) * 1000000
+    """,
+    doc="Range (interval) join — errors within 30 minutes after a purchase "
+    "by the same user. Implemented as the bucketed range join (time "
+    "buckets of the window width; left fans out to 2 buckets; equi-join "
+    "on (key, bucket) + exact filter) so candidates are bounded by bucket "
+    "co-residency, not per-key density — the shape that survives hot "
+    "users at 100 TB. operators/joins.py::range_join_window.",
+)
+def purchase_error_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import range_join_window
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("e_ts"), F.col("event_id").alias("error_id")
+    )
+    joined = range_join_window(
+        purchases, errors, on="user_id", left_ts="p_ts", right_ts="e_ts",
+        window_seconds=1800,
+    )
+    return joined.select(
+        "purchase_id",
+        "error_id",
+        "user_id",
+        (F.unix_micros("e_ts") - F.unix_micros("p_ts")).alias("us_after"),
+    )

@@ -58,3 +58,26 @@ def test_asof_preserves_left_cardinality(spark, sf_dir):
         purchases, clicks, "user_id", "p_ts", "c_ts", ["click_id"]
     )
     assert joined.count() == purchases.count()  # exactly one row per left row
+
+
+def test_range_join_equals_naive(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from shopify_etl_spark.operators.joins import range_join_window
+    from shopify_etl_spark.plans.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter("event_type = 'purchase'").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("pid")
+    )
+    b = ev.filter("event_type = 'error'").select(
+        "user_id", F.col("ts").alias("e_ts"), F.col("event_id").alias("eid")
+    )
+    bucketed = range_join_window(a, b, "user_id", "p_ts", "e_ts", 1800)
+    naive = a.join(b, "user_id").filter(
+        (F.col("e_ts") > F.col("p_ts"))
+        & (F.unix_micros("e_ts") <= F.unix_micros("p_ts") + 1800 * 1_000_000)
+    )
+    got = sorted((r.pid, r.eid) for r in bucketed.collect())
+    want = sorted((r.pid, r.eid) for r in naive.collect())
+    assert got == want and len(got) > 0
