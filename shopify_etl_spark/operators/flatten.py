@@ -130,6 +130,7 @@ def explode_order_items(nodes: DataFrame, store: str) -> DataFrame:
     n = F.col("node")
     items = nodes.select(
         clean_id(n.getField("id"), p).alias("order_id"),
+        iso_ts(n.getField("updatedAt")).alias("_parent_updated_at"),
         F.explode(n.getField("lineItems").getField("edges")).alias("edge"),
     )
     li = F.col("edge").getField("node")
@@ -142,6 +143,10 @@ def explode_order_items(nodes: DataFrame, store: str) -> DataFrame:
         li.getField("title").alias("title"),
         get_money(li.getField("originalUnitPriceSet")).alias("original_price"),
         get_money(li.getField("discountedUnitPriceSet")).alias("discounted_price"),
+        # transient version column: lets the merge layer pick the winning
+        # parent version's children when a batch re-delivers an order
+        # (dropped by project_declared before the warehouse write)
+        "_parent_updated_at",
     )
 
 

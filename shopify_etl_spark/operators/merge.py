@@ -39,13 +39,18 @@ def combine_stores(*stores: DataFrame) -> DataFrame:
     return out
 
 
-def latest_per_key(df: DataFrame, key_cols, order_col: str, tiebreak_col: str) -> DataFrame:
+def latest_per_key(df: DataFrame, key_cols, order_col: str, tiebreak_col) -> DataFrame:
     """W1 — latest-per-key dedup (Postgres DISTINCT ON … ORDER BY … DESC,
     reference run_logs.txt:346-361) with a pinned deterministic tie-break
     (PG leaves equal-order ties nondeterministic; we order by
-    ``tiebreak_col`` DESC as documented in SURVEY §7.4)."""
+    ``tiebreak_col`` DESC as documented in SURVEY §7.4). ``tiebreak_col``
+    may be a list when one column isn't unique within a key group —
+    determinism requires the full ordering to be a total order."""
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    w = Window.partitionBy(*key_cols).orderBy(F.desc(order_col), F.desc(tiebreak_col))
+    tiebreaks = [tiebreak_col] if isinstance(tiebreak_col, str) else list(tiebreak_col)
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(order_col), *[F.desc(t) for t in tiebreaks]
+    )
     return (
         df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
     )
@@ -112,23 +117,40 @@ def snapshot_rows(inventory: DataFrame, snapshot_date=None) -> DataFrame:
 def current_inventory(
     inv_retail: DataFrame,
     inv_wholesale: DataFrame,
-    variants: DataFrame,
-    products: DataFrame,
+    variants_retail: DataFrame,
+    products_retail: DataFrame,
+    variants_wholesale: DataFrame | None = None,
+    products_wholesale: DataFrame | None = None,
 ) -> DataFrame:
     """M4 head — the most query-like pipeline in the reference
     (run_logs.txt:335-401): per store, filter dirty SKUs (F9), normalize
     (F7), dedup latest-per-SKU (W1), join variants (J1) and ACTIVE
     products (J2), then retail-priority merge (J3).
 
+    Each store's inventory joins its OWN store's dims (the reference
+    joins staging_retail_* to retail inventory and staging_wholesale_*
+    to wholesale, run_logs.txt:358/377) — product/variant ids carry no
+    store prefix, so a cross-store union of dims would fan shared
+    variants out to duplicate rows and let one store's ACTIVE status
+    leak into the other. Omitting the wholesale dims reuses the retail
+    ones (single-catalog deployments).
+
     The dim joins broadcast (variants/products are small relative to
     inventory rows and shrink further after the ACTIVE filter).
     """
-    active = products.filter(F.col("status") == "ACTIVE").select("product_id")
-    dims = variants.join(F.broadcast(active), "product_id").select(
-        F.col("variant_id").alias("v_variant_id"), F.col("product_id").alias("v_product_id")
-    )
+    if variants_wholesale is None:
+        variants_wholesale = variants_retail
+    if products_wholesale is None:
+        products_wholesale = products_retail
 
-    def per_store(inv: DataFrame) -> DataFrame:
+    def store_dims(variants: DataFrame, products: DataFrame) -> DataFrame:
+        active = products.filter(F.col("status") == "ACTIVE").select("product_id")
+        return variants.join(F.broadcast(active), "product_id").select(
+            F.col("variant_id").alias("v_variant_id"),
+            F.col("product_id").alias("v_product_id"),
+        )
+
+    def per_store(inv: DataFrame, dims: DataFrame) -> DataFrame:
         cleaned = (
             inv.filter(non_empty("sku"))
             .withColumn("sku", norm_sku("sku"))
@@ -145,7 +167,9 @@ def current_inventory(
             )
         )
 
-    return priority_fill(per_store(inv_retail), per_store(inv_wholesale), "sku")
+    retail = per_store(inv_retail, store_dims(variants_retail, products_retail))
+    wholesale = per_store(inv_wholesale, store_dims(variants_wholesale, products_wholesale))
+    return priority_fill(retail, wholesale, "sku")
 
 
 def overwrite_partitions(df: DataFrame, path: str, partition_cols) -> None:

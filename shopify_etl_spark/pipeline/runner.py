@@ -23,7 +23,7 @@ re-runs (SURVEY §7.4 risk 1).
 from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -45,7 +45,6 @@ class PipelineConfig:
     max_workers: int = 4
     retries: int = 2
     stores: tuple = STORES
-    results: dict = field(default_factory=dict)
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -67,14 +66,32 @@ def atomic_overwrite(df: DataFrame, path: str) -> None:
     """Write to a _tmp sibling, then swap — readers never see a half table,
     and the source table can be part of ``df``'s own plan (parquet can't
     overwrite a path it is concurrently reading). Uses the Hadoop FS API
-    so the swap works on any filesystem scheme."""
+    so the swap works on any filesystem scheme.
+
+    Swap order matters: the old table is RENAMED aside (not deleted)
+    before the new one moves in, so there is no window in which a crash
+    leaves NO table — at worst ``path._old`` holds the previous version
+    for manual recovery. Rename results are checked: Hadoop signals
+    rename failure by returning false, not by raising.
+    """
     tmp = f"{path}._tmp"
     df.write.mode("overwrite").parquet(tmp)
     spark = df.sparkSession
     fs, target = _hadoop_fs(spark, path)
-    if fs.exists(target):
-        fs.delete(target, True)
-    fs.rename(_hadoop_fs(spark, tmp)[1], target)
+    tmp_path = _hadoop_fs(spark, tmp)[1]
+    old_path = _hadoop_fs(spark, f"{path}._old")[1]
+    if fs.exists(old_path):  # leftover from an interrupted previous swap
+        fs.delete(old_path, True)
+    had_previous = fs.exists(target)
+    if had_previous and not fs.rename(target, old_path):
+        raise IOError(f"atomic_overwrite: failed to move aside {path}")
+    if not fs.rename(tmp_path, target):
+        # put the old table back before failing — never leave a gap
+        if had_previous:
+            fs.rename(old_path, target)
+        raise IOError(f"atomic_overwrite: failed to install new table at {path}")
+    if had_previous:
+        fs.delete(old_path, True)
 
 
 def _read_table(spark: SparkSession, path: str) -> DataFrame | None:
@@ -150,8 +167,23 @@ def _merge_entity(spark: SparkSession, cfg: PipelineConfig, entity: str, ingest_
         if inv_w is None and inv_r is not None:
             inv_w = inv_r.limit(0)
         if inv_r is not None and inv_w is not None:
+            # each store's inventory joins its OWN staging dims (reference
+            # run_logs.txt:358/377) — ids carry no store prefix, so a
+            # cross-store dim union would duplicate shared variants
+            def store_dim(store: str, table: str) -> DataFrame:
+                df = _read_table(spark, f"{wh}/staging/{store}/{table}")
+                if df is None:
+                    other = "wholesale" if store == "retail" else "retail"
+                    df = _read_table(spark, f"{wh}/staging/{other}/{table}").limit(0)
+                return df
+
             current = merge.current_inventory(
-                inv_r, inv_w, staged("dim_product_variants"), staged("dim_products")
+                inv_r,
+                inv_w,
+                store_dim("retail", "dim_product_variants"),
+                store_dim("retail", "dim_products"),
+                store_dim("wholesale", "dim_product_variants"),
+                store_dim("wholesale", "dim_products"),
             )
             target = _read_table(spark, f"{wh}/fact_current_inventory")
             staged_inv = merge.stamp_ingested(
@@ -168,9 +200,16 @@ def _merge_entity(spark: SparkSession, cfg: PipelineConfig, entity: str, ingest_
             )
             merge.overwrite_partitions(snap, f"{wh}/inventory_snapshot", "snapshot_date")
     else:  # orders
-        # M6: keyed upsert; M7: delete+reload of child items (run_logs.txt:472-573)
+        # M6: keyed upsert; M7: delete+reload of child items (run_logs.txt:472-573).
+        # A batch can re-deliver an order (pagination overlap mid-extraction,
+        # multiple envelope files): dedupe staged rows to the latest version
+        # per key BEFORE merging, like the streaming twin does — otherwise
+        # duplicate-key rows land in the warehouse.
+        staged_orders = merge.latest_per_key(
+            staged("fact_orders"), "order_id", "updated_at", "order_number"
+        )
         staged_orders = merge.stamp_ingested(
-            project_declared(staged("fact_orders"), "fact_orders"), ingest_ts
+            project_declared(staged_orders, "fact_orders"), ingest_ts
         )
         target_o = _read_table(spark, f"{wh}/fact_orders")
         out_o = (
@@ -180,8 +219,16 @@ def _merge_entity(spark: SparkSession, cfg: PipelineConfig, entity: str, ingest_
         )
         atomic_overwrite(out_o, f"{wh}/fact_orders")
 
+        # children: keep only the winning parent version's rows (the
+        # transient _parent_updated_at carries the order version)
+        staged_items = merge.latest_per_key(
+            staged("fact_order_items"),
+            ["order_id", "line_item_id"],
+            "_parent_updated_at",
+            ["quantity", "title"],
+        )
         staged_items = merge.stamp_ingested(
-            project_declared(staged("fact_order_items"), "fact_order_items"), ingest_ts
+            project_declared(staged_items, "fact_order_items"), ingest_ts
         )
         target_i = _read_table(spark, f"{wh}/fact_order_items")
         out_i = (

@@ -68,10 +68,14 @@ class RunLog:
             ).coalesce(1).write.mode("append").parquet(self.path)
 
     def read(self):
-        try:
-            return self.spark.read.schema(RUN_LOG_SCHEMA).parquet(self.path)
-        except Exception:  # noqa: BLE001 — first run: no log yet
+        # Only a MISSING log means "first run"; any other failure (corrupt
+        # footer, permissions) must surface — swallowing it would silently
+        # reset the watermark and trigger a full re-extraction.
+        from .runner import table_exists
+
+        if not table_exists(self.spark, self.path):
             return self.spark.createDataFrame([], RUN_LOG_SCHEMA)
+        return self.spark.read.schema(RUN_LOG_SCHEMA).parquet(self.path)
 
     def log_start(self, store: str, entity: str) -> str:
         """INSERT a RUNNING row, return its id (reference daily_scheduler.py:24-36)."""
@@ -136,12 +140,15 @@ class RunLog:
         return row.wm if row else None
 
     def get_start_date(self, store: str, entity: str, default_days: int = 30, now=None):
-        """Lookback start: ``last_success - (2 + days_gap) days``
-        (reference daily_scheduler.py:75-83). ``days_gap`` is the staleness
-        of the watermark; the overlap re-reads late updates on purpose."""
+        """Lookback start: ``now - (2 + days_gap) days`` ≈ watermark minus
+        two days (reference daily_scheduler.py:75-83). ``days_gap`` is the
+        watermark's staleness; the overlap re-reads late updates on
+        purpose. Anchored at *now*, not the watermark — anchoring at the
+        watermark would double the re-extraction window as staleness grows.
+        """
         now = now or datetime.now(timezone.utc).replace(tzinfo=None)
         wm = self.last_watermark(store, entity)
         if wm is None:
             return now - timedelta(days=default_days)
         days_gap = max((now - wm).days, 0)
-        return wm - timedelta(days=2 + days_gap)
+        return now - timedelta(days=2 + days_gap)

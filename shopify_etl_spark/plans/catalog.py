@@ -1077,7 +1077,7 @@ def sql_interface_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH cleaned AS (
       SELECT UPPER(TRIM(l_returnflag || '-' || CAST(l_partkey AS VARCHAR))) AS sku,
-             l_quantity, l_shipdate, l_suppkey, l_partkey,
+             l_quantity, l_shipdate, l_suppkey, l_partkey, l_orderkey, l_linenumber,
              CASE WHEN l_linestatus = 'F' THEN 'retail' ELSE 'wholesale' END AS source_system
       FROM lineitem
       WHERE l_partkey IS NOT NULL
@@ -1085,7 +1085,8 @@ def sql_interface_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT * FROM (
         SELECT c.*, ROW_NUMBER() OVER (
           PARTITION BY source_system, sku
-          ORDER BY l_shipdate DESC, l_suppkey DESC) AS rn
+          ORDER BY l_shipdate DESC, l_suppkey DESC,
+                   l_orderkey DESC, l_linenumber DESC) AS rn
         FROM cleaned c
       ) WHERE rn = 1
     ), joined AS (
@@ -1120,12 +1121,17 @@ def current_inventory_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_shipdate",
         "l_suppkey",
         "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
         F.when(F.col("l_linestatus") == "F", F.lit("retail"))
         .otherwise(F.lit("wholesale"))
         .alias("source_system"),
     )
+    # (l_orderkey, l_linenumber) completes a TOTAL order — suppkey+
+    # shipdate alone can tie, making the surviving quantity engine-dependent
     deduped = latest_per_key(
-        cleaned, ["source_system", "sku"], "l_shipdate", "l_suppkey"
+        cleaned, ["source_system", "sku"], "l_shipdate",
+        ["l_suppkey", "l_orderkey", "l_linenumber"],
     )
     joined = deduped.join(F.broadcast(part), deduped.l_partkey == part.p_partkey).select(
         "sku", F.round("l_quantity", 2).alias("qty"), "source_system"

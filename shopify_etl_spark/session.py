@@ -48,6 +48,10 @@ def get_spark(
         # FAIR scheduling: concurrent jobs (parallel staging threads, O1)
         # share executors instead of FIFO head-of-line blocking
         .config("spark.scheduler.mode", "FAIR")
+        # read TIMESTAMP(NANOS) parquet as long (testdata events table);
+        # also set dynamically in plans.catalog.load_table for sessions
+        # not built by this factory (e.g. the driver's)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.maxResultSize", "4g")
     )
     for k, v in (extra_conf or {}).items():

@@ -44,7 +44,6 @@ def stream_upsert_orders(
     target_dir: str,
     checkpoint_dir: str,
     store: str = "retail",
-    watermark_delay: str = "2 days",
 ):
     """Incremental order feed → fact_orders, as a stream.
 
@@ -54,12 +53,16 @@ def stream_upsert_orders(
     converge to the same table — the streaming analog of the reference's
     lookback + ON CONFLICT design (daily_scheduler.py:75-81).
 
+    No ``withWatermark`` here: watermarks only affect stateful operators
+    (aggregations, dedup, stream-stream joins), and a foreachBatch sink
+    has none — late rows always reach the merge, which is the point (the
+    idempotent upsert absorbs them). The watermarked operators live in
+    ``windowed_order_counts`` and ``stateful.running_event_totals``.
+
     Returns the started query; callers ``awaitTermination()``.
     """
     nodes = stream_nodes_jsonl(spark, src_dir, "orders")
-    orders = flatten.flatten_orders(nodes, store).withWatermark(
-        "updated_at", watermark_delay
-    )
+    orders = flatten.flatten_orders(nodes, store)
 
     def merge_batch(batch: DataFrame, _epoch: int) -> None:
         staged = merge.latest_per_key(batch, "order_id", "updated_at", "order_number")

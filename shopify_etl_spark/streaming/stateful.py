@@ -50,9 +50,9 @@ def _update_running_totals(
     n, last_us = state.get if state.exists else (0, None)
     for pdf in pdfs:
         n += len(pdf)
-        if len(pdf):
-            batch_max = pdf["ts"].max()
-            us = int(batch_max.value // 1000)  # pandas ns → µs
+        valid_ts = pdf["ts"].dropna()  # all-null ts → NaT.max() would
+        if len(valid_ts):  # poison the watermark with int64-min
+            us = int(valid_ts.max().value // 1000)  # pandas ns → µs
             last_us = us if last_us is None else max(last_us, us)
     state.update((n, last_us))
     last_ts = pd.Timestamp(last_us * 1000) if last_us is not None else None

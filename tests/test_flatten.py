@@ -43,7 +43,9 @@ def test_orders_flatten_and_items(spark, fixture_paths):
     items = flatten.explode_order_items(nodes, "retail")
     assert orders.count() == 40
     assert orders.columns == SCHEMA_MAP["fact_orders"]
-    assert items.columns == SCHEMA_MAP["fact_order_items"]
+    # items carry a transient parent-version column for merge-time dedup;
+    # project_declared drops it before any warehouse write
+    assert items.columns == SCHEMA_MAP["fact_order_items"] + ["_parent_updated_at"]
     # per-order aggregates match the exploded child rows (A2/A3)
     agg = items.groupBy("order_id").agg(
         F.count("*").alias("n"), F.sum("quantity").alias("q")

@@ -97,9 +97,15 @@ def test_current_inventory_pipeline(spark, fixture_paths):
     inv_r = flatten.inventory_from_products(r_nodes, "retail")
     inv_w = flatten.inventory_from_products(w_nodes, "wholesale")
     variants = merge.combine_stores(flatten.explode_variants(r_nodes), flatten.explode_variants(w_nodes))
-    products = merge.combine_stores(flatten.flatten_products(r_nodes), flatten.flatten_products(w_nodes))
 
-    out = merge.current_inventory(inv_r, inv_w, variants, products)
+    out = merge.current_inventory(
+        inv_r,
+        inv_w,
+        flatten.explode_variants(r_nodes),
+        flatten.flatten_products(r_nodes),
+        flatten.explode_variants(w_nodes),
+        flatten.flatten_products(w_nodes),
+    )
     rows = out.collect()
     skus = [r.sku for r in rows]
     assert len(skus) == len(set(skus))  # unique per sku

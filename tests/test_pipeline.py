@@ -96,9 +96,10 @@ def test_runlog_watermark_and_lookback(spark, tmp_path):
     assert log.get_start_date("retail", "orders", default_days=30, now=now) == now - timedelta(days=30)
     rid = log.log_start("retail", "orders")
     log.log_staging_success(rid, "retail", "orders", "2025-11-26T12:00:00")
-    # days_gap = 1 → start = wm - 3 days (reference daily_scheduler.py:75-81)
+    # days_gap = 1 → start = now - 3 days (reference daily_scheduler.py:75-81
+    # anchors the lookback at now, ≈ watermark minus two days)
     start = log.get_start_date("retail", "orders", now=now)
-    assert start == datetime(2025, 11, 23, 12, 0, 0)
+    assert start == datetime(2025, 11, 25, 6, 0, 0)
     # failed runs don't move the watermark
     rid2 = log.log_start("retail", "orders")
     log.log_failure(rid2, "retail", "orders", "boom")
