@@ -680,8 +680,8 @@ def token_explode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ordered
     ), sess AS (
       SELECT user_id,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events
@@ -873,25 +873,56 @@ def weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "price_quantiles_by_brand",
     oracle="""
+    WITH g AS (
+      SELECT p_brand, list_sort(list(l_extendedprice)) AS v
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand
+    )
     SELECT p_brand,
-           ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-           ROUND(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
-           ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS p75
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    GROUP BY p_brand
+           v[CAST(floor((len(v)-1)*0.25) AS BIGINT)+1]
+           + (v[CAST(ceil((len(v)-1)*0.25) AS BIGINT)+1]
+              - v[CAST(floor((len(v)-1)*0.25) AS BIGINT)+1])
+             * CAST((len(v)-1)*0.25 - floor((len(v)-1)*0.25) AS DOUBLE) AS p25,
+           v[CAST(floor((len(v)-1)*0.50) AS BIGINT)+1]
+           + (v[CAST(ceil((len(v)-1)*0.50) AS BIGINT)+1]
+              - v[CAST(floor((len(v)-1)*0.50) AS BIGINT)+1])
+             * CAST((len(v)-1)*0.50 - floor((len(v)-1)*0.50) AS DOUBLE) AS p50,
+           v[CAST(floor((len(v)-1)*0.75) AS BIGINT)+1]
+           + (v[CAST(ceil((len(v)-1)*0.75) AS BIGINT)+1]
+              - v[CAST(floor((len(v)-1)*0.75) AS BIGINT)+1])
+             * CAST((len(v)-1)*0.75 - floor((len(v)-1)*0.75) AS DOUBLE) AS p75
+    FROM g
     """,
-    doc="Exact interpolated percentiles per group (Spark `percentile` ≡ "
-    "DuckDB `quantile_cont`). The approximate scale path is "
-    "approx_percentile/approx_count_distinct (see approx_event_stats).",
+    doc="Exact interpolated percentiles per group. Both sides compute the "
+    "interpolation `lo + (hi-lo)*frac` over an explicitly sorted value "
+    "array so the IEEE arithmetic — and hence the output doubles — are "
+    "bit-identical, UNROUNDED. (Engine-internal percentile routines "
+    "interpolate in different FP order, and ROUND itself diverges at "
+    "decimal half-way points: Spark rounds the decimal repr HALF_UP, "
+    "DuckDB rounds the binary double.) Exact percentile inherently "
+    "buffers the group; the 100 TB path is approx_percentile (see "
+    "approx_event_stats).",
 )
 def price_quantiles_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-    return j.groupBy("p_brand").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 2).alias("p25"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 2).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 2).alias("p75"),
+    g = j.groupBy("p_brand").agg(
+        F.sort_array(F.collect_list("l_extendedprice")).alias("v")
+    )
+    n1 = (F.size("v") - F.lit(1)).cast("double")
+
+    def interp(p: float):
+        pos = n1 * F.lit(p)
+        lo = F.element_at("v", (F.floor(pos) + 1).cast("int"))
+        hi = F.element_at("v", (F.ceil(pos) + 1).cast("int"))
+        return lo + (hi - lo) * (pos - F.floor(pos))
+
+    return g.select(
+        "p_brand",
+        interp(0.25).alias("p25"),
+        interp(0.50).alias("p50"),
+        interp(0.75).alias("p75"),
     )
 
 
@@ -1202,8 +1233,8 @@ def date_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ordered
     ), sess AS (
       SELECT user_id, ts,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events

@@ -47,7 +47,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS total_tokens,
+           CAST(SUM(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens,
            ROUND(AVG(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))), 4) AS avg_tokens
     FROM documents GROUP BY source
     """,

@@ -74,6 +74,25 @@ def main() -> int:
             cur = con.execute(oracles[name])
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
+            # Driver-parity guard: the driver fetches oracles via pandas, which
+            # turns DuckDB HUGEINT (e.g. SUM(int)) into float64 and breaks the
+            # value hash against Spark's integer output even when values match.
+            opd = con.execute(oracles[name]).fetchdf()
+            int_spark = {
+                f.name
+                for f in sdf.schema.fields
+                if f.dataType.typeName() in ("byte", "short", "integer", "long")
+            }
+            drift = [
+                c
+                for c, d in opd.dtypes.astype(str).items()
+                if d.startswith("float") and c in int_spark and not opd[c].isna().any()
+            ]
+            if drift:
+                print(f"FAIL {name}: oracle pandas dtype drift (int on Spark, "
+                      f"float in driver fetch) on {drift} — add CAST(... AS BIGINT)")
+                failures.append(name)
+                continue
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: oracle error: {e}")
             failures.append(name)
