@@ -225,9 +225,24 @@ def upsert_partitioned(
         overwrite_partitions(staged, target_path, partition_col)
         return values
 
-    existing = spark.read.parquet(target_path).filter(
-        F.col(partition_col).isin(values)
-    )
+    # isin([...]) never matches NULL, so a null partition value (written as
+    # __HIVE_DEFAULT_PARTITION__) must be pruned-in explicitly or its
+    # existing rows would be dropped by the dynamic overwrite of that dir.
+    non_null = [v for v in values if v is not None]
+    pred = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if any(v is None for v in values):
+        pred = pred | F.col(partition_col).isNull()
+    existing = spark.read.parquet(target_path).filter(pred)
     merged = upsert(existing, staged.select(*existing.columns), key_cols)
     overwrite_partitions(merged, target_path, partition_col)
     return values
+
+
+def with_month_partition(
+    df: DataFrame, ts_col: str = "created_at", out_col: str = "created_month"
+) -> DataFrame:
+    """Derive the physical partition column for a month-partitioned fact
+    table (fact_orders at 100 TB: ~one directory per month; a daily batch
+    touches 1-2 of them). String yyyy-MM so partition-value inference on
+    read-back is type-stable across engines/filesystems."""
+    return df.withColumn(out_col, F.date_format(F.col(ts_col), "yyyy-MM"))

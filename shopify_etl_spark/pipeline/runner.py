@@ -211,13 +211,19 @@ def _merge_entity(spark: SparkSession, cfg: PipelineConfig, entity: str, ingest_
         staged_orders = merge.stamp_ingested(
             project_declared(staged_orders, "fact_orders"), ingest_ts
         )
-        target_o = _read_table(spark, f"{wh}/fact_orders")
-        out_o = (
-            merge.upsert(target_o, staged_orders, MERGE_KEYS["fact_orders"])
-            if target_o is not None
-            else staged_orders
+        # Partition-scoped upsert — the 100 TB shape of M6: fact_orders is
+        # partitioned by month(created_at); a daily batch touches only the
+        # 1-2 partitions its staged keys live in, every other month's files
+        # are never opened (the old full-table upsert+atomic_overwrite
+        # rewrote the whole fact table each run). created_at is immutable
+        # per order, so keys never move across partitions.
+        merge.upsert_partitioned(
+            spark,
+            f"{wh}/fact_orders",
+            merge.with_month_partition(staged_orders),
+            MERGE_KEYS["fact_orders"],
+            "created_month",
         )
-        atomic_overwrite(out_o, f"{wh}/fact_orders")
 
         # children: keep only the winning parent version's rows (the
         # transient _parent_updated_at carries the order version)

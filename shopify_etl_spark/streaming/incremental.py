@@ -19,7 +19,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import flatten, merge
-from ..pipeline.runner import atomic_overwrite, _read_table
 from ..schemas import NODE_SCHEMAS
 
 
@@ -66,9 +65,17 @@ def stream_upsert_orders(
 
     def merge_batch(batch: DataFrame, _epoch: int) -> None:
         staged = merge.latest_per_key(batch, "order_id", "updated_at", "order_number")
-        target = _read_table(batch.sparkSession, target_dir)
-        out = merge.upsert(target, staged, "order_id") if target is not None else staged
-        atomic_overwrite(out, target_dir)
+        # Partition-scoped merge, same as the batch runner: a micro-batch
+        # touches only the month partitions its keys live in — the target
+        # never gets a full-table rewrite per trigger (created_at is
+        # immutable per order, so keys can't move across partitions).
+        merge.upsert_partitioned(
+            batch.sparkSession,
+            target_dir,
+            merge.with_month_partition(staged),
+            "order_id",
+            "created_month",
+        )
 
     return (
         orders.writeStream.foreachBatch(merge_batch)

@@ -80,6 +80,71 @@ def test_incremental_batch2_upserts(spark, tmp_path, fixture_paths):
     assert upd.ingested_at.day == 29  # re-stamped by day-2 run
 
 
+def _partition_fingerprint(wh_dir: str, month: str) -> dict:
+    """{relative file path: md5} for one created_month partition directory."""
+    import hashlib
+    from pathlib import Path
+
+    base = Path(wh_dir) / "fact_orders" / f"created_month={month}"
+    return {
+        str(p.relative_to(base)): hashlib.md5(p.read_bytes()).hexdigest()
+        for p in sorted(base.rglob("*"))
+        if p.is_file() and not p.name.startswith(("_", "."))
+    }
+
+
+def test_partitioned_upsert_leaves_untouched_months_byte_identical(
+    spark, tmp_path
+):
+    """M6 at the 100 TB shape: a daily batch must rewrite ONLY the month
+    partitions its staged keys live in — other months' files are never
+    opened, never rewritten (VERDICT r1 item 2)."""
+    from tests.shopify_fixtures import gen_order, write_envelope
+    import random
+
+    rng = random.Random(7)
+    day1 = []
+    for i, month in enumerate(["2025-09", "2025-09", "2025-10", "2025-11"]):
+        o = gen_order(rng, i)
+        o["createdAt"] = f"{month}-0{i % 9 + 1}T10:00:00Z"
+        day1.append(o)
+    p1 = write_envelope(tmp_path / "raw" / "orders_d1.json", "retail", "orders", day1)
+
+    cfg = PipelineConfig(
+        raw_paths={"retail_orders": str(p1)},
+        warehouse_dir=str(tmp_path / "wh"),
+        run_log_dir=str(tmp_path / "runlog"),
+        stores=("retail",),
+    )
+    res = run_daily(spark, cfg, ingest_ts="2025-11-28 06:00:00")
+    assert res["merge"]["orders"] is True
+
+    before_sep = _partition_fingerprint(cfg.warehouse_dir, "2025-09")
+    before_oct = _partition_fingerprint(cfg.warehouse_dir, "2025-10")
+    assert before_sep and before_oct
+
+    # day 2: one update to the November order + one new November order
+    upd = gen_order(rng, 3, updated_day=28)
+    upd["createdAt"] = day1[3]["createdAt"]
+    new = gen_order(rng, 99)
+    new["createdAt"] = "2025-11-15T09:00:00Z"
+    p2 = write_envelope(tmp_path / "raw" / "orders_d2.json", "retail", "orders", [upd, new])
+    cfg.raw_paths = {"retail_orders": str(p2)}
+    res2 = run_daily(spark, cfg, ingest_ts="2025-11-29 06:00:00")
+    assert res2["merge"]["orders"] is True
+
+    # untouched months: byte-identical files (not just equal rows)
+    assert _partition_fingerprint(cfg.warehouse_dir, "2025-09") == before_sep
+    assert _partition_fingerprint(cfg.warehouse_dir, "2025-10") == before_oct
+
+    fact = spark.read.parquet(f"{cfg.warehouse_dir}/fact_orders")
+    assert fact.count() == 5  # 4 + 1 new
+    nov = fact.filter(F.col("order_id") == "R-3").collect()[0]
+    assert nov.updated_at.day == 28  # day-2 version won
+    assert nov.ingested_at.day == 29
+    assert fact.groupBy("order_id").count().filter("count>1").count() == 0
+
+
 def test_barrier_skips_merge_on_staging_failure(spark, tmp_path, fixture_paths):
     cfg = _cfg(tmp_path, fixture_paths)
     cfg.raw_paths = dict(cfg.raw_paths)
