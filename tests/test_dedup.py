@@ -71,6 +71,35 @@ def test_simhash_near_pairs_finds_planted_near_dups(spark, sf_dir):
     assert caught >= 0.7 * len(true_pairs), (caught, len(true_pairs))
 
 
+def test_df_cap_keeps_planted_pairs_and_bounds_stop_shingles(spark, sf_dir):
+    """The df_max candidate cap must not lose any true near-dup pair on the
+    test corpus (every planted pair shares under-cap shingles), and a
+    synthetic boilerplate corpus shows the cap actually prunes."""
+    docs = load_table(spark, sf_dir, "documents")
+    capped = {
+        (r.d1, r.d2, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8, df_max=100).collect()
+    }
+    uncapped = {
+        (r.d1, r.d2, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8, df_max=None).collect()
+    }
+    assert capped == uncapped and capped
+
+    # boilerplate corpus: one stop-shingle in every doc; cap must prune it
+    # from candidate generation (docs share ONLY boilerplate → no pairs),
+    # while true near-dups (doc 100/101) still surface with exact scores.
+    boiler = [(i, f"common header line word{i} tail{i} end{i}") for i in range(50)]
+    boiler += [(100, "alpha beta gamma delta epsilon zeta"),
+               (101, "alpha beta gamma delta epsilon eta")]
+    bdf = spark.createDataFrame(boiler, ["doc_id", "text"])
+    out = dedup.ngram_jaccard_pairs(bdf, threshold=0.5, df_max=10).collect()
+    assert {(r.d1, r.d2) for r in out} == {(100, 101)}
+    # exact verify phase scored over FULL postings: J(100,101) = 3 shared
+    # of (4+4-3) = 0.6 — not a capped approximation
+    assert abs(out[0].jaccard - 0.6) < 1e-9
+
+
 def test_minhash_signature_deterministic(spark):
     df = spark.createDataFrame([(1, "alpha beta gamma delta epsilon")], ["doc_id", "text"])
     s1 = dedup.minhash_signatures(df).collect()[0].signature

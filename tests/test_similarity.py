@@ -60,3 +60,63 @@ def test_lsh_topk_results_are_true_neighbors(spark, sf_dir):
         assert qid != nid
     recall = len(set(approx) & exact) / len(exact)
     assert recall >= 0.0  # smoke: bucketing at 8 planes on 500 docs is sparse
+
+
+def test_blocked_cosine_pairs_exact_below_cap(spark, sf_dir):
+    """With every block under the cap the operator must equal the naive
+    all-pairs-within-label join exactly (this is what keeps the
+    embedding_near_dup_pairs oracle green)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {
+        (r.d1, r.d2, round(r.sim, 6))
+        for r in similarity.blocked_cosine_pairs(
+            emb, "vec_id", "embedding", "label", 0.35, dim=64, max_block_size=1000
+        ).collect()
+    }
+    a = emb.select(F.col("vec_id").alias("d1"), F.col("label").alias("l"),
+                   F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("d2"), F.col("label").alias("l"),
+                   F.col("embedding").alias("vb"))
+    import numpy as np
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype="float64") for r in emb.collect()}
+    labels = {r.vec_id: r.label for r in emb.collect()}
+    expect = set()
+    ids = sorted(vecs)
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1:]:
+            if labels[d1] != labels[d2]:
+                continue
+            v1, v2 = vecs[d1], vecs[d2]
+            sim = float(v1 @ v2 / (np.linalg.norm(v1) * np.linalg.norm(v2)))
+            if sim >= 0.35:
+                expect.add((d1, d2, round(sim, 6)))
+    assert got == expect
+
+
+def test_blocked_cosine_pairs_bounds_hot_block(spark):
+    """One hot key: the oversized block must degrade to LSH sub-buckets
+    (bounded candidate count, reported), never an O(hot²) self-join."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [(i, "hot", [float(x) for x in rng.normal(size=16)]) for i in range(400)]
+    rows += [(1000 + i, "cold", [float(x) for x in rng.normal(size=16)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id: long, label: string, embedding: array<double>")
+
+    report = similarity.oversize_blocks(df, "label", max_block_size=100).collect()
+    assert [(r.label, r.block_size) for r in report] == [("hot", 400)]
+
+    pairs = similarity.blocked_cosine_pairs(
+        df, "vec_id", "embedding", "label", threshold=-1.0, dim=16,
+        max_block_size=100, overflow_planes=4,
+    )
+    out = pairs.collect()
+    # cold block (under cap) stays exact: all C(20,2) pairs at threshold=-1
+    cold = [r for r in out if r.d1 >= 1000]
+    assert len(cold) == 190
+    # hot block: candidates only within 2^4 sub-buckets — far below C(400,2)
+    hot = [r for r in out if r.d1 < 1000]
+    assert 0 < len(hot) < 79800 / 4
+    # and every emitted hot pair is a genuine same-block pair with d1<d2
+    assert all(r.d1 < r.d2 < 400 for r in hot)
