@@ -45,6 +45,12 @@ class PipelineConfig:
     max_workers: int = 4
     retries: int = 2
     stores: tuple = STORES
+    # S5 hook: f"{store}_{entity}" -> bulk transport. Entities listed here
+    # stage from a bulk operation (submit → poll → JSONL download → parallel
+    # read) instead of a raw envelope — the reference's initial-load path
+    # (run_logs.txt:17-147; extract_table.py:325).
+    bulk_transports: dict | None = None
+    bulk_poll_interval_s: float = 15.0
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -106,7 +112,19 @@ def _stage_one(spark: SparkSession, cfg: PipelineConfig, runlog: RunLog, store: 
     spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"staging-{store}-{entity}")
     run_id = runlog.log_start(store, entity)
     try:
-        nodes = read_envelope(spark, cfg.raw_paths[f"{store}_{entity}"], entity)
+        key = f"{store}_{entity}"
+        if cfg.bulk_transports and key in cfg.bulk_transports:
+            from ..sources.bulk import bulk_extract_to_dataframe
+
+            nodes = bulk_extract_to_dataframe(
+                spark,
+                cfg.bulk_transports[key],
+                entity,
+                f"{cfg.warehouse_dir}/landing/{store}/{entity}.jsonl",
+                poll_interval_s=cfg.bulk_poll_interval_s,
+            )
+        else:
+            nodes = read_envelope(spark, cfg.raw_paths[key], entity)
         out_dir = f"{cfg.warehouse_dir}/staging/{store}"
         if entity == "customers":
             frames = {"dim_customers": flatten.flatten_customers(nodes, store)}
@@ -251,7 +269,8 @@ def run_daily(spark: SparkSession, cfg: PipelineConfig, ingest_ts=None) -> dict:
     Returns {'staging': {(store, entity): bool}, 'merge': {entity: bool}}.
     """
     runlog = RunLog(spark, cfg.run_log_dir)
-    tasks = [(s, e) for s in cfg.stores for e in ENTITIES if f"{s}_{e}" in cfg.raw_paths]
+    sources = set(cfg.raw_paths) | set(cfg.bulk_transports or ())
+    tasks = [(s, e) for s in cfg.stores for e in ENTITIES if f"{s}_{e}" in sources]
 
     with ThreadPoolExecutor(max_workers=cfg.max_workers) as pool:
         futures = {
