@@ -38,8 +38,15 @@ def asof_join_backward(
 
     ``payload_cols`` are the right-side columns to carry; left columns
     pass through unchanged.
+
+    Null keys: SQL ASOF equality never matches NULL = NULL, but a window
+    ``partitionBy`` groups all NULL keys together — without a guard, a
+    null-key left row could pick up a null-key right payload. Null-key
+    right rows are dropped (they can match nothing); null-key left rows
+    pass through with a null payload.
     """
     payload_struct = F.struct(*payload_cols)
+    right = right.filter(F.col(on).isNotNull())
     r_tag = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),

@@ -27,10 +27,10 @@ from .catalog import load_table, register
            len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))  AS n_tokens,
            length(regexp_replace(text, '\s', '', 'g'))                           AS n_word_chars,
            ROUND(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
-                 / len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')), 4) AS avg_token_len,
+                 / NULLIF(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')), 0), 4) AS avg_token_len,
            ROUND(CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
                                       x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
-                 / len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')), 4) AS stopword_ratio,
+                 / NULLIF(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')), 0), 4) AS stopword_ratio,
            length(regexp_replace(text, '[^.,!?;:]', '', 'g'))       AS n_punct
     FROM documents
     """,
@@ -149,14 +149,20 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_fingerprints",
-    oracle=None,  # engine-specific xxhash64; covered by tests/test_dedup.py
-    doc="64-bit fingerprint (xxhash64 over whitespace-normalized text) — "
-    "the exact-dedup key at scale: 8-byte shuffle rows regardless of "
-    "document size. Rows-only check (hash function is engine-specific); "
-    "tests assert fp collisions ≡ exact text equality on fixtures.",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp_md5,
+           length(text) AS n_chars
+    FROM documents
+    """,
+    doc="Portable document fingerprint (md5 over whitespace-normalized "
+    "text), value-checked against the DuckDB oracle. The scale default is "
+    "text.fingerprint (xxhash64): an 8-byte integer key shuffles ~4× "
+    "cheaper than hex strings — engine-specific, so its collision ≡ "
+    "text-equality contract is pinned in tests/test_dedup.py instead.",
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.fingerprint(load_table(spark, sf_dir, "documents"))
+    return text.fingerprint_md5(load_table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -174,9 +180,11 @@ def minhash_dedup_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "simhash_near_pairs",
     oracle=None,  # engine-specific hashing; blocking soundness proven in tests
-    doc="SimHash(64-bit) near-dup pairs within Hamming≤8 via 16-bit block "
-    "LSH (pigeonhole guarantees recall for ≤3 differing blocks). "
-    "operators/dedup.py::simhash_near_pairs.",
+    doc="SimHash(64-bit) near-dup pairs within Hamming≤8, blocked into "
+    "max_hamming+1 = 9 variable-width (~7-bit) blocks: a pair within "
+    "Hamming≤8 cannot differ in every block (pigeonhole), so at least "
+    "one block matches exactly — guaranteed recall, candidates verified "
+    "with the true bit_count distance. operators/dedup.py::simhash_near_pairs.",
 )
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(load_table(spark, sf_dir, "documents"))

@@ -42,6 +42,34 @@ def test_asof_backward_semantics(spark):
     assert out["p3"] == (None, None)  # key absent from right
 
 
+def test_asof_null_keys_never_match(spark):
+    """SQL ASOF equality never matches NULL = NULL: a null-key left row
+    must pass through with a null payload, never pick up a null-key right
+    row (window partitionBy groups NULLs together without the guard)."""
+    left = spark.createDataFrame(
+        [
+            (None, _ts("2024-01-01T10:00:00"), "p_null"),
+            (1, _ts("2024-01-01T10:00:00"), "p_one"),
+        ],
+        "user_id: int, p_ts: timestamp, purchase: string",
+    )
+    right = spark.createDataFrame(
+        [
+            (None, _ts("2024-01-01T09:00:00"), "c_null"),
+            (1, _ts("2024-01-01T09:00:00"), "c_one"),
+        ],
+        "user_id: int, c_ts: timestamp, click: string",
+    )
+    out = {
+        r.purchase: r.click
+        for r in asof_join_backward(
+            left, right, on="user_id", left_ts="p_ts", right_ts="c_ts",
+            payload_cols=["click"],
+        ).collect()
+    }
+    assert out == {"p_null": None, "p_one": "c_one"}
+
+
 def test_asof_preserves_left_cardinality(spark, sf_dir):
     from pyspark.sql import functions as F
 
