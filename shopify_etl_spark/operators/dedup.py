@@ -318,6 +318,69 @@ def minhash_dedup_candidates(
 _SWAR_STRIDE = 22  # 3 packed counters of 22 bits per aggregate column
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    d1: str = "d1",
+    d2: str = "d2",
+    max_iterations: int = 15,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc, cluster_id).
+
+    The step after candidate/pair generation in every dedup pipeline:
+    pairwise matches must become *clusters* (a≈b, b≈c ⟹ {a,b,c} keep one
+    representative). cluster_id is the component's minimum doc id —
+    deterministic, and the conventional "keep the smallest id" survivor
+    rule falls out for free.
+
+    Iterative min-label propagation on the undirected pair graph:
+    every node starts labeled with itself; each round pulls the smallest
+    label among itself and its neighbors; converged when no label
+    changes. Rounds needed ≈ graph diameter — near-dup components are
+    tiny and dense (dup groups, boilerplate families), so 2-4 rounds in
+    practice; ``max_iterations`` guards adversarial chains. Each round is
+    one join + one groupBy (shuffles on the node id, partial aggregation
+    map-side); lineage is cut per round with a lazy localCheckpoint so
+    the plan doesn't grow exponentially across iterations. The per-round
+    convergence check aggregates a single count — the only driver-side
+    data movement.
+
+    (GraphFrames/GraphX ship the same algorithm; implemented here on the
+    plain DataFrame API to stay dependency-free.)
+    """
+    edges = (
+        pairs.select(F.col(d1).alias("u"), F.col(d2).alias("v"))
+        .unionByName(pairs.select(F.col(d2).alias("u"), F.col(d1).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select("u").distinct().select("u", F.col("u").alias("label"))
+    ).localCheckpoint(eager=False)
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("n_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce("n_label", F.col("label"))
+                ).alias("label"),
+                (F.coalesce("n_label", F.col("label")) < F.col("label")).alias("_chg"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc"), F.col("label").alias("cluster_id"))
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document (near-dups differ in few bits).
 

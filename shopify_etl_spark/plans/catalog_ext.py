@@ -178,6 +178,53 @@ def minhash_dedup_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT d1, d2
+      FROM shared
+      JOIN sizes sa ON sa.doc_id = d1
+      JOIN sizes sb ON sb.doc_id = d2
+      WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.8
+    ), edges AS (
+      SELECT d1 AS u, d2 AS v FROM pairs
+      UNION
+      SELECT d2, d1 FROM pairs
+    ), reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+    )
+    SELECT u AS doc, MIN(v) AS cluster_id FROM reach GROUP BY u
+    """,
+    doc="Connected components over the exact near-dup pairs → one "
+    "cluster id (component min) per involved document — the step that "
+    "turns pairwise matches into dedup groups (a≈b, b≈c ⟹ {a,b,c}). "
+    "Iterative min-label propagation, O(component diameter) rounds of "
+    "join+groupBy; oracle is the DuckDB recursive-CTE transitive "
+    "closure. operators/dedup.py::duplicate_clusters.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+    return dedup.duplicate_clusters(pairs)
+
+
+@register(
     "simhash_near_pairs",
     oracle=None,  # engine-specific hashing; blocking soundness proven in tests
     doc="SimHash(64-bit) near-dup pairs within Hamming≤8, blocked into "

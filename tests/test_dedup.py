@@ -100,6 +100,35 @@ def test_df_cap_keeps_planted_pairs_and_bounds_stop_shingles(spark, sf_dir):
     assert abs(out[0].jaccard - 0.6) < 1e-9
 
 
+def test_duplicate_clusters_chain_and_components(spark):
+    """A 6-node chain (diameter > one round) plus a separate triangle and
+    an isolated pair: every node must get its component's min id."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),   # chain 1..6
+         (10, 11), (11, 12), (10, 12),             # triangle
+         (20, 21)],                                 # pair
+        ["d1", "d2"],
+    )
+    out = {r.doc: r.cluster_id for r in dedup.duplicate_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_duplicate_clusters_respects_iteration_cap(spark):
+    """With max_iterations=1 a long chain cannot fully converge — the cap
+    must bound work (and the caller sees partial labels, not a hang)."""
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 8)], ["d1", "d2"])
+    partial = {
+        r.doc: r.cluster_id
+        for r in dedup.duplicate_clusters(pairs, max_iterations=1).collect()
+    }
+    full = {
+        r.doc: r.cluster_id for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert full == {i: 1 for i in range(1, 9)}
+    assert partial[8] > 1  # one round can only pull labels one hop
+
+
 def test_minhash_signature_deterministic(spark):
     df = spark.createDataFrame([(1, "alpha beta gamma delta epsilon")], ["doc_id", "text"])
     s1 = dedup.minhash_signatures(df).collect()[0].signature
