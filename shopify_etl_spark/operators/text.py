@@ -92,6 +92,88 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return scored.select(id_col, pred.alias("pred_lang"), best.alias("marker_hits"))
 
 
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rules family): docs
+    dominated by repeated tokens/bigrams/lines are boilerplate, spam, or
+    scraper artifacts and get filtered before training.
+
+    * ``distinct_token_ratio`` — |distinct tokens| / |tokens| (low =
+      repetitive).
+    * ``top_token_frac`` — share of the most frequent token.
+    * ``top_bigram_frac`` — share of the most frequent word bigram.
+    * ``dup_line_frac`` — fraction of non-blank lines that are duplicates
+      of an earlier line.
+
+    Shape: explode → (doc, item) counts → per-doc aggregate, NOT nested
+    array lambdas in one projection. The tempting
+    ``transform(array_distinct(arr), x -> size(filter(arr, …)))``
+    formulation re-expands the array-building expression inside every
+    lambda (higher-order functions block common-subexpression
+    elimination) and measured ~40× slower at sf0.01. The explode shape
+    shuffles only (doc_id, 8-byte hash) rows with map-side partial
+    aggregation — the same pattern as the MinHash signature stage.
+    Ratios are NULL for empty docs (nullif guard), matching the oracle.
+    """
+    toks = tokens(text_col)
+
+    def stats(rows: DataFrame, item: str, prefix: str) -> DataFrame:
+        return (
+            rows.groupBy(id_col, item)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .groupBy(id_col)
+            .agg(
+                F.sum("_c").alias(f"{prefix}_n"),
+                F.count(F.lit(1)).alias(f"{prefix}_distinct"),
+                F.max("_c").alias(f"{prefix}_top"),
+            )
+        )
+
+    tok_stats = stats(
+        df.select(id_col, F.explode(toks).alias("t")), "t", "tok"
+    )
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg_stats = stats(
+        df.select(id_col, F.explode(bigrams).alias("b")), "b", "bg"
+    )
+    lines = F.filter(F.split(text_col, r"\n"), lambda x: F.trim(x) != "")
+    line_stats = stats(
+        df.select(id_col, F.explode(lines).alias("l")), "l", "line"
+    )
+
+    out = (
+        df.select(id_col)
+        .join(tok_stats, id_col, "left")
+        .join(bg_stats, id_col, "left")
+        .join(line_stats, id_col, "left")
+    )
+    n_tok = F.coalesce("tok_n", F.lit(0))
+    return out.select(
+        id_col,
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(F.col("tok_distinct").cast("double") / F.nullif(n_tok, F.lit(0)), 4)
+        .alias("distinct_token_ratio"),
+        F.round(F.col("tok_top").cast("double") / F.nullif(n_tok, F.lit(0)), 4)
+        .alias("top_token_frac"),
+        F.round(F.col("bg_top").cast("double") / F.nullif(F.col("bg_n"), F.lit(0)), 4)
+        .alias("top_bigram_frac"),
+        F.round(
+            (F.col("line_n") - F.col("line_distinct")).cast("double")
+            / F.nullif(F.col("line_n"), F.lit(0)),
+            4,
+        ).alias("dup_line_frac"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit document fingerprint over normalized text (xxhash64).
 

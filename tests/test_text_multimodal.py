@@ -62,3 +62,34 @@ def test_token_count(spark):
     df = spark.createDataFrame([(1, "a  b c"), (2, "")], ["doc_id", "text"])
     out = {r.doc_id: r.n for r in df.select("doc_id", text.token_count("text").alias("n")).collect()}
     assert out == {1: 3, 2: 0}
+
+
+def test_repetition_signals_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            # 10 tokens (split crosses newlines), 6 distinct; top token
+            # "spam" x3; top bigram "spam spam" x2 (of 9); 3 non-blank
+            # lines, 1 duplicate.
+            (1, "spam spam spam a b c\nline one\n\nline one"),
+            (2, ""),  # empty doc: n_tokens 0, all ratios NULL
+            (3, "solo"),  # 1 token: no bigrams -> top_bigram_frac NULL
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in text.repetition_signals(df).collect()}
+    r1 = rows[1]
+    assert r1.n_tokens == 10
+    assert r1.distinct_token_ratio == round(6 / 10, 4)  # spam a b c line one
+    assert r1.top_token_frac == round(3 / 10, 4)
+    assert r1.top_bigram_frac == round(2 / 9, 4)
+    assert r1.dup_line_frac == round(1 / 3, 4)
+    r2 = rows[2]
+    assert r2.n_tokens == 0
+    assert r2.distinct_token_ratio is None
+    assert r2.top_token_frac is None
+    assert r2.top_bigram_frac is None
+    assert r2.dup_line_frac is None
+    r3 = rows[3]
+    assert r3.n_tokens == 1
+    assert r3.distinct_token_ratio == 1.0
+    assert r3.top_bigram_frac is None
