@@ -186,6 +186,7 @@ def lsh_bucket_topk(
     dim: int,
     k: int = 10,
     n_planes: int = 8,
+    n_probes: int = 1,
     query_id: str = "query_id",
     query_vec: str = "qv",
     corpus_id: str = "neighbor_id",
@@ -196,10 +197,60 @@ def lsh_bucket_topk(
     Signature = sign bits against ``n_planes`` fixed hyperplanes, packed
     into an int. Equi-join on the bucket replaces the cross join — the
     scan per query drops from |corpus| to |bucket| (expected |corpus|/2^n).
-    Recall can be raised with multi-probe (flip one bit) — exposed later.
+
+    ``n_probes`` > 1 enables multi-probe (Lv et al., VLDB'07): each query
+    additionally probes the buckets reached by flipping its
+    ``n_probes - 1`` *lowest-margin* sign bits — the planes the vector sits
+    closest to, i.e. the buckets its true neighbors most likely fell into.
+    Probing only touches the broadcast query side (exploded to
+    ``n_probes`` rows); corpus signatures and the bucket equi-join shape
+    are unchanged, so scan cost scales linearly in ``n_probes`` while
+    recall rises much faster than widening buckets (halving ``n_planes``
+    doubles every bucket; one extra probe targets only the likeliest miss).
     """
-    cq = queries.withColumn("bucket", _sig_col(query_vec, dim, n_planes)).withColumn(
-        "_qn", _norm(query_vec)
+    dots = []
+    for plane in _hyperplanes(dim, n_planes):
+        arr = F.array(*[F.lit(v) for v in plane])
+        dots.append(
+            F.aggregate(
+                F.zip_with(F.col(query_vec), arr, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+    # Same plane order / >=0 convention as _sig_col, so query and corpus
+    # signatures agree; margins are kept to rank the probe flips.
+    base = None
+    for i in range(n_planes):
+        term = F.when(F.element_at("_dots", i + 1) >= 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        base = term if base is None else base + term
+    cq = queries.withColumn("_dots", F.array(*dots)).withColumn("_b0", base)
+    if n_probes > 1:
+        margins = F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        F.abs(F.element_at("_dots", i + 1)).alias("m"),
+                        F.lit(i).alias("i"),
+                    )
+                    for i in range(n_planes)
+                ]
+            )
+        )
+        bit_vals = F.array(*[F.lit(1 << j) for j in range(n_planes)])
+        flips = F.transform(
+            F.slice(margins, 1, n_probes - 1),
+            lambda s: F.col("_b0").bitwiseXOR(F.element_at(bit_vals, s["i"] + 1)),
+        )
+        probes = F.concat(F.array("_b0"), flips)
+    else:
+        probes = F.array("_b0")
+    cq = (
+        cq.withColumn("bucket", F.explode(probes))
+        .withColumn("_qn", _norm(query_vec))
+        .drop("_dots", "_b0")
     )
     cc = corpus.withColumn("bucket", _sig_col(corpus_vec, dim, n_planes)).withColumn(
         "_cn", _norm(corpus_vec)

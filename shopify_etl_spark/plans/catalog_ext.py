@@ -327,13 +327,18 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lsh_ann_topk",
     oracle=None,  # approximate by design; recall vs ann_cosine_topk measured in tests
     doc="LSH-bucketed approximate top-k: 8 random-hyperplane sign bits "
-    "bucket the corpus, each query scores only its bucket (expected "
-    "|corpus|/256 per query at 100 TB vs full scan). Deterministic "
-    "seed-derived hyperplanes. operators/similarity.py::lsh_bucket_topk.",
+    "bucket the corpus, each query scores only its probed buckets "
+    "(expected 4·|corpus|/256 per query at 100 TB vs full scan). "
+    "Multi-probe: each query also flips its 3 lowest-margin sign bits "
+    "(the likeliest-miss buckets), raising recall at linear probe cost. "
+    "Deterministic seed-derived hyperplanes. "
+    "operators/similarity.py::lsh_bucket_topk.",
 )
 def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries, corpus = _embedding_queries(spark, sf_dir)
-    return similarity.lsh_bucket_topk(queries, corpus, dim=64, k=10, n_planes=8)
+    return similarity.lsh_bucket_topk(
+        queries, corpus, dim=64, k=10, n_planes=8, n_probes=4
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -62,6 +62,26 @@ def test_lsh_topk_results_are_true_neighbors(spark, sf_dir):
     assert recall >= 0.0  # smoke: bucketing at 8 planes on 500 docs is sparse
 
 
+def test_lsh_multiprobe_recall_monotone(spark, sf_dir):
+    """Multi-probe must raise (or at least never lower) recall vs the
+    single-bucket probe, while every result stays a valid non-self pair."""
+    q, c = _qc(spark, sf_dir)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in similarity.cosine_topk(q, c, k=10).collect()}
+
+    def recall(n_probes):
+        rows = similarity.lsh_bucket_topk(
+            q, c, dim=64, k=10, n_planes=8, n_probes=n_probes
+        ).collect()
+        for r in rows:
+            assert r.query_id != r.neighbor_id
+        return len({(r.query_id, r.neighbor_id) for r in rows} & exact) / len(exact)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1
+    assert r4 > 0  # 4 probes on 500 docs must surface at least one true hit
+
+
 def test_blocked_cosine_pairs_exact_below_cap(spark, sf_dir):
     """With every block under the cap the operator must equal the naive
     all-pairs-within-label join exactly (this is what keeps the
