@@ -1,0 +1,115 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+A 100 TB corpus can't use ``rand()`` for train/val/test assignment or
+subsampling: the assignment must be reproducible across runs, engines,
+and cluster sizes, and a document's split must never change when other
+documents are added or removed (otherwise val leaks into train between
+corpus versions).
+
+The standard trick: hash a stable key with a salt and threshold the
+hash. We use ``md5(salt || key)`` and compare the first 8 hex chars
+*lexicographically* against precomputed hex thresholds — fixed-width
+lowercase hex compares identically to its numeric value, both Spark and
+DuckDB emit lowercase hex md5, so the assignment is bit-reproducible in
+both engines (which is what makes these operators oracle-checkable,
+unlike ``TABLESAMPLE`` / ``df.sample``).
+
+Everything is a pure JVM projection — no shuffle, no UDF; at 100 TB the
+split is a free map-side column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_HEX_SPAN = 1 << 32  # first 8 hex chars of the digest
+
+
+def _hash_hex(key_col, salt: str):
+    """First 8 hex chars of md5(salt || key) as a Column."""
+    return F.substring(F.md5(F.concat(F.lit(salt), key_col.cast("string"))), 1, 8)
+
+
+def _threshold(frac_cum: float) -> str:
+    """Cumulative fraction -> zero-padded 8-char lowercase hex threshold.
+
+    Fractions >= 1 map to ``"g"``: every hex digest compares below it
+    (``'f' < 'g'`` byte-wise in both Spark and DuckDB), so ``h < 'g'``
+    keeps *all* rows — avoiding an off-by-one at ``0xffffffff``.
+    """
+    if frac_cum >= 1.0:
+        return "g"
+    return format(int(frac_cum * _HEX_SPAN), "08x")
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Assign every row a deterministic named split (train/val/test…).
+
+    ``weights`` maps split name -> relative weight (normalized here);
+    assignment order follows dict insertion order, so the same weights
+    dict always produces the same thresholds. Adds a ``split`` column.
+
+    Reference analog: the reference pipeline has no sampling layer (it
+    moves whole tables); this is part of the beyond-reference
+    training-data surface.
+    """
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    h = _hash_hex(F.col(key_col), salt)
+    expr, cum = None, 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        cond = h < F.lit(_threshold(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", split)
+
+
+def hash_split_thresholds(
+    weights: dict[str, float], salt: str = "split-v1"
+) -> list[tuple[str, str]]:
+    """(split name, upper hex threshold) pairs — exposed so oracle SQL /
+    documentation can reproduce the exact CASE expression."""
+    total = sum(weights.values())
+    out, cum = [], 0.0
+    for name in list(weights)[:-1]:
+        cum += weights[name] / total
+        out.append((name, _threshold(cum)))
+    out.append((list(weights)[-1], "ffffffff"))
+    return out
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_frac: float = 0.0,
+    key_col: str = "doc_id",
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic per-stratum subsample: keep a row iff
+    ``hash(salt||key) < frac[stratum]``.
+
+    The per-source mixing knob of a training-data pipeline ("2% of
+    common-crawl, 100% of books"). Same guarantees as :func:`hash_split`:
+    engine-reproducible, growth-stable, shuffle-free. Strata missing from
+    ``fractions`` fall back to ``default_frac``.
+    """
+    h = _hash_hex(F.col(key_col), salt)
+    thr = None
+    for stratum, frac in fractions.items():
+        cond = F.col(strata_col) == stratum
+        t = F.lit(_threshold(frac))
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = F.lit(_threshold(default_frac)) if thr is None else thr.otherwise(
+        F.lit(_threshold(default_frac))
+    )
+    return df.filter(h < thr)

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, multimodal, similarity, text
+from ..operators import dedup, multimodal, sampling, similarity, text
 from .catalog import load_table, register
 
 # ---------------------------------------------------------------------------
@@ -472,3 +472,66 @@ def purchase_error_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.unix_micros("e_ts") - F.unix_micros("p_ts")).alias("us_after"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splitting
+# ---------------------------------------------------------------------------
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_T = dict(sampling.hash_split_thresholds(_SPLIT_WEIGHTS, salt="split-v1"))
+_STRATA_FRACS = {"src0": 0.9, "src1": 0.5, "src2": 0.25}
+_STRATA_DEFAULT = 0.1
+
+
+@register(
+    "hash_split_assign",
+    oracle=f"""
+    SELECT doc_id,
+           CASE
+             WHEN substr(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < '{_SPLIT_T["train"]}' THEN 'train'
+             WHEN substr(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < '{_SPLIT_T["val"]}' THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+    doc="Deterministic train/val/test assignment: threshold the first 8 "
+    "hex chars of md5(salt||doc_id) — reproducible across runs, engines "
+    "and cluster sizes, and a doc's split never changes as the corpus "
+    "grows. Pure map-side projection, no shuffle, no rand(). "
+    "operators/sampling.py::hash_split.",
+)
+def hash_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.hash_split(docs, "doc_id", _SPLIT_WEIGHTS, salt="split-v1").select(
+        "doc_id", "split"
+    )
+
+
+@register(
+    "stratified_sample_docs",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE substr(md5('sample-v1' || CAST(doc_id AS VARCHAR)), 1, 8)
+          < CASE source
+              WHEN 'src0' THEN '{sampling._threshold(_STRATA_FRACS["src0"])}'
+              WHEN 'src1' THEN '{sampling._threshold(_STRATA_FRACS["src1"])}'
+              WHEN 'src2' THEN '{sampling._threshold(_STRATA_FRACS["src2"])}'
+              ELSE '{sampling._threshold(_STRATA_DEFAULT)}'
+            END
+    """,
+    doc="Deterministic per-stratum subsample (the per-source mixing knob "
+    "of a training-data pipeline: 90% of src0, 50% of src1, 25% of src2, "
+    "10% elsewhere) via the same salted-md5 threshold trick — "
+    "engine-reproducible, growth-stable, shuffle-free filter. "
+    "operators/sampling.py::stratified_sample.",
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        docs, "source", _STRATA_FRACS, default_frac=_STRATA_DEFAULT,
+        key_col="doc_id", salt="sample-v1",
+    ).select("doc_id", "source")

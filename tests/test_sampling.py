@@ -1,0 +1,66 @@
+"""Deterministic sampling/splitting tests: reproducibility, growth
+stability, and proportion sanity."""
+
+from pyspark.sql import functions as F
+
+from shopify_etl_spark.operators import sampling
+from shopify_etl_spark.plans.catalog import load_table
+
+
+def test_hash_split_deterministic_and_total(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split for r in sampling.hash_split(docs, "doc_id", w).collect()}
+    b = {r.doc_id: r.split for r in sampling.hash_split(docs, "doc_id", w).collect()}
+    assert a == b  # bit-reproducible
+    assert set(a.values()) <= {"train", "val", "test"}
+    assert len(a) == docs.count()  # every row assigned
+    frac_train = sum(1 for s in a.values() if s == "train") / len(a)
+    assert 0.6 < frac_train < 0.95  # 500 docs: loose binomial bound
+
+
+def test_hash_split_growth_stable(spark, sf_dir):
+    """A doc's split must not change when the corpus shrinks/grows —
+    the property rand()-based splitting lacks."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    full = {r.doc_id: r.split for r in sampling.hash_split(docs, "doc_id", w).collect()}
+    sub = {
+        r.doc_id: r.split
+        for r in sampling.hash_split(
+            docs.filter(F.col("doc_id") % 3 == 0), "doc_id", w
+        ).collect()
+    }
+    assert sub == {k: v for k, v in full.items() if k % 3 == 0}
+
+
+def test_hash_split_salt_changes_assignment(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    w = {"train": 0.5, "test": 0.5}
+    a = {r.doc_id: r.split for r in sampling.hash_split(docs, "doc_id", w, salt="s1").collect()}
+    b = {r.doc_id: r.split for r in sampling.hash_split(docs, "doc_id", w, salt="s2").collect()}
+    assert a != b  # different salt reshuffles
+
+
+def test_stratified_sample_subset_and_fractions(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    fr = {"src0": 1.0, "src1": 0.5}
+    out = sampling.stratified_sample(docs, "source", fr, default_frac=0.0)
+    rows = out.collect()
+    ids = {r.doc_id for r in rows}
+    assert ids <= {r.doc_id for r in docs.collect()}
+    by_src = {}
+    for r in rows:
+        by_src[r.source] = by_src.get(r.source, 0) + 1
+    n0 = docs.filter(F.col("source") == "src0").count()
+    assert by_src["src0"] == n0  # frac 1.0 keeps everything ('g' threshold)
+    assert 0 < by_src.get("src1", 0) < docs.filter(F.col("source") == "src1").count()
+    assert set(by_src) == {"src0", "src1"}  # default 0.0 drops the rest
+
+
+def test_threshold_hex_bounds():
+    assert sampling._threshold(0.0) == "00000000"
+    assert sampling._threshold(1.0) == "g"
+    assert sampling._threshold(0.5) == "80000000"
+    # every md5 hex prefix sorts below the frac>=1 sentinel
+    assert "ffffffff" < "g"
