@@ -211,6 +211,62 @@ def ngram_jaccard_pairs(
     )
 
 
+def cross_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+    train_postings: DataFrame | None = None,
+    eval_postings: DataFrame | None = None,
+) -> DataFrame:
+    """Train/eval contamination pairs: eval docs sharing ≥ ``threshold``
+    of their n-gram shingles with some train doc.
+
+    The decontamination step of every benchmark-honest training-data
+    build: before training, every eval/test document is checked for
+    n-gram overlap against the train corpus, and contaminated eval docs
+    (or the train docs leaking them) are dropped. Output columns:
+    ``eval_id, train_id, shared, contam_frac`` where ``contam_frac`` =
+    shared / |eval doc's shingles| (overlap is measured relative to the
+    eval doc — a small eval doc fully contained in a big train doc is
+    100% contaminated).
+
+    Shape: inverted-index join between the two posting lists on the
+    64-bit shingle key (8-byte shuffle rows, shingle text never moves) —
+    identical machinery to :func:`ngram_jaccard_pairs`, but train×eval
+    instead of self-join, so cost scales with true overlap, and the eval
+    side is tiny by construction (benchmarks, not corpora). Stop-shingle
+    fan-out is bounded by the eval side's size; at 100 TB apply the same
+    df-cap + bound-and-correct split used in ngram_jaccard_pairs if the
+    eval set is itself large.
+    """
+    sh_t = (
+        train_postings
+        if train_postings is not None
+        else shingle_postings(train, text_col, id_col, n)
+    )
+    sh_e = (
+        eval_postings
+        if eval_postings is not None
+        else shingle_postings(eval_df, text_col, id_col, n)
+    )
+    e_sizes = sh_e.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    shared = (
+        sh_e.select(F.col("doc").alias("eval_id"), "s")
+        .join(sh_t.select(F.col("doc").alias("train_id"), "s"), "s")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    frac = F.col("shared") / F.col("n_sh")
+    return (
+        shared.join(e_sizes.select(F.col("doc").alias("eval_id"), "n_sh"), "eval_id")
+        .filter(frac >= threshold)
+        .select("eval_id", "train_id", "shared", F.round(frac, 4).alias("contam_frac"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

@@ -174,6 +174,36 @@ def repetition_signals(
     )
 
 
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary: the ``top_k`` tokens by term frequency, with
+    document frequency — the first artifact of any tokenizer/BPE build.
+
+    Classic word-count shape: explode → groupBy(token) with map-side
+    partial aggregation, so the shuffle carries one row per distinct
+    token per partition, not per occurrence. The dual (count, count
+    distinct doc) aggregate uses Spark's expand strategy; the global
+    top-k runs on the aggregated vocabulary (≪ corpus) via
+    TakeOrdered — no single-partition sort of the full corpus.
+    Tie-break (term_freq desc, token asc) is total, so the top-k set is
+    deterministic and oracle-comparable.
+    """
+    return (
+        df.select(F.col(id_col).alias("_doc"), F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("term_freq"),
+            F.countDistinct("_doc").alias("doc_freq"),
+        )
+        .orderBy(F.desc("term_freq"), F.asc("token"))
+        .limit(top_k)
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit document fingerprint over normalized text (xxhash64).
 

@@ -535,3 +535,88 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "source", _STRATA_FRACS, default_frac=_STRATA_DEFAULT,
         key_col="doc_id", salt="sample-v1",
     ).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary / contamination
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vocabulary_topk",
+    oracle="""
+    SELECT t AS token, COUNT(*) AS term_freq, COUNT(DISTINCT doc_id) AS doc_freq
+    FROM (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS t
+      FROM documents
+    )
+    GROUP BY t
+    ORDER BY term_freq DESC, t
+    LIMIT 20
+    """,
+    doc="Top-20 corpus vocabulary with term+document frequency — the "
+    "first artifact of a tokenizer/BPE build. Word-count shape: explode → "
+    "map-side-combined groupBy; global top-k via TakeOrdered on the "
+    "aggregated vocabulary, total tie-break (freq desc, token asc). "
+    "operators/text.py::vocabulary.",
+)
+def vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.vocabulary(load_table(spark, sf_dir, "documents"), top_k=20)
+
+
+_CONTAM_T = dict(
+    sampling.hash_split_thresholds({"train": 0.9, "eval": 0.1}, salt="contam-v1")
+)
+
+
+@register(
+    "train_eval_contamination",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT doc_id, text,
+             CASE WHEN substr(md5('contam-v1' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       < '{_CONTAM_T["train"]}'
+                  THEN 'train' ELSE 'eval' END AS part
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, part,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+      FROM labeled
+    ), sh AS (
+      SELECT doc_id, part,
+             unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      FROM toks
+    ), e_sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh WHERE part = 'eval' GROUP BY doc_id
+    ), shared AS (
+      SELECT e.doc_id AS eval_id, t.doc_id AS train_id, COUNT(*) AS shared
+      FROM (SELECT * FROM sh WHERE part = 'eval') e
+      JOIN (SELECT * FROM sh WHERE part = 'train') t ON e.s = t.s
+      GROUP BY 1, 2
+    )
+    SELECT eval_id, train_id, shared,
+           ROUND(CAST(shared AS DOUBLE) / n_sh, 4) AS contam_frac
+    FROM shared JOIN e_sizes ON shared.eval_id = e_sizes.doc_id
+    WHERE CAST(shared AS DOUBLE) / n_sh >= 0.2
+    """,
+    doc="Benchmark decontamination: deterministically hash-split the "
+    "corpus 90/10 into train/eval, then flag eval docs sharing ≥20% of "
+    "their 3-gram shingles with any train doc. Inverted-index train×eval "
+    "join on 64-bit shingle keys — cost scales with true overlap; the "
+    "split is the same salted-md5 threshold as hash_split_assign, so the "
+    "oracle reproduces it exactly. "
+    "operators/dedup.py::cross_contamination.",
+)
+def train_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    split = sampling.hash_split(
+        docs, "doc_id", {"train": 0.9, "eval": 0.1}, salt="contam-v1"
+    )
+    return dedup.cross_contamination(
+        split.filter(F.col("split") == "train"),
+        split.filter(F.col("split") == "eval"),
+        n=3,
+        threshold=0.2,
+    )

@@ -135,3 +135,39 @@ def test_minhash_signature_deterministic(spark):
     s2 = dedup.minhash_signatures(df).collect()[0].signature
     assert s1 == s2
     assert len(s1) == 32
+
+
+def test_cross_contamination_hand_computed(spark):
+    from shopify_etl_spark.operators.dedup import cross_contamination
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # shares a run with eval 10
+            (2, "one two three four five six seven"),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [
+            # 5 tokens -> 3 shingles; 'alpha beta gamma','beta gamma delta' shared
+            (10, "alpha beta gamma delta nu"),
+            (11, "totally unrelated words here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = cross_contamination(train, ev, threshold=0.2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.eval_id, r.train_id, r.shared) == (10, 1, 2)
+    assert r.contam_frac == round(2 / 3, 4)
+
+
+def test_cross_contamination_threshold_excludes(spark):
+    from shopify_etl_spark.operators.dedup import cross_contamination
+
+    train = spark.createDataFrame([(1, "a b c x y z")], ["doc_id", "text"])
+    ev = spark.createDataFrame([(10, "a b c q r s t u")], ["doc_id", "text"])
+    # eval has 6 shingles, 1 shared ('a b c') -> frac 1/6 < 0.2
+    assert cross_contamination(train, ev, threshold=0.2).count() == 0
+    got = cross_contamination(train, ev, threshold=0.1).collect()
+    assert [(r.eval_id, r.train_id, r.shared) for r in got] == [(10, 1, 1)]

@@ -93,3 +93,15 @@ def test_repetition_signals_hand_computed(spark):
     assert r3.n_tokens == 1
     assert r3.distinct_token_ratio == 1.0
     assert r3.top_bigram_frac is None
+
+
+def test_vocabulary_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "b a a c"), (2, "a b b"), (3, "c")], ["doc_id", "text"]
+    )
+    rows = text.vocabulary(df, top_k=2).collect()
+    # a: tf 3 df 2; b: tf 3 df 2; c: tf 2 df 2 -> top2 = a, b (tie broken asc)
+    assert [(r.token, r.term_freq, r.doc_freq) for r in rows] == [
+        ("a", 3, 2),
+        ("b", 3, 2),
+    ]
