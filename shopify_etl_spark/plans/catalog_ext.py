@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, multimodal, sampling, similarity, text
+from ..operators import dedup, multimodal, privacy, sampling, similarity, text
 from .catalog import load_table, register
 
 # ---------------------------------------------------------------------------
@@ -619,4 +619,36 @@ def train_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         split.filter(F.col("split") == "eval"),
         n=3,
         threshold=0.2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pii_scrub_customers",
+    oracle="""
+    SELECT c_custkey,
+           'anon-' || substr(md5('pii-v1' || c_name), 1, 12) AS pseudonym,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+           CAST(FLOOR(c_acctbal / 1000) * 1000 AS BIGINT) AS acctbal_band,
+           c_mktsegment
+    FROM customer
+    """,
+    doc="PII anonymization before a table can feed training: stable "
+    "salted-md5 pseudonym (joins across scrubbed tables keep working), "
+    "digit-masked display name, k-anonymity banding of the precise "
+    "balance. Pure map-side projection — regex+hash in the scan stage, "
+    "no shuffle. operators/privacy.py::scrub.",
+)
+def pii_scrub_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        privacy.pseudonym("c_name").alias("pseudonym"),
+        privacy.mask_pattern("c_name").alias("name_masked"),
+        privacy.generalize_numeric("c_acctbal", 1000).alias("acctbal_band"),
+        "c_mktsegment",
     )
