@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, multimodal, privacy, sampling, similarity, text
+from ..operators import dedup, multimodal, packing, privacy, sampling, similarity, text
 from .catalog import load_table, register
 
 # ---------------------------------------------------------------------------
@@ -652,3 +652,34 @@ def pii_scrub_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         privacy.generalize_numeric("c_acctbal", 1000).alias("acctbal_band"),
         "c_mktsegment",
     )
+
+
+# ---------------------------------------------------------------------------
+# Shard packing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_budget_shards",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 1000) AS BIGINT) AS shard_id
+    FROM t
+    """,
+    doc="Greedy token-budget shard packing (1000 tokens/shard) per "
+    "source: cumulative-token window in deterministic doc order; a shard "
+    "overruns by at most the straddling doc. Parallel across sources — "
+    "packing is sequential within a group by definition, so the group "
+    "key IS the scale unit (pack per (source,date) at 100 TB; no global "
+    "mode exists). operators/packing.py::pack_shards.",
+)
+def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return packing.pack_shards(docs, budget=1000)
