@@ -180,6 +180,90 @@ def oversize_blocks(
     )
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    cent_id: str = "cid",
+    cent_vec: str = "cv",
+) -> DataFrame:
+    """IVF cell assignment: each vector → its nearest centroid by cosine
+    (tie-break on centroid id).
+
+    The centroid table is tiny by construction (√n cells for n vectors is
+    the classic sizing) and broadcast, so assignment is a map-side
+    cross-score + per-vector argmax window — one shuffle on the vector
+    id, no corpus self-join. At 100 TB this is the partitioning step:
+    the output (vec, cell) is what you repartition by to co-locate each
+    cell's vectors.
+    """
+    c = centroids.withColumn("_cn2", _norm(cent_vec))
+    scored = (
+        corpus.withColumn("_vn", _norm(corpus_vec))
+        .crossJoin(F.broadcast(c))
+        .withColumn(
+            "_sim", _dot(corpus_vec, cent_vec) / (F.col("_vn") * F.col("_cn2"))
+        )
+    )
+    w = Window.partitionBy(corpus_id).orderBy(F.desc("_sim"), F.asc(cent_id))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(corpus_id, F.col(cent_id).alias("centroid_id"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    n_probes: int = 1,
+    query_id: str = "query_id",
+    query_vec: str = "qv",
+    corpus_id: str = "neighbor_id",
+    corpus_vec: str = "cv",
+    cent_id: str = "cid",
+    cent_vec: str = "cv_c",
+) -> DataFrame:
+    """IVF approximate top-k: score only the corpus vectors in the
+    query's ``n_probes`` nearest centroid cells.
+
+    The second classic ANN scale path next to LSH: corpus vectors are
+    bucketed by nearest centroid (:func:`ivf_assign`); a query scores
+    |corpus|·n_probes/n_cells candidates instead of the full corpus.
+    Unlike the LSH path, every step is deterministic cosine math —
+    SQL-expressible, so the whole operator is oracle-checkable.
+    """
+    cells = ivf_assign(corpus, centroids, corpus_id, corpus_vec, cent_id, cent_vec)
+    cq = queries.withColumn("_qn", _norm(query_vec))
+    c = centroids.withColumn("_cn2", _norm(cent_vec))
+    q_scored = cq.crossJoin(F.broadcast(c)).withColumn(
+        "_csim", _dot(query_vec, cent_vec) / (F.col("_qn") * F.col("_cn2"))
+    )
+    wq = Window.partitionBy(query_id).orderBy(F.desc("_csim"), F.asc(cent_id))
+    probes = (
+        q_scored.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probes)
+        .select(query_id, query_vec, "_qn", F.col(cent_id).alias("centroid_id"))
+    )
+    cand = (
+        corpus.withColumn("_cn", _norm(corpus_vec))
+        .join(cells, corpus_id)
+        .join(F.broadcast(probes), "centroid_id")
+        .filter(F.col(corpus_id) != F.col(query_id))
+    )
+    sim = (_dot(query_vec, corpus_vec) / (F.col("_qn") * F.col("_cn"))).alias("sim")
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
+    return (
+        cand.select(query_id, corpus_id, sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id, corpus_id, F.round("sim", 4).alias("cosine_sim"))
+    )
+
+
 def lsh_bucket_topk(
     queries: DataFrame,
     corpus: DataFrame,

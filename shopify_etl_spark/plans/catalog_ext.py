@@ -683,3 +683,99 @@ def pii_scrub_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return packing.pack_shards(docs, budget=1000)
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN
+# ---------------------------------------------------------------------------
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") % 61 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv_c")
+    )
+
+
+@register(
+    "ivf_assignments",
+    oracle="""
+    WITH c AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id % 61 = 0
+    ), scored AS (
+      SELECT e.vec_id, c.cid,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) AS sim
+      FROM embeddings e CROSS JOIN c
+    ), ranked AS (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+      FROM scored
+    )
+    SELECT vec_id, cid AS centroid_id FROM ranked WHERE rn = 1
+    """,
+    doc="IVF cell assignment: every vector → nearest of ~n/61 "
+    "deterministic centroids by cosine (tie-break centroid id). "
+    "Broadcast-centroid cross-score + per-vector argmax window — the "
+    "partitioning step of IVF ANN; repartition by the output cell to "
+    "co-locate cells at 100 TB. operators/similarity.py::ivf_assign.",
+)
+def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
+    return similarity.ivf_assign(
+        emb, cents, corpus_id="vec_id", corpus_vec="embedding",
+        cent_id="cid", cent_vec="cv_c",
+    )
+
+
+@register(
+    "ivf_ann_topk",
+    oracle="""
+    WITH c AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id % 61 = 0
+    ), assign AS (
+      SELECT vec_id, cid AS centroid_id FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+                            c.cid) AS rn
+        FROM embeddings e CROSS JOIN c
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ), probes AS (
+      SELECT query_id, qv, cid AS centroid_id FROM (
+        SELECT q.query_id, q.qv, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn
+        FROM q CROSS JOIN c
+      ) WHERE rn <= 2
+    ), cand AS (
+      SELECT p.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(p.qv, CAST(e.embedding AS DOUBLE[])) AS sim
+      FROM probes p
+      JOIN assign a ON a.centroid_id = p.centroid_id
+      JOIN embeddings e ON e.vec_id = a.vec_id
+      WHERE e.vec_id <> p.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rn
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 4) AS cosine_sim
+    FROM ranked WHERE rn <= 10
+    """,
+    doc="IVF approximate top-k: queries probe their 2 nearest centroid "
+    "cells and score only those cells' vectors (|corpus|·2/n_cells per "
+    "query instead of a full scan). Deterministic cosine math end-to-end "
+    "— unlike the LSH path this is fully oracle-checkable. "
+    "operators/similarity.py::ivf_topk.",
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    queries, corpus = _embedding_queries(spark, sf_dir)
+    cents = _ivf_centroids(spark, sf_dir)
+    return similarity.ivf_topk(queries, corpus, cents, k=10, n_probes=2)

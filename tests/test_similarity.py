@@ -140,3 +140,47 @@ def test_blocked_cosine_pairs_bounds_hot_block(spark):
     assert 0 < len(hot) < 79800 / 4
     # and every emitted hot pair is a genuine same-block pair with d1<d2
     assert all(r.d1 < r.d2 < 400 for r in hot)
+
+
+def _centroids(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") % 61 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv_c")
+    )
+
+
+def test_ivf_assign_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    emb = {r.vec_id: np.array(r.embedding, dtype="float64")
+           for r in load_table(spark, sf_dir, "embeddings").collect()}
+    cents = {cid: emb[cid] for cid in emb if cid % 61 == 0}
+    got = {
+        r.vec_id: r.centroid_id
+        for r in similarity.ivf_assign(
+            load_table(spark, sf_dir, "embeddings"), _centroids(spark, sf_dir),
+            corpus_id="vec_id", corpus_vec="embedding",
+            cent_id="cid", cent_vec="cv_c",
+        ).collect()
+    }
+    for vid, v in emb.items():
+        best = min(
+            cents,
+            key=lambda c: (
+                -float(v @ cents[c] / (np.linalg.norm(v) * np.linalg.norm(cents[c]))),
+                c,
+            ),
+        )
+        assert got[vid] == best, vid
+
+
+def test_ivf_topk_recall_vs_exact(spark, sf_dir):
+    q, c = _qc(spark, sf_dir)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in similarity.cosine_topk(q, c, k=10).collect()}
+    rows = similarity.ivf_topk(q, c, _centroids(spark, sf_dir), k=10, n_probes=2).collect()
+    for r in rows:
+        assert r.query_id != r.neighbor_id
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(got & exact) / len(exact)
+    assert recall > 0.3  # 2 of ~9 cells probed; sanity floor, not a tuning claim
