@@ -437,6 +437,28 @@ def duplicate_clusters(
     return labels.select(F.col("u").alias("doc"), F.col("label").alias("cluster_id"))
 
 
+def apply_dedup(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Filter a corpus to dedup survivors: keep every document that is
+    either untouched by clustering or its cluster's canonical
+    representative (the minimum id, per :func:`duplicate_clusters`).
+
+    The *apply* step closing the dedup pipeline: pairs → clusters →
+    **filtered corpus**. A left anti-join on the id — the anti side is
+    a bare id column (8 bytes/row), and web-scale dup rates run 30%+,
+    so no broadcast hint is forced: AQE picks broadcast when the loser
+    set is small and a shuffled anti-join (on the compact key) when it
+    is not.
+    """
+    losers = clusters.filter(F.col("doc") != F.col("cluster_id")).select(
+        F.col("doc").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document (near-dups differ in few bits).
 

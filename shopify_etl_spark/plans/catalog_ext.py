@@ -779,3 +779,54 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries, corpus = _embedding_queries(spark, sf_dir)
     cents = _ivf_centroids(spark, sf_dir)
     return similarity.ivf_topk(queries, corpus, cents, k=10, n_probes=2)
+
+
+@register(
+    "dedup_corpus",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT d1, d2
+      FROM shared
+      JOIN sizes sa ON sa.doc_id = d1
+      JOIN sizes sb ON sb.doc_id = d2
+      WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.8
+    ), edges AS (
+      SELECT d1 AS u, d2 AS v FROM pairs
+      UNION
+      SELECT d2, d1 FROM pairs
+    ), reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+    ), losers AS (
+      SELECT u FROM (SELECT u, MIN(v) AS cl FROM reach GROUP BY u) WHERE u <> cl
+    )
+    SELECT doc_id, source FROM documents
+    WHERE doc_id NOT IN (SELECT u FROM losers)
+    """,
+    doc="End-to-end near-dup removal: Jaccard≥0.8 pairs → connected "
+    "components → keep only each cluster's canonical (min-id) doc. The "
+    "full pipeline a training corpus actually runs, closed with the "
+    "anti-join apply step (compact 8-byte keys; AQE chooses "
+    "broadcast vs shuffle by loser-set size). "
+    "operators/dedup.py::apply_dedup.",
+)
+def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+    clusters = dedup.duplicate_clusters(pairs)
+    return dedup.apply_dedup(docs, clusters).select("doc_id", "source")

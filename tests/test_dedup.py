@@ -171,3 +171,17 @@ def test_cross_contamination_threshold_excludes(spark):
     assert cross_contamination(train, ev, threshold=0.2).count() == 0
     got = cross_contamination(train, ev, threshold=0.1).collect()
     assert [(r.eval_id, r.train_id, r.shared) for r in got] == [(10, 1, 1)]
+
+
+def test_apply_dedup_keeps_canonicals(spark):
+    from shopify_etl_spark.operators.dedup import apply_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], ["doc_id", "text"]
+    )
+    # clusters: {1,3,5} canonical 1; {2,4} canonical 2; doc 0 untouched
+    clusters = spark.createDataFrame(
+        [(1, 1), (3, 1), (5, 1), (2, 2), (4, 2)], ["doc", "cluster_id"]
+    )
+    kept = sorted(r.doc_id for r in apply_dedup(docs, clusters).collect())
+    assert kept == [0, 1, 2]
