@@ -637,7 +637,7 @@ def scalar_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "token_explode_counts",
-    oracle="""
+    oracle=r"""
     SELECT token, COUNT(*) AS n
     FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents)
     WHERE token <> ''

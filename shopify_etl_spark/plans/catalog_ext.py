@@ -22,7 +22,7 @@ from .catalog import load_table, register
 
 @register(
     "text_quality_scores",
-    oracle="""
+    oracle=r"""
     SELECT doc_id,
            len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))  AS n_tokens,
            length(regexp_replace(text, '\s', '', 'g'))                           AS n_word_chars,
@@ -44,7 +44,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "token_count_by_source",
-    oracle="""
+    oracle=r"""
     SELECT source,
            COUNT(*) AS n_docs,
            CAST(SUM(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens,
@@ -66,7 +66,7 @@ def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "lang_id_heuristic",
-    oracle="""
+    oracle=r"""
     SELECT doc_id,
       CASE
         WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
@@ -95,7 +95,7 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "repetition_signals",
-    oracle="""
+    oracle=r"""
     WITH base AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks,
@@ -156,7 +156,7 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ngram_jaccard_pairs",
-    oracle="""
+    oracle=r"""
     WITH toks AS (
       SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
       FROM documents
@@ -190,7 +190,7 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_fingerprints",
-    oracle="""
+    oracle=r"""
     SELECT doc_id,
            md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp_md5,
            length(text) AS n_chars
@@ -220,7 +220,7 @@ def minhash_dedup_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_clusters",
-    oracle="""
+    oracle=r"""
     WITH RECURSIVE toks AS (
       SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
       FROM documents
