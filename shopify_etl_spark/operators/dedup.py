@@ -394,47 +394,42 @@ def duplicate_clusters(
     changes. Rounds needed ≈ graph diameter — near-dup components are
     tiny and dense (dup groups, boilerplate families), so 2-4 rounds in
     practice; ``max_iterations`` guards adversarial chains. Each round is
-    one join + one groupBy (shuffles on the node id, partial aggregation
-    map-side); lineage is cut per round with a lazy localCheckpoint so
-    the plan doesn't grow exponentially across iterations. The per-round
-    convergence check aggregates a single count — the only driver-side
-    data movement.
+    ONE join + ONE groupBy: the edge set carries a self-loop per node, so
+    a single ``groupBy(u).min(label-of-neighbor)`` yields the new label,
+    and the self-loop row (v == u) smuggles the node's OLD label through
+    the same aggregation — change detection costs no second join. Lineage
+    is cut per round with a lazy localCheckpoint so the plan doesn't grow
+    exponentially across iterations; the per-round convergence check
+    aggregates a single count — the only driver-side data movement.
 
     (GraphFrames/GraphX ship the same algorithm; implemented here on the
     plain DataFrame API to stay dependency-free.)
     """
+    both = pairs.select(F.col(d1).alias("u"), F.col(d2).alias("v")).unionByName(
+        pairs.select(F.col(d2).alias("u"), F.col(d1).alias("v"))
+    )
     edges = (
-        pairs.select(F.col(d1).alias("u"), F.col(d2).alias("v"))
-        .unionByName(pairs.select(F.col(d2).alias("u"), F.col(d1).alias("v")))
+        both.unionByName(both.select("u", F.col("u").alias("v")))
         .distinct()
         .localCheckpoint(eager=False)
     )
-    labels = (
-        edges.select("u").distinct().select("u", F.col("u").alias("label"))
-    ).localCheckpoint(eager=False)
+    labels = edges.select(F.col("u").alias("v"), F.col("u").alias("label")).distinct()
 
     for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels.withColumnRenamed("u", "v"), "v")
-            .groupBy("u")
-            .agg(F.min("label").alias("n_label"))
-        )
         new_labels = (
-            labels.join(neighbor_min, "u", "left")
-            .select(
-                "u",
-                F.least(
-                    F.col("label"), F.coalesce("n_label", F.col("label"))
-                ).alias("label"),
-                (F.coalesce("n_label", F.col("label")) < F.col("label")).alias("_chg"),
+            edges.join(labels, "v")
+            .groupBy("u")
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("v") == F.col("u"), F.col("label"))).alias("_old"),
             )
             .localCheckpoint(eager=False)
         )
-        changed = new_labels.filter(F.col("_chg")).limit(1).count()
-        labels = new_labels.drop("_chg")
+        changed = new_labels.filter(F.col("label") != F.col("_old")).limit(1).count()
+        labels = new_labels.select(F.col("u").alias("v"), "label")
         if changed == 0:
             break
-    return labels.select(F.col("u").alias("doc"), F.col("label").alias("cluster_id"))
+    return labels.select(F.col("v").alias("doc"), F.col("label").alias("cluster_id"))
 
 
 def apply_dedup(
@@ -497,18 +492,32 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         )
     sums = tok_hash.groupBy(id_col).agg(*aggs)
 
+    # Pack the 64 sign bits with a fold over bit positions rather than an
+    # unrolled 64-term OR chain: the unrolled expression dominated the
+    # query's wall time via whole-stage-codegen COMPILE cost (~3 s of the
+    # 3.7 s cold run at sf0.1); the HOF fold compiles as a loop.
     counter_mask = (1 << _SWAR_STRIDE) - 1
-    packed = None
-    for p in range(64):
-        b, k = p % _SWAR_STRIDE, p // _SWAR_STRIDE
-        s_p = F.shiftright(F.col(f"c{b}"), k * _SWAR_STRIDE).bitwiseAND(
-            F.lit(counter_mask)
-        )
-        # shiftleft, not 1 << p in Python: (1 << 63) overflows LongType.
-        bit = F.when(
-            s_p * 2 > F.col("_n"), F.shiftleft(F.lit(1).cast("long"), p)
-        ).otherwise(F.lit(0).cast("long"))
-        packed = bit if packed is None else packed.bitwiseOR(bit)
+    counters = F.array(*[F.col(f"c{b}") for b in range(_SWAR_STRIDE)])
+    packed = F.aggregate(
+        F.sequence(F.lit(0), F.lit(63)),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc.bitwiseOR(
+            F.when(
+                # call_function: the F.shiftright/shiftleft wrappers only
+                # accept a literal int shift, but the underlying SQL
+                # expression takes any int column (the lambda variable p).
+                F.call_function(
+                    "shiftright",
+                    F.element_at(counters, p % _SWAR_STRIDE + 1),
+                    ((p / _SWAR_STRIDE).cast("int") * _SWAR_STRIDE).cast("int"),
+                ).bitwiseAND(F.lit(counter_mask))
+                * 2
+                > F.col("_n"),
+                # shiftleft, not 1 << p in Python: (1 << 63) overflows LongType.
+                F.call_function("shiftleft", F.lit(1).cast("long"), p.cast("int")),
+            ).otherwise(F.lit(0).cast("long"))
+        ),
+    )
     return sums.select(id_col, packed.alias("simhash64"))
 
 
@@ -543,6 +552,11 @@ def simhash_near_pairs(
             )
         ).alias("block", "block_val"),
     )
+    # A near-identical pair matches in many blocks, so the bucket join
+    # emits duplicates; `distinct` dedups them. (An emit-from-first-
+    # matching-block variant that replaces the shuffle-dedup with a
+    # slice/zip_with predicate was measured 6× SLOWER at sf0.1 — the
+    # per-candidate HOF allocation cost dwarfs the small dedup shuffle.)
     a, b = blocked.alias("a"), blocked.alias("b")
     pairs = (
         a.join(

@@ -106,69 +106,88 @@ def repetition_signals(
     * ``dup_line_frac`` — fraction of non-blank lines that are duplicates
       of an earlier line.
 
-    Shape: explode → (doc, item) counts → per-doc aggregate, NOT nested
-    array lambdas in one projection. The tempting
-    ``transform(array_distinct(arr), x -> size(filter(arr, …)))``
-    formulation re-expands the array-building expression inside every
-    lambda (higher-order functions block common-subexpression
-    elimination) and measured ~40× slower at sf0.01. The explode shape
-    shuffles only (doc_id, 8-byte hash) rows with map-side partial
-    aggregation — the same pattern as the MinHash signature stage.
+    Shape: zero-shuffle single pass. Each family (tokens, bigrams, lines)
+    is ``array_sort`` + ONE ``F.aggregate`` fold computing (distinct,
+    top-run-length) per row — purely narrow, no explode, no shuffle, no
+    joins. Two prior traps, both avoided deliberately:
+
+    * nested array lambdas (``transform(array_distinct(a), x ->
+      size(filter(a, …)))``) re-expand the array expression per element —
+      measured ~40× slower. A single fold references the array ONCE.
+    * the arrays are materialized in their own ``select`` before use:
+      CollapseProject keeps the projection boundary when a non-cheap
+      expression is referenced more than once, so tokenization runs once
+      per row, and downstream lambdas see cheap column attributes.
+
+    An earlier explode → groupBy(doc,item) → groupBy(doc) → 3-way join
+    version was correct but paid ~9 shuffle stages for a per-document
+    computation (9.1 s → sub-second at sf0.1).
     Ratios are NULL for empty docs (nullif guard), matching the oracle.
     """
-    toks = tokens(text_col)
 
-    def stats(rows: DataFrame, item: str, prefix: str) -> DataFrame:
-        return (
-            rows.groupBy(id_col, item)
-            .agg(F.count(F.lit(1)).alias("_c"))
-            .groupBy(id_col)
-            .agg(
-                F.sum("_c").alias(f"{prefix}_n"),
-                F.count(F.lit(1)).alias(f"{prefix}_distinct"),
-                F.max("_c").alias(f"{prefix}_top"),
-            )
+    def fold_stats(arr):  # -> struct(nd, top) via one pass over sorted arr
+        return F.aggregate(
+            F.array_sort(arr),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).cast("long").alias("run"),
+                F.lit(0).cast("long").alias("top"),
+                F.lit(0).cast("long").alias("nd"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+                F.greatest(
+                    acc.top,
+                    F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+                ).alias("top"),
+                F.when(x == acc.prev, acc.nd).otherwise(acc.nd + 1).alias("nd"),
+            ),
+            lambda acc: F.struct(acc.nd.alias("nd"), acc.top.alias("top")),
         )
 
-    tok_stats = stats(
-        df.select(id_col, F.explode(toks).alias("t")), "t", "tok"
-    )
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    bg_stats = stats(
-        df.select(id_col, F.explode(bigrams).alias("b")), "b", "bg"
-    )
-    lines = F.filter(F.split(text_col, r"\n"), lambda x: F.trim(x) != "")
-    line_stats = stats(
-        df.select(id_col, F.explode(lines).alias("l")), "l", "line"
-    )
-
-    out = (
-        df.select(id_col)
-        .join(tok_stats, id_col, "left")
-        .join(bg_stats, id_col, "left")
-        .join(line_stats, id_col, "left")
-    )
-    n_tok = F.coalesce("tok_n", F.lit(0))
-    return out.select(
+    staged = df.select(
         id_col,
-        n_tok.cast("long").alias("n_tokens"),
-        F.round(F.col("tok_distinct").cast("double") / F.nullif(n_tok, F.lit(0)), 4)
-        .alias("distinct_token_ratio"),
-        F.round(F.col("tok_top").cast("double") / F.nullif(n_tok, F.lit(0)), 4)
-        .alias("top_token_frac"),
-        F.round(F.col("bg_top").cast("double") / F.nullif(F.col("bg_n"), F.lit(0)), 4)
-        .alias("top_bigram_frac"),
+        tokens(text_col).alias("_toks"),
+        F.filter(F.split(text_col, r"\n"), lambda x: F.trim(x) != "").alias("_lines"),
+    ).select(
+        id_col,
+        "_toks",
+        "_lines",
+        F.when(
+            F.size("_toks") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("_toks", i), F.element_at("_toks", i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("_bg"),
+    )
+    folded = staged.select(
+        id_col,
+        F.size("_toks").alias("tok_n"),
+        fold_stats("_toks").alias("tok"),
+        F.size("_bg").alias("bg_n"),
+        fold_stats("_bg").alias("bg"),
+        F.size("_lines").alias("line_n"),
+        fold_stats("_lines").alias("line"),
+    )
+    return folded.select(
+        id_col,
+        F.col("tok_n").cast("long").alias("n_tokens"),
         F.round(
-            (F.col("line_n") - F.col("line_distinct")).cast("double")
-            / F.nullif(F.col("line_n"), F.lit(0)),
+            F.col("tok.nd").cast("double") / F.nullif("tok_n", F.lit(0)), 4
+        ).alias("distinct_token_ratio"),
+        F.round(
+            F.col("tok.top").cast("double") / F.nullif("tok_n", F.lit(0)), 4
+        ).alias("top_token_frac"),
+        F.round(
+            F.col("bg.top").cast("double") / F.nullif("bg_n", F.lit(0)), 4
+        ).alias("top_bigram_frac"),
+        F.round(
+            (F.col("line_n") - F.col("line.nd")).cast("double")
+            / F.nullif("line_n", F.lit(0)),
             4,
         ).alias("dup_line_frac"),
     )
