@@ -211,6 +211,91 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+    df_max: int | None = 100,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT:
+    C(A,B) = |shingles(A) ∩ shingles(B)| / min(|A|, |B|).
+
+    Jaccard misses subset duplication — a paragraph quoted inside a much
+    longer page scores near zero on Jaccard but 1.0 on containment of
+    the smaller side. Containment is the standard complement to Jaccard
+    in corpus dedup (quote/excerpt/wrapper detection).
+
+    Same bounded inverted-index machinery as :func:`ngram_jaccard_pairs`
+    (df cap splits the posting list; over-cap contribution is bounded by
+    min per-doc over-cap counts, survivors corrected exactly), but the
+    denominator min(|A|,|B|) is shared-count-independent, so the prune
+    bound is simply (shared + e_max)/min — exact, and bit-identical to
+    the uncapped join whenever no shingle exceeds the cap.
+    """
+    sh = postings if postings is not None else shingle_postings(df, text_col, id_col, n)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    def pair_counts(side: DataFrame) -> DataFrame:
+        a, b = side.alias("a"), side.alias("b")
+        return (
+            a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+            .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+
+    sa = sizes.select(F.col("doc").alias("d1"), F.col("n_sh").alias("n1"))
+    sb = sizes.select(F.col("doc").alias("d2"), F.col("n_sh").alias("n2"))
+    denom = F.least("n1", "n2")
+
+    if df_max is None:
+        cont = F.col("shared") / denom
+        return (
+            pair_counts(sh).join(sa, "d1").join(sb, "d2")
+            .filter(cont >= threshold)
+            .select("d1", "d2", F.round(cont, 4).alias("containment"))
+        )
+
+    dfc = sh.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+    over_keys = dfc.filter(F.col("_df") > df_max).select("s")
+    sh_over = sh.join(F.broadcast(over_keys), "s")
+    sh_under = sh.join(F.broadcast(over_keys), "s", "left_anti")
+
+    over_counts = sh_over.groupBy("doc").agg(F.count(F.lit(1)).alias("n_over"))
+    oa = over_counts.select(F.col("doc").alias("d1"), F.col("n_over").alias("o1"))
+    ob = over_counts.select(F.col("doc").alias("d2"), F.col("n_over").alias("o2"))
+
+    base = (
+        pair_counts(sh_under)
+        .join(sa, "d1").join(sb, "d2")
+        .join(oa, "d1", "left").join(ob, "d2", "left")
+        .withColumn(
+            "e_max",
+            F.least(F.coalesce("o1", F.lit(0)), F.coalesce("o2", F.lit(0))),
+        )
+    )
+    survivors = base.filter((F.col("shared") + F.col("e_max")) / denom >= threshold)
+
+    ca = sh_over.select(F.col("doc").alias("d1"), F.col("s").alias("s_a"))
+    cb = sh_over.select(F.col("doc").alias("_cd2"), F.col("s").alias("s_b"))
+    extra = (
+        survivors.select("d1", "d2").join(ca, "d1")
+        .join(cb, (F.col("d2") == F.col("_cd2")) & (F.col("s_a") == F.col("s_b")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("e"))
+    )
+    final = survivors.join(extra, ["d1", "d2"], "left").withColumn(
+        "true_shared", F.col("shared") + F.coalesce("e", F.lit(0))
+    )
+    cont = F.col("true_shared") / denom
+    return (
+        final.filter(cont >= threshold)
+        .select("d1", "d2", F.round(cont, 4).alias("containment"))
+    )
+
+
 def cross_contamination(
     train: DataFrame,
     eval_df: DataFrame,

@@ -1,0 +1,93 @@
+"""Keyword relevance search (TF-IDF / BM25) over a document corpus.
+
+Ranked keyword retrieval is the workhorse query of corpus exploration
+and hard-negative mining in training-data pipelines. For a bounded query
+term set (the interactive case), the whole computation is expressible
+without ever exploding or shuffling the token stream: per-term term
+frequencies are per-row ``size(filter(tokens))`` counts (one codegen'd
+projection), and the corpus statistics (N, avgdl, per-term document
+frequencies) reduce to a SINGLE one-row global aggregate that broadcasts
+back. Scan → project → tiny agg → broadcast → top-k; the corpus text
+never leaves its partition.
+
+For open vocabularies (every term scored, not a query set) use the
+inverted-index shape instead: ``text.vocabulary`` builds the posting
+statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+_MAX_QUERY_TERMS = 64  # per-term columns; beyond this use the inverted index
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents by BM25 score for ``query_terms``.
+
+    idf(t) = ln((N - df_t + 0.5)/(df_t + 0.5) + 1)       (Lucene form —
+    non-negative even for terms in more than half the corpus)
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Deterministic result: ordered by the ROUNDED score (4 dp) descending
+    then id ascending, so last-ulp FP noise cannot reorder the top-k
+    across engines.
+    """
+    if not (0 < len(query_terms) <= _MAX_QUERY_TERMS):
+        raise ValueError(f"query_terms must have 1..{_MAX_QUERY_TERMS} terms")
+    toks = tokens(text_col)
+
+    # Factory, not a default-arg lambda: PySpark infers higher-order-function
+    # arity from the Python signature, so `lambda x, t=t` would be bound as a
+    # two-arg (element, index) lambda.
+    def _eq(term):
+        return lambda x: x == F.lit(term)
+
+    per_doc = df.select(
+        id_col,
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq(t))).alias(f"tf_{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    idf = lambda i: F.log(  # noqa: E731
+        (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5) + 1.0
+    )
+    norm = F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    parts = [
+        F.when(
+            F.col(f"tf_{i}") > 0,
+            idf(i) * (F.col(f"tf_{i}") * (k1 + 1)) / (F.col(f"tf_{i}") + norm),
+        ).otherwise(F.lit(0.0))
+        for i in range(len(query_terms))
+    ]
+    total = parts[0]
+    for p in parts[1:]:
+        total = total + p
+    ranked = scored.select(
+        id_col, F.round(total, 4).alias("bm25")
+    ).filter(F.col("bm25") > 0)
+    return ranked.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)

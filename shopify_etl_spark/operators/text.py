@@ -92,6 +92,51 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return scored.select(id_col, pred.alias("pred_lang"), best.alias("marker_hits"))
 
 
+def _fold_stats(arr) -> Column:
+    """struct(nd=|distinct|, top=max multiplicity) in ONE pass over the
+    sorted array — distinct count via value transitions, top frequency via
+    max run length. A single ``F.aggregate`` fold references the array
+    once, so it dodges the nested-lambda re-expansion trap (see
+    :func:`repetition_signals`); zero shuffle, zero explode."""
+    return F.aggregate(
+        F.array_sort(arr),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("top"),
+            F.lit(0).cast("long").alias("nd"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.top,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("top"),
+            F.when(x == acc.prev, acc.nd).otherwise(acc.nd + 1).alias("nd"),
+        ),
+        lambda acc: F.struct(acc.nd.alias("nd"), acc.top.alias("top")),
+    )
+
+
+def _bigrams(toks) -> Column:
+    """Word-bigram strings ("w1 w2"); empty array below 2 tokens (the
+    ``when`` guard exists because Spark's ``sequence(1, 0)`` is a
+    DESCENDING sequence, not an empty one)."""
+    return (
+        F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+
 def repetition_signals(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -124,46 +169,12 @@ def repetition_signals(
     computation (9.1 s → sub-second at sf0.1).
     Ratios are NULL for empty docs (nullif guard), matching the oracle.
     """
-
-    def fold_stats(arr):  # -> struct(nd, top) via one pass over sorted arr
-        return F.aggregate(
-            F.array_sort(arr),
-            F.struct(
-                F.lit(None).cast("string").alias("prev"),
-                F.lit(0).cast("long").alias("run"),
-                F.lit(0).cast("long").alias("top"),
-                F.lit(0).cast("long").alias("nd"),
-            ),
-            lambda acc, x: F.struct(
-                x.alias("prev"),
-                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
-                F.greatest(
-                    acc.top,
-                    F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
-                ).alias("top"),
-                F.when(x == acc.prev, acc.nd).otherwise(acc.nd + 1).alias("nd"),
-            ),
-            lambda acc: F.struct(acc.nd.alias("nd"), acc.top.alias("top")),
-        )
-
+    fold_stats = _fold_stats
     staged = df.select(
         id_col,
         tokens(text_col).alias("_toks"),
         F.filter(F.split(text_col, r"\n"), lambda x: F.trim(x) != "").alias("_lines"),
-    ).select(
-        id_col,
-        "_toks",
-        "_lines",
-        F.when(
-            F.size("_toks") >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size("_toks") - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at("_toks", i), F.element_at("_toks", i + 1)
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>")).alias("_bg"),
-    )
+    ).select(id_col, "_toks", "_lines", _bigrams("_toks").alias("_bg"))
     folded = staged.select(
         id_col,
         F.size("_toks").alias("tok_n"),
@@ -253,4 +264,230 @@ def fingerprint_md5(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         id_col,
         F.md5(norm.cast("binary")).alias("fp_md5"),
         F.length(text_col).alias("n_chars"),
+    )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information.
+
+    PMI(x,y) = ln( p(xy) / (p(x)·p(y)) ) over corpus-wide bigram/unigram
+    frequencies — the classic collocation detector ("new york" scores
+    high, "of the" does not), and a standard vocabulary/tokenizer-prep
+    artifact next to :func:`vocabulary`.
+
+    Shape: two word-count pipelines (explode → groupBy(token) with
+    map-side partial aggregation — shuffle carries one row per distinct
+    key per partition), two joins of the bigram table against the
+    unigram table on the word key (vocabulary-sized, not corpus-sized;
+    AQE picks broadcast iff it fits), and a TakeOrdered top-k on the
+    surviving ≥ ``min_count`` rows. The ``min_count`` filter runs BEFORE
+    the joins — rare-bigram rows (the long tail, most of the table)
+    never reach the shuffle.
+
+    The PMI expression is written in ratio-of-ratios form and must stay
+    textually parallel with the SQL oracle: a mathematically equivalent
+    rearrangement (e.g. ln(c_xy·N²/(N_bg·c_x·c_y))) rounds differently
+    in the last ulp.
+    """
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col).alias("_doc"), toks.alias("_w"))
+    uni = (
+        base.select(F.explode("_w").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    bg = (
+        base.select(F.explode(_bigrams("_w")).alias("b"))
+        .select(
+            F.split_part("b", F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part("b", F.lit(" "), F.lit(2)).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    totals = uni.agg(F.sum("c_w").alias("n_uni")).crossJoin(
+        bg.agg(F.sum("c_xy").alias("n_bg"))
+    )
+    scored = (
+        bg.filter(F.col("c_xy") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_y")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy"),
+            F.round(
+                F.log(
+                    (F.col("c_xy") / F.col("n_bg"))
+                    / ((F.col("c_x") / F.col("n_uni")) * (F.col("c_y") / F.col("n_uni")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(top_k)
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-wide repeated lines: (line, n_docs) for every trimmed
+    non-blank line appearing in ≥ ``min_docs`` distinct documents.
+
+    The CCNet-style boilerplate detector — navigation chrome, cookie
+    banners, and license headers repeat across unrelated pages and are
+    removed line-wise, not document-wise. Explode lines → distinct per
+    doc → count distinct docs per line; the shuffle key is the line text
+    (a production run at 100 TB would key on xxhash64(line) like the
+    shingle postings — kept as text here so the output is directly
+    joinable/readable).
+    """
+    lines = F.array_distinct(
+        F.transform(
+            F.filter(F.split(text_col, r"\n"), lambda x: F.trim(x) != ""),
+            lambda x: F.trim(x),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("_doc"), F.explode(lines).alias("line"))
+        .groupBy("line")
+        .agg(F.countDistinct("_doc").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Remove corpus-wide boilerplate lines from every document.
+
+    Two-pass: :func:`boilerplate_lines` builds the repeated-line set,
+    then each document drops its lines that appear in it. The membership
+    test is a broadcast left-anti join at the LINE level (explode with
+    position → anti-join → re-assemble with array_sort + array_join), so
+    line order inside each document is preserved and documents that lose
+    nothing round-trip byte-identical.
+
+    Returns (id, clean_text, n_lines_removed). The boilerplate set is
+    vocabulary-sized (lines repeated across docs), far smaller than the
+    corpus; if it outgrows broadcast, AQE falls back to a shuffled anti
+    join on the line key.
+    """
+    bp = boilerplate_lines(df, text_col, id_col, min_docs).select("line")
+    lines = F.filter(F.split(text_col, r"\n"), lambda x: F.trim(x) != "")
+    exploded = df.select(
+        F.col(id_col).alias("_doc"),
+        F.size(lines).alias("_n_lines"),
+        F.posexplode(lines).alias("pos", "raw_line"),
+    ).withColumn("line", F.trim("raw_line"))
+    kept = exploded.join(bp, "line", "left_anti")
+    out = kept.groupBy("_doc", "_n_lines").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "raw_line"))),
+                lambda s: s.raw_line,
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    result = out.select(
+        F.col("_doc").alias(id_col),
+        "clean_text",
+        (F.col("_n_lines") - F.col("_n_kept")).cast("long").alias("n_lines_removed"),
+    )
+    # documents whose EVERY line was boilerplate vanish from the groupBy;
+    # resurrect them as empty texts so the output covers the input corpus
+    all_ids = df.select(id_col, F.size(lines).alias("_n_lines_all"))
+    return (
+        all_ids.join(result, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce(
+                "n_lines_removed", F.col("_n_lines_all").cast("long")
+            ).alias("n_lines_removed"),
+        )
+    )
+
+
+#: (rule name, reason emitted) — order is the emission order in
+#: quality_filter's reasons string and must match the oracle SQL.
+QUALITY_RULES = (
+    "too_short",
+    "too_long",
+    "low_distinct",
+    "repetitive_bigram",
+    "low_stopword",
+)
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    max_tokens: int = 5000,
+    min_distinct_ratio: float = 0.35,
+    max_top_bigram_frac: float = 0.20,
+    min_stopword_ratio: float = 0.01,
+) -> DataFrame:
+    """Composite Gopher-style quality gate: every rule evaluated in ONE
+    narrow projection (token/bigram folds, no shuffle), emitting
+    (id, n_tokens, keep, reasons) where ``reasons`` is a
+    semicolon-joined list of failed rules in :data:`QUALITY_RULES` order.
+
+    This is the filter documents actually flow through in a curation
+    pipeline — individual signal queries (:func:`quality_metrics`,
+    :func:`repetition_signals`) exist for analysis, but re-joining them
+    per-document would shuffle the corpus twice for what one projection
+    computes for free. Thresholds are constructor arguments; defaults
+    drop both tails on the synthetic corpus.
+    """
+    staged = df.select(
+        id_col, tokens(text_col).alias("_toks")
+    ).select(
+        id_col,
+        "_toks",
+        _bigrams("_toks").alias("_bg"),
+        F.size("_toks").alias("_n"),
+    )
+    tok = _fold_stats("_toks")
+    bgf = _fold_stats("_bg")
+    stop_hits = F.size(F.filter(F.col("_toks"), lambda x: x.isin(*STOPWORDS)))
+    denom = F.nullif(F.col("_n"), F.lit(0))
+    folded = staged.select(
+        id_col,
+        F.col("_n").cast("long").alias("n_tokens"),
+        (tok["nd"] / denom).alias("_dr"),
+        (bgf["top"] / F.nullif(F.size("_bg"), F.lit(0))).alias("_tbf"),
+        (stop_hits / denom).alias("_sr"),
+    )
+    fails = [
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short")),
+        F.when(F.col("n_tokens") > max_tokens, F.lit("too_long")),
+        F.when(F.col("_dr") < min_distinct_ratio, F.lit("low_distinct")),
+        F.when(F.col("_tbf") > max_top_bigram_frac, F.lit("repetitive_bigram")),
+        F.when(F.col("_sr") < min_stopword_ratio, F.lit("low_stopword")),
+    ]
+    reasons = F.concat_ws(";", *fails)
+    return folded.select(
+        id_col,
+        "n_tokens",
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
     )

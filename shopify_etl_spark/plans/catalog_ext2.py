@@ -1,0 +1,335 @@
+"""Round-2 catalog extensions: retrieval, collocations, corpus curation,
+time-series resampling, and window-function surface.
+
+Same contract as ``catalog.py``: every query is a lazy DataFrame builder
+paired with an ANSI-SQL DuckDB oracle over the identical parquet tables;
+computed columns are aliased identically on both sides and double
+aggregates are ROUNDed inside the query so the driver's value hash
+compares canonical values. Arithmetic in oracles is kept textually
+parallel to the Spark expressions (same association order, same literal
+forms) — mathematically equivalent rearrangements can differ in the last
+ulp and flip a ROUND boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup
+from ..operators import text
+from ..operators.search import bm25_topk
+from ..operators.timeseries import resample_daily
+from .catalog import load_table, register
+
+_BM25_TERMS = ("spark", "merge", "window")
+
+
+@register(
+    "bm25_search_topk",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS dl,
+             len(list_filter(regexp_split_to_array(text, '\s+'), x -> x = 'spark')) AS tf0,
+             len(list_filter(regexp_split_to_array(text, '\s+'), x -> x = 'merge')) AS tf1,
+             len(list_filter(regexp_split_to_array(text, '\s+'), x -> x = 'window')) AS tf2
+      FROM documents
+    ), g AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+             sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+             sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      FROM d
+    ), s AS (
+      SELECT doc_id, ROUND(
+          (CASE WHEN tf0 > 0 THEN ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1.0)
+                * (tf0 * 2.2) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                ELSE 0.0 END)
+        + (CASE WHEN tf1 > 0 THEN ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0)
+                * (tf1 * 2.2) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                ELSE 0.0 END)
+        + (CASE WHEN tf2 > 0 THEN ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0)
+                * (tf2 * 2.2) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                ELSE 0.0 END), 4) AS bm25
+      FROM d, g
+    )
+    SELECT doc_id, bm25 FROM s WHERE bm25 > 0
+    ORDER BY bm25 DESC, doc_id LIMIT 15
+    """,
+    doc="BM25 ranked keyword retrieval (query: spark merge window), top-15. "
+    "Zero token shuffle: per-term tf is a per-row size(filter()) count, "
+    "corpus stats (N, avgdl, df) are ONE global one-row aggregate "
+    "broadcast back, top-k is TakeOrdered. The corpus text never leaves "
+    "its scan partition. operators/search.py::bm25_topk.",
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk(load_table(spark, sf_dir, "documents"), _BM25_TERMS, k=15)
+
+
+@register(
+    "pmi_collocations",
+    oracle=r"""
+    WITH t AS (
+      SELECT list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      FROM documents
+    ), uni AS (
+      SELECT u AS w, count(*) AS c_w
+      FROM (SELECT unnest(w) AS u FROM t) GROUP BY 1
+    ), bgrows AS (
+      SELECT b['w1'] AS w1, b['w2'] AS w2
+      FROM (SELECT unnest(list_transform(range(1, len(w)),
+                   i -> {'w1': w[i], 'w2': w[i + 1]})) AS b
+            FROM t WHERE len(w) >= 2)
+    ), bg AS (
+      SELECT w1, w2, count(*) AS c_xy FROM bgrows GROUP BY 1, 2
+    ), tot AS (
+      SELECT (SELECT sum(c_w) FROM uni) AS n_uni,
+             (SELECT sum(c_xy) FROM bg) AS n_bg
+    )
+    SELECT w1, w2, c_xy,
+           ROUND(ln((c_xy / n_bg) /
+                 ((ux.c_w / n_uni) * (uy.c_w / n_uni))), 4) AS pmi
+    FROM bg
+    JOIN uni ux ON ux.w = bg.w1
+    JOIN uni uy ON uy.w = bg.w2
+    CROSS JOIN tot
+    WHERE c_xy >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+    doc="Top-20 collocations by pointwise mutual information over corpus "
+    "bigram/unigram frequencies (min bigram count 5) — the classic "
+    "tokenizer-prep collocation detector. Word-count shuffles carry one "
+    "row per distinct key per partition (map-side combine); the "
+    "min_count filter prunes the long tail BEFORE the vocabulary joins. "
+    "operators/text.py::pmi_bigrams.",
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.pmi_bigrams(
+        load_table(spark, sf_dir, "documents"), min_count=5, top_k=20
+    )
+
+
+@register(
+    "strip_boilerplate_docs",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines
+      FROM documents
+    ), l AS (
+      SELECT doc_id,
+             unnest(range(1, len(lines) + 1)) AS pos,
+             unnest(lines) AS raw_line
+      FROM base
+    ), bp AS (
+      SELECT trim(raw_line) AS line FROM l
+      GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+    ), kept AS (
+      SELECT doc_id, pos, raw_line FROM l
+      WHERE trim(raw_line) NOT IN (SELECT line FROM bp)
+    ), agg AS (
+      SELECT doc_id,
+             string_agg(raw_line, chr(10) ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY 1
+    )
+    SELECT b.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           CAST(len(b.lines) - coalesce(a.n_kept, 0) AS BIGINT) AS n_lines_removed
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="CCNet-style boilerplate removal: lines repeated across >=2 "
+    "distinct documents are dropped line-wise from every document; "
+    "documents re-assemble in original line order and untouched ones "
+    "round-trip byte-identical. Membership test is a broadcast anti-join "
+    "at the line level. operators/text.py::strip_boilerplate (+ "
+    "boilerplate_lines for the report).",
+)
+def strip_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.strip_boilerplate(load_table(spark, sf_dir, "documents"), min_docs=2)
+
+
+@register(
+    "quality_filter_docs",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      FROM documents
+    ), b AS (
+      SELECT doc_id, w,
+             CASE WHEN len(w) >= 2
+                  THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+                  ELSE [] END AS bg
+      FROM t
+    ), r AS (
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+             concat_ws(';',
+               CASE WHEN len(w) < 20 THEN 'too_short' END,
+               CASE WHEN len(w) > 5000 THEN 'too_long' END,
+               CASE WHEN len(list_distinct(w)) / NULLIF(len(w), 0) < 0.35
+                    THEN 'low_distinct' END,
+               CASE WHEN list_max(list_transform(list_distinct(bg),
+                         x -> len(list_filter(bg, y -> y = x))))
+                         / NULLIF(len(bg), 0) > 0.20
+                    THEN 'repetitive_bigram' END,
+               CASE WHEN len(list_filter(w, x -> x IN ('the','a','of','and','to')))
+                         / NULLIF(len(w), 0) < 0.01
+                    THEN 'low_stopword' END
+             ) AS reasons
+      FROM b
+    )
+    SELECT doc_id, n_tokens, (reasons = '') AS keep, reasons FROM r
+    """,
+    doc="Composite Gopher-style quality gate: every rule (length bounds, "
+    "distinct-token ratio, top-bigram share, stopword ratio) evaluated "
+    "in ONE narrow zero-shuffle projection per document, emitting "
+    "keep + failed-rule reasons — the filter documents actually flow "
+    "through in curation, vs. re-joining per-signal queries (two corpus "
+    "shuffles for what one projection computes). "
+    "operators/text.py::quality_filter.",
+)
+def quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_filter(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "daily_user_resample",
+    oracle=r"""
+    WITH per AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             count(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, min(day) AS lo, max(day) AS hi FROM per GROUP BY 1
+    ), cal AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span
+    )
+    SELECT c.user_id, c.day,
+           CAST(coalesce(p.n_events, 0) AS BIGINT) AS n_events,
+           coalesce(p.sum_value, 0.0) AS sum_value
+    FROM cal c LEFT JOIN per p ON c.user_id = p.user_id AND c.day = p.day
+    """,
+    doc="Daily per-user gap-filled resample: a row for EVERY day in each "
+    "user's active span, zero-filled where nothing happened. "
+    "sequence()+explode regenerates the calendar and the observed "
+    "counts ride along as a bounded per-key map (element_at lookup) — "
+    "the fill joins NOTHING back against the aggregate. Two shuffles "
+    "total, both with map-side combine. "
+    "operators/timeseries.py::resample_daily.",
+)
+def daily_user_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resample_daily(load_table(spark, sf_dir, "events"), value_col="value")
+
+
+@register(
+    "containment_dedup_pairs",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d1, d2,
+           ROUND(shared / least(sa.n_sh, sb.n_sh), 4) AS containment
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = d1
+    JOIN sizes sb ON sb.doc_id = d2
+    WHERE shared / least(sa.n_sh, sb.n_sh) >= 0.6
+    """,
+    doc="Asymmetric near-dup pairs by shingle containment "
+    "|A∩B|/min(|A|,|B|) >= 0.6 — catches subset duplication (quotes, "
+    "excerpts, wrapped pages) that symmetric Jaccard scores near zero. "
+    "Same bounded inverted-index + document-frequency-cap machinery as "
+    "ngram_jaccard_pairs; bit-identical to the uncapped join when no "
+    "shingle exceeds the cap. operators/dedup.py::containment_pairs.",
+)
+def containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.6
+    )
+
+
+@register(
+    "event_value_histogram",
+    oracle=r"""
+    SELECT event_type,
+           CAST(least(greatest(floor(value / 500.0 * 20), 0), 19) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Fixed-width histogram of event value per event type (20 buckets "
+    "over [0, 500), edge-clamped): binning arithmetic inlined "
+    "identically on both sides so bucket assignment is deterministic; "
+    "one groupBy with map-side combine — output is bucket-count sized, "
+    "independent of corpus scale.",
+)
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / F.lit(500.0) * F.lit(20)), F.lit(0)),
+        F.lit(19),
+    )
+    return ev.groupBy(
+        "event_type", bucket.cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+@register(
+    "window_rank_surface",
+    oracle=r"""
+    SELECT event_id,
+           user_id,
+           CAST(row_number() OVER w_ts AS BIGINT) AS rn,
+           CAST(rank() OVER w_ty AS BIGINT) AS rk,
+           CAST(dense_rank() OVER w_ty AS BIGINT) AS drk,
+           CAST(ntile(4) OVER w_ts AS BIGINT) AS nt,
+           ROUND(percent_rank() OVER w_ts, 6) AS pr,
+           ROUND(cume_dist() OVER w_ts, 6) AS cd,
+           ROUND(lag(value) OVER w_ts, 2) AS prev_value,
+           ROUND(lead(value) OVER w_ts, 2) AS next_value
+    FROM events
+    WINDOW w_ts AS (PARTITION BY user_id ORDER BY ts, event_id),
+           w_ty AS (PARTITION BY user_id ORDER BY event_type)
+    """,
+    doc="Ranking/navigation window-function surface in one pass: "
+    "row_number, rank/dense_rank (with real ties via the event_type "
+    "ordering), ntile, percent_rank, cume_dist, lag/lead — two window "
+    "specs over the same user partition, ONE shuffle on user_id (both "
+    "sorts run within the partition). Orders are made total "
+    "(ts, event_id) so every value is deterministic.",
+)
+def window_rank_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_ts = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_ty = Window.partitionBy("user_id").orderBy("event_type")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w_ts).cast("long").alias("rn"),
+        F.rank().over(w_ty).cast("long").alias("rk"),
+        F.dense_rank().over(w_ty).cast("long").alias("drk"),
+        F.ntile(4).over(w_ts).cast("long").alias("nt"),
+        F.round(F.percent_rank().over(w_ts), 6).alias("pr"),
+        F.round(F.cume_dist().over(w_ts), 6).alias("cd"),
+        F.round(F.lag("value").over(w_ts), 2).alias("prev_value"),
+        F.round(F.lead("value").over(w_ts), 2).alias("next_value"),
+    )

@@ -1,0 +1,190 @@
+"""Round-2 operators: BM25 retrieval, PMI collocations, boilerplate
+removal, composite quality filter, gap-fill resample, containment dedup.
+
+Planted-case invariants that the hash-oracle can't express (ranking
+behavior, removal semantics, asymmetric-vs-symmetric dedup)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from shopify_etl_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+from shopify_etl_spark.operators.search import bm25_topk
+from shopify_etl_spark.operators.text import (
+    pmi_bigrams,
+    boilerplate_lines,
+    strip_boilerplate,
+    quality_filter,
+)
+from shopify_etl_spark.operators.timeseries import resample_daily
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+class TestBM25:
+    def test_term_frequency_ranks_first_and_absent_docs_excluded(self, spark):
+        docs = _docs(
+            spark,
+            [
+                "spark spark spark engine engine",   # heavy on the query term
+                "spark appears once here today",      # light
+                "nothing relevant in this one at all",  # absent -> excluded
+            ],
+        )
+        got = bm25_topk(docs, ("spark",), k=10).collect()
+        assert [r.doc_id for r in got] == [0, 1]
+        assert got[0].bm25 > got[1].bm25 > 0
+
+    def test_rare_term_outweighs_common_term(self, spark):
+        # 'rare' is in 1/4 docs, 'common' in 4/4: one hit of each ->
+        # the rare-term doc must outscore a common-term-only doc.
+        docs = _docs(
+            spark,
+            [
+                "common rare filler filler",
+                "common filler filler filler",
+                "common filler filler filler extra",
+                "common filler filler filler extra2",
+            ],
+        )
+        got = {r.doc_id: r.bm25 for r in bm25_topk(docs, ("rare", "common"), k=10).collect()}
+        assert got[0] > got[1]
+
+    def test_rejects_empty_and_oversized_query(self, spark):
+        docs = _docs(spark, ["a"])
+        with pytest.raises(ValueError):
+            bm25_topk(docs, ())
+        with pytest.raises(ValueError):
+            bm25_topk(docs, tuple(f"t{i}" for i in range(65)))
+
+
+class TestPMI:
+    def test_planted_collocation_beats_independent_pair(self, spark):
+        # "neural network" always adjacent; "data" and "table" both common
+        # but never adjacent to each other except rarely.
+        rows = ["neural network is here today"] * 6 + [
+            "data big table small data row table col data x table y"
+        ] * 6
+        got = pmi_bigrams(_docs(spark, rows), min_count=5, top_k=50).collect()
+        scores = {(r.w1, r.w2): r.pmi for r in got}
+        assert ("neural", "network") in scores
+        indep = [v for (a, b), v in scores.items() if {a, b} <= {"data", "table"}]
+        assert all(scores[("neural", "network")] > v for v in indep)
+
+    def test_min_count_prunes_rare_bigrams(self, spark):
+        got = pmi_bigrams(
+            _docs(spark, ["one off pair"] * 2), min_count=5, top_k=10
+        ).collect()
+        assert got == []
+
+
+class TestBoilerplate:
+    FIXTURE = [
+        "COOKIE BANNER\nreal content one\nfooter text",
+        "COOKIE BANNER\nreal content two\nfooter text",
+        "COOKIE BANNER\nfooter text",          # all lines boilerplate
+        "totally unique document\nwith two lines",
+    ]
+
+    def test_report_counts_distinct_docs(self, spark):
+        got = {
+            r.line: r.n_docs
+            for r in boilerplate_lines(_docs(spark, self.FIXTURE), min_docs=2).collect()
+        }
+        assert got == {"COOKIE BANNER": 3, "footer text": 3}
+
+    def test_strip_preserves_order_and_resurrects_empty_docs(self, spark):
+        got = {
+            r.doc_id: (r.clean_text, r.n_lines_removed)
+            for r in strip_boilerplate(_docs(spark, self.FIXTURE), min_docs=2).collect()
+        }
+        assert got[0] == ("real content one", 2)
+        assert got[1] == ("real content two", 2)
+        assert got[2] == ("", 2)  # every line was boilerplate
+        # untouched doc round-trips byte-identical
+        assert got[3] == (self.FIXTURE[3], 0)
+
+
+class TestQualityFilter:
+    def test_each_rule_fires_and_clean_doc_keeps(self, spark):
+        filler = " ".join(f"w{i}" for i in range(30))
+        clean = "the quick brown fox jumps over a lazy dog near the river " + filler
+        docs = _docs(
+            spark,
+            [
+                clean,                                    # keeps
+                "too short",                              # too_short (+low_stopword)
+                "the " + "spam spam " * 30 + "end",       # low_distinct + repetitive
+                filler + " tail tokens here",             # low_stopword
+            ],
+        )
+        got = {r.doc_id: r for r in quality_filter(docs).collect()}
+        assert got[0].keep and got[0].reasons == ""
+        assert "too_short" in got[1].reasons
+        assert "low_distinct" in got[2].reasons
+        assert "repetitive_bigram" in got[2].reasons
+        assert got[3].reasons == "low_stopword"
+        # reasons order is the declared rule order
+        assert got[2].reasons == "low_distinct;repetitive_bigram"
+
+
+class TestResample:
+    def test_gap_days_zero_filled(self, spark):
+        base = dt.datetime(2024, 3, 1, 12, 0)
+        ev = spark.createDataFrame(
+            [
+                Row(user_id=1, ts=base, value=10.0),
+                Row(user_id=1, ts=base + dt.timedelta(days=3), value=5.0),
+                Row(user_id=1, ts=base + dt.timedelta(days=3, hours=2), value=1.0),
+                Row(user_id=2, ts=base, value=2.0),
+            ]
+        )
+        got = {
+            (r.user_id, str(r.day)): (r.n_events, r.sum_value)
+            for r in resample_daily(ev, value_col="value").collect()
+        }
+        assert got[(1, "2024-03-01")] == (1, 10.0)
+        assert got[(1, "2024-03-02")] == (0, 0.0)
+        assert got[(1, "2024-03-03")] == (0, 0.0)
+        assert got[(1, "2024-03-04")] == (2, 6.0)
+        assert got[(2, "2024-03-01")] == (1, 2.0)
+        assert len(got) == 5  # span-bounded: no days outside [min, max]
+
+
+class TestContainment:
+    BIG = " ".join(f"tok{i}" for i in range(40))
+    SMALL = " ".join(f"tok{i}" for i in range(10, 20))  # strict subset run
+
+    def test_subset_doc_scores_1_where_jaccard_misses(self, spark):
+        docs = _docs(spark, [self.BIG, self.SMALL, "unrelated words only here now"])
+        cont = containment_pairs(docs, threshold=0.6).collect()
+        assert [(r.d1, r.d2, r.containment) for r in cont] == [(0, 1, 1.0)]
+        # the same pair is invisible to symmetric Jaccard at any real threshold
+        jac = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        assert jac == []
+
+    def test_df_cap_with_stop_shingles_matches_uncapped(self, spark):
+        # Every doc ends with the same stop phrase (df=4 > cap), but each
+        # true pair also shares under-cap shingles — the bound+correct
+        # phases must recover the stop-shingle contribution exactly.
+        stop = " zz the end marker zz"
+        a = " ".join(f"a{i}" for i in range(30))
+        b = " ".join(f"a{i}" for i in range(8, 22))  # subset of a
+        c = " ".join(f"c{i}" for i in range(30))
+        d = " ".join(f"c{i}" for i in range(25)) + " tail x y"
+        docs = _docs(spark, [a + stop, b + stop, c + stop, d + stop])
+        capped = sorted(
+            (r.d1, r.d2, r.containment)
+            for r in containment_pairs(docs, threshold=0.5, df_max=3).collect()
+        )
+        uncapped = sorted(
+            (r.d1, r.d2, r.containment)
+            for r in containment_pairs(docs, threshold=0.5, df_max=None).collect()
+        )
+        assert capped == uncapped and len(uncapped) >= 2
