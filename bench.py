@@ -50,7 +50,11 @@ def main() -> None:
     # stage (a production dedup family shingles the corpus once and fans
     # out); the stage is timed as its own entry so the total stays honest.
     # The catalog entries themselves remain independent for the driver.
-    shared_dedup = ("ngram_jaccard_pairs", "minhash_dedup_candidates")
+    shared_dedup = (
+        "ngram_jaccard_pairs",
+        "minhash_dedup_candidates",
+        "containment_dedup_pairs",
+    )
 
     timings: dict[str, float] = {}
     for name, spec in QUERIES.items():
@@ -85,6 +89,12 @@ def main() -> None:
             "noop"
         ).mode("overwrite").save()
         timings["minhash_dedup_candidates"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        dedup.containment_pairs(docs, postings=postings).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["containment_dedup_pairs"] = round(time.time() - t0, 3)
     except Exception as e:  # noqa: BLE001
         print(f"bench error in dedup family: {e}", file=sys.stderr)
         for name in shared_dedup:

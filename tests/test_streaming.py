@@ -70,3 +70,45 @@ def test_windowed_counts(spark, dirs, tmp_path):
     rows = spark.sql("SELECT * FROM win_counts ORDER BY day_start").collect()
     assert sum(r.n_orders for r in rows) == 30
     assert len(rows) == 3  # days 1..3
+
+
+def test_stream_dedup_docs(spark, dirs, tmp_path):
+    """Duplicate fingerprints within the watermark window pass exactly
+    once, across micro-batches and query restarts (checkpointed state)."""
+    from shopify_etl_spark.streaming import stream_dedup_docs
+
+    src = tmp_path / "docfeed"
+    ckpt = str(tmp_path / "dedup_ckpt")
+    out = str(tmp_path / "deduped")
+
+    def run_batch(name, rows):
+        _write_jsonl(src / name, rows)
+        q = (
+            stream_dedup_docs(spark, str(src), watermark_delay="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    t = "2024-05-01T10:{m:02d}:00.000Z"
+    run_batch("b1.jsonl", [
+        {"doc_id": 1, "text": "alpha beta gamma", "ingested_at": t.format(m=0)},
+        {"doc_id": 2, "text": "Alpha  beta GAMMA", "ingested_at": t.format(m=1)},  # same after normalization
+        {"doc_id": 3, "text": "something else", "ingested_at": t.format(m=2)},
+    ])
+    got1 = spark.read.parquet(out)
+    assert got1.count() == 2  # doc 2 deduped against doc 1
+
+    # a later batch re-sends the same text and adds a new one; state from
+    # the checkpoint still suppresses the dup
+    run_batch("b2.jsonl", [
+        {"doc_id": 4, "text": "alpha beta gamma", "ingested_at": t.format(m=5)},
+        {"doc_id": 5, "text": "brand new text", "ingested_at": t.format(m=6)},
+    ])
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 3
+    assert sorted(r.doc_id for r in got2.collect()) in ([1, 3, 5], [2, 3, 5])
