@@ -113,3 +113,50 @@ def stratified_sample(
         F.lit(_threshold(default_frac))
     )
     return df.filter(h < thr)
+
+
+def epoch_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Weighted corpus mixing by deterministic repetition: a row from a
+    group with weight w appears ``floor(w) + Bernoulli(frac(w))`` times.
+
+    The standard "epochs per domain" knob of LLM data recipes (books ×2.5,
+    common-crawl ×0.5, …): integer part = guaranteed repeats, fractional
+    part decided per-document by the same salted-md5 threshold as
+    :func:`stratified_sample`, so the realized mix is reproducible across
+    runs, engines, and cluster sizes, and each document's fate is
+    independent of the rest of the corpus. Groups absent from ``weights``
+    are dropped (weight 0).
+
+    Shape: pure projection + ``explode(sequence(1, n))`` — no shuffle;
+    output carries ``n_copies`` and ``copy_idx`` (1-based) so downstream
+    shuffling/sharding can tell copies apart.
+    """
+    import math
+
+    pairs: list = []
+    thr_pairs: list = []
+    for g, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for {g!r}")
+        pairs += [F.lit(g), F.lit(float(math.floor(w)))]
+        thr_pairs += [F.lit(g), F.lit(_threshold(w - math.floor(w)))]
+    base_map = F.create_map(*pairs)
+    thr_map = F.create_map(*thr_pairs)
+    base = F.coalesce(base_map[F.col(group_col)], F.lit(-1.0))
+    h = _hash_hex(F.col(key_col), salt)
+    extra = (h < F.coalesce(thr_map[F.col(group_col)], F.lit(""))).cast("long")
+    n = (base.cast("long") + extra).alias("n_copies")
+    staged = df.withColumn("n_copies", n).filter(F.col("n_copies") > 0)
+    return staged.select(
+        *df.columns,
+        "n_copies",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies"))).alias(
+            "copy_idx"
+        ),
+    )

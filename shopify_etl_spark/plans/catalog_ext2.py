@@ -333,3 +333,110 @@ def window_rank_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lag("value").over(w_ts), 2).alias("prev_value"),
         F.round(F.lead("value").over(w_ts), 2).alias("next_value"),
     )
+
+
+@register(
+    "epoch_mix_docs",
+    oracle=r"""
+    WITH w(source, base, thr) AS (
+      VALUES ('src0', 2, '00000000'),
+             ('src1', 1, '80000000'),
+             ('src2', 0, '80000000'),
+             ('src3', 0, '40000000'),
+             ('src4', 1, '00000000')
+    ), d AS (
+      SELECT doc_id, documents.source,
+             CAST(base + (CASE WHEN substring(md5('mix-v1' || CAST(doc_id AS VARCHAR)), 1, 8) < thr
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
+      FROM documents JOIN w ON w.source = documents.source
+    )
+    SELECT doc_id, source, n_copies,
+           CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_idx
+    FROM d WHERE n_copies > 0
+    """,
+    doc="Weighted domain mixing by deterministic repetition (src0 ×2, "
+    "src1 ×1.5, src2 ×0.5, src3 ×0.25, src4 ×1; other sources dropped): "
+    "floor(w) guaranteed repeats + fractional part decided per-document "
+    "by salted-md5 threshold — the 'epochs per domain' knob of LLM data "
+    "recipes, reproducible across engines and corpus versions. Pure "
+    "projection + explode(sequence), zero shuffle. "
+    "operators/sampling.py::epoch_mix.",
+)
+def epoch_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import epoch_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = epoch_mix(
+        docs,
+        {"src0": 2.0, "src1": 1.5, "src2": 0.5, "src3": 0.25, "src4": 1.0},
+    )
+    return mixed.select("doc_id", "source", "n_copies", "copy_idx")
+
+
+@register(
+    "stats_agg_surface",
+    oracle=r"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+           ROUND(covar_pop(l_quantity, l_extendedprice), 2) AS covar_pop_qp,
+           ROUND(stddev_samp(l_extendedprice), 2) AS sd_price,
+           ROUND(stddev_pop(l_extendedprice), 2) AS sd_pop_price,
+           ROUND(var_samp(l_discount), 6) AS var_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Statistical aggregate surface: Pearson correlation, sample/"
+    "population covariance and stddev, sample variance — one grouped "
+    "pass, map-side partial aggregation (all are algebraic aggregates "
+    "with constant-size state). Skewness/kurtosis deliberately "
+    "excluded: Spark computes population moments, DuckDB bias-corrected "
+    "sample moments — not an FP artifact but a definitional mismatch.",
+)
+def stats_agg_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qp"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("covar_pop_qp"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+        F.round(F.stddev_pop("l_extendedprice"), 2).alias("sd_pop_price"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+    )
+
+
+@register(
+    "unpivot_measures",
+    oracle=r"""
+    WITH u AS (
+      SELECT l_orderkey, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, 'l_tax', l_tax FROM lineitem
+    )
+    SELECT measure, CAST(count(*) AS BIGINT) AS n,
+           ROUND(SUM(val), 2) AS total, ROUND(AVG(val), 6) AS mean
+    FROM u GROUP BY measure
+    """,
+    doc="UNPIVOT (wide → long melt) surface: three lineitem measures "
+    "melted into (measure, val) rows with Spark's native unpivot "
+    "operator (Expand node — one pass over the scan, rows amplified "
+    "3× with NO shuffle), then aggregated per measure. The P5 "
+    "inventory pivot's inverse; oracle is the equivalent UNION ALL.",
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    melted = li.select("l_orderkey", "l_quantity", "l_discount", "l_tax").unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return melted.groupBy("measure").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("val"), 2).alias("total"),
+        F.round(F.avg("val"), 6).alias("mean"),
+    )

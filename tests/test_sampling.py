@@ -64,3 +64,31 @@ def test_threshold_hex_bounds():
     assert sampling._threshold(0.5) == "80000000"
     # every md5 hex prefix sorts below the frac>=1 sentinel
     assert "ffffffff" < "g"
+
+
+def test_epoch_mix_repetition_and_determinism(spark):
+    from pyspark.sql import Row
+    from shopify_etl_spark.operators.sampling import epoch_mix
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="books" if i < 50 else "web") for i in range(100)]
+    )
+    mixed = epoch_mix(docs, {"books": 2.5, "web": 0.5}, group_col="source")
+    rows = mixed.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.copy_idx)
+    # books docs appear 2 or 3 times, web docs 0 or 1; copy_idx is 1..n
+    for doc, idxs in per_doc.items():
+        n = len(idxs)
+        assert sorted(idxs) == list(range(1, n + 1))
+        assert n in ((2, 3) if doc < 50 else (1,))
+    n_books = sum(len(v) for d, v in per_doc.items() if d < 50)
+    assert 100 <= n_books <= 150  # 50 docs x [2,3]
+    # deterministic: second run identical
+    again = epoch_mix(docs, {"books": 2.5, "web": 0.5}, group_col="source").collect()
+    assert sorted((r.doc_id, r.copy_idx) for r in again) == sorted(
+        (r.doc_id, r.copy_idx) for r in rows
+    )
+    # unknown groups are dropped
+    assert epoch_mix(docs, {"books": 1.0}).filter("source = 'web'").count() == 0
