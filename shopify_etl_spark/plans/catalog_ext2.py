@@ -440,3 +440,113 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("val"), 2).alias("total"),
         F.round(F.avg("val"), 6).alias("mean"),
     )
+
+
+@register(
+    "fuzzy_name_pairs",
+    oracle=r"""
+    WITH g AS (
+      SELECT p_name AS name, count(*) AS c FROM part GROUP BY 1
+    ), same AS (
+      SELECT name AS name1, name AS name2, CAST(0 AS BIGINT) AS dist,
+             CAST(c * (c - 1) / 2 AS BIGINT) AS n_id_pairs
+      FROM g WHERE c >= 2
+    ), near AS (
+      SELECT a.name AS name1, b.name AS name2,
+             CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+             CAST(a.c * b.c AS BIGINT) AS n_id_pairs
+      FROM g a JOIN g b ON a.name < b.name
+      WHERE levenshtein(a.name, b.name) <= 1
+    )
+    SELECT * FROM same UNION ALL SELECT * FROM near
+    """,
+    doc="Edit-distance match map (levenshtein <= 1) over part names via "
+    "FastSS deletion-neighborhood blocking: the variants equi-join runs "
+    "on DISTINCT names (vocabulary-sized, replaces the n-squared cross "
+    "product), the true-distance filter removes false candidates, and "
+    "recall is exact by the deletion-1 implication. Output is the "
+    "name-level map with id-pair counts — the quadratic id expansion is "
+    "group cross product with no extra information (expand_ids=True on "
+    "the operator materializes it when a linkage join needs ids). "
+    "Oracle is the naive all-pairs join over distinct names. "
+    "operators/fuzzy.py::fuzzy_pairs.",
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fuzzy import fuzzy_pairs
+
+    return fuzzy_pairs(
+        load_table(spark, sf_dir, "part"),
+        name_col="p_name",
+        id_col="p_partkey",
+        expand_ids=False,
+    )
+
+
+@register(
+    "funnel_conversion",
+    oracle=r"""
+    WITH e AS (SELECT user_id, event_type, ts FROM events),
+    u0 AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS e0
+      FROM e GROUP BY 1
+    ), u1 AS (
+      SELECT e.user_id, u0.e0,
+             min(CASE WHEN event_type = 'click' AND ts >= u0.e0 THEN ts END) AS e1
+      FROM e JOIN u0 USING (user_id) GROUP BY 1, 2
+    ), u2 AS (
+      SELECT e.user_id, u1.e0, u1.e1,
+             min(CASE WHEN event_type = 'purchase' AND ts >= u1.e1 THEN ts END) AS e2
+      FROM e JOIN u1 USING (user_id) GROUP BY 1, 2, 3
+    ), c AS (
+      SELECT CAST(count(e0) AS BIGINT) AS n0,
+             CAST(count(e1) AS BIGINT) AS n1,
+             CAST(count(e2) AS BIGINT) AS n2
+      FROM u2
+    )
+    SELECT stage, event_type, n_users, conversion FROM (
+      SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type,
+             n0 AS n_users, ROUND(n0 / n0, 4) AS conversion FROM c
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'click', n1, ROUND(n1 / n0, 4) FROM c
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), 'purchase', n2, ROUND(n2 / n0, 4) FROM c
+    )
+    """,
+    doc="Ordered funnel (view -> click -> purchase): stage-k entry is the "
+    "first stage-k event at-or-after the user's stage-(k-1) entry, "
+    "computed with conditional window aggregates over ONE user-"
+    "partitioned shuffle (a window pass per stage, no self-joins). "
+    "operators/analytics.py::funnel_stages.",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.analytics import funnel_stages
+
+    return funnel_stages(
+        load_table(spark, sf_dir, "events"), stages=("view", "click", "purchase")
+    )
+
+
+@register(
+    "cohort_retention_weekly",
+    oracle=r"""
+    WITH b AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+    f AS (SELECT user_id, min(day) AS first_day FROM b GROUP BY 1)
+    SELECT CAST(date_trunc('week', f.first_day) AS DATE) AS cohort_week,
+           CAST(datediff('day', date_trunc('week', f.first_day),
+                         date_trunc('week', b.day)) / 7 AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT b.user_id) AS BIGINT) AS n_active
+    FROM b JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Weekly cohort retention triangle: users bucketed by first-event "
+    "week, distinct-active counts per (cohort_week, week_offset). "
+    "First-event week via user-partitioned window (no join-back in the "
+    "Spark plan); offsets are exact 7-day multiples from week-truncated "
+    "dates so the integer division is engine-portable. "
+    "operators/analytics.py::cohort_retention.",
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.analytics import cohort_retention
+
+    return cohort_retention(load_table(spark, sf_dir, "events"))

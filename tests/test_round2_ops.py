@@ -188,3 +188,45 @@ class TestContainment:
             for r in containment_pairs(docs, threshold=0.5, df_max=None).collect()
         )
         assert capped == uncapped and len(uncapped) >= 2
+
+
+class TestFuzzy:
+    def test_id_expansion_matches_naive_all_pairs(self, spark):
+        from pyspark.sql import Row
+        from pyspark.sql import functions as F
+        from shopify_etl_spark.operators.fuzzy import fuzzy_pairs
+
+        names = ["red gear", "red bear", "red gears", "blue bolt", "red gear",
+                 "blux bolt", "wholly unrelated thing"]
+        df = spark.createDataFrame(
+            [Row(pid=i, name=n) for i, n in enumerate(names)]
+        )
+        got = sorted(
+            (r.id1, r.id2, r.dist)
+            for r in fuzzy_pairs(df, "name", "pid").collect()
+        )
+        a = df.select(F.col("pid").alias("i1"), F.col("name").alias("n1"))
+        b = df.select(F.col("pid").alias("i2"), F.col("name").alias("n2"))
+        naive = sorted(
+            (r.i1, r.i2, r.d)
+            for r in a.join(b, F.col("i1") < F.col("i2"))
+            .select("i1", "i2", F.levenshtein("n1", "n2").alias("d"))
+            .filter(F.col("d") <= 1)
+            .collect()
+        )
+        assert got == naive and len(naive) >= 4
+
+    def test_match_map_counts(self, spark):
+        from pyspark.sql import Row
+        from shopify_etl_spark.operators.fuzzy import fuzzy_pairs
+
+        df = spark.createDataFrame(
+            [Row(pid=i, name=n) for i, n in enumerate(
+                ["dup", "dup", "dup", "dux", "other"])]
+        )
+        got = {
+            (r.name1, r.name2): (r.dist, r.n_id_pairs)
+            for r in fuzzy_pairs(df, "name", "pid", expand_ids=False).collect()
+        }
+        assert got[("dup", "dup")] == (0, 3)   # C(3,2)
+        assert got[("dup", "dux")] == (1, 3)   # 3 x 1
