@@ -550,3 +550,139 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.analytics import cohort_retention
 
     return cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "winsorize_event_values",
+    oracle=r"""
+    WITH g AS (
+      SELECT event_type, list_sort(list(value)) AS v FROM events GROUP BY 1
+    ), b AS (
+      SELECT event_type,
+             v[CAST(floor((len(v)-1)*0.05) AS BIGINT)+1]
+             + (v[CAST(ceil((len(v)-1)*0.05) AS BIGINT)+1]
+                - v[CAST(floor((len(v)-1)*0.05) AS BIGINT)+1])
+               * CAST((len(v)-1)*0.05 - floor((len(v)-1)*0.05) AS DOUBLE) AS lo,
+             v[CAST(floor((len(v)-1)*0.95) AS BIGINT)+1]
+             + (v[CAST(ceil((len(v)-1)*0.95) AS BIGINT)+1]
+                - v[CAST(floor((len(v)-1)*0.95) AS BIGINT)+1])
+               * CAST((len(v)-1)*0.95 - floor((len(v)-1)*0.95) AS DOUBLE) AS hi
+      FROM g
+    )
+    SELECT event_id, e.event_type, value,
+           least(greatest(value, lo), hi) AS value_winsorized,
+           (value < lo OR value > hi) AS was_clipped
+    FROM events e JOIN b USING (event_type)
+    """,
+    doc="Winsorization: clip event values to the per-type exact [p5, p95] "
+    "band. Bounds from one grouped pass (sorted-array interpolation, "
+    "bit-identical across engines — see price_quantiles_by_brand), then "
+    "a broadcast join + projection over the fact stream (the facts never "
+    "shuffle). 100 TB path swaps bounds to approx_percentile, clip stage "
+    "unchanged. operators/stats.py::winsorize.",
+)
+def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import winsorize
+
+    return winsorize(
+        load_table(spark, sf_dir, "events"),
+        value_col="value",
+        group_col="event_type",
+        lower=0.05,
+        upper=0.95,
+        id_col="event_id",
+    )
+
+
+@register(
+    "variant_json_stats",
+    oracle=r"""
+    SELECT event_type,
+           CAST(count(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 50
+                      THEN 1 END) AS BIGINT) AS n_high,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    doc="Semi-structured VARIANT path (Spark 4): parse_json once into a "
+    "binary variant, typed try_variant_get extraction — the "
+    "schema-on-read upgrade over per-access get_json_object string "
+    "re-parsing (one parse per row instead of one per path access). "
+    "Oracle reads the same field via DuckDB's JSON extraction.",
+)
+def variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.when(k > 50, F.lit(1))).cast("long").alias("n_high"),
+        F.max(k).cast("long").alias("max_k"),
+    )
+
+
+@register(
+    "curated_corpus",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines
+      FROM documents
+    ), l AS (
+      SELECT doc_id,
+             unnest(range(1, len(lines) + 1)) AS pos,
+             unnest(lines) AS raw_line
+      FROM base
+    ), bp AS (
+      SELECT trim(raw_line) AS line FROM l
+      GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+    ), kept AS (
+      SELECT doc_id, pos, raw_line FROM l
+      WHERE trim(raw_line) NOT IN (SELECT line FROM bp)
+    ), agg AS (
+      SELECT doc_id, string_agg(raw_line, chr(10) ORDER BY pos) AS clean_text
+      FROM kept GROUP BY 1
+    ), stripped AS (
+      SELECT b.doc_id, coalesce(a.clean_text, '') AS clean_text
+      FROM base b LEFT JOIN agg a USING (doc_id)
+    ), t AS (
+      SELECT doc_id, clean_text,
+             list_filter(regexp_split_to_array(clean_text, '\s+'), x -> x <> '') AS w
+      FROM stripped
+    ), bq AS (
+      SELECT doc_id, clean_text, w,
+             CASE WHEN len(w) >= 2
+                  THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+                  ELSE [] END AS bg
+      FROM t
+    ), q AS (
+      SELECT doc_id, clean_text, CAST(len(w) AS BIGINT) AS n_tokens,
+             concat_ws(';',
+               CASE WHEN len(w) < 20 THEN 'too_short' END,
+               CASE WHEN len(w) > 5000 THEN 'too_long' END,
+               CASE WHEN len(list_distinct(w)) / NULLIF(len(w), 0) < 0.35
+                    THEN 'low_distinct' END,
+               CASE WHEN list_max(list_transform(list_distinct(bg),
+                         x -> len(list_filter(bg, y -> y = x))))
+                         / NULLIF(len(bg), 0) > 0.20
+                    THEN 'repetitive_bigram' END,
+               CASE WHEN len(list_filter(w, x -> x IN ('the','a','of','and','to')))
+                         / NULLIF(len(w), 0) < 0.01
+                    THEN 'low_stopword' END
+             ) AS reasons
+      FROM bq
+    )
+    SELECT min(doc_id) AS doc_id, clean_text,
+           arg_min(n_tokens, doc_id) AS n_tokens
+    FROM q WHERE reasons = ''
+    GROUP BY clean_text
+    """,
+    doc="End-to-end corpus curation in one oracle-checked pipeline: "
+    "line-level boilerplate strip -> composite quality gate on the "
+    "CLEANED text -> corpus-wide exact dedup (duplicate group survives "
+    "as min id). The canonical cleaning order: strip first so quality "
+    "scores real content, cheap per-row rules before any shuffle, dedup "
+    "last so trivially-differing wrappers dedup together. "
+    "pipeline/curation.py::curate_corpus.",
+)
+def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.curation import curate_corpus
+
+    return curate_corpus(load_table(spark, sf_dir, "documents"))

@@ -230,3 +230,52 @@ class TestFuzzy:
         }
         assert got[("dup", "dup")] == (0, 3)   # C(3,2)
         assert got[("dup", "dux")] == (1, 3)   # 3 x 1
+
+
+class TestWinsorize:
+    def test_clips_tails_only(self, spark):
+        from shopify_etl_spark.operators.stats import winsorize
+
+        vals = list(range(1, 101))  # 1..100
+        df = spark.createDataFrame(
+            [Row(eid=i, grp="a", v=float(x)) for i, x in enumerate(vals)]
+        )
+        got = {r.eid: r for r in winsorize(
+            df, value_col="v", group_col="grp", lower=0.05, upper=0.95, id_col="eid"
+        ).collect()}
+        assert len(got) == 100
+        clipped = [r for r in got.values() if r.was_clipped]
+        # exact p5/p95 of 1..100 are 5.95 and 95.05: values 1-5 and 96-100 clip
+        assert len(clipped) == 10
+        lo = min(r.v_winsorized for r in got.values())
+        hi = max(r.v_winsorized for r in got.values())
+        assert abs(lo - 5.95) < 1e-9 and abs(hi - 95.05) < 1e-9
+        untouched = [r for r in got.values() if not r.was_clipped]
+        assert all(r.v == r.v_winsorized for r in untouched)
+
+
+class TestCuration:
+    def test_pipeline_order_and_dedup(self, spark):
+        from shopify_etl_spark.pipeline.curation import curate_corpus, curation_report
+
+        filler = " ".join(f"w{i}" for i in range(25))
+        good = "the quick brown fox jumps over a lazy dog by the river " + filler
+        docs = _docs(
+            spark,
+            [
+                "BOILER\n" + good,      # 0: survives (stripped)
+                "BOILER\n" + good,      # 1: exact dup of 0 after strip -> dropped
+                "BOILER\nshort one",    # 2: all content fails too_short
+                good + " extra tail",   # 3: survives, distinct
+            ],
+        )
+        # min_docs=3: "BOILER" (3 docs) strips, but the duplicated content
+        # line (2 docs) survives to be handled by the DEDUP stage — at
+        # min_docs=2 exact-dup docs would be hollowed out line-wise first
+        # (both end states drop the dup; the survivor id differs)
+        out = curate_corpus(docs, min_docs=3)
+        rows = {r.doc_id: r for r in out.collect()}
+        assert set(rows) == {0, 3}
+        assert rows[0].clean_text == good  # boilerplate gone, dup collapsed to min id
+        rep = curation_report(docs, out).collect()[0]
+        assert (rep.n_input, rep.n_survivors, rep.n_dropped) == (4, 2, 2)
