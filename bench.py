@@ -54,6 +54,8 @@ def main() -> None:
         "ngram_jaccard_pairs",
         "minhash_dedup_candidates",
         "containment_dedup_pairs",
+        "dedup_clusters",
+        "dedup_corpus",
     )
 
     timings: dict[str, float] = {}
@@ -95,6 +97,21 @@ def main() -> None:
             "overwrite"
         ).save()
         timings["containment_dedup_pairs"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        dedup.duplicate_clusters(
+            dedup.ngram_jaccard_pairs(docs, threshold=0.8, postings=postings)
+        ).write.format("noop").mode("overwrite").save()
+        timings["dedup_clusters"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        dedup.apply_dedup(
+            docs,
+            dedup.duplicate_clusters(
+                dedup.ngram_jaccard_pairs(docs, threshold=0.8, postings=postings)
+            ),
+        ).select("doc_id", "source").write.format("noop").mode("overwrite").save()
+        timings["dedup_corpus"] = round(time.time() - t0, 3)
     except Exception as e:  # noqa: BLE001
         print(f"bench error in dedup family: {e}", file=sys.stderr)
         for name in shared_dedup:

@@ -348,3 +348,55 @@ def lsh_bucket_topk(
         .filter(F.col("rn") <= k)
         .select(query_id, corpus_id, F.round("sim", 4).alias("cosine_sim"))
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric per-vector int quantization: q_i = round(v_i / scale)
+    with scale = max|v| / (2^(bits-1) − 1).
+
+    The standard storage/serving compression for embedding tables (4×
+    smaller than float32 at bits=8, recall loss usually <1% for cosine
+    retrieval). Per-vector (not per-tensor) scales bound the error of
+    outlier dimensions. One zero-shuffle projection; the max|v| pass and
+    the quantize pass share the materialized array behind a projection
+    boundary.
+
+    Output: id, scale, the quantized array, and reconstruction-error
+    stats (max abs error ≤ scale/2 by construction — asserted in tests).
+    """
+    qmax = float((1 << (bits - 1)) - 1)
+    staged = df.select(
+        id_col,
+        F.col(vec_col).alias("_v"),
+        (
+            F.aggregate(
+                F.col(vec_col),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+            )
+            / F.lit(qmax)
+        ).alias("scale"),
+    )
+    q = F.transform(
+        "_v",
+        lambda x: F.when(F.col("scale") == 0, F.lit(0))
+        .otherwise(F.round(x.cast("double") / F.col("scale")))
+        .cast("int"),
+    )
+    staged_q = staged.select(id_col, "scale", F.col("_v"), q.alias("q"))
+    err = F.zip_with(
+        "_v", "q", lambda v, qi: F.abs(v.cast("double") - qi * F.col("scale"))
+    )
+    return staged_q.select(
+        id_col,
+        "scale",
+        "q",
+        F.aggregate(err, F.lit(0.0), lambda a, x: F.greatest(a, x)).alias(
+            "max_abs_err"
+        ),
+    )

@@ -686,3 +686,128 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.curation import curate_corpus
 
     return curate_corpus(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle=r"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="GROUPING SETS with grouping() indicators — the general form "
+    "underlying rollup/cube (both also in the catalog): three grouping "
+    "sets in ONE Expand+aggregate pass over the scan, not three "
+    "rescans. Expressed through the SQL front door (the DataFrame API "
+    "exposes only the rollup/cube specializations); grouping() per "
+    "column instead of grouping_id() because engines disagree on bit "
+    "order.",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+               CAST(count(*) AS BIGINT) AS n,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "array_functions_surface",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             list_sort(list_distinct(w[1 : CAST(len(w) // 2 AS BIGINT)])) AS a,
+             list_sort(list_distinct(w[CAST(len(w) // 2 AS BIGINT) + 1 : len(w)])) AS b
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(list_intersect(a, b)) AS BIGINT) AS n_common,
+           CAST(len(list_distinct(list_concat(a, b))) AS BIGINT) AS n_union,
+           CAST(len(list_filter(a, x -> NOT list_contains(b, x))) AS BIGINT) AS n_only_first,
+           array_to_string(a[1:3], ',') AS first3
+    FROM h
+    """,
+    doc="Array-function surface over per-document token halves: "
+    "intersect / union-distinct / except / slice+join — all JVM "
+    "higher-order or set expressions in one zero-shuffle projection; "
+    "halves are materialized behind a projection boundary so "
+    "tokenization runs once per row.",
+)
+def array_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.tokens("text")
+    staged = docs.select("doc_id", toks.alias("_w")).select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(F.slice("_w", 1, (F.size("_w") / 2).cast("int")))
+        ).alias("a"),
+        F.array_sort(
+            F.array_distinct(
+                F.expr("slice(_w, CAST(size(_w) / 2 AS INT) + 1, size(_w))")
+            )
+        ).alias("b"),
+    )
+    return staged.select(
+        "doc_id",
+        F.size(F.array_intersect("a", "b")).cast("long").alias("n_common"),
+        F.size(F.array_distinct(F.concat("a", "b"))).cast("long").alias("n_union"),
+        F.size(F.array_except("a", "b")).cast("long").alias("n_only_first"),
+        F.array_join(F.slice("a", 1, 3), ",").alias("first3"),
+    )
+
+
+@register(
+    "embedding_quantization",
+    oracle=r"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM e
+    ), q AS (
+      SELECT vec_id, scale, v,
+             list_transform(v, x -> CAST(round(x / scale) AS INT)) AS qv
+      FROM s
+    )
+    SELECT vec_id, scale,
+           CAST(list_sum(qv) AS BIGINT) AS sum_q,
+           list_max(list_transform(range(1, len(v) + 1),
+                    i -> abs(v[i] - qv[i] * scale))) AS max_abs_err
+    FROM q
+    """,
+    doc="Symmetric per-vector int8 quantization of the embedding table "
+    "(scale = max|v|/127): 4x storage/serving compression, the standard "
+    "embedding-pipeline step before ANN serving. Zero-shuffle "
+    "projection; reconstruction error bounded by scale/2 per dimension "
+    "(max_abs_err column, unrounded — both engines execute the "
+    "identical IEEE op sequence). "
+    "operators/similarity.py::quantize_embeddings.",
+)
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import quantize_embeddings
+
+    q = quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        "scale",
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_q"),
+        "max_abs_err",
+    )

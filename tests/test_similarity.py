@@ -184,3 +184,21 @@ def test_ivf_topk_recall_vs_exact(spark, sf_dir):
     got = {(r.query_id, r.neighbor_id) for r in rows}
     recall = len(got & exact) / len(exact)
     assert recall > 0.3  # 2 of ~9 cells probed; sanity floor, not a tuning claim
+
+
+def test_quantize_embeddings_error_bound_and_zero_vector(spark):
+    from pyspark.sql import Row
+    from shopify_etl_spark.operators.similarity import quantize_embeddings
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, -0.5, 0.25, 127.0]),
+        Row(vec_id=1, embedding=[0.0, 0.0, 0.0, 0.0]),  # zero vector -> q all 0
+        Row(vec_id=2, embedding=[-3.0, 3.0, 1.5, -1.5]),
+    ]
+    got = {r.vec_id: r for r in quantize_embeddings(
+        spark.createDataFrame(rows)).collect()}
+    for r in got.values():
+        assert r.max_abs_err <= r.scale / 2 + 1e-12
+    assert got[1].q == [0, 0, 0, 0] and got[1].scale == 0.0
+    # the max-magnitude dimension quantizes to +/-127 exactly
+    assert max(got[0].q) == 127 and abs(min(got[2].q)) == 127
