@@ -92,6 +92,29 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return scored.select(id_col, pred.alias("pred_lang"), best.alias("marker_hits"))
 
 
+def _pushdown_barrier(df: DataFrame) -> DataFrame:
+    """Stop predicate pushdown below this point.
+
+    Catalyst's PushDownPredicate substitutes a filter condition through
+    every deterministic Project down to the scan, re-expanding non-cheap
+    expressions once per reference — ``filter(keep)`` on the quality
+    gate re-evaluated the token/bigram folds ~8× (measured 2.4 s → 20.6 s
+    at sf0.1; codegen subexpression elimination cannot rescue it because
+    expressions containing lambdas are exempt). CollapseProject knows
+    better (it keeps boundaries for non-cheap multi-referenced exprs)
+    but the pushdown rule does not.
+
+    Implementation: route every row through a single-element ``explode``.
+    Predicates referencing a Generate's output cannot push below it, and
+    unlike a non-deterministic always-true filter (which the optimizer
+    deletes — it can prove ``rand() >= -1``), a Generate is never
+    optimized away. Cost: one array+struct wrap per row, no shuffle.
+    """
+    return df.select(
+        F.explode(F.array(F.struct(*df.columns))).alias("_row")
+    ).select("_row.*")
+
+
 def _fold_stats(arr) -> Column:
     """struct(nd=|distinct|, top=max multiplicity) in ONE pass over the
     sorted array — distinct count via value transitions, top frequency via
@@ -184,7 +207,7 @@ def repetition_signals(
         F.size("_lines").alias("line_n"),
         fold_stats("_lines").alias("line"),
     )
-    return folded.select(
+    return _pushdown_barrier(folded).select(
         id_col,
         F.col("tok_n").cast("long").alias("n_tokens"),
         F.round(
@@ -445,6 +468,7 @@ def quality_filter(
     min_distinct_ratio: float = 0.35,
     max_top_bigram_frac: float = 0.20,
     min_stopword_ratio: float = 0.01,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Composite Gopher-style quality gate: every rule evaluated in ONE
     narrow projection (token/bigram folds, no shuffle), emitting
@@ -457,11 +481,17 @@ def quality_filter(
     per-document would shuffle the corpus twice for what one projection
     computes for free. Thresholds are constructor arguments; defaults
     drop both tails on the synthetic corpus.
+
+    ``keep_cols`` pass through unchanged, so pipelines can keep payload
+    columns (e.g. the text itself) in the SAME narrow pass — joining
+    the verdict back by id would re-evaluate the upstream subtree
+    (measured 20 s → 5 s on the curation pipeline at sf0.1).
     """
     staged = df.select(
-        id_col, tokens(text_col).alias("_toks")
+        id_col, *keep_cols, tokens(text_col).alias("_toks")
     ).select(
         id_col,
+        *keep_cols,
         "_toks",
         _bigrams("_toks").alias("_bg"),
         F.size("_toks").alias("_n"),
@@ -472,6 +502,7 @@ def quality_filter(
     denom = F.nullif(F.col("_n"), F.lit(0))
     folded = staged.select(
         id_col,
+        *keep_cols,
         F.col("_n").cast("long").alias("n_tokens"),
         (tok["nd"] / denom).alias("_dr"),
         (bgf["top"] / F.nullif(F.size("_bg"), F.lit(0))).alias("_tbf"),
@@ -485,8 +516,11 @@ def quality_filter(
         F.when(F.col("_sr") < min_stopword_ratio, F.lit("low_stopword")),
     ]
     reasons = F.concat_ws(";", *fails)
-    return folded.select(
+    # barrier: a downstream filter(keep) must evaluate the folds ONCE in
+    # this projection, not re-expand them into the pushed-down predicate
+    return _pushdown_barrier(folded).select(
         id_col,
+        *keep_cols,
         "n_tokens",
         (reasons == "").alias("keep"),
         reasons.alias("reasons"),

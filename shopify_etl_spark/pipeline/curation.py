@@ -38,15 +38,17 @@ def curate_corpus(
     stripped = text_ops.strip_boilerplate(
         docs, text_col=text_col, id_col=id_col, min_docs=min_docs
     )
-    q = text_ops.quality_filter(
-        stripped.withColumnRenamed("clean_text", "_ct"),
-        text_col="_ct",
+    # ONE linear chain: the quality verdict is computed in the same
+    # narrow pass that carries clean_text (keep_cols), instead of
+    # joining the verdict back by id — that join re-evaluates the whole
+    # strip subtree (measured 20 s → 5 s at sf0.1).
+    kept = text_ops.quality_filter(
+        stripped,
+        text_col="clean_text",
         id_col=id_col,
+        keep_cols=("clean_text",),
         **quality_kwargs,
-    )
-    kept = stripped.join(
-        q.filter(F.col("keep")).select(id_col, "n_tokens"), id_col
-    )
+    ).filter(F.col("keep"))
     canon = kept.groupBy("clean_text").agg(
         F.min(id_col).alias(id_col),
         F.min_by("n_tokens", id_col).alias("n_tokens"),
