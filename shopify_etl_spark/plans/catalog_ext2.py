@@ -811,3 +811,91 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_q"),
         "max_abs_err",
     )
+
+
+@register(
+    "scd2_user_state",
+    oracle=r"""
+    WITH c AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+    ), i AS (
+      SELECT user_id, ts, event_type,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_type
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM c
+    ), r AS (
+      SELECT user_id, island, min(event_type) AS event_type,
+             min(ts) AS valid_from
+      FROM i GROUP BY 1, 2
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER w2 AS valid_to,
+           (lead(valid_from) OVER w2 IS NULL) AS is_current
+    FROM r WINDOW w2 AS (PARTITION BY user_id ORDER BY island)
+    """,
+    doc="SCD2 dimension history from a change log (gaps-and-islands): "
+    "runs of equal per-user state compress into validity ranges "
+    "[valid_from, valid_to) with an is_current flag — change points via "
+    "lag, island ids via running sum, runs aggregated, bounds via lead; "
+    "every window shares ONE user-partitioned shuffle. Ties on ts break "
+    "by the attribute for a total, engine-portable order. "
+    "operators/history.py::scd2_history.",
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.history import scd2_history
+
+    return scd2_history(
+        load_table(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        attr_col="event_type",
+    )
+
+
+@register(
+    "incremental_rollup_merge",
+    oracle=r"""
+    WITH a AS (
+      SELECT event_type, count(*) AS n, sum(value) AS s,
+             min(value) AS mn, max(value) AS mx
+      FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1
+    ), b AS (
+      SELECT event_type, count(*) AS n, sum(value) AS s,
+             min(value) AS mn, max(value) AS mx
+      FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1
+    )
+    SELECT coalesce(a.event_type, b.event_type) AS event_type,
+           CAST(coalesce(a.n, 0) + coalesce(b.n, 0) AS BIGINT) AS n,
+           ROUND(coalesce(a.s, 0.0) + coalesce(b.s, 0.0), 2) AS sum_v,
+           least(coalesce(a.mn, b.mn), coalesce(b.mn, a.mn)) AS min_v,
+           greatest(coalesce(a.mx, b.mx), coalesce(b.mx, a.mx)) AS max_v
+    FROM a FULL OUTER JOIN b ON a.event_type = b.event_type
+    """,
+    doc="Incremental aggregate maintenance: merge a prior rollup state "
+    "with a new batch's state by aggregate algebra (n+n, sum+sum, "
+    "min/max of partials) — |groups|-sized full-outer join, history "
+    "never rescanned. merge(state(A), state(B)) == state(A ∪ B) exactly "
+    "for count/min/max (pinned in tests); the oracle mirrors the "
+    "split-then-merge arithmetic so the sum matches bit-for-bit. "
+    "operators/history.py::merge_rollup / rollup_state.",
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.history import merge_rollup, rollup_state
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    prev = rollup_state(ev.filter(F.col("ts") < cut), ["event_type"], "value")
+    batch = rollup_state(ev.filter(F.col("ts") >= cut), ["event_type"], "value")
+    merged = merge_rollup(prev, batch, ["event_type"])
+    return merged.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("sum_v", 2).alias("sum_v"),
+        "min_v",
+        "max_v",
+    )

@@ -279,3 +279,62 @@ class TestCuration:
         assert rows[0].clean_text == good  # boilerplate gone, dup collapsed to min id
         rep = curation_report(docs, out).collect()[0]
         assert (rep.n_input, rep.n_survivors, rep.n_dropped) == (4, 2, 2)
+
+
+class TestHistory:
+    def test_scd2_compresses_runs_and_flags_current(self, spark):
+        from shopify_etl_spark.operators.history import scd2_history
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            Row(k=1, ts=base + dt.timedelta(hours=h), state=s)
+            for h, s in enumerate(["a", "a", "b", "b", "b", "a"])
+        ] + [Row(k=2, ts=base, state="x")]
+        got = scd2_history(
+            spark.createDataFrame(rows), key_col="k", ts_col="ts", attr_col="state"
+        ).collect()
+        k1 = sorted(
+            [(r.state, r.valid_from.hour, r.valid_to.hour if r.valid_to else None,
+              r.is_current) for r in got if r.k == 1]
+        , key=lambda t: t[1])
+        assert k1 == [("a", 0, 2, False), ("b", 2, 5, False), ("a", 5, None, True)]
+        k2 = [r for r in got if r.k == 2]
+        assert len(k2) == 1 and k2[0].is_current
+
+    def test_merge_rollup_equals_full_recompute(self, spark):
+        import random
+        from shopify_etl_spark.operators.history import merge_rollup, rollup_state
+
+        rng = random.Random(3)
+        rows = [
+            Row(g=rng.choice("abc"), v=round(rng.uniform(-50, 50), 2))
+            for _ in range(500)
+        ]
+        df = spark.createDataFrame(rows)
+        a, b = df.limit(200), df.subtract(df.limit(200))
+        # split differently: deterministic split on value sign
+        a = df.filter("v < 0")
+        b = df.filter("v >= 0")
+        merged = {
+            r.g: r
+            for r in merge_rollup(
+                rollup_state(a, ["g"], "v"), rollup_state(b, ["g"], "v"), ["g"]
+            ).collect()
+        }
+        full = {r.g: r for r in rollup_state(df, ["g"], "v").collect()}
+        for g in full:
+            assert merged[g].n == full[g].n
+            assert merged[g].min_v == full[g].min_v
+            assert merged[g].max_v == full[g].max_v
+            assert abs(merged[g].sum_v - full[g].sum_v) < 1e-9
+
+    def test_merge_rollup_one_sided_groups_pass_through(self, spark):
+        from shopify_etl_spark.operators.history import merge_rollup, rollup_state
+
+        a = spark.createDataFrame([Row(g="only_a", v=1.0)])
+        b = spark.createDataFrame([Row(g="only_b", v=2.0), Row(g="only_b", v=4.0)])
+        got = {r.g: r for r in merge_rollup(
+            rollup_state(a, ["g"], "v"), rollup_state(b, ["g"], "v"), ["g"]
+        ).collect()}
+        assert got["only_a"].n == 1 and got["only_a"].sum_v == 1.0
+        assert got["only_b"].n == 2 and got["only_b"].min_v == 2.0 and got["only_b"].max_v == 4.0
