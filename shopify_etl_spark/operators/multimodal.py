@@ -114,3 +114,63 @@ def decode_features(assets: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return assets.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame_bytes", BinaryType(), True),
+        StructField("n_frame_bytes", LongType(), True),
+    ]
+)
+
+
+def sample_frames(
+    assets: DataFrame,
+    every_k: int = 4,
+    frame_size: int = 64,
+    fake: bool = True,
+) -> DataFrame:
+    """Frame sampling for video-like payloads: one output row per every
+    k-th frame (the standard decimation before per-frame embedding).
+
+    ``mapInPandas`` is the right vehicle because the cardinality CHANGES
+    (1 asset → n frames) — a pandas UDF can't grow rows, a generator of
+    DataFrames can. ``fake=True`` frames the payload as fixed-size byte
+    windows (deterministic stand-in for container parsing); ``fake=False``
+    raises at the exact seam where ffmpeg/pyav would demux. Batch
+    boundaries don't leak into results: framing is per-asset, and Spark
+    concatenates whatever DataFrames the generator yields.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "video demuxers unavailable in this environment; "
+                    "plug ffmpeg/pyav here (demux payload -> frames)"
+                )
+            ids, idxs, frames = [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                n_frames = (len(payload) + frame_size - 1) // frame_size
+                for fi in range(0, n_frames, every_k):
+                    ids.append(aid)
+                    idxs.append(fi)
+                    frames.append(
+                        bytes(payload[fi * frame_size : (fi + 1) * frame_size])
+                    )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_bytes": pd.Series(frames, dtype=object),
+                    "n_frame_bytes": pd.Series(
+                        [len(f) for f in frames], dtype="int64"
+                    ),
+                }
+            )
+
+    return assets.mapInPandas(sample, FRAME_SCHEMA)

@@ -899,3 +899,63 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_v",
         "max_v",
     )
+
+
+@register(
+    "conditional_agg_surface",
+    oracle=r"""
+    SELECT o_orderstatus,
+           CAST(count(CASE WHEN o_totalprice > 150000 THEN 1 END) AS BIGINT) AS n_big,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           bool_and(o_totalprice > 0) AS all_positive,
+           arg_max(o_orderpriority, o_totalprice) AS priciest_priority,
+           arg_min(o_orderkey, o_totalprice) AS cheapest_key
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Conditional/argument aggregate surface: count-if, bool_or/"
+    "bool_and, max_by/min_by (DuckDB arg_max/arg_min) in one grouped "
+    "pass. max_by/min_by are tie-UNSAFE in general (engines pick "
+    "arbitrary rows); used here only because the extreme-price row per "
+    "status is unique at every SF (verified: one max and one min row "
+    "each), making the output deterministic cross-engine.",
+)
+def conditional_agg_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.when(F.col("o_totalprice") > 150000, 1)).cast("long").alias("n_big"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.max_by("o_orderpriority", "o_totalprice").alias("priciest_priority"),
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_key"),
+    )
+
+
+@register(
+    "regex_extract_surface",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+[0-9]+')) AS BIGINT) AS n_alnum_tokens,
+           CAST(len(regexp_extract_all(text, '\b(scan|merge|sort)\b')) AS BIGINT) AS n_op_words,
+           regexp_extract(text, '([a-z]+) (table|row)', 1) AS word_before_table
+    FROM documents
+    """,
+    doc="Regex extraction surface: regexp_extract_all counts + grouped "
+    "regexp_extract, all JVM-side in one zero-shuffle projection. "
+    "Patterns avoid engine-divergent syntax (both sides are RE2-class "
+    "basics: classes, alternation, word boundaries, capture groups).",
+)
+def regex_extract_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+[0-9]+")))
+        .cast("long")
+        .alias("n_alnum_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\b(scan|merge|sort)\b")))
+        .cast("long")
+        .alias("n_op_words"),
+        F.regexp_extract("text", r"([a-z]+) (table|row)", 1).alias(
+            "word_before_table"
+        ),
+    )

@@ -105,3 +105,64 @@ def test_vocabulary_hand_computed(spark):
         ("a", 3, 2),
         ("b", 3, 2),
     ]
+
+
+def test_sample_frames_decimation_and_bounds(spark):
+    from pyspark.sql import Row
+    from shopify_etl_spark.operators.multimodal import (
+        assets_from_documents,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="x" * 300), Row(doc_id=2, text="y" * 10)]
+    )
+    assets = assets_from_documents(docs)
+    got = sample_frames(assets, every_k=2, frame_size=64).collect()
+    by_asset = {}
+    for r in got:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    # 300 bytes -> 5 frames (64*4+44), every 2nd -> idx 0,2,4
+    a1 = sorted(by_asset[1], key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in a1] == [0, 2, 4]
+    assert [r.n_frame_bytes for r in a1] == [64, 64, 44]
+    assert a1[0].frame_bytes == b"x" * 64
+    # 10 bytes -> 1 partial frame
+    assert [(r.frame_idx, r.n_frame_bytes) for r in by_asset[2]] == [(0, 10)]
+    # real-codec seam raises
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        sample_frames(assets, fake=False).collect()
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Stream-static join: a streaming doc feed enriched from a static
+    dimension (broadcast per micro-batch, no state)."""
+    import json
+    from pyspark.sql import Row, functions as F
+    from shopify_etl_spark.streaming import stream_dedup_docs
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    (src / "b.jsonl").write_text(
+        "\n".join(
+            json.dumps(
+                {"doc_id": i, "text": f"text {i}", "ingested_at": "2024-05-01T10:00:00.000Z"}
+            )
+            for i in range(4)
+        )
+    )
+    dim = spark.createDataFrame(
+        [Row(doc_id=i, category="even" if i % 2 == 0 else "odd") for i in range(4)]
+    )
+    enriched = stream_dedup_docs(spark, str(src)).join(F.broadcast(dim), "doc_id")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_docs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r.category for r in spark.sql("SELECT * FROM enriched_docs").collect()}
+    assert got == {0: "even", 1: "odd", 2: "even", 3: "odd"}
