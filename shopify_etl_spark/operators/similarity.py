@@ -168,6 +168,78 @@ def blocked_cosine_pairs(
     return pairs_of(small, []).unionByName(pairs_of(big, ["_bkt"]))
 
 
+def blocked_cosine_pairs_gemm(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float,
+    dim: int,
+    max_block_size: int = 1000,
+    overflow_planes: int = 6,
+) -> DataFrame:
+    """:func:`blocked_cosine_pairs` with per-block numpy GEMM scoring.
+
+    Same blocking semantics (exact all-pairs for blocks ≤ cap, hyperplane
+    sub-buckets beyond it), but the O(block²) pair scoring runs as ONE
+    Arrow-batched matrix multiply per block inside ``applyInPandas``
+    instead of a per-candidate-pair ``zip_with`` fold. The shuffle moves
+    O(n·d) vector rows, never O(pairs·d) — at 200k candidate pairs the
+    JVM fold costs ~22 µs/pair (measured; see the HOF-per-candidate trap)
+    while the gemm is a sub-millisecond BLAS call per block, and only
+    surviving pairs ever leave Python. This is the scale default; the
+    expression version stays as the bit-exact JVM twin for verification.
+
+    Float caveat: BLAS pairwise summation differs from the sequential
+    fold in the last ulps; results are compared post-ROUND(4), where the
+    difference is ~1e-16 relative and never observable.
+    """
+    import pandas as pd
+
+    sizes = df.groupBy(block_col).agg(F.count(F.lit(1)).alias("_bsz"))
+    tagged = df.join(F.broadcast(sizes), block_col)
+    # one grouping for both regimes: small blocks sub-bucket 0, oversize
+    # blocks their LSH signature — a single applyInPandas pass, bounded
+    # group sizes either way.
+    tagged = tagged.withColumn(
+        "_bkt",
+        F.when(F.col("_bsz") <= max_block_size, F.lit(0)).otherwise(
+            _sig_col(vec_col, dim, overflow_planes)
+        ),
+    ).select(block_col, "_bkt", id_col, vec_col)
+
+    out_schema = (
+        f"d1 {df.schema[id_col].dataType.simpleString()}, "
+        f"d2 {df.schema[id_col].dataType.simpleString()}, "
+        f"sim double"
+    )
+
+    def score_block(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"d1": [], "d2": [], "sim": []})
+        V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.sqrt((V * V).sum(axis=1))
+        S = (V @ V.T) / np.outer(norms, norms)
+        iu = np.triu_indices(n, k=1)
+        sims = S[iu]
+        keep = sims >= threshold
+        ids = pdf[id_col].to_numpy()
+        a, b = ids[iu[0][keep]], ids[iu[1][keep]]
+        swap = a > b  # canonical d1 < d2 regardless of in-block row order
+        return pd.DataFrame(
+            {
+                "d1": np.where(swap, b, a),
+                "d2": np.where(swap, a, b),
+                "sim": sims[keep],
+            }
+        )
+
+    return tagged.groupBy(block_col, "_bkt").applyInPandas(score_block, out_schema)
+
+
 def oversize_blocks(
     df: DataFrame, block_col: str, max_block_size: int = 1000
 ) -> DataFrame:

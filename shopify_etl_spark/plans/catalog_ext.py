@@ -376,11 +376,15 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "block at every test SF is under it, so results are exact and the "
     "oracle holds); blocks beyond the cap degrade to hyperplane-LSH "
     "sub-buckets with an oversize_blocks report instead of an O(hot²) "
-    "single-task explosion. operators/similarity.py::blocked_cosine_pairs.",
+    "single-task explosion. Scoring is one Arrow-batched numpy GEMM per "
+    "block (shuffle O(n·d), not O(pairs·d); a 200k-pair JVM fold costs "
+    "~4.5 s, the gemm ~1 ms) — the per-pair expression twin "
+    "blocked_cosine_pairs stays as the JVM verification path. "
+    "operators/similarity.py::blocked_cosine_pairs_gemm.",
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = similarity.blocked_cosine_pairs(
+    pairs = similarity.blocked_cosine_pairs_gemm(
         emb, id_col="vec_id", vec_col="embedding", block_col="label",
         threshold=0.35, dim=64, max_block_size=1000,
     )

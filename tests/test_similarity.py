@@ -142,6 +142,49 @@ def test_blocked_cosine_pairs_bounds_hot_block(spark):
     assert all(r.d1 < r.d2 < 400 for r in hot)
 
 
+def test_blocked_cosine_pairs_gemm_matches_expression(spark, sf_dir):
+    """The GEMM scale path must reproduce the JVM expression twin pair-for-
+    pair (post-ROUND(4), where BLAS vs sequential-fold float noise is
+    unobservable) — on real testdata and on a hot block that exercises the
+    LSH overflow regime in both implementations."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    kw = dict(threshold=0.35, dim=64, max_block_size=1000)
+    expr = {
+        (r.d1, r.d2, round(r.sim, 4))
+        for r in similarity.blocked_cosine_pairs(
+            emb, "vec_id", "embedding", "label", **kw
+        ).collect()
+    }
+    gemm = {
+        (r.d1, r.d2, round(r.sim, 4))
+        for r in similarity.blocked_cosine_pairs_gemm(
+            emb, "vec_id", "embedding", "label", **kw
+        ).collect()
+    }
+    assert gemm == expr and len(gemm) > 0
+
+    rng = np.random.default_rng(3)
+    rows = [(i, "hot", [float(x) for x in rng.normal(size=16)]) for i in range(400)]
+    rows += [(1000 + i, "cold", [float(x) for x in rng.normal(size=16)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id: long, label: string, embedding: array<double>")
+    kw2 = dict(threshold=-1.0, dim=16, max_block_size=100, overflow_planes=4)
+    expr2 = {
+        (r.d1, r.d2, round(r.sim, 4))
+        for r in similarity.blocked_cosine_pairs(
+            df, "vec_id", "embedding", "label", **kw2
+        ).collect()
+    }
+    gemm2 = {
+        (r.d1, r.d2, round(r.sim, 4))
+        for r in similarity.blocked_cosine_pairs_gemm(
+            df, "vec_id", "embedding", "label", **kw2
+        ).collect()
+    }
+    assert gemm2 == expr2
+
+
 def _centroids(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.filter(F.col("vec_id") % 61 == 0).select(
