@@ -72,6 +72,84 @@ def test_windowed_counts(spark, dirs, tmp_path):
     assert len(rows) == 3  # days 1..3
 
 
+def test_stream_stream_join_inner_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (purchase → clicks ≤30 min earlier,
+    both sides streaming) must equal the same join run as batch SQL."""
+    from shopify_etl_spark.streaming import stream_click_purchase_join
+
+    t = "2024-05-01T10:{m:02d}:00.000Z"
+    clicks = [
+        {"user_id": 1, "event_id": "c1", "ts": t.format(m=0)},
+        {"user_id": 1, "event_id": "c2", "ts": t.format(m=20)},
+        {"user_id": 2, "event_id": "c3", "ts": t.format(m=5)},
+        {"user_id": 3, "event_id": "c4", "ts": t.format(m=10)},  # no purchase
+    ]
+    purchases = [
+        {"user_id": 1, "event_id": "p1", "ts": t.format(m=25)},  # c1 (25m), c2 (5m)
+        {"user_id": 2, "event_id": "p2", "ts": t.format(m=50)},  # none: 45m > 30m
+        {"user_id": 4, "event_id": "p3", "ts": t.format(m=30)},  # no click
+    ]
+    _write_jsonl(tmp_path / "clicks" / "b1.jsonl", clicks)
+    _write_jsonl(tmp_path / "purchases" / "b1.jsonl", purchases)
+
+    joined = stream_click_purchase_join(
+        spark, str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_inner")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM ss_inner").collect()
+    }
+    assert got == {(1, "c1", "p1"), (1, "c2", "p1")}
+
+
+def test_stream_stream_join_left_outer_emits_after_close(spark, tmp_path):
+    """Left-outer: unmatched clicks emit null purchase columns once the
+    watermark closes their window (a far-future row on both feeds pushes
+    the watermark past every real window)."""
+    from shopify_etl_spark.streaming import stream_click_purchase_join
+
+    clicks = [
+        {"user_id": 1, "event_id": "c1", "ts": "2024-05-01T10:00:00.000Z"},
+        {"user_id": 3, "event_id": "c_none", "ts": "2024-05-01T10:10:00.000Z"},
+        {"user_id": 9, "event_id": "c_adv", "ts": "2024-05-02T12:00:00.000Z"},
+    ]
+    purchases = [
+        {"user_id": 1, "event_id": "p1", "ts": "2024-05-01T10:25:00.000Z"},
+        {"user_id": 9, "event_id": "p_adv", "ts": "2024-05-02T12:00:00.000Z"},
+    ]
+    _write_jsonl(tmp_path / "clicks" / "b1.jsonl", clicks)
+    _write_jsonl(tmp_path / "purchases" / "b1.jsonl", purchases)
+
+    joined = stream_click_purchase_join(
+        spark, str(tmp_path / "clicks"), str(tmp_path / "purchases"),
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_outer")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sso"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM ss_outer").collect()
+    }
+    assert (1, "c1", "p1") in rows
+    assert (3, "c_none", None) in rows  # closed window, final no-partner
+
+
 def test_stream_dedup_docs(spark, dirs, tmp_path):
     """Duplicate fingerprints within the watermark window pass exactly
     once, across micro-batches and query restarts (checkpointed state)."""
