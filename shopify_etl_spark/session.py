@@ -43,6 +43,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Runtime bloom-filter join pruning: when one join side carries a
+        # selective filter, Spark injects bloom_filter_agg on it and
+        # pre-filters the big side's scan — rows that can't join never
+        # shuffle. The application-side size gate stays at its 10 GB
+        # default: it triggers exactly in the 100 TB regime it's built
+        # for and stays out of the way on test data (tests that pin the
+        # injection lower the gate explicitly).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI_ENABLED", "false"))
         # FAIR scheduling: concurrent jobs (parallel staging threads, O1)
