@@ -51,6 +51,12 @@ def get_spark(
         # for and stays out of the way on test data (tests that pin the
         # injection lower the gate explicitly).
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # Write timestamps as TIMESTAMP_MICROS, not legacy INT96: INT96
+        # columns carry NO parquet min/max statistics, which silently
+        # disables row-group/file skipping on every time predicate — for
+        # a time-series fact table at scale that is the single most
+        # important pruning dimension (tests/test_layout.py pins it).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI_ENABLED", "false"))
         # FAIR scheduling: concurrent jobs (parallel staging threads, O1)

@@ -1,0 +1,69 @@
+"""Layout operators: range/z-order clustering and footer-based skipping."""
+
+from pyspark.sql import functions as F
+
+from shopify_etl_spark.operators import layout
+
+
+def _morton(x: int, y: int, bits: int = 21) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_key_matches_python_morton(spark):
+    rows = [(0, 0), (1, 0), (0, 1), (3, 5), (1023, 4095), (2**21 + 7, 2)]
+    df = spark.createDataFrame(rows, "x: long, y: long")
+    got = {
+        (r.x, r.y): r.zk
+        for r in df.withColumn("zk", layout.zorder_key("x", "y")).collect()
+    }
+    cap = (1 << 21) - 1
+    for x, y in rows:
+        assert got[(x, y)] == _morton(min(x, cap), min(y, cap))
+
+
+def test_range_layout_skips_on_leading_column(spark, sf_dir, tmp_path):
+    from shopify_etl_spark.plans.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    out = str(tmp_path / "ev_by_ts")
+    layout.write_range_layout(ev, out, ["ts"], n_files=8)
+
+    # same rows, different physical order
+    assert spark.read.parquet(out).count() == ev.count()
+
+    rep = layout.file_skipping_report(out, "ts")
+    spans = sorted((r["min"], r["max"]) for r in rep if r["min"] is not None)
+    assert len(spans) >= 4
+    # disjoint ranges: each file starts at or after the previous file's end
+    assert all(spans[i][0] >= spans[i - 1][1] for i in range(1, len(spans)))
+    # an equality/point predicate touches ~1 file
+    probe = spans[len(spans) // 2][0]
+    assert layout.skippable_fraction(rep, probe) >= (len(spans) - 2) / len(spans)
+
+
+def test_zorder_layout_skips_on_both_columns(spark, tmp_path):
+    n, side = 1 << 16, 1 << 8
+    df = spark.range(n).select(
+        (F.col("id") % side).alias("x"),
+        (F.hash("id").bitwiseAND(F.lit(side - 1)).cast("long")).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    zpath, rpath = str(tmp_path / "z"), str(tmp_path / "r")
+    layout.write_zorder_layout(df, zpath, "x", "y", n_files=16, bits=9)
+    layout.write_range_layout(df, rpath, ["x"], n_files=16)
+
+    assert spark.read.parquet(zpath).count() == n
+
+    probe = side // 2
+    # z-order: BOTH dimensions skip most files
+    zx = layout.skippable_fraction(layout.file_skipping_report(zpath, "x"), probe)
+    zy = layout.skippable_fraction(layout.file_skipping_report(zpath, "y"), probe)
+    assert zx >= 0.5 and zy >= 0.5
+    # single-column range layout: leading column skips nearly everything,
+    # the other dimension nothing — the gap z-order exists to close
+    rx = layout.skippable_fraction(layout.file_skipping_report(rpath, "x"), probe)
+    ry = layout.skippable_fraction(layout.file_skipping_report(rpath, "y"), probe)
+    assert rx >= 0.8 and ry == 0.0
