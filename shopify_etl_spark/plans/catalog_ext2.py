@@ -959,3 +959,30 @@ def regex_extract_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             "word_before_table"
         ),
     )
+
+
+@register(
+    "kmeans_doc_clusters",
+    oracle=None,  # iterative fixed-point algorithm — driver records rows-only;
+    # numpy-parity + Lloyd-monotonicity pinned in tests/test_clustering.py
+    doc="Distributed spherical k-means over the embedding corpus (cluster "
+    "sizes + mean in-cluster cosine): per iteration, centroids ride in the "
+    "mapInPandas closure, each Arrow batch emits only per-cluster partial "
+    "sums (map-side combine, one GEMM per batch) — the shuffle is "
+    "O(batches x k) rows regardless of corpus size; vectors never "
+    "shuffle. operators/clustering.py::kmeans_fit/kmeans_assign.",
+)
+def kmeans_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _hist = clustering.kmeans_fit(emb, k=8, iters=3, seed=7)
+    assigned = clustering.kmeans_assign(emb, cents)
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("sim"), 4).alias("mean_cosine"),
+        )
+        .orderBy("cluster_id")
+    )
