@@ -986,3 +986,73 @@ def kmeans_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "lateral_top_orders",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    """,
+    doc="Correlated LATERAL subquery (per-customer top-2 orders by value) "
+    "— the identical SQL text runs on both engines. Catalyst rewrites "
+    "the correlated limit into a ranked window join (DomainJoin), so "
+    "the per-row subquery never executes row-at-a-time; the equivalent "
+    "window formulation is latest_order_per_customer's shape.",
+)
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        """
+    )
+
+
+@register(
+    "map_functions_surface",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, event_type, COUNT(*) AS c, SUM(value) AS s
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN c END), 0) AS BIGINT) AS n_clicks,
+           CAST(SUM(CASE WHEN c >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_types,
+           ROUND(MAX(s / c), 2) AS max_avg_value
+    FROM per GROUP BY user_id
+    """,
+    doc="Map-typed column surface: per-user event maps built with "
+    "map_from_entries(collect_list(struct)), then size / element_at / "
+    "map_filter / map_zip_with / map_values — all JVM map expressions; "
+    "the map is an in-plan data structure, the projection returns "
+    "scalars so the oracle compares plain columns. One shuffle "
+    "(pre-agg by (user,type) is the map-side combine).",
+)
+def map_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("value").alias("s")
+    )
+    maps = per.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "c"))).alias("m_cnt"),
+        F.map_from_entries(F.collect_list(F.struct("event_type", "s"))).alias("m_sum"),
+    )
+    avg_map = F.map_zip_with("m_sum", "m_cnt", lambda _k, a, b: a / b)
+    return maps.select(
+        "user_id",
+        F.size("m_cnt").cast("long").alias("n_types"),
+        F.coalesce(F.element_at("m_cnt", F.lit("click")), F.lit(0)).cast("long").alias("n_clicks"),
+        F.size(F.map_filter("m_cnt", lambda _k, v: v >= 10)).cast("long").alias("n_hot_types"),
+        F.round(F.array_max(F.map_values(avg_map)), 2).alias("max_avg_value"),
+    )
