@@ -116,6 +116,68 @@ def decode_features(assets: DataFrame, fake: bool = True) -> DataFrame:
     return assets.mapInPandas(extract, FEATURE_SCHEMA)
 
 
+def resize_images(
+    assets: DataFrame,
+    target_w: int = 32,
+    target_h: int = 32,
+    fake: bool = True,
+) -> DataFrame:
+    """Batch image resize to a fixed raster (the normalization step before
+    any vision-model embedding).
+
+    ``fake=True`` treats the payload as a square 1-byte/pixel grayscale
+    raster (side = ceil(sqrt(n_bytes)), zero-padded) and resizes by
+    nearest-neighbor index sampling — the RESIZE MATH IS REAL (numpy
+    integer gather, vectorized per batch), only the codec that would
+    produce the source raster is faked. ``fake=False`` raises at the
+    exact seam where PIL/opencv decode would run. Output payloads are
+    exactly ``target_w × target_h`` bytes with meta rewritten, so
+    downstream per-pixel operators can assume a fixed shape.
+    """
+    import math
+
+    import numpy as np
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image codecs unavailable in this environment; "
+                    "plug PIL/opencv here (decode payload -> raster)"
+                )
+            ids, payloads, metas = [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                side = max(1, math.isqrt(max(len(payload) - 1, 0)) + 1)
+                raster = np.zeros(side * side, dtype=np.uint8)
+                raster[: len(payload)] = np.frombuffer(payload, dtype=np.uint8)
+                raster = raster.reshape(side, side)
+                ys = (np.arange(target_h) * side) // target_h
+                xs = (np.arange(target_w) * side) // target_w
+                out = raster[np.ix_(ys, xs)]
+                ids.append(aid)
+                payloads.append(out.tobytes())
+                metas.append(
+                    {
+                        "modality": "image",
+                        "format": "fake-raw",
+                        "width": target_w,
+                        "height": target_h,
+                        "n_bytes": target_w * target_h,
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype=object),
+                    "meta": pd.Series(metas, dtype=object),
+                }
+            )
+
+    return assets.mapInPandas(resize, ASSET_SCHEMA)
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("asset_id", LongType(), False),

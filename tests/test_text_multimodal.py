@@ -135,6 +135,43 @@ def test_sample_frames_decimation_and_bounds(spark):
         sample_frames(assets, fake=False).collect()
 
 
+def test_resize_images_fixed_raster_and_reference_math(spark):
+    import math
+
+    import numpy as np
+    from pyspark.sql import Row
+    from shopify_etl_spark.operators.multimodal import (
+        assets_from_documents,
+        resize_images,
+    )
+
+    text = "abcdefghij" * 30  # 300 bytes -> side 18
+    docs = spark.createDataFrame([Row(doc_id=1, text=text), Row(doc_id=2, text="zz")])
+    out = {r.asset_id: r for r in resize_images(
+        assets_from_documents(docs), target_w=8, target_h=8
+    ).collect()}
+
+    # every output is exactly the target raster with rewritten meta
+    for r in out.values():
+        assert len(r.payload) == 64
+        assert (r.meta.width, r.meta.height, r.meta.n_bytes) == (8, 8, 64)
+
+    # nearest-neighbor gather matches the plain-python reference
+    payload = text.encode()
+    side = max(1, math.isqrt(max(len(payload) - 1, 0)) + 1)
+    raster = np.zeros(side * side, dtype=np.uint8)
+    raster[: len(payload)] = np.frombuffer(payload, dtype=np.uint8)
+    raster = raster.reshape(side, side)
+    expect = bytes(
+        raster[(y * side) // 8][(x * side) // 8] for y in range(8) for x in range(8)
+    )
+    assert bytes(out[1].payload) == expect
+
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        resize_images(assets_from_documents(docs), fake=False).collect()
+
+
 def test_stream_static_enrichment(spark, tmp_path):
     """Stream-static join: a streaming doc feed enriched from a static
     dimension (broadcast per micro-batch, no state)."""
