@@ -40,6 +40,28 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+#: GPT-2-style pre-tokenizer pattern (ASCII subset, non-capturing groups
+#: only — portable across Java regex and RE2): contractions, space-prefixed
+#: letter runs, space-prefixed digit runs, space-prefixed punctuation runs,
+#: whitespace runs. This is the split every byte-pair tokenizer applies
+#: BEFORE merges, so its match count is the upper bound on BPE token count
+#: and the standard cheap proxy for it.
+BPE_PRETOKEN_PATTERN = (
+    r"(?:'s|'t|'re|'ve|'m|'ll|'d)"
+    r"| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s']+|\s+"
+)
+
+
+def bpe_pretokens(col: Column | str) -> Column:
+    """BPE pre-token array (full regex matches, group 0 explicitly — Spark
+    defaults to group 1 when the pattern contains groups)."""
+    return F.regexp_extract_all(
+        F.col(col) if isinstance(col, str) else col,
+        F.lit(BPE_PRETOKEN_PATTERN),
+        0,
+    )
+
+
 def quality_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document quality scores: token count, average token length,
     stopword ratio, punctuation count.

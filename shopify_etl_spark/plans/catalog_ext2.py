@@ -1056,3 +1056,36 @@ def map_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_filter("m_cnt", lambda _k, v: v >= 10)).cast("long").alias("n_hot_types"),
         F.round(F.array_max(F.map_values(avg_map)), 2).alias("max_avg_value"),
     )
+
+
+@register(
+    "bpe_pretoken_counts",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '(?:''s|''t|''re|''ve|''m|''ll|''d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+|\s+',
+             0)) AS BIGINT) AS n_pretokens,
+           CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+', 0)) AS BIGINT) AS n_word_runs,
+           CAST(len(regexp_extract_all(text, ' ?[0-9]+', 0)) AS BIGINT) AS n_digit_runs
+    FROM documents
+    """,
+    doc="BPE-ish token counting: the GPT-2 pre-tokenizer split "
+    "(contractions / letter runs / digit runs / punct runs / whitespace) "
+    "as one JVM regexp_extract_all projection, zero shuffle — the "
+    "standard cheap proxy for tokenizer cost when budgeting a training "
+    "corpus. Pattern restricted to the Java-regex ∩ RE2 subset so the "
+    "identical pattern runs on both engines. "
+    "operators/text.py::bpe_pretokens.",
+)
+def bpe_pretoken_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(text.bpe_pretokens("text")).cast("long").alias("n_pretokens"),
+        F.size(F.regexp_extract_all("text", F.lit(" ?[a-zA-Z]+"), 0))
+        .cast("long")
+        .alias("n_word_runs"),
+        F.size(F.regexp_extract_all("text", F.lit(" ?[0-9]+"), 0))
+        .cast("long")
+        .alias("n_digit_runs"),
+    )

@@ -64,6 +64,23 @@ def test_token_count(spark):
     assert out == {1: 3, 2: 0}
 
 
+def test_bpe_pretokens_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "I don't have 42 apples, ok?"), (2, "")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r.toks
+        for r in df.select(
+            "doc_id", text.bpe_pretokens("text").alias("toks")
+        ).collect()
+    }
+    # GPT-2 split: contraction "'t" detaches, digits separate, punct+space runs
+    assert out[1] == [
+        "I", " don", "'t", " have", " 42", " apples", ",", " ok", "?",
+    ]
+    assert out[2] == []
+
+
 def test_repetition_signals_hand_computed(spark):
     df = spark.createDataFrame(
         [
