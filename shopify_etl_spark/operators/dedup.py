@@ -398,6 +398,36 @@ def minhash_signatures(
     )
 
 
+def band_hashes(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """(id, band, band_hash) rows — one 64-bit hash per signature band.
+    Shared by the batch pair generator and the streaming dedup state."""
+    rows = num_perm // bands
+    return signatures.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col("signature")[i * rows + j].cast("string")
+                                for j in range(rows)
+                            ],
+                        )
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -414,18 +444,7 @@ def lsh_candidate_pairs(
     bucket` is done via a compact collect_list + posexplode pair expansion
     per bucket (buckets are tiny by construction for near-dup workloads).
     """
-    rows = num_perm // bands
-    banded = signatures.select(
-        id_col,
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(F.concat_ws("_", *[F.col("signature")[i * rows + j].cast("string") for j in range(rows)]))
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
-    )
+    banded = band_hashes(signatures, id_col, num_perm, bands)
     buckets = (
         banded.groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_list(id_col)).alias("docs"))

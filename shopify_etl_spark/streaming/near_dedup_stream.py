@@ -1,0 +1,120 @@
+"""Streaming NEAR-dup dedup: MinHash/LSH band state across micro-batches.
+
+``dedup_stream`` handles exact duplicates with engine-managed state;
+near-duplicates need content signatures, and Spark's built-in streaming
+state can't express "drop if ANY signature band matches anything seen
+before". The standard production shape is what this module does:
+
+* per micro-batch (``foreachBatch``), compute MinHash signatures and
+  band hashes for the NEW documents only — O(batch), never O(corpus);
+* a new doc is a near-dup if any of its band hashes exists in the
+  persisted band table (corpus history) or belongs to a smaller-id doc
+  in the same batch (greedy within-batch order — deterministic and
+  conservative: chained near-dup groups keep exactly their smallest
+  id);
+* survivors append to the output AND their band rows append to the
+  band table — the state grows with the DEDUPED corpus (bands × 8
+  bytes per kept doc), not the raw feed.
+
+The lookup is an equi-join on (band, band_hash) — at scale the band
+table is bucketed/partitioned by band_hash so each micro-batch touches
+only matching buckets. Exactly-once: both writes land under
+``epoch=<id>`` subdirectories and a replayed epoch is skipped, so crash
+replays converge (same discipline as the partition-scoped upsert).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup
+from .dedup_stream import DOC_FEED_SCHEMA
+
+
+def _epoch_dir(base: str, epoch: int) -> str:
+    return os.path.join(base, f"epoch={epoch}")
+
+
+def stream_near_dedup_docs(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+):
+    """JSONL document feed → cross-batch near-dup dedup → parquet.
+
+    Returns the started query; callers ``awaitTermination()``. Documents
+    too short to shingle (< ``shingle_n`` tokens) have no signature and
+    pass through unexamined — the exact-dedup stream is the backstop
+    for trivial content.
+    """
+    feed = spark.readStream.schema(DOC_FEED_SCHEMA).json(src_dir)
+
+    def dedup_batch(batch: DataFrame, epoch: int) -> None:
+        sp = batch.sparkSession
+        out_ep, state_ep = _epoch_dir(out_dir, epoch), _epoch_dir(state_dir, epoch)
+        fs_ready = [
+            d for d in (out_ep, state_ep) if os.path.exists(os.path.join(d, "_SUCCESS"))
+        ]
+        if len(fs_ready) == 2:  # replayed epoch: both writes already landed
+            return
+        sigs = dedup.minhash_signatures(
+            batch, num_perm=num_perm, shingle_n=shingle_n
+        )
+        new_bands = dedup.band_hashes(sigs, num_perm=num_perm, bands=bands)
+
+        prior_dirs = [
+            os.path.join(state_dir, d)
+            for d in os.listdir(state_dir)
+            if d.startswith("epoch=") and d != f"epoch={epoch}"
+        ] if os.path.isdir(state_dir) else []
+        if prior_dirs:
+            seen = sp.read.parquet(*prior_dirs).select("band", "band_hash")
+            hist_hit = (
+                new_bands.join(seen, ["band", "band_hash"], "left_semi")
+                .select("doc_id")
+                .distinct()
+            )
+        else:
+            hist_hit = sp.createDataFrame([], "doc_id long")
+
+        # within-batch: a doc loses to any smaller id sharing a band bucket
+        a, b = new_bands.alias("a"), new_bands.alias("b")
+        intra_hit = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") > F.col("b.doc_id")),
+                "left_semi",
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        dropped = hist_hit.unionByName(intra_hit).distinct()
+        survivors = batch.join(dropped, "doc_id", "left_anti")
+        survivors.write.mode("overwrite").parquet(out_ep)
+        (
+            new_bands.join(dropped, "doc_id", "left_anti")
+            .write.mode("overwrite")
+            .parquet(state_ep)
+        )
+
+    return (
+        feed.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_deduped(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All surviving documents across epochs."""
+    return spark.read.option("basePath", out_dir).parquet(out_dir)

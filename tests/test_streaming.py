@@ -72,6 +72,52 @@ def test_windowed_counts(spark, dirs, tmp_path):
     assert len(rows) == 3  # days 1..3
 
 
+def test_stream_near_dedup_across_batches(spark, tmp_path):
+    """MinHash/LSH near-dup state persists across micro-batches: a
+    near-duplicate arriving in a later batch is dropped against the
+    surviving corpus, within-batch groups keep their smallest id, and
+    checkpoint replay is a no-op."""
+    from shopify_etl_spark.streaming import read_deduped, stream_near_dedup_docs
+
+    base = [f"tok{i}" for i in range(40)]
+    a = " ".join(base)
+    b = " ".join(["tok0x"] + base[1:])            # ~95% shingle overlap with a
+    d = " ".join(base[:-1] + ["tok39y"])          # near-dup of a, later batch
+    c = " ".join(f"other{i}" for i in range(40))  # distinct
+    e = " ".join(f"fresh{i}" for i in range(40))  # distinct
+
+    src = tmp_path / "feed"
+    out, state, ckpt = (
+        str(tmp_path / "kept"), str(tmp_path / "bands"), str(tmp_path / "ck"),
+    )
+    t = "2024-05-01T10:{m:02d}:00.000Z"
+
+    def run(name, rows):
+        _write_jsonl(src / name, rows)
+        q = stream_near_dedup_docs(spark, str(src), out, state, ckpt)
+        q.awaitTermination(120)
+
+    run("b1.jsonl", [
+        {"doc_id": 1, "text": a, "ingested_at": t.format(m=0)},
+        {"doc_id": 2, "text": b, "ingested_at": t.format(m=1)},
+        {"doc_id": 3, "text": c, "ingested_at": t.format(m=2)},
+    ])
+    assert sorted(r.doc_id for r in read_deduped(spark, out).collect()) == [1, 3]
+
+    run("b2.jsonl", [
+        {"doc_id": 4, "text": d, "ingested_at": t.format(m=5)},
+        {"doc_id": 5, "text": e, "ingested_at": t.format(m=6)},
+    ])
+    assert sorted(r.doc_id for r in read_deduped(spark, out).collect()) == [1, 3, 5]
+
+    # replay: same checkpoint, no new files → nothing changes
+    run("b2.jsonl", [
+        {"doc_id": 4, "text": d, "ingested_at": t.format(m=5)},
+        {"doc_id": 5, "text": e, "ingested_at": t.format(m=6)},
+    ])
+    assert sorted(r.doc_id for r in read_deduped(spark, out).collect()) == [1, 3, 5]
+
+
 def test_stream_stream_join_inner_matches_batch(spark, tmp_path):
     """Stream-stream interval join (purchase → clicks ≤30 min earlier,
     both sides streaming) must equal the same join run as batch SQL."""
