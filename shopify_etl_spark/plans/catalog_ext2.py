@@ -1089,3 +1089,45 @@ def bpe_pretoken_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_digit_runs"),
     )
+
+
+@register(
+    "trailing_window_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+           ), 2) AS rev_30d,
+           CAST(COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_orders_30d
+    FROM orders
+    """,
+    doc="Time-RANGE window frame: per-customer trailing-30-day revenue "
+    "and order count at every order, one window pass — the moving "
+    "time-window aggregate WITHOUT the self-join/range-join blowup "
+    "(frame peers are resolved inside the sorted window; same-date ties "
+    "are frame peers on both engines, so results are order-insensitive). "
+    "Identical SQL text runs on Spark and DuckDB; one shuffle on the "
+    "partition key.",
+)
+def trailing_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               ROUND(SUM(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+               ), 2) AS rev_30d,
+               COUNT(*) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+               ) AS n_orders_30d
+        FROM orders
+        """
+    )
