@@ -1131,3 +1131,33 @@ def trailing_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         """
     )
+
+
+@register(
+    "null_safe_join_surface",
+    oracle="""
+    WITH c AS (SELECT NULLIF(c_nationkey % 5, 2) AS kb FROM customer),
+         s AS (SELECT NULLIF(s_nationkey % 5, 2) AS kb FROM supplier)
+    SELECT COALESCE(CAST(c.kb AS VARCHAR), 'NULL') AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM c JOIN s ON c.kb IS NOT DISTINCT FROM s.kb
+    GROUP BY 1
+    """,
+    doc="Null-safe equi-join (<=> / eqNullSafe): NULL keys hash together "
+    "and match each other — a real shuffle-hash join capability, not a "
+    "filter trick (a plain equi-join drops every NULL row; the NULL "
+    "bucket row in the output is the proof). DuckDB twin spells it "
+    "IS NOT DISTINCT FROM.",
+)
+def null_safe_join_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey") % 5, F.lit(2)).alias("kb")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.nullif(F.col("s_nationkey") % 5, F.lit(2)).alias("kb2")
+    )
+    return (
+        cust.join(supp, cust["kb"].eqNullSafe(supp["kb2"]))
+        .groupBy(F.coalesce(F.col("kb").cast("string"), F.lit("NULL")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
