@@ -229,6 +229,64 @@ def test_ivf_topk_recall_vs_exact(spark, sf_dir):
     assert recall > 0.3  # 2 of ~9 cells probed; sanity floor, not a tuning claim
 
 
+def test_kmeans_centroids_feed_ivf(spark, sf_dir):
+    """The intended production wiring: clustering.kmeans_fit output is a
+    valid centroid table for ivf_topk. (No recall COMPARISON against the
+    modulo pick — at sf0.001's ~200 vectors / 4 cells that ordering is
+    sampling noise; the invariant is that the wiring works and retrieves
+    real neighbors.)"""
+    from shopify_etl_spark.operators import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q, c = _qc(spark, sf_dir)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in similarity.cosine_topk(q, c, k=10).collect()}
+
+    n_cells = max(2, _centroids(spark, sf_dir).count())
+    cents, _ = clustering.kmeans_fit(emb, k=n_cells, iters=3)
+    learned = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(cents)],
+        "cid long, cv_c array<double>",
+    )
+    rows = similarity.ivf_topk(q, c, learned, k=10, n_probes=2).collect()
+    assert rows and all(r.query_id != r.neighbor_id for r in rows)
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(got & exact) / len(exact) > 0.2
+
+
+def test_gemm_pairs_property_random(spark):
+    """Property check on random corpora: gemm and expression paths agree
+    post-ROUND(4) across sizes, dims, thresholds, and block counts."""
+    import numpy as np
+
+    for seed, n, dim, thr, nblocks in [
+        (0, 30, 4, -1.0, 1),
+        (1, 50, 8, 0.0, 3),
+        (2, 80, 16, 0.3, 5),
+        (3, 40, 3, 0.9, 2),
+    ]:
+        rng = np.random.default_rng(seed)
+        rows = [
+            (i, f"b{i % nblocks}", [float(x) for x in rng.normal(size=dim)])
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "vec_id: long, label: string, embedding: array<double>")
+        kw = dict(threshold=thr, dim=dim, max_block_size=1000)
+        expr = {
+            (r.d1, r.d2, round(r.sim, 4))
+            for r in similarity.blocked_cosine_pairs(
+                df, "vec_id", "embedding", "label", **kw
+            ).collect()
+        }
+        gemm = {
+            (r.d1, r.d2, round(r.sim, 4))
+            for r in similarity.blocked_cosine_pairs_gemm(
+                df, "vec_id", "embedding", "label", **kw
+            ).collect()
+        }
+        assert gemm == expr, (seed, n, dim, thr, nblocks)
+
+
 def test_quantize_embeddings_error_bound_and_zero_vector(spark):
     from pyspark.sql import Row
     from shopify_etl_spark.operators.similarity import quantize_embeddings
