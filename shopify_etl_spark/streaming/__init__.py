@@ -1,4 +1,9 @@
-from .incremental import stream_nodes_jsonl, stream_upsert_orders, windowed_order_counts  # noqa: F401
+from .incremental import (  # noqa: F401
+    session_event_counts,
+    stream_nodes_jsonl,
+    stream_upsert_orders,
+    windowed_order_counts,
+)
 from .dedup_stream import stream_dedup_docs  # noqa: F401
 from .joins_stream import stream_click_purchase_join, stream_event_feed  # noqa: F401
 from .near_dedup_stream import read_deduped, stream_near_dedup_docs  # noqa: F401

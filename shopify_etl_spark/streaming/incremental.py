@@ -85,6 +85,38 @@ def stream_upsert_orders(
     )
 
 
+def session_event_counts(
+    spark: SparkSession,
+    src_dir: str,
+    gap: str = "30 minutes",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Event-time SESSION windows over a streaming feed — the streaming
+    twin of the batch ``sessionize_events`` gaps-and-islands query.
+
+    ``session_window`` state MERGES: windows extend while events keep
+    arriving within ``gap`` of the current bound, and a session only
+    finalizes (emits, in append mode) once the watermark passes its
+    close — unlike tumbling windows, the window set itself is data-
+    dependent per key. State per key is one open window, bounded by the
+    watermark, so a hot user costs O(1) state, not O(events).
+    """
+    from .joins_stream import stream_event_feed
+
+    feed = stream_event_feed(spark, src_dir)
+    return (
+        feed.withWatermark("ts", watermark_delay)
+        .groupBy(F.col("user_id"), F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def windowed_order_counts(
     spark: SparkSession, src_dir: str, watermark_delay: str = "2 days"
 ) -> DataFrame:

@@ -72,6 +72,43 @@ def test_windowed_counts(spark, dirs, tmp_path):
     assert len(rows) == 3  # days 1..3
 
 
+def test_stream_session_windows(spark, tmp_path):
+    """Event-time session windows merge while events arrive within the
+    gap and emit once the watermark closes them."""
+    from shopify_etl_spark.streaming import session_event_counts
+
+    t = "2024-05-01T{h:02d}:{m:02d}:00.000Z"
+    rows = [
+        {"user_id": 1, "event_id": "a", "ts": t.format(h=10, m=0)},
+        {"user_id": 1, "event_id": "b", "ts": t.format(h=10, m=10)},
+        {"user_id": 1, "event_id": "c", "ts": t.format(h=10, m=20)},
+        {"user_id": 1, "event_id": "d", "ts": t.format(h=12, m=0)},  # new session
+        {"user_id": 2, "event_id": "e", "ts": t.format(h=10, m=5)},
+        # sentinel far ahead: advances the watermark so real sessions close
+        {"user_id": 9, "event_id": "z", "ts": "2024-05-03T00:00:00.000Z"},
+    ]
+    _write_jsonl(tmp_path / "sess" / "b1.jsonl", rows)
+    agg = session_event_counts(spark, str(tmp_path / "sess"), gap="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start.strftime("%H:%M"), r.session_end.strftime("%H:%M"), r.n_events)
+        for r in spark.sql("SELECT * FROM sess_counts WHERE user_id < 9").collect()
+    }
+    assert got == {
+        (1, "10:00", "10:50", 3),  # merged window: last event + gap
+        (1, "12:00", "12:30", 1),
+        (2, "10:05", "10:35", 1),
+    }
+
+
 def test_stream_near_dedup_across_batches(spark, tmp_path):
     """MinHash/LSH near-dup state persists across micro-batches: a
     near-duplicate arriving in a later batch is dropped against the
