@@ -62,6 +62,42 @@ def bpe_pretokens(col: Column | str) -> Column:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping fixed-size token chunks per document — the context-
+    window split that precedes shard packing (`token_budget_shards`)
+    in a training pipeline.
+
+    Chunk starts advance by ``chunk_size - overlap``; the final chunk is
+    short rather than padded (padding is a tokenizer-side concern). All
+    JVM: tokenize once, `sequence` of starts, explode, `slice` — the
+    token array is materialized in its own projection so it evaluates
+    once per document, not once per chunk (CollapseProject keeps
+    non-cheap shared exprs out of the explode fan-out)."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_toks")).filter(
+        F.size("_toks") > 0
+    )
+    starts = F.sequence(F.lit(0), F.size("_toks") - 1, F.lit(stride))
+    chunked = toked.select(
+        id_col, "_toks", F.explode(starts).alias("_start")
+    )
+    chunk = F.slice("_toks", F.col("_start") + 1, chunk_size)
+    return chunked.select(
+        F.col(id_col),
+        (F.col("_start") / stride).cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
 def quality_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document quality scores: token count, average token length,
     stopword ratio, punctuation count.

@@ -1192,3 +1192,31 @@ def weekly_distinct_from_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.rollup_distinct(daily, ["week_start"], "distinct_users").select(
         "week_start", F.col("distinct_users").cast("long").alias("distinct_users")
     )
+
+
+@register(
+    "chunked_documents",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(start / 48 AS BIGINT) AS chunk_idx,
+           CAST(len(toks[start + 1 : least(start + 64, len(toks))]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(toks[start + 1 : least(start + 64, len(toks))], ' ') AS chunk_text
+    FROM s
+    """,
+    doc="Context-window chunking (64-token windows, 16 overlap): tokenize "
+    "once per doc, explode a sequence of starts, slice — the split that "
+    "feeds shard packing. Cardinality grows by ~n_tokens/stride; the "
+    "token array materializes once per document, never per chunk. "
+    "operators/text.py::chunk_documents.",
+)
+def chunked_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return text.chunk_documents(d, chunk_size=64, overlap=16)

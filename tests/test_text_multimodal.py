@@ -64,6 +64,25 @@ def test_token_count(spark):
     assert out == {1: 3, 2: 0}
 
 
+def test_chunk_documents_hand_computed(spark):
+    toks = " ".join(str(i) for i in range(10))
+    df = spark.createDataFrame(
+        [(1, toks), (2, "a"), (3, "")], ["doc_id", "text"]
+    )
+    rows = sorted(
+        (r.doc_id, r.chunk_idx, r.n_chunk_tokens, r.chunk_text)
+        for r in text.chunk_documents(df, chunk_size=4, overlap=1).collect()
+    )
+    # stride 3: starts 0,3,6,9; last chunk is short, empty doc drops out
+    assert rows == [
+        (1, 0, 4, "0 1 2 3"),
+        (1, 1, 4, "3 4 5 6"),
+        (1, 2, 4, "6 7 8 9"),
+        (1, 3, 1, "9"),
+        (2, 0, 1, "a"),
+    ]
+
+
 def test_bpe_pretokens_hand_computed(spark):
     df = spark.createDataFrame(
         [(1, "I don't have 42 apples, ok?"), (2, "")], ["doc_id", "text"]
