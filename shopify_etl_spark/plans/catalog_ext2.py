@@ -1220,3 +1220,25 @@ def weekly_distinct_from_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 def chunked_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return text.chunk_documents(d, chunk_size=64, overlap=16)
+
+
+@register(
+    "global_doc_index",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS global_idx
+    FROM documents
+    """,
+    doc="Global dense row numbering WITHOUT the single-task window trap: "
+    "an empty-PARTITION-BY row_number collapses the data into one task; "
+    "this range-partitions on the key, ranks within partitions in "
+    "parallel, and adds driver-folded per-partition offsets (a "
+    "num_partitions-sized collect — the only driver data). The result "
+    "depends only on the global key order, not on where sampled range "
+    "boundaries land. operators/indexing.py::global_row_numbers.",
+)
+def global_doc_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.indexing import global_row_numbers
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return global_row_numbers(d, "doc_id")
