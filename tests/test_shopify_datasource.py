@@ -91,3 +91,49 @@ def test_datasource_feeds_flatteners(registered, fixture_paths):
     orders = flatten.flatten_orders(nodes, "retail")
     assert orders.count() == 40
     assert orders.filter(F.col("order_id").startswith("R-")).count() == 40
+
+
+def test_streaming_source_incremental_offsets(registered, tmp_path):
+    """spark.readStream.format('shopify'): micro-batches advance an
+    updatedAt offset through the checkpoint — restart emits nothing,
+    a grown source emits only the delta."""
+    import random
+
+    from tests.shopify_fixtures import gen_order, write_envelope
+
+    rng = random.Random(3)
+    first = [gen_order(rng, i, updated_day=(i % 3) + 1) for i in range(12)]
+    env = tmp_path / "stream_env" / "orders.json"
+    write_envelope(env, "retail", "orders", first)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            registered.readStream.format("shopify")
+            .option("entity", "orders")
+            .option("path", str(env))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    got1 = registered.read.parquet(out)
+    assert got1.count() == 12
+
+    # unchanged source + same checkpoint → no re-emission
+    run()
+    assert registered.read.parquet(out).count() == 12
+
+    # source grows: only rows past the committed offset are emitted
+    newer = [gen_order(rng, 100 + i, updated_day=20) for i in range(5)]
+    write_envelope(env, "retail", "orders", first + newer)
+    run()
+    got3 = registered.read.parquet(out)
+    assert got3.count() == 17
+    assert got3.select("id").distinct().count() == 17
