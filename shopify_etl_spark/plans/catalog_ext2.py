@@ -1242,3 +1242,60 @@ def global_doc_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return global_row_numbers(d, "doc_id")
+
+
+@register(
+    "dq_report_core",
+    oracle="""
+    SELECT 'orders_pk_unique' AS check_name,
+           CAST((SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)) AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'lineitem_pk_unique',
+           CAST((SELECT COUNT(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) > 1)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_orders_fk',
+           CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_customer_fk',
+           CAST((SELECT COUNT(*) FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'orderstatus_domain',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderstatus NOT IN ('O','F','P') OR o_orderstatus IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'custkey_unique_expected_fail',
+           CAST((SELECT COUNT(*) FROM (SELECT o_custkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)) AS BIGINT)
+    """,
+    doc="Data-quality suite over the warehouse tables: PK uniqueness, "
+    "FK orphans (left-anti joins, broadcastable parents), value-domain "
+    "and an intentionally-failing uniqueness probe proving violations "
+    "are counted, not assumed. One aggregate per check, unioned into a "
+    "report row per check — the engine-side generalization of the "
+    "reference's record-count validation. operators/validate.py.",
+)
+def dq_report_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import validate
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    report = validate.dq_report(
+        {
+            "orders_pk_unique": validate.unique_violations(orders, ["o_orderkey"]),
+            "lineitem_pk_unique": validate.unique_violations(
+                lineitem, ["l_orderkey", "l_linenumber"]
+            ),
+            "lineitem_orders_fk": validate.referential_violations(
+                lineitem, orders, "l_orderkey", "o_orderkey"
+            ),
+            "orders_customer_fk": validate.referential_violations(
+                orders, customer, "o_custkey", "c_custkey"
+            ),
+            "orderstatus_domain": validate.accepted_values_violations(
+                orders, "o_orderstatus", ["O", "F", "P"]
+            ),
+            "custkey_unique_expected_fail": validate.unique_violations(
+                orders, ["o_custkey"]
+            ),
+        }
+    )
+    return report.drop("passed")
