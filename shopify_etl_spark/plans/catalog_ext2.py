@@ -1299,3 +1299,41 @@ def dq_report_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     return report.drop("passed")
+
+
+@register(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS k, o_totalprice AS p FROM orders WHERE o_orderkey % 10 <> 0
+    ), n AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS p
+      FROM orders WHERE o_orderkey % 7 <> 3
+    )
+    SELECT COALESCE(n.k, o.k) AS o_orderkey,
+           CASE WHEN o.k IS NULL THEN 'inserted'
+                WHEN n.k IS NULL THEN 'deleted'
+                WHEN o.p <> n.p THEN 'changed' END AS change
+    FROM o FULL JOIN n ON o.k = n.k
+    WHERE (o.k IS NULL) OR (n.k IS NULL) OR (o.p <> n.p)
+    """,
+    doc="Snapshot CDC: two derived versions of fact_orders diffed in ONE "
+    "full-outer join — inserted/deleted/changed classification with "
+    "null-safe column compare; the change feed that turns full-refresh "
+    "sources into incremental merges. operators/diff.py::snapshot_diff.",
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.diff import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("p")
+    )
+    new = orders.filter(F.col("o_orderkey") % 7 != 3).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("p"),
+    )
+    return snapshot_diff(old, new, "o_orderkey", ["p"])
