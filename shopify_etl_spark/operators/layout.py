@@ -97,6 +97,50 @@ def write_zorder_layout(
     )
 
 
+def compact_parquet(
+    spark,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Rewrite a parquet directory into right-sized files (the small-file
+    compaction every streaming sink eventually needs — epoch/micro-batch
+    appends produce file counts that grow with trigger frequency, and
+    at scale the NameNode/listing/task-scheduling overhead of tiny files
+    dominates the read cost).
+
+    Atomic: writes to a ``_compact_tmp`` sibling, swaps directories on
+    success (same tmp-swap discipline as ``pipeline.runner``'s
+    ``atomic_overwrite``). Optional ``sort_cols`` re-establishes a
+    range layout in the same pass (compaction is the natural moment to
+    fix layout). Returns {files_before, files_after, rows}.
+    """
+    import glob
+    import shutil
+
+    df = spark.read.parquet(path)
+    rows = df.count()
+    files_before = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    n_files = max(1, (rows + target_rows_per_file - 1) // target_rows_per_file)
+
+    tmp = path.rstrip("/") + "_compact_tmp"
+    if sort_cols:
+        write_range_layout(df, tmp, sort_cols, n_files=n_files)
+    else:
+        df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+
+    old = path.rstrip("/") + "_compact_old"
+    shutil.move(path, old)
+    try:
+        shutil.move(tmp, path)
+    except Exception:
+        shutil.move(old, path)  # roll back: original stays live
+        raise
+    shutil.rmtree(old)
+    files_after = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    return {"files_before": files_before, "files_after": files_after, "rows": rows}
+
+
 def file_skipping_report(path: str, column: str) -> list[dict]:
     """Per-file [min, max] of ``column`` from parquet footers only
     (driver-side metadata read — this is what a scan planner sees)."""

@@ -44,6 +44,30 @@ def test_range_layout_skips_on_leading_column(spark, sf_dir, tmp_path):
     assert layout.skippable_fraction(rep, probe) >= (len(spans) - 2) / len(spans)
 
 
+def test_compact_parquet_preserves_data_and_shrinks_files(spark, tmp_path):
+    p = str(tmp_path / "many")
+    # simulate a chatty streaming sink: 40 tiny appends
+    for i in range(40):
+        spark.range(i * 10, (i + 1) * 10).select(
+            F.col("id").alias("k")
+        ).write.mode("append").parquet(p)
+    before = {r.k for r in spark.read.parquet(p).collect()}
+
+    stats = layout.compact_parquet(spark, p, target_rows_per_file=200)
+    assert stats["rows"] == 400
+    assert stats["files_after"] <= 2 < stats["files_before"]
+    assert {r.k for r in spark.read.parquet(p).collect()} == before
+
+    # compaction + sort re-establishes a skippable layout in one pass
+    stats2 = layout.compact_parquet(
+        spark, p, target_rows_per_file=100, sort_cols=["k"]
+    )
+    assert stats2["rows"] == 400
+    rep = layout.file_skipping_report(p, "k")
+    spans = sorted((r["min"], r["max"]) for r in rep if r["min"] is not None)
+    assert all(spans[i][0] >= spans[i - 1][1] for i in range(1, len(spans)))
+
+
 def test_zorder_layout_skips_on_both_columns(spark, tmp_path):
     n, side = 1 << 16, 1 << 8
     df = spark.range(n).select(
