@@ -285,6 +285,11 @@ class ShopifyStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options: dict, schema: StructType):
         self.options, self.schema = options, schema
         self.page_size = int(options.get("page_size", "100"))
+        # backpressure: cap records per micro-batch. The offset is an
+        # updatedAt watermark, so the cap stretches to the next timestamp
+        # boundary — rows sharing an updatedAt can never straddle batches
+        # (splitting them would make the offset ambiguous on replay).
+        self.max_records = int(options.get("stream_max_records", "0"))
 
     def initialOffset(self) -> dict:  # noqa: N802 (Spark API name)
         return {"updated_at": ""}
@@ -305,6 +310,12 @@ class ShopifyStreamReader(SimpleDataSourceStreamReader):
         nodes = self._nodes(start["updated_at"])
         if not nodes:
             return iter([]), start
+        if self.max_records and len(nodes) > self.max_records:
+            cut = self.max_records
+            cut_ts = nodes[cut - 1].get("updatedAt") or ""
+            while cut < len(nodes) and (nodes[cut].get("updatedAt") or "") == cut_ts:
+                cut += 1  # stretch to the timestamp boundary
+            nodes = nodes[:cut]
         hi = max(n.get("updatedAt") or "" for n in nodes)
         rows = [_node_to_tuple(n, self.schema) for n in nodes]
         return iter(rows), {"updated_at": hi}

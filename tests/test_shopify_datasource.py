@@ -137,3 +137,45 @@ def test_streaming_source_incremental_offsets(registered, tmp_path):
     got3 = registered.read.parquet(out)
     assert got3.count() == 17
     assert got3.select("id").distinct().count() == 17
+
+
+def test_streaming_source_backpressure_cap(registered, tmp_path):
+    """stream_max_records caps each micro-batch at a timestamp boundary
+    (rows sharing an updatedAt never straddle batches) and availableNow
+    drains the source across several batches without loss or dups."""
+    import random
+
+    from tests.shopify_fixtures import gen_order, write_envelope
+
+    rng = random.Random(5)
+    # 12 orders across 4 distinct updated days (3 per day)
+    orders = [gen_order(rng, i, updated_day=(i % 4) + 1) for i in range(12)]
+    env = tmp_path / "bp" / "orders.json"
+    write_envelope(env, "retail", "orders", orders)
+
+    out, ckpt = str(tmp_path / "bp_out"), str(tmp_path / "bp_ckpt")
+
+    def run():
+        q = (
+            registered.readStream.format("shopify")
+            .option("entity", "orders")
+            .option("path", str(env))
+            .option("stream_max_records", "4")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return registered.read.parquet(out).count()
+
+    # each cron-style AvailableNow run drains one capped chunk, stretched
+    # to the updatedAt boundary: 3-per-day data + cap 4 -> 6 per run
+    counts = [run()]
+    while counts[-1] < 12 and len(counts) < 6:
+        counts.append(run())
+    assert counts == [6, 12]  # capped progress, no loss
+    got = registered.read.parquet(out)
+    assert got.select("id").distinct().count() == 12
