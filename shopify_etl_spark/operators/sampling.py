@@ -115,6 +115,46 @@ def stratified_sample(
     return df.filter(h < thr)
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement of ``k`` rows
+    (Efraimidis–Spirakis A-Res), deterministic across runs and engines.
+
+    Each row draws a uniform u from its own hash (``xxhash64(id, seed)``
+    mapped to (0,1)) and scores ``u^(1/w)``; the top-k scores are the
+    sample — provably equivalent to sequential weighted draws without
+    replacement. Hash-derived uniforms replace ``rand()`` so the sample
+    is a pure function of (ids, weights, seed): reproducible on replay,
+    stable under repartitioning, and re-runnable incrementally — the
+    properties corpus subsampling needs in a training pipeline.
+
+    Plan shape: per-row score projection + TakeOrdered(k) — partial
+    top-k per partition then a k-row merge on the driver side of the
+    exchange; no global sort materializes.
+    """
+    # xxhash64 → uniform in (0,1): shift to 53-bit mantissa precision,
+    # +0.5 keeps u strictly inside the interval (u=0 would pin log u = -inf
+    # for every weight; u=1 would tie every row at score 1)
+    u = (F.shiftrightunsigned(F.xxhash64(F.col(id_col), F.lit(seed)), 11) + 0.5) / F.lit(
+        float(1 << 53)
+    )
+    # rank by u^(1/w) descending ⇔ by ln(u)/w descending (monotone, avoids
+    # pow underflow for tiny weights)
+    score = F.log(u) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_wscore", score)
+        .orderBy(F.desc("_wscore"), F.asc(id_col))
+        .limit(k)
+        .drop("_wscore")
+    )
+
+
 def epoch_mix(
     df: DataFrame,
     weights: dict[str, float],

@@ -92,3 +92,28 @@ def test_epoch_mix_repetition_and_determinism(spark):
     )
     # unknown groups are dropped
     assert epoch_mix(docs, {"books": 1.0}).filter("source = 'web'").count() == 0
+
+
+def test_weighted_sample_deterministic_biased_and_bounded_plan(spark):
+    from shopify_etl_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 10.0 if i < 500 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id: long, w: double")
+
+    s1 = {r.doc_id for r in weighted_sample(df, "w", 100, seed=7).collect()}
+    s2 = {r.doc_id for r in weighted_sample(df, "w", 100, seed=7).collect()}
+    s3 = {r.doc_id for r in weighted_sample(df, "w", 100, seed=8).collect()}
+    assert s1 == s2 and len(s1) == 100   # pure function of (ids, weights, seed)
+    assert s1 != s3                      # seed actually matters
+
+    # 10x-weighted half should dominate the sample (expected ~90/100)
+    heavy = sum(1 for d in s1 if d < 500)
+    assert heavy >= 70
+
+    # zero/negative weights are excluded outright
+    z = spark.createDataFrame([(1, 0.0), (2, -1.0), (3, 5.0)], "doc_id: long, w: double")
+    assert [r.doc_id for r in weighted_sample(z, "w", 10).collect()] == [3]
+
+    # top-k is TakeOrdered, not a global sort
+    plan = weighted_sample(df, "w", 100)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
