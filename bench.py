@@ -118,17 +118,24 @@ def main() -> None:
             timings.setdefault(name, -1.0)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    record = {
+        "metric": "catalog_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    line = json.dumps(record)
+    # Persist the full record in-repo: the driver captures stdout with a
+    # bounded tail, which truncated the first ~30 per-query timings of the
+    # round-2 run. The on-disk copy is the durable record.
+    try:
+        local_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+        with open(local_path, "w") as fh:
+            fh.write(line + "\n")
+    except OSError as e:
+        print(f"bench: could not write BENCH_LOCAL.json: {e}", file=sys.stderr)
+    print(line)
     spark.stop()
 
 
