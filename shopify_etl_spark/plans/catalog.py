@@ -44,16 +44,30 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan; Catalyst pushes filters/projections into the reader.
 
-    ``events.parquet`` is written with TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read nanos as long (legacy conf) and
-    rebuild a proper TimestampType with integer ``div`` (a double-precision
-    division would lose microseconds at ~1.7e18 nanos). DuckDB truncates
-    ns→µs the same way, so both engines see identical values.
+    Timestamp handling is version-adaptive (the driver has shipped two
+    generations of testdata):
+
+    * TIMESTAMP(NANOS) ``events.ts`` (gen-1): Spark's vectorized reader
+      rejects nanos; the legacy conf reads them as long and we rebuild a
+      TimestampType with integer ``div`` (a double-precision division
+      would lose microseconds at ~1.7e18 nanos). DuckDB truncates ns→µs
+      the same way, so both engines see identical values.
+    * TIMESTAMP micros without isAdjustedToUTC (gen-2): reads as
+      TIMESTAMP_NTZ by default, which breaks comparisons against
+      ``timestamp`` literals; ``inferTimestampNTZ.enabled=false`` reads
+      it as TimestampType with no plan impact (predicates still push
+      down to the scan; session tz is UTC so values are identical).
+
+    Both confs are runtime-settable SQL confs, set here so a session NOT
+    built by our factory (e.g. the driver's) behaves the same.
     """
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(df.dtypes).get("ts") == "bigint":  # gen-1 nanos file
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -66,6 +66,12 @@ def get_spark(
         # also set dynamically in plans.catalog.load_table for sessions
         # not built by this factory (e.g. the driver's)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Parquet TIMESTAMP without isAdjustedToUTC reads as TIMESTAMP_NTZ
+        # by default; read it as TimestampType instead so timestamp
+        # literals/comparisons/windows behave uniformly and predicates
+        # still push down to the scan unchanged. Session tz is UTC, so
+        # the values are identical either way.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.maxResultSize", "4g")
     )
     for k, v in (extra_conf or {}).items():
