@@ -131,6 +131,10 @@ def explode_order_items(nodes: DataFrame, store: str) -> DataFrame:
     items = nodes.select(
         clean_id(n.getField("id"), p).alias("order_id"),
         iso_ts(n.getField("updatedAt")).alias("_parent_updated_at"),
+        # parent created_at rides along so the merge layer can scope the
+        # delete+reload to the parent's month partition (M7 at scale);
+        # dropped by project_declared before the warehouse write
+        iso_ts(n.getField("createdAt")).alias("_parent_created_at"),
         F.explode(n.getField("lineItems").getField("edges")).alias("edge"),
     )
     li = F.col("edge").getField("node")
@@ -143,10 +147,11 @@ def explode_order_items(nodes: DataFrame, store: str) -> DataFrame:
         li.getField("title").alias("title"),
         get_money(li.getField("originalUnitPriceSet")).alias("original_price"),
         get_money(li.getField("discountedUnitPriceSet")).alias("discounted_price"),
-        # transient version column: lets the merge layer pick the winning
-        # parent version's children when a batch re-delivers an order
-        # (dropped by project_declared before the warehouse write)
+        # transient columns: version for merge-time winner-dedup, created_at
+        # for month-partition scoping (dropped by project_declared before
+        # the warehouse write)
         "_parent_updated_at",
+        "_parent_created_at",
     )
 
 

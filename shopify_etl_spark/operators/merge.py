@@ -190,34 +190,17 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols) -> None:
     )
 
 
-def upsert_partitioned(
-    spark,
-    target_path: str,
-    staged: DataFrame,
-    key_cols,
-    partition_col: str,
+def _merge_into_partitions(
+    spark, target_path: str, staged: DataFrame, partition_col: str, merge_fn
 ) -> list:
-    """Partition-scoped keyed upsert — the 100 TB shape of M6.
-
-    A full-table upsert rewrites everything; at scale the target is
-    partitioned (fact_orders by month of created_at) and a daily batch
-    touches a handful of partitions. This reads ONLY the partitions whose
-    values appear in the staged batch (static partition pruning on the
-    IN-filter), merges staged-wins semantics there, and rewrites just
-    those directories via dynamic partition overwrite. Every other
-    partition's files are never opened.
-
-    Caveat (same as Delta's MERGE on partitioned tables): if an UPDATE
-    moves a row ACROSS partitions (its partition value changed), the old
-    row lives in an untouched partition and survives. Keys must be stable
-    within their partition value — true for fact_orders (created_at never
-    changes; updated_at does) and for snapshots.
-
-    Returns the list of partition values rewritten.
-    """
+    """Shared partition-pruned merge machinery: read ONLY the target
+    partitions whose values appear in the staged batch (static partition
+    pruning on the IN-filter), apply ``merge_fn(existing, staged)`` there,
+    and rewrite just those directories via dynamic partition overwrite.
+    Every other partition's files are never opened. Returns the partition
+    values rewritten."""
     from ..pipeline.runner import table_exists
 
-    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     values = [r[0] for r in staged.select(partition_col).distinct().collect()]
     # Hadoop-FS existence check, NOT pathlib: Path('s3://...').exists() is
     # always False and would silently overwrite instead of merging.
@@ -233,9 +216,63 @@ def upsert_partitioned(
     if any(v is None for v in values):
         pred = pred | F.col(partition_col).isNull()
     existing = spark.read.parquet(target_path).filter(pred)
-    merged = upsert(existing, staged.select(*existing.columns), key_cols)
+    merged = merge_fn(existing, staged.select(*existing.columns))
     overwrite_partitions(merged, target_path, partition_col)
     return values
+
+
+def upsert_partitioned(
+    spark,
+    target_path: str,
+    staged: DataFrame,
+    key_cols,
+    partition_col: str,
+) -> list:
+    """Partition-scoped keyed upsert — the 100 TB shape of M6.
+
+    A full-table upsert rewrites everything; at scale the target is
+    partitioned (fact_orders by month of created_at) and a daily batch
+    touches a handful of partitions, so only those are read and rewritten.
+
+    Caveat (same as Delta's MERGE on partitioned tables): if an UPDATE
+    moves a row ACROSS partitions (its partition value changed), the old
+    row lives in an untouched partition and survives. Keys must be stable
+    within their partition value — true for fact_orders (created_at never
+    changes; updated_at does) and for snapshots.
+
+    Returns the list of partition values rewritten.
+    """
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    return _merge_into_partitions(
+        spark, target_path, staged, partition_col,
+        lambda existing, batch: upsert(existing, batch, key_cols),
+    )
+
+
+def delete_reload_partitioned(
+    spark,
+    target_path: str,
+    staged: DataFrame,
+    parent_keys,
+    partition_col: str,
+) -> list:
+    """Partition-scoped delete+reload — the 100 TB shape of M7
+    (fact_order_items; reference run_logs.txt:545-573 deletes only
+    children of staged orders, never the whole table).
+
+    Children inherit the PARENT's partition value (month of the order's
+    created_at, immutable), so every existing child of a staged parent
+    lives in a partition this batch also touches — the delete side of
+    delete+reload never needs to look outside the pruned set. Untouched
+    months' files are never opened.
+
+    Returns the list of partition values rewritten.
+    """
+    parent_keys = [parent_keys] if isinstance(parent_keys, str) else list(parent_keys)
+    return _merge_into_partitions(
+        spark, target_path, staged, partition_col,
+        lambda existing, batch: delete_reload(existing, batch, parent_keys),
+    )
 
 
 def with_month_partition(

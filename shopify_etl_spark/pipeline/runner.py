@@ -251,16 +251,24 @@ def _merge_entity(spark: SparkSession, cfg: PipelineConfig, entity: str, ingest_
             "_parent_updated_at",
             ["quantity", "title"],
         )
+        # Partition-scoped delete+reload — the 100 TB shape of M7: items
+        # are partitioned by the PARENT order's created month (immutable),
+        # so all existing children of a staged order live inside the
+        # partitions this batch touches; other months are never opened.
+        staged_items = merge.with_month_partition(
+            staged_items, "_parent_created_at", "created_month"
+        )
         staged_items = merge.stamp_ingested(
-            project_declared(staged_items, "fact_order_items"), ingest_ts
+            project_declared(staged_items, "fact_order_items", keep=("created_month",)),
+            ingest_ts,
         )
-        target_i = _read_table(spark, f"{wh}/fact_order_items")
-        out_i = (
-            merge.delete_reload(target_i, staged_items, ["order_id"])
-            if target_i is not None
-            else staged_items
+        merge.delete_reload_partitioned(
+            spark,
+            f"{wh}/fact_order_items",
+            staged_items,
+            ["order_id"],
+            "created_month",
         )
-        atomic_overwrite(out_i, f"{wh}/fact_order_items")
 
 
 def run_daily(spark: SparkSession, cfg: PipelineConfig, ingest_ts=None) -> dict:

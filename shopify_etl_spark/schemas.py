@@ -227,14 +227,19 @@ MERGE_KEYS: dict[str, list[str]] = {
 }
 
 
-def project_declared(df: DataFrame, table: str, strict: bool = False) -> DataFrame:
+def project_declared(
+    df: DataFrame, table: str, strict: bool = False, keep: tuple = ()
+) -> DataFrame:
     """Project to declared∩present columns (permissive, like the reference);
-    ``strict=True`` raises on drift instead of dropping silently."""
+    ``strict=True`` raises on drift instead of dropping silently. ``keep``
+    names pass-through plumbing columns (e.g. a physical partition column)
+    retained after the declared set without being part of the contract."""
     declared = SCHEMA_MAP[table]
     present = [c for c in declared if c in df.columns]
+    present += [c for c in keep if c in df.columns and c not in present]
     if strict:
         missing = [c for c in declared if c not in df.columns]
-        extra = [c for c in df.columns if c not in declared]
+        extra = [c for c in df.columns if c not in declared and c not in keep]
         if missing or extra:
             raise ValueError(f"schema drift for {table}: missing={missing} extra={extra}")
     return df.select(*present)

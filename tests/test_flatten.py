@@ -43,9 +43,13 @@ def test_orders_flatten_and_items(spark, fixture_paths):
     items = flatten.explode_order_items(nodes, "retail")
     assert orders.count() == 40
     assert orders.columns == SCHEMA_MAP["fact_orders"]
-    # items carry a transient parent-version column for merge-time dedup;
-    # project_declared drops it before any warehouse write
-    assert items.columns == SCHEMA_MAP["fact_order_items"] + ["_parent_updated_at"]
+    # items carry transient parent version/created-at columns for merge-time
+    # dedup and partition scoping; project_declared drops them before any
+    # warehouse write
+    assert items.columns == SCHEMA_MAP["fact_order_items"] + [
+        "_parent_updated_at",
+        "_parent_created_at",
+    ]
     # per-order aggregates match the exploded child rows (A2/A3)
     agg = items.groupBy("order_id").agg(
         F.count("*").alias("n"), F.sum("quantity").alias("q")

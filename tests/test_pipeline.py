@@ -80,12 +80,12 @@ def test_incremental_batch2_upserts(spark, tmp_path, fixture_paths):
     assert upd.ingested_at.day == 29  # re-stamped by day-2 run
 
 
-def _partition_fingerprint(wh_dir: str, month: str) -> dict:
+def _partition_fingerprint(wh_dir: str, month: str, table: str = "fact_orders") -> dict:
     """{relative file path: md5} for one created_month partition directory."""
     import hashlib
     from pathlib import Path
 
-    base = Path(wh_dir) / "fact_orders" / f"created_month={month}"
+    base = Path(wh_dir) / table / f"created_month={month}"
     return {
         str(p.relative_to(base)): hashlib.md5(p.read_bytes()).hexdigest()
         for p in sorted(base.rglob("*"))
@@ -122,6 +122,10 @@ def test_partitioned_upsert_leaves_untouched_months_byte_identical(
     before_sep = _partition_fingerprint(cfg.warehouse_dir, "2025-09")
     before_oct = _partition_fingerprint(cfg.warehouse_dir, "2025-10")
     assert before_sep and before_oct
+    # M7 twin: items partitioned by the PARENT order's created month
+    before_sep_i = _partition_fingerprint(cfg.warehouse_dir, "2025-09", "fact_order_items")
+    before_oct_i = _partition_fingerprint(cfg.warehouse_dir, "2025-10", "fact_order_items")
+    assert before_sep_i and before_oct_i
 
     # day 2: one update to the November order + one new November order
     upd = gen_order(rng, 3, updated_day=28)
@@ -136,6 +140,14 @@ def test_partitioned_upsert_leaves_untouched_months_byte_identical(
     # untouched months: byte-identical files (not just equal rows)
     assert _partition_fingerprint(cfg.warehouse_dir, "2025-09") == before_sep
     assert _partition_fingerprint(cfg.warehouse_dir, "2025-10") == before_oct
+    assert (
+        _partition_fingerprint(cfg.warehouse_dir, "2025-09", "fact_order_items")
+        == before_sep_i
+    )
+    assert (
+        _partition_fingerprint(cfg.warehouse_dir, "2025-10", "fact_order_items")
+        == before_oct_i
+    )
 
     fact = spark.read.parquet(f"{cfg.warehouse_dir}/fact_orders")
     assert fact.count() == 5  # 4 + 1 new
@@ -143,6 +155,15 @@ def test_partitioned_upsert_leaves_untouched_months_byte_identical(
     assert nov.updated_at.day == 28  # day-2 version won
     assert nov.ingested_at.day == 29
     assert fact.groupBy("order_id").count().filter("count>1").count() == 0
+
+    # delete+reload held within the touched month: the updated order's
+    # children are exactly the day-2 versions, new order's children present
+    items = spark.read.parquet(f"{cfg.warehouse_dir}/fact_order_items")
+    assert items.groupBy("order_id", "line_item_id").count().filter("count>1").count() == 0
+    assert items.filter(F.col("order_id") == "R-99").count() > 0
+    r3 = items.filter(F.col("order_id") == "R-3")
+    assert r3.count() > 0
+    assert {r.ingested_at.day for r in r3.select("ingested_at").collect()} == {29}
 
 
 def test_barrier_skips_merge_on_staging_failure(spark, tmp_path, fixture_paths):
