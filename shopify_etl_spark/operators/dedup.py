@@ -43,6 +43,16 @@ def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     return params
 
 
+def portable_hash64(col) -> F.Column:
+    """Portable 60-bit hash: first 15 hex chars of md5 → non-negative
+    BIGINT. Bit-identical across engines (Spark ``conv(substr(md5))`` ≡
+    DuckDB ``CAST('0x'||substr(md5) AS BIGINT)``), which lets the full
+    MinHash/SimHash signature pipeline be value-checked against a SQL
+    oracle. The scale default stays ``xxhash64``: full 64 bits, one JVM
+    intrinsic, no hex-string materialization (~4× faster per token)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def word_shingles(text_col, n: int = 3):
     """Distinct n-word shingles (ArrayType<String>); empty when < n tokens.
 
@@ -359,6 +369,7 @@ def minhash_signatures(
     num_perm: int = 32,
     shingle_n: int = 3,
     postings: DataFrame | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash signature per document: array<long> of length ``num_perm``.
 
@@ -383,10 +394,11 @@ def minhash_signatures(
             F.col("doc").alias(id_col), F.pmod(F.col("s"), F.lit(_MINHASH_P)).alias("h")
         )
     else:
+        shingle_hash = portable_hash64("s") if portable else F.xxhash64("s")
         exploded = _spread(df).select(
             F.col(id_col),
             F.explode(word_shingles(text_col, shingle_n)).alias("s"),
-        ).select(id_col, F.pmod(F.xxhash64("s"), F.lit(_MINHASH_P)).alias("h"))
+        ).select(id_col, F.pmod(shingle_hash, F.lit(_MINHASH_P)).alias("h"))
     # h < p < 2^31 and a < p, so a*h + b < 2^62 — no LongType overflow.
     mins = [
         F.min(F.pmod(F.col("h") * a + b, F.lit(_MINHASH_P))).alias(f"m{i}")
@@ -469,9 +481,10 @@ def minhash_dedup_candidates(
     bands: int = 8,
     shingle_n: int = 3,
     postings: DataFrame | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """shingle → MinHash → band → bucket-join candidate pair pipeline."""
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, postings)
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, postings, portable)
     return lsh_candidate_pairs(sigs, id_col, num_perm, bands)
 
 
@@ -558,8 +571,13 @@ def apply_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", portable: bool = False
+) -> DataFrame:
     """64-bit SimHash per document (near-dups differ in few bits).
+    ``portable=True`` swaps the token hash to :func:`portable_hash64`
+    (60 effective bits — the top 4 sign bits are then always 0), making
+    the signature reproducible in any engine for oracle checks.
 
     Shape chosen for scale: explode tokens → hash once per token → one
     hash-aggregate → pack signs into one BIGINT. The shuffle rows are
@@ -582,7 +600,10 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     tok_hash = (
         _spread(df)
         .select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-        .select(id_col, F.xxhash64("tok").alias("h"))
+        .select(
+            id_col,
+            (portable_hash64("tok") if portable else F.xxhash64("tok")).alias("h"),
+        )
     )
     aggs = [F.count(F.lit(1)).alias("_n")]
     for b in range(_SWAR_STRIDE):
@@ -626,7 +647,11 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
 
 def simhash_near_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 8
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
 
@@ -643,7 +668,7 @@ def simhash_near_pairs(
     base, extra = divmod(64, n_blocks)
     widths = [base + (1 if i < extra else 0) for i in range(n_blocks)]
     offsets = [sum(widths[:i]) for i in range(n_blocks)]
-    sigs = simhash(df, text_col, id_col)
+    sigs = simhash(df, text_col, id_col, portable)
     blocked = sigs.select(
         F.col(id_col).alias("doc"),
         "simhash64",

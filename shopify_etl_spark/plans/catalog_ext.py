@@ -206,16 +206,53 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint_md5(load_table(spark, sf_dir, "documents"))
 
 
+# MinHash permutation constants rendered into the oracle so DuckDB replays
+# the exact signature arithmetic (h*a+b mod p over the portable 60-bit
+# shingle hash) — same frozen LCG sequence as the Spark side.
+_MINHASH_SIG_TERMS = ", ".join(
+    f"MIN((h*{a}+{b})%{dedup._MINHASH_P})" for a, b in dedup._perm_params(32)
+)
+
+
 @register(
     "minhash_dedup_candidates",
-    oracle=None,  # probabilistic bucketing; recall vs ngram_jaccard_pairs proven in tests
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      FROM toks WHERE len(w) >= 3
+    ), h AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % """
+    + str(dedup._MINHASH_P)
+    + """ AS h FROM sh
+    ), sig AS (
+      SELECT doc_id, ["""
+    + _MINHASH_SIG_TERMS
+    + r"""] AS sig FROM h GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, b.range AS band, sig[b.range*4 + 1 : b.range*4 + 4] AS bv
+      FROM sig CROSS JOIN range(8) b
+    )
+    SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+    FROM banded x JOIN banded y
+      ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+    """,
     doc="MinHash(32 perms) + LSH(8 bands) candidate pairs — the 100 TB "
     "near-dup path: cost scales with near-dup pairs, not all pairs. "
-    "tests/test_dedup.py proves candidates ⊇ all true Jaccard≥0.8 pairs "
-    "on the testdata. operators/dedup.py::minhash_dedup_candidates.",
+    "Catalog variant uses the portable md5-derived shingle hash so the "
+    "whole signature+banding pipeline is value-checked against the DuckDB "
+    "oracle (same perm constants rendered into the SQL); the scale "
+    "default stays xxhash64. tests/test_dedup.py additionally proves "
+    "candidates ⊇ all true Jaccard≥0.8 pairs. "
+    "operators/dedup.py::minhash_dedup_candidates.",
 )
 def minhash_dedup_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_dedup_candidates(load_table(spark, sf_dir, "documents"))
+    return dedup.minhash_dedup_candidates(
+        load_table(spark, sf_dir, "documents"), portable=True
+    )
 
 
 @register(
@@ -267,15 +304,41 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "simhash_near_pairs",
-    oracle=None,  # engine-specific hashing; blocking soundness proven in tests
-    doc="SimHash(64-bit) near-dup pairs within Hamming≤8, blocked into "
+    oracle=r"""
+    WITH th AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+            FROM documents)
+    ), bits AS (
+      SELECT doc_id, p.range AS p, SUM((h >> p.range) & 1) AS s, COUNT(*) AS n
+      FROM th CROSS JOIN range(60) p
+      GROUP BY doc_id, p.range
+    ), sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN 2*s > n THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS sh
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 8
+    """,
+    doc="SimHash near-dup pairs within Hamming≤8, blocked into "
     "max_hamming+1 = 9 variable-width (~7-bit) blocks: a pair within "
     "Hamming≤8 cannot differ in every block (pigeonhole), so at least "
     "one block matches exactly — guaranteed recall, candidates verified "
-    "with the true bit_count distance. operators/dedup.py::simhash_near_pairs.",
+    "with the true bit_count distance. Catalog variant uses the portable "
+    "md5-derived token hash (60 effective bits), so the DuckDB oracle "
+    "recomputes the identical signature via per-bit majority sums and "
+    "checks pairs by brute force — blocking is pure optimization and "
+    "must reproduce the brute-force answer exactly. The scale default "
+    "stays xxhash64. operators/dedup.py::simhash_near_pairs.",
 )
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_near_pairs(load_table(spark, sf_dir, "documents"))
+    return dedup.simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"), portable=True
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -325,7 +388,13 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "lsh_ann_topk",
-    oracle=None,  # approximate by design; recall vs ann_cosine_topk measured in tests
+    # No oracle BY DESIGN: bucket membership and probe choice hang on the
+    # SIGN and the margin ORDER of float dot products — cross-engine FP
+    # summation-order differences can flip a near-zero sign or reorder two
+    # close margins, changing candidate sets while both answers are
+    # "correct LSH". Recall vs the exact ann_cosine_topk is pinned in
+    # tests instead (the meaningful invariant for an ANN method).
+    oracle=None,
     doc="LSH-bucketed approximate top-k: 8 random-hyperplane sign bits "
     "bucket the corpus, each query scores only its probed buckets "
     "(expected 4·|corpus|/256 per query at 100 TB vs full scan). "
@@ -348,12 +417,29 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    oracle=None,  # mapInPandas plumbing; byte-stat parity vs JVM exprs in tests
+    # Byte stats are deterministic: n_bytes = octet_length(utf8(text)),
+    # byte_sum = Σ byte values. The corpus is pure ASCII (max codepoint 121
+    # at every SF), so per-char unicode() equals the byte value; a non-ASCII
+    # corpus would need blob byte arithmetic instead.
+    oracle="""
+    WITH b AS (
+      SELECT doc_id AS asset_id,
+             CAST(COALESCE(octet_length(encode(text)), 0) AS BIGINT) AS n_bytes,
+             CAST(COALESCE(list_aggregate(list_transform(split(text, ''),
+                  c -> unicode(c)), 'sum'), 0) AS BIGINT) AS byte_sum
+      FROM documents
+    )
+    SELECT asset_id, n_bytes, byte_sum,
+           CAST(byte_sum // GREATEST(n_bytes, 1) AS BIGINT) AS byte_mean,
+           'image' AS modality
+    FROM b
+    """,
     doc="Binary-column pipeline: documents → binary payload + metadata "
     "struct → Arrow-batched mapInPandas feature extraction (decode step "
     "stubbed with deterministic byte stats; codecs absent here). The "
-    "schema/partitioning/batch plumbing is the real thing. "
-    "operators/multimodal.py.",
+    "schema/partitioning/batch plumbing is the real thing, and the byte "
+    "stats are exact — the DuckDB oracle recomputes them from the text "
+    "payload. operators/multimodal.py.",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
