@@ -5,11 +5,17 @@ a metadata struct (modality, format, dims, byte size). Decode / feature
 extraction runs as Arrow-batched ``mapInPandas`` — the only place Python
 touches the data, and it sees columnar batches, not rows.
 
-The actual media codecs are NOT available in this environment, so the
-decode step is stubbed: ``decode_features(..., fake=True)`` computes
-deterministic byte-level features (real Spark plumbing, fake decoding);
-``fake=False`` raises NotImplementedError where a codec call would go.
-The schema/partitioning/UDF-signature/batch handling is real and tested.
+Decode paths, in preference order:
+
+* **Pillow**, when importable — any format it knows.
+* **Built-in PNG codec** (``operators/png_codec.py``, stdlib zlib +
+  numpy) — real decode of real PNG bytes with zero external deps; this
+  is the live path in this environment.
+* ``fake=True`` — deterministic byte-level features over the raw
+  payload (no decode), useful for plumbing tests and non-image bytes.
+* Everything else (video demux, audio, exotic formats) raises
+  NotImplementedError at the exact seam where ffmpeg/torchaudio would
+  plug in.
 """
 
 from __future__ import annotations
@@ -81,23 +87,69 @@ def assets_from_documents(docs: DataFrame, id_col: str = "doc_id", text_col: str
     )
 
 
+def _decode_raster(payload: bytes, fmt: str):
+    """payload → uint8 numpy raster. Pillow when importable (any format),
+    else the built-in PNG codec for ``fmt='png'``; NotImplementedError
+    for formats that genuinely need an absent codec."""
+    import numpy as np
+
+    try:
+        import io
+
+        from PIL import Image  # noqa: PLC0415
+
+        return np.asarray(Image.open(io.BytesIO(bytes(payload))))
+    except ImportError:
+        pass
+    if fmt == "png":
+        from .png_codec import decode_png
+
+        return decode_png(bytes(payload))
+    raise NotImplementedError(
+        f"no codec for format={fmt!r} here (built-in codec covers png; "
+        "install Pillow for the rest)"
+    )
+
+
 def decode_features(assets: DataFrame, fake: bool = True) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads (mapInPandas).
 
-    ``fake=True`` → deterministic byte statistics (sum/mean) standing in
-    for decode→resize→embed; ``fake=False`` → NotImplementedError at the
-    exact call site where a codec (PIL/ffmpeg/torchaudio) would run.
-    Batch shape: the UDF receives whole Arrow record batches; per-batch
-    vectorized numpy work, zero per-row Python overhead.
+    ``fake=False`` decodes each payload to a pixel raster (Pillow or the
+    built-in PNG codec via :func:`_decode_raster`) and emits pixel-level
+    stats: n_bytes/byte_sum/byte_mean computed over DECODED PIXELS.
+    ``fake=True`` computes the same stats over the raw payload bytes with
+    no decode (plumbing tests, opaque formats). Batch shape: the UDF
+    receives whole Arrow record batches; per-batch vectorized numpy work.
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "media codecs unavailable in this environment; "
-                    "plug PIL/ffmpeg here (decode payload -> features)"
+                ids, nb, bs, mods = [], [], [], []
+                for aid, payload, meta in zip(
+                    pdf["asset_id"], pdf["payload"], pdf["meta"]
+                ):
+                    if payload is None:
+                        continue
+                    raster = _decode_raster(
+                        payload, meta["format"] if meta is not None else None
+                    )
+                    ids.append(aid)
+                    nb.append(int(raster.size))
+                    bs.append(int(raster.sum()))
+                    mods.append(meta["modality"] if meta is not None else None)
+                yield pd.DataFrame(
+                    {
+                        "asset_id": pd.Series(ids, dtype="int64"),
+                        "n_bytes": pd.Series(nb, dtype="int64"),
+                        "byte_sum": pd.Series(bs, dtype="int64"),
+                        "byte_mean": pd.Series(
+                            [s // max(n, 1) for s, n in zip(bs, nb)], dtype="int64"
+                        ),
+                        "modality": pd.Series(mods, dtype=object),
+                    }
                 )
+                continue
             payloads = pdf["payload"]
             n_bytes = payloads.map(lambda b: len(b) if b is not None else 0)
             byte_sum = payloads.map(lambda b: int(sum(b)) if b is not None else 0)
@@ -125,14 +177,14 @@ def resize_images(
     """Batch image resize to a fixed raster (the normalization step before
     any vision-model embedding).
 
+    ``fake=False`` decodes the payload (Pillow or the built-in PNG codec)
+    and resizes the real raster by nearest-neighbor index sampling,
+    emitting a raw interleaved uint8 payload of exactly
+    ``target_w × target_h × channels`` bytes (format ``'raw'``).
     ``fake=True`` treats the payload as a square 1-byte/pixel grayscale
-    raster (side = ceil(sqrt(n_bytes)), zero-padded) and resizes by
-    nearest-neighbor index sampling — the RESIZE MATH IS REAL (numpy
-    integer gather, vectorized per batch), only the codec that would
-    produce the source raster is faked. ``fake=False`` raises at the
-    exact seam where PIL/opencv decode would run. Output payloads are
-    exactly ``target_w × target_h`` bytes with meta rewritten, so
-    downstream per-pixel operators can assume a fixed shape.
+    raster (side = ceil(sqrt(n_bytes)), zero-padded) — same resize math,
+    no decode. Either way downstream per-pixel operators can assume a
+    fixed shape.
     """
     import math
 
@@ -140,31 +192,36 @@ def resize_images(
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image codecs unavailable in this environment; "
-                    "plug PIL/opencv here (decode payload -> raster)"
-                )
             ids, payloads, metas = [], [], []
-            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+            for aid, payload, meta in zip(
+                pdf["asset_id"], pdf["payload"], pdf["meta"]
+            ):
                 if payload is None:
                     continue
-                side = max(1, math.isqrt(max(len(payload) - 1, 0)) + 1)
-                raster = np.zeros(side * side, dtype=np.uint8)
-                raster[: len(payload)] = np.frombuffer(payload, dtype=np.uint8)
-                raster = raster.reshape(side, side)
-                ys = (np.arange(target_h) * side) // target_h
-                xs = (np.arange(target_w) * side) // target_w
+                if fake:
+                    side = max(1, math.isqrt(max(len(payload) - 1, 0)) + 1)
+                    raster = np.zeros(side * side, dtype=np.uint8)
+                    raster[: len(payload)] = np.frombuffer(payload, dtype=np.uint8)
+                    raster = raster.reshape(side, side)
+                    out_fmt = "fake-raw"
+                else:
+                    raster = _decode_raster(
+                        payload, meta["format"] if meta is not None else None
+                    )
+                    out_fmt = "raw"
+                h, w = raster.shape[:2]
+                ys = (np.arange(target_h) * h) // target_h
+                xs = (np.arange(target_w) * w) // target_w
                 out = raster[np.ix_(ys, xs)]
                 ids.append(aid)
-                payloads.append(out.tobytes())
+                payloads.append(np.ascontiguousarray(out).tobytes())
                 metas.append(
                     {
                         "modality": "image",
-                        "format": "fake-raw",
+                        "format": out_fmt,
                         "width": target_w,
                         "height": target_h,
-                        "n_bytes": target_w * target_h,
+                        "n_bytes": len(payloads[-1]),
                     }
                 )
             yield pd.DataFrame(
