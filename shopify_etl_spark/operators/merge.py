@@ -191,15 +191,25 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols) -> None:
 
 
 def _merge_into_partitions(
-    spark, target_path: str, staged: DataFrame, partition_col: str, merge_fn
+    spark, target_path: str, staged: DataFrame, partition_col: str, merge_fn,
+    derive_partition=None,
 ) -> list:
     """Shared partition-pruned merge machinery: read ONLY the target
     partitions whose values appear in the staged batch (static partition
     pruning on the IN-filter), apply ``merge_fn(existing, staged)`` there,
     and rewrite just those directories via dynamic partition overwrite.
     Every other partition's files are never opened. Returns the partition
-    values rewritten."""
-    from ..pipeline.runner import table_exists
+    values rewritten.
+
+    Legacy-layout migration: a warehouse written by the pre-partitioned
+    engine has no ``partition_col`` in its schema (and its part-files sit
+    at the table root). Filtering on the absent column would raise, and a
+    dynamic partition overwrite would leave the root files in place beside
+    the new dirs. When ``derive_partition`` (existing rows → rows with the
+    partition column) is supplied, such a table is migrated ONCE with a
+    full merge + atomic partitioned rewrite; without it the mismatch is a
+    hard error instead of an AnalysisException deep in the filter."""
+    from ..pipeline.runner import atomic_overwrite, table_exists
 
     values = [r[0] for r in staged.select(partition_col).distinct().collect()]
     # Hadoop-FS existence check, NOT pathlib: Path('s3://...').exists() is
@@ -207,6 +217,31 @@ def _merge_into_partitions(
     if not table_exists(spark, target_path):
         overwrite_partitions(staged, target_path, partition_col)
         return values
+
+    existing_all = spark.read.parquet(target_path)
+    if partition_col not in existing_all.columns:  # legacy unpartitioned layout
+        if derive_partition is None:
+            raise ValueError(
+                f"{target_path} has no {partition_col!r} column (legacy "
+                "unpartitioned layout) and no derive_partition was given; "
+                "rebuild the table or pass a derivation"
+            )
+        existing = derive_partition(existing_all)
+        merged = merge_fn(existing, staged.select(*existing.columns))
+        atomic_overwrite(merged, target_path, partition_cols=[partition_col])
+        # re-read for the touched list: ``merged``'s plan references the
+        # legacy files the swap just deleted (partition values come from
+        # directory names — no data files are opened)
+        return sorted(
+            {
+                r[0]
+                for r in spark.read.parquet(target_path)
+                .select(partition_col)
+                .distinct()
+                .collect()
+            },
+            key=lambda v: (v is None, str(v)),
+        )
 
     # isin([...]) never matches NULL, so a null partition value (written as
     # __HIVE_DEFAULT_PARTITION__) must be pruned-in explicitly or its
@@ -227,6 +262,7 @@ def upsert_partitioned(
     staged: DataFrame,
     key_cols,
     partition_col: str,
+    derive_partition=None,
 ) -> list:
     """Partition-scoped keyed upsert — the 100 TB shape of M6.
 
@@ -246,6 +282,7 @@ def upsert_partitioned(
     return _merge_into_partitions(
         spark, target_path, staged, partition_col,
         lambda existing, batch: upsert(existing, batch, key_cols),
+        derive_partition=derive_partition,
     )
 
 
@@ -255,6 +292,7 @@ def delete_reload_partitioned(
     staged: DataFrame,
     parent_keys,
     partition_col: str,
+    derive_partition=None,
 ) -> list:
     """Partition-scoped delete+reload — the 100 TB shape of M7
     (fact_order_items; reference run_logs.txt:545-573 deletes only
@@ -272,6 +310,7 @@ def delete_reload_partitioned(
     return _merge_into_partitions(
         spark, target_path, staged, partition_col,
         lambda existing, batch: delete_reload(existing, batch, parent_keys),
+        derive_partition=derive_partition,
     )
 
 

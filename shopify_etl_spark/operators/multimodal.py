@@ -90,17 +90,28 @@ def assets_from_documents(docs: DataFrame, id_col: str = "doc_id", text_col: str
 def _decode_raster(payload: bytes, fmt: str):
     """payload → uint8 numpy raster. Pillow when importable (any format),
     else the built-in PNG codec for ``fmt='png'``; NotImplementedError
-    for formats that genuinely need an absent codec."""
+    for formats that genuinely need an absent codec.
+
+    Import and decode are deliberately separate: only ImportError may
+    route to the fallback chain silently. A Pillow DECODE failure (bad or
+    unsupported bytes in a Pillow-equipped environment) still falls back
+    to the built-in codec for png, and raises NotImplementedError for
+    anything else — so behavior is identical with and without Pillow
+    installed instead of leaking UnidentifiedImageError.
+    """
     import numpy as np
 
     try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError:
+        Image = None
+    if Image is not None:
         import io
 
-        from PIL import Image  # noqa: PLC0415
-
-        return np.asarray(Image.open(io.BytesIO(bytes(payload))))
-    except ImportError:
-        pass
+        try:
+            return np.asarray(Image.open(io.BytesIO(bytes(payload))))
+        except Exception:
+            pass  # non-image / Pillow-unsupported bytes: same path as no-Pillow
     if fmt == "png":
         from .png_codec import decode_png
 
@@ -120,6 +131,10 @@ def decode_features(assets: DataFrame, fake: bool = True) -> DataFrame:
     ``fake=True`` computes the same stats over the raw payload bytes with
     no decode (plumbing tests, opaque formats). Batch shape: the UDF
     receives whole Arrow record batches; per-batch vectorized numpy work.
+
+    NULL payloads are emitted with zeroed stats in BOTH modes — output
+    cardinality equals input cardinality regardless of ``fake``, so
+    toggling the flag never changes downstream join/count semantics.
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -130,6 +145,10 @@ def decode_features(assets: DataFrame, fake: bool = True) -> DataFrame:
                     pdf["asset_id"], pdf["payload"], pdf["meta"]
                 ):
                     if payload is None:
+                        ids.append(aid)
+                        nb.append(0)
+                        bs.append(0)
+                        mods.append(meta["modality"] if meta is not None else None)
                         continue
                     raster = _decode_raster(
                         payload, meta["format"] if meta is not None else None

@@ -68,7 +68,7 @@ def table_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
-def atomic_overwrite(df: DataFrame, path: str) -> None:
+def atomic_overwrite(df: DataFrame, path: str, partition_cols=None) -> None:
     """Write to a _tmp sibling, then swap — readers never see a half table,
     and the source table can be part of ``df``'s own plan (parquet can't
     overwrite a path it is concurrently reading). Uses the Hadoop FS API
@@ -79,9 +79,18 @@ def atomic_overwrite(df: DataFrame, path: str) -> None:
     leaves NO table — at worst ``path._old`` holds the previous version
     for manual recovery. Rename results are checked: Hadoop signals
     rename failure by returning false, not by raising.
+
+    ``partition_cols`` writes the new table hive-partitioned — used by the
+    one-time legacy→partitioned layout migration, where a dynamic
+    partition overwrite would leave the old UNpartitioned part-files at
+    the table root alongside the new partition dirs (readers would see
+    both).
     """
     tmp = f"{path}._tmp"
-    df.write.mode("overwrite").parquet(tmp)
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
     spark = df.sparkSession
     fs, target = _hadoop_fs(spark, path)
     tmp_path = _hadoop_fs(spark, tmp)[1]
@@ -241,6 +250,9 @@ def _merge_entity(spark: SparkSession, cfg: PipelineConfig, entity: str, ingest_
             merge.with_month_partition(staged_orders),
             MERGE_KEYS["fact_orders"],
             "created_month",
+            # Legacy (pre-partitioned) fact_orders migrates itself: it
+            # carries created_at, so the partition value derives in place.
+            derive_partition=merge.with_month_partition,
         )
 
         # children: keep only the winning parent version's rows (the
@@ -262,12 +274,25 @@ def _merge_entity(spark: SparkSession, cfg: PipelineConfig, entity: str, ingest_
             project_declared(staged_items, "fact_order_items", keep=("created_month",)),
             ingest_ts,
         )
+        # Legacy fact_order_items has no parent timestamp at all — derive
+        # each child's month from the (already-migrated) parent fact_orders
+        # via a key join. Orphans (no surviving parent) land in the NULL
+        # partition rather than being dropped.
+        def _derive_items_partition(items):
+            parents = spark.read.parquet(f"{wh}/fact_orders").select(
+                "order_id", "created_month"
+            )
+            return items.join(parents, "order_id", "left").select(
+                *items.columns, "created_month"
+            )
+
         merge.delete_reload_partitioned(
             spark,
             f"{wh}/fact_order_items",
             staged_items,
             ["order_id"],
             "created_month",
+            derive_partition=_derive_items_partition,
         )
 
 

@@ -239,3 +239,54 @@ def test_stream_static_enrichment(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.doc_id: r.category for r in spark.sql("SELECT * FROM enriched_docs").collect()}
     assert got == {0: "even", 1: "odd", 2: "even", 3: "odd"}
+
+
+def test_decode_raster_pillow_failure_falls_back(monkeypatch):
+    """With Pillow importable but unable to decode the bytes, the built-in
+    PNG codec must still decode png payloads, and non-png formats must
+    raise NotImplementedError — identical behavior to a Pillow-less
+    environment (ADVICE r3: UnidentifiedImageError leaked instead)."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from shopify_etl_spark.operators.multimodal import _decode_raster
+    from shopify_etl_spark.operators.png_codec import encode_png
+
+    class _Unidentified(Exception):
+        pass
+
+    fake_pil = types.ModuleType("PIL")
+    fake_image = types.ModuleType("PIL.Image")
+    fake_image.open = lambda *a, **k: (_ for _ in ()).throw(_Unidentified("nope"))
+    fake_pil.Image = fake_image
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image)
+
+    arr = (np.arange(24, dtype=np.uint8)).reshape(4, 6)
+    assert np.array_equal(_decode_raster(encode_png(arr), "png"), arr)
+    with pytest.raises(NotImplementedError, match="no codec"):
+        _decode_raster(b"\xff\xd8junk", "jpeg")
+
+
+def test_decode_features_null_payload_same_cardinality(spark):
+    """NULL payloads keep their row (zeroed stats) in BOTH fake modes, so
+    toggling fake never changes output cardinality (ADVICE r3)."""
+    from shopify_etl_spark.operators.multimodal import ASSET_SCHEMA
+    from shopify_etl_spark.operators.png_codec import encode_png
+
+    import numpy as np
+
+    png = encode_png(np.ones((2, 3), dtype=np.uint8))
+    rows = [
+        (1, bytearray(png), ("image", "png", 3, 2, len(png))),
+        (2, None, ("image", "png", None, None, None)),
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    for fake in (True, False):
+        out = {r.asset_id: r for r in multimodal.decode_features(assets, fake=fake).collect()}
+        assert set(out) == {1, 2}, f"fake={fake} dropped a null-payload row"
+        assert (out[2].n_bytes, out[2].byte_sum) == (0, 0)
+    real = {r.asset_id: r for r in multimodal.decode_features(assets, fake=False).collect()}
+    assert real[1].n_bytes == 6 and real[1].byte_sum == 6  # decoded pixels
