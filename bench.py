@@ -125,6 +125,16 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # Iterative queries get a timing breakdown so a regression decomposes
+    # into init vs per-pass cost (VERDICT r3: kmeans +65% was undiagnosable
+    # from one opaque number).
+    try:
+        from shopify_etl_spark.operators.clustering import LAST_FIT_TIMINGS
+
+        if LAST_FIT_TIMINGS:
+            record["kmeans_fit_secs"] = list(LAST_FIT_TIMINGS)
+    except ImportError:
+        pass
     line = json.dumps(record)
     # Persist the full record in-repo: the driver captures stdout with a
     # bounded tail, which truncated the first ~30 per-query timings of the
@@ -136,6 +146,29 @@ def main() -> None:
     except OSError as e:
         print(f"bench: could not write BENCH_LOCAL.json: {e}", file=sys.stderr)
     print(line)
+    # LAST stdout line is a COMPACT summary: the full 96-query record above
+    # overflowed the driver's bounded tail capture in round 3
+    # (BENCH_r03.json "parsed": null), so the parseable line carries the
+    # totals plus only the slowest 10 queries; BENCH_LOCAL.json holds all.
+    slowest = dict(
+        sorted(
+            ((n, t) for n, t in timings.items() if t >= 0),
+            key=lambda kv: -kv[1],
+        )[:10]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": slowest,
+                "sf": sf,
+                "n_queries": len(timings),
+                "full_record": "BENCH_LOCAL.json",
+            }
+        )
+    )
     spark.stop()
 
 

@@ -23,8 +23,16 @@ Determinism: init picks the k rows with the smallest ``xxhash64(id)``
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: Wall-seconds of the most recent ``kmeans_fit`` in this process:
+#: ``[init_secs, iter1_secs, ...]``. Bench surfaces it so an iterative
+#: query's regression decomposes into init vs per-pass cost instead of
+#: one opaque number (VERDICT r3 item 4).
+LAST_FIT_TIMINGS: list[float] = []
 
 
 def _assign_partials(vec_col: str, id_col: str, centroids):
@@ -75,6 +83,7 @@ def kmeans_fit(
     assignment similarity per iteration (non-decreasing — the Lloyd
     monotonicity invariant, pinned in tests).
     """
+    t0 = time.time()
     init = (
         df.select(id_col, vec_col)
         .withColumn("_h", F.xxhash64(F.col(id_col), F.lit(seed)))
@@ -82,11 +91,13 @@ def kmeans_fit(
         .limit(k)
         .collect()
     )
+    LAST_FIT_TIMINGS[:] = [round(time.time() - t0, 3)]
     centroids = [list(map(float, r[vec_col])) for r in init]
     history: list[float] = []
     src = df.select(id_col, vec_col)
     partial_schema = "cid int, n long, vsum array<double>, sim_sum double"
     for _ in range(iters):
+        t0 = time.time()
         partials = src.mapInPandas(
             _assign_partials(vec_col, id_col, centroids), partial_schema
         )
@@ -107,6 +118,7 @@ def kmeans_fit(
         history.append(total_sim / total_n)
         for cid, r in rows.items():
             centroids[cid] = [e["s"] / r["n"] for e in r["entries"]]
+        LAST_FIT_TIMINGS.append(round(time.time() - t0, 3))
     return centroids, history
 
 
