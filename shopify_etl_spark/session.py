@@ -73,6 +73,13 @@ def get_spark(
         # the values are identical either way.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.maxResultSize", "4g")
+        # local-mode driver == all executors: the 1g JVM default is sized
+        # for a thin cluster driver, not a 32-thread local engine. Only
+        # effective when this factory launches the JVM (ignored on an
+        # already-running session, e.g. under an external driver).
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -158,22 +158,83 @@ class FileTransport:
 
 
 class HttpTransport:
-    """Real-API call site. Builds the exact query (testable) but the HTTP
-    POST is unavailable in this offline environment."""
+    """Cursor-paginated GraphQL connection scan over real HTTP (stdlib
+    urllib — no extra deps). The live twin of the reference's driver-side
+    cursor loop (reference extract_table.py:134-174): POST the rendered
+    query with a ``$cursor`` variable, follow ``pageInfo.endCursor`` until
+    ``hasNextPage`` is false.
 
-    def __init__(self, shop_url: str, token: str, entity: str, page_size: int = 100):
-        self.shop_url, self.token = shop_url, token
+    A connection API is SERIAL by nature — page ``i``'s cursor comes from
+    page ``i-1``'s response — so the instance caches the cursor chain and
+    ``fetch_page(i)`` walks forward from the nearest known cursor (a
+    partition reading pages in order never re-fetches). ``page_count`` is
+    unknowable up front and reports the configured cap; the reader plans a
+    SINGLE partition for this transport (parallelism for live APIs comes
+    from updated_at-range slicing or the bulk-JSONL path, not page ranges).
+
+    Picklable (scalars + dicts only), like every transport — it ships to
+    executors inside the InputPartition read closure.
+    """
+
+    def __init__(
+        self,
+        shop_url: str,
+        token: str,
+        entity: str,
+        page_size: int = 100,
+        max_pages: int = 1000,
+        updated_at_min: str | None = None,
+        inclusive: bool = False,
+    ):
+        self.shop_url, self.token = shop_url.rstrip("/"), token
         self.entity, self.page_size = entity, page_size
-        self.updated_at_min: str | None = None
+        self.max_pages = max_pages
+        self.updated_at_min = updated_at_min
+        self.inclusive = inclusive
+        self._cursors: dict[int, str | None] = {0: None}
+        self._end: int | None = None  # first page index past the data
 
     def query_for_page(self) -> str:
-        return build_graphql_query(self.entity, self.page_size, self.updated_at_min)
+        return build_graphql_query(
+            self.entity, self.page_size, self.updated_at_min, self.inclusive
+        )
+
+    def _post(self, cursor: str | None) -> dict:
+        import urllib.request
+
+        body = json.dumps(
+            {"query": self.query_for_page(), "variables": {"cursor": cursor}}
+        ).encode("utf-8")
+        req = urllib.request.Request(
+            f"{self.shop_url}/admin/api/graphql.json",
+            data=body,
+            headers={
+                "Content-Type": "application/json",
+                "X-Shopify-Access-Token": self.token,
+            },
+        )
+        with urllib.request.urlopen(req) as resp:
+            return json.loads(resp.read().decode("utf-8"))
+
+    def page_count(self) -> int:
+        return self.max_pages
 
     def fetch_page(self, page_idx: int) -> list[dict]:
-        raise NotImplementedError(
-            "network unavailable in this environment; plug an HTTP POST of "
-            f"query_for_page() to {self.shop_url}/admin/api/graphql.json here"
-        )
+        if self._end is not None and page_idx >= self._end:
+            return []
+        nodes: list[dict] = []
+        start = max(i for i in self._cursors if i <= page_idx)
+        for i in range(start, page_idx + 1):
+            if self._end is not None and i >= self._end:
+                return []
+            conn = self._post(self._cursors[i])["data"][self.entity]
+            nodes = [e["node"] for e in conn["edges"]]
+            info = conn.get("pageInfo") or {}
+            if info.get("hasNextPage"):
+                self._cursors[i + 1] = info.get("endCursor")
+            else:
+                self._end = i + 1
+        return nodes
 
 
 class _PageRange(InputPartition):
@@ -194,7 +255,17 @@ class ShopifyReader(DataSourceReader):
         # option-provided bounds mirror the reference's > semantics
         self.inclusive: bool = options.get("updated_at_inclusive", "false") == "true"
 
-    def _transport(self) -> FileTransport:
+    def _transport(self):
+        if self.options.get("transport", "file") == "http":
+            return HttpTransport(
+                shop_url=self.options["shop_url"],
+                token=self.options.get("token", ""),
+                entity=self.entity,
+                page_size=self.page_size,
+                max_pages=self.max_pages,
+                updated_at_min=self.updated_at_min,
+                inclusive=self.inclusive,
+            )
         return FileTransport(
             path=self.options["path"],
             page_size=self.page_size,
@@ -230,7 +301,13 @@ class ShopifyReader(DataSourceReader):
 
     def partitions(self):
         pages = min(self._transport().page_count(), self.max_pages)
-        n = min(self.num_partitions, pages)
+        # A live cursor API is serial (page i needs page i-1's cursor):
+        # splitting its page range across executors would make every
+        # partition re-walk the chain from 0. One partition; parallel
+        # live extraction belongs to updated_at-range slicing or S5 bulk.
+        n = 1 if self.options.get("transport") == "http" else min(
+            self.num_partitions, pages
+        )
         per = (pages + n - 1) // n
         return [_PageRange(i * per, min((i + 1) * per, pages)) for i in range(n)]
 
@@ -244,7 +321,15 @@ class ShopifyReader(DataSourceReader):
                 if wait > 0:
                     time.sleep(wait)
             last_fetch = time.monotonic()
-            for node in transport.fetch_page(page):
+            nodes = transport.fetch_page(page)
+            if not nodes:
+                # Past the end of the data. A cursor/slice scan never
+                # yields an empty page mid-stream, and for the http
+                # transport the planned range is the page CAP, not a
+                # known count — without this break the rate limiter
+                # would sleep through every phantom page to the cap.
+                break
+            for node in nodes:
                 yield _node_to_tuple(node, self.schema)
 
 

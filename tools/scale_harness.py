@@ -1,0 +1,133 @@
+"""Scale-growth harness: measure how the dedup/clustering family grows
+from sf0.1 to a ~sf1 corpus (10× documents / embeddings).
+
+The driver ships no sf1 testdata, so the harness BUILDS one by replicating
+sf0.1 ten times with two properties that make the timing honest:
+
+* every replica's doc_ids/vec_ids are shifted into a disjoint range;
+* replica ``i>0`` bijectively remaps every whitespace token (prefix
+  ``"<i>x"``), so within-replica similarity structure is IDENTICAL to the
+  original corpus while cross-replica shingle overlap is zero (shingles
+  are word 3-grams; every token differs). A 10× corpus therefore carries
+  ~10× the near-dup pairs — linear, like a real corpus growing — instead
+  of the quadratic pair explosion verbatim copies would fabricate.
+
+Usage::
+
+    python tools/scale_harness.py            # build + measure, prints JSON
+    python tools/scale_harness.py --runs 2   # best-of-2 per cell
+
+Results belong in SCALE.md (sf1/sf0.1 wall ratios; the bound argued there
+is ≤ ~12× ≈ linear × log).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from shopify_etl_spark.plans import QUERIES  # noqa: E402
+from shopify_etl_spark.session import get_spark  # noqa: E402
+
+REPLICAS = 10
+ID_OFFSET = 1_000_000
+FAMILY = (
+    "ngram_jaccard_pairs",
+    "simhash_near_pairs",
+    "minhash_dedup_candidates",
+    "dedup_clusters",
+    "kmeans_doc_clusters",
+)
+
+
+def build_sf1(spark, src_dir: str, out_dir: str) -> None:
+    """Replicate documents/embeddings 10× (disjoint ids, token-remapped)."""
+    docs = spark.read.parquet(f"{src_dir}/documents.parquet")
+    parts = []
+    for i in range(REPLICAS):
+        r = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * ID_OFFSET))
+        if i > 0:
+            # bijective token remap: same similarity structure inside the
+            # replica, zero 3-gram shingle overlap across replicas
+            r = r.withColumn(
+                "text", F.regexp_replace("text", r"(\S+)", f"{i}x$1")
+            )
+        parts.append(r)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    emb = spark.read.parquet(f"{src_dir}/embeddings.parquet")
+    eparts = [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * ID_OFFSET))
+        for i in range(REPLICAS)
+    ]
+    eout = eparts[0]
+    for p in eparts[1:]:
+        eout = eout.unionByName(p)
+    eout.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+
+def time_query(spark, name: str, sf_dir: str, runs: int) -> tuple[float, int]:
+    best = float("inf")
+    rows = -1
+    for _ in range(runs):
+        t0 = time.time()
+        df = QUERIES[name].builder(spark, sf_dir)
+        rows = df.count()
+        best = min(best, time.time() - t0)
+    return round(best, 3), rows
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--build-dir", default="/root/repo/.scratch/sf1")
+    ap.add_argument("--runs", type=int, default=1)
+    ap.add_argument("--keep", action="store_true", help="keep the built corpus")
+    args = ap.parse_args()
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        "scale-harness", master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus) if cpus.isdigit() else 32,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    build_sf1(spark, args.sf_dir, args.build_dir)
+    build_secs = round(time.time() - t0, 3)
+
+    report = {"build_secs": build_secs, "replicas": REPLICAS, "queries": {}}
+    for name in FAMILY:
+        base_s, base_rows = time_query(spark, name, args.sf_dir, args.runs)
+        big_s, big_rows = time_query(spark, name, args.build_dir, args.runs)
+        report["queries"][name] = {
+            "sf0.1_secs": base_s,
+            "sf1_secs": big_s,
+            "ratio": round(big_s / base_s, 2) if base_s > 0 else None,
+            "sf0.1_rows": base_rows,
+            "sf1_rows": big_rows,
+            "row_growth": round(big_rows / base_rows, 2) if base_rows else None,
+        }
+        print(f"{name}: {base_s}s -> {big_s}s "
+              f"(x{report['queries'][name]['ratio']}), "
+              f"rows {base_rows} -> {big_rows}", file=sys.stderr)
+
+    print(json.dumps(report))
+    if not args.keep:
+        shutil.rmtree(args.build_dir, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
