@@ -995,18 +995,52 @@ def string_surface_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_event_stats",
-    oracle=None,  # approximate by design; tolerance vs exact pinned in tests
+    # The sketches are approximate, but their ERROR BOUNDS are exact and
+    # published — so the oracle-checkable output is (exact stats, bounds
+    # flags): Spark computes the approx AND exact values and emits whether
+    # each estimate sits inside its guarantee; the oracle recomputes the
+    # exact stats and asserts the flags are literally TRUE. A broken
+    # sketch (or a future Spark regression) hash-mismatches instead of
+    # sailing through a rows-only check.
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(*) AS n,
+           TRUE AS users_within_3rsd,
+           TRUE AS median_within_rank_bounds
+    FROM events GROUP BY event_type
+    """,
     doc="Approximate aggregates — the 100 TB versions of COUNT(DISTINCT) "
-    "and percentiles: approx_count_distinct (HLL) and approx_percentile "
-    "(single pass, bounded memory vs exact sort-based percentile). "
-    "tests/test_catalog_extras.py pins them within tolerance of exact.",
+    "and percentiles: approx_count_distinct (HLL, default rsd 5%) and "
+    "approx_percentile (rank error 1/accuracy, single pass, bounded "
+    "memory vs exact sort-based percentile). Output carries the exact "
+    "twins plus in-bounds flags (|HLL err| <= 3*rsd; approx median "
+    "between exact p45/p55 — generous vs the 1e-4 rank guarantee) so "
+    "the driver hash-compares the GUARANTEE. tests/test_catalog_extras.py "
+    "additionally pins tolerances.",
 )
 def approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
-        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("approx_median_value"),
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("approx_median"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.percentile("value", F.lit(0.45)).alias("p45"),
+        F.percentile("value", F.lit(0.55)).alias("p55"),
         F.count(F.lit(1)).alias("n"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.col("exact_users") * (3 * 0.05)
+        ).alias("users_within_3rsd"),
+        (
+            (F.col("approx_median") >= F.col("p45"))
+            & (F.col("approx_median") <= F.col("p55"))
+        ).alias("median_within_rank_bounds"),
     )
 
 
