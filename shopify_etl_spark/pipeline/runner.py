@@ -51,6 +51,17 @@ class PipelineConfig:
     # (run_logs.txt:17-147; extract_table.py:325).
     bulk_transports: dict | None = None
     bulk_poll_interval_s: float = 15.0
+    # K4 (reference daily_scheduler.py:85-97 archive_and_delete): after a
+    # SUCCESSFUL staging, move the raw landing file into this directory
+    # (scheme-agnostic — file://, s3a://…). None = keep files in place.
+    # Divergence from the reference, on purpose: its no-bucket default
+    # DELETES the raw file without archiving anything; we never destroy
+    # the only copy — archiving is a move, disabling it is a no-op.
+    archive_dir: str | None = None
+    # O7 (reference trigger_pbi.py): POST here after all merges succeed.
+    # Token is opaque to the engine (S7 stance: no credential minting).
+    bi_refresh_url: str | None = None
+    bi_refresh_token: str | None = None
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -113,6 +124,26 @@ def _read_table(spark: SparkSession, path: str) -> DataFrame | None:
     return spark.read.parquet(path) if table_exists(spark, path) else None
 
 
+def archive_raw(spark: SparkSession, src: str, archive_dir: str, store: str, entity: str) -> str | None:
+    """K4: move a raw landing file under ``archive_dir/store/entity/``
+    (reference daily_scheduler.py:85-97 uploads to
+    ``incremental/{store}/{name}`` then deletes the local file). Hadoop FS
+    rename is a pure metadata move on hdfs/file and the upload+delete
+    analog on object stores via their committers — same API either way.
+    Returns the archive path, or None if the source doesn't exist."""
+    fs, src_path = _hadoop_fs(spark, src)
+    if not fs.exists(src_path):
+        return None
+    dest = f"{archive_dir}/{store}/{entity}/{src_path.getName()}"
+    fs_d, dest_path = _hadoop_fs(spark, dest)
+    fs_d.mkdirs(dest_path.getParent())
+    if fs_d.exists(dest_path):  # idempotent re-run: same file already archived
+        fs.delete(src_path, False)
+    elif not fs.rename(src_path, dest_path):
+        raise IOError(f"archive_raw: failed to move {src} to {dest}")
+    return dest
+
+
 def _stage_one(spark: SparkSession, cfg: PipelineConfig, runlog: RunLog, store: str, entity: str):
     """One staging task (reference process_entity, daily_scheduler.py:100-148)."""
     # Each staging thread gets its own scheduler pool so concurrent jobs
@@ -154,6 +185,11 @@ def _stage_one(spark: SparkSession, cfg: PipelineConfig, runlog: RunLog, store: 
             atomic_overwrite(df, f"{out_dir}/{table}")
         watermark = flatten.max_updated_at(nodes)
         runlog.log_staging_success(run_id, store, entity, watermark)
+        # K4: archive only AFTER the staging tables + watermark are
+        # durable — a crash before this line re-reads the raw file on
+        # retry, never loses it
+        if cfg.archive_dir and key in cfg.raw_paths:
+            archive_raw(spark, cfg.raw_paths[key], cfg.archive_dir, store, entity)
         return True
     except Exception as e:  # noqa: BLE001
         runlog.log_failure(run_id, store, entity, str(e))
@@ -330,4 +366,14 @@ def run_daily(spark: SparkSession, cfg: PipelineConfig, ingest_ts=None) -> dict:
         results["merge"][entity] = ok
         if not ok and err is not None:
             results.setdefault("errors", {})[entity] = str(err)
+
+    # O7: kick the BI refresh only when every merge committed (the
+    # reference's scheduler runs trigger_pbi after the pipeline). The
+    # result is recorded, never raised — see trigger_bi_refresh.
+    if cfg.bi_refresh_url and results["merge"] and all(results["merge"].values()):
+        from .trigger import trigger_bi_refresh
+
+        results["bi_refresh"] = trigger_bi_refresh(
+            cfg.bi_refresh_url, cfg.bi_refresh_token, retries=cfg.retries
+        )
     return results

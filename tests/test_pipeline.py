@@ -190,3 +190,75 @@ def test_runlog_watermark_and_lookback(spark, tmp_path):
     rid2 = log.log_start("retail", "orders")
     log.log_failure(rid2, "retail", "orders", "boom")
     assert log.last_watermark("retail", "orders") == datetime(2025, 11, 26, 12, 0, 0)
+
+
+def test_archive_and_bi_trigger(spark, tmp_path, tmp_path_factory):
+    """K4 + O7 end to end: a successful run moves the raw landing files
+    into the archive tree (idempotently) and kicks the BI refresh webhook
+    with bearer auth + retry on transient 5xx."""
+    import json as _json
+    import shutil
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from pathlib import Path
+
+    # private fixture copy: archiving MOVES files, must not eat the shared set
+    src = make_fixture_set(tmp_path_factory.mktemp("shopify_arch"))
+    raw_dir = tmp_path / "landing"
+    raw_dir.mkdir()
+    raw = {}
+    for k, v in src.items():
+        if k.endswith("_b2"):
+            continue
+        dest = raw_dir / f"{k}.json"
+        shutil.copy(str(v), dest)
+        raw[k] = str(dest)
+
+    hits = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            hits.append(self.headers.get("Authorization"))
+            code = 503 if len(hits) == 1 else 202  # transient failure first
+            self.send_response(code)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        cfg = PipelineConfig(
+            raw_paths=raw,
+            warehouse_dir=str(tmp_path / "wh"),
+            run_log_dir=str(tmp_path / "runlog"),
+            snapshot_date="2025-11-28",
+            archive_dir=str(tmp_path / "archive"),
+            bi_refresh_url=f"http://127.0.0.1:{srv.server_port}/refreshes",
+            bi_refresh_token="tok-bi",
+        )
+        res = run_daily(spark, cfg, ingest_ts="2025-11-28 06:00:00")
+        assert all(res["staging"].values()) and all(res["merge"].values())
+        # K4: every raw file moved (not copied) into archive/store/entity/
+        for k in raw:
+            store, entity = k.split("_", 1)
+            assert not Path(raw[k]).exists(), f"{k} not moved"
+            assert (
+                tmp_path / "archive" / store / entity / f"{k}.json"
+            ).exists(), f"{k} not archived"
+        # O7: first attempt hit the 503, retry succeeded, bearer token sent
+        assert res["bi_refresh"] == {"ok": True, "status": 202, "attempts": 2}
+        assert hits == ["Bearer tok-bi"] * 2
+        # replay with the raw files gone-but-archived: staging fails on the
+        # missing source, the barrier holds, and no refresh fires
+        hits.clear()
+        res2 = run_daily(spark, cfg, ingest_ts="2025-11-28 07:00:00")
+        assert not all(res2["staging"].values())
+        assert res2["merge"] == {} and "bi_refresh" not in res2
+        assert hits == []
+    finally:
+        srv.shutdown()
+        srv.server_close()
