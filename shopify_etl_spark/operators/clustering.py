@@ -96,28 +96,33 @@ def kmeans_fit(
     history: list[float] = []
     src = df.select(id_col, vec_col)
     partial_schema = "cid int, n long, vsum array<double>, sim_sum double"
+    dim = len(centroids[0])
     for _ in range(iters):
         t0 = time.time()
         partials = src.mapInPandas(
             _assign_partials(vec_col, id_col, centroids), partial_schema
         )
-        # fold partials: k rows of (n, elementwise vsum, sim_sum)
-        folded = (
-            partials.select("cid", F.posexplode("vsum"))
-            .groupBy("cid", "pos")
-            .agg(F.sum("col").alias("s"))
-            .groupBy("cid")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("entries"))
+        # fold partials in ONE grouped pass: collect the (batches × k)
+        # partial-sum arrays per cluster and reduce them elementwise with
+        # a JVM zip_with fold — one shuffle per iteration, no posexplode
+        # (row ×d multiplication), no d-wide aggregate codegen (measured
+        # slower both ways: explode shape 2 shuffles, 64-sum agg ~2×
+        # per-iteration cost)
+        folded = partials.groupBy("cid").agg(
+            F.sum("n").alias("n"),
+            F.sum("sim_sum").alias("sim_sum"),
+            F.reduce(
+                F.collect_list("vsum"),
+                F.array_repeat(F.lit(0.0), dim),
+                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+            ).alias("vsum"),
         )
-        counts = partials.groupBy("cid").agg(
-            F.sum("n").alias("n"), F.sum("sim_sum").alias("sim_sum")
-        )
-        rows = {r["cid"]: r for r in folded.join(counts, "cid").collect()}
+        rows = {r["cid"]: r for r in folded.collect()}
         total_n = sum(r["n"] for r in rows.values())
         total_sim = sum(r["sim_sum"] for r in rows.values())
         history.append(total_sim / total_n)
         for cid, r in rows.items():
-            centroids[cid] = [e["s"] / r["n"] for e in r["entries"]]
+            centroids[cid] = [s / r["n"] for s in r["vsum"]]
         LAST_FIT_TIMINGS.append(round(time.time() - t0, 3))
     return centroids, history
 

