@@ -392,8 +392,12 @@ def pmi_bigrams(
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_xy"))
     )
+    # both sides are one-row aggregates; the explicit hint keeps this a
+    # broadcast NL join even with auto-broadcast off (without it the
+    # optimizer may plan a true CartesianProduct — caught by the
+    # whole-catalog hygiene gate)
     totals = uni.agg(F.sum("c_w").alias("n_uni")).crossJoin(
-        bg.agg(F.sum("c_xy").alias("n_bg"))
+        F.broadcast(bg.agg(F.sum("c_xy").alias("n_bg")))
     )
     scored = (
         bg.filter(F.col("c_xy") >= min_count)

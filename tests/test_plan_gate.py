@@ -170,3 +170,37 @@ def test_gate_detects_lost_broadcast_hint(gate_spark):
         "hint removal was NOT detectable — gate has no teeth",
         feats,
     )
+
+
+# Queries where a BroadcastNestedLoopJoin is the INTENDED plan: the
+# broadcast side is provably tiny at any SF (one-row corpus stats, k
+# centroids, a handful of query vectors) and the join is a deliberate
+# broadcast cross join. Anything else sprouting a BNLJ — or ANY query
+# sprouting a CartesianProduct — is a 100 TB scale killer and fails here.
+BNLJ_ALLOWED = {
+    "ann_cosine_topk",      # query vectors broadcast over the corpus
+    "ivf_assignments",      # k centroids broadcast
+    "ivf_ann_topk",         # centroids + query vectors
+    "bm25_search_topk",     # one-row corpus stats
+    "pmi_collocations",     # one-row corpus totals
+}
+
+
+def test_no_cartesian_or_unplanned_nested_loop_anywhere(gate_spark):
+    """Whole-catalog plan hygiene: every registered query must plan
+    without a CartesianProduct, and without a BroadcastNestedLoopJoin
+    outside the allowlist above (VERDICT r3 confirmed the allowlisted
+    crossJoins broadcast provably tiny sides — this pins that audit)."""
+    offenders = {}
+    for name, spec in QUERIES.items():
+        plan = (
+            spec.builder(gate_spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        cp = plan.count("CartesianProduct")
+        bnlj = plan.count("BroadcastNestedLoopJoin")
+        if cp or (bnlj and name not in BNLJ_ALLOWED):
+            offenders[name] = {"cartesian": cp, "bnlj": bnlj}
+    assert not offenders, offenders
