@@ -1021,14 +1021,26 @@ def string_surface_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    agg = ev.groupBy("event_type").agg(
+    # The exact-distinct twin runs as its OWN aggregation and joins back
+    # on the (few-row) group key: mixing count_distinct into the same agg
+    # as the buffer-based percentiles forces Spark's Expand-based
+    # distinct plan over every row — measured 5.3 s combined vs ≤0.8 s
+    # for any piece alone at sf0.1. Two single-purpose passes + a
+    # broadcast join of 5-row results run ~4x faster, and the distinct
+    # side uses the scalable two-stage groupBy shape (no Expand).
+    plain = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("approx_median"),
-        F.count_distinct("user_id").alias("exact_users"),
-        F.percentile("value", F.lit(0.45)).alias("p45"),
-        F.percentile("value", F.lit(0.55)).alias("p55"),
+        F.percentile("value", F.array(F.lit(0.45), F.lit(0.55))).alias("ps"),
         F.count(F.lit(1)).alias("n"),
     )
+    exact = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.lit(1))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_users"))
+    )
+    agg = plain.join(F.broadcast(exact), "event_type")
     return agg.select(
         "event_type",
         "exact_users",
@@ -1038,8 +1050,8 @@ def approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("exact_users") * (3 * 0.05)
         ).alias("users_within_3rsd"),
         (
-            (F.col("approx_median") >= F.col("p45"))
-            & (F.col("approx_median") <= F.col("p55"))
+            (F.col("approx_median") >= F.col("ps")[0])
+            & (F.col("approx_median") <= F.col("ps")[1])
         ).alias("median_within_rank_bounds"),
     )
 
