@@ -44,3 +44,98 @@ def rollup_distinct(
     if group_cols:
         return sketches.groupBy(*group_cols).agg(agg)
     return sketches.agg(agg)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable frequency estimation (heavy hitters at scale)
+# ---------------------------------------------------------------------------
+#
+# The companion problem to HLL's "how many distinct": "how often does each
+# key occur" over a stream/corpus too large (or too key-diverse) to hold an
+# exact count table. A CMS is a depth × width counter grid; each key
+# increments one cell per depth row (row-seeded hash), and a key's estimate
+# is the MIN over its depth cells. Guarantees (Cormode & Muthukrishnan):
+#
+#   estimate >= true count                      (always — collisions only add)
+#   estimate <= true + (e/width) * N            with prob >= 1 - e^-depth
+#
+# Like the HLL table above, the sketch is a persistable DataFrame keyed on
+# (row, cell) whose merge is a plain SUM — build per day/source, union any
+# subset, query without raw data. Everything is JVM expressions: xxhash64
+# per depth row, one groupBy; no UDFs, shuffle carries width*depth rows max.
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | None = None,
+    width: int = 2048,
+    depth: int = 4,
+    seed: int = 41,
+) -> DataFrame:
+    """Build a count-min sketch table ``(row, cell, c)`` over ``key_col``.
+
+    ``pmod`` (not ``%``) maps hashes to cells: xxhash64 is signed and a
+    negative ``%`` would scatter keys into negative cells that never match
+    at query time.
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    rows = F.explode(
+        F.array(*[F.lit(i) for i in range(depth)])
+    ).alias("row")
+    return (
+        df.select(F.col(key_col).alias("_k"), w.alias("_w"))
+        .select("_w", rows, F.col("_k"))
+        .select(
+            "row",
+            F.pmod(F.xxhash64(F.col("_k"), F.col("row") + F.lit(seed)), F.lit(width)).alias("cell"),
+            "_w",
+        )
+        .groupBy("row", "cell")
+        .agg(F.sum("_w").alias("c"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Union CMS tables built with the SAME (width, depth, seed): cellwise
+    sum — associative, order-free, no raw data."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "cell").agg(F.sum("c").alias("c"))
+
+
+def cms_query(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int = 2048,
+    depth: int = 4,
+    seed: int = 41,
+) -> DataFrame:
+    """Estimate each key's frequency: min over its depth cells.
+
+    ``keys`` is a (small) candidate table — heavy-hitter candidates come
+    from a sample or a coarser exact pass; the sketch itself cannot
+    enumerate keys. The probe fans each key to its depth (row, cell)
+    coordinates and joins the sketch on its grid key; an absent cell means
+    count 0 (never hit), kept via left join + coalesce.
+    """
+    probes = (
+        keys.select(F.col(key_col))
+        .distinct()
+        .select(
+            key_col,
+            F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row"),
+        )
+        .select(
+            key_col,
+            "row",
+            F.pmod(F.xxhash64(F.col(key_col), F.col("row") + F.lit(seed)), F.lit(width)).alias("cell"),
+        )
+    )
+    return (
+        probes.join(sketch, ["row", "cell"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_count"))
+    )

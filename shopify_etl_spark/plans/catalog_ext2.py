@@ -1337,3 +1337,65 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p"),
     )
     return snapshot_diff(old, new, "o_orderkey", ["p"])
+
+
+@register(
+    "cms_token_counts",
+    # Same guarantee-gate pattern as approx_event_stats: the sketch is
+    # approximate but its published bounds are exact, so the oracle-checked
+    # output is (exact counts, in-bounds flags). The CMS lower bound
+    # (estimate >= true) holds ALWAYS; the upper bound uses the classic
+    # (e/width)*N slack. Both estimates and corpus are deterministic (fixed
+    # seed, fixed data), so the flags are stable run to run.
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS token
+      FROM documents
+    )
+    SELECT token, COUNT(*) AS n,
+           TRUE AS cms_lower_ok, TRUE AS cms_upper_ok
+    FROM toks
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+    doc="Count-min sketch frequency estimation over the token stream — the "
+    "mergeable 'how often' companion to the HLL 'how many distinct' "
+    "(operators/sketches.py::cms_build/cms_query; build per shard, SUM-merge "
+    "cells, query without raw data). Output: the exact top-20 tokens with "
+    "flags asserting the CMS guarantee (estimate >= true, always; estimate "
+    "<= true + (e/width)*N). Grid is depth x width rows, xxhash64 per row, "
+    "one groupBy — no UDFs; the probe joins candidates on the 8-byte grid "
+    "key.",
+)
+def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..operators import sketches
+
+    width, depth = 2048, 4
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens("text")).alias("token"))
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+    sketch = sketches.cms_build(toks, "token", width=width, depth=depth)
+    est = sketches.cms_query(sketch, exact, "token", width=width, depth=depth)
+    total = toks.agg(F.count(F.lit(1)).alias("_N"))
+    return (
+        exact.join(est, "token")
+        .join(F.broadcast(total))
+        .select(
+            "token",
+            "n",
+            (F.col("cms_count") >= F.col("n")).alias("cms_lower_ok"),
+            (
+                F.col("cms_count")
+                <= F.col("n") + F.lit(math.e / width) * F.col("_N")
+            ).alias("cms_upper_ok"),
+        )
+        .orderBy(F.desc("n"), F.asc("token"))
+    )

@@ -183,6 +183,7 @@ BNLJ_ALLOWED = {
     "ivf_ann_topk",         # centroids + query vectors
     "bm25_search_topk",     # one-row corpus stats
     "pmi_collocations",     # one-row corpus totals
+    "cms_token_counts",     # one-row total-token count for the error bound
 }
 
 

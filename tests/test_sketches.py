@@ -56,3 +56,50 @@ def test_sketch_exact_in_sparse_regime(spark, sf_dir):
         sketches.distinct_sketches(ev, "user_id", ["day"]), []
     ).collect()[0].distinct_keys
     assert int(total) == ev.select("user_id").distinct().count()
+
+
+def test_cms_merge_commutes_and_bounds(spark):
+    """CMS invariants: (1) cellwise merge of per-source sketches is
+    IDENTICAL to sketching the whole corpus (associativity — the property
+    that makes per-shard build + union work at scale); (2) estimates never
+    undercount; (3) absent keys probe to 0."""
+    from shopify_etl_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd", f"k{i % 7}") for i in range(500)],
+        ["i", "src", "key"],
+    )
+    whole = sketches.cms_build(df, "key", width=64, depth=3)
+    parts = [
+        sketches.cms_build(df.filter(F.col("src") == s), "key", width=64, depth=3)
+        for s in ("even", "odd")
+    ]
+    merged = sketches.cms_merge(*parts)
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+    keys = df.select("key").distinct()
+    est = {r.key: r.cms_count for r in
+           sketches.cms_query(merged, keys, "key", width=64, depth=3).collect()}
+    exact = {r.key: r.n for r in
+             df.groupBy("key").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert est[k] >= n, (k, est[k], n)  # lower bound holds ALWAYS
+
+    ghost = spark.createDataFrame([("never-seen",)], ["key"])
+    [(row)] = sketches.cms_query(whole, ghost, "key", width=64, depth=3).collect()
+    # tiny width=64 grid may collide with real keys, but a fresh key in an
+    # EMPTY sketch must be exactly 0
+    empty = sketches.cms_build(df.filter(F.lit(False)), "key", width=64, depth=3)
+    [(row0)] = sketches.cms_query(empty, ghost, "key", width=64, depth=3).collect()
+    assert row0.cms_count == 0
+
+
+def test_cms_weighted_counts(spark):
+    from shopify_etl_spark.operators import sketches
+
+    df = spark.createDataFrame([("a", 3), ("a", 2), ("b", 10)], ["key", "w"])
+    sk = sketches.cms_build(df, "key", weight_col="w", width=128, depth=4)
+    est = {r.key: r.cms_count for r in
+           sketches.cms_query(sk, df.select("key"), "key", width=128, depth=4).collect()}
+    assert est["a"] >= 5 and est["b"] >= 10
