@@ -273,3 +273,52 @@ def test_stream_dedup_docs(spark, dirs, tmp_path):
     got2 = spark.read.parquet(out)
     assert got2.count() == 3
     assert sorted(r.doc_id for r in got2.collect()) in ([1, 3, 5], [2, 3, 5])
+
+
+def test_stream_cms_incremental_merge_equals_whole(spark, tmp_path):
+    """Streaming CMS maintenance: per-batch grids merged across epochs
+    equal the one-shot sketch of the full history EXACTLY (merge
+    associativity), running estimates never undercount, and a replayed
+    epoch is skipped (no double counting — the failure mode that matters
+    for a SUM-mergeable state)."""
+    from shopify_etl_spark.operators import sketches
+    from shopify_etl_spark.streaming.sketch_stream import read_sketch, stream_cms
+
+    src = tmp_path / "tokfeed"
+    sk_dir = str(tmp_path / "cms")
+    ckpt = str(tmp_path / "cms_ckpt")
+    schema = "token string, ingested_at string"
+
+    def run_batch(name, tokens):
+        _write_jsonl(src / name, [
+            {"token": tk, "ingested_at": "2024-05-01T10:00:00.000Z"} for tk in tokens
+        ])
+        feed = spark.readStream.schema(schema).json(str(src))
+        q = stream_cms(feed, "token", sk_dir, ckpt, width=64, depth=3)
+        q.awaitTermination(120)
+
+    b1 = ["a", "b", "a", "c", "a"]
+    b2 = ["b", "b", "d", "a"]
+    run_batch("b1.jsonl", b1)
+    run_batch("b2.jsonl", b2)
+
+    merged = read_sketch(spark, sk_dir)
+    whole = sketches.cms_build(
+        spark.createDataFrame([(t,) for t in b1 + b2], ["token"]),
+        "token", width=64, depth=3,
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+    keys = spark.createDataFrame([(k,) for k in "abcd"], ["token"])
+    est = {r.token: r.cms_count for r in
+           sketches.cms_query(merged, keys, "token", width=64, depth=3).collect()}
+    truth = {"a": 4, "b": 3, "c": 1, "d": 1}
+    for k, n in truth.items():
+        assert est[k] >= n, (k, est[k], n)
+
+    # replay the same feed on the same checkpoint: no new epochs, no change
+    before = sorted(map(tuple, merged.collect()))
+    feed = spark.readStream.schema(schema).json(str(src))
+    q = stream_cms(feed, "token", sk_dir, ckpt, width=64, depth=3)
+    q.awaitTermination(120)
+    assert sorted(map(tuple, read_sketch(spark, sk_dir).collect())) == before
