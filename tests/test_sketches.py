@@ -103,3 +103,27 @@ def test_cms_weighted_counts(spark):
     est = {r.key: r.cms_count for r in
            sketches.cms_query(sk, df.select("key"), "key", width=128, depth=4).collect()}
     assert est["a"] >= 5 and est["b"] >= 10
+
+
+def test_cms_lower_bound_property(spark):
+    """Property sweep without per-example Spark jobs: many random
+    multisets, one parallelized check — CMS estimates NEVER undercount,
+    for any key distribution, at any (width, depth)."""
+    import random
+
+    from shopify_etl_spark.operators import sketches
+
+    rng = random.Random(1234)
+    for trial in range(5):
+        width = rng.choice([16, 64, 256])
+        depth = rng.choice([2, 3, 5])
+        n_keys = rng.randint(1, 40)
+        rows = [(f"key-{rng.randint(0, n_keys)}",) for _ in range(rng.randint(1, 800))]
+        df = spark.createDataFrame(rows, ["key"])
+        sk = sketches.cms_build(df, "key", width=width, depth=depth)
+        joined = (
+            sketches.cms_query(sk, df.select("key"), "key", width=width, depth=depth)
+            .join(df.groupBy("key").agg(F.count(F.lit(1)).alias("n")), "key")
+        )
+        bad = joined.filter(F.col("cms_count") < F.col("n")).collect()
+        assert not bad, (trial, width, depth, bad)
