@@ -701,14 +701,28 @@ _CONTAM_T = dict(
 )
 def train_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    split = sampling.hash_split(
-        docs, "doc_id", {"train": 0.9, "eval": 0.1}, salt="contam-v1"
+    # Shingle the corpus ONCE, then split the posting list by re-deriving
+    # each row's split from its doc id (hash_split is a salted-hash
+    # projection, so membership costs an expression, not a join back to
+    # the split table). Local wall time is a wash vs splitting first
+    # (each side then shingles only its subset, 0.9+0.1 = one corpus of
+    # work), but this shape scans the documents table ONCE instead of
+    # twice and materializes ONE posting checkpoint instead of two —
+    # what matters when the scan is the expensive part (remote storage)
+    # or when other dedup ops share the same postings (bench.py does).
+    postings = sampling.hash_split(
+        dedup.shingle_postings(docs, n=3),
+        "doc",
+        {"train": 0.9, "eval": 0.1},
+        salt="contam-v1",
     )
     return dedup.cross_contamination(
-        split.filter(F.col("split") == "train"),
-        split.filter(F.col("split") == "eval"),
+        docs,
+        docs,
         n=3,
         threshold=0.2,
+        train_postings=postings.filter(F.col("split") == "train").select("doc", "s"),
+        eval_postings=postings.filter(F.col("split") == "eval").select("doc", "s"),
     )
 
 
