@@ -205,3 +205,24 @@ def test_no_cartesian_or_unplanned_nested_loop_anywhere(gate_spark):
         if cp or (bnlj and name not in BNLJ_ALLOWED):
             offenders[name] = {"cartesian": cp, "bnlj": bnlj}
     assert not offenders, offenders
+
+
+def test_no_row_python_udfs_anywhere(gate_spark):
+    """Whole-catalog: no BatchEvalPython (row-at-a-time Python UDF — the
+    ~10-100x slow path) in any registered query's plan. Python may touch
+    data only through Arrow-batched operators (ArrowEvalPython pandas
+    UDFs, MapInPandas/FlatMapGroupsInPandas), which appear under
+    different plan nodes and stay allowed. Pins the zero-row-UDF claim
+    the round-3 verdict verified by hand."""
+    offenders = {}
+    for name, spec in QUERIES.items():
+        plan = (
+            spec.builder(gate_spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        n = plan.count("BatchEvalPython")
+        if n:
+            offenders[name] = n
+    assert not offenders, offenders
