@@ -6,28 +6,25 @@ from . import catalog_ext2  # noqa: F401,E402  (round-2 extension queries)
 # Catalog ordering.
 #
 # The driver's correctness gate samples the FIRST 50 entries of
-# ``__spark_entry__.queries()`` per round.  Rounds 1-2 sampled the relational
-# core (CORRECTNESS_r01/r02), leaving the round-2 surface without an official
-# row even though it passes the same gate locally (tools/check_correctness.py).
-# We therefore front-load the 46 never-sampled queries, then the rows-only
-# queries whose oracles were upgraded this round, then the already-green core.
-# This is pure re-ordering: every QuerySpec keeps its builder/oracle unchanged.
+# ``__spark_entry__.queries()`` per round. After round 3 every query has at
+# least one official row (r01∪r02∪r03), so the round-4 policy is freshness:
+# front-load (1) queries that are NEW or whose code changed this round, then
+# (2) the queries r03 did NOT sample (their latest official row is r01/r02 —
+# the stalest evidence), then the r03-sampled set. Pure re-ordering: every
+# QuerySpec keeps its builder/oracle unchanged.
 # ---------------------------------------------------------------------------
-_SAMPLE_FIRST = [
-    # never sampled through round 2 (catalog_ext.py tail + catalog_ext2.py)
+_R03_SAMPLED = [
     "purchase_click_asof",
     "purchase_error_range_join",
     "hash_split_assign",
     "stratified_sample_docs",
     "vocabulary_topk",
-    "train_eval_contamination",
     "pii_scrub_customers",
     "token_budget_shards",
     "ivf_assignments",
     "ivf_ann_topk",
     "dedup_corpus",
     "bm25_search_topk",
-    "pmi_collocations",
     "strip_boilerplate_docs",
     "quality_filter_docs",
     "daily_user_resample",
@@ -50,7 +47,6 @@ _SAMPLE_FIRST = [
     "incremental_rollup_merge",
     "conditional_agg_surface",
     "regex_extract_surface",
-    "kmeans_doc_clusters",
     "lateral_top_orders",
     "map_functions_surface",
     "bpe_pretoken_counts",
@@ -61,14 +57,26 @@ _SAMPLE_FIRST = [
     "global_doc_index",
     "dq_report_core",
     "snapshot_diff_orders",
-    # rows-only in r02; oracles upgraded this round where deterministic
     "multimodal_features",
     "minhash_dedup_candidates",
     "simhash_near_pairs",
     "lsh_ann_topk",
 ]
 
-_missing = [n for n in _SAMPLE_FIRST if n not in QUERIES]
+# New or code-changed in round 4 — sample these first.
+_CHANGED_R04 = [
+    "cms_token_counts",          # new (count-min sketch guarantee gate)
+    "approx_event_stats",        # output schema changed (guarantee gate)
+    "train_eval_contamination",  # single-scan posting split
+    "pmi_collocations",          # explicit broadcast on one-row totals
+    "kmeans_doc_clusters",       # one-shuffle partial fold
+]
+
+_SAMPLE_FIRST = _CHANGED_R04 + [
+    n for n in QUERIES if n not in _CHANGED_R04 and n not in _R03_SAMPLED
+]
+
+_missing = [n for n in _SAMPLE_FIRST + _R03_SAMPLED if n not in QUERIES]
 if _missing:  # pragma: no cover - guards against a renamed query
     raise RuntimeError(f"catalog ordering references unknown queries: {_missing}")
 
