@@ -571,6 +571,38 @@ def apply_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+def apply_dedup_best(
+    df: DataFrame,
+    clusters: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware dedup apply: within each near-dup cluster keep the
+    HIGHEST-``quality_col`` document (ties → smallest id), not the
+    smallest id. What a curation pipeline actually wants — the canonical
+    copy of a boilerplate family is its best-scoring member, and "first
+    crawled" (≈ min id) correlates with nothing.
+
+    Shape: clusters is (doc, cluster_id); one window over it joined with
+    the per-doc quality — the window partitions by cluster (near-dup
+    groups, small by construction), so no skew risk, and only CLUSTERED
+    docs enter the shuffle (the untouched majority of the corpus passes
+    through the anti-join unscored).
+    """
+    from pyspark.sql import Window
+
+    scored = clusters.join(
+        df.select(F.col(id_col).alias("doc"), F.col(quality_col).alias("_q")), "doc"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("_q"), F.asc("doc"))
+    losers = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(F.col("doc").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", portable: bool = False
 ) -> DataFrame:

@@ -66,6 +66,7 @@ _R03_SAMPLED = [
 # New or code-changed in round 4 — sample these first.
 _CHANGED_R04 = [
     "cms_token_counts",          # new (count-min sketch guarantee gate)
+    "dedup_corpus_best",         # new (quality-aware dedup survivor)
     "approx_event_stats",        # output schema changed (guarantee gate)
     "train_eval_contamination",  # single-scan posting split
     "pmi_collocations",          # explicit broadcast on one-row totals

@@ -934,3 +934,64 @@ def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
     clusters = dedup.duplicate_clusters(pairs)
     return dedup.apply_dedup(docs, clusters).select("doc_id", "source")
+
+
+@register(
+    "dedup_corpus_best",
+    # Same pair/cluster machinery as dedup_corpus, different survivor
+    # rule: per cluster keep the highest-n_chars member (ties -> min id).
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT d1, d2
+      FROM shared
+      JOIN sizes sa ON sa.doc_id = d1
+      JOIN sizes sb ON sb.doc_id = d2
+      WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.8
+    ), edges AS (
+      SELECT d1 AS u, d2 AS v FROM pairs
+      UNION
+      SELECT d2, d1 FROM pairs
+    ), reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+    ), labeled AS (
+      SELECT u AS doc_id, MIN(v) AS cl FROM reach GROUP BY u
+    ), ranked AS (
+      SELECT l.doc_id, l.cl,
+             ROW_NUMBER() OVER (PARTITION BY l.cl
+                                ORDER BY d.n_chars DESC, l.doc_id) AS rn
+      FROM labeled l JOIN documents d USING (doc_id)
+    ), losers AS (
+      SELECT doc_id FROM ranked WHERE rn > 1
+    )
+    SELECT doc_id, source FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+    doc="Quality-aware dedup apply: identical pair/cluster machinery to "
+    "dedup_corpus, but each cluster keeps its HIGHEST-quality member "
+    "(n_chars here; any score column works) with min-id tie-break — the "
+    "survivor rule curation pipelines actually want. Window over "
+    "clustered docs only (near-dup groups are small; the untouched "
+    "majority never enters the shuffle). "
+    "operators/dedup.py::apply_dedup_best.",
+)
+def dedup_corpus_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+    clusters = dedup.duplicate_clusters(pairs)
+    return dedup.apply_dedup_best(docs, clusters, "n_chars").select("doc_id", "source")

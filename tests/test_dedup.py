@@ -185,3 +185,27 @@ def test_apply_dedup_keeps_canonicals(spark):
     )
     kept = sorted(r.doc_id for r in apply_dedup(docs, clusters).collect())
     assert kept == [0, 1, 2]
+
+
+def test_apply_dedup_best_keeps_highest_quality(spark):
+    """Quality-aware apply: each cluster keeps its best-scoring member
+    (ties -> smallest id); unclustered docs always survive."""
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (4, 7), (5, 50)], ["doc_id", "q"]
+    )
+    clusters = spark.createDataFrame(
+        # cluster {1,2,3} labeled by min id 1; doc 4 is its own cluster
+        # (self-cluster rows exist for every clustered node); 5 untouched
+        [(1, 1), (2, 1), (3, 1), (4, 4)], ["doc", "cluster_id"]
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dedup.apply_dedup_best(docs, clusters, "q").collect()
+    )
+    # best of {1,2,3} is q=99 tie -> min id 2; 4 survives its own cluster;
+    # 5 never clustered
+    assert kept == [2, 4, 5]
+
+    # contrast: min-id rule keeps 1 instead
+    kept_min = sorted(r.doc_id for r in dedup.apply_dedup(docs, clusters).collect())
+    assert kept_min == [1, 4, 5]
