@@ -56,6 +56,7 @@ def main() -> None:
         "containment_dedup_pairs",
         "dedup_clusters",
         "dedup_corpus",
+        "dedup_corpus_best",
     )
 
     timings: dict[str, float] = {}
@@ -112,6 +113,16 @@ def main() -> None:
             ),
         ).select("doc_id", "source").write.format("noop").mode("overwrite").save()
         timings["dedup_corpus"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        dedup.apply_dedup_best(
+            docs,
+            dedup.duplicate_clusters(
+                dedup.ngram_jaccard_pairs(docs, threshold=0.8, postings=postings)
+            ),
+            "n_chars",
+        ).select("doc_id", "source").write.format("noop").mode("overwrite").save()
+        timings["dedup_corpus_best"] = round(time.time() - t0, 3)
     except Exception as e:  # noqa: BLE001
         print(f"bench error in dedup family: {e}", file=sys.stderr)
         for name in shared_dedup:
