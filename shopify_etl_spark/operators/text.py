@@ -62,6 +62,48 @@ def bpe_pretokens(col: Column | str) -> Column:
     )
 
 
+def bpe_merge_pair_counts(
+    df: DataFrame, text_col: str = "text", top_k: int = 20, sep: str = "|"
+) -> DataFrame:
+    """Corpus-wide adjacent-symbol pair counts — the statistic each BPE
+    merge step maximizes (pick the most frequent pair, merge, repeat).
+
+    The scale shape tokenizer training actually uses: counts come from
+    the pretoken FREQUENCY DICT, not the raw corpus — pretokens are
+    counted first (word-count shuffle, vocabulary-sized output), then
+    each DISTINCT pretoken explodes into its character pairs weighted by
+    its count. A 100 TB corpus has a few million distinct pretokens; the
+    pair explosion touches |vocab|·avg_len rows, not corpus tokens.
+    First-merge-step counts only (symbols = single chars); an iterative
+    trainer re-runs this over the re-segmented dict per merge, driver
+    loop + this operator, exactly like the k-means fixed-point pattern.
+    """
+    pre = df.select(F.explode(bpe_pretokens(text_col)).alias("w"))
+    wc = pre.groupBy("w").agg(F.count(F.lit(1)).alias("wn"))
+    pairs = (
+        wc.filter(F.length("w") >= 2)
+        .select(
+            "wn",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.concat(
+                        F.col("w").substr(i, F.lit(1)),
+                        F.lit(sep),
+                        F.col("w").substr(i + F.lit(1), F.lit(1)),
+                    ),
+                )
+            ).alias("pair"),
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wn").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(top_k)
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_size: int = 64,

@@ -67,6 +67,7 @@ _R03_SAMPLED = [
 _CHANGED_R04 = [
     "cms_token_counts",          # new (count-min sketch guarantee gate)
     "dedup_corpus_best",         # new (quality-aware dedup survivor)
+    "bpe_merge_pair_counts",     # new (BPE merge-step statistics)
     "approx_event_stats",        # output schema changed (guarantee gate)
     "train_eval_contamination",  # single-scan posting split
     "pmi_collocations",          # explicit broadcast on one-row totals

@@ -1399,3 +1399,36 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n"), F.asc("token"))
     )
+
+
+@register(
+    "bpe_merge_pair_counts",
+    oracle=r"""
+    WITH pre AS (
+      SELECT unnest(regexp_extract_all(text,
+        '(?:''s|''t|''re|''ve|''m|''ll|''d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+|\s+',
+        0)) AS w
+      FROM documents
+    ), wc AS (
+      SELECT w, COUNT(*) AS wn FROM pre GROUP BY w
+    ), pairs AS (
+      SELECT wn,
+             unnest(list_transform(range(1, length(w)),
+                    i -> w[i] || '|' || w[i+1])) AS pair
+      FROM wc WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(SUM(wn) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+    doc="BPE merge-step statistics: corpus-wide adjacent-character pair "
+    "counts over the pretoken FREQUENCY DICT (count pretokens first — "
+    "vocabulary-sized — then explode each distinct pretoken's pairs "
+    "weighted by its count; the pair fan-out is |vocab|*avg_len rows, "
+    "never corpus tokens). The statistic each BPE merge maximizes; an "
+    "iterative trainer loops this over the re-segmented dict. "
+    "operators/text.py::bpe_merge_pair_counts.",
+)
+def bpe_merge_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bpe_merge_pair_counts(load_table(spark, sf_dir, "documents"))

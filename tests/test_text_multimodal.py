@@ -290,3 +290,11 @@ def test_decode_features_null_payload_same_cardinality(spark):
         assert (out[2].n_bytes, out[2].byte_sum) == (0, 0)
     real = {r.asset_id: r for r in multimodal.decode_features(assets, fake=False).collect()}
     assert real[1].n_bytes == 6 and real[1].byte_sum == 6  # decoded pixels
+
+
+def test_bpe_merge_pair_counts_hand_computed(spark):
+    """'aa ab' + 'aa': pretokens {'aa':2, ' ab':1} (leading space kept by
+    the GPT-2 split) → pairs a|a ×2, (space)|a ×1, a|b ×1."""
+    df = spark.createDataFrame([(1, "aa ab"), (2, "aa")], ["doc_id", "text"])
+    got = {r.pair: r.n for r in text.bpe_merge_pair_counts(df).collect()}
+    assert got == {"a|a": 2, " |a": 1, "a|b": 1}

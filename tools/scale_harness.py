@@ -45,6 +45,14 @@ FAMILY = (
     "minhash_dedup_candidates",
     "dedup_clusters",
     "kmeans_doc_clusters",
+    # round-4 additions
+    "train_eval_contamination",
+    "cms_token_counts",
+    "dedup_corpus_best",
+    # 10x embeddings with unchanged labels grow every label block 10x —
+    # exercises blocked_cosine's max_block_size degradation path (hot
+    # blocks fall back to LSH sub-buckets instead of O(block^2))
+    "embedding_near_dup_pairs",
 )
 
 
