@@ -1375,7 +1375,12 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     width, depth = 2048, 4
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(text.tokens("text")).alias("token"))
+    # three consumers (exact counts, sketch build, total-N) — checkpoint
+    # the exploded token stream so the scan+tokenize runs once, not three
+    # times (same pattern as dedup.shingle_postings)
+    toks = docs.select(F.explode(text.tokens("text")).alias("token")).localCheckpoint(
+        eager=False
+    )
     exact = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
