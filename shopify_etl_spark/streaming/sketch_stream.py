@@ -80,3 +80,52 @@ def read_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
         .groupBy("row", "cell")
         .agg(F.sum("c").alias("c"))
     )
+
+
+def stream_distinct_sketches(
+    feed: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    sketch_dir: str,
+    checkpoint_dir: str,
+    lg_k: int = 14,
+):
+    """The HLL twin of :func:`stream_cms`: maintain per-group distinct-
+    count sketches over a stream. Each micro-batch writes its own
+    per-group HLL sketches under an epoch dir (O(batch) work, one row
+    per group out); the running answer for any rollup is an
+    ``hll_union_agg`` over the epoch sketches (:func:`read_distinct`) —
+    union is associative and lossless w.r.t. sketch state, so the
+    incremental answer EQUALS sketching the full history (pinned in
+    tests, exact in the sparse regime). Same epoch-replay-skip
+    discipline: a replayed union would be harmless for HLL (idempotent,
+    unlike CMS sums) but skipping keeps the layout canonical.
+    """
+
+    def merge_batch(batch: DataFrame, epoch: int) -> None:
+        out = _epoch_dir(sketch_dir, epoch)
+        spark = batch.sparkSession
+        from ..pipeline.runner import table_exists
+
+        if table_exists(spark, out):
+            return
+        sketches.distinct_sketches(batch, key_col, group_cols, lg_k).write.mode(
+            "overwrite"
+        ).parquet(out)
+
+    return (
+        feed.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_distinct(
+    spark: SparkSession, sketch_dir: str, group_cols: list[str],
+    estimate_col: str = "distinct_keys",
+) -> DataFrame:
+    """Current distinct estimates = sketch-union rollup over all epochs."""
+    return sketches.rollup_distinct(
+        spark.read.parquet(sketch_dir), group_cols, estimate_col
+    )

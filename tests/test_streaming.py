@@ -322,3 +322,47 @@ def test_stream_cms_incremental_merge_equals_whole(spark, tmp_path):
     q = stream_cms(feed, "token", sk_dir, ckpt, width=64, depth=3)
     q.awaitTermination(120)
     assert sorted(map(tuple, read_sketch(spark, sk_dir).collect())) == before
+
+
+def test_stream_distinct_sketches_matches_one_shot(spark, tmp_path):
+    """Streaming HLL maintenance: epoch-unioned per-batch sketches give
+    the same per-group estimates as sketching the full history at once
+    (exact in the sparse regime), and replay on the same checkpoint is a
+    no-op."""
+    from shopify_etl_spark.operators import sketches
+    from shopify_etl_spark.streaming.sketch_stream import (
+        read_distinct,
+        stream_distinct_sketches,
+    )
+
+    src = tmp_path / "userfeed"
+    sk_dir = str(tmp_path / "hll")
+    ckpt = str(tmp_path / "hll_ckpt")
+    schema = "grp string, user_id long"
+
+    def run_batch(name, rows):
+        _write_jsonl(src / name, [{"grp": g, "user_id": u} for g, u in rows])
+        feed = spark.readStream.schema(schema).json(str(src))
+        q = stream_distinct_sketches(feed, "user_id", ["grp"], sk_dir, ckpt)
+        q.awaitTermination(120)
+
+    b1 = [("a", 1), ("a", 2), ("b", 1), ("a", 1)]
+    b2 = [("a", 2), ("a", 3), ("b", 9), ("c", 5)]
+    run_batch("b1.jsonl", b1)
+    run_batch("b2.jsonl", b2)
+
+    got = {r.grp: r.distinct_keys for r in read_distinct(spark, sk_dir, ["grp"]).collect()}
+    whole = spark.createDataFrame(b1 + b2, schema)
+    want = {
+        r.grp: r.distinct_keys
+        for r in sketches.rollup_distinct(
+            sketches.distinct_sketches(whole, "user_id", ["grp"]), ["grp"]
+        ).collect()
+    }
+    assert got == want == {"a": 3, "b": 2, "c": 1}  # sparse regime: exact
+
+    feed = spark.readStream.schema(schema).json(str(src))
+    q = stream_distinct_sketches(feed, "user_id", ["grp"], sk_dir, ckpt)
+    q.awaitTermination(120)
+    assert {r.grp: r.distinct_keys
+            for r in read_distinct(spark, sk_dir, ["grp"]).collect()} == want
