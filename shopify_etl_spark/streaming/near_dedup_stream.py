@@ -59,12 +59,11 @@ def stream_near_dedup_docs(
 
     def dedup_batch(batch: DataFrame, epoch: int) -> None:
         sp = batch.sparkSession
+        from .sketch_stream import _epoch_committed
+
         out_ep, state_ep = _epoch_dir(out_dir, epoch), _epoch_dir(state_dir, epoch)
-        fs_ready = [
-            d for d in (out_ep, state_ep) if os.path.exists(os.path.join(d, "_SUCCESS"))
-        ]
-        if len(fs_ready) == 2:  # replayed epoch: both writes already landed
-            return
+        if _epoch_committed(sp, out_ep) and _epoch_committed(sp, state_ep):
+            return  # replayed epoch: both writes already committed
         sigs = dedup.minhash_signatures(
             batch, num_perm=num_perm, shingle_n=shingle_n
         )

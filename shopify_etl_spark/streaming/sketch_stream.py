@@ -35,6 +35,23 @@ def _epoch_dir(base: str, epoch: int) -> str:
     return os.path.join(base, f"epoch={epoch}")
 
 
+def _epoch_committed(spark: SparkSession, epoch_dir: str) -> bool:
+    """True only if the epoch's write COMMITTED (``_SUCCESS`` present).
+
+    Bare directory existence is not enough: Spark's output committer
+    creates the target dir before committing task files, so a crash
+    mid-write leaves the dir present but the grid partial or empty.
+    Skipping such an epoch on replay would silently lose that batch's
+    contribution to the SUM-merged sketch — the exact corruption the
+    replay-skip exists to prevent. Checked via the Hadoop FS API so the
+    discipline holds on any filesystem scheme, not just file://.
+    """
+    from ..pipeline.runner import _hadoop_fs
+
+    fs, marker = _hadoop_fs(spark, os.path.join(epoch_dir, "_SUCCESS"))
+    return bool(fs.exists(marker))
+
+
 def stream_cms(
     feed: DataFrame,
     key_col: str,
@@ -56,10 +73,10 @@ def stream_cms(
     def merge_batch(batch: DataFrame, epoch: int) -> None:
         out = _epoch_dir(sketch_dir, epoch)
         spark = batch.sparkSession
-        from ..pipeline.runner import table_exists
-
-        if table_exists(spark, out):  # replayed epoch — already merged
+        if _epoch_committed(spark, out):  # replayed AND committed — already merged
             return
+        # mode("overwrite") below makes the rewrite of a partial epoch safe:
+        # the uncommitted dir is replaced wholesale, never appended to.
         grid = sketches.cms_build(
             batch.select(key_col), key_col, width=width, depth=depth, seed=seed
         )
@@ -105,9 +122,7 @@ def stream_distinct_sketches(
     def merge_batch(batch: DataFrame, epoch: int) -> None:
         out = _epoch_dir(sketch_dir, epoch)
         spark = batch.sparkSession
-        from ..pipeline.runner import table_exists
-
-        if table_exists(spark, out):
+        if _epoch_committed(spark, out):
             return
         sketches.distinct_sketches(batch, key_col, group_cols, lg_k).write.mode(
             "overwrite"

@@ -366,3 +366,83 @@ def test_stream_distinct_sketches_matches_one_shot(spark, tmp_path):
     q.awaitTermination(120)
     assert {r.grp: r.distinct_keys
             for r in read_distinct(spark, sk_dir, ["grp"]).collect()} == want
+
+
+def test_stream_cms_crash_epoch_rewritten_committed_skipped(spark, tmp_path):
+    """Crash-injection for the replay-skip gate: an epoch dir that exists
+    but never COMMITTED (no _SUCCESS — the state a crash mid-write
+    leaves behind) must be rewritten on replay, not skipped; an epoch
+    that did commit must be skipped byte-for-byte. Gating on bare
+    directory existence fails the first half: the crashed batch's counts
+    would silently vanish from the SUM-merged sketch."""
+    from shopify_etl_spark.operators import sketches
+    from shopify_etl_spark.streaming.sketch_stream import read_sketch, stream_cms
+
+    src = tmp_path / "tokfeed"
+    schema = "token string, ingested_at string"
+    tokens = ["a", "b", "a", "c"]
+    _write_jsonl(src / "b1.jsonl", [
+        {"token": tk, "ingested_at": "2024-05-01T10:00:00.000Z"} for tk in tokens
+    ])
+
+    # -- crashed epoch: dir present, partial grid, NO _SUCCESS ------------
+    sk_dir = tmp_path / "cms_crash"
+    ep0 = sk_dir / "epoch=0"
+    ep0.mkdir(parents=True)
+    # a partial grid: one bogus cell, written without a commit marker
+    bogus = spark.createDataFrame([(0, 0, 10_000)], "row int, cell int, c long")
+    bogus.coalesce(1).write.mode("overwrite").parquet(str(ep0))
+    (ep0 / "_SUCCESS").unlink()  # simulate the crash: files landed, no marker
+
+    feed = spark.readStream.schema(schema).json(str(src))
+    q = stream_cms(feed, "token", str(sk_dir), str(tmp_path / "ck1"),
+                   width=64, depth=3)
+    q.awaitTermination(120)
+
+    whole = sketches.cms_build(
+        spark.createDataFrame([(t,) for t in tokens], ["token"]),
+        "token", width=64, depth=3,
+    )
+    got = sorted(map(tuple, read_sketch(spark, str(sk_dir)).collect()))
+    assert got == sorted(map(tuple, whole.collect()))  # bogus cell gone, batch counted
+
+    # -- committed epoch: dir present WITH _SUCCESS → replay is a no-op ---
+    sk_dir2 = tmp_path / "cms_done"
+    sentinel = spark.createDataFrame([(1, 1, 777)], "row int, cell int, c long")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(str(sk_dir2 / "epoch=0"))
+    assert (sk_dir2 / "epoch=0" / "_SUCCESS").exists()
+
+    feed = spark.readStream.schema(schema).json(str(src))
+    q = stream_cms(feed, "token", str(sk_dir2), str(tmp_path / "ck2"),
+                   width=64, depth=3)
+    q.awaitTermination(120)
+    kept = sorted(map(tuple, spark.read.parquet(str(sk_dir2 / "epoch=0")).collect()))
+    assert kept == [(1, 1, 777)]  # committed grid untouched
+
+
+def test_stream_distinct_crash_epoch_rewritten(spark, tmp_path):
+    """Same crash-injection discipline for the HLL twin: an uncommitted
+    epoch dir is rewritten on replay so the batch's groups reappear."""
+    from shopify_etl_spark.streaming.sketch_stream import (
+        read_distinct,
+        stream_distinct_sketches,
+    )
+
+    src = tmp_path / "hfeed"
+    schema = "grp string, user_id long"
+    _write_jsonl(src / "b1.jsonl", [
+        {"grp": g, "user_id": u} for g, u in [("a", 1), ("a", 2), ("b", 7)]
+    ])
+
+    sk_dir = tmp_path / "hll_crash"
+    ep0 = sk_dir / "epoch=0"
+    ep0.mkdir(parents=True)
+    (ep0 / "part-00000.parquet").write_bytes(b"")  # torn file, no _SUCCESS
+
+    feed = spark.readStream.schema(schema).json(str(src))
+    q = stream_distinct_sketches(feed, "user_id", ["grp"],
+                                 str(sk_dir), str(tmp_path / "hck"))
+    q.awaitTermination(120)
+    got = {r.grp: r.distinct_keys
+           for r in read_distinct(spark, str(sk_dir), ["grp"]).collect()}
+    assert got == {"a": 2, "b": 1}
