@@ -8,12 +8,20 @@ Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 Execution is forced with the ``noop`` sink (full pipeline runs, rows are
 materialized and discarded executor-side) so timings measure the engine,
 not driver-side collect serialization.
+
+Every query is timed ``$SPARK_GRAFT_BENCH_RUNS`` times (default 3) and the
+record carries the per-query MEDIAN plus a spread summary: the r03→r04
+official records drifted +36% on untouched queries, which swamped every
+real regression signal a single-shot timing could carry. The first run per
+query also absorbs its codegen/JIT cost, so medians are warm numbers —
+comparable across rounds.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -23,9 +31,16 @@ from shopify_etl_spark.plans.catalog import QUERIES  # noqa: E402
 from shopify_etl_spark.session import get_spark  # noqa: E402
 
 
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
@@ -46,10 +61,29 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"bench warm-up failed ({sf_dir}): {e}", file=sys.stderr)
 
-    # The two shingle-based dedup queries share one materialized posting
-    # stage (a production dedup family shingles the corpus once and fans
-    # out); the stage is timed as its own entry so the total stays honest.
-    # The catalog entries themselves remain independent for the driver.
+    timings: dict[str, float] = {}      # per-query median (the headline)
+    runs_detail: dict[str, list[float]] = {}  # every individual run
+
+    def bench(name: str, run_once) -> None:
+        """Median-of-N timing for one query; -1 marks an errored query."""
+        samples: list[float] = []
+        for _ in range(n_runs):
+            try:
+                samples.append(_timed(run_once))
+            except Exception as e:  # noqa: BLE001
+                print(f"bench error in {name}: {e}", file=sys.stderr)
+                timings[name] = -1.0
+                runs_detail[name] = samples + [-1.0]
+                return
+        timings[name] = round(statistics.median(samples), 3)
+        runs_detail[name] = samples
+
+    # The shingle-based dedup queries share one materialized posting stage
+    # (a production dedup family shingles the corpus once and fans out);
+    # the stage is timed as its own ``_stage:``-prefixed entry — the prefix
+    # marks it as a pipeline stage, not a catalog query, so every un-prefixed
+    # bench key has a catalog + oracle row. Catalog entries themselves remain
+    # independent for the driver's correctness gate.
     shared_dedup = (
         "ngram_jaccard_pairs",
         "minhash_dedup_candidates",
@@ -59,82 +93,92 @@ def main() -> None:
         "dedup_corpus_best",
     )
 
-    timings: dict[str, float] = {}
     for name, spec in QUERIES.items():
         if name in shared_dedup:
             continue
-        t0 = time.time()
-        try:
-            spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as e:  # noqa: BLE001
-            print(f"bench error in {name}: {e}", file=sys.stderr)
-            timings[name] = -1.0
+        bench(
+            name,
+            lambda spec=spec: spec.builder(spark, sf_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
 
     try:
         from shopify_etl_spark.operators import dedup
         from shopify_etl_spark.plans.catalog import load_table
 
         docs = load_table(spark, sf_dir, "documents")
-        t0 = time.time()
-        postings = dedup.shingle_postings(docs)
-        postings.count()  # force the lazy localCheckpoint to materialize
-        timings["dedup_shingle_stage"] = round(time.time() - t0, 3)
 
-        t0 = time.time()
-        dedup.ngram_jaccard_pairs(docs, postings=postings).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        timings["ngram_jaccard_pairs"] = round(time.time() - t0, 3)
+        # Each stage run builds FRESH postings (a new lazy localCheckpoint)
+        # so the median measures the real shingle+checkpoint cost, not a
+        # cache hit; the last build is the one the family then shares.
+        postings = None
 
-        t0 = time.time()
-        dedup.minhash_dedup_candidates(docs, postings=postings).write.format(
-            "noop"
-        ).mode("overwrite").save()
-        timings["minhash_dedup_candidates"] = round(time.time() - t0, 3)
+        def build_stage():
+            nonlocal postings
+            postings = dedup.shingle_postings(docs)
+            postings.count()  # force the lazy localCheckpoint to materialize
 
-        t0 = time.time()
-        dedup.containment_pairs(docs, postings=postings).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        timings["containment_dedup_pairs"] = round(time.time() - t0, 3)
+        bench("_stage:shingle_postings", build_stage)
 
-        # Cluster ONCE, apply twice — the real pipeline shape. The
+        def noop(df):
+            df.write.format("noop").mode("overwrite").save()
+
+        bench("ngram_jaccard_pairs",
+              lambda: noop(dedup.ngram_jaccard_pairs(docs, postings=postings)))
+        bench("minhash_dedup_candidates",
+              lambda: noop(dedup.minhash_dedup_candidates(docs, postings=postings)))
+        bench("containment_dedup_pairs",
+              lambda: noop(dedup.containment_pairs(docs, postings=postings)))
+
+        # Cluster ONCE per run, apply twice — the real pipeline shape. The
         # iterative clustering cost is timed as dedup_clusters (its own
         # entry, same discipline as the shared shingle stage above); the
-        # two corpus entries then time their apply joins against the
-        # shared labels, whose lazy localCheckpoint the clusters write
-        # materialized.
-        t0 = time.time()
-        clusters = dedup.duplicate_clusters(
-            dedup.ngram_jaccard_pairs(docs, threshold=0.8, postings=postings)
-        )
-        clusters.write.format("noop").mode("overwrite").save()
-        timings["dedup_clusters"] = round(time.time() - t0, 3)
+        # two corpus entries then time their apply joins against the shared
+        # labels, whose lazy localCheckpoint the clusters run materialized.
+        clusters = None
 
-        t0 = time.time()
-        dedup.apply_dedup(docs, clusters).select(
-            "doc_id", "source"
-        ).write.format("noop").mode("overwrite").save()
-        timings["dedup_corpus"] = round(time.time() - t0, 3)
+        def build_clusters():
+            nonlocal clusters
+            clusters = dedup.duplicate_clusters(
+                dedup.ngram_jaccard_pairs(docs, threshold=0.8, postings=postings)
+            )
+            noop(clusters)
 
-        t0 = time.time()
-        dedup.apply_dedup_best(docs, clusters, "n_chars").select(
-            "doc_id", "source"
-        ).write.format("noop").mode("overwrite").save()
-        timings["dedup_corpus_best"] = round(time.time() - t0, 3)
+        bench("dedup_clusters", build_clusters)
+        bench("dedup_corpus",
+              lambda: noop(dedup.apply_dedup(docs, clusters).select("doc_id", "source")))
+        bench("dedup_corpus_best",
+              lambda: noop(dedup.apply_dedup_best(docs, clusters, "n_chars")
+                           .select("doc_id", "source")))
     except Exception as e:  # noqa: BLE001
         print(f"bench error in dedup family: {e}", file=sys.stderr)
         for name in shared_dedup:
             timings.setdefault(name, -1.0)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # Spread summary: per-query relative spread (max-min)/median over the
+    # N runs, reported as the suite median and p90 — the round-over-round
+    # comparison is only meaningful for deltas larger than this.
+    spreads = sorted(
+        round((max(s) - min(s)) / m, 3)
+        for n, s in runs_detail.items()
+        if (m := timings.get(n, -1.0)) > 0 and len(s) == n_runs
+    )
+    variance = {
+        "runs_per_query": n_runs,
+        "rel_spread_median": spreads[len(spreads) // 2] if spreads else None,
+        "rel_spread_p90": spreads[int(len(spreads) * 0.9)] if spreads else None,
+    }
     record = {
         "metric": "catalog_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "variance": variance,
+        "runs_detail": runs_detail,
     }
     # Iterative queries get a timing breakdown so a regression decomposes
     # into init vs per-pass cost (VERDICT r3: kmeans +65% was undiagnosable
@@ -157,7 +201,7 @@ def main() -> None:
     except OSError as e:
         print(f"bench: could not write BENCH_LOCAL.json: {e}", file=sys.stderr)
     print(line)
-    # LAST stdout line is a COMPACT summary: the full 96-query record above
+    # LAST stdout line is a COMPACT summary: the full 99-query record above
     # overflowed the driver's bounded tail capture in round 3
     # (BENCH_r03.json "parsed": null), so the parseable line carries the
     # totals plus only the slowest 10 queries; BENCH_LOCAL.json holds all.
@@ -176,6 +220,7 @@ def main() -> None:
                 "queries": slowest,
                 "sf": sf,
                 "n_queries": len(timings),
+                "variance": variance,
                 "full_record": "BENCH_LOCAL.json",
             }
         )
