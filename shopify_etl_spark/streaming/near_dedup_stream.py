@@ -69,11 +69,12 @@ def stream_near_dedup_docs(
         )
         new_bands = dedup.band_hashes(sigs, num_perm=num_perm, bands=bands)
 
+        from .sketch_stream import live_grid_dirs
+
         prior_dirs = [
-            os.path.join(state_dir, d)
-            for d in os.listdir(state_dir)
-            if d.startswith("epoch=") and d != f"epoch={epoch}"
-        ] if os.path.isdir(state_dir) else []
+            d for d in live_grid_dirs(sp, state_dir)
+            if os.path.basename(d) != f"epoch={epoch}"
+        ]
         if prior_dirs:
             seen = sp.read.parquet(*prior_dirs).select("band", "band_hash")
             hist_hit = (
@@ -117,3 +118,18 @@ def stream_near_dedup_docs(
 def read_deduped(spark: SparkSession, out_dir: str) -> DataFrame:
     """All surviving documents across epochs."""
     return spark.read.option("basePath", out_dir).parquet(out_dir)
+
+
+def compact_band_state(spark: SparkSession, state_dir: str) -> str | None:
+    """Fold the band-table epochs into one ``compact=<lo>-<hi>`` dir.
+
+    The band state is looked up by semi-join, so its fold is a plain
+    row-union rewrite (duplicate band rows would not even change results
+    — only space) — but a long-lived stream still pays one dir-listing +
+    file-open per epoch per micro-batch without compaction. Reuses the
+    sketch store's crash-safe publish (tmp → single rename → cleanup,
+    newest epoch protected for the replay gate).
+    """
+    from .sketch_stream import compact_sketch_epochs
+
+    return compact_sketch_epochs(spark, state_dir, merge=lambda df: df)

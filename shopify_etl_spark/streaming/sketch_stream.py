@@ -35,6 +35,69 @@ def _epoch_dir(base: str, epoch: int) -> str:
     return os.path.join(base, f"epoch={epoch}")
 
 
+def _grid_range(name: str) -> tuple[int, int] | None:
+    """Epoch-id range a store subdirectory covers, or None for foreign dirs.
+
+    ``epoch=<i>`` covers [i, i]; ``compact=<lo>-<hi>`` covers [lo, hi].
+    Encoding the subsumed range IN THE NAME is what makes compaction
+    crash-safe without a manifest: a single atomic rename publishes both
+    the merged grid and the fact that it supersedes the epochs in its
+    range — there is no separate marker write to crash between.
+    """
+    if name.startswith("epoch="):
+        try:
+            i = int(name.split("=", 1)[1])
+        except ValueError:
+            return None
+        return (i, i)
+    if name.startswith("compact="):
+        lo, sep, hi = name.split("=", 1)[1].partition("-")
+        if not sep:
+            return None
+        try:
+            return (int(lo), int(hi))
+        except ValueError:
+            return None
+    return None
+
+
+def live_grid_dirs(spark: SparkSession, base: str) -> list[str]:
+    """Committed, non-superseded grid dirs — the store's current contents.
+
+    A dir counts only if its write committed (``_SUCCESS``) AND no other
+    committed dir's epoch range contains its range. That containment rule
+    is the reader-side half of compaction's crash safety: at every point
+    during a compaction (before the rename, after it, mid-cleanup) the
+    set of live dirs covers each epoch exactly once.
+    """
+    from ..pipeline.runner import _hadoop_fs
+
+    fs, root = _hadoop_fs(spark, base)
+    if not fs.exists(root):
+        return []
+    entries = []  # (lo, hi, path)
+    for st in fs.listStatus(root):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        rng = _grid_range(name)
+        if rng is None:
+            continue
+        if not fs.exists(spark._jvm.org.apache.hadoop.fs.Path(
+                st.getPath(), "_SUCCESS")):
+            continue
+        entries.append((rng[0], rng[1], os.path.join(base, name)))
+    live = [
+        (lo, hi, p)
+        for lo, hi, p in entries
+        if not any(
+            (olo <= lo and hi <= ohi) and (olo, ohi, op) != (lo, hi, p)
+            for olo, ohi, op in entries
+        )
+    ]
+    return [p for _, _, p in sorted(live)]
+
+
 def _epoch_committed(spark: SparkSession, epoch_dir: str) -> bool:
     """True only if the epoch's write COMMITTED (``_SUCCESS`` present).
 
@@ -91,12 +154,88 @@ def stream_cms(
 
 
 def read_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
-    """Current sketch = cellwise SUM across all epoch grids."""
+    """Current sketch = cellwise SUM across the live grids.
+
+    Reads only committed, non-superseded dirs (:func:`live_grid_dirs`) —
+    a crashed epoch's partial files and a mid-compaction store both read
+    consistently.
+    """
+    dirs = live_grid_dirs(spark, sketch_dir)
+    if not dirs:
+        raise FileNotFoundError(f"no committed sketch grids under {sketch_dir}")
     return (
-        spark.read.parquet(sketch_dir)
+        spark.read.parquet(*dirs)
         .groupBy("row", "cell")
         .agg(F.sum("c").alias("c"))
     )
+
+
+def compact_sketch_epochs(
+    spark: SparkSession, sketch_dir: str, merge=None
+) -> str | None:
+    """Fold the store's live grids (except the newest epoch) into one dir.
+
+    Without compaction a long-lived stream accumulates one grid dir per
+    micro-batch and every :func:`read_sketch` unions all of them — read
+    cost grows with stream AGE, defeating the fixed-size-answer pitch.
+    Compaction rewrites their merge (associative, so no estimate changes
+    — pinned in tests) into a single ``compact=<lo>-<hi>`` dir.
+
+    Crash safety, step by step:
+
+    1. merged grid → a dot-prefixed tmp dir (invisible to readers);
+    2. ONE atomic rename publishes it as ``compact=<lo>-<hi>`` — from
+       this instant the readers' range-containment rule supersedes the
+       inputs, so the store never double-counts;
+    3. the subsumed dirs are deleted (pure space reclaim — a crash
+       mid-cleanup leaves dirs the readers already ignore, and a rerun
+       finishes the job).
+
+    The NEWEST epoch is never compacted: it may still be replayed by a
+    stream whose checkpoint commit crashed after the data write, and the
+    replay gate looks for its ``epoch=<id>`` dir by name. ``merge``
+    defaults to the CMS cellwise SUM; pass a different fold for other
+    mergeable states (:func:`compact_distinct_epochs`).
+
+    Returns the new dir path, or None if there was nothing to compact.
+    """
+    from ..pipeline.runner import _hadoop_fs
+
+    if merge is None:
+        def merge(df: DataFrame) -> DataFrame:
+            return df.groupBy("row", "cell").agg(F.sum("c").alias("c"))
+
+    dirs = live_grid_dirs(spark, sketch_dir)
+    if len(dirs) < 3:  # nothing to fold besides the protected newest epoch
+        return None
+    inputs = dirs[:-1]  # never the newest epoch
+    lo = _grid_range(os.path.basename(inputs[0]))[0]
+    hi = _grid_range(os.path.basename(inputs[-1]))[1]
+    tmp = os.path.join(sketch_dir, f".compact-{lo}-{hi}.tmp")
+    out = os.path.join(sketch_dir, f"compact={lo}-{hi}")
+
+    merge(spark.read.parquet(*inputs)).write.mode("overwrite").parquet(tmp)
+    fs, out_p = _hadoop_fs(spark, out)
+    tmp_p = _hadoop_fs(spark, tmp)[1]
+    if fs.exists(out_p):  # leftover from an identical interrupted run
+        fs.delete(out_p, True)
+    if not fs.rename(tmp_p, out_p):
+        raise IOError(f"compact_sketch_epochs: failed to publish {out}")
+    for d in inputs:
+        fs.delete(_hadoop_fs(spark, d)[1], True)
+    return out
+
+
+def compact_distinct_epochs(
+    spark: SparkSession, sketch_dir: str, group_cols: list[str]
+) -> str | None:
+    """:func:`compact_sketch_epochs` for the HLL store: the fold is a
+    per-group sketch-state union (``hll_union_agg`` — lossless w.r.t.
+    sketch state, so every downstream rollup estimate is unchanged)."""
+    def merge(df: DataFrame) -> DataFrame:
+        return df.groupBy(*group_cols).agg(F.hll_union_agg("sk").alias("sk"))
+
+    return compact_sketch_epochs(spark, sketch_dir, merge=merge)
 
 
 def stream_distinct_sketches(
@@ -140,7 +279,12 @@ def read_distinct(
     spark: SparkSession, sketch_dir: str, group_cols: list[str],
     estimate_col: str = "distinct_keys",
 ) -> DataFrame:
-    """Current distinct estimates = sketch-union rollup over all epochs."""
+    """Current distinct estimates = sketch-union rollup over the live
+    grids (committed, non-superseded — same discipline as
+    :func:`read_sketch`)."""
+    dirs = live_grid_dirs(spark, sketch_dir)
+    if not dirs:
+        raise FileNotFoundError(f"no committed sketch grids under {sketch_dir}")
     return sketches.rollup_distinct(
-        spark.read.parquet(sketch_dir), group_cols, estimate_col
+        spark.read.parquet(*dirs), group_cols, estimate_col
     )

@@ -2,6 +2,7 @@
 checkpointed exactly-once-ish semantics, windowed aggregation."""
 
 import json
+import os
 import random
 
 import pytest
@@ -446,3 +447,177 @@ def test_stream_distinct_crash_epoch_rewritten(spark, tmp_path):
     got = {r.grp: r.distinct_keys
            for r in read_distinct(spark, str(sk_dir), ["grp"]).collect()}
     assert got == {"a": 2, "b": 1}
+
+
+def test_compact_sketch_epochs_estimate_invariant(spark, tmp_path):
+    """Compaction folds all-but-the-newest epoch grids into one
+    ``compact=<lo>-<hi>`` dir with NO change to any estimate (merge
+    associativity), protects the newest epoch for the replay gate, and a
+    second compaction nests correctly over the first."""
+    from shopify_etl_spark.streaming.sketch_stream import (
+        compact_sketch_epochs,
+        live_grid_dirs,
+        read_sketch,
+        stream_cms,
+    )
+
+    src = tmp_path / "feed"
+    sk_dir = str(tmp_path / "cms")
+    ckpt = str(tmp_path / "ck")
+    schema = "token string, ingested_at string"
+
+    def run_batch(name, tokens):
+        _write_jsonl(src / name, [
+            {"token": tk, "ingested_at": "2024-05-01T10:00:00.000Z"} for tk in tokens
+        ])
+        feed = spark.readStream.schema(schema).json(str(src))
+        stream_cms(feed, "token", sk_dir, ckpt, width=64, depth=3).awaitTermination(120)
+
+    for i, toks in enumerate([["a", "b"], ["a", "c", "c"], ["d"], ["a", "d"]]):
+        run_batch(f"b{i}.jsonl", toks)
+
+    before = sorted(map(tuple, read_sketch(spark, sk_dir).collect()))
+    assert len(live_grid_dirs(spark, sk_dir)) == 4
+
+    out = compact_sketch_epochs(spark, sk_dir)
+    assert out is not None and out.endswith("compact=0-2")
+    live = [os.path.basename(d) for d in live_grid_dirs(spark, sk_dir)]
+    assert live == ["compact=0-2", "epoch=3"]  # newest epoch untouched
+    assert sorted(map(tuple, read_sketch(spark, sk_dir).collect())) == before
+
+    # replay on the same checkpoint after compaction: still a no-op
+    feed = spark.readStream.schema(schema).json(str(src))
+    stream_cms(feed, "token", sk_dir, ckpt, width=64, depth=3).awaitTermination(120)
+    assert sorted(map(tuple, read_sketch(spark, sk_dir).collect())) == before
+
+    # two more epochs, then a second compaction nests over the first
+    run_batch("b4.jsonl", ["e", "a"])
+    run_batch("b5.jsonl", ["f"])
+    before2 = sorted(map(tuple, read_sketch(spark, sk_dir).collect()))
+    out2 = compact_sketch_epochs(spark, sk_dir)
+    assert out2 is not None and out2.endswith("compact=0-4")
+    live2 = [os.path.basename(d) for d in live_grid_dirs(spark, sk_dir)]
+    assert live2 == ["compact=0-4", "epoch=5"]
+    assert sorted(map(tuple, read_sketch(spark, sk_dir).collect())) == before2
+
+    # nothing left to fold: compactor is a no-op, not an error
+    assert compact_sketch_epochs(spark, sk_dir) is None
+
+
+def test_compact_mid_crash_reads_stay_consistent(spark, tmp_path):
+    """The crash window between publish and cleanup: both the compacted
+    dir AND its still-undeleted inputs are on disk — the reader's
+    range-containment rule must count each epoch exactly once."""
+    from shopify_etl_spark.streaming.sketch_stream import (
+        live_grid_dirs,
+        read_sketch,
+    )
+    from shopify_etl_spark.operators import sketches
+
+    sk_dir = tmp_path / "cms"
+    batches = [["a", "b"], ["a"], ["c", "a"]]
+    for i, toks in enumerate(batches):
+        sketches.cms_build(
+            spark.createDataFrame([(t,) for t in toks], ["token"]),
+            "token", width=32, depth=2,
+        ).write.mode("overwrite").parquet(str(sk_dir / f"epoch={i}"))
+
+    # simulate: compaction of epochs 0-1 published, inputs NOT yet deleted
+    merged = spark.read.parquet(str(sk_dir / "epoch=0"), str(sk_dir / "epoch=1"))
+    from pyspark.sql import functions as F
+    merged.groupBy("row", "cell").agg(F.sum("c").alias("c")).write.mode(
+        "overwrite"
+    ).parquet(str(sk_dir / "compact=0-1"))
+
+    live = [os.path.basename(d) for d in live_grid_dirs(spark, str(sk_dir))]
+    assert live == ["compact=0-1", "epoch=2"]  # subsumed inputs ignored
+    whole = sketches.cms_build(
+        spark.createDataFrame([(t,) for b in batches for t in b], ["token"]),
+        "token", width=32, depth=2,
+    )
+    assert sorted(map(tuple, read_sketch(spark, str(sk_dir)).collect())) == \
+        sorted(map(tuple, whole.collect()))
+
+
+def test_compact_distinct_epochs_estimates_unchanged(spark, tmp_path):
+    """HLL store compaction: per-group sketch-state union, every rollup
+    estimate identical before and after."""
+    from shopify_etl_spark.streaming.sketch_stream import (
+        compact_distinct_epochs,
+        live_grid_dirs,
+        read_distinct,
+        stream_distinct_sketches,
+    )
+
+    src = tmp_path / "hfeed"
+    sk_dir = str(tmp_path / "hll")
+    ckpt = str(tmp_path / "hck")
+    schema = "grp string, user_id long"
+
+    def run_batch(name, rows):
+        _write_jsonl(src / name, [{"grp": g, "user_id": u} for g, u in rows])
+        feed = spark.readStream.schema(schema).json(str(src))
+        stream_distinct_sketches(
+            feed, "user_id", ["grp"], sk_dir, ckpt
+        ).awaitTermination(120)
+
+    run_batch("b1.jsonl", [("a", 1), ("a", 2), ("b", 1)])
+    run_batch("b2.jsonl", [("a", 2), ("c", 5)])
+    run_batch("b3.jsonl", [("a", 9), ("b", 1)])
+
+    before = {r.grp: r.distinct_keys
+              for r in read_distinct(spark, sk_dir, ["grp"]).collect()}
+    assert before == {"a": 3, "b": 1, "c": 1}
+
+    out = compact_distinct_epochs(spark, sk_dir, ["grp"])
+    assert out is not None
+    live = [os.path.basename(d) for d in live_grid_dirs(spark, sk_dir)]
+    assert live == ["compact=0-1", "epoch=2"]
+    after = {r.grp: r.distinct_keys
+             for r in read_distinct(spark, sk_dir, ["grp"]).collect()}
+    assert after == before
+
+
+def test_compact_band_state_dedup_results_unchanged(spark, tmp_path):
+    """Near-dup band-state compaction: the stream keeps dropping
+    near-dups of PRE-compaction documents identically afterwards."""
+    from shopify_etl_spark.streaming.near_dedup_stream import (
+        compact_band_state,
+        read_deduped,
+        stream_near_dedup_docs,
+    )
+    from shopify_etl_spark.streaming.sketch_stream import live_grid_dirs
+
+    src = tmp_path / "docs"
+    out_dir = str(tmp_path / "kept")
+    state_dir = str(tmp_path / "bands")
+    ckpt = str(tmp_path / "ck")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+
+    def run_batch(name, rows):
+        _write_jsonl(src / name, rows)
+        q = stream_near_dedup_docs(spark, str(src), out_dir, state_dir, ckpt)
+        q.awaitTermination(120)
+
+    run_batch("b1.jsonl", [
+        {"doc_id": 1, "text": base, "source": "s"},
+        {"doc_id": 2, "text": "completely different content about spark engines", "source": "s"},
+    ])
+    run_batch("b2.jsonl", [
+        {"doc_id": 3, "text": "unrelated third topic entirely here now", "source": "s"},
+    ])
+    run_batch("b3.jsonl", [
+        {"doc_id": 4, "text": "yet another brand new subject matter words", "source": "s"},
+    ])
+
+    assert compact_band_state(spark, state_dir) is not None
+    assert [os.path.basename(d) for d in live_grid_dirs(spark, state_dir)] == \
+        ["compact=0-1", "epoch=2"]
+
+    # a near-dup of doc 1 (seen before compaction) must still be dropped
+    run_batch("b4.jsonl", [
+        {"doc_id": 9, "text": base + " extra", "source": "s"},
+        {"doc_id": 10, "text": "fresh never seen before paragraph of text", "source": "s"},
+    ])
+    kept = sorted(r.doc_id for r in read_deduped(spark, out_dir).collect())
+    assert kept == [1, 2, 3, 4, 10]
