@@ -76,17 +76,29 @@ def kmeans_fit(
     k: int = 8,
     iters: int = 5,
     seed: int = 7,
+    init_by: str = "hash",
 ):
     """Fit k cosine-metric centroids; returns (centroids, history).
 
     ``centroids`` is a list of k d-dim lists; ``history`` the mean
     assignment similarity per iteration (non-decreasing — the Lloyd
     monotonicity invariant, pinned in tests).
+
+    ``init_by``: ``"hash"`` seeds from the k rows with the smallest
+    ``xxhash64(id, seed)`` — a deterministic pseudo-random draw;
+    ``"id"`` seeds from the k smallest ids — an init any SQL engine can
+    reproduce, used by the cross-engine verification twin
+    (``kmeans_fixed_init_clusters``). Both are reproducible; only
+    ``"id"`` is expressible without Spark's hash.
     """
     t0 = time.time()
+    order = (
+        F.xxhash64(F.col(id_col), F.lit(seed)) if init_by == "hash"
+        else F.col(id_col)
+    )
     init = (
         df.select(id_col, vec_col)
-        .withColumn("_h", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .withColumn("_h", order)
         .orderBy("_h")
         .limit(k)
         .collect()

@@ -1437,3 +1437,85 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bpe_merge_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_merge_pair_counts(load_table(spark, sf_dir, "documents"))
+
+
+def _kmeans_iter_sql(cent: str, assign: str, newcent: str, dim: int) -> str:
+    """One unrolled Lloyd iteration in ANSI SQL: argmax-cosine assignment
+    against ``cent``, then elementwise unit-vector sums as ``newcent``
+    (with unmoved centroids carried for empty clusters, matching the
+    Spark fold which only updates clusters that received points)."""
+    return f"""
+    {assign} AS (
+      SELECT vec_id, u, cid FROM (
+        SELECT p.vec_id, p.u, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id
+                 ORDER BY list_cosine_similarity(p.u, c.c) DESC, c.cid) AS rn
+        FROM unit p CROSS JOIN {cent} c
+      ) WHERE rn = 1
+    ),
+    {newcent}_upd AS (
+      SELECT cid, list(s ORDER BY i) AS c FROM (
+        SELECT a.cid, t.i, SUM(a.u[t.i]) AS s
+        FROM {assign} a CROSS JOIN range(1, {dim + 1}) t(i)
+        GROUP BY a.cid, t.i
+      ) GROUP BY cid
+    ),
+    {newcent} AS (
+      SELECT cid, c FROM {newcent}_upd
+      UNION ALL
+      SELECT cid, c FROM {cent}
+      WHERE cid NOT IN (SELECT cid FROM {newcent}_upd)
+    )"""
+
+
+_KMEANS_TWIN_ORACLE = f"""
+WITH unit AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> x /
+           sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))) AS u
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid, u AS c
+  FROM (SELECT vec_id, u FROM unit ORDER BY vec_id LIMIT 8)
+),{_kmeans_iter_sql("c0", "a1", "c1", 64)},{_kmeans_iter_sql("c1", "a2", "c2", 64)},
+final AS (
+  SELECT vec_id, cid, sim FROM (
+    SELECT p.vec_id, c.cid, list_cosine_similarity(p.u, c.c) AS sim,
+           row_number() OVER (PARTITION BY p.vec_id
+             ORDER BY list_cosine_similarity(p.u, c.c) DESC, c.cid) AS rn
+    FROM unit p CROSS JOIN c2 c
+  ) WHERE rn = 1
+)
+SELECT cid AS cluster_id, COUNT(*) AS n_docs,
+       ROUND(AVG(sim), 4) AS mean_cosine
+FROM final GROUP BY cid ORDER BY cluster_id
+"""
+
+
+@register(
+    "kmeans_fixed_init_clusters",
+    oracle=_KMEANS_TWIN_ORACLE,
+    doc="Cross-engine verification twin of kmeans_doc_clusters: the SAME "
+    "distributed spherical-Lloyd operator (mapInPandas partial-sum fold, "
+    "one GEMM per Arrow batch, O(batches x k)-row shuffle) run with an "
+    "init any SQL engine can reproduce — the k smallest vec_ids — so the "
+    "full fixed-point computation (2 unrolled iterations + final "
+    "assignment) is checked value-for-value against an independent "
+    "engine, closing the family's no_oracle gap. The flagship query "
+    "keeps hash-seeded init; only the seeding differs.",
+)
+def kmeans_fixed_init_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _hist = clustering.kmeans_fit(emb, k=8, iters=2, init_by="id")
+    assigned = clustering.kmeans_assign(emb, cents)
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("sim"), 4).alias("mean_cosine"),
+        )
+        .orderBy("cluster_id")
+    )
