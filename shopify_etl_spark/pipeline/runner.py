@@ -139,6 +139,15 @@ def archive_raw(spark: SparkSession, src: str, archive_dir: str, store: str, ent
     fs_d.mkdirs(dest_path.getParent())
     if fs_d.exists(dest_path):  # idempotent re-run: same file already archived
         fs.delete(src_path, False)
+    elif str(fs.getUri()) != str(fs_d.getUri()):
+        # Hadoop rename cannot cross filesystems (file:// landing →
+        # s3a:// archive returns false, it does not copy) — use the
+        # copy+delete-source path for cross-scheme moves.
+        if not spark._jvm.org.apache.hadoop.fs.FileUtil.copy(
+            fs, src_path, fs_d, dest_path, True,  # True = delete source
+            spark._jsc.hadoopConfiguration(),
+        ):
+            raise IOError(f"archive_raw: failed to copy {src} to {dest}")
     elif not fs.rename(src_path, dest_path):
         raise IOError(f"archive_raw: failed to move {src} to {dest}")
     return dest
@@ -187,9 +196,20 @@ def _stage_one(spark: SparkSession, cfg: PipelineConfig, runlog: RunLog, store: 
         runlog.log_staging_success(run_id, store, entity, watermark)
         # K4: archive only AFTER the staging tables + watermark are
         # durable — a crash before this line re-reads the raw file on
-        # retry, never loses it
+        # retry, never loses it. An archival hiccup past that commit
+        # point must NOT flip the staging run to failed (tables and
+        # watermark already landed; the raw file stays put for the next
+        # attempt) — warn and carry on.
         if cfg.archive_dir and key in cfg.raw_paths:
-            archive_raw(spark, cfg.raw_paths[key], cfg.archive_dir, store, entity)
+            try:
+                archive_raw(spark, cfg.raw_paths[key], cfg.archive_dir, store, entity)
+            except Exception as ae:  # noqa: BLE001
+                import sys
+
+                print(
+                    f"archive_raw warning ({store}/{entity}): {ae}",
+                    file=sys.stderr,
+                )
         return True
     except Exception as e:  # noqa: BLE001
         runlog.log_failure(run_id, store, entity, str(e))

@@ -1034,13 +1034,21 @@ def approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value", F.array(F.lit(0.45), F.lit(0.55))).alias("ps"),
         F.count(F.lit(1)).alias("n"),
     )
+    # NULL user_ids are excluded to match COUNT(DISTINCT) semantics (the
+    # oracle's COUNT(DISTINCT) and approx_count_distinct both ignore
+    # NULL; a bare groupBy would count it as one extra "user")
     exact = (
-        ev.groupBy("event_type", "user_id")
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type", "user_id")
         .agg(F.lit(1))
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("exact_users"))
     )
-    agg = plain.join(F.broadcast(exact), "event_type")
+    # left join + coalesce: an event_type whose user_ids are ALL null
+    # still gets a row (exact_users=0), matching the oracle's grouping
+    agg = plain.join(F.broadcast(exact), "event_type", "left").withColumn(
+        "exact_users", F.coalesce(F.col("exact_users"), F.lit(0))
+    )
     return agg.select(
         "event_type",
         "exact_users",

@@ -156,6 +156,10 @@ class FileTransport:
         nodes = self._nodes()
         return nodes[page_idx * self.page_size : (page_idx + 1) * self.page_size]
 
+    def scan_exhausted(self) -> bool:
+        """A slice scan has known extent: an empty page IS the end."""
+        return True
+
 
 class HttpTransport:
     """Cursor-paginated GraphQL connection scan over real HTTP (stdlib
@@ -199,22 +203,69 @@ class HttpTransport:
             self.entity, self.page_size, self.updated_at_min, self.inclusive
         )
 
+    #: (retries, base backoff seconds) for throttle/server errors — the
+    #: Admin API throttles routinely, so a single 429 must not abort a
+    #: scan (reference extract_table.py retry loop).
+    MAX_RETRIES = 4
+    BACKOFF_S = 0.5
+
     def _post(self, cursor: str | None) -> dict:
+        import urllib.error
         import urllib.request
 
         body = json.dumps(
             {"query": self.query_for_page(), "variables": {"cursor": cursor}}
         ).encode("utf-8")
-        req = urllib.request.Request(
-            f"{self.shop_url}/admin/api/graphql.json",
-            data=body,
-            headers={
-                "Content-Type": "application/json",
-                "X-Shopify-Access-Token": self.token,
-            },
-        )
-        with urllib.request.urlopen(req) as resp:
-            return json.loads(resp.read().decode("utf-8"))
+        for attempt in range(self.MAX_RETRIES + 1):
+            req = urllib.request.Request(
+                f"{self.shop_url}/admin/api/graphql.json",
+                data=body,
+                headers={
+                    "Content-Type": "application/json",
+                    "X-Shopify-Access-Token": self.token,
+                },
+            )
+            delay = self.BACKOFF_S * (2 ** attempt)
+            try:
+                with urllib.request.urlopen(req) as resp:
+                    payload = json.loads(resp.read().decode("utf-8"))
+            except urllib.error.HTTPError as e:
+                # 429 / 5xx are transient on the Admin API: back off and
+                # retry, honoring Retry-After when the server names a wait.
+                if e.code == 429 or e.code >= 500:
+                    if attempt == self.MAX_RETRIES:
+                        raise
+                    retry_after = (e.headers or {}).get("Retry-After")
+                    try:
+                        delay = max(float(retry_after), 0.0)
+                    except (TypeError, ValueError):
+                        pass
+                    time.sleep(delay)
+                    continue
+                raise
+            errors = payload.get("errors")
+            if errors and "data" not in payload:
+                # GraphQL-level failure arrives as HTTP 200. THROTTLED is
+                # the in-band twin of 429 — retry; anything else (bad
+                # query, auth) is permanent and must surface descriptively
+                # instead of a KeyError on the missing 'data'.
+                codes = {
+                    (e.get("extensions") or {}).get("code")
+                    for e in errors
+                    if isinstance(e, dict)
+                }
+                if "THROTTLED" in codes and attempt < self.MAX_RETRIES:
+                    time.sleep(delay)
+                    continue
+                msgs = "; ".join(
+                    str(e.get("message", e)) if isinstance(e, dict) else str(e)
+                    for e in errors
+                )
+                raise RuntimeError(
+                    f"GraphQL errors from {self.shop_url} ({self.entity}): {msgs}"
+                )
+            return payload
+        raise RuntimeError(f"unreachable retry fall-through for {self.shop_url}")
 
     def page_count(self) -> int:
         return self.max_pages
@@ -235,6 +286,13 @@ class HttpTransport:
             else:
                 self._end = i + 1
         return nodes
+
+    def scan_exhausted(self) -> bool:
+        """True only once pageInfo reported the connection's real end. A
+        filtered connection can legally answer an EMPTY page with
+        ``hasNextPage`` still true — treating that as the end would
+        silently truncate the scan instead of following the cursor."""
+        return self._end is not None
 
 
 class _PageRange(InputPartition):
@@ -323,12 +381,15 @@ class ShopifyReader(DataSourceReader):
             last_fetch = time.monotonic()
             nodes = transport.fetch_page(page)
             if not nodes:
-                # Past the end of the data. A cursor/slice scan never
-                # yields an empty page mid-stream, and for the http
-                # transport the planned range is the page CAP, not a
-                # known count — without this break the rate limiter
-                # would sleep through every phantom page to the cap.
-                break
+                # Stop only when the TRANSPORT says the data ended (slice
+                # scans: any empty page; cursor scans: pageInfo reported
+                # the real end) — a live filtered connection can answer an
+                # empty page mid-stream with more pages behind it. The
+                # break also keeps the rate limiter from sleeping through
+                # every phantom page to the cap.
+                if transport.scan_exhausted():
+                    break
+                continue
             for node in nodes:
                 yield _node_to_tuple(node, self.schema)
 

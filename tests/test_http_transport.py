@@ -152,5 +152,142 @@ def test_http_datasource_end_to_end_with_pushdown_and_rate_limit(spark, server):
     # S8 rate limiting: consecutive fetches spaced >= rate_limit_s (small
     # scheduling slack), so the whole scan takes at least 2 intervals
     gaps = [b - a for a, b in zip(arrivals, arrivals[1:])]
-    assert all(g >= 0.28 for g in gaps), gaps
+    # generous slack: gaps are measured at SERVER arrival, so client-side
+    # sleep precision and socket scheduling can shave ~25 ms off a gap
+    assert all(g >= 0.25 for g in gaps), gaps
     assert wall >= 0.56
+
+
+class _FlakyHandler(_GraphQLHandler):
+    """Scripted failures ahead of the normal connection contract: each
+    request pops one planned behavior (HTTP 429, in-band THROTTLED,
+    permanent GraphQL error) before falling through to the base paging."""
+
+    plan: list[str] = []
+
+    def do_POST(self):  # noqa: N802 (http.server API name)
+        if _FlakyHandler.plan:
+            action = _FlakyHandler.plan.pop(0)
+            self.rfile.read(int(self.headers["Content-Length"]))
+            if action == "429":
+                self.send_response(429)
+                self.send_header("Retry-After", "0.05")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            if action == "500":
+                self.send_response(500)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            payload = {
+                "errors": [
+                    {"message": "Throttled", "extensions": {"code": "THROTTLED"}}
+                ]
+                if action == "throttle"
+                else [{"message": "Field 'bogus' doesn't exist"}]
+            }
+            out = json.dumps(payload).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+            return
+        super().do_POST()
+
+
+@pytest.fixture()
+def flaky_server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _FlakyHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    _GraphQLHandler.log = []
+    _FlakyHandler.plan = []
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+    srv.server_close()
+
+
+def test_http_transport_retries_429_500_and_throttled(flaky_server):
+    _FlakyHandler.plan = ["429", "500", "throttle"]
+    tr = HttpTransport(flaky_server, token="", entity="orders", page_size=100)
+    rows = tr.fetch_page(0)
+    assert [n["id"] for n in rows] == [n["id"] for n in NODES]
+    assert _FlakyHandler.plan == []  # all three transient failures consumed
+
+
+def test_http_transport_graphql_errors_raise_descriptively(flaky_server):
+    _FlakyHandler.plan = ["errors"]
+    tr = HttpTransport(flaky_server, token="", entity="orders", page_size=100)
+    with pytest.raises(RuntimeError, match="Field 'bogus'"):
+        tr.fetch_page(0)
+
+
+def test_http_transport_429_exhausts_retries(flaky_server):
+    import urllib.error
+
+    _FlakyHandler.plan = ["429"] * (HttpTransport.MAX_RETRIES + 1)
+    tr = HttpTransport(flaky_server, token="", entity="orders", page_size=100)
+    with pytest.raises(urllib.error.HTTPError):
+        tr.fetch_page(0)
+
+
+class _GappyHandler(_GraphQLHandler):
+    """A filtered connection shape: the middle page has ZERO edges but
+    hasNextPage=true — legal on the Admin API, and the scan must follow
+    the cursor through it instead of truncating."""
+
+    def do_POST(self):  # noqa: N802 (http.server API name)
+        body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+        _GraphQLHandler.log.append((time.monotonic(), body))
+        cursor = body.get("variables", {}).get("cursor")
+        page_idx = int(cursor) if cursor else 0
+        pages = [NODES[:2], [], NODES[2:4]]
+        page = pages[page_idx]
+        payload = {
+            "data": {
+                "orders": {
+                    "edges": [{"cursor": str(page_idx), "node": n} for n in page],
+                    "pageInfo": {
+                        "hasNextPage": page_idx + 1 < len(pages),
+                        "endCursor": str(page_idx + 1),
+                    },
+                }
+            }
+        }
+        out = json.dumps(payload).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(out)))
+        self.end_headers()
+        self.wfile.write(out)
+
+
+def test_reader_follows_cursor_through_empty_page(monkeypatch):
+    from shopify_etl_spark.sources.shopify_api import ShopifyReader
+    from shopify_etl_spark.schemas import NODE_SCHEMAS
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _GappyHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    _GraphQLHandler.log = []
+    try:
+        reader = ShopifyReader(
+            {
+                "entity": "orders",
+                "transport": "http",
+                "shop_url": f"http://127.0.0.1:{srv.server_port}",
+                "page_size": "2",
+                "max_pages": "10",
+            },
+            NODE_SCHEMAS["orders"],
+        )
+        parts = reader.partitions()
+        assert len(parts) == 1  # cursor scans are serial
+        rows = [r for p in parts for r in reader.read(p)]
+        # all four nodes arrive — the empty middle page did not end the scan
+        assert len(rows) == 4
+    finally:
+        srv.shutdown()
+        srv.server_close()
