@@ -11,11 +11,13 @@ Decode paths, in preference order:
 * **Built-in PNG codec** (``operators/png_codec.py``, stdlib zlib +
   numpy) — real decode of real PNG bytes with zero external deps; this
   is the live path in this environment.
+* **Built-in Y4M demuxer** (``operators/y4m_codec.py``) — real
+  frame extraction from uncompressed YUV4MPEG2 video payloads.
 * ``fake=True`` — deterministic byte-level features over the raw
   payload (no decode), useful for plumbing tests and non-image bytes.
-* Everything else (video demux, audio, exotic formats) raises
-  NotImplementedError at the exact seam where ffmpeg/torchaudio would
-  plug in.
+* Everything else (compressed video containers, audio, exotic formats)
+  raises NotImplementedError at the exact seam where ffmpeg/torchaudio
+  would plug in.
 """
 
 from __future__ import annotations
@@ -277,19 +279,49 @@ def sample_frames(
     (1 asset → n frames) — a pandas UDF can't grow rows, a generator of
     DataFrames can. ``fake=True`` frames the payload as fixed-size byte
     windows (deterministic stand-in for container parsing); ``fake=False``
-    raises at the exact seam where ffmpeg/pyav would demux. Batch
-    boundaries don't leak into results: framing is per-asset, and Spark
-    concatenates whatever DataFrames the generator yields.
+    REALLY demuxes ``format='y4m'`` payloads with the built-in
+    uncompressed-container codec (``operators/y4m_codec.py``, luma plane
+    per frame) and raises for compressed containers at the exact seam
+    where ffmpeg/pyav would plug in. Batch boundaries don't leak into
+    results: framing is per-asset, and Spark concatenates whatever
+    DataFrames the generator yields.
     """
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "video demuxers unavailable in this environment; "
-                    "plug ffmpeg/pyav here (demux payload -> frames)"
-                )
             ids, idxs, frames = [], [], []
+            if not fake:
+                from .y4m_codec import decode_y4m
+
+                for aid, payload, meta in zip(
+                    pdf["asset_id"], pdf["payload"], pdf["meta"]
+                ):
+                    if payload is None:
+                        continue
+                    fmt = meta["format"] if meta is not None else None
+                    if fmt != "y4m":
+                        raise NotImplementedError(
+                            f"no demuxer for format={fmt!r} here (built-in "
+                            "codec covers y4m; plug ffmpeg/pyav for "
+                            "compressed containers)"
+                        )
+                    for fi, luma in enumerate(decode_y4m(bytes(payload))):
+                        if fi % every_k:
+                            continue
+                        ids.append(aid)
+                        idxs.append(fi)
+                        frames.append(luma.tobytes())
+                yield pd.DataFrame(
+                    {
+                        "asset_id": pd.Series(ids, dtype="int64"),
+                        "frame_idx": pd.Series(idxs, dtype="int64"),
+                        "frame_bytes": pd.Series(frames, dtype=object),
+                        "n_frame_bytes": pd.Series(
+                            [len(f) for f in frames], dtype="int64"
+                        ),
+                    }
+                )
+                continue
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 if payload is None:
                     continue

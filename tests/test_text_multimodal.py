@@ -298,3 +298,98 @@ def test_bpe_merge_pair_counts_hand_computed(spark):
     df = spark.createDataFrame([(1, "aa ab"), (2, "aa")], ["doc_id", "text"])
     got = {r.pair: r.n for r in text.bpe_merge_pair_counts(df).collect()}
     assert got == {"a|a": 2, " |a": 1, "a|b": 1}
+
+
+def test_y4m_codec_roundtrip_and_variants():
+    import numpy as np
+    import pytest as _pytest
+    from shopify_etl_spark.operators.y4m_codec import decode_y4m, encode_y4m
+
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 256, (6, 8), dtype=np.uint8) for _ in range(5)]
+    blob = encode_y4m(frames)
+    back = decode_y4m(blob)
+    assert len(back) == 5
+    for a, b in zip(frames, back):
+        assert (a == b).all()
+
+    # hand-built C420 stream: luma plus quarter-size chroma per frame
+    w, h = 4, 2
+    luma = np.arange(w * h, dtype=np.uint8).reshape(h, w)
+    u = np.full((1, 2), 100, np.uint8)
+    v = np.full((1, 2), 200, np.uint8)
+    stream = (
+        b"YUV4MPEG2 W4 H2 F30:1 C420\nFRAME\n"
+        + luma.tobytes() + u.tobytes() + v.tobytes()
+    )
+    (got,) = decode_y4m(stream)              # luma_only default
+    assert (got == luma).all()
+    ((l2, u2, v2),) = decode_y4m(stream, luma_only=False)
+    assert (l2 == luma).all() and (u2 == u).all() and (v2 == v).all()
+
+    # C444 full-raster decode
+    rgb = rng.integers(0, 256, (3, 2, 4), dtype=np.uint8)  # planar 3×H×W
+    s444 = b"YUV4MPEG2 W4 H2 C444\nFRAME\n" + rgb.tobytes()
+    (f444,) = decode_y4m(s444, luma_only=False)
+    assert f444.shape == (2, 4, 3)
+    assert (f444 == rgb.transpose(1, 2, 0)).all()
+
+    # malformed inputs fail loudly, not quietly
+    with _pytest.raises(ValueError, match="magic"):
+        decode_y4m(b"RIFFxxxx")
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_y4m(blob[:-3])
+    with _pytest.raises(ValueError, match="colorspace"):
+        decode_y4m(b"YUV4MPEG2 W4 H2 C422\nFRAME\n" + b"\x00" * 16)
+
+
+def test_sample_frames_real_y4m_demux(spark):
+    """fake=False now really demuxes Y4M payloads: every k-th frame's
+    luma plane comes back byte-identical; compressed containers remain
+    the documented NotImplementedError seam."""
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import Row
+    from shopify_etl_spark.operators.multimodal import ASSET_SCHEMA, sample_frames
+    from shopify_etl_spark.operators.y4m_codec import encode_y4m
+
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 256, (4, 6), dtype=np.uint8) for _ in range(7)]
+    blob = encode_y4m(frames)
+    assets = spark.createDataFrame(
+        [
+            Row(
+                asset_id=1,
+                payload=bytearray(blob),
+                meta=Row(
+                    modality="video", format="y4m",
+                    width=6, height=4, n_bytes=len(blob),
+                ),
+            )
+        ],
+        ASSET_SCHEMA,
+    )
+    got = sorted(
+        sample_frames(assets, every_k=3, fake=False).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_idx for r in got] == [0, 3, 6]
+    for r in got:
+        assert bytes(r.frame_bytes) == frames[r.frame_idx].tobytes()
+        assert r.n_frame_bytes == 24
+
+    mp4 = spark.createDataFrame(
+        [
+            Row(
+                asset_id=2,
+                payload=bytearray(b"\x00\x00\x00 ftypisom"),
+                meta=Row(
+                    modality="video", format="mp4",
+                    width=None, height=None, n_bytes=12,
+                ),
+            )
+        ],
+        ASSET_SCHEMA,
+    )
+    with _pytest.raises(Exception, match="ffmpeg|demuxer"):
+        sample_frames(mp4, fake=False).collect()
