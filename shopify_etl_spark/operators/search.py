@@ -91,3 +91,93 @@ def bm25_topk(
         id_col, F.round(total, 4).alias("bm25")
     ).filter(F.col("bm25") > 0)
     return ranked.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+
+
+def bm25_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Open-vocabulary BM25 posting weights — the inverted-index path.
+
+    Where :func:`bm25_topk` scores a bounded interactive term set with
+    zero token shuffles, this builds the full retrieval artifact: one
+    row per (token, doc) posting with its BM25 weight, for EVERY term in
+    the corpus. The shuffle is keyed by token — the inverted index IS a
+    shuffle by term, and that is the scalable shape: postings per
+    partition are O(corpus tokens / partitions), corpus stats stay one
+    broadcast row, per-term document frequencies ride the same
+    aggregation that builds the postings.
+
+    Returns (token, doc_id, tf, dft, bm25_w) with the weight rounded to
+    4 dp (same determinism discipline as bm25_topk).
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
+    ).select(
+        "doc_id", F.size("_toks").alias("dl"), F.explode("_toks").alias("token")
+    )
+    post = base.groupBy("token", "doc_id", "dl").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    tstat = post.groupBy("token").agg(
+        F.count(F.lit(1)).alias("dft"), F.sum("tf").alias("term_freq")
+    )
+    stats = df.select(tokens(text_col).alias("_t")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("_t")).alias("avgdl")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("dft") + 0.5) / (F.col("dft") + 0.5) + 1.0
+    )
+    norm = F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    return (
+        post.join(tstat, "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "token",
+            "doc_id",
+            "tf",
+            "dft",
+            "term_freq",
+            F.round(
+                idf * (F.col("tf") * (k1 + 1)) / (F.col("tf") + norm), 4
+            ).alias("bm25_w"),
+        )
+    )
+
+
+def bm25_champions(
+    df: DataFrame,
+    top_terms: int = 50,
+    per_term: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Champion lists over the open-vocabulary index: for each of the
+    ``top_terms`` highest-frequency terms, the ``per_term`` best docs by
+    BM25 weight. The classic precomputed-retrieval artifact: query time
+    touches only champion rows, never the full posting lists. Ranking is
+    over the ROUNDED weight with doc_id tie-break, so the lists are
+    deterministic and oracle-comparable."""
+    from pyspark.sql import Window
+
+    idx = bm25_index(df, text_col, id_col, k1, b)
+    terms = (
+        idx.select("token", "term_freq")
+        .distinct()
+        .orderBy(F.desc("term_freq"), F.asc("token"))
+        .limit(top_terms)
+    )
+    w = Window.partitionBy("token").orderBy(F.desc("bm25_w"), F.asc("doc_id"))
+    return (
+        idx.join(F.broadcast(terms.select("token")), "token", "left_semi")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= per_term)
+        .select("token", "doc_id", "tf", "bm25_w", F.col("rn").alias("rank"))
+    )

@@ -139,3 +139,40 @@ def cms_query(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_count"))
     )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    sample_filter: Column,
+    n_candidates: int = 40,
+    width: int = 2048,
+    depth: int = 4,
+    seed: int = 41,
+) -> DataFrame:
+    """End-to-end heavy-hitter pipeline: sample → candidates → CMS probe.
+
+    The 100 TB shape for "top keys by frequency" when the key space is
+    too large to exact-count: (1) exact-count only a deterministic
+    SAMPLE of the stream (``sample_filter``) and keep its top
+    ``n_candidates`` keys — heavy hitters are heavy in any uniform
+    sample, so the candidate set catches them w.h.p.; (2) sketch the
+    FULL stream into a fixed-size CMS (one groupBy, width×depth rows);
+    (3) probe only the candidates against the sketch. No exact count
+    table over the full key space ever materializes.
+
+    Returns (key, sample_n, cms_count): the candidate's exact count in
+    the sample and its full-stream CMS estimate (>= true count always).
+    Candidate selection ties break on (sample_n DESC, key ASC) so the
+    set is deterministic and oracle-comparable.
+    """
+    cand = (
+        df.filter(sample_filter)
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("sample_n"))
+        .orderBy(F.desc("sample_n"), F.asc(key_col))
+        .limit(n_candidates)
+    )
+    sketch = cms_build(df, key_col, width=width, depth=depth, seed=seed)
+    est = cms_query(sketch, cand, key_col, width=width, depth=depth, seed=seed)
+    return cand.join(est, key_col)

@@ -1519,3 +1519,126 @@ def kmeans_fixed_init_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "cms_heavy_hitters",
+    # Guarantee-gate oracle (same pattern as cms_token_counts): the
+    # candidate set and both exact counts are deterministic and
+    # SQL-reproducible; the CMS estimates are asserted against their
+    # published bounds via flags the oracle requires to be TRUE.
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS token
+      FROM documents
+    ), cand AS (
+      SELECT token, COUNT(*) AS sample_n
+      FROM toks WHERE doc_id % 10 = 0
+      GROUP BY token ORDER BY sample_n DESC, token LIMIT 40
+    ), fullc AS (
+      SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+    )
+    SELECT c.token, f.n, c.sample_n,
+           TRUE AS cms_lower_ok, TRUE AS cms_upper_ok
+    FROM cand c JOIN fullc f USING (token)
+    ORDER BY f.n DESC, c.token
+    LIMIT 20
+    """,
+    doc="End-to-end CMS heavy-hitter pipeline (sample -> candidates -> "
+    "full-stream sketch probe): exact counting happens only on a "
+    "deterministic 1-in-10 sample to nominate candidates; the full "
+    "stream is folded into a fixed-size CMS and only candidates are "
+    "probed — the 100 TB recipe where no exact count table over the key "
+    "space can exist. Output carries the exact twins plus the CMS "
+    "guarantee flags (estimate >= true always; <= true + (e/width)*N). "
+    "operators/sketches.py::cms_heavy_hitters.",
+)
+def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..operators import sketches
+
+    width, depth = 2048, 4
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(text.tokens("text")).alias("token")
+    ).localCheckpoint(eager=False)
+    hh = sketches.cms_heavy_hitters(
+        toks, "token", F.pmod(F.col("doc_id"), F.lit(10)) == 0,
+        n_candidates=40, width=width, depth=depth,
+    )
+    exact = (
+        toks.join(F.broadcast(hh.select("token")), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("_N"))
+    return (
+        exact.join(F.broadcast(hh), "token")
+        .join(F.broadcast(total))
+        .select(
+            "token",
+            "n",
+            "sample_n",
+            (F.col("cms_count") >= F.col("n")).alias("cms_lower_ok"),
+            (
+                F.col("cms_count")
+                <= F.col("n") + F.lit(math.e / width) * F.col("_N")
+            ).alias("cms_upper_ok"),
+        )
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@register(
+    "bm25_champion_lists",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), dls AS (
+      SELECT doc_id, len(toks) AS dl FROM base
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dls
+    ), tok AS (
+      SELECT doc_id, unnest(toks) AS token FROM base
+    ), post AS (
+      SELECT token, doc_id, COUNT(*) AS tf FROM tok GROUP BY token, doc_id
+    ), tstat AS (
+      SELECT token, COUNT(*) AS dft, SUM(tf) AS term_freq
+      FROM post GROUP BY token
+    ), top_terms AS (
+      SELECT token, dft FROM tstat
+      ORDER BY term_freq DESC, token LIMIT 50
+    ), scored AS (
+      SELECT p.token, p.doc_id, p.tf,
+             ROUND(ln((s.n_docs - t.dft + 0.5) / (t.dft + 0.5) + 1.0)
+                   * p.tf * 2.2
+                   / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)),
+                   4) AS bm25_w
+      FROM post p JOIN top_terms t USING (token)
+      JOIN dls d USING (doc_id) CROSS JOIN stats s
+    )
+    SELECT token, doc_id, tf, bm25_w, CAST(rn AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY token ORDER BY bm25_w DESC, doc_id) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+    doc="Open-vocabulary BM25 through the inverted index: every "
+    "(token, doc) posting gets its BM25 weight (the shuffle is keyed by "
+    "token — the index IS a shuffle by term; corpus stats stay one "
+    "broadcast row), then champion lists keep the top-3 docs per "
+    "top-50 term — the precomputed-retrieval artifact whose query "
+    "path never touches full posting lists. Complements bm25_search_topk "
+    "(bounded interactive term set, zero token shuffles). "
+    "operators/search.py::bm25_index/bm25_champions.",
+)
+def bm25_champion_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return search.bm25_champions(docs, top_terms=50, per_term=3)

@@ -184,6 +184,8 @@ BNLJ_ALLOWED = {
     "bm25_search_topk",     # one-row corpus stats
     "pmi_collocations",     # one-row corpus totals
     "cms_token_counts",     # one-row total-token count for the error bound
+    "cms_heavy_hitters",    # one-row total-token count for the error bound
+    "bm25_champion_lists",  # one-row corpus stats (and their reused scan)
 }
 
 

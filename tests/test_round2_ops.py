@@ -338,3 +338,69 @@ class TestHistory:
         ).collect()}
         assert got["only_a"].n == 1 and got["only_a"].sum_v == 1.0
         assert got["only_b"].n == 2 and got["only_b"].min_v == 2.0 and got["only_b"].max_v == 4.0
+
+
+class TestBM25OpenVocab:
+    def test_index_matches_hand_bm25(self, spark):
+        """Two tiny docs, one shared and one exclusive term: posting
+        weights equal the hand-applied Lucene BM25 formula."""
+        import math
+
+        from shopify_etl_spark.operators.search import bm25_index
+
+        docs = _docs(spark, ["a a b", "a c"])
+        got = {
+            (r.token, r.doc_id): r
+            for r in bm25_index(docs).collect()
+        }
+        assert set(got) == {("a", 0), ("a", 1), ("b", 0), ("c", 1)}
+        n_docs, avgdl = 2, 2.5
+
+        def w(tf, dft, dl):
+            idf = math.log((n_docs - dft + 0.5) / (dft + 0.5) + 1.0)
+            return round(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4)
+
+        assert got[("a", 0)].bm25_w == pytest.approx(w(2, 2, 3))
+        assert got[("b", 0)].bm25_w == pytest.approx(w(1, 1, 3))
+        assert got[("c", 1)].bm25_w == pytest.approx(w(1, 1, 2))
+        assert got[("a", 0)].dft == 2 and got[("b", 0)].dft == 1
+
+    def test_champions_keep_best_docs_per_term(self, spark):
+        from shopify_etl_spark.operators.search import bm25_champions
+
+        docs = _docs(
+            spark,
+            ["x x x", "x x filler words here", "x plus other content data", "y only"],
+        )
+        got = bm25_champions(docs, top_terms=1, per_term=2).collect()
+        # 'x' is the top term by frequency; its champions are the two
+        # highest-weight docs (short, term-dense doc 0 first)
+        assert {r.token for r in got} == {"x"}
+        ranked = sorted(got, key=lambda r: r.rank)
+        assert [r.doc_id for r in ranked] == [0, 1]
+        assert ranked[0].bm25_w >= ranked[1].bm25_w
+
+
+class TestCMSHeavyHitters:
+    def test_sample_candidates_and_estimates_bound_truth(self, spark):
+        from shopify_etl_spark.operators.sketches import cms_heavy_hitters
+
+        rows = []
+        # key 'hot' everywhere, 'warm' on even ids, singletons elsewhere
+        for i in range(40):
+            rows.append(Row(doc_id=i, token="hot"))
+            rows.append(Row(doc_id=i, token="warm" if i % 2 == 0 else f"cold{i}"))
+        df = spark.createDataFrame(rows)
+        got = {
+            r.token: r
+            for r in cms_heavy_hitters(
+                df, "token", F.pmod(F.col("doc_id"), F.lit(10)) == 0,
+                n_candidates=3, width=64, depth=3,
+            ).collect()
+        }
+        # candidates come from the 1-in-10 sample; heavy keys dominate it
+        assert "hot" in got and "warm" in got
+        assert got["hot"].sample_n == 4 and got["warm"].sample_n == 4
+        # CMS lower bound: estimate >= full-stream truth, always
+        assert got["hot"].cms_count >= 40
+        assert got["warm"].cms_count >= 20
