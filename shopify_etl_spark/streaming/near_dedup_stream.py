@@ -116,8 +116,15 @@ def stream_near_dedup_docs(
 
 
 def read_deduped(spark: SparkSession, out_dir: str) -> DataFrame:
-    """All surviving documents across epochs."""
-    return spark.read.option("basePath", out_dir).parquet(out_dir)
+    """All surviving documents across COMMITTED epochs — a crashed
+    epoch's partial files are excluded (the stream rewrites them on
+    replay), same discipline as the sketch-store readers."""
+    from .sketch_stream import live_grid_dirs
+
+    dirs = live_grid_dirs(spark, out_dir)
+    if not dirs:
+        raise FileNotFoundError(f"no committed output epochs under {out_dir}")
+    return spark.read.option("basePath", out_dir).parquet(*dirs)
 
 
 def compact_band_state(spark: SparkSession, state_dir: str) -> str | None:
