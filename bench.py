@@ -166,10 +166,18 @@ def main() -> None:
         for n, s in runs_detail.items()
         if (m := timings.get(n, -1.0)) > 0 and len(s) == n_runs
     )
+    # warm spread drops each query's FIRST run (codegen/JIT) so the stat
+    # measures environment noise, not warm-up
+    warm = sorted(
+        round((max(s[1:]) - min(s[1:])) / m, 3)
+        for n, s in runs_detail.items()
+        if (m := timings.get(n, -1.0)) > 0 and len(s) == n_runs and n_runs >= 3
+    )
     variance = {
         "runs_per_query": n_runs,
         "rel_spread_median": spreads[len(spreads) // 2] if spreads else None,
         "rel_spread_p90": spreads[int(len(spreads) * 0.9)] if spreads else None,
+        "warm_rel_spread_median": warm[len(warm) // 2] if warm else None,
     }
     record = {
         "metric": "catalog_queries_total_wall",

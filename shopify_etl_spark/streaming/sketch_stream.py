@@ -15,10 +15,18 @@ history never re-read.
 
 Exactly-once discipline matches the other foreachBatch sinks here
 (near_dedup_stream): each epoch's contribution lands under an
-``epoch=<id>`` subdirectory and replayed epochs are skipped, so crash
-replays converge instead of double-counting — the property that matters
-for a SUM-mergeable state, where a replayed increment is silent
-corruption, not a visible duplicate row.
+``epoch=<id>`` subdirectory and replayed epochs are skipped — but only
+when the epoch COMMITTED (``_SUCCESS`` present; a crash mid-write
+leaves the dir without the marker and replay rewrites it). Crash
+replays therefore converge instead of double-counting — the property
+that matters for a SUM-mergeable state, where a replayed increment is
+silent corruption, not a visible duplicate row.
+
+Operational invariant: a sketch store is PAIRED with its stream
+checkpoint — epoch ids come from the checkpoint's batch counter, so
+pointing a FRESH checkpoint at an existing store would collide new
+batch 0 with the old ``epoch=0`` and skip it. Reset both together (or
+neither), exactly like any foreachBatch sink keyed by batch id.
 """
 
 from __future__ import annotations

@@ -53,6 +53,11 @@ FAMILY = (
     # exercises blocked_cosine's max_block_size degradation path (hot
     # blocks fall back to LSH sub-buckets instead of O(block^2))
     "embedding_near_dup_pairs",
+    # round-5 additions: sample→sketch→probe pipeline (fixed-size CMS,
+    # output bounded at 20) and the full inverted-index build (postings
+    # AND vocabulary both grow 10x under the bijective token remap)
+    "cms_heavy_hitters",
+    "bm25_champion_lists",
 )
 
 
@@ -102,6 +107,8 @@ def main() -> None:
     ap.add_argument("--build-dir", default="/root/repo/.scratch/sf1")
     ap.add_argument("--runs", type=int, default=1)
     ap.add_argument("--keep", action="store_true", help="keep the built corpus")
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="measure only these FAMILY queries")
     args = ap.parse_args()
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -116,7 +123,7 @@ def main() -> None:
     build_secs = round(time.time() - t0, 3)
 
     report = {"build_secs": build_secs, "replicas": REPLICAS, "queries": {}}
-    for name in FAMILY:
+    for name in (args.only or FAMILY):
         base_s, base_rows = time_query(spark, name, args.sf_dir, args.runs)
         big_s, big_rows = time_query(spark, name, args.build_dir, args.runs)
         report["queries"][name] = {
