@@ -629,3 +629,62 @@ def quality_filter(
         (reasons == "").alias("keep"),
         reasons.alias("reasons"),
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 1.0,
+) -> DataFrame:
+    """Per-document bigram language-model score — the CCNet-style quality
+    signal: documents whose token transitions are improbable under a
+    corpus LM (boilerplate, gibberish, wrong-language fragments) score
+    high bits-per-bigram and get filtered or bucketed.
+
+    Model: add-k (Laplace) smoothed bigram LM trained on the corpus
+    itself —
+
+        P(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V)
+
+    with ``c(w1·)`` the bigram-PREFIX count (sum over continuations, so
+    the distribution normalizes exactly) and V the corpus vocabulary.
+    Score = mean −log2 P over the document's bigrams (bits per bigram;
+    perplexity is 2^score).
+
+    Scale shape: bigram extraction is one array transform per row (no
+    token-stream shuffle for the doc side); the model is two grouped
+    counts keyed by 8-byte-hashable bigram/prefix strings — vocabulary-
+    sized, not corpus-sized — and scoring is two equi-joins back on
+    those keys. V rides in as one broadcast row. Docs with <2 tokens
+    have no bigrams and drop out (no probability is defined for them;
+    the quality_filter length gate catches them separately).
+    """
+    toks = tokens(text_col)
+    doc_bigrams = df.select(
+        F.col(id_col), F.explode(_bigrams(toks)).alias("bg")
+    ).select(
+        id_col,
+        "bg",
+        F.substring_index("bg", " ", 1).alias("w1"),
+    )
+    bg_counts = doc_bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    prefix_counts = doc_bigrams.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    vocab = df.select(F.explode(toks).alias("t")).agg(
+        F.countDistinct("t").alias("v")
+    )
+    logp = F.log2(
+        (F.col("c12") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("v"))
+    )
+    return (
+        doc_bigrams.join(bg_counts, "bg")
+        .join(prefix_counts, "w1")
+        .join(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg(-logp), 4).alias("avg_nll_bits"),
+        )
+    )

@@ -1642,3 +1642,44 @@ def bm25_champion_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return search.bm25_champions(docs, top_terms=50, per_term=3)
+
+
+@register(
+    "lm_bigram_scores",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+      FROM documents
+    ), parts AS (
+      SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk)),
+                      i -> tk[i] || ' ' || tk[i+1])) AS bg
+        FROM toks WHERE len(tk) >= 2
+      )
+    ), bgc AS (
+      SELECT bg, COUNT(*) AS c12 FROM parts GROUP BY bg
+    ), pc AS (
+      SELECT w1, COUNT(*) AS c1 FROM parts GROUP BY w1
+    ), vocab AS (
+      SELECT COUNT(DISTINCT t) AS v
+      FROM (SELECT unnest(tk) AS t FROM toks)
+    )
+    SELECT p.doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(-log2((b.c12 + 1.0) / (c.c1 + 1.0 * v.v))), 4)
+             AS avg_nll_bits
+    FROM parts p JOIN bgc b USING (bg) JOIN pc c USING (w1)
+    CROSS JOIN vocab v
+    GROUP BY p.doc_id
+    """,
+    doc="CCNet-style LM quality scoring: per-document bits-per-bigram "
+    "under an add-1 smoothed corpus bigram model — improbable token "
+    "transitions (gibberish, boilerplate, wrong-language fragments) "
+    "score high and get filtered/bucketed in curation. The model is two "
+    "vocabulary-sized grouped counts (bigram + prefix), scoring is two "
+    "equi-joins back on those keys, V is one broadcast row — no "
+    "corpus-sized state anywhere. operators/text.py::bigram_lm_scores.",
+)
+def lm_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bigram_lm_scores(load_table(spark, sf_dir, "documents"))

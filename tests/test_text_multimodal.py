@@ -393,3 +393,28 @@ def test_sample_frames_real_y4m_demux(spark):
     )
     with _pytest.raises(Exception, match="ffmpeg|demuxer"):
         sample_frames(mp4, fake=False).collect()
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    """Tiny corpus, hand-applied add-1 bigram LM: P(w2|w1) =
+    (c12+1)/(c1+V), score = mean -log2 P; sub-2-token docs drop out."""
+    import math
+
+    from shopify_etl_spark.operators.text import bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: (r.n_bigrams, r.avg_nll_bits)
+           for r in bigram_lm_scores(df).collect()}
+    # corpus bigrams: (a b)x3, (b a), (b c); prefixes a:3, b:2; V=4
+    V = 4
+
+    def nll(c12, c1):
+        return -math.log2((c12 + 1) / (c1 + V))
+
+    d1 = round((nll(3, 3) + nll(1, 2) + nll(3, 3)) / 3, 4)
+    d2 = round((nll(3, 3) + nll(1, 2)) / 2, 4)
+    assert got == {1: (3, d1), 2: (2, d2)}  # doc 3: no bigrams, no row
+    # the repeated-transition doc is more probable (lower bits)
+    assert got[1][1] < got[2][1]
