@@ -6,12 +6,12 @@ from . import catalog_ext2  # noqa: F401,E402  (round-2 extension queries)
 # Catalog ordering.
 #
 # The driver's correctness gate samples the FIRST 50 entries of
-# ``__spark_entry__.queries()`` per round. After round 3 every query has at
-# least one official row (r01∪r02∪r03), so the round-4 policy is freshness:
-# front-load (1) queries that are NEW or whose code changed this round, then
-# (2) the queries r03 did NOT sample (their latest official row is r01/r02 —
-# the stalest evidence), then the r03-sampled set. Pure re-ordering: every
-# QuerySpec keeps its builder/oracle unchanged.
+# ``__spark_entry__.queries()`` per round. Every query has at least one
+# official row (r01∪…∪r04), so the standing policy is freshness: front-load
+# (1) queries that are NEW or whose code changed this round, then (2) the
+# queries the PREVIOUS round did not sample (stalest official evidence),
+# then the previous round's sampled set. Pure re-ordering: every QuerySpec
+# keeps its builder/oracle unchanged.
 # ---------------------------------------------------------------------------
 _R03_SAMPLED = [
     "purchase_click_asof",
@@ -63,22 +63,49 @@ _R03_SAMPLED = [
     "lsh_ann_topk",
 ]
 
-# New or code-changed in round 4 — sample these first.
-_CHANGED_R04 = [
-    "cms_token_counts",          # new (count-min sketch guarantee gate)
-    "dedup_corpus_best",         # new (quality-aware dedup survivor)
-    "bpe_merge_pair_counts",     # new (BPE merge-step statistics)
-    "approx_event_stats",        # output schema changed (guarantee gate)
-    "train_eval_contamination",  # single-scan posting split
-    "pmi_collocations",          # explicit broadcast on one-row totals
-    "kmeans_doc_clusters",       # one-shuffle partial fold
+# Queries the round-4 driver sampled (CORRECTNESS_r04.json keys): their
+# evidence is freshest, so they sort LAST under the freshness policy.
+_R04_SAMPLED = [
+    "approx_event_stats", "bpe_merge_pair_counts", "cms_token_counts",
+    "cube_order_stats", "cumulative_customer_revenue",
+    "current_inventory_analog", "customer_except_years",
+    "customer_intersect_years", "customers_without_orders",
+    "daily_event_snapshot", "date_functions_surface", "dedup_clusters",
+    "dedup_corpus_best", "delete_reload_items", "distinct_flag_status",
+    "doc_fingerprints", "event_type_pivot", "events_json_extract",
+    "exact_dedup_docs", "first_last_event_per_user",
+    "full_outer_nation_counts", "kmeans_doc_clusters", "lang_id_heuristic",
+    "latest_order_per_customer", "ngram_jaccard_pairs",
+    "orders_with_heavy_items", "part_brand_volume", "pmi_collocations",
+    "price_quantiles_by_brand", "priority_gap_fill",
+    "q17_small_quantity_revenue", "q18_large_volume_orders",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "repetition_signals", "rollup_returns", "scalar_surface",
+    "session_window_counts", "sessionize_events",
+    "sql_interface_nation_stats", "string_surface_extended",
+    "text_quality_scores", "token_count_by_source", "token_explode_counts",
+    "train_eval_contamination", "union_two_sources", "upsert_orders",
+    "watermark_max_ts", "weekly_revenue",
 ]
 
-_SAMPLE_FIRST = _CHANGED_R04 + [
-    n for n in QUERIES if n not in _CHANGED_R04 and n not in _R03_SAMPLED
+# New or code-changed in round 5 — sample these first.
+_CHANGED_R05 = [
+    "kmeans_fixed_init_clusters",  # new (cross-engine Lloyd oracle twin)
+    "cms_heavy_hitters",           # new (sample->sketch->probe pipeline)
+    "bm25_champion_lists",         # new (open-vocab inverted index)
+    "lm_bigram_scores",            # new (CCNet-style LM quality scoring)
+    "approx_event_stats",          # null-user_id filter + left-join carry
 ]
 
-_missing = [n for n in _SAMPLE_FIRST + _R03_SAMPLED if n not in QUERIES]
+# Freshness order: round-5 changes, then everything whose latest official
+# row predates r04 (stalest first by construction of the r03/r04 lists),
+# then the r04-sampled set.
+_SAMPLE_FIRST = _CHANGED_R05 + [
+    n for n in QUERIES
+    if n not in _CHANGED_R05 and n not in _R04_SAMPLED
+]
+
+_missing = [n for n in _SAMPLE_FIRST + _R04_SAMPLED + _R03_SAMPLED if n not in QUERIES]
 if _missing:  # pragma: no cover - guards against a renamed query
     raise RuntimeError(f"catalog ordering references unknown queries: {_missing}")
 
