@@ -134,8 +134,11 @@ def cms_query(
             F.pmod(F.xxhash64(F.col(key_col), F.col("row") + F.lit(seed)), F.lit(width)).alias("cell"),
         )
     )
+    # The sketch is bounded at width*depth rows BY CONSTRUCTION (that is
+    # the whole point of a CMS), so it is always the broadcast side — the
+    # probe never shuffles, at any corpus size.
     return (
-        probes.join(sketch, ["row", "cell"], "left")
+        probes.join(F.broadcast(sketch), ["row", "cell"], "left")
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_count"))
     )
@@ -175,4 +178,5 @@ def cms_heavy_hitters(
     )
     sketch = cms_build(df, key_col, width=width, depth=depth, seed=seed)
     est = cms_query(sketch, cand, key_col, width=width, depth=depth, seed=seed)
-    return cand.join(est, key_col)
+    # est is bounded by n_candidates rows — broadcast, never shuffle cand
+    return cand.join(F.broadcast(est), key_col)

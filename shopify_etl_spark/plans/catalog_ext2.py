@@ -1391,7 +1391,7 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = sketches.cms_query(sketch, exact, "token", width=width, depth=depth)
     total = toks.agg(F.count(F.lit(1)).alias("_N"))
     return (
-        exact.join(est, "token")
+        exact.join(F.broadcast(est), "token")  # est bounded by the top-20
         .join(F.broadcast(total))
         .select(
             "token",

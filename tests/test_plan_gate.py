@@ -63,6 +63,16 @@ EXPECT = {
     "current_inventory_analog": dict(max_shuffles=5, min_bhj=3, pushed=True),
     "exact_dedup_docs": dict(max_shuffles=1, max_scan_width=2),
     "ann_cosine_topk": dict(max_shuffles=1, max_smj=0, pushed=True),
+    # round-5 additions: the CMS family must never sort-merge (sketch and
+    # candidate sides are bounded by construction — broadcast hints pinned);
+    # the LM/BM25 model joins are vocabulary-sized on BOTH sides, so SMJ is
+    # the scale-correct plan there and only ceilings are pinned.
+    "cms_heavy_hitters": dict(max_shuffles=7, min_bhj=3, max_smj=0),
+    "cms_token_counts": dict(max_shuffles=4, min_bhj=2, max_smj=0),
+    "lm_bigram_scores": dict(max_shuffles=7, max_smj=2, max_scan_width=2),
+    "bm25_champion_lists": dict(
+        max_shuffles=10, min_bhj=1, max_smj=2, max_scan_width=2
+    ),
 }
 
 
