@@ -94,6 +94,7 @@ _CHANGED_R05 = [
     "cms_heavy_hitters",           # new (sample->sketch->probe pipeline)
     "bm25_champion_lists",         # new (open-vocab inverted index)
     "lm_bigram_scores",            # new (CCNet-style LM quality scoring)
+    "semantic_dedup_docs",         # new (SemDeDup cluster+cosine pipeline)
     "approx_event_stats",          # null-user_id filter + left-join carry
 ]
 

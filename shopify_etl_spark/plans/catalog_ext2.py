@@ -1683,3 +1683,65 @@ def bm25_champion_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lm_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_lm_scores(load_table(spark, sf_dir, "documents"))
+
+
+_SEMDEDUP_ORACLE = f"""
+WITH unit AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> x /
+           sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))) AS u
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid, u AS c
+  FROM (SELECT vec_id, u FROM unit ORDER BY vec_id LIMIT 8)
+),{_kmeans_iter_sql("c0", "a1", "c1", 64)},{_kmeans_iter_sql("c1", "a2", "c2", 64)},
+a3 AS (
+  SELECT vec_id, u, cid FROM (
+    SELECT p.vec_id, p.u, c.cid,
+           row_number() OVER (PARTITION BY p.vec_id
+             ORDER BY list_cosine_similarity(p.u, c.c) DESC, c.cid) AS rn
+    FROM unit p CROSS JOIN c2 c
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT q.vec_id
+  FROM a3 p JOIN a3 q ON p.cid = q.cid AND p.vec_id < q.vec_id
+  WHERE list_cosine_similarity(p.u, q.u) >= 0.35
+)
+SELECT s.vec_id, CAST(s.cid AS INTEGER) AS cluster_id
+FROM a3 s WHERE s.vec_id NOT IN (SELECT vec_id FROM dropped)
+ORDER BY s.vec_id
+"""
+
+
+@register(
+    "semantic_dedup_docs",
+    oracle=_SEMDEDUP_ORACLE,
+    doc="SemDeDup-style semantic deduplication: cluster the embedding "
+    "corpus (spherical k-means, SQL-reproducible smallest-id init), then "
+    "drop every vector with a more-senior (smaller-id) cosine neighbor "
+    ">= 0.35 INSIDE its cluster — the clustering makes the pair search "
+    "O(sum block^2) instead of O(n^2), and the blocked operator degrades "
+    "hot clusters to LSH sub-buckets rather than detonating a task. The "
+    "full pipeline (2 Lloyd iterations + assignment + pair join + greedy "
+    "survivor rule) is oracle-checked value-for-value. "
+    "operators/clustering.py + operators/similarity.py composition.",
+)
+def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import clustering, similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _hist = clustering.kmeans_fit(emb, k=8, iters=2, init_by="id")
+    assigned = clustering.kmeans_assign(emb, cents).select("vec_id", "cluster_id")
+    clustered = emb.select("vec_id", "embedding").join(assigned, "vec_id")
+    pairs = similarity.blocked_cosine_pairs_gemm(
+        clustered, id_col="vec_id", vec_col="embedding",
+        block_col="cluster_id", threshold=0.35, dim=64, max_block_size=1000,
+    )
+    dropped = pairs.select(F.col("d2").alias("vec_id")).distinct()
+    return (
+        assigned.join(dropped, "vec_id", "left_anti")
+        .select("vec_id", "cluster_id")
+        .orderBy("vec_id")
+    )
