@@ -95,6 +95,7 @@ _CHANGED_R05 = [
     "bm25_champion_lists",         # new (open-vocab inverted index)
     "lm_bigram_scores",            # new (CCNet-style LM quality scoring)
     "semantic_dedup_docs",         # new (SemDeDup cluster+cosine pipeline)
+    "source_mixture_weights",      # new (temperature mixing weights)
     "approx_event_stats",          # null-user_id filter + left-join carry
 ]
 

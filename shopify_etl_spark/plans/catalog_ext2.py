@@ -1745,3 +1745,48 @@ def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cluster_id")
         .orderBy("vec_id")
     )
+
+
+@register(
+    "source_mixture_weights",
+    oracle=r"""
+    WITH per AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                      x -> x <> ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), z AS (
+      SELECT SUM(pow(n_tokens, 0.7)) AS z FROM per
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(pow(n_tokens, 0.7) / z.z, 4) AS mix_weight
+    FROM per CROSS JOIN z
+    ORDER BY source
+    """,
+    doc="Temperature-based source mixing weights (alpha=0.7): per-source "
+    "sampling probability proportional to token_count^alpha, the "
+    "standard recipe for up-weighting small sources in multi-source "
+    "training mixes without letting the largest source dominate. One "
+    "grouped aggregate (sources << corpus) plus a one-row broadcast "
+    "normalizer; pairs with epoch_mix_docs, which consumes weights like "
+    "these to materialize an epoch.",
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count("text")).alias("n_tokens"),
+    )
+    z = per.agg(F.sum(F.pow("n_tokens", F.lit(0.7))).alias("z"))
+    return (
+        per.join(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.pow("n_tokens", F.lit(0.7)) / F.col("z"), 4).alias(
+                "mix_weight"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -213,6 +213,24 @@ def compact_sketch_epochs(
         def merge(df: DataFrame) -> DataFrame:
             return df.groupBy("row", "cell").agg(F.sum("c").alias("c"))
 
+    # Finish any interrupted cleanup first: committed dirs whose range is
+    # contained in another committed dir are invisible to readers but
+    # still consume space — a rerun sweeps them even when there is
+    # nothing new to fold.
+    fs_root, root = _hadoop_fs(spark, sketch_dir)
+    if fs_root.exists(root):
+        live = set(live_grid_dirs(spark, sketch_dir))
+        for st in fs_root.listStatus(root):
+            name = st.getPath().getName()
+            if not st.isDirectory() or _grid_range(name) is None:
+                continue
+            full = os.path.join(sketch_dir, name)
+            committed = fs_root.exists(
+                spark._jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+            )
+            if committed and full not in live:
+                fs_root.delete(st.getPath(), True)
+
     dirs = live_grid_dirs(spark, sketch_dir)
     if len(dirs) < 3:  # nothing to fold besides the protected newest epoch
         return None

@@ -197,6 +197,7 @@ BNLJ_ALLOWED = {
     "cms_heavy_hitters",    # one-row total-token count for the error bound
     "bm25_champion_lists",  # one-row corpus stats (and their reused scan)
     "lm_bigram_scores",     # one-row vocabulary size
+    "source_mixture_weights",  # one-row normalizer
 }
 
 

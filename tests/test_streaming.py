@@ -621,3 +621,39 @@ def test_compact_band_state_dedup_results_unchanged(spark, tmp_path):
     ])
     kept = sorted(r.doc_id for r in read_deduped(spark, out_dir).collect())
     assert kept == [1, 2, 3, 4, 10]
+
+
+def test_compact_rerun_finishes_interrupted_cleanup(spark, tmp_path):
+    """A compaction that crashed after publish but before cleanup leaves
+    committed-but-superseded input dirs on disk; a rerun sweeps them
+    even when there is nothing new to fold, and reads stay identical."""
+    from pyspark.sql import functions as F
+    from shopify_etl_spark.operators import sketches
+    from shopify_etl_spark.streaming.sketch_stream import (
+        compact_sketch_epochs,
+        live_grid_dirs,
+        read_sketch,
+    )
+
+    sk_dir = tmp_path / "cms"
+    for i, toks in enumerate([["a"], ["b", "a"], ["c"]]):
+        sketches.cms_build(
+            spark.createDataFrame([(t,) for t in toks], ["token"]),
+            "token", width=32, depth=2,
+        ).write.mode("overwrite").parquet(str(sk_dir / f"epoch={i}"))
+
+    # simulate crash-after-publish: compact=0-1 committed, inputs remain
+    merged = spark.read.parquet(str(sk_dir / "epoch=0"), str(sk_dir / "epoch=1"))
+    merged.groupBy("row", "cell").agg(F.sum("c").alias("c")).write.mode(
+        "overwrite"
+    ).parquet(str(sk_dir / "compact=0-1"))
+    assert (sk_dir / "epoch=0").exists() and (sk_dir / "epoch=1").exists()
+
+    before = sorted(map(tuple, read_sketch(spark, str(sk_dir)).collect()))
+    # only [compact=0-1, epoch=2] live → nothing to fold, but cleanup runs
+    assert compact_sketch_epochs(spark, str(sk_dir)) is None
+    assert not (sk_dir / "epoch=0").exists()
+    assert not (sk_dir / "epoch=1").exists()
+    assert [os.path.basename(d) for d in live_grid_dirs(spark, str(sk_dir))] == \
+        ["compact=0-1", "epoch=2"]
+    assert sorted(map(tuple, read_sketch(spark, str(sk_dir)).collect())) == before
