@@ -136,9 +136,9 @@ def stream_cms(
 
     The persisted layout is one parquet subdir per epoch holding that
     batch's grid; the CURRENT sketch is ``read_sketch`` (cellwise SUM over
-    epochs — ≤ width×depth rows per epoch, and epochs can be compacted by
-    rewriting their merge under a single epoch dir without changing any
-    estimate, associativity again).
+    the live grids — ≤ width×depth rows per grid). Long-lived stores are
+    folded by :func:`compact_sketch_epochs` without changing any estimate
+    (associativity again).
     """
 
     def merge_batch(batch: DataFrame, epoch: int) -> None:
@@ -199,11 +199,16 @@ def compact_sketch_epochs(
        mid-cleanup leaves dirs the readers already ignore, and a rerun
        finishes the job).
 
-    The NEWEST epoch is never compacted: it may still be replayed by a
-    stream whose checkpoint commit crashed after the data write, and the
-    replay gate looks for its ``epoch=<id>`` dir by name. ``merge``
-    defaults to the CMS cellwise SUM; pass a different fold for other
-    mergeable states (:func:`compact_distinct_epochs`).
+    The NEWEST epoch is never compacted: only the latest batch can be in
+    the data-committed-but-checkpoint-uncommitted state, and its replay
+    gate looks for its ``epoch=<id>`` dir by name — folding it away would
+    turn that replay into a double count. ``merge`` defaults to the CMS
+    cellwise SUM; pass a different fold for other mergeable states
+    (:func:`compact_distinct_epochs`).
+
+    Run between stream runs (maintenance window), like any foreachBatch
+    sink's file maintenance — the availableNow trigger makes "between
+    runs" a natural state rather than a coordination problem.
 
     Returns the new dir path, or None if there was nothing to compact.
     """
