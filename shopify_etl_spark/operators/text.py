@@ -661,12 +661,26 @@ def bigram_lm_scores(
     the quality_filter length gate catches them separately).
     """
     toks = tokens(text_col)
-    doc_bigrams = df.select(
-        F.col(id_col), F.explode(_bigrams(toks)).alias("bg")
-    ).select(
-        id_col,
-        "bg",
-        F.substring_index("bg", " ", 1).alias("w1"),
+    # A corpus arriving as fewer splits than cores (one small parquet
+    # file, a single row group) would run the whole explode serially;
+    # spread it first. Conditional on the ACTUAL scan partitioning, so at
+    # real scale — where the input is already thousands of splits — no
+    # shuffle is added.
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+    # Three consumers (scoring rows, bigram counts, prefix counts) hang
+    # off the exploded bigram stream — checkpoint it so the scan+explode
+    # runs once, not once per join side (same pattern as the CMS token
+    # stream).
+    doc_bigrams = (
+        df.select(F.col(id_col), F.explode(_bigrams(toks)).alias("bg"))
+        .select(
+            id_col,
+            "bg",
+            F.substring_index("bg", " ", 1).alias("w1"),
+        )
+        .localCheckpoint(eager=False)
     )
     bg_counts = doc_bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
     prefix_counts = doc_bigrams.groupBy("w1").agg(

@@ -54,10 +54,15 @@ FAMILY = (
     # blocks fall back to LSH sub-buckets instead of O(block^2))
     "embedding_near_dup_pairs",
     # round-5 additions: sample→sketch→probe pipeline (fixed-size CMS,
-    # output bounded at 20) and the full inverted-index build (postings
-    # AND vocabulary both grow 10x under the bijective token remap)
+    # output bounded at 20), the full inverted-index build (postings AND
+    # vocabulary both grow 10x under the bijective token remap), the
+    # bigram-LM scorer (model joins vocabulary-sized both sides), and the
+    # SemDeDup pipeline (kmeans blocks grow 10x — exercises the blocked
+    # operator's hot-block LSH degradation inside clusters)
     "cms_heavy_hitters",
     "bm25_champion_lists",
+    "lm_bigram_scores",
+    "semantic_dedup_docs",
 )
 
 
