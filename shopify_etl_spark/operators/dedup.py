@@ -725,3 +725,59 @@ def simhash_near_pairs(
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n: int = 3,
+    hash_fn=None,
+) -> DataFrame:
+    """Pairwise content overlap between sources — corpus forensics.
+
+    For every source pair: how many distinct word-``n``-gram shingles
+    they share, and the Jaccard of their shingle SETS. The question it
+    answers ("how much of source B is already in source A?") drives
+    source selection and dedup-order decisions before any doc-level
+    pass runs.
+
+    Scale shape: the per-source DISTINCT shingle table is vocabulary x
+    sources sized (never corpus-sized — the groupBy dedups occurrences
+    map-side), the pair join keys on the 8-byte shingle hash, and the
+    fan-out per shingle is bounded by sources^2 — a handful of rows even
+    for a shingle every source contains. Output is sources^2/2 rows.
+
+    ``hash_fn`` defaults to ``xxhash64`` (scale path); the catalog entry
+    passes :func:`portable_hash64` so the whole pipeline is
+    value-checkable against a SQL oracle.
+    """
+    h = hash_fn if hash_fn is not None else F.xxhash64
+    src_shingles = (
+        spread_small(df)
+        .select(
+            F.col(source_col).alias("src"),
+            F.explode(word_shingles(text_col, n)).alias("s_raw"),
+        )
+        .select("src", h(F.col("s_raw")).alias("s"))
+        .distinct()
+    )
+    sizes = src_shingles.groupBy("src").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = src_shingles.alias("a"), src_shingles.alias("b")
+    shared = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.src") < F.col("b.src")))
+        .groupBy(F.col("a.src").alias("src1"), F.col("b.src").alias("src2"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    s1 = sizes.select(F.col("src").alias("src1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("src").alias("src2"), F.col("n_sh").alias("n2"))
+    jac = F.col("n_shared") / (F.col("n1") + F.col("n2") - F.col("n_shared"))
+    return (
+        shared.join(F.broadcast(s1), "src1")
+        .join(F.broadcast(s2), "src2")
+        .select(
+            "src1", "src2", "n_shared", F.round(jac, 4).alias("shingle_jaccard")
+        )
+        .orderBy("src1", "src2")
+    )

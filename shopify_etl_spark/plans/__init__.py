@@ -96,6 +96,7 @@ _CHANGED_R05 = [
     "lm_bigram_scores",            # new (CCNet-style LM quality scoring)
     "semantic_dedup_docs",         # new (SemDeDup cluster+cosine pipeline)
     "source_mixture_weights",      # new (temperature mixing weights)
+    "source_overlap_matrix",       # new (cross-source shingle overlap)
     "approx_event_stats",          # null-user_id filter + left-join carry
 ]
 

@@ -1790,3 +1790,49 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "source_overlap_matrix",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source, list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS w
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT source,
+             CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS s
+      FROM (
+        SELECT source, unnest(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM toks WHERE len(w) >= 3
+      )
+    ), sizes AS (
+      SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source
+    ), shared AS (
+      SELECT a.source AS src1, b.source AS src2, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT s.src1, s.src2, s.n_shared,
+           ROUND(s.n_shared / (x.n_sh + y.n_sh - s.n_shared), 4)
+             AS shingle_jaccard
+    FROM shared s
+    JOIN sizes x ON s.src1 = x.source
+    JOIN sizes y ON s.src2 = y.source
+    ORDER BY s.src1, s.src2
+    """,
+    doc="Cross-source content-overlap matrix: distinct word-3-gram "
+    "shingle sets per source, pairwise shared counts and Jaccard — "
+    "'how much of source B is already in source A', the forensic that "
+    "drives source selection and dedup ordering. Per-source distinct "
+    "shingles are vocabulary-sized (map-side dedup), the pair join keys "
+    "on 8-byte portable hashes, per-shingle fan-out is bounded by "
+    "sources^2. operators/dedup.py::source_overlap_matrix.",
+)
+def source_overlap_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    return dedup.source_overlap_matrix(
+        load_table(spark, sf_dir, "documents"), hash_fn=dedup.portable_hash64
+    )

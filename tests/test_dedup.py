@@ -209,3 +209,23 @@ def test_apply_dedup_best_keeps_highest_quality(spark):
     # contrast: min-id rule keeps 1 instead
     kept_min = sorted(r.doc_id for r in dedup.apply_dedup(docs, clusters).collect())
     assert kept_min == [1, 4, 5]
+
+
+def test_source_overlap_matrix_hand_computed(spark):
+    """Two sources sharing exactly one planted 3-gram, a third disjoint:
+    shared counts and set-Jaccard match hand math; pairs with zero
+    overlap emit no row."""
+    from pyspark.sql import Row
+    from shopify_etl_spark.operators.dedup import source_overlap_matrix
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, source="a", text="alpha beta gamma delta"),
+        Row(doc_id=2, source="b", text="alpha beta gamma other words here"),
+        Row(doc_id=3, source="c", text="totally different content entirely"),
+    ])
+    got = {(r.src1, r.src2): r for r in source_overlap_matrix(df).collect()}
+    # a: {abg, bgd}; b: {abg, bgo, gow, owh}; shared = {abg} -> 1/(2+4-1)
+    assert set(got) == {("a", "b")}
+    r = got[("a", "b")]
+    assert r.n_shared == 1
+    assert r.shingle_jaccard == round(1 / 5, 4)
