@@ -10,9 +10,9 @@ frequencies) reduce to a SINGLE one-row global aggregate that broadcasts
 back. Scan → project → tiny agg → broadcast → top-k; the corpus text
 never leaves its partition.
 
-For open vocabularies (every term scored, not a query set) use the
-inverted-index shape instead: ``text.vocabulary`` builds the posting
-statistics.
+For open vocabularies (every term scored, not a query set) the
+inverted-index path is :func:`bm25_index` / :func:`bm25_champions`;
+``text.vocabulary`` supplies the raw posting statistics.
 """
 
 from __future__ import annotations
