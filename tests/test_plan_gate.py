@@ -73,6 +73,14 @@ EXPECT = {
     "bm25_champion_lists": dict(
         max_shuffles=10, min_bhj=1, max_smj=2, max_scan_width=2
     ),
+    # corpus-sized-both-sides joins (vec_id / shingle keys) correctly stay
+    # SMJ; the broadcast floors pin the provably tiny sides (per-source
+    # sizes; the one-row normalizer is a BNLJ, allowlisted below).
+    "semantic_dedup_docs": dict(max_shuffles=9, max_smj=3, max_scan_width=2),
+    "source_overlap_matrix": dict(
+        max_shuffles=10, min_bhj=2, max_smj=1, max_scan_width=2
+    ),
+    "source_mixture_weights": dict(max_shuffles=4, max_smj=0, max_scan_width=2),
 }
 
 
