@@ -63,6 +63,7 @@ FAMILY = (
     "bm25_champion_lists",
     "lm_bigram_scores",
     "semantic_dedup_docs",
+    "source_overlap_matrix",
 )
 
 
