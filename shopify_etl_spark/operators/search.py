@@ -181,3 +181,64 @@ def bm25_champions(
         .filter(F.col("rn") <= per_term)
         .select("token", "doc_id", "tf", "bm25_w", F.col("rn").alias("rank"))
     )
+
+
+def hard_negative_pairs(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    top_terms: int = 50,
+    per_term: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative candidate mining: lexically co-relevant, semantically
+    distant document pairs.
+
+    The contrastive-training recipe: a good hard negative LOOKS relevant
+    (shares top retrieval terms) but isn't (low embedding cosine). Pairs
+    come from the champion lists — two docs that are both top-ranked for
+    the same high-frequency term are exactly the pairs a BM25 retriever
+    confuses — and each pair is scored with its embedding cosine so the
+    consumer cuts at whatever margin its loss needs.
+
+    Scale shape: champion lists are bounded (top_terms × per_term rows),
+    so the pair space is bounded at top_terms × C(per_term,2) before
+    dedup — the embedding join touches only those few ids (broadcast),
+    never the corpus. Output: (d1, d2, n_shared_terms, cosine_sim),
+    ordered for determinism.
+    """
+    from .similarity import _dot, _norm
+
+    champs = bm25_champions(
+        docs, top_terms=top_terms, per_term=per_term,
+        text_col=text_col, id_col=id_col,
+    ).select("token", "doc_id")
+    a, b = champs.alias("a"), champs.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_terms"))
+    )
+    emb = embeddings.select(
+        F.col(vec_id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    e1 = emb.select(F.col("_id").alias("d1"), F.col("_v").alias("_v1"))
+    e2 = emb.select(F.col("_id").alias("d2"), F.col("_v").alias("_v2"))
+    cos = _dot("_v1", "_v2") / (_norm("_v1") * _norm("_v2"))
+    # pairs is bounded (champion-list sized) — broadcast it through both
+    # embedding lookups so the corpus-sized embedding table never shuffles
+    return (
+        F.broadcast(pairs)
+        .join(e1, "d1")
+        .join(e2, "d2")
+        .select("d1", "d2", "n_shared_terms", F.round(cos, 4).alias("cosine_sim"))
+        .orderBy("d1", "d2")
+    )

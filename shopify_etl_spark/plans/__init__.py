@@ -97,6 +97,7 @@ _CHANGED_R05 = [
     "semantic_dedup_docs",         # new (SemDeDup cluster+cosine pipeline)
     "source_mixture_weights",      # new (temperature mixing weights)
     "source_overlap_matrix",       # new (cross-source shingle overlap)
+    "hard_negative_pairs",         # new (lexical x semantic mining)
     "approx_event_stats",          # null-user_id filter + left-join carry
 ]
 

@@ -1836,3 +1836,69 @@ def source_overlap_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.source_overlap_matrix(
         load_table(spark, sf_dir, "documents"), hash_fn=dedup.portable_hash64
     )
+
+
+@register(
+    "hard_negative_pairs",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), dls AS (
+      SELECT doc_id, len(toks) AS dl FROM base
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dls
+    ), tok AS (
+      SELECT doc_id, unnest(toks) AS token FROM base
+    ), post AS (
+      SELECT token, doc_id, COUNT(*) AS tf FROM tok GROUP BY token, doc_id
+    ), tstat AS (
+      SELECT token, COUNT(*) AS dft, SUM(tf) AS term_freq
+      FROM post GROUP BY token
+    ), top_terms AS (
+      SELECT token, dft FROM tstat
+      ORDER BY term_freq DESC, token LIMIT 50
+    ), scored AS (
+      SELECT p.token, p.doc_id,
+             ROUND(ln((s.n_docs - t.dft + 0.5) / (t.dft + 0.5) + 1.0)
+                   * p.tf * 2.2
+                   / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)),
+                   4) AS bm25_w
+      FROM post p JOIN top_terms t USING (token)
+      JOIN dls d USING (doc_id) CROSS JOIN stats s
+    ), champ AS (
+      SELECT token, doc_id FROM (
+        SELECT token, doc_id, row_number() OVER (
+          PARTITION BY token ORDER BY bm25_w DESC, doc_id) AS rn
+        FROM scored
+      ) WHERE rn <= 3
+    ), pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared_terms
+      FROM champ a JOIN champ b
+        ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    )
+    SELECT p.d1, p.d2, p.n_shared_terms,
+           ROUND(list_cosine_similarity(x.v, y.v), 4) AS cosine_sim
+    FROM pairs p JOIN e x ON p.d1 = x.vec_id JOIN e y ON p.d2 = y.vec_id
+    ORDER BY p.d1, p.d2
+    """,
+    doc="Hard-negative candidate mining for contrastive training: pairs "
+    "of documents that a BM25 retriever confuses (both in the same "
+    "top-term champion list) scored with their embedding cosine — low "
+    "cosine rows are the hard negatives. Pair space is bounded by the "
+    "champion lists (top_terms x C(per_term,2)); the embedding join "
+    "broadcasts those few pairs, the corpus never shuffles. Composes "
+    "the lexical (bm25_champion_lists) and semantic (ANN family) "
+    "systems. operators/search.py::hard_negative_pairs.",
+)
+def hard_negative_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import search
+
+    return search.hard_negative_pairs(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    )

@@ -206,6 +206,7 @@ BNLJ_ALLOWED = {
     "bm25_champion_lists",  # one-row corpus stats (and their reused scan)
     "lm_bigram_scores",     # one-row vocabulary size
     "source_mixture_weights",  # one-row normalizer
+    "hard_negative_pairs",     # one-row corpus stats via bm25_index
 }
 
 

@@ -404,3 +404,26 @@ class TestCMSHeavyHitters:
         # CMS lower bound: estimate >= full-stream truth, always
         assert got["hot"].cms_count >= 40
         assert got["warm"].cms_count >= 20
+
+
+class TestHardNegativePairs:
+    def test_pairs_come_from_shared_champion_terms_with_cosine(self, spark):
+        """Planted case: docs 0,1 dominate the top term 'x' champion list
+        but have opposite embeddings (cosine -1); doc pairs never sharing
+        a champion term emit nothing."""
+        from pyspark.sql import Row
+        from shopify_etl_spark.operators.search import hard_negative_pairs
+
+        docs = _docs(
+            spark,
+            ["x x x x", "x x x other", "y y y y completely apart"],
+        )
+        emb = spark.createDataFrame([
+            Row(vec_id=0, embedding=[1.0, 0.0]),
+            Row(vec_id=1, embedding=[-1.0, 0.0]),
+            Row(vec_id=2, embedding=[0.0, 1.0]),
+        ])
+        got = hard_negative_pairs(docs, emb, top_terms=1, per_term=2).collect()
+        # top term is 'x' (freq 7 > y's 4); its champions are docs 0,1
+        assert [(r.d1, r.d2, r.n_shared_terms) for r in got] == [(0, 1, 1)]
+        assert got[0].cosine_sim == -1.0  # lexically twins, semantically opposite
