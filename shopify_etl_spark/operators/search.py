@@ -211,10 +211,17 @@ def hard_negative_pairs(
     """
     from .similarity import _dot, _norm
 
-    champs = bm25_champions(
-        docs, top_terms=top_terms, per_term=per_term,
-        text_col=text_col, id_col=id_col,
-    ).select("token", "doc_id")
+    # The champion table is tiny (≤ top_terms × per_term rows) but its
+    # lineage is the whole inverted-index pipeline — checkpoint so the
+    # a/b self-join below doesn't run that pipeline twice.
+    champs = (
+        bm25_champions(
+            docs, top_terms=top_terms, per_term=per_term,
+            text_col=text_col, id_col=id_col,
+        )
+        .select("token", "doc_id")
+        .localCheckpoint(eager=False)
+    )
     a, b = champs.alias("a"), champs.alias("b")
     pairs = (
         a.join(
