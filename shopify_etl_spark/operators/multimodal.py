@@ -13,9 +13,11 @@ Decode paths, in preference order:
   is the live path in this environment.
 * **Built-in Y4M demuxer** (``operators/y4m_codec.py``) — real
   frame extraction from uncompressed YUV4MPEG2 video payloads.
+* **Built-in WAV codec** (``operators/wav_codec.py``) — real PCM
+  sample decode (8/16/24/32-bit int + float32) for audio payloads.
 * ``fake=True`` — deterministic byte-level features over the raw
   payload (no decode), useful for plumbing tests and non-image bytes.
-* Everything else (compressed video containers, audio, exotic formats)
+* Everything else (compressed containers/codecs, exotic formats)
   raises NotImplementedError at the exact seam where ffmpeg/torchaudio
   would plug in.
 """
@@ -29,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -344,3 +347,145 @@ def sample_frames(
             )
 
     return assets.mapInPandas(sample, FRAME_SCHEMA)
+
+
+def synth_wav_assets(docs: DataFrame, id_col: str = "doc_id", rate: int = 16000) -> DataFrame:
+    """Deterministic WAV asset synthesis from a key column (stands in for
+    a real audio source the way ``assets_from_documents`` stands in for an
+    image shard store). Per key ``d``: ``n = 16 + d % 17`` sample frames,
+    ``ch = 1 + d % 2`` channels, int16 sample ``i`` =
+    ``((d*31 + i*7919) % 65536) - 32768`` — a full-range pseudo-signal a
+    SQL oracle can regenerate exactly (``plans/catalog_ext2.py::
+    audio_demux_stats``). Encoding runs distributed through the real RIFF
+    writer (``wav_codec.encode_wav``), so the downstream decode exercises
+    a genuine container round-trip, not canned bytes.
+    """
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .wav_codec import encode_wav
+
+        for pdf in batches:
+            rows = []
+            for d in pdf[id_col]:
+                d = int(d)
+                n = 16 + d % 17
+                ch = 1 + d % 2
+                i = np.arange(n * ch, dtype=np.int64)
+                v = ((d * 31 + i * 7919) % 65536 - 32768).astype(np.int16)
+                blob = encode_wav(v.reshape(n, ch), rate)
+                meta = {
+                    "modality": "audio", "format": "wav",
+                    "width": None, "height": None, "n_bytes": len(blob),
+                }
+                rows.append((d, blob, meta))
+            yield pd.DataFrame(rows, columns=["asset_id", "payload", "meta"])
+
+    return docs.select(id_col).mapInPandas(synth, ASSET_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("sample_rate", LongType(), True),
+        StructField("n_channels", LongType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("peak", DoubleType(), True),
+        StructField("zero_cross_rate", DoubleType(), True),
+    ]
+)
+
+
+def audio_features(assets: DataFrame, fake: bool = True) -> DataFrame:
+    """Per-asset audio summary features (the normalization/statistics pass
+    before any speech-model embedding): sample geometry, duration, RMS
+    level, peak, and zero-crossing rate (the classic cheap voiced/
+    unvoiced signal).
+
+    ``fake=False`` REALLY decodes ``format='wav'`` payloads with the
+    built-in RIFF PCM codec (``operators/wav_codec.py`` — integer PCM
+    8/16/24/32-bit and float32, any channel count) and raises for
+    compressed formats at the exact seam where ffmpeg/torchaudio would
+    plug in. ``fake=True`` frames the raw payload bytes as unsigned
+    8-bit mono at a nominal 8 kHz (deterministic stand-in, no decode).
+
+    Stats are channel-pooled (computed over the interleaved stream),
+    matching what a corpus-curation filter wants: one loudness/activity
+    number per asset. NULL payloads emit a zeroed row in both modes, so
+    toggling ``fake`` never changes output cardinality.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .wav_codec import decode_wav
+
+        for pdf in batches:
+            rows = []
+            for aid, payload, meta in zip(
+                pdf["asset_id"], pdf["payload"], pdf["meta"]
+            ):
+                if payload is None:
+                    rows.append((aid, 0, 0, 0, 0, 0.0, 0.0, 0.0))
+                    continue
+                if fake:
+                    arr = (
+                        np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                            np.float32
+                        )
+                        - 128.0
+                    ) / 128.0
+                    arr = arr[:, None]
+                    rate = 8000
+                else:
+                    fmt = meta["format"] if meta is not None else None
+                    if fmt != "wav":
+                        raise NotImplementedError(
+                            f"no audio codec for format={fmt!r} here "
+                            "(built-in covers wav; plug ffmpeg/torchaudio "
+                            "for compressed encodings)"
+                        )
+                    arr, rate = decode_wav(bytes(payload))
+                n = arr.shape[0]
+                flat = arr.ravel()
+                if n:
+                    rms = float(np.sqrt(np.mean(flat * flat)))
+                    peak = float(np.max(np.abs(flat)))
+                    # sign changes per sample step, pooled across channels
+                    zc = float(
+                        np.mean(np.signbit(arr[1:]) != np.signbit(arr[:-1]))
+                    ) if n > 1 else 0.0
+                else:
+                    rms = peak = zc = 0.0
+                rows.append(
+                    (
+                        aid,
+                        int(rate),
+                        int(arr.shape[1]),
+                        int(n),
+                        int(n * 1000 // max(rate, 1)),
+                        rms,
+                        peak,
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields],
+            ).astype(
+                {
+                    "asset_id": "int64",
+                    "sample_rate": "int64",
+                    "n_channels": "int64",
+                    "n_samples": "int64",
+                    "duration_ms": "int64",
+                    "rms": "float64",
+                    "peak": "float64",
+                    "zero_cross_rate": "float64",
+                }
+            )
+
+    return assets.mapInPandas(extract, AUDIO_FEATURE_SCHEMA)

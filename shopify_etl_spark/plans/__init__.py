@@ -90,6 +90,7 @@ _R04_SAMPLED = [
 
 # New or code-changed in round 5 — sample these first.
 _CHANGED_R05 = [
+    "audio_demux_stats",           # new (WAV codec round-trip pipeline)
     "kmeans_fixed_init_clusters",  # new (cross-engine Lloyd oracle twin)
     "cms_heavy_hitters",           # new (sample->sketch->probe pipeline)
     "bm25_champion_lists",         # new (open-vocab inverted index)

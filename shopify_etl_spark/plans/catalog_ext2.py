@@ -1902,3 +1902,70 @@ def hard_negative_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         load_table(spark, sf_dir, "embeddings"),
     )
+
+
+@register(
+    "audio_demux_stats",
+    # The synth formula (multimodal.synth_wav_assets) is regenerated in
+    # pure SQL: per doc, n = 16 + d%17 frames, ch = 1 + d%2 channels,
+    # int16 sample i = ((d*31 + i*7919) % 65536) - 32768. Every output
+    # column is integer-exact: peak_q15 = max|v| (peak*32768 is exact —
+    # int16/32768 is exactly representable in float32), zero_crossings
+    # recovers the integer count from the pooled rate, and adjacent
+    # same-channel pairs in the interleaved layout are (i, i+ch).
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 16 + doc_id % 17 AS n, 1 + doc_id % 2 AS ch
+      FROM documents
+    ), s AS (
+      SELECT p.doc_id, p.n, p.ch, t.i,
+             ((p.doc_id * 31 + t.i * 7919) % 65536) - 32768 AS v
+      FROM p, UNNEST(range(p.n * p.ch)) AS t(i)
+    ), x AS (
+      SELECT a.doc_id,
+             SUM(CASE WHEN (a.v < 0) <> (b.v < 0) THEN 1 ELSE 0 END) AS crossings,
+             MAX(ABS(a.v)) AS peak_partial
+      FROM s a JOIN s b ON b.doc_id = a.doc_id AND b.i = a.i + a.ch
+      GROUP BY a.doc_id
+    ), m AS (
+      SELECT doc_id, MAX(ABS(v)) AS peak_q15 FROM s GROUP BY doc_id
+    )
+    SELECT p.doc_id AS asset_id,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           CAST(p.ch AS BIGINT) AS n_channels,
+           CAST(p.n AS BIGINT) AS n_samples,
+           CAST(p.n * 1000 // 16000 AS BIGINT) AS duration_ms,
+           CAST(m.peak_q15 AS BIGINT) AS peak_q15,
+           CAST(x.crossings AS BIGINT) AS zero_crossings
+    FROM p JOIN m ON m.doc_id = p.doc_id JOIN x ON x.doc_id = p.doc_id
+    """,
+    doc="Real audio demux pipeline: deterministic PCM synthesis -> "
+    "distributed RIFF/WAV encode (wav_codec.encode_wav) -> real decode + "
+    "feature extraction (multimodal.audio_features fake=False) -> "
+    "integer-exact projection. Zero shuffles: the whole chain is a "
+    "narrow mapInPandas pipeline, so it scales as a pure map over the "
+    "corpus. The oracle regenerates the signal in SQL and recomputes "
+    "peak/zero-crossings from first principles — a full container "
+    "round-trip check, not a replay of the Spark output. "
+    "operators/wav_codec.py, operators/multimodal.py.",
+)
+def audio_demux_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = multimodal.audio_features(
+        multimodal.synth_wav_assets(docs, rate=16000), fake=False
+    )
+    return feats.select(
+        "asset_id",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        "duration_ms",
+        F.round(F.col("peak") * 32768).cast("long").alias("peak_q15"),
+        F.round(
+            F.col("zero_cross_rate")
+            * (F.col("n_samples") - 1)
+            * F.col("n_channels")
+        ).cast("long").alias("zero_crossings"),
+    )

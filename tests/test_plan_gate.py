@@ -81,6 +81,9 @@ EXPECT = {
         max_shuffles=10, min_bhj=2, max_smj=1, max_scan_width=2
     ),
     "source_mixture_weights": dict(max_shuffles=4, max_smj=0, max_scan_width=2),
+    # pure narrow mapInPandas chain (synth -> encode -> decode -> stats):
+    # any Exchange here means the audio pipeline stopped being a map
+    "audio_demux_stats": dict(max_shuffles=0, max_smj=0, max_scan_width=1),
 }
 
 

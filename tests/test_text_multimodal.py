@@ -418,3 +418,54 @@ def test_bigram_lm_scores_hand_computed(spark):
     assert got == {1: (3, d1), 2: (2, d2)}  # doc 3: no bigrams, no row
     # the repeated-transition doc is more probable (lower bits)
     assert got[1][1] < got[2][1]
+
+
+def test_audio_features_real_wav_decode(spark):
+    """fake=False really decodes WAV PCM: hand-built 16-bit stereo whose
+    rms/peak/zcr are computable by hand; NULL payloads keep cardinality;
+    compressed formats remain the documented NotImplementedError seam."""
+    import math
+
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import Row
+    from shopify_etl_spark.operators.multimodal import ASSET_SCHEMA, audio_features
+    from shopify_etl_spark.operators.wav_codec import encode_wav
+
+    # 4 stereo frames: L channel alternates +/-16384, R channel silent.
+    samples = np.array(
+        [[16384, 0], [-16384, 0], [16384, 0], [-16384, 0]], dtype=np.int16
+    )
+    blob = encode_wav(samples, sample_rate=8000)
+
+    def asset(aid, payload, fmt):
+        return Row(
+            asset_id=aid,
+            payload=bytearray(payload) if payload is not None else None,
+            meta=Row(modality="audio", format=fmt, width=None, height=None,
+                     n_bytes=len(payload) if payload is not None else 0),
+        )
+
+    assets = spark.createDataFrame(
+        [asset(1, blob, "wav"), asset(2, None, "wav")], ASSET_SCHEMA
+    )
+    got = {r.asset_id: r for r in audio_features(assets, fake=False).collect()}
+    r1 = got[1]
+    assert (r1.sample_rate, r1.n_channels, r1.n_samples) == (8000, 2, 4)
+    assert r1.duration_ms == 0  # 4 samples @ 8kHz = 0.5ms -> floor 0
+    # rms over interleaved stream: sqrt(mean([0.5^2,0,0.5^2,0,...])) = 0.5/sqrt(2)
+    assert math.isclose(r1.rms, 0.5 / math.sqrt(2), rel_tol=1e-6)
+    assert math.isclose(r1.peak, 0.5, rel_tol=1e-6)
+    # L flips sign every step (3/3 transitions), R never (0/3) -> pooled 0.5
+    assert math.isclose(r1.zero_cross_rate, 0.5, rel_tol=1e-6)
+    # NULL payload: zeroed row, cardinality preserved
+    r2 = got[2]
+    assert (r2.n_samples, r2.rms, r2.peak) == (0, 0.0, 0.0)
+
+    # fake=True path: byte-level stand-in, same schema, no decode
+    fake = {r.asset_id: r for r in audio_features(assets, fake=True).collect()}
+    assert fake[1].sample_rate == 8000 and fake[1].n_samples == len(blob)
+
+    mp3 = spark.createDataFrame([asset(3, b"\xff\xfb\x90\x00", "mp3")], ASSET_SCHEMA)
+    with _pytest.raises(Exception, match="torchaudio|codec"):
+        audio_features(mp3, fake=False).collect()
