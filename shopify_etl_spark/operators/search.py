@@ -17,7 +17,7 @@ inverted-index path is :func:`bm25_index` / :func:`bm25_champions`;
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokens
@@ -248,4 +248,130 @@ def hard_negative_pairs(
         .join(e2, "d2")
         .select("d1", "d2", "n_shared_terms", F.round(cos, 4).alias("cosine_sim"))
         .orderBy("d1", "d2")
+    )
+
+
+def sparse_shingle_topk(
+    docs: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Lexical retrieval: top-k corpus documents per query document by
+    word-3-gram Jaccard, through the shared dedup inverted index
+    (``dedup.shingle_postings`` — 8-byte shingle keys).
+
+    The query side (docs with id < ``n_queries``) is broadcast into the
+    posting join, so candidate generation is a map-side probe of the
+    corpus postings: only documents sharing at least one shingle with a
+    query are scored, the sparse-retrieval pruning that replaces a full
+    corpus scan. Jaccard stays integer until one final float64 division,
+    so ranks are reproducible cross-engine without rounding tricks.
+    """
+    from .dedup import shingle_postings
+
+    post = postings if postings is not None else shingle_postings(docs, text_col, id_col)
+    sizes = post.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    q_post = post.filter(F.col("doc") < n_queries).select(
+        F.col("doc").alias("query_id"), "s"
+    )
+    q_sizes = sizes.filter(F.col("doc") < n_queries).select(
+        F.col("doc").alias("query_id"), F.col("n_sh").alias("qn")
+    )
+    shared = (
+        post.withColumnRenamed("doc", "neighbor_id")
+        .join(F.broadcast(q_post), "s")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = (
+        shared.join(sizes.withColumnRenamed("doc", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(q_sizes), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.col("shared")
+                / (F.col("qn") + F.col("n_sh") - F.col("shared")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("jaccard"), F.asc("neighbor_id"))
+    return (
+        jac.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    k0: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the dense (exact
+    cosine top-k) and sparse (shingle-Jaccard top-k) rankers —
+
+        rrf(d) = Σ_r 1 / (k0 + rank_r(d)),   absent rank contributes 0
+
+    the standard zero-tuning way to combine lexical and semantic
+    retrieval (Cormack et al., SIGIR'09). Both per-ranker lists are
+    already top-k (bounded), so the fusion join touches ≤ 2k rows per
+    query regardless of corpus size; ranks are recomputed on the ROUNDED
+    scores + id so the fused order is reproducible cross-engine.
+    ``doc_id`` and ``vec_id`` are the aligned key (one embedding per
+    document in the corpus data model).
+    """
+    from .similarity import cosine_topk
+
+    queries = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    dw = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    dense = (
+        cosine_topk(queries, corpus, k=k)
+        .withColumn("rank_dense", F.row_number().over(dw))
+        .select("query_id", "neighbor_id", "rank_dense")
+    )
+    sw = Window.partitionBy("query_id").orderBy(
+        F.desc("jaccard"), F.asc("neighbor_id")
+    )
+    sparse = (
+        sparse_shingle_topk(docs, n_queries=n_queries, k=k)
+        .withColumn("rank_sparse", F.row_number().over(sw))
+        .select("query_id", "neighbor_id", "rank_sparse")
+    )
+    fused = dense.join(sparse, ["query_id", "neighbor_id"], "full_outer").select(
+        "query_id",
+        "neighbor_id",
+        "rank_dense",
+        "rank_sparse",
+        (
+            F.coalesce(1.0 / (F.lit(k0) + F.col("rank_dense")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(k0) + F.col("rank_sparse")), F.lit(0.0))
+        ).alias("_rrf"),
+    )
+    fw = Window.partitionBy("query_id").orderBy(F.desc("_rrf"), F.asc("neighbor_id"))
+    return (
+        fused.withColumn("rn", F.row_number().over(fw))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            # sentinel 0 = not retrieved by that ranker (rank is 1-based);
+            # keeps the column int-typed through pandas fetches
+            F.coalesce("rank_dense", F.lit(0)).alias("rank_dense"),
+            F.coalesce("rank_sparse", F.lit(0)).alias("rank_sparse"),
+            F.round("_rrf", 6).alias("rrf_score"),
+        )
     )

@@ -91,6 +91,7 @@ _R04_SAMPLED = [
 # New or code-changed in round 5 — sample these first.
 _CHANGED_R05 = [
     "audio_demux_stats",           # new (WAV codec round-trip pipeline)
+    "ccnet_ppl_buckets",           # new (per-lang perplexity terciles)
     "kmeans_fixed_init_clusters",  # new (cross-engine Lloyd oracle twin)
     "cms_heavy_hitters",           # new (sample->sketch->probe pipeline)
     "bm25_champion_lists",         # new (open-vocab inverted index)
@@ -99,6 +100,7 @@ _CHANGED_R05 = [
     "source_mixture_weights",      # new (temperature mixing weights)
     "source_overlap_matrix",       # new (cross-source shingle overlap)
     "hard_negative_pairs",         # new (lexical x semantic mining)
+    "hybrid_rrf_topk",             # new (RRF dense+sparse fusion)
     "approx_event_stats",          # null-user_id filter + left-join carry
 ]
 

@@ -1969,3 +1969,185 @@ def audio_demux_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.col("n_channels")
         ).cast("long").alias("zero_crossings"),
     )
+
+
+@register(
+    "ccnet_ppl_buckets",
+    # Ranking happens on the ROUNDED score (4 dp) + doc_id so the order —
+    # and therefore every NTILE boundary — is reproducible cross-engine:
+    # raw float scores can differ in the last ulps between Spark and
+    # DuckDB (summation order), but agree after ROUND except on exact
+    # .00005 boundaries, the same exposure every rounded oracle carries.
+    # NTILE tie layout (extra rows to the first groups) matches between
+    # the engines.
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+      FROM documents
+    ), parts AS (
+      SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk)),
+                      i -> tk[i] || ' ' || tk[i+1])) AS bg
+        FROM toks WHERE len(tk) >= 2
+      )
+    ), bgc AS (
+      SELECT bg, COUNT(*) AS c12 FROM parts GROUP BY bg
+    ), pc AS (
+      SELECT w1, COUNT(*) AS c1 FROM parts GROUP BY w1
+    ), vocab AS (
+      SELECT COUNT(DISTINCT t) AS v
+      FROM (SELECT unnest(tk) AS t FROM toks)
+    ), scored AS (
+      SELECT p.doc_id,
+             ROUND(AVG(-log2((b.c12 + 1.0) / (c.c1 + 1.0 * v.v))), 4)
+               AS score_bits
+      FROM parts p JOIN bgc b USING (bg) JOIN pc c USING (w1)
+      CROSS JOIN vocab v
+      GROUP BY p.doc_id
+    ), bucketed AS (
+      SELECT s.doc_id, d.lang, s.score_bits,
+             NTILE(3) OVER (PARTITION BY d.lang
+                            ORDER BY s.score_bits, s.doc_id) AS b
+      FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang, score_bits,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS ppl_bucket
+    FROM bucketed
+    """,
+    doc="CCNet-style perplexity bucketing: per-language terciles of the "
+    "corpus bigram-LM score — 'head' (most fluent) / 'middle' / 'tail' "
+    "(likely gibberish), the standard pre-training curation split that "
+    "keeps head+middle and drops or downsamples tail. One window over "
+    "the scored docs partitioned by language; the LM itself is the "
+    "vocabulary-sized model from lm_bigram_scores, so nothing "
+    "corpus-sized shuffles twice. operators/text.py::bigram_lm_scores + "
+    "ntile window.",
+)
+def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.bigram_lm_scores(docs).select(
+        "doc_id", F.round("avg_nll_bits", 4).alias("score_bits")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.asc("score_bits"), F.asc("doc_id")
+    )
+    return (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "score_bits",
+            F.ntile(3).over(w).alias("b"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "score_bits",
+            F.when(F.col("b") == 1, "head")
+            .when(F.col("b") == 2, "middle")
+            .otherwise("tail")
+            .alias("ppl_bucket"),
+        )
+    )
+
+
+@register(
+    "hybrid_rrf_topk",
+    # Rank determinism: each ranker's candidate top-10 is selected on its
+    # RAW score (cosine raw ranks are already oracle-validated in
+    # ann_cosine_topk; jaccard is an exact int/int division in float64,
+    # identical in both engines), then fusion ranks are recomputed on the
+    # ROUNDED scores + id so last-ulp noise cannot reorder the fused
+    # list. Absent ranks use sentinel 0 (not NULL) so integer columns
+    # survive the driver's pandas fetch without int->float drift.
+    oracle=r"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ), c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings
+    ), dsims AS (
+      SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim
+      FROM q CROSS JOIN c WHERE neighbor_id <> query_id
+    ), dtop AS (
+      SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim4 FROM (
+        SELECT query_id, neighbor_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rn
+        FROM dsims
+      ) WHERE rn <= 10
+    ), dense AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim4 DESC, neighbor_id) AS rank_dense
+      FROM dtop
+    ), toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < 5 AND b.doc_id <> a.doc_id
+      GROUP BY 1, 2
+    ), jac AS (
+      SELECT s.query_id, s.neighbor_id,
+             s.shared * 1.0 / (sq.n_sh + sn.n_sh - s.shared) AS jaccard
+      FROM shared s
+      JOIN sizes sq ON sq.doc_id = s.query_id
+      JOIN sizes sn ON sn.doc_id = s.neighbor_id
+    ), stop AS (
+      SELECT query_id, neighbor_id, ROUND(jaccard, 4) AS jac4 FROM (
+        SELECT query_id, neighbor_id, jaccard,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY jaccard DESC, neighbor_id) AS rn
+        FROM jac
+      ) WHERE rn <= 10
+    ), sparse AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY jac4 DESC, neighbor_id) AS rank_sparse
+      FROM stop
+    ), fused AS (
+      SELECT query_id, neighbor_id,
+             COALESCE(d.rank_dense, 0) AS rank_dense,
+             COALESCE(s.rank_sparse, 0) AS rank_sparse,
+             COALESCE(1.0 / (60 + d.rank_dense), 0.0)
+               + COALESCE(1.0 / (60 + s.rank_sparse), 0.0) AS score
+      FROM dense d FULL OUTER JOIN sparse s USING (query_id, neighbor_id)
+    )
+    SELECT query_id, neighbor_id,
+           CAST(rank_dense AS BIGINT) AS rank_dense,
+           CAST(rank_sparse AS BIGINT) AS rank_sparse,
+           ROUND(score, 6) AS rrf_score
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rn
+      FROM fused
+    ) WHERE rn <= 10
+    """,
+    doc="Hybrid retrieval: reciprocal-rank fusion (1/(60+rank), absent "
+    "rank = 0) of the dense exact-cosine top-10 and the sparse "
+    "shingle-Jaccard top-10 per query document — the standard zero-"
+    "tuning lexical+semantic combiner. Both ranker lists are bounded "
+    "top-k, so the fusion join is <= 2k rows per query at any corpus "
+    "size; the sparse candidate step probes the shared dedup inverted "
+    "index with the broadcast query postings. operators/search.py::"
+    "hybrid_rrf_topk.",
+)
+def hybrid_rrf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import search
+
+    return search.hybrid_rrf_topk(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    )

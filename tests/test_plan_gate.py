@@ -84,6 +84,12 @@ EXPECT = {
     # pure narrow mapInPandas chain (synth -> encode -> decode -> stats):
     # any Exchange here means the audio pipeline stopped being a map
     "audio_demux_stats": dict(max_shuffles=0, max_smj=0, max_scan_width=1),
+    # fusion of two bounded top-k lists: the query-side postings/sizes are
+    # broadcast (floor pinned); corpus-sized joins stay SMJ'd on 8-byte keys
+    "hybrid_rrf_topk": dict(max_shuffles=10, min_bhj=2, max_smj=2),
+    # LM model joins are vocab-sized both sides + one corpus-keyed lang
+    # join: SMJ is the scale-correct plan, ceilings only
+    "ccnet_ppl_buckets": dict(max_shuffles=10, max_smj=3, max_scan_width=2),
 }
 
 
@@ -210,6 +216,8 @@ BNLJ_ALLOWED = {
     "lm_bigram_scores",     # one-row vocabulary size
     "source_mixture_weights",  # one-row normalizer
     "hard_negative_pairs",     # one-row corpus stats via bm25_index
+    "ccnet_ppl_buckets",       # one-row vocabulary size (bigram LM)
+    "hybrid_rrf_topk",         # query vectors broadcast (dense ranker)
 }
 
 

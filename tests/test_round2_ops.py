@@ -427,3 +427,66 @@ class TestHardNegativePairs:
         # top term is 'x' (freq 7 > y's 4); its champions are docs 0,1
         assert [(r.d1, r.d2, r.n_shared_terms) for r in got] == [(0, 1, 1)]
         assert got[0].cosine_sim == -1.0  # lexically twins, semantically opposite
+
+
+class TestHybridRetrieval:
+    def test_sparse_shingle_topk_planted_duplicate(self, spark):
+        """A corpus doc that shares every shingle with query doc 0 must
+        rank first for it with jaccard 1.0; an unrelated doc never
+        appears; self-matches are excluded."""
+        from pyspark.sql import Row
+        from shopify_etl_spark.operators.search import sparse_shingle_topk
+
+        base = "alpha beta gamma delta epsilon zeta"
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=0, text=base),
+                Row(doc_id=10, text=base),                       # exact dup
+                Row(doc_id=11, text="alpha beta gamma other words here"),
+                Row(doc_id=12, text="totally unrelated text tokens only"),
+            ]
+        )
+        got = sparse_shingle_topk(docs, n_queries=1, k=10).collect()
+        assert all(r.query_id == 0 and r.neighbor_id != 0 for r in got)
+        by_n = {r.neighbor_id: r.jaccard for r in got}
+        assert by_n[10] == 1.0
+        assert 0 < by_n[11] < 1.0
+        assert 12 not in by_n
+        # rank: dup first
+        top = max(got, key=lambda r: (r.jaccard, -r.neighbor_id))
+        assert top.neighbor_id == 10
+
+    def test_hybrid_rrf_hand_computed(self, spark):
+        """Planted geometry: neighbor A is rank-1 in BOTH rankers ->
+        rrf = 2/61; neighbor B dense-only rank 2 -> 1/62; fusion order
+        and sentinel-0 ranks verified by hand."""
+        import math
+
+        from pyspark.sql import Row
+        from shopify_etl_spark.operators.search import hybrid_rrf_topk
+
+        # texts: doc 1 shares trigrams with query doc 0; doc 2 does not
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=0, text="one two three four five"),
+                Row(doc_id=1, text="one two three four five"),
+                Row(doc_id=2, text="unrelated words entirely different here"),
+            ]
+        )
+        # embeddings: vec 1 parallel to query 0 (cos 1), vec 2 orthogonal-ish
+        emb = spark.createDataFrame(
+            [
+                Row(vec_id=0, embedding=[1.0, 0.0]),
+                Row(vec_id=1, embedding=[2.0, 0.0]),
+                Row(vec_id=2, embedding=[0.0, 3.0]),
+            ]
+        )
+        got = {r.neighbor_id: r for r in
+               hybrid_rrf_topk(docs, emb, n_queries=1, k=2).collect()}
+        a = got[1]
+        assert (a.rank_dense, a.rank_sparse) == (1, 1)
+        assert math.isclose(a.rrf_score, round(2 / 61, 6), abs_tol=1e-9)
+        b = got[2]
+        assert (b.rank_dense, b.rank_sparse) == (2, 0)  # dense-only
+        assert math.isclose(b.rrf_score, round(1 / 62, 6), abs_tol=1e-9)
+        assert a.rrf_score > b.rrf_score
