@@ -781,3 +781,72 @@ def source_overlap_matrix(
         )
         .orderBy("src1", "src2")
     )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    width: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact repeated-substring signal (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): for every document,
+    how many of its ``width``-token windows also occur verbatim in at
+    least one OTHER document — the substring-level duplication that
+    doc-level dedup misses (shared boilerplate paragraphs, license
+    headers, quoted passages).
+
+    Positional windows (every offset, NOT distinct — a window repeated
+    inside the doc counts each occurrence) hash to 64-bit keys JVM-side,
+    so the duplicate-detection shuffle carries 8-byte keys exactly like
+    the shingle pipeline; the per-span aggregate is |distinct docs|,
+    and only hashes seen in >= 2 docs join back (semi-join on the
+    duplicated minority). Output per qualifying doc (>= ``width``
+    tokens): total windows, cross-doc-duplicated windows, and their
+    fraction — the curation filter drops or trims docs above a
+    threshold. 64-bit collisions merging distinct spans: p ~ n^2/2^64,
+    the same accepted exposure as ``shingle_postings``.
+    """
+    toks = tokens(text_col)
+    k = F.size(toks) - (width - 1)
+    span_at = lambda i: F.xxhash64(  # noqa: E731
+        F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(width)])
+    )
+    base = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("doc"),
+            # same guard as word_shingles: sequence(1, k<=0) DESCENDS
+            # instead of being empty, which would index past the array
+            F.when(
+                F.size(toks) >= width,
+                F.transform(F.sequence(F.lit(1), k), span_at),
+            )
+            .otherwise(F.array().cast("array<long>"))
+            .alias("spans"),
+        )
+        .filter(F.size("spans") > 0)
+        .localCheckpoint(eager=False)  # two consumers: explode + sizes
+    )
+    pos = base.select("doc", F.posexplode("spans").alias("pos", "h"))
+    dup = (
+        pos.groupBy("h")
+        .agg(F.countDistinct("doc").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    per_doc = pos.join(dup, "h").groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_dup_windows")
+    )
+    return (
+        base.select("doc", F.size("spans").alias("n_windows"))
+        .join(per_doc, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.round(
+                F.coalesce("n_dup_windows", F.lit(0)) / F.col("n_windows"), 4
+            ).alias("dup_window_frac"),
+        )
+    )

@@ -101,6 +101,7 @@ _CHANGED_R05 = [
     "source_overlap_matrix",       # new (cross-source shingle overlap)
     "hard_negative_pairs",         # new (lexical x semantic mining)
     "hybrid_rrf_topk",             # new (RRF dense+sparse fusion)
+    "duplicate_span_stats",        # new (exact substring-dup signal)
     "approx_event_stats",          # null-user_id filter + left-join carry
 ]
 

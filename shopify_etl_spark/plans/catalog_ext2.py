@@ -2151,3 +2151,52 @@ def hybrid_rrf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         load_table(spark, sf_dir, "embeddings"),
     )
+
+
+@register(
+    "duplicate_span_stats",
+    # The oracle groups on the SPAN STRING; Spark groups on xxhash64 of
+    # it (8-byte shuffle keys) — identical results modulo 64-bit
+    # collisions (p ~ n^2/2^64, the same accepted exposure as the
+    # shingle pipeline). Windows are positional, NOT distinct: an
+    # intra-doc repeat of a cross-doc span counts every occurrence.
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+      FROM documents
+    ), w AS (
+      SELECT doc_id, t.i,
+             array_to_string(list_slice(tk, t.i + 1, t.i + 16), ' ') AS sp
+      FROM toks, UNNEST(range(len(tk) - 15)) AS t(i)
+      WHERE len(tk) >= 16
+    ), dup AS (
+      SELECT sp FROM w GROUP BY sp HAVING COUNT(DISTINCT doc_id) >= 2
+    ), per_doc AS (
+      SELECT w.doc_id, COUNT(*) AS n_dup_windows
+      FROM w JOIN dup USING (sp)
+      GROUP BY w.doc_id
+    ), nwin AS (
+      SELECT doc_id, len(tk) - 15 AS n_windows
+      FROM toks WHERE len(tk) >= 16
+    )
+    SELECT n.doc_id,
+           CAST(n.n_windows AS BIGINT) AS n_windows,
+           CAST(COALESCE(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           ROUND(COALESCE(p.n_dup_windows, 0) * 1.0 / n.n_windows, 4)
+             AS dup_window_frac
+    FROM nwin n LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc="Substring-level duplication signal (Lee et al. exact-substring "
+    "dedup): per document, the fraction of its 16-token windows that "
+    "occur verbatim in at least one other document — catches shared "
+    "boilerplate/license/quote passages that document- and near-dup "
+    "level dedup both miss. Window hashing is JVM-side xxhash64 so the "
+    "detection shuffle carries 8-byte keys; only spans seen in >= 2 "
+    "docs join back (semi-join on the duplicated minority). "
+    "operators/dedup.py::duplicate_span_stats.",
+)
+def duplicate_span_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.duplicate_span_stats(
+        load_table(spark, sf_dir, "documents"), width=16
+    )

@@ -229,3 +229,44 @@ def test_source_overlap_matrix_hand_computed(spark):
     r = got[("a", "b")]
     assert r.n_shared == 1
     assert r.shingle_jaccard == round(1 / 5, 4)
+
+
+class TestDuplicateSpans:
+    def test_duplicate_span_stats_hand_case(self, spark):
+        """Two docs sharing a 5-token run -> exactly the 2 overlapping
+        4-token windows flagged in each; sub-width docs drop out; a doc
+        with no cross-doc window reports 0 with full window count."""
+        from pyspark.sql import Row
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="a b c d e f g h"),
+                Row(doc_id=2, text="x a b c d e y z"),
+                Row(doc_id=3, text="short text"),
+                Row(doc_id=4, text="p q r s t u v w"),
+            ]
+        )
+        got = {r.doc_id: r for r in
+               dedup.duplicate_span_stats(docs, width=4).collect()}
+        assert set(got) == {1, 2, 4}
+        assert (got[1].n_windows, got[1].n_dup_windows) == (5, 2)
+        assert (got[2].n_windows, got[2].n_dup_windows) == (5, 2)
+        assert got[1].dup_window_frac == 0.4
+        assert (got[4].n_windows, got[4].n_dup_windows) == (5, 0)
+
+    def test_duplicate_span_intra_doc_repeat_counts_positions(self, spark):
+        """A span repeated twice inside one doc AND present in another:
+        both positions count (positional windows, not distinct)."""
+        from pyspark.sql import Row
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="m n o p Z m n o p"),
+                Row(doc_id=2, text="q r m n o p s t"),
+            ]
+        )
+        got = {r.doc_id: r for r in
+               dedup.duplicate_span_stats(docs, width=4).collect()}
+        # doc 1: windows at pos 0 ("m n o p") and pos 5 ("m n o p") both dup
+        assert got[1].n_dup_windows == 2
+        assert got[2].n_dup_windows == 1

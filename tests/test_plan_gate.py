@@ -90,6 +90,9 @@ EXPECT = {
     # LM model joins are vocab-sized both sides + one corpus-keyed lang
     # join: SMJ is the scale-correct plan, ceilings only
     "ccnet_ppl_buckets": dict(max_shuffles=10, max_smj=3, max_scan_width=2),
+    # span-hash self-aggregation + semi-join back: corpus-sized both
+    # sides on 8-byte keys, SMJ correct; no scan asserted (checkpointed)
+    "duplicate_span_stats": dict(max_shuffles=5, max_smj=2),
 }
 
 
