@@ -20,7 +20,7 @@ no Python UDFs anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import spread_small, tokens
@@ -848,5 +848,77 @@ def duplicate_span_stats(
             F.round(
                 F.coalesce("n_dup_windows", F.lit(0)) / F.col("n_windows"), 4
             ).alias("dup_window_frac"),
+        )
+    )
+
+
+def duplicate_span_intervals(
+    df: DataFrame,
+    width: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal repeated intervals per document: overlapping/adjacent
+    cross-doc-duplicated ``width``-token windows (see
+    :func:`duplicate_span_stats`) merged into their union — the token
+    ranges an exact-substring dedup pass would TRIM from each document.
+
+    Interval union is the classic gaps-and-islands shape: order a doc's
+    duplicated window starts, open a new island whenever a start lies
+    past the running max end of everything before it (running max over
+    an unbounded-preceding window, so contained intervals can't reopen
+    a closed island), then island id = running count of opens. One
+    window function pass over the duplicated-window minority — the
+    corpus-sized window stream never re-shuffles.
+    """
+    toks = tokens(text_col)
+    k = F.size(toks) - (width - 1)
+    span_at = lambda i: F.xxhash64(  # noqa: E731
+        F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(width)])
+    )
+    pos = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.when(
+                F.size(toks) >= width,
+                F.transform(F.sequence(F.lit(1), k), span_at),
+            )
+            .otherwise(F.array().cast("array<long>"))
+            .alias("spans"),
+        )
+        .select("doc", F.posexplode("spans").alias("pos", "h"))
+    )
+    pos = pos.localCheckpoint(eager=False)  # two consumers below
+    dup = (
+        pos.groupBy("h")
+        .agg(F.countDistinct("doc").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits = pos.join(dup, "h").select("doc", "pos")
+    w = Window.partitionBy("doc").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (width - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    opens = F.when(
+        prev_end.isNull() | (F.col("pos") > prev_end), F.lit(1)
+    ).otherwise(F.lit(0))
+    islands = hits.select(
+        "doc", "pos", F.sum(opens).over(w).alias("island")
+    )
+    return (
+        islands.groupBy("doc", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (width - 1)).alias("span_end"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("n_tokens"),
         )
     )

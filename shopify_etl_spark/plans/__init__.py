@@ -102,6 +102,7 @@ _CHANGED_R05 = [
     "hard_negative_pairs",         # new (lexical x semantic mining)
     "hybrid_rrf_topk",             # new (RRF dense+sparse fusion)
     "duplicate_span_stats",        # new (exact substring-dup signal)
+    "duplicate_span_intervals",    # new (maximal repeated intervals)
     "approx_event_stats",          # null-user_id filter + left-join carry
 ]
 

@@ -2200,3 +2200,54 @@ def duplicate_span_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_span_stats(
         load_table(spark, sf_dir, "documents"), width=16
     )
+
+
+@register(
+    "duplicate_span_intervals",
+    # Same span-string/span-hash equivalence as duplicate_span_stats;
+    # the island merge is pure integer window arithmetic, so both
+    # engines agree exactly.
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+      FROM documents
+    ), w AS (
+      SELECT doc_id, t.i,
+             array_to_string(list_slice(tk, t.i + 1, t.i + 16), ' ') AS sp
+      FROM toks, UNNEST(range(len(tk) - 15)) AS t(i)
+      WHERE len(tk) >= 16
+    ), dup AS (
+      SELECT sp FROM w GROUP BY sp HAVING COUNT(DISTINCT doc_id) >= 2
+    ), hits AS (
+      SELECT w.doc_id, w.i FROM w JOIN dup USING (sp)
+    ), marked AS (
+      SELECT doc_id, i,
+             MAX(i + 15) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM hits
+    ), isl AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN prev_end IS NULL OR i > prev_end
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i) AS island
+      FROM marked
+    )
+    SELECT doc_id,
+           CAST(MIN(i) AS BIGINT) AS span_start,
+           CAST(MAX(i) + 15 AS BIGINT) AS span_end,
+           CAST(MAX(i) + 15 - MIN(i) + 1 AS BIGINT) AS n_tokens
+    FROM isl GROUP BY doc_id, island
+    """,
+    doc="Maximal repeated intervals: the cross-doc-duplicated 16-token "
+    "windows of duplicate_span_stats merged into their union per "
+    "document (gaps-and-islands: running-max end over an unbounded-"
+    "preceding window opens a new island only past every prior end) — "
+    "the exact token ranges a substring-level dedup pass trims. The "
+    "window pass runs over the duplicated-window minority only. "
+    "operators/dedup.py::duplicate_span_intervals.",
+)
+def duplicate_span_intervals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.duplicate_span_intervals(
+        load_table(spark, sf_dir, "documents"), width=16
+    )

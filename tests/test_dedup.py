@@ -270,3 +270,22 @@ class TestDuplicateSpans:
         # doc 1: windows at pos 0 ("m n o p") and pos 5 ("m n o p") both dup
         assert got[1].n_dup_windows == 2
         assert got[2].n_dup_windows == 1
+
+    def test_duplicate_span_intervals_islands(self, spark):
+        """Overlapping dup windows merge into one maximal interval;
+        disjoint runs stay separate islands."""
+        from pyspark.sql import Row
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="a b c d e Q R S m n o p x"),
+                Row(doc_id=2, text="a b c d e Z Z Z m n o p y"),
+            ]
+        )
+        got = sorted(
+            dedup.duplicate_span_intervals(docs, width=4).collect(),
+            key=lambda r: (r.doc_id, r.span_start),
+        )
+        assert [(r.doc_id, r.span_start, r.span_end, r.n_tokens) for r in got] == [
+            (1, 0, 4, 5), (1, 8, 11, 4), (2, 0, 4, 5), (2, 8, 11, 4),
+        ]

@@ -93,6 +93,7 @@ EXPECT = {
     # span-hash self-aggregation + semi-join back: corpus-sized both
     # sides on 8-byte keys, SMJ correct; no scan asserted (checkpointed)
     "duplicate_span_stats": dict(max_shuffles=5, max_smj=2),
+    "duplicate_span_intervals": dict(max_shuffles=5, max_smj=2),
 }
 
 
