@@ -783,6 +783,50 @@ def source_overlap_matrix(
     )
 
 
+def _span_hash_windows(
+    df: DataFrame, width: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(doc, spans) where ``spans[i]`` is a 64-bit hash of the
+    ``width``-token window starting at position i.
+
+    Two-level hashing: hash each token once (one pass), then hash the
+    int64 SLICE of that array per window — primitive array ops end to
+    end. The naive alternative (concat the window's tokens, hash the
+    string) re-materializes every token ``width`` times inside Spark's
+    interpreted higher-order-function path and measured 35× slower at
+    sf0.1 (39.8 s vs 1.1 s warm). Distinct token sequences collide only
+    through token-level 64-bit collisions — the same accepted exposure
+    as ``shingle_postings``.
+
+    Lazily localCheckpointed: every caller feeds the spans to at least
+    two consumers (explode + per-doc sizes / island pass).
+    """
+    toks = tokens(text_col)
+    return (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.transform(toks, lambda t: F.xxhash64(t)).alias("_harr"),
+        )
+        .select(
+            "doc",
+            # same guard as word_shingles: sequence(1, k<=0) DESCENDS
+            # instead of being empty, which would slice past the array
+            F.when(
+                F.size("_harr") >= width,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_harr") - (width - 1)),
+                    lambda i: F.xxhash64(F.slice(F.col("_harr"), i, width)),
+                ),
+            )
+            .otherwise(F.array().cast("array<long>"))
+            .alias("spans"),
+        )
+        .filter(F.size("spans") > 0)
+        .localCheckpoint(eager=False)
+    )
+
+
 def duplicate_span_stats(
     df: DataFrame,
     width: int = 16,
@@ -797,7 +841,8 @@ def duplicate_span_stats(
     headers, quoted passages).
 
     Positional windows (every offset, NOT distinct — a window repeated
-    inside the doc counts each occurrence) hash to 64-bit keys JVM-side,
+    inside the doc counts each occurrence) hash to 64-bit keys JVM-side
+    (two-level token-hash + slice-hash, see :func:`_span_hash_windows`),
     so the duplicate-detection shuffle carries 8-byte keys exactly like
     the shingle pipeline; the per-span aggregate is |distinct docs|,
     and only hashes seen in >= 2 docs join back (semi-join on the
@@ -807,32 +852,14 @@ def duplicate_span_stats(
     threshold. 64-bit collisions merging distinct spans: p ~ n^2/2^64,
     the same accepted exposure as ``shingle_postings``.
     """
-    toks = tokens(text_col)
-    k = F.size(toks) - (width - 1)
-    span_at = lambda i: F.xxhash64(  # noqa: E731
-        F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(width)])
-    )
-    base = (
-        _spread(df)
-        .select(
-            F.col(id_col).alias("doc"),
-            # same guard as word_shingles: sequence(1, k<=0) DESCENDS
-            # instead of being empty, which would index past the array
-            F.when(
-                F.size(toks) >= width,
-                F.transform(F.sequence(F.lit(1), k), span_at),
-            )
-            .otherwise(F.array().cast("array<long>"))
-            .alias("spans"),
-        )
-        .filter(F.size("spans") > 0)
-        .localCheckpoint(eager=False)  # two consumers: explode + sizes
-    )
+    base = _span_hash_windows(df, width, text_col, id_col)
     pos = base.select("doc", F.posexplode("spans").alias("pos", "h"))
+    # ">= 2 distinct docs" == min(doc) != max(doc): two cheap longs per
+    # span instead of a distinct aggregation
     dup = (
         pos.groupBy("h")
-        .agg(F.countDistinct("doc").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc").alias("_lo"), F.max("doc").alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
         .select("h")
     )
     per_doc = pos.join(dup, "h").groupBy("doc").agg(
@@ -871,29 +898,13 @@ def duplicate_span_intervals(
     window function pass over the duplicated-window minority — the
     corpus-sized window stream never re-shuffles.
     """
-    toks = tokens(text_col)
-    k = F.size(toks) - (width - 1)
-    span_at = lambda i: F.xxhash64(  # noqa: E731
-        F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(width)])
+    pos = _span_hash_windows(df, width, text_col, id_col).select(
+        "doc", F.posexplode("spans").alias("pos", "h")
     )
-    pos = (
-        _spread(df)
-        .select(
-            F.col(id_col).alias("doc"),
-            F.when(
-                F.size(toks) >= width,
-                F.transform(F.sequence(F.lit(1), k), span_at),
-            )
-            .otherwise(F.array().cast("array<long>"))
-            .alias("spans"),
-        )
-        .select("doc", F.posexplode("spans").alias("pos", "h"))
-    )
-    pos = pos.localCheckpoint(eager=False)  # two consumers below
     dup = (
         pos.groupBy("h")
-        .agg(F.countDistinct("doc").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc").alias("_lo"), F.max("doc").alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
         .select("h")
     )
     hits = pos.join(dup, "h").select("doc", "pos")
@@ -920,5 +931,54 @@ def duplicate_span_intervals(
             (F.col("span_end") - F.col("span_start") + 1)
             .cast("long")
             .alias("n_tokens"),
+        )
+    )
+
+
+def trim_repeated_spans(
+    df: DataFrame,
+    width: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply step of substring-level dedup: rebuild each document with
+    the tokens inside its :func:`duplicate_span_intervals` ranges
+    removed (the Lee-et-al. trim, keeping the first occurrence is a
+    policy layer above this — here every cross-doc-duplicated range is
+    dropped symmetrically, the conservative contamination-removal form).
+
+    The interval table is a small fraction of the corpus (duplicated
+    ranges only), so it aggregates to one array per affected doc and
+    joins back; untouched documents pass through with their text intact
+    and never shuffle — the join input is the grouped interval side,
+    not the corpus. Token filtering is a JVM higher-order ``filter``
+    with a positional lambda probing the per-doc interval array.
+    """
+    ivs = (
+        duplicate_span_intervals(df, width, text_col, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("_ivs")
+        )
+    )
+    toks = tokens(text_col)
+    keep = F.filter(
+        toks,
+        lambda x, i: ~F.exists(
+            F.col("_ivs"),
+            lambda iv: (i >= iv["span_start"]) & (i <= iv["span_end"]),
+        ),
+    )
+    return (
+        df.join(ivs, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("_ivs").isNull(), F.col(text_col))
+            .otherwise(F.concat_ws(" ", keep))
+            .alias("trimmed_text"),
+            F.when(F.col("_ivs").isNull(), F.size(toks))
+            .otherwise(F.size(keep))
+            .cast("long")
+            .alias("n_kept_tokens"),
         )
     )

@@ -103,6 +103,7 @@ _CHANGED_R05 = [
     "hybrid_rrf_topk",             # new (RRF dense+sparse fusion)
     "duplicate_span_stats",        # new (exact substring-dup signal)
     "duplicate_span_intervals",    # new (maximal repeated intervals)
+    "trim_repeated_spans",         # new (substring-dedup apply step)
     "approx_event_stats",          # null-user_id filter + left-join carry
 ]
 

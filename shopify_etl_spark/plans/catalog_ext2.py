@@ -2251,3 +2251,77 @@ def duplicate_span_intervals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_span_intervals(
         load_table(spark, sf_dir, "documents"), width=16
     )
+
+
+@register(
+    "trim_repeated_spans",
+    # Untouched docs pass through with their RAW text (both engines take
+    # the same branch off "has any interval"); trimmed docs rebuild with
+    # single spaces from kept tokens, '' when everything was duplicated.
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+      FROM documents
+    ), w AS (
+      SELECT doc_id, t.i,
+             array_to_string(list_slice(tk, t.i + 1, t.i + 16), ' ') AS sp
+      FROM toks, UNNEST(range(len(tk) - 15)) AS t(i)
+      WHERE len(tk) >= 16
+    ), dup AS (
+      SELECT sp FROM w GROUP BY sp HAVING COUNT(DISTINCT doc_id) >= 2
+    ), hits AS (
+      SELECT w.doc_id, w.i FROM w JOIN dup USING (sp)
+    ), marked AS (
+      SELECT doc_id, i,
+             MAX(i + 15) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM hits
+    ), isl AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN prev_end IS NULL OR i > prev_end
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i) AS island
+      FROM marked
+    ), ivs AS (
+      SELECT doc_id, MIN(i) AS s, MAX(i) + 15 AS e
+      FROM isl GROUP BY doc_id, island
+    ), kept AS (
+      SELECT tp.doc_id, tp.p, tp.tok FROM (
+        SELECT doc_id, t.i AS p, tk[t.i + 1] AS tok
+        FROM toks, UNNEST(range(len(tk))) AS t(i)
+      ) tp
+      WHERE NOT EXISTS (
+        SELECT 1 FROM ivs g
+        WHERE g.doc_id = tp.doc_id AND tp.p BETWEEN g.s AND g.e
+      )
+    ), agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS trimmed_text,
+             COUNT(*) AS n
+      FROM kept GROUP BY doc_id
+    ), affected AS (
+      SELECT DISTINCT doc_id FROM ivs
+    )
+    SELECT d.doc_id,
+           CASE WHEN aff.doc_id IS NULL THEN d.text
+                ELSE COALESCE(a.trimmed_text, '') END AS trimmed_text,
+           CAST(CASE WHEN aff.doc_id IS NULL THEN (
+                  SELECT len(tk) FROM toks t WHERE t.doc_id = d.doc_id)
+                ELSE COALESCE(a.n, 0) END AS BIGINT) AS n_kept_tokens
+    FROM documents d
+    LEFT JOIN affected aff USING (doc_id)
+    LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="Apply step of substring-level dedup: each document rebuilt with "
+    "its duplicate_span_intervals token ranges removed (conservative "
+    "symmetric trim). The interval side is the duplicated minority, "
+    "aggregated to one array per affected doc and joined back; "
+    "untouched docs pass through with raw text and the corpus side "
+    "never shuffles for them. Token filtering is a JVM positional "
+    "higher-order filter probing the per-doc interval array. "
+    "operators/dedup.py::trim_repeated_spans.",
+)
+def trim_repeated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.trim_repeated_spans(
+        load_table(spark, sf_dir, "documents"), width=16
+    )

@@ -289,3 +289,39 @@ class TestDuplicateSpans:
         assert [(r.doc_id, r.span_start, r.span_end, r.n_tokens) for r in got] == [
             (1, 0, 4, 5), (1, 8, 11, 4), (2, 0, 4, 5), (2, 8, 11, 4),
         ]
+
+    def test_trim_repeated_spans_apply(self, spark):
+        """Trim removes exactly the interval tokens; untouched docs pass
+        through with raw text (whitespace preserved); n_kept matches."""
+        from pyspark.sql import Row
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="a b c d e Q R S m n o p x"),
+                Row(doc_id=2, text="a b c d e Z Z Z m n o p y"),
+                Row(doc_id=3, text="untouched  doc   stays whole"),
+            ]
+        )
+        got = {r.doc_id: r for r in
+               dedup.trim_repeated_spans(docs, width=4).collect()}
+        assert got[1].trimmed_text == "Q R S x"
+        assert got[2].trimmed_text == "Z Z Z y"
+        assert (got[1].n_kept_tokens, got[2].n_kept_tokens) == (4, 4)
+        # raw text preserved (double spaces intact), token count from split
+        assert got[3].trimmed_text == "untouched  doc   stays whole"
+        assert got[3].n_kept_tokens == 4
+
+    def test_trim_fully_duplicated_doc_empties(self, spark):
+        """A doc that is one big duplicated window trims to ''/0."""
+        from pyspark.sql import Row
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="a b c d"),
+                Row(doc_id=2, text="a b c d"),
+            ]
+        )
+        got = {r.doc_id: r for r in
+               dedup.trim_repeated_spans(docs, width=4).collect()}
+        assert got[1].trimmed_text == "" and got[1].n_kept_tokens == 0
+        assert got[2].trimmed_text == "" and got[2].n_kept_tokens == 0

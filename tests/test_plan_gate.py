@@ -94,6 +94,7 @@ EXPECT = {
     # sides on 8-byte keys, SMJ correct; no scan asserted (checkpointed)
     "duplicate_span_stats": dict(max_shuffles=5, max_smj=2),
     "duplicate_span_intervals": dict(max_shuffles=5, max_smj=2),
+    "trim_repeated_spans": dict(max_shuffles=6, max_smj=2),
 }
 
 
