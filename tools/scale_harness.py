@@ -64,6 +64,14 @@ FAMILY = (
     "lm_bigram_scores",
     "semantic_dedup_docs",
     "source_overlap_matrix",
+    # round-5 session additions: span windows grow linearly with tokens
+    # (positional, cross-replica overlap zero under the token remap), the
+    # trim apply adds the interval join-back, and the RRF fusion's sparse
+    # probe is bounded by the (unchanged) 5-query posting lists
+    "duplicate_span_stats",
+    "trim_repeated_spans",
+    "hybrid_rrf_topk",
+    "ccnet_ppl_buckets",
 )
 
 
@@ -97,13 +105,21 @@ def build_sf1(spark, src_dir: str, out_dir: str) -> None:
 
 
 def time_query(spark, name: str, sf_dir: str, runs: int) -> tuple[float, int]:
+    """Time a noop-sink write (full pipeline materialized executor-side).
+
+    count() is NOT a valid timing target here: Catalyst prunes unused
+    columns and eliminates unique-key left joins under a bare count, so
+    map-shaped queries (trim_repeated_spans, duplicate_span_stats) would
+    measure a fraction of their real work. Row counts are taken in a
+    separate untimed pass for the report."""
     best = float("inf")
-    rows = -1
     for _ in range(runs):
         t0 = time.time()
-        df = QUERIES[name].builder(spark, sf_dir)
-        rows = df.count()
+        QUERIES[name].builder(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
         best = min(best, time.time() - t0)
+    rows = QUERIES[name].builder(spark, sf_dir).count()
     return round(best, 3), rows
 
 
