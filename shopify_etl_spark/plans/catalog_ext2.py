@@ -2325,3 +2325,91 @@ def trim_repeated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.trim_repeated_spans(
         load_table(spark, sf_dir, "documents"), width=16
     )
+
+
+from ..operators import sampling as _sampling  # noqa: E402
+
+_LEAK_W = {"train": 0.8, "val": 0.1, "test": 0.1}
+_LEAK_T = {
+    "train": _sampling._threshold(0.8),
+    "val": _sampling._threshold(0.9),
+}
+
+
+@register(
+    "leakage_safe_split",
+    # Split thresholds are the hash_split scheme (first 8 md5 hex chars
+    # vs cumulative-fraction thresholds) applied to the GROUP key, so
+    # the oracle reuses the recursive-CTE connected components from
+    # dedup_clusters and the portable md5 arithmetic from
+    # hash_split_assign verbatim.
+    oracle=rf"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT d1, d2
+      FROM shared
+      JOIN sizes sa ON sa.doc_id = d1
+      JOIN sizes sb ON sb.doc_id = d2
+      WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.8
+    ), edges AS (
+      SELECT d1 AS u, d2 AS v FROM pairs
+      UNION
+      SELECT d2, d1 FROM pairs
+    ), reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+    ), clusters AS (
+      SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
+    ), keyed AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS group_key
+      FROM documents d LEFT JOIN clusters c USING (doc_id)
+    )
+    SELECT doc_id, CAST(group_key AS BIGINT) AS group_key,
+           CASE
+             WHEN substr(md5('leakfree-v1' || CAST(group_key AS VARCHAR)), 1, 8)
+                  < '{_LEAK_T["train"]}' THEN 'train'
+             WHEN substr(md5('leakfree-v1' || CAST(group_key AS VARCHAR)), 1, 8)
+                  < '{_LEAK_T["val"]}' THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM keyed
+    """,
+    doc="Leakage-safe train/val/test split: hash-threshold assignment on "
+    "the near-dup CLUSTER key (component-min id; singletons use their "
+    "own id) instead of the document id, so a near-duplicate pair can "
+    "never straddle the train/eval boundary — the contamination channel "
+    "a per-document split leaves open. Composition of the dedup "
+    "clustering pipeline with hash_split; the split projection itself "
+    "is map-side on the grouped key. operators/dedup.py::"
+    "duplicate_clusters + operators/sampling.py::hash_split.",
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup.duplicate_clusters(
+        dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+    ).withColumnRenamed("doc", "doc_id")
+    keyed = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).cast("long").alias("group_key"),
+        )
+    )
+    return _sampling.hash_split(
+        keyed, "group_key", _LEAK_W, salt="leakfree-v1"
+    ).select("doc_id", "group_key", "split")

@@ -95,6 +95,10 @@ EXPECT = {
     "duplicate_span_stats": dict(max_shuffles=5, max_smj=2),
     "duplicate_span_intervals": dict(max_shuffles=5, max_smj=2),
     "trim_repeated_spans": dict(max_shuffles=6, max_smj=2),
+    # final-stage plan only (the iterative clustering runs its own jobs
+    # behind a checkpoint): the split projection is map-side on the
+    # grouped key, one left join back to the corpus
+    "leakage_safe_split": dict(max_shuffles=2, max_smj=1),
 }
 
 

@@ -117,3 +117,38 @@ def test_weighted_sample_deterministic_biased_and_bounded_plan(spark):
     # top-k is TakeOrdered, not a global sort
     plan = weighted_sample(df, "w", 100)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark):
+    """Near-duplicate docs (one cluster) must land in the SAME split for
+    any salt — the property a per-doc split violates."""
+    from pyspark.sql import Row
+    from shopify_etl_spark.plans.catalog_ext2 import leakage_safe_split as q  # noqa: F401
+    from shopify_etl_spark.operators import dedup, sampling
+
+    base = "w" + " w".join(str(i) for i in range(30))  # 30 distinct tokens
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=100, text=base),
+            Row(doc_id=205, text=base + " tail"),   # near-dup of 100
+            Row(doc_id=300, text="entirely different words " * 6),
+        ]
+    )
+    clusters = dedup.duplicate_clusters(
+        dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+    ).withColumnRenamed("doc", "doc_id")
+    keyed = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .selectExpr("doc_id", "coalesce(cluster_id, doc_id) AS group_key")
+    )
+    got = {
+        r.doc_id: r
+        for r in sampling.hash_split(
+            keyed, "group_key", {"train": 0.5, "val": 0.25, "test": 0.25},
+            salt="leakfree-v1",
+        ).collect()
+    }
+    assert got[100].group_key == got[205].group_key == 100
+    assert got[100].split == got[205].split  # never straddles the boundary
+    assert got[300].group_key == 300
