@@ -95,9 +95,16 @@ def main() -> None:
         "dedup_corpus",
         "dedup_corpus_best",
     )
+    # the span family shares one materialized window-hash stage the same
+    # way (one corpus pass, three consumers)
+    shared_spans = (
+        "duplicate_span_stats",
+        "duplicate_span_intervals",
+        "trim_repeated_spans",
+    )
 
     for name, spec in QUERIES.items():
-        if name in shared_dedup:
+        if name in shared_dedup or name in shared_spans:
             continue
         bench(
             name,
@@ -158,6 +165,35 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"bench error in dedup family: {e}", file=sys.stderr)
         for name in shared_dedup:
+            timings.setdefault(name, -1.0)
+
+    try:
+        from shopify_etl_spark.operators import dedup as _dd
+        from shopify_etl_spark.operators.dedup import _span_hash_windows
+        from shopify_etl_spark.plans.catalog import load_table as _lt
+
+        sdocs = _lt(spark, sf_dir, "documents")
+        span_windows = None
+
+        def build_span_stage():
+            nonlocal span_windows
+            span_windows = _span_hash_windows(sdocs, 16, "text", "doc_id")
+            span_windows.count()  # force the lazy localCheckpoint
+
+        bench("_stage:span_windows", build_span_stage)
+
+        def snoop(df):
+            df.write.format("noop").mode("overwrite").save()
+
+        bench("duplicate_span_stats",
+              lambda: snoop(_dd.duplicate_span_stats(sdocs, windows=span_windows)))
+        bench("duplicate_span_intervals",
+              lambda: snoop(_dd.duplicate_span_intervals(sdocs, windows=span_windows)))
+        bench("trim_repeated_spans",
+              lambda: snoop(_dd.trim_repeated_spans(sdocs, windows=span_windows)))
+    except Exception as e:  # noqa: BLE001
+        print(f"bench error in span family: {e}", file=sys.stderr)
+        for name in shared_spans:
             timings.setdefault(name, -1.0)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)

@@ -799,7 +799,10 @@ def _span_hash_windows(
     as ``shingle_postings``.
 
     Lazily localCheckpointed: every caller feeds the spans to at least
-    two consumers (explode + per-doc sizes / island pass).
+    two consumers (explode + per-doc sizes / island pass). The span
+    family accepts a prebuilt ``windows`` frame so a pipeline running
+    stats + intervals + trim over one corpus shingles it once
+    (bench.py times that shared stage as ``_stage:span_windows``).
     """
     toks = tokens(text_col)
     return (
@@ -832,6 +835,7 @@ def duplicate_span_stats(
     width: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    windows: DataFrame | None = None,
 ) -> DataFrame:
     """Exact repeated-substring signal (Lee et al., "Deduplicating
     Training Data Makes Language Models Better"): for every document,
@@ -852,7 +856,11 @@ def duplicate_span_stats(
     threshold. 64-bit collisions merging distinct spans: p ~ n^2/2^64,
     the same accepted exposure as ``shingle_postings``.
     """
-    base = _span_hash_windows(df, width, text_col, id_col)
+    base = (
+        windows
+        if windows is not None
+        else _span_hash_windows(df, width, text_col, id_col)
+    )
     pos = base.select("doc", F.posexplode("spans").alias("pos", "h"))
     # ">= 2 distinct docs" == min(doc) != max(doc): two cheap longs per
     # span instead of a distinct aggregation
@@ -884,6 +892,7 @@ def duplicate_span_intervals(
     width: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    windows: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal repeated intervals per document: overlapping/adjacent
     cross-doc-duplicated ``width``-token windows (see
@@ -898,9 +907,12 @@ def duplicate_span_intervals(
     window function pass over the duplicated-window minority — the
     corpus-sized window stream never re-shuffles.
     """
-    pos = _span_hash_windows(df, width, text_col, id_col).select(
-        "doc", F.posexplode("spans").alias("pos", "h")
+    base = (
+        windows
+        if windows is not None
+        else _span_hash_windows(df, width, text_col, id_col)
     )
+    pos = base.select("doc", F.posexplode("spans").alias("pos", "h"))
     dup = (
         pos.groupBy("h")
         .agg(F.min("doc").alias("_lo"), F.max("doc").alias("_hi"))
@@ -940,6 +952,7 @@ def trim_repeated_spans(
     width: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    windows: DataFrame | None = None,
 ) -> DataFrame:
     """Apply step of substring-level dedup: rebuild each document with
     the tokens inside its :func:`duplicate_span_intervals` ranges
@@ -955,7 +968,7 @@ def trim_repeated_spans(
     with a positional lambda probing the per-doc interval array.
     """
     ivs = (
-        duplicate_span_intervals(df, width, text_col, id_col)
+        duplicate_span_intervals(df, width, text_col, id_col, windows=windows)
         .groupBy(id_col)
         .agg(
             F.collect_list(F.struct("span_start", "span_end")).alias("_ivs")
