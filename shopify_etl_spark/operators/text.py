@@ -709,3 +709,134 @@ def bigram_lm_scores(
             F.round(F.avg(-logp), 4).alias("avg_nll_bits"),
         )
     )
+
+
+def bpe_train(
+    df: DataFrame, n_merges: int = 50, text_col: str = "text"
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` ranked BPE merges from the corpus.
+
+    The distributed part is exactly the pretoken frequency dict (one
+    word-count shuffle, vocabulary-sized output — the input every real
+    BPE trainer consumes); the merge loop itself runs driver-side over
+    that dict, the same bounded-driver-fold pattern as the k-means
+    centroid collect (``clustering.py``). A 100 TB corpus changes the
+    DICT COUNTS, not the loop's size: iterations touch |vocab|·avg_len
+    symbols regardless of corpus scale. First-step pair counts agree
+    with :func:`bpe_merge_pair_counts` by construction (pinned in
+    tests).
+
+    Tie-break: highest count, then lexicographic pair — deterministic
+    across runs and cluster layouts.
+    """
+    wc = (
+        df.select(F.explode(bpe_pretokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wn"))
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {tuple(r.w): r.wn for r in wc}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for word, n in vocab.items():
+            for a, b in zip(word, word[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        out: dict[tuple[str, ...], int] = {}
+        for word, n in vocab.items():
+            syms: list[str] = []
+            i = 0
+            while i < len(word):
+                if i + 1 < len(word) and (word[i], word[i + 1]) == best:
+                    syms.append(merged)
+                    i += 2
+                else:
+                    syms.append(word[i])
+                    i += 1
+            key = tuple(syms)
+            out[key] = out.get(key, 0) + n
+        vocab = out
+    return merges
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Segment every document with learned BPE merges (the tokenizer
+    APPLY step every training pipeline runs over the full corpus).
+
+    Greedy rank-order merging is inherently iterative per pretoken (each
+    merge can enable the next), so this is genuine Pandas-UDF territory:
+    an Arrow-batched ``mapInPandas`` with the merge table broadcast in
+    the closure and a per-batch pretoken memo — each DISTINCT pretoken
+    in a batch is segmented once regardless of its frequency, the same
+    dict-not-corpus economics as training. Emits per-document BPE token
+    counts plus the segmented tokens; deterministic for a fixed merge
+    table.
+    """
+    import re as _re
+
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ranks = {pair: r for r, pair in enumerate(merges)}
+    pattern = _re.compile(BPE_PRETOKEN_PATTERN)
+
+    def encode_word(word: str, memo: dict) -> list[str]:
+        got = memo.get(word)
+        if got is not None:
+            return got
+        syms = list(word)
+        while len(syms) > 1:
+            best_rank, best_i = None, -1
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        memo[word] = syms
+        return syms
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("n_bpe_tokens", LongType(), False),
+            StructField("bpe_tokens", ArrayType(StringType()), False),
+        ]
+    )
+
+    def seg(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            memo: dict = {}
+            ids, ns, toks = [], [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                out: list[str] = []
+                for w in pattern.findall(txt or ""):
+                    out.extend(encode_word(w, memo))
+                ids.append(did)
+                ns.append(len(out))
+                toks.append(out)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "n_bpe_tokens": pd.Series(ns, dtype="int64"),
+                 "bpe_tokens": pd.Series(toks, dtype=object)}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(seg, schema)

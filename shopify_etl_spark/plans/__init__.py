@@ -105,6 +105,7 @@ _CHANGED_R05 = [
     "duplicate_span_intervals",    # new (maximal repeated intervals)
     "trim_repeated_spans",         # new (substring-dedup apply step)
     "leakage_safe_split",          # new (cluster-keyed split)
+    "bpe_apply_one_merge",         # new (tokenizer apply, oracled slice)
     "approx_event_stats",          # null-user_id filter + left-join carry
 ]
 

@@ -2413,3 +2413,55 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sampling.hash_split(
         keyed, "group_key", _LEAK_W, salt="leakfree-v1"
     ).select("doc_id", "group_key", "split")
+
+
+@register(
+    "bpe_apply_one_merge",
+    # With a single learned merge (a,b), greedy BPE segmentation of a
+    # pretoken removes exactly its leftmost-non-overlapping (a,b)
+    # occurrences (iterated leftmost merging == leftmost non-overlap
+    # replace, including the a==b run case), so per-doc token counts are
+    # exact integer arithmetic: len(w) - occurrences. The oracle learns
+    # the same merge (max count, lexicographic tie-break — equivalent on
+    # the 1-char|1-char pair strings) and applies it via replace().
+    oracle=r"""
+    WITH pre AS (
+      SELECT doc_id, unnest(regexp_extract_all(text,
+        '(?:''s|''t|''re|''ve|''m|''ll|''d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+|\s+',
+        0)) AS w
+      FROM documents
+    ), wc AS (
+      SELECT w, COUNT(*) AS wn FROM pre GROUP BY w
+    ), pairs AS (
+      SELECT wn,
+             unnest(list_transform(range(1, length(w)),
+                    i -> w[i] || '|' || w[i+1])) AS pair
+      FROM wc WHERE length(w) >= 2
+    ), best AS (
+      SELECT split_part(pair, '|', 1) || split_part(pair, '|', 2) AS ab
+      FROM (
+        SELECT pair, SUM(wn) AS n FROM pairs GROUP BY pair
+        ORDER BY n DESC, pair LIMIT 1
+      )
+    )
+    SELECT p.doc_id,
+           CAST(SUM(length(p.w)
+                - (length(p.w) - length(replace(p.w, b.ab, ''))) // 2)
+             AS BIGINT) AS n_bpe_tokens
+    FROM pre p CROSS JOIN best b
+    GROUP BY p.doc_id
+    """,
+    doc="Tokenizer APPLY step, oracle-checkable slice: learn the top BPE "
+    "merge from the corpus (bpe_train — distributed pretoken dict, "
+    "driver merge loop, the k-means bounded-fold pattern) and segment "
+    "every document with it (bpe_apply — Arrow-batched mapInPandas, "
+    "merge table in the closure, per-batch pretoken memo so each "
+    "DISTINCT pretoken is segmented once). The full multi-merge encoder "
+    "is the same code path with a longer table (greedy rank-order "
+    "merging is inherently iterative — genuinely not SQL-expressible "
+    "beyond one step). operators/text.py::bpe_train/bpe_apply.",
+)
+def bpe_apply_one_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges = text.bpe_train(docs, n_merges=1)
+    return text.bpe_apply(docs, merges).select("doc_id", "n_bpe_tokens")

@@ -99,6 +99,9 @@ EXPECT = {
     # behind a checkpoint): the split projection is map-side on the
     # grouped key, one left join back to the corpus
     "leakage_safe_split": dict(max_shuffles=2, max_smj=1),
+    # tokenizer apply is a pure map (the train collect runs at build
+    # time as its own bounded job, like the kmeans centroid fold)
+    "bpe_apply_one_merge": dict(max_shuffles=0, max_smj=0),
 }
 
 

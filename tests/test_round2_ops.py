@@ -490,3 +490,72 @@ class TestHybridRetrieval:
         assert (b.rank_dense, b.rank_sparse) == (2, 0)  # dense-only
         assert math.isclose(b.rrf_score, round(1 / 62, 6), abs_tol=1e-9)
         assert a.rrf_score > b.rrf_score
+
+
+class TestBpeTrainApply:
+    def test_bpe_train_classic_corpus(self, spark):
+        """The textbook low/lower/newest/widest corpus: merges follow the
+        max-count (lexicographic tie-break) schedule; first merge equals
+        bpe_merge_pair_counts' top pair."""
+        from pyspark.sql import Row
+        from shopify_etl_spark.operators.text import bpe_merge_pair_counts, bpe_train
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=1,
+                 text=" ".join(["low"] * 5 + ["lower"] * 2
+                               + ["newest"] * 6 + ["widest"] * 3))]
+        )
+        merges = bpe_train(docs, n_merges=4)
+        # 'es' appears in newest+widest (9) > 'lo' (7); then 'es'+'t' (9)
+        assert merges[0] == ("e", "s")
+        assert merges[1] == ("es", "t")
+        top = bpe_merge_pair_counts(docs, top_k=1).collect()[0]
+        assert top.pair == "|".join(merges[0])
+
+    def test_bpe_apply_matches_reference_encoder(self, spark):
+        """Distributed segmentation == a pure-Python greedy reference on
+        every doc (rank order decides, not position order)."""
+        from pyspark.sql import Row
+        from shopify_etl_spark.operators.text import (
+            BPE_PRETOKEN_PATTERN,
+            bpe_apply,
+            bpe_train,
+        )
+        import re
+
+        texts = {
+            1: "low lower lowest newest news",
+            2: "the newest low is lower than the widest",
+            3: "zz z zz",
+        }
+        docs = spark.createDataFrame(
+            [Row(doc_id=k, text=v) for k, v in texts.items()]
+        )
+        merges = bpe_train(docs, n_merges=8)
+        ranks = {p: r for r, p in enumerate(merges)}
+
+        def ref(word):
+            syms = list(word)
+            while len(syms) > 1:
+                cands = [(ranks[(a, b)], i) for i, (a, b) in
+                         enumerate(zip(syms, syms[1:])) if (a, b) in ranks]
+                if not cands:
+                    break
+                _, i = min(cands)
+                syms[i:i + 2] = [syms[i] + syms[i + 1]]
+            return syms
+
+        got = {r.doc_id: r for r in bpe_apply(docs, merges).collect()}
+        pat = re.compile(BPE_PRETOKEN_PATTERN)
+        for did, txt in texts.items():
+            want = [s for w in pat.findall(txt) for s in ref(w)]
+            assert list(got[did].bpe_tokens) == want
+            assert got[did].n_bpe_tokens == len(want)
+
+    def test_bpe_apply_zero_merges_is_chars(self, spark):
+        from pyspark.sql import Row
+        from shopify_etl_spark.operators.text import bpe_apply
+
+        docs = spark.createDataFrame([Row(doc_id=1, text="ab cd")])
+        (r,) = bpe_apply(docs, []).collect()
+        assert list(r.bpe_tokens) == ["a", "b", " ", "c", "d"]
