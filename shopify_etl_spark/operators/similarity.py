@@ -472,3 +472,66 @@ def quantize_embeddings(
             "max_abs_err"
         ),
     )
+
+
+def mutual_knn_pairs(
+    emb: DataFrame,
+    k: int = 5,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mutual k-nearest-neighbor pairs within blocks: (a, b) kept only
+    when b is in a's cosine top-k AND a is in b's — the symmetric
+    filter that strips hub/asymmetric false matches from a kNN graph
+    (the standard robustness upgrade over one-directional near-dup
+    candidates).
+
+    Pair generation is blocked on ``block_col`` (label / IVF cell /
+    LSH bucket), so the join is |block|² per block, never corpus² —
+    the same economics as ``blocked_cosine_pairs``; at real scale the
+    block column comes from the IVF/LSH assigners in this module.
+    Directed edges are ranked once over the full (a,b)+(b,a) pair set
+    (cosine is symmetric, each direction ranks within its own query
+    partition); the mutual check is a self-join of the two directed
+    top-k lists, both bounded at k·n rows.
+    """
+    a = emb.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("va"),
+    ).withColumn("_na", _norm("va"))
+    b = emb.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("vb"),
+    ).withColumn("_nb", _norm("vb"))
+    pairs = (
+        a.join(b, "_blk")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            (_dot("va", "vb") / (F.col("_na") * F.col("_nb"))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("sim"), F.asc("b"))
+    knn = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("a", "b", "sim")
+    )
+    x, y = knn.alias("x"), knn.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.a") == F.col("y.b"))
+            & (F.col("x.b") == F.col("y.a"))
+            & (F.col("x.a") < F.col("x.b")),
+        )
+        .select(
+            F.col("x.a").alias("a"),
+            F.col("x.b").alias("b"),
+            F.round(F.col("x.sim"), 4).alias("cosine_sim"),
+        )
+    )

@@ -106,6 +106,7 @@ _CHANGED_R05 = [
     "trim_repeated_spans",         # new (substring-dedup apply step)
     "leakage_safe_split",          # new (cluster-keyed split)
     "bpe_apply_one_merge",         # new (tokenizer apply, oracled slice)
+    "mutual_knn_pairs",            # new (symmetric kNN filter)
     "approx_event_stats",          # null-user_id filter + left-join carry
 ]
 

@@ -2465,3 +2465,41 @@ def bpe_apply_one_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = text.bpe_train(docs, n_merges=1)
     return text.bpe_apply(docs, merges).select("doc_id", "n_bpe_tokens")
+
+
+@register(
+    "mutual_knn_pairs",
+    # Directed ranks sit on raw float64 cosines (the proven-stable
+    # ann_cosine_topk precedent); the mutual self-join and a<b cut are
+    # integer/bool logic, and the output cosine is rounded.
+    oracle="""
+    WITH e AS (
+      SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), pairs AS (
+      SELECT x.vec_id AS a, y.vec_id AS b,
+             list_cosine_similarity(x.v, y.v) AS sim
+      FROM e x JOIN e y ON x.label = y.label AND x.vec_id <> y.vec_id
+    ), knn AS (
+      SELECT a, b, sim FROM (
+        SELECT a, b, sim,
+               ROW_NUMBER() OVER (PARTITION BY a
+                                  ORDER BY sim DESC, b) AS rn
+        FROM pairs
+      ) WHERE rn <= 5
+    )
+    SELECT x.a, x.b, ROUND(x.sim, 4) AS cosine_sim
+    FROM knn x JOIN knn y ON x.a = y.b AND x.b = y.a AND x.a < x.b
+    """,
+    doc="Mutual kNN pairs within label blocks: a pair survives only when "
+    "each vector is in the other's cosine top-5 — the symmetric filter "
+    "that strips hub/asymmetric false matches from a kNN graph before "
+    "clustering or dedup. Blocked pair generation (|block|^2 per label, "
+    "never corpus^2; at scale the block key comes from the IVF/LSH "
+    "assigners), one ranking window over the directed edges, mutual "
+    "check as a self-join of two k*n-bounded lists. "
+    "operators/similarity.py::mutual_knn_pairs.",
+)
+def mutual_knn_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity
+
+    return similarity.mutual_knn_pairs(load_table(spark, sf_dir, "embeddings"), k=5)

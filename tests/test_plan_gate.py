@@ -102,6 +102,9 @@ EXPECT = {
     # tokenizer apply is a pure map (the train collect runs at build
     # time as its own bounded job, like the kmeans centroid fold)
     "bpe_apply_one_merge": dict(max_shuffles=0, max_smj=0),
+    # label-blocked pair join + rank window + mutual self-join: every
+    # join is equi-keyed (block / directed-edge), no cartesian anywhere
+    "mutual_knn_pairs": dict(max_shuffles=8, max_smj=3),
 }
 
 

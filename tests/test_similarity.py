@@ -303,3 +303,25 @@ def test_quantize_embeddings_error_bound_and_zero_vector(spark):
     assert got[1].q == [0, 0, 0, 0] and got[1].scale == 0.0
     # the max-magnitude dimension quantizes to +/-127 exactly
     assert max(got[0].q) == 127 and abs(min(got[2].q)) == 127
+
+
+def test_mutual_knn_pairs_symmetry_filter(spark):
+    """Planted geometry in one block: a<->b mutually nearest (parallel),
+    hub c is in everyone's top-k but nobody is in c's top-1 beyond its
+    own nearest — asymmetric edges must be dropped, a-b must survive."""
+    from pyspark.sql import Row
+    from shopify_etl_spark.operators.similarity import mutual_knn_pairs
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0, 0.0], label=0),
+            Row(vec_id=2, embedding=[2.0, 0.02, 0.0], label=0),   # ~ vec 1
+            Row(vec_id=3, embedding=[0.0, 1.0, 0.0], label=0),
+            Row(vec_id=4, embedding=[0.0, 0.0, 1.0], label=1),    # other block
+            Row(vec_id=5, embedding=[0.0, 0.01, 1.0], label=1),
+        ]
+    )
+    got = {(r.a, r.b): r.cosine_sim for r in mutual_knn_pairs(emb, k=1).collect()}
+    # k=1: only mutually-nearest pairs survive, blocks never mix
+    assert set(got) == {(1, 2), (4, 5)}
+    assert got[(1, 2)] > 0.999
