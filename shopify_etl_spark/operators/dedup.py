@@ -995,3 +995,46 @@ def trim_repeated_spans(
             .alias("n_kept_tokens"),
         )
     )
+
+
+def cross_corpus_near_dups(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric ingest gate: which NEW documents are near-duplicates
+    (word-n-gram Jaccard >= threshold) of anything already in the
+    reference corpus — the screen a production pipeline runs before
+    admitting a fresh crawl batch, without ever self-joining either
+    side.
+
+    The join is new-postings × ref-postings on 8-byte shingle keys, so
+    cost scales with the CROSS overlap, not either corpus squared; the
+    ingest batch is typically a small fraction of the store, exactly the
+    asymmetry the train×eval contamination op exploits. Emits one row
+    per matched (new, ref) pair; ``best_ref`` downstream policy (keep /
+    drop / link) stays above this operator.
+    """
+    new_sh = shingle_postings(new_docs, text_col, id_col, n).withColumnRenamed(
+        "doc", "new_id"
+    )
+    ref_sh = shingle_postings(ref_docs, text_col, id_col, n).withColumnRenamed(
+        "doc", "ref_id"
+    )
+    new_sizes = new_sh.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_new"))
+    ref_sizes = ref_sh.groupBy("ref_id").agg(F.count(F.lit(1)).alias("n_ref"))
+    shared = (
+        new_sh.join(ref_sh, "s")
+        .groupBy("new_id", "ref_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared") / (F.col("n_new") + F.col("n_ref") - F.col("shared"))
+    return (
+        shared.join(new_sizes, "new_id")
+        .join(ref_sizes, "ref_id")
+        .filter(jac >= threshold)
+        .select("new_id", "ref_id", F.round(jac, 4).alias("jaccard"))
+    )

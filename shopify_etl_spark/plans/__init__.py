@@ -107,6 +107,7 @@ _CHANGED_R05 = [
     "leakage_safe_split",          # new (cluster-keyed split)
     "bpe_apply_one_merge",         # new (tokenizer apply, oracled slice)
     "mutual_knn_pairs",            # new (symmetric kNN filter)
+    "cross_corpus_near_dups",      # new (ingest dedup screen)
     "approx_event_stats",          # null-user_id filter + left-join carry
 ]
 

@@ -2503,3 +2503,48 @@ def mutual_knn_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity
 
     return similarity.mutual_knn_pairs(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+@register(
+    "cross_corpus_near_dups",
+    # src0 plays the reference store, every other source the incoming
+    # batch; shingle/Jaccard arithmetic is integer-until-division, same
+    # as the symmetric pair oracles.
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS ref_id, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s
+      WHERE a.source <> 'src0' AND b.source = 'src0'
+      GROUP BY 1, 2
+    )
+    SELECT s.new_id, s.ref_id,
+           ROUND(s.shared * 1.0 / (sn.n_sh + sr.n_sh - s.shared), 4) AS jaccard
+    FROM shared s
+    JOIN sizes sn ON sn.doc_id = s.new_id
+    JOIN sizes sr ON sr.doc_id = s.ref_id
+    WHERE s.shared * 1.0 / (sn.n_sh + sr.n_sh - s.shared) >= 0.8
+    """,
+    doc="Cross-corpus ingest screen: new-batch documents (source != "
+    "'src0') that are word-3-gram Jaccard near-dups of the existing "
+    "store (source = 'src0') — the admit/drop gate before a crawl batch "
+    "enters the corpus. Asymmetric postings join on 8-byte shingle "
+    "keys: cost scales with cross overlap, neither corpus ever "
+    "self-joins. operators/dedup.py::cross_corpus_near_dups.",
+)
+def cross_corpus_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.cross_corpus_near_dups(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+    )

@@ -325,3 +325,23 @@ class TestDuplicateSpans:
                dedup.trim_repeated_spans(docs, width=4).collect()}
         assert got[1].trimmed_text == "" and got[1].n_kept_tokens == 0
         assert got[2].trimmed_text == "" and got[2].n_kept_tokens == 0
+
+
+def test_cross_corpus_near_dups_asymmetric(spark):
+    """New batch screened against a reference store: only cross pairs
+    emit (never ref x ref or new x new), and Jaccard matches hand math."""
+    from pyspark.sql import Row
+
+    base = " ".join(f"t{i}" for i in range(20))
+    ref = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text=base)]  # internal dup
+    )
+    new = spark.createDataFrame(
+        [
+            Row(doc_id=10, text=base),                     # dup of store
+            Row(doc_id=11, text="fresh unique words " * 5),
+        ]
+    )
+    got = dedup.cross_corpus_near_dups(new, ref).collect()
+    assert {(r.new_id, r.ref_id) for r in got} == {(10, 1), (10, 2)}
+    assert all(r.jaccard == 1.0 for r in got)

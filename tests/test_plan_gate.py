@@ -105,6 +105,7 @@ EXPECT = {
     # label-blocked pair join + rank window + mutual self-join: every
     # join is equi-keyed (block / directed-edge), no cartesian anywhere
     "mutual_knn_pairs": dict(max_shuffles=8, max_smj=3),
+    "cross_corpus_near_dups": dict(max_shuffles=7, max_smj=3),
 }
 
 
