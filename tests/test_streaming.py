@@ -657,3 +657,109 @@ def test_compact_rerun_finishes_interrupted_cleanup(spark, tmp_path):
     assert [os.path.basename(d) for d in live_grid_dirs(spark, str(sk_dir))] == \
         ["compact=0-1", "epoch=2"]
     assert sorted(map(tuple, read_sketch(spark, str(sk_dir)).collect())) == before
+
+
+def test_stream_span_screen_single_batch_equals_batch_op(spark, tmp_path):
+    """One batch: the streaming screen must equal duplicate_span_stats
+    exactly (within-batch duplication is symmetric)."""
+    from pyspark.sql import Row
+    from shopify_etl_spark.operators import dedup
+    from shopify_etl_spark.streaming import read_span_stats, stream_span_screen
+
+    texts = {
+        1: "a b c d e f g h",
+        2: "x a b c d e y z",
+        3: "p q r s t u v w",
+    }
+    src = tmp_path / "feed"
+    out, state, ckpt = (
+        str(tmp_path / "stats"), str(tmp_path / "hashes"), str(tmp_path / "ck"),
+    )
+    _write_jsonl(src / "b1.jsonl", [
+        {"doc_id": k, "text": v, "ingested_at": "2024-05-01T10:00:00.000Z"}
+        for k, v in texts.items()
+    ])
+    q = stream_span_screen(spark, str(src), out, state, ckpt, width=4)
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, read_span_stats(spark, out).collect()))
+    docs = spark.createDataFrame([Row(doc_id=k, text=v) for k, v in texts.items()])
+    want = sorted(map(tuple, dedup.duplicate_span_stats(docs, width=4).collect()))
+    assert got == want
+
+
+def test_stream_span_screen_across_batches_and_replay(spark, tmp_path):
+    """A later batch flags against the window store (earlier docs'
+    emitted stats never rewritten); the store grows by novel hashes
+    only; checkpoint replay is a no-op; a crashed (uncommitted) epoch
+    is rewritten on restart."""
+    import os
+
+    from shopify_etl_spark.streaming import read_span_stats, stream_span_screen
+
+    base = "m n o p q r s t"
+    src = tmp_path / "feed"
+    out, state, ckpt = (
+        str(tmp_path / "stats"), str(tmp_path / "hashes"), str(tmp_path / "ck"),
+    )
+    t = "2024-05-01T10:{m:02d}:00.000Z"
+
+    def run(name=None, rows=None):
+        if name:
+            _write_jsonl(src / name, rows)
+        q = stream_span_screen(spark, str(src), out, state, ckpt, width=4)
+        q.awaitTermination(120)
+
+    run("b1.jsonl", [{"doc_id": 1, "text": base, "ingested_at": t.format(m=0)}])
+    s1 = {r.doc_id: r for r in read_span_stats(spark, out).collect()}
+    assert s1[1].n_dup_windows == 0  # nothing seen yet
+
+    run("b2.jsonl", [
+        {"doc_id": 2, "text": base + " extra tail", "ingested_at": t.format(m=5)},
+        {"doc_id": 3, "text": "all fresh words here now ok", "ingested_at": t.format(m=6)},
+    ])
+    s2 = {r.doc_id: r for r in read_span_stats(spark, out).collect()}
+    assert s2[1].n_dup_windows == 0          # earlier stats untouched
+    assert s2[2].n_dup_windows == 5          # all 5 windows of `base` prefix seen
+    assert s2[3].n_dup_windows == 0
+
+    # store holds DISTINCT hashes; epoch 1 appended only novel ones
+    eps = sorted(d for d in os.listdir(state) if d.startswith("epoch="))
+    assert len(eps) == 2
+    h0 = spark.read.parquet(os.path.join(state, eps[0])).count()
+    h1 = spark.read.parquet(os.path.join(state, eps[1])).count()
+    assert h0 == 5                            # doc1: 5 windows
+    # doc2 has 7 windows (10 tokens), 5 hit history -> <= 5 novel persist
+    # (2 new + windows straddling base/tail); doc3 adds its own
+    total = spark.read.parquet(os.path.join(state, "epoch=*")).distinct().count()
+    assert total == h0 + h1
+
+    # replay with same checkpoint: nothing changes
+    run()
+    assert {r.doc_id: r.n_dup_windows
+            for r in read_span_stats(spark, out).collect()} == \
+           {k: v.n_dup_windows for k, v in s2.items()}
+
+    # crash injection (fresh store, same discipline as the sketch tests):
+    # an epoch dir with partial files and NO _SUCCESS is excluded from
+    # reads and REWRITTEN when its epoch replays, not skipped
+    src2 = tmp_path / "feed2"
+    out2, state2, ckpt2 = (
+        str(tmp_path / "stats2"), str(tmp_path / "hashes2"), str(tmp_path / "ck2"),
+    )
+    ep0 = tmp_path / "stats2" / "epoch=0"
+    bogus = spark.createDataFrame(
+        [(99, 1, 1, 1.0)],
+        "doc_id long, n_windows long, n_dup_windows long, dup_window_frac double",
+    )
+    bogus.coalesce(1).write.mode("overwrite").parquet(str(ep0))
+    os.remove(os.path.join(str(ep0), "_SUCCESS"))  # crash: files, no marker
+    assert read_span_stats(spark, out2).count() == 0  # uncommitted -> unread
+
+    _write_jsonl(src2 / "b1.jsonl",
+                 [{"doc_id": 7, "text": base, "ingested_at": t.format(m=9)}])
+    q = stream_span_screen(spark, str(src2), out2, state2, ckpt2, width=4)
+    q.awaitTermination(120)
+    s3 = sorted((r.doc_id, r.n_dup_windows)
+                for r in read_span_stats(spark, out2).collect())
+    assert s3 == [(7, 0)]  # bogus row gone: crashed epoch rewritten
