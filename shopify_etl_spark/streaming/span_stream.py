@@ -138,3 +138,18 @@ def read_span_stats(spark: SparkSession, out_dir: str) -> DataFrame:
             "doc_id long, n_windows long, n_dup_windows long, dup_window_frac double",
         )
     return spark.read.parquet(*dirs)
+
+
+def compact_span_epochs(spark: SparkSession, state_dir: str) -> str | None:
+    """:func:`sketch_stream.compact_sketch_epochs` for the window-hash
+    store: the fold is DISTINCT over the hash column (idempotent-union
+    state, so every future screen decision is unchanged — the epochs
+    already contain disjoint novel hashes by construction, making the
+    distinct a pure file-count collapse). Same rename-publish crash
+    discipline; run between stream runs."""
+    from .sketch_stream import compact_sketch_epochs
+
+    def merge(df: DataFrame) -> DataFrame:
+        return df.distinct()
+
+    return compact_sketch_epochs(spark, state_dir, merge=merge)

@@ -763,3 +763,45 @@ def test_stream_span_screen_across_batches_and_replay(spark, tmp_path):
     s3 = sorted((r.doc_id, r.n_dup_windows)
                 for r in read_span_stats(spark, out2).collect())
     assert s3 == [(7, 0)]  # bogus row gone: crashed epoch rewritten
+
+
+def test_span_store_compaction_preserves_decisions(spark, tmp_path):
+    """Compacting the window-hash store changes no screen decision: a
+    post-compaction batch flags exactly as it would against the
+    uncompacted epochs, and the store's distinct hash set is intact."""
+    import os
+
+    from shopify_etl_spark.streaming import read_span_stats, stream_span_screen
+    from shopify_etl_spark.streaming.span_stream import compact_span_epochs
+
+    src = tmp_path / "feed"
+    out, state, ckpt = (
+        str(tmp_path / "stats"), str(tmp_path / "hashes"), str(tmp_path / "ck"),
+    )
+    t = "2024-05-01T10:{m:02d}:00.000Z"
+
+    def run(name, rows):
+        _write_jsonl(src / name, rows)
+        q = stream_span_screen(spark, str(src), out, state, ckpt, width=4)
+        q.awaitTermination(120)
+
+    run("b1.jsonl", [{"doc_id": 1, "text": "a b c d e f", "ingested_at": t.format(m=0)}])
+    run("b2.jsonl", [{"doc_id": 2, "text": "g h i j k l", "ingested_at": t.format(m=1)}])
+    run("b2b.jsonl", [{"doc_id": 9, "text": "m n o p q r", "ingested_at": t.format(m=2)}])
+    before = spark.read.parquet(os.path.join(state, "epoch=*")).distinct().count()
+
+    newdir = compact_span_epochs(spark, state)
+    assert newdir is not None and "compact=" in newdir
+    # newest epoch survives by name (replay gate), older folded
+    names = sorted(os.listdir(state))
+    assert any(n.startswith("compact=") for n in names)
+    assert sum(n.startswith("epoch=") for n in names) == 1
+
+    from shopify_etl_spark.streaming.sketch_stream import live_grid_dirs
+    live = live_grid_dirs(spark, state)
+    assert spark.read.parquet(*live).distinct().count() == before
+
+    # a duplicate of batch-1 content arriving AFTER compaction still flags
+    run("b3.jsonl", [{"doc_id": 3, "text": "a b c d e f", "ingested_at": t.format(m=2)}])
+    s = {r.doc_id: r.n_dup_windows for r in read_span_stats(spark, out).collect()}
+    assert s[3] == 3 and s[1] == 0 and s[2] == 0 and s[9] == 0
