@@ -108,6 +108,7 @@ _CHANGED_R05 = [
     "bpe_apply_one_merge",         # new (tokenizer apply, oracled slice)
     "mutual_knn_pairs",            # new (symmetric kNN filter)
     "cross_corpus_near_dups",      # new (ingest dedup screen)
+    "curation_v2_corpus",          # new (gate->trim->split chain)
     "approx_event_stats",          # null-user_id filter + left-join carry
 ]
 

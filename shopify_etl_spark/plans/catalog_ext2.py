@@ -2548,3 +2548,135 @@ def cross_corpus_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("source") != "src0"),
         docs.filter(F.col("source") == "src0"),
     )
+
+
+_CUR2_T = {
+    "train": _sampling._threshold(0.96),
+    "val": _sampling._threshold(0.98),
+}
+
+
+@register(
+    "curation_v2_corpus",
+    # Three oracle-proven stages chained as CTEs: the CCNet tercile gate
+    # (rank on rounded score + id), the substring trim (span/island/
+    # NOT-EXISTS reconstruction — computed over the SURVIVOR set, which
+    # is the point: the gate runs before the expensive span pass), and
+    # the md5-threshold split.
+    oracle=rf"""
+    WITH toks0 AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+      FROM documents
+    ), parts AS (
+      SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk)),
+                      i -> tk[i] || ' ' || tk[i+1])) AS bg
+        FROM toks0 WHERE len(tk) >= 2
+      )
+    ), bgc AS (
+      SELECT bg, COUNT(*) AS c12 FROM parts GROUP BY bg
+    ), pc AS (
+      SELECT w1, COUNT(*) AS c1 FROM parts GROUP BY w1
+    ), vocab AS (
+      SELECT COUNT(DISTINCT t) AS v
+      FROM (SELECT unnest(tk) AS t FROM toks0)
+    ), scored AS (
+      SELECT p.doc_id,
+             ROUND(AVG(-log2((b.c12 + 1.0) / (c.c1 + 1.0 * v.v))), 4)
+               AS score_bits
+      FROM parts p JOIN bgc b USING (bg) JOIN pc c USING (w1)
+      CROSS JOIN vocab v
+      GROUP BY p.doc_id
+    ), bucketed AS (
+      SELECT s.doc_id,
+             NTILE(3) OVER (PARTITION BY d.lang
+                            ORDER BY s.score_bits, s.doc_id) AS b
+      FROM scored s JOIN documents d USING (doc_id)
+    ), kept_docs AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN bucketed k USING (doc_id) WHERE k.b <= 2
+    ), toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+      FROM kept_docs
+    ), w AS (
+      SELECT doc_id, t.i,
+             array_to_string(list_slice(tk, t.i + 1, t.i + 16), ' ') AS sp
+      FROM toks, UNNEST(range(len(tk) - 15)) AS t(i)
+      WHERE len(tk) >= 16
+    ), dup AS (
+      SELECT sp FROM w GROUP BY sp HAVING COUNT(DISTINCT doc_id) >= 2
+    ), hits AS (
+      SELECT w.doc_id, w.i FROM w JOIN dup USING (sp)
+    ), marked AS (
+      SELECT doc_id, i,
+             MAX(i + 15) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM hits
+    ), isl AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN prev_end IS NULL OR i > prev_end
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i) AS island
+      FROM marked
+    ), ivs AS (
+      SELECT doc_id, MIN(i) AS s, MAX(i) + 15 AS e
+      FROM isl GROUP BY doc_id, island
+    ), kept_tok AS (
+      SELECT tp.doc_id, COUNT(*) AS n FROM (
+        SELECT doc_id, t.i AS p FROM toks, UNNEST(range(len(tk))) AS t(i)
+      ) tp
+      WHERE NOT EXISTS (
+        SELECT 1 FROM ivs g
+        WHERE g.doc_id = tp.doc_id AND tp.p BETWEEN g.s AND g.e
+      )
+      GROUP BY tp.doc_id
+    ), affected AS (
+      SELECT DISTINCT doc_id FROM ivs
+    )
+    SELECT k.doc_id,
+           CAST(CASE WHEN aff.doc_id IS NULL THEN (
+                  SELECT len(tk) FROM toks t WHERE t.doc_id = k.doc_id)
+                ELSE COALESCE(kt.n, 0) END AS BIGINT) AS n_kept_tokens,
+           CASE
+             WHEN substr(md5('cur2-v1' || CAST(k.doc_id AS VARCHAR)), 1, 8)
+                  < '{_CUR2_T["train"]}' THEN 'train'
+             WHEN substr(md5('cur2-v1' || CAST(k.doc_id AS VARCHAR)), 1, 8)
+                  < '{_CUR2_T["val"]}' THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM kept_docs k
+    LEFT JOIN affected aff USING (doc_id)
+    LEFT JOIN kept_tok kt USING (doc_id)
+    """,
+    doc="Round-5 curation chain end-to-end: CCNet perplexity gate (drop "
+    "the per-language 'tail' tercile) -> substring-level trim over the "
+    "SURVIVORS (the cheap model-based gate runs before the expensive "
+    "span pass — standard curation economics) -> deterministic "
+    "hash-threshold split. Composes ccnet_ppl_buckets, "
+    "trim_repeated_spans and hash_split; each stage is independently "
+    "oracle-proven and the chain is verified as one SQL pipeline. "
+    "operators/text.py + operators/dedup.py + operators/sampling.py.",
+)
+def curation_v2_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.bigram_lm_scores(docs).select(
+        "doc_id", F.round("avg_nll_bits", 4).alias("score_bits")
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("score_bits"), F.asc("doc_id"))
+    keep_ids = (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", F.ntile(3).over(w).alias("b"))
+        .filter(F.col("b") <= 2)
+        .select("doc_id")
+    )
+    kept = docs.join(keep_ids, "doc_id")
+    trimmed = dedup.trim_repeated_spans(kept, width=16).select(
+        "doc_id", "n_kept_tokens"
+    )
+    return _sampling.hash_split(
+        trimmed, "doc_id", {"train": 0.96, "val": 0.02, "test": 0.02},
+        salt="cur2-v1",
+    ).select("doc_id", "n_kept_tokens", "split")

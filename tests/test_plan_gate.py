@@ -106,6 +106,9 @@ EXPECT = {
     # join is equi-keyed (block / directed-edge), no cartesian anywhere
     "mutual_knn_pairs": dict(max_shuffles=8, max_smj=3),
     "cross_corpus_near_dups": dict(max_shuffles=7, max_smj=3),
+    # gate -> trim -> split chain: LM model joins + span join-back; the
+    # split is a pure projection on the survivor stream
+    "curation_v2_corpus": dict(max_shuffles=15, max_smj=6),
 }
 
 
@@ -234,6 +237,7 @@ BNLJ_ALLOWED = {
     "hard_negative_pairs",     # one-row corpus stats via bm25_index
     "ccnet_ppl_buckets",       # one-row vocabulary size (bigram LM)
     "hybrid_rrf_topk",         # query vectors broadcast (dense ranker)
+    "curation_v2_corpus",      # one-row vocabulary size (bigram LM gate)
 }
 
 
