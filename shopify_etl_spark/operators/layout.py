@@ -174,3 +174,31 @@ def skippable_fraction(report: list[dict], point) -> float:
         return 0.0
     skipped = sum(1 for r in files if not (r["min"] <= point <= r["max"]))
     return skipped / len(files)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Persist a DataFrame as a BUCKETED managed table: rows are hashed
+    on ``bucket_col`` into ``n_buckets`` files per partition at WRITE
+    time, so any later equi-join or aggregation on that column reads
+    co-located data and plans with ZERO Exchange on the bucketed side —
+    the big-fact-join answer when broadcast is impossible (both sides
+    huge) and per-query repartition would shuffle the table every time.
+
+    This is the pay-once-shuffle-forever layout decision: at 100 TB the
+    fact tables are written bucketed by their join key (order id /
+    customer id) and every downstream merge/upsert/rollup on that key
+    skips its shuffle. ``sort_col`` additionally sorts within buckets
+    (sort-merge joins then skip the sort too). Spark requires
+    ``saveAsTable`` for bucketing (the bucket spec lives in the
+    catalog, not the files).
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.format("parquet").saveAsTable(table)

@@ -109,3 +109,53 @@ def _zorder_layout_body(spark, tmp_path):
     rx = layout.skippable_fraction(layout.file_skipping_report(rpath, "x"), probe)
     ry = layout.skippable_fraction(layout.file_skipping_report(rpath, "y"), probe)
     assert rx >= 0.8 and ry == 0.0
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Pay-once-shuffle-forever: two tables bucketed+sorted on the join
+    key must sort-merge-join with ZERO Exchange on either input — the
+    only shuffle in the plan is the later groupBy on a different key.
+    (At 100 TB this is the fact-fact join strategy when neither side
+    broadcasts.)"""
+    import re
+
+    from shopify_etl_spark.operators.layout import write_bucketed
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path}/wh'")
+    try:
+        orders = spark.createDataFrame(
+            [(i, "OK" if i % 2 else "F") for i in range(200)],
+            "o_orderkey long, o_orderstatus string",
+        )
+        items = spark.createDataFrame(
+            [(i % 150, i) for i in range(400)], "o_orderkey long, qty long"
+        )
+        write_bucketed(orders, "bkt.b_orders", "o_orderkey", 4,
+                       sort_col="o_orderkey")
+        write_bucketed(items, "bkt.b_items", "o_orderkey", 4,
+                       sort_col="o_orderkey")
+        saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = (
+                spark.table("bkt.b_orders")
+                .join(spark.table("bkt.b_items"), "o_orderkey")
+                .groupBy("o_orderstatus")
+                .agg(F.sum("qty").alias("q"))
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            n_ex = len(re.findall(
+                r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)",
+                plan,
+            ))
+            assert plan.count("SortMergeJoin") == 1
+            assert n_ex == 1, plan  # ONLY the groupBy-on-status exchange
+            # and the join result is still correct
+            got = {r.o_orderstatus: r.q for r in j.collect()}
+            want = {"OK": sum(i for i in range(400) if (i % 150) % 2),
+                    "F": sum(i for i in range(400) if not (i % 150) % 2)}
+            assert got == want
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
