@@ -109,6 +109,8 @@ _CHANGED_R05 = [
     "mutual_knn_pairs",            # new (symmetric kNN filter)
     "cross_corpus_near_dups",      # new (ingest dedup screen)
     "curation_v2_corpus",          # new (gate->trim->split chain)
+    "daily_value_ohlc",            # new (OHLC resample bars)
+    "robust_value_outliers",       # new (median/MAD outliers)
     "approx_event_stats",          # null-user_id filter + left-join carry
 ]
 

@@ -2680,3 +2680,120 @@ def curation_v2_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         trimmed, "doc_id", {"train": 0.96, "val": 0.02, "test": 0.02},
         salt="cur2-v1",
     ).select("doc_id", "n_kept_tokens", "split")
+
+
+@register(
+    "daily_value_ohlc",
+    # open/close come from ROW_NUMBER with a full (ts, event_id) order,
+    # so ties at the same timestamp resolve identically in both engines;
+    # high/low/n are plain grouped aggregates on the SAME keys, so the
+    # groupBy reuses the window's partitioning (one shuffle total).
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rl
+      FROM events
+    )
+    SELECT event_type, day,
+           ROUND(MAX(CASE WHEN rf = 1 THEN value END), 2) AS open,
+           ROUND(MAX(value), 2) AS high,
+           ROUND(MIN(value), 2) AS low,
+           ROUND(MAX(CASE WHEN rl = 1 THEN value END), 2) AS close,
+           COUNT(*) AS n_events
+    FROM e GROUP BY event_type, day
+    """,
+    doc="Daily OHLC bars per event type — the classic time-series "
+    "downsample (open = first value of the day, close = last, with "
+    "(ts, event_id) tie-break so concurrent events resolve "
+    "deterministically). Two ranking windows + a grouped aggregate on "
+    "the same keys: the aggregate reuses the windows' partitioning, "
+    "one shuffle end to end. Complements daily_user_resample "
+    "(gap-filled counts) on the resampling surface.",
+)
+def daily_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    wf = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    wl = Window.partitionBy("event_type", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rf", F.row_number().over(wf))
+        .withColumn("rl", F.row_number().over(wl))
+        .groupBy("event_type", "day")
+        .agg(
+            F.round(F.max(F.when(F.col("rf") == 1, F.col("value"))), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max(F.when(F.col("rl") == 1, F.col("value"))), 2).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "robust_value_outliers",
+    # med/MAD are interpolated percentiles (identical (n-1)*p rank rule
+    # in Spark percentile and DuckDB quantile_cont); the outlier
+    # comparison uses them UNROUNDED — a value would have to sit within
+    # ~1 ulp of the 3-sigma-equivalent threshold to flip cross-engine.
+    # Output stats are rounded.
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * d.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(ANY_VALUE(m.med), 4) AS med,
+           ROUND(ANY_VALUE(d.mad), 4) AS mad
+    FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+    GROUP BY e.event_type
+    """,
+    doc="Robust outlier detection per event type: median/MAD (the "
+    "breakdown-resistant location/scale pair — one wild value cannot "
+    "move them the way it moves mean/stddev), outliers = "
+    "|v - med| > 3 * 1.4826 * MAD (the normal-consistent MAD scaling). "
+    "Two grouped percentile passes with the tiny per-type stats "
+    "broadcast back over the stream; the winsorize/quantile queries "
+    "cover the clamping counterpart.",
+)
+def robust_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad")
+    )
+    stats = med.join(mad, "event_type")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3 * 1.4826 * F.col("mad")
+                ).cast("long")
+            ).alias("n_outliers"),
+            F.round(F.any_value("med"), 4).alias("med"),
+            F.round(F.any_value("mad"), 4).alias("mad"),
+        )
+    )

@@ -109,6 +109,12 @@ EXPECT = {
     # gate -> trim -> split chain: LM model joins + span join-back; the
     # split is a pure projection on the survivor stream
     "curation_v2_corpus": dict(max_shuffles=15, max_smj=6),
+    # two windows + groupBy on the SAME keys: partitioning reused, one
+    # shuffle end to end — the invariant this query exists to keep
+    "daily_value_ohlc": dict(max_shuffles=1, max_smj=0, max_scan_width=4),
+    # per-type stats broadcast back over the stream (floor pinned); the
+    # one SMJ is the 5-row med x mad stats join
+    "robust_value_outliers": dict(max_shuffles=4, min_bhj=2, max_smj=1),
 }
 
 
