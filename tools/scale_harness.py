@@ -72,6 +72,13 @@ FAMILY = (
     "trim_repeated_spans",
     "hybrid_rrf_topk",
     "ccnet_ppl_buckets",
+    # later round-5 additions: label-blocked mutual kNN (blocks grow 10x
+    # under replication — exercises block-quadratic cost), the asymmetric
+    # ingest screen (cross overlap stays within-replica by the token
+    # remap), and the full gate→trim→split chain
+    "mutual_knn_pairs",
+    "cross_corpus_near_dups",
+    "curation_v2_corpus",
 )
 
 
