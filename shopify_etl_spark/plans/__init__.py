@@ -111,6 +111,7 @@ _CHANGED_R05 = [
     "curation_v2_corpus",          # new (gate->trim->split chain)
     "daily_value_ohlc",            # new (OHLC resample bars)
     "robust_value_outliers",       # new (median/MAD outliers)
+    "trained_ivf_topk",            # new (kmeans-trained IVF ANN)
     "approx_event_stats",          # null-user_id filter + left-join carry
 ]
 

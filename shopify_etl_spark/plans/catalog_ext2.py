@@ -2797,3 +2797,84 @@ def robust_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.any_value("mad"), 4).alias("mad"),
         )
     )
+
+
+_TRAINED_IVF_ORACLE = f"""
+WITH unit AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> x /
+           sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))) AS u
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid, u AS c
+  FROM (SELECT vec_id, u FROM unit ORDER BY vec_id LIMIT 8)
+),{_kmeans_iter_sql("c0", "a1", "c1", 64)},{_kmeans_iter_sql("c1", "a2", "c2", 64)},
+cells AS (
+  SELECT vec_id, cid FROM (
+    SELECT p.vec_id, c.cid,
+           row_number() OVER (PARTITION BY p.vec_id
+             ORDER BY list_cosine_similarity(p.u, c.c) DESC, c.cid) AS rn
+    FROM unit p CROSS JOIN c2 c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT q.vec_id, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.u, c.c) DESC, c.cid) AS rn
+    FROM unit q CROSS JOIN c2 c WHERE q.vec_id < 5
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(qu.u, e.u) AS sim
+  FROM probes p
+  JOIN cells x ON x.cid = p.cid
+  JOIN unit e ON e.vec_id = x.vec_id AND e.vec_id <> p.query_id
+  JOIN unit qu ON qu.vec_id = p.query_id
+)
+SELECT query_id, neighbor_id, ROUND(sim, 4) AS cosine_sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rn
+  FROM cand
+) WHERE rn <= 10
+"""
+
+
+@register(
+    "trained_ivf_topk",
+    # End-to-end: k-means with SQL-reproducible init (the kmeans twin's
+    # unrolled-Lloyd CTEs) trains the coarse quantizer; assignment,
+    # 2-cell probing and candidate scoring are all deterministic cosine
+    # math with id tie-breaks — the full trained-index ANN pipeline
+    # value-checked against an independent engine.
+    oracle=_TRAINED_IVF_ORACLE,
+    doc="The production ANN shape: TRAIN the IVF coarse quantizer with "
+    "k-means (spherical Lloyd, 2 iterations, SQL-reproducible smallest-"
+    "id init) instead of picking arbitrary vectors, then assign the "
+    "corpus to cells, probe each query's 2 nearest cells and score only "
+    "those candidates. Composes clustering.kmeans_fit + "
+    "similarity.ivf_assign/ivf_topk; every stage deterministic and the "
+    "whole pipeline oracle-checked. At 100 TB: k ~ sqrt(n) cells, "
+    "corpus repartitioned by cell, probes bound the scan per query.",
+)
+def trained_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import clustering, similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _hist = clustering.kmeans_fit(emb, k=8, iters=2, init_by="id")
+    cents_df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cents)], "cid int, cv_c array<double>"
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    return similarity.ivf_topk(
+        queries, corpus, cents_df, k=10, n_probes=2,
+        cent_id="cid", cent_vec="cv_c",
+    )

@@ -233,6 +233,7 @@ BNLJ_ALLOWED = {
     "ann_cosine_topk",      # query vectors broadcast over the corpus
     "ivf_assignments",      # k centroids broadcast
     "ivf_ann_topk",         # centroids + query vectors
+    "trained_ivf_topk",     # k trained centroids + query vectors
     "bm25_search_topk",     # one-row corpus stats
     "pmi_collocations",     # one-row corpus totals
     "cms_token_counts",     # one-row total-token count for the error bound
