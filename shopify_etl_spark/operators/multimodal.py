@@ -385,6 +385,41 @@ def synth_wav_assets(docs: DataFrame, id_col: str = "doc_id", rate: int = 16000)
     return docs.select(id_col).mapInPandas(synth, ASSET_SCHEMA)
 
 
+def synth_png_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PNG asset synthesis from a key column — the image
+    twin of :func:`synth_wav_assets`. Per key ``d``: a grayscale raster
+    ``w = 8 + d % 5`` × ``h = 6 + d % 4`` with pixel (r, c) =
+    ``(d*31 + r*17 + c*7) % 256`` — a generator a SQL oracle regenerates
+    exactly (``plans/catalog_ext2.py::image_decode_stats``). Encoding
+    runs distributed through the real PNG writer (``png_codec.
+    encode_png``: zlib deflate + filter-0 scanlines), so the downstream
+    decode exercises a genuine compressed-container round-trip.
+    """
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .png_codec import encode_png
+
+        for pdf in batches:
+            rows = []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = 8 + d % 5, 6 + d % 4
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                raster = ((d * 31 + r * 17 + c * 7) % 256).astype(np.uint8)
+                blob = encode_png(raster)
+                meta = {
+                    "modality": "image", "format": "png",
+                    "width": w, "height": h, "n_bytes": len(blob),
+                }
+                rows.append((d, blob, meta))
+            yield pd.DataFrame(rows, columns=["asset_id", "payload", "meta"])
+
+    return docs.select(id_col).mapInPandas(synth, ASSET_SCHEMA)
+
+
 AUDIO_FEATURE_SCHEMA = StructType(
     [
         StructField("asset_id", LongType(), False),

@@ -112,6 +112,7 @@ _CHANGED_R05 = [
     "daily_value_ohlc",            # new (OHLC resample bars)
     "robust_value_outliers",       # new (median/MAD outliers)
     "trained_ivf_topk",            # new (kmeans-trained IVF ANN)
+    "image_decode_stats",          # new (PNG round-trip pipeline)
     "approx_event_stats",          # null-user_id filter + left-join carry
 ]
 

@@ -2878,3 +2878,45 @@ def trained_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, corpus, cents_df, k=10, n_probes=2,
         cent_id="cid", cent_vec="cv_c",
     )
+
+
+@register(
+    "image_decode_stats",
+    # The synth formula (multimodal.synth_png_assets) regenerated in
+    # SQL: per doc a (6 + d%4) x (8 + d%5) gray raster with pixel
+    # (r, c) = (d*31 + r*17 + c*7) % 256. decode_features(fake=False)
+    # REALLY inflates the PNG (zlib + unfilter) and reports stats over
+    # DECODED PIXELS, so n_bytes = w*h and byte_sum = the exact pixel
+    # sum — every column integer-exact.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h
+      FROM documents
+    ), px AS (
+      SELECT p.doc_id, p.w, p.h,
+             ((p.doc_id * 31 + r.r * 17 + c.c * 7) % 256) AS v
+      FROM p, UNNEST(range(p.h)) AS r(r), UNNEST(range(p.w)) AS c(c)
+    )
+    SELECT doc_id AS asset_id,
+           CAST(ANY_VALUE(w) * ANY_VALUE(h) AS BIGINT) AS n_bytes,
+           CAST(SUM(v) AS BIGINT) AS byte_sum,
+           CAST(SUM(v) // (ANY_VALUE(w) * ANY_VALUE(h)) AS BIGINT) AS byte_mean,
+           'image' AS modality
+    FROM px GROUP BY doc_id
+    """,
+    doc="Real image decode pipeline — the compressed-container twin of "
+    "audio_demux_stats: deterministic raster synthesis -> distributed "
+    "PNG encode (png_codec: zlib deflate, filter-0 scanlines) -> REAL "
+    "decode (inflate + unfilter, no external deps) -> pixel stats. "
+    "Zero shuffles: a narrow mapInPandas chain; the oracle regenerates "
+    "the raster generator in SQL and recomputes the pixel sums from "
+    "first principles, so a decoder that misreads a single byte "
+    "hash-mismatches. operators/png_codec.py, operators/multimodal.py.",
+)
+def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_features(
+        multimodal.synth_png_assets(docs), fake=False
+    )
