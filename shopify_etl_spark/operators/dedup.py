@@ -1038,3 +1038,50 @@ def cross_corpus_near_dups(
         .filter(jac >= threshold)
         .select("new_id", "ref_id", F.round(jac, 4).alias("jaccard"))
     )
+
+
+def doc_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document content novelty: the fraction of a document's
+    distinct word-n-gram shingles whose corpus-wide FIRST occurrence
+    (minimum doc id) is this document.
+
+    This is the ingest-order duplication-pressure signal behind crawl
+    curation dashboards: a novelty near 1 means the document contributes
+    mostly unseen n-grams; near 0 means its content already exists in
+    earlier documents (even when no single pair crosses a near-dup
+    threshold — diffuse copying that pairwise Jaccard misses). Summed
+    over an ingest batch it answers "how much NEW text did this crawl
+    actually add".
+
+    Scale shape: the first-occurrence table is one min-aggregation over
+    the posting list, VOCABULARY-sized and keyed by the same 8-byte
+    shingle hash the postings carry, so the join back to the postings
+    reuses the aggregation's shuffle partitioning (no second exchange on
+    the big side); the per-document roll-up is one count/sum groupBy
+    with map-side partials. Docs with < n tokens have no shingles and
+    drop out (same contract as the Jaccard family).
+    """
+    p = postings if postings is not None else shingle_postings(df, text_col, id_col, n)
+    first = p.groupBy("s").agg(F.min("doc").alias("first_doc"))
+    return (
+        p.join(first, "s")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 4).alias("novelty"),
+        )
+    )

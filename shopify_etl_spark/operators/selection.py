@@ -1,0 +1,108 @@
+"""Importance-based data selection for LLM pretraining corpora.
+
+DSIR — Data Selection via Importance Resampling (Xie et al., 2023,
+arXiv:2302.03169) — is the standard recipe for "give me the slice of a
+huge raw crawl that looks like my small high-quality target set":
+fit two bag-of-hashed-ngram unigram models, one on the target
+distribution and one on the raw corpus, and weight every raw document
+by its log importance ratio
+
+    logw(doc) = sum over token occurrences t of
+                log p_target(f(t)) - log p_raw(f(t))
+
+with ``f`` a hash into a fixed bucket space and both models Laplace-
+smoothed. Top-weight (or Gumbel-resampled) documents become the
+training mix.
+
+Scale shape (the reason this fits 100 TB): both models are
+BUCKET-sized, not corpus-sized — two grouped counts over ``n_buckets``
+keys, each computed with map-side partial aggregation. The fitted
+log-ratio table (≤ n_buckets rows) broadcasts back onto the token
+stream, so scoring is one broadcast-hash join plus a per-document sum
+(partial map-side, one small shuffle keyed by doc id). Nothing in the
+pipeline materializes per-token state beyond the exploded stream
+itself.
+
+No reference analog — the reference ETL has no content-based selection
+layer; this is part of the beyond-reference training-data surface
+(SURVEY.md §2 extension families).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import portable_hash64
+from .text import spread_small, tokens
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 8192,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document DSIR log importance weights against a target slice.
+
+    ``target_pred`` marks the in-corpus target sample (e.g. the docs a
+    quality gate or a trusted source labels "looks like what I want to
+    train on"); every document — target or not — gets a weight, so the
+    caller can threshold, top-k, or Gumbel-resample downstream.
+
+    Features are word unigrams hashed into ``n_buckets`` with the
+    portable 60-bit md5 hash (`dedup.portable_hash64` — bit-identical
+    in Spark and DuckDB, which is what lets the full pipeline be
+    value-checked by a SQL oracle; swap in ``xxhash64`` for the pure-
+    speed variant, the bucket space is what matters). Both unigram
+    models use add-``alpha`` smoothing over the bucket space:
+
+        p(f) = (count(f) + alpha) / (N + alpha * n_buckets)
+
+    Documents with zero tokens have no defined weight and drop out
+    (the quality_filter length gate owns empty docs).
+
+    Returns (id_col, is_target, n_tokens, dsir_logw) ordered by id.
+    """
+    feat = F.pmod(portable_hash64(F.col("_tok")), F.lit(n_buckets))
+    # One exploded token stream feeds the model counts AND the scoring
+    # sum — checkpoint so the scan+explode computes once (the CMS/LM
+    # token-stream pattern).
+    stream = (
+        spread_small(df)
+        .select(
+            F.col(id_col),
+            target_pred.alias("is_target"),
+            F.explode(tokens(text_col)).alias("_tok"),
+        )
+        .select(id_col, "is_target", feat.alias("f"))
+        .localCheckpoint(eager=False)
+    )
+    # Bucket-sized model: per-feature raw count and target count in ONE
+    # grouped pass (the target model is a conditional sum, not a second
+    # scan). Totals ride along via a one-row broadcast.
+    model = stream.groupBy("f").agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.sum(F.col("is_target").cast("long")).alias("c_t"),
+    )
+    totals = stream.agg(
+        F.count(F.lit(1)).alias("n_r"),
+        F.sum(F.col("is_target").cast("long")).alias("n_t"),
+    )
+    b = F.lit(float(alpha * n_buckets))
+    log_ratio = F.log(
+        (F.col("c_t") + F.lit(alpha)) / (F.col("n_t") + b)
+    ) - F.log((F.col("c_r") + F.lit(alpha)) / (F.col("n_r") + b))
+    ratio = F.broadcast(
+        model.join(F.broadcast(totals)).select("f", log_ratio.alias("lr"))
+    )
+    return (
+        stream.join(ratio, "f")
+        .groupBy(id_col, "is_target")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum("lr"), 4).alias("dsir_logw"),
+        )
+    )

@@ -535,3 +535,175 @@ def mutual_knn_pairs(
             F.round(F.col("x.sim"), 4).alias("cosine_sim"),
         )
     )
+
+
+def _jl_signs(out_dim: int, in_dim: int, salt: str) -> list[list[int]]:
+    """Deterministic ±1 JL sign matrix from md5 parity.
+
+    ``sign[j][i] = +1`` iff the first hex char of ``md5(salt:j:i)`` is
+    even. md5 of the same string is identical in Python, Spark and
+    DuckDB, so the matrix is a pure FUNCTION — nothing to ship, any
+    engine can regenerate it, and a SQL oracle can value-check the
+    whole projection.
+    """
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{salt}:{j}:{i}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def jl_project(
+    emb: DataFrame,
+    in_dim: int = 64,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "jl-v1",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: compress ``in_dim``
+    float embeddings to ``out_dim`` with a deterministic ±1 sign matrix
+    (Achlioptas 2003 — database-friendly random projections: ±1
+    entries preserve pairwise distances within (1±ε) like Gaussian
+    matrices, but the projection is pure integer adds).
+
+    Components are computed over integer-quantized inputs
+    (``round(x·quant)``), so every sum is exact and order-free — the
+    projection is bit-identical across engines and partitionings, which
+    makes it safe to use as a BLOCKING/bucketing key upstream of the
+    ANN family (a float-summed projection could land the same vector in
+    different buckets on different runs).
+
+    Output is long-form ``(id, j, val)`` — ``val = Σᵢ sign(j,i)·qᵢ /
+    (quant·√out_dim)``, deliberately UNROUNDED: the numerator is an
+    exact integer and the divisor a power of 2·5, so the quotient is
+    the same double bit-for-bit in every engine, while ROUND(x, 4)
+    would hit exact .xxxx5 boundaries (any integer/4e6 terminates in
+    decimal) where Spark's shortest-repr HALF_UP and DuckDB/C++
+    ``round(x·10⁴)`` disagree. Map-only: zero shuffles, zero UDFs; the
+    sign matrix rides in the plan as literals.
+    """
+    signs = _jl_signs(out_dim, in_dim, salt)
+    scale = float(quant) * float(out_dim) ** 0.5
+    q = F.expr(
+        f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {quant}) AS BIGINT))"
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (
+                    F.aggregate(
+                        F.zip_with(
+                            q,
+                            F.array(*[F.lit(s) for s in signs[j]]),
+                            lambda a, s: a * s.cast("long"),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, v: acc + v,
+                    )
+                    / F.lit(scale)
+                ).alias("val"),
+            )
+            for j in range(out_dim)
+        ]
+    )
+    return (
+        emb.select(F.col(id_col), F.explode(rows).alias("p"))
+        .select(id_col, F.col("p.j").alias("j"), F.col("p.val").alias("val"))
+    )
+
+
+def gram_matrix(
+    emb: DataFrame,
+    in_dim: int = 64,
+    vec_col: str = "embedding",
+    quant: int = 1000,
+) -> DataFrame:
+    """Exact integer Gram matrix ``G[i,j] = Σ_rows qᵢ·qⱼ`` over
+    quantized embeddings — the one-pass sufficient statistic for PCA /
+    whitening at any scale.
+
+    Shape: each partition GEMMs its batch into a d×d partial
+    (Arrow-batched numpy, upper triangle only — d(d+1)/2 rows per
+    partition regardless of row count), and one d²-keyed sum folds the
+    partials. 100 TB of vectors reduce to 2 080 rows; no per-row state
+    ever shuffles. Integer arithmetic (quantized inputs, int64
+    accumulators) makes the result exactly reproducible across
+    engines, partitionings and retries — a float Gram is none of those.
+    """
+    import pandas as pd  # noqa: F401 (arrow batch interface)
+
+    def partial(batches):
+        import numpy as np
+        import pandas as pd
+
+        iu, ju = None, None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Q = np.rint(M * quant).astype(np.int64)
+            G = Q.T @ Q
+            if iu is None:
+                iu, ju = np.triu_indices(G.shape[0])
+            yield pd.DataFrame(
+                {"i": iu + 1, "j": ju + 1, "v": G[iu, ju]}
+            )
+
+    parts = emb.select(vec_col).mapInPandas(partial, "i int, j int, v long")
+    return parts.groupBy("i", "j").agg(F.sum("v").alias("gv"))
+
+
+def pca_power_scores(
+    emb: DataFrame,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 1000,
+    iters: int = 3,
+) -> DataFrame:
+    """First-principal-component scores via one distributed Gram pass +
+    a bounded driver-side power iteration — the Spark-native PCA shape
+    (same economics as the k-means fold: per-partition GEMM partials,
+    a d²-row driver solve, and a map-only broadcast-back projection;
+    the corpus is scanned twice and never shuffled by row).
+
+    The eigensolve is ``iters`` power-iteration steps on the EXACT
+    integer Gram, starting from the all-ones vector, L∞-normalized and
+    rounded to 10 decimals each step. That fixed, SQL-expressible
+    recipe (rather than an opaque eigh call) is what lets a DuckDB
+    oracle reproduce the full pipeline value-for-value; 3 steps
+    separate the dominant component plenty for scoring/bucketing use,
+    and more steps are one keyword away.
+
+    Returns ``(id, pc1_score)`` with ``score = Σ qᵢ·vᵢ / quant``.
+    """
+    import numpy as np
+
+    gram = gram_matrix(emb, in_dim, vec_col, quant).collect()
+    G = np.zeros((in_dim, in_dim), dtype=np.float64)
+    for r in gram:
+        G[r["i"] - 1, r["j"] - 1] = r["gv"]
+        G[r["j"] - 1, r["i"] - 1] = r["gv"]
+    v = np.ones(in_dim)
+    for _ in range(iters):
+        y = G @ v
+        v = np.round(y / np.abs(y).max(), 10)
+    q = F.expr(
+        f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {quant}) AS BIGINT))"
+    )
+    vlit = F.array(*[F.lit(float(x)) for x in v])
+    score = F.aggregate(
+        F.zip_with(q, vlit, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.lit(float(quant))
+    return emb.select(F.col(id_col), F.round(score, 4).alias("pc1_score"))

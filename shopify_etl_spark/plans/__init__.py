@@ -1,6 +1,7 @@
 from .catalog import QUERIES, QuerySpec, load_table, register  # noqa: F401
 from . import catalog_ext  # noqa: F401,E402  (registers extension queries)
 from . import catalog_ext2  # noqa: F401,E402  (round-2 extension queries)
+from . import catalog_ext3  # noqa: F401,E402  (round-5 session-2 queries)
 
 # ---------------------------------------------------------------------------
 # Catalog ordering.
@@ -90,6 +91,10 @@ _R04_SAMPLED = [
 
 # New or code-changed in round 5 — sample these first.
 _CHANGED_R05 = [
+    "dsir_importance_weights",     # new s2 (DSIR target-vs-raw selection)
+    "doc_novelty_scores",          # new s2 (first-occurrence novelty)
+    "jl_projection_docs",          # new s2 (deterministic JL compression)
+    "pca_power_scores",            # new s2 (Gram fold + power iteration)
     "audio_demux_stats",           # new (WAV codec round-trip pipeline)
     "ccnet_ppl_buckets",           # new (per-lang perplexity terciles)
     "kmeans_fixed_init_clusters",  # new (cross-engine Lloyd oracle twin)

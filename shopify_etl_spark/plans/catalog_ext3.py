@@ -1,0 +1,201 @@
+"""Round-5 session-2 extension queries: importance-based data selection,
+novelty accounting, and deterministic embedding decompositions.
+
+Same contract as catalog.py: every ``@register`` pairs a Spark builder
+with a DuckDB oracle that recomputes the FULL pipeline in SQL (hash
+functions, quantization, even the PCA power iteration are chosen to be
+bit-reproducible across engines — see the operator docstrings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table, register
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=r"""
+    WITH feat AS (
+      SELECT doc_id, (lang = 'en') AS is_target,
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 8192 AS f
+      FROM (
+        SELECT doc_id, lang,
+               unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+      )
+    ), tots AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_r,
+             CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+      FROM feat
+    ), model AS (
+      SELECT f, COUNT(*) AS c_r,
+             SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_t
+      FROM feat GROUP BY f
+    ), ratio AS (
+      SELECT f, ln((c_t + 1.0) / (t.n_t + 8192.0))
+               - ln((c_r + 1.0) / (t.n_r + 8192.0)) AS lr
+      FROM model CROSS JOIN tots t
+    )
+    SELECT feat.doc_id, feat.is_target,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(SUM(lr), 4) AS dsir_logw
+    FROM feat JOIN ratio USING (f)
+    GROUP BY feat.doc_id, feat.is_target
+    ORDER BY feat.doc_id
+    """,
+    doc="DSIR importance weights (Xie et al. 2023): every document "
+    "scored by the log ratio of two add-1-smoothed hashed-unigram "
+    "models — target slice (here lang='en') vs the whole raw corpus — "
+    "the standard 'select raw-crawl data that looks like my curated "
+    "set' recipe. Both models are BUCKET-sized (8192 keys, map-side "
+    "partial counts), the fitted log-ratio table broadcasts back onto "
+    "the token stream, and the per-doc sum is one partial-aggregated "
+    "groupBy: nothing corpus-sized ever shuffles except the token "
+    "explode itself. operators/selection.py::dsir_importance_weights.",
+)
+def dsir_importance_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.selection import dsir_importance_weights
+
+    return dsir_importance_weights(
+        load_table(spark, sf_dir, "documents"), target_pred=F.col("lang") == "en"
+    )
+
+
+@register(
+    "doc_novelty_scores",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM toks WHERE len(w) >= 3
+      )
+    ), first AS (
+      SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 4) AS novelty
+    FROM sh JOIN first f USING (s)
+    GROUP BY sh.doc_id
+    ORDER BY sh.doc_id
+    """,
+    doc="Ingest-order content novelty: per document, the fraction of "
+    "its distinct word-3-gram shingles whose corpus-wide first "
+    "occurrence (min doc_id) is this document — the duplication-"
+    "pressure signal ('how much NEW text did this crawl add') that "
+    "pairwise near-dup thresholds miss when copying is diffuse. The "
+    "first-occurrence table is one vocabulary-sized min-agg on the "
+    "8-byte shingle keys; the join back reuses its shuffle "
+    "partitioning; the roll-up is a map-side-partial groupBy. "
+    "operators/dedup.py::doc_novelty.",
+)
+def doc_novelty_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import doc_novelty
+
+    return doc_novelty(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "jl_projection_docs",
+    oracle=r"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+      FROM embeddings
+    ), sgn AS (
+      SELECT j, i,
+             CASE WHEN substr(md5('jl-v1:' || CAST(j AS VARCHAR) || ':'
+                              || CAST(i AS VARCHAR)), 1, 1)
+                  IN ('0','2','4','6','8','a','c','e')
+                  THEN 1 ELSE -1 END AS s
+      FROM (SELECT unnest(range(0, 16)) AS j)
+      CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+    ), proj AS (
+      SELECT e.vec_id, sgn.j, SUM(sgn.s * e.q[sgn.i + 1]) AS y
+      FROM e CROSS JOIN sgn
+      GROUP BY e.vec_id, sgn.j
+    )
+    SELECT vec_id, CAST(j AS INT) AS j,
+           y / 4000000.0 AS val
+    FROM proj ORDER BY vec_id, j
+    """,
+    doc="Johnson-Lindenstrauss compression 64->16 dims with a "
+    "deterministic ±1 sign matrix derived from md5 parity (Achlioptas "
+    "2003 database-friendly projections): the matrix is a pure "
+    "function, so any engine regenerates it — nothing to ship, and "
+    "the SQL oracle value-checks the whole projection. Sums run over "
+    "integer-quantized inputs, so the result is exact and order-free: "
+    "safe as a blocking key for the ANN family (a float-summed "
+    "projection could bucket the same vector differently across "
+    "runs). Map-only — zero shuffles, zero UDFs, plan-pinned. "
+    "operators/similarity.py::jl_project.",
+)
+def jl_projection_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import jl_project
+
+    return jl_project(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "pca_power_scores",
+    oracle=r"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      FROM embeddings
+    ), flat AS (
+      SELECT vec_id, idx.i, q[idx.i] AS x
+      FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+    ), g AS (
+      SELECT a.i, b.i AS j, SUM(a.x * b.x) AS gv
+      FROM flat a JOIN flat b USING (vec_id)
+      GROUP BY a.i, b.i
+    ), v0 AS (
+      SELECT unnest(range(1, 65)) AS i, 1.0 AS val
+    ), y1 AS (
+      SELECT g.i, SUM(g.gv * v0.val) AS y FROM g JOIN v0 ON g.j = v0.i GROUP BY g.i
+    ), v1 AS (
+      SELECT i, ROUND(y / (SELECT MAX(ABS(y)) FROM y1), 10) AS val FROM y1
+    ), y2 AS (
+      SELECT g.i, SUM(g.gv * v1.val) AS y FROM g JOIN v1 ON g.j = v1.i GROUP BY g.i
+    ), v2 AS (
+      SELECT i, ROUND(y / (SELECT MAX(ABS(y)) FROM y2), 10) AS val FROM y2
+    ), y3 AS (
+      SELECT g.i, SUM(g.gv * v2.val) AS y FROM g JOIN v2 ON g.j = v2.i GROUP BY g.i
+    ), v3 AS (
+      SELECT i, ROUND(y / (SELECT MAX(ABS(y)) FROM y3), 10) AS val FROM y3
+    )
+    SELECT f.vec_id, ROUND(SUM(f.x * v3.val) / 1000.0, 4) AS pc1_score
+    FROM flat f JOIN v3 ON f.i = v3.i
+    GROUP BY f.vec_id
+    ORDER BY f.vec_id
+    """,
+    doc="First-principal-component scores: one distributed Gram pass "
+    "(per-partition integer GEMM partials via Arrow mapInPandas — d² "
+    "rows per partition regardless of row count, 100 TB of vectors "
+    "reduce to 2080 driver rows) + a bounded driver power iteration "
+    "(3 steps, all-ones init, L∞ normalize, round 10 — a fixed SQL-"
+    "expressible recipe rather than an opaque eigh, which is what "
+    "lets the oracle reproduce the eigensolve value-for-value) + a "
+    "map-only broadcast-back projection. The k-means economics "
+    "applied to PCA. operators/similarity.py::pca_power_scores.",
+)
+def pca_power_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pca_power_scores
+
+    return pca_power_scores(load_table(spark, sf_dir, "embeddings"))

@@ -116,6 +116,19 @@ EXPECT = {
     # per-type stats broadcast back over the stream (floor pinned); the
     # one SMJ is the 5-row med x mad stats join
     "robust_value_outliers": dict(max_shuffles=4, min_bhj=2, max_smj=1),
+    # DSIR: bucket-sized model (groupBy f) + one-row totals BNLJ, fitted
+    # ratio explicitly broadcast back over the token stream (floor
+    # pinned), per-doc rollup — the token stream itself never sort-merges
+    "dsir_importance_weights": dict(max_shuffles=4, min_bhj=1, max_smj=0),
+    # first-occurrence min-agg keyed like the postings join (exchange
+    # reuse); the join may SMJ at scale (both sides corpus/vocab-sized)
+    "doc_novelty_scores": dict(max_shuffles=3, max_smj=1),
+    # deterministic JL projection and PCA broadcast-back scoring are
+    # pure maps: ANY exchange means the decomposition stopped being
+    # map-only (pca's Gram fold runs at build time as its own bounded
+    # job, like the kmeans centroid collect)
+    "jl_projection_docs": dict(max_shuffles=0, max_smj=0, max_scan_width=2),
+    "pca_power_scores": dict(max_shuffles=0, max_smj=0, max_scan_width=2),
 }
 
 
@@ -246,6 +259,7 @@ BNLJ_ALLOWED = {
     "ccnet_ppl_buckets",       # one-row vocabulary size (bigram LM)
     "hybrid_rrf_topk",         # query vectors broadcast (dense ranker)
     "curation_v2_corpus",      # one-row vocabulary size (bigram LM gate)
+    "dsir_importance_weights",  # one-row token totals under the model fit
 }
 
 

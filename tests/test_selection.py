@@ -1,0 +1,181 @@
+"""DSIR importance weighting, novelty scoring, and the deterministic
+embedding decompositions (JL projection, Gram/PCA power iteration)."""
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from shopify_etl_spark.operators.dedup import doc_novelty
+from shopify_etl_spark.operators.selection import dsir_importance_weights
+from shopify_etl_spark.operators.similarity import (
+    _jl_signs,
+    gram_matrix,
+    jl_project,
+    pca_power_scores,
+)
+
+
+def _md5_bucket(tok: str, n_buckets: int = 8192) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % n_buckets
+
+
+class TestDsir:
+    def test_hand_computed_two_docs(self, spark):
+        # target doc: "a a b"; raw-only doc: "c c b"
+        df = spark.createDataFrame(
+            [(1, "a a b", True), (2, "c c b", False)],
+            "doc_id long, text string, tgt boolean",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in dsir_importance_weights(
+                df, F.col("tgt"), n_buckets=8192
+            ).collect()
+        }
+        # token model: target counts {a:2, b:1}, raw counts {a:2, b:2, c:2}
+        # n_t = 3, n_r = 6, B = 8192, alpha = 1
+        def lr(c_t, c_r):
+            return math.log((c_t + 1) / (3 + 8192)) - math.log(
+                (c_r + 1) / (6 + 8192)
+            )
+
+        w1 = 2 * lr(2, 2) + lr(1, 2)
+        w2 = 2 * lr(0, 2) + lr(1, 2)
+        assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 3
+        assert out[1]["is_target"] is True and out[2]["is_target"] is False
+        assert out[1]["dsir_logw"] == pytest.approx(round(w1, 4), abs=1e-4)
+        assert out[2]["dsir_logw"] == pytest.approx(round(w2, 4), abs=1e-4)
+        # target-looking text must outscore raw-only text
+        assert out[1]["dsir_logw"] > out[2]["dsir_logw"]
+
+    def test_resampling_direction_on_shared_vocab(self, spark):
+        # docs sharing the target's vocabulary rank above docs that don't,
+        # even when neither is in the target slice
+        rows = [
+            (1, "spark shuffle join", True),
+            (2, "spark shuffle agg", True),
+            (3, "spark shuffle scan", False),  # target-like, not in target
+            (4, "cat dog fish", False),  # off-distribution
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+        out = {
+            r["doc_id"]: r["dsir_logw"]
+            for r in dsir_importance_weights(df, F.col("tgt")).collect()
+        }
+        assert out[3] > out[4]
+
+    def test_bucket_hash_matches_reference(self):
+        # the Spark-side pmod(md5-prefix) bucketing must equal the
+        # portable Python/DuckDB construction the oracle uses
+        assert _md5_bucket("spark") == int(
+            hashlib.md5(b"spark").hexdigest()[:15], 16
+        ) % 8192
+
+
+class TestDocNovelty:
+    def test_planted_copy_and_half_copy(self, spark):
+        a = "w1 w2 w3 w4 w5 w6"  # 4 distinct 3-gram shingles
+        c = "w4 w5 w6 w7 w8 w9"  # shares shingle "w4 w5 w6" with A
+        df = spark.createDataFrame(
+            [(1, a), (2, a), (3, c)], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in doc_novelty(df).collect()}
+        assert out[1]["novelty"] == 1.0  # first occurrence of everything
+        assert out[2]["novelty"] == 0.0  # exact copy, all shingles seen
+        # doc 3: shingles {456,567,678,789}; only 456 first-occurs in doc 1
+        assert out[3]["n_shingles"] == 4 and out[3]["n_novel"] == 3
+        assert out[3]["novelty"] == 0.75
+
+    def test_short_docs_drop(self, spark):
+        df = spark.createDataFrame(
+            [(1, "only two"), (2, "a b c")], "doc_id long, text string"
+        )
+        out = doc_novelty(df).collect()
+        assert [r["doc_id"] for r in out] == [2]
+
+
+class TestJlProject:
+    def test_numpy_parity_and_determinism(self, spark):
+        rng = np.random.RandomState(7)
+        vecs = rng.randn(20, 64).astype(np.float32) * 0.3
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        out = jl_project(df).collect()
+        signs = np.array(_jl_signs(16, 64, "jl-v1"))
+        q = np.rint(vecs.astype(np.float64) * 1_000_000).astype(np.int64)
+        expect = (q @ signs.T) / 4_000_000.0
+        for r in out:
+            assert r["val"] == expect[r["vec_id"], r["j"]]
+        # rerun is bit-identical (the matrix is a function, not state)
+        again = jl_project(df).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    def test_norm_preservation_jl_bound(self, spark):
+        rng = np.random.RandomState(11)
+        vecs = rng.randn(50, 64).astype(np.float32)
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        rows = jl_project(df).collect()
+        proj = np.zeros((50, 16))
+        for r in rows:
+            proj[r["vec_id"], r["j"]] = r["val"]
+        orig = np.linalg.norm(vecs, axis=1)
+        new = np.linalg.norm(proj, axis=1)
+        # ±1 projections preserve norms in expectation; allow wide JL slack
+        ratio = new / orig
+        assert 0.5 < ratio.mean() < 1.5
+        assert (ratio > 0.3).all() and (ratio < 2.0).all()
+
+
+class TestPcaPower:
+    def _toy(self, spark, n=40):
+        rng = np.random.RandomState(3)
+        # strong first component along a fixed direction
+        d1 = rng.randn(64)
+        d1 /= np.linalg.norm(d1)
+        coefs = rng.randn(n, 1) * 2.0
+        noise = rng.randn(n, 64) * 0.05
+        vecs = (coefs @ d1[None, :] + noise).astype(np.float32)
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        return df, vecs, d1
+
+    def test_gram_matches_numpy(self, spark):
+        df, vecs, _ = self._toy(spark)
+        got = {(r["i"], r["j"]): r["gv"] for r in gram_matrix(df).collect()}
+        q = np.rint(vecs.astype(np.float64) * 1000).astype(np.int64)
+        G = q.T @ q
+        iu, ju = np.triu_indices(64)
+        for i, j in zip(iu, ju):
+            assert got[(i + 1, j + 1)] == G[i, j]
+        assert len(got) == 64 * 65 // 2
+
+    def test_scores_match_numpy_power_iteration(self, spark):
+        df, vecs, _ = self._toy(spark)
+        out = {r["vec_id"]: r["pc1_score"] for r in pca_power_scores(df).collect()}
+        q = np.rint(vecs.astype(np.float64) * 1000).astype(np.int64)
+        G = (q.T @ q).astype(np.float64)
+        v = np.ones(64)
+        for _ in range(3):
+            y = G @ v
+            v = np.round(y / np.abs(y).max(), 10)
+        expect = (q @ v) / 1000.0
+        for i in range(len(vecs)):
+            assert out[i] == pytest.approx(expect[i], abs=2e-4)
+
+    def test_pc1_captures_planted_direction(self, spark):
+        df, vecs, d1 = self._toy(spark)
+        out = {r["vec_id"]: r["pc1_score"] for r in pca_power_scores(df).collect()}
+        scores = np.array([out[i] for i in range(len(vecs))])
+        true_coef = vecs.astype(np.float64) @ d1
+        corr = abs(np.corrcoef(scores, true_coef)[0, 1])
+        assert corr > 0.99
