@@ -707,3 +707,73 @@ def pca_power_scores(
         lambda acc, x: acc + x,
     ) / F.lit(float(quant))
     return emb.select(F.col(id_col), F.round(score, 4).alias("pc1_score"))
+
+
+def jl_bucket_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.85,
+    n_bits: int = 8,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "jl-v1",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Embedding near-duplicate pairs blocked by the SIGNS of the first
+    ``n_bits`` JL components — an angular-LSH pipeline whose every step
+    is deterministic and engine-portable, so (unlike seeded-random LSH)
+    the whole thing value-checks against a SQL oracle.
+
+    A ±1-projection sign is exactly a random-hyperplane (SimHash) bit:
+    vectors at angle θ collide per bit with probability 1−θ/π, so a
+    ``n_bits`` bucket keeps cosine-similar pairs together while cutting
+    the self-join to ~(n/2^bits)² per bucket. The bits come from
+    :func:`jl_project`'s integer sums (sign of an exact integer — no
+    float-boundary flakiness in the BLOCKING key, the property that
+    makes this safe to re-run across engines/partitionings). Recall is
+    approximate by design — raise ``n_bits`` for bigger corpora
+    (bucket size ~ n/2^bits) and OR multiple bands for recall, same
+    playbook as ``lsh_candidate_pairs``.
+
+    Exact cosine on the original vectors scores the survivors; only
+    within-bucket candidate pairs are ever materialized.
+    """
+    signs = _jl_signs(n_bits, in_dim, salt)
+    q = F.expr(
+        f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {quant}) AS BIGINT))"
+    )
+    bucket = F.lit(0)
+    for j in range(n_bits):
+        y = F.aggregate(
+            F.zip_with(
+                q,
+                F.array(*[F.lit(s) for s in signs[j]]),
+                lambda a, s: a * s.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(y >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    tagged = emb.select(
+        F.col(id_col), F.col(vec_col), bucket.alias("_bkt")
+    ).withColumn("_nrm", _norm(vec_col))
+    a = tagged.select(
+        F.col("_bkt"),
+        F.col(id_col).alias("d1"),
+        F.col(vec_col).alias("_v1"),
+        F.col("_nrm").alias("_n1"),
+    )
+    b = tagged.select(
+        F.col("_bkt"),
+        F.col(id_col).alias("d2"),
+        F.col(vec_col).alias("_v2"),
+        F.col("_nrm").alias("_n2"),
+    )
+    sim = _dot("_v1", "_v2") / (F.col("_n1") * F.col("_n2"))
+    return (
+        a.join(b, "_bkt")
+        .filter(F.col("d1") < F.col("d2"))
+        .withColumn("_sim", sim)
+        .filter(F.col("_sim") >= threshold)
+        .select("d1", "d2", F.round("_sim", 4).alias("cosine_sim"))
+    )

@@ -840,3 +840,53 @@ def bpe_apply(
             )
 
     return df.select(id_col, text_col).mapInPandas(seg, schema)
+
+
+def oov_rates(
+    df: DataFrame,
+    vocab_size: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Out-of-vocabulary rate per group against the corpus top-``vocab_size``
+    token vocabulary — the tokenizer-coverage diagnostic run before
+    committing a vocab: which sources will fragment into byte-fallback
+    (high OOV) under a vocabulary fitted on the whole mix.
+
+    Vocabulary = top tokens by corpus frequency, ties broken by token
+    string for determinism. Scale shape: token counts are one grouped
+    agg (vocabulary-sized), the top-V cut is a TakeOrdered (partial
+    per-partition top-V, no global sort), and the membership check is a
+    broadcast LEFT join of the V-row vocab onto the per-group token
+    stream — the corpus never shuffles by token for scoring; the
+    per-group rollup partial-aggregates map-side.
+    """
+    toks = (
+        spread_small(df)
+        .select(F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("t"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("_freq"))
+        .orderBy(F.desc("_freq"), F.asc("t"))
+        .limit(vocab_size)
+        .select("t", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "t", "left")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 4).alias("oov_rate"),
+        )
+    )

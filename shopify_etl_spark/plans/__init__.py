@@ -92,6 +92,8 @@ _R04_SAMPLED = [
 # New or code-changed in round 5 — sample these first.
 _CHANGED_R05 = [
     "dsir_importance_weights",     # new s2 (DSIR target-vs-raw selection)
+    "jl_bucket_near_dups",         # new s2 (oracle-able angular LSH)
+    "oov_rates_by_source",         # new s2 (vocab coverage diagnostic)
     "doc_novelty_scores",          # new s2 (first-occurrence novelty)
     "jl_projection_docs",          # new s2 (deterministic JL compression)
     "pca_power_scores",            # new s2 (Gram fold + power iteration)

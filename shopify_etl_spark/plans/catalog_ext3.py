@@ -199,3 +199,91 @@ def pca_power_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import pca_power_scores
 
     return pca_power_scores(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "jl_bucket_near_dups",
+    oracle=r"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+      FROM embeddings
+    ), sgn AS (
+      SELECT j, i,
+             CASE WHEN substr(md5('jl-v1:' || CAST(j AS VARCHAR) || ':'
+                              || CAST(i AS VARCHAR)), 1, 1)
+                  IN ('0','2','4','6','8','a','c','e')
+                  THEN 1 ELSE -1 END AS s
+      FROM (SELECT unnest(range(0, 8)) AS j)
+      CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+    ), y AS (
+      SELECT e.vec_id, sgn.j, SUM(sgn.s * e.q[sgn.i + 1]) AS y
+      FROM e CROSS JOIN sgn GROUP BY e.vec_id, sgn.j
+    ), bkt AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN y >= 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS b
+      FROM y GROUP BY vec_id
+    ), t AS (
+      SELECT e.vec_id, e.v, bkt.b FROM e JOIN bkt USING (vec_id)
+    )
+    SELECT a.vec_id AS d1, c.vec_id AS d2,
+           ROUND(list_cosine_similarity(a.v, c.v), 4) AS cosine_sim
+    FROM t a JOIN t c ON a.b = c.b AND a.vec_id < c.vec_id
+    WHERE list_cosine_similarity(a.v, c.v) >= 0.3
+    ORDER BY d1, d2
+    """,
+    doc="Embedding near-dup pairs blocked by the SIGNS of the first 8 "
+    "JL components — an angular-LSH (SimHash) pipeline whose blocking "
+    "key is an exact integer sign, so the whole thing value-checks "
+    "against a SQL oracle (the seeded-random LSH twin, lsh_ann_topk, "
+    "is rows-only by nature; this query is the family's oracle-able "
+    "representative). 2^8 buckets cut the self-join to ~(n/256)² per "
+    "bucket; exact cosine on the original vectors scores only within-"
+    "bucket candidates. operators/similarity.py::jl_bucket_near_dups.",
+)
+def jl_bucket_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import jl_bucket_near_dups
+
+    return jl_bucket_near_dups(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
+@register(
+    "oov_rates_by_source",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source AS grp,
+             unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                x -> x <> '')) AS t
+      FROM documents
+    ), vocab AS (
+      SELECT t FROM (
+        SELECT t, COUNT(*) AS f FROM tok GROUP BY t
+        ORDER BY f DESC, t ASC LIMIT 16
+      )
+    )
+    SELECT tok.grp AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN vocab.t IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           ROUND(SUM(CASE WHEN vocab.t IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS oov_rate
+    FROM tok LEFT JOIN vocab ON tok.t = vocab.t
+    GROUP BY tok.grp
+    ORDER BY source
+    """,
+    doc="Out-of-vocabulary rate per source against the corpus top-16 "
+    "token vocabulary — the tokenizer-coverage diagnostic: which "
+    "sources fragment into byte-fallback under a vocab fitted on the "
+    "whole mix. Vocab = one vocabulary-sized grouped count + a "
+    "TakeOrdered top-V (partial per-partition, no global sort); "
+    "membership is a V-row broadcast left join onto the token stream; "
+    "rollup partial-aggregates map-side. "
+    "operators/text.py::oov_rates.",
+)
+def oov_rates_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import oov_rates
+
+    return oov_rates(load_table(spark, sf_dir, "documents"), vocab_size=16)

@@ -129,6 +129,12 @@ EXPECT = {
     # job, like the kmeans centroid collect)
     "jl_projection_docs": dict(max_shuffles=0, max_smj=0, max_scan_width=2),
     "pca_power_scores": dict(max_shuffles=0, max_smj=0, max_scan_width=2),
+    # integer-sign bucket self-join: equi-keyed on the 8-bit bucket,
+    # may SMJ at scale (both sides are the corpus)
+    "jl_bucket_near_dups": dict(max_shuffles=2, max_smj=1, max_scan_width=2),
+    # vocab fitted by grouped count + TakeOrdered, then broadcast back
+    # (floor pinned) — the token stream itself never sort-merges
+    "oov_rates_by_source": dict(max_shuffles=3, min_bhj=1, max_smj=0),
 }
 
 

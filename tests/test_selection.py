@@ -179,3 +179,50 @@ class TestPcaPower:
         true_coef = vecs.astype(np.float64) @ d1
         corr = abs(np.corrcoef(scores, true_coef)[0, 1])
         assert corr > 0.99
+
+
+class TestJlBucketNearDups:
+    def test_planted_near_identical_pair_found(self, spark):
+        from shopify_etl_spark.operators.similarity import jl_bucket_near_dups
+
+        rng = np.random.RandomState(5)
+        base = rng.randn(64).astype(np.float32)
+        near = base + rng.randn(64).astype(np.float32) * 0.01
+        noise = [rng.randn(64).astype(np.float32) for _ in range(10)]
+        rows = [(0, base.tolist()), (1, near.tolist())] + [
+            (i + 2, v.tolist()) for i, v in enumerate(noise)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        pairs = {(r["d1"], r["d2"]): r["cosine_sim"]
+                 for r in jl_bucket_near_dups(df, threshold=0.9).collect()}
+        # identical-direction vectors share every sign bit -> same bucket
+        assert (0, 1) in pairs
+        assert pairs[(0, 1)] > 0.99
+
+    def test_opposite_vectors_never_pair(self, spark):
+        from shopify_etl_spark.operators.similarity import jl_bucket_near_dups
+
+        v = np.random.RandomState(9).randn(64).astype(np.float32)
+        df = spark.createDataFrame(
+            [(0, v.tolist()), (1, (-v).tolist())],
+            "vec_id long, embedding array<float>",
+        )
+        # every projection sign flips (no zero components in practice),
+        # so the pair lands in different buckets and is never scored
+        assert jl_bucket_near_dups(df, threshold=-1.0).count() == 0
+
+
+class TestOovRates:
+    def test_hand_computed(self, spark):
+        from shopify_etl_spark.operators.text import oov_rates
+
+        rows = [
+            (1, "a a b", "s1"),
+            (2, "a c d", "s2"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        # freqs: a=3, b=1, c=1, d=1; vocab_size=2 -> {a, b} (ties by token)
+        out = {r["source"]: r for r in oov_rates(df, vocab_size=2).collect()}
+        assert out["s1"]["n_tokens"] == 3 and out["s1"]["n_oov"] == 0
+        assert out["s2"]["n_tokens"] == 3 and out["s2"]["n_oov"] == 2
+        assert out["s2"]["oov_rate"] == pytest.approx(0.6667)
