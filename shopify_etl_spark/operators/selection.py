@@ -14,14 +14,19 @@ with ``f`` a hash into a fixed bucket space and both models Laplace-
 smoothed. Top-weight (or Gumbel-resampled) documents become the
 training mix.
 
-Scale shape (the reason this fits 100 TB): both models are
-BUCKET-sized, not corpus-sized — two grouped counts over ``n_buckets``
-keys, each computed with map-side partial aggregation. The fitted
+Scale shape (the reason this fits 100 TB): the model is BUCKET-sized,
+not corpus-sized — one grouped count over ``n_buckets`` keys carrying
+the raw and target counts together (map-side partial aggregation), with
+the totals derived from the model itself (every token lands in exactly
+one bucket, so N = Σ counts — no second corpus pass). The fitted
 log-ratio table (≤ n_buckets rows) broadcasts back onto the token
 stream, so scoring is one broadcast-hash join plus a per-document sum
-(partial map-side, one small shuffle keyed by doc id). Nothing in the
-pipeline materializes per-token state beyond the exploded stream
-itself.
+(partial map-side, one small shuffle keyed by doc id).
+
+The model is also MERGEABLE: counts sum across disjoint batches, so an
+incremental stream can maintain it epoch-at-a-time exactly like the CMS
+sketch store (``streaming/selection_stream.py``) and scoring against
+the merged model equals scoring against a one-shot fit.
 
 No reference analog — the reference ETL has no content-based selection
 layer; this is part of the beyond-reference training-data surface
@@ -35,6 +40,85 @@ from pyspark.sql import functions as F
 
 from .dedup import portable_hash64
 from .text import spread_small, tokens
+
+
+def dsir_feature(col, n_buckets: int = 8192) -> Column:
+    """Hashed-unigram feature bucket: portable 60-bit md5 hash mod B.
+
+    Bit-identical in Spark, DuckDB and Python (`dedup.portable_hash64`)
+    — what lets the full pipeline be value-checked by a SQL oracle;
+    swap in ``xxhash64`` for the pure-speed variant, the bucket space
+    is what matters.
+    """
+    return F.pmod(portable_hash64(col), F.lit(n_buckets))
+
+
+def dsir_token_stream(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 8192,
+) -> DataFrame:
+    """Exploded (id, is_target, f) token stream — the shared input of
+    the model fit and the scoring sum. Checkpointed so the scan+explode
+    computes once when both consumers hang off it (the CMS/LM
+    token-stream pattern)."""
+    return (
+        spread_small(df)
+        .select(
+            F.col(id_col),
+            target_pred.alias("is_target"),
+            F.explode(tokens(text_col)).alias("_tok"),
+        )
+        .select(id_col, "is_target", dsir_feature(F.col("_tok"), n_buckets).alias("f"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def dsir_fit(stream: DataFrame) -> DataFrame:
+    """Bucket-sized model from a token stream: per-feature raw count and
+    target count in ONE grouped pass (the target model is a conditional
+    sum, not a second scan). Counts are mergeable — models fitted on
+    disjoint batches SUM to the whole-corpus model."""
+    return stream.groupBy("f").agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.sum(F.col("is_target").cast("long")).alias("c_t"),
+    )
+
+
+def dsir_score(
+    stream: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    n_buckets: int = 8192,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Score a token stream against a fitted (possibly merged) model.
+
+    Totals derive from the model itself (Σ c_r / Σ c_t — every token is
+    in exactly one bucket), so scoring never re-reads the corpus the
+    model was fitted on. The fitted log-ratio table broadcasts; the
+    per-doc sum partial-aggregates map-side.
+    """
+    totals = model.agg(
+        F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t")
+    )
+    b = F.lit(float(alpha * n_buckets))
+    log_ratio = F.log(
+        (F.col("c_t") + F.lit(alpha)) / (F.col("n_t") + b)
+    ) - F.log((F.col("c_r") + F.lit(alpha)) / (F.col("n_r") + b))
+    ratio = F.broadcast(
+        model.join(F.broadcast(totals)).select("f", log_ratio.alias("lr"))
+    )
+    return (
+        stream.join(ratio, "f")
+        .groupBy(id_col, "is_target")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum("lr"), 4).alias("dsir_logw"),
+        )
+    )
 
 
 def dsir_importance_weights(
@@ -52,57 +136,12 @@ def dsir_importance_weights(
     train on"); every document — target or not — gets a weight, so the
     caller can threshold, top-k, or Gumbel-resample downstream.
 
-    Features are word unigrams hashed into ``n_buckets`` with the
-    portable 60-bit md5 hash (`dedup.portable_hash64` — bit-identical
-    in Spark and DuckDB, which is what lets the full pipeline be
-    value-checked by a SQL oracle; swap in ``xxhash64`` for the pure-
-    speed variant, the bucket space is what matters). Both unigram
-    models use add-``alpha`` smoothing over the bucket space:
-
-        p(f) = (count(f) + alpha) / (N + alpha * n_buckets)
-
+    Both unigram models use add-``alpha`` smoothing over the bucket
+    space: ``p(f) = (count(f) + alpha) / (N + alpha * n_buckets)``.
     Documents with zero tokens have no defined weight and drop out
     (the quality_filter length gate owns empty docs).
 
-    Returns (id_col, is_target, n_tokens, dsir_logw) ordered by id.
+    Returns (id_col, is_target, n_tokens, dsir_logw).
     """
-    feat = F.pmod(portable_hash64(F.col("_tok")), F.lit(n_buckets))
-    # One exploded token stream feeds the model counts AND the scoring
-    # sum — checkpoint so the scan+explode computes once (the CMS/LM
-    # token-stream pattern).
-    stream = (
-        spread_small(df)
-        .select(
-            F.col(id_col),
-            target_pred.alias("is_target"),
-            F.explode(tokens(text_col)).alias("_tok"),
-        )
-        .select(id_col, "is_target", feat.alias("f"))
-        .localCheckpoint(eager=False)
-    )
-    # Bucket-sized model: per-feature raw count and target count in ONE
-    # grouped pass (the target model is a conditional sum, not a second
-    # scan). Totals ride along via a one-row broadcast.
-    model = stream.groupBy("f").agg(
-        F.count(F.lit(1)).alias("c_r"),
-        F.sum(F.col("is_target").cast("long")).alias("c_t"),
-    )
-    totals = stream.agg(
-        F.count(F.lit(1)).alias("n_r"),
-        F.sum(F.col("is_target").cast("long")).alias("n_t"),
-    )
-    b = F.lit(float(alpha * n_buckets))
-    log_ratio = F.log(
-        (F.col("c_t") + F.lit(alpha)) / (F.col("n_t") + b)
-    ) - F.log((F.col("c_r") + F.lit(alpha)) / (F.col("n_r") + b))
-    ratio = F.broadcast(
-        model.join(F.broadcast(totals)).select("f", log_ratio.alias("lr"))
-    )
-    return (
-        stream.join(ratio, "f")
-        .groupBy(id_col, "is_target")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.round(F.sum("lr"), 4).alias("dsir_logw"),
-        )
-    )
+    stream = dsir_token_stream(df, target_pred, text_col, id_col, n_buckets)
+    return dsir_score(stream, dsir_fit(stream), id_col, n_buckets, alpha)

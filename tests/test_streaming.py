@@ -805,3 +805,126 @@ def test_span_store_compaction_preserves_decisions(spark, tmp_path):
     run("b3.jsonl", [{"doc_id": 3, "text": "a b c d e f", "ingested_at": t.format(m=2)}])
     s = {r.doc_id: r.n_dup_windows for r in read_span_stats(spark, out).collect()}
     assert s[3] == 3 and s[1] == 0 and s[2] == 0 and s[9] == 0
+
+
+def test_stream_dsir_model_matches_one_shot_fit(spark, tmp_path):
+    """Streaming DSIR model maintenance: per-batch models SUM-merged
+    across epochs equal the one-shot fit on the full history EXACTLY
+    (count mergeability), scoring against the merged model equals the
+    batch operator, and a replayed feed adds nothing."""
+    from pyspark.sql import functions as F
+
+    from shopify_etl_spark.operators.selection import (
+        dsir_fit,
+        dsir_importance_weights,
+        dsir_score,
+        dsir_token_stream,
+    )
+    from shopify_etl_spark.streaming.selection_stream import (
+        read_dsir_model,
+        stream_dsir_model,
+    )
+
+    src = tmp_path / "docfeed"
+    model_dir = str(tmp_path / "dsir")
+    ckpt = str(tmp_path / "dsir_ckpt")
+    schema = "doc_id long, text string, lang string"
+
+    b1 = [
+        {"doc_id": 1, "text": "spark shuffle join agg", "lang": "en"},
+        {"doc_id": 2, "text": "cat dog fish bird", "lang": "fr"},
+    ]
+    b2 = [
+        {"doc_id": 3, "text": "spark shuffle scan", "lang": "en"},
+        {"doc_id": 4, "text": "cat dog spark", "lang": "de"},
+    ]
+
+    def run_batch(name, rows):
+        _write_jsonl(src / name, rows)
+        feed = spark.readStream.schema(schema).json(str(src))
+        q = stream_dsir_model(
+            feed, F.col("lang") == "en", model_dir, ckpt, n_buckets=512
+        )
+        q.awaitTermination(120)
+
+    run_batch("b1.jsonl", b1)
+    run_batch("b2.jsonl", b2)
+
+    all_docs = spark.createDataFrame(
+        [(r["doc_id"], r["text"], r["lang"]) for r in b1 + b2],
+        "doc_id long, text string, lang string",
+    )
+    merged = read_dsir_model(spark, model_dir)
+    whole = dsir_fit(
+        dsir_token_stream(all_docs, F.col("lang") == "en", n_buckets=512)
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+    # scoring the corpus against the streamed model == the batch operator
+    stream = dsir_token_stream(all_docs, F.col("lang") == "en", n_buckets=512)
+    via_stream = dsir_score(stream, merged, n_buckets=512)
+    via_batch = dsir_importance_weights(
+        all_docs, F.col("lang") == "en", n_buckets=512
+    )
+    assert sorted(map(tuple, via_stream.collect())) == sorted(
+        map(tuple, via_batch.collect())
+    )
+
+    # replay: same feed, same checkpoint -> no new epochs, model unchanged
+    before = sorted(map(tuple, merged.collect()))
+    feed = spark.readStream.schema(schema).json(str(src))
+    q = stream_dsir_model(
+        feed, F.col("lang") == "en", model_dir, ckpt, n_buckets=512
+    )
+    q.awaitTermination(120)
+    assert sorted(map(tuple, read_dsir_model(spark, model_dir).collect())) == before
+
+
+def test_compact_dsir_model_weights_unchanged(spark, tmp_path):
+    """Folding DSIR model epochs must not change a single importance
+    weight (bucket-keyed SUM is associative), and the compacted store
+    reads identically."""
+    from pyspark.sql import functions as F
+
+    from shopify_etl_spark.operators.selection import dsir_score, dsir_token_stream
+    from shopify_etl_spark.streaming.selection_stream import (
+        compact_dsir_model,
+        read_dsir_model,
+        stream_dsir_model,
+    )
+
+    src = tmp_path / "docfeed"
+    model_dir = str(tmp_path / "dsir")
+    ckpt = str(tmp_path / "dsir_ckpt")
+    schema = "doc_id long, text string, lang string"
+
+    batches = [
+        [{"doc_id": 1, "text": "a b c a", "lang": "en"}],
+        [{"doc_id": 2, "text": "b c d", "lang": "fr"}],
+        [{"doc_id": 3, "text": "a d d e", "lang": "en"}],
+    ]
+    for i, rows in enumerate(batches):
+        _write_jsonl(src / f"b{i}.jsonl", rows)
+        feed = spark.readStream.schema(schema).json(str(src))
+        stream_dsir_model(
+            feed, F.col("lang") == "en", model_dir, ckpt, n_buckets=128
+        ).awaitTermination(120)
+
+    all_docs = spark.createDataFrame(
+        [(r["doc_id"], r["text"], r["lang"]) for b in batches for r in b],
+        "doc_id long, text string, lang string",
+    )
+    stream = dsir_token_stream(all_docs, F.col("lang") == "en", n_buckets=128)
+    before = sorted(map(tuple, dsir_score(
+        stream, read_dsir_model(spark, model_dir), n_buckets=128
+    ).collect()))
+
+    out = compact_dsir_model(spark, model_dir)
+    assert out is not None and "compact=" in out
+
+    after = sorted(map(tuple, dsir_score(
+        stream, read_dsir_model(spark, model_dir), n_buckets=128
+    ).collect()))
+    assert after == before

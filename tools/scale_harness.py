@@ -79,6 +79,20 @@ FAMILY = (
     "mutual_knn_pairs",
     "cross_corpus_near_dups",
     "curation_v2_corpus",
+    # session-2 additions: DSIR's model stays bucket-sized (8192) while
+    # the token stream grows 10x; novelty rides the same postings shape
+    # as the Jaccard family; JL/PCA are map-only (PCA's Gram stays 2080
+    # rows at any corpus size); the JL bucket join is a deliberate
+    # worst case — replicated embeddings put 10 IDENTICAL copies of
+    # every vector in the same bucket, so pairs grow ~100x (quadratic
+    # in-bucket, like mutual_knn's fixed-label blocks); OOV's vocab
+    # count grows 10x under the token remap but stays a grouped agg
+    "dsir_importance_weights",
+    "doc_novelty_scores",
+    "jl_projection_docs",
+    "pca_power_scores",
+    "jl_bucket_near_dups",
+    "oov_rates_by_source",
 )
 
 
