@@ -1,0 +1,89 @@
+"""Iterative graph algorithms as composable DataFrame plans.
+
+``dedup.duplicate_clusters`` (label propagation / connected components)
+covers the "which docs are the same" question; this module covers
+"which docs are HUBS" — PageRank over the near-duplicate graph ranks
+template/boilerplate source documents whose content radiates through
+the corpus (high centrality = the page every mirror copied), a signal
+connected components flattens away.
+
+Design for both scale and verification:
+
+* Each iteration is one equi-join (edge src → current rank, 8-byte
+  keys) + one grouped sum — the classic message-passing shape; the
+  edge list with degrees is localCheckpointed once so ``iters``
+  iterations reuse a single materialization instead of re-deriving
+  the similarity join per step.
+* The iteration count is FIXED and each iterate is rounded to 10
+  decimals — the same fixed, SQL-expressible recipe as the PCA power
+  iteration (`similarity.pca_power_scores`), which is what lets a
+  DuckDB oracle reproduce the whole computation value-for-value
+  (float group-sum order differs across engines by ~1e-15; the
+  per-step rounding absorbs it before it can compound).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    damping: float = 0.85,
+    iters: int = 3,
+) -> DataFrame:
+    """PageRank over an UNDIRECTED unique-pair edge list.
+
+    ``edges`` carries each pair once (``src < dst``); both directions
+    are materialized here. Nodes are the vertices with ≥ 1 edge (an
+    isolated document has no centrality to measure — and at corpus
+    scale materializing rank state for every isolated doc would
+    dominate the actual graph). Uniform ``1/|V|`` init, teleport
+    ``(1-damping)/|V|``; every node of the symmetrized graph has
+    out-degree ≥ 1, so there is no dangling-mass term.
+
+    Returns (node, degree, pagerank) with pagerank rounded to 4.
+    """
+    fwd = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    sym = fwd.unionByName(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("t"))
+    )
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    # one materialization feeds every iteration (and the degree/node
+    # side) — without it each unrolled join re-derives the upstream
+    # similarity pipeline per step
+    ed = sym.join(deg, "s").localCheckpoint(eager=False)
+    nodes = ed.select(F.col("s").alias("node"), "deg").distinct()
+    n = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n_nodes")))
+    ranks = nodes.join(n).select(
+        "node", (F.lit(1.0) / F.col("n_nodes")).alias("r")
+    )
+    for _ in range(iters):
+        contribs = (
+            ed.join(ranks, ed["s"] == ranks["node"])
+            .select(F.col("t").alias("node"), (F.col("r") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            contribs.join(n)
+            .select(
+                "node",
+                F.round(
+                    (1.0 - damping) / F.col("n_nodes")
+                    + F.lit(damping) * F.col("in_sum"),
+                    10,
+                ).alias("r"),
+            )
+        )
+    return (
+        nodes.join(ranks, "node")
+        .select(
+            "node",
+            F.col("deg").cast("long").alias("degree"),
+            F.round("r", 4).alias("pagerank"),
+        )
+    )

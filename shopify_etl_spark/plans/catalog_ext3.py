@@ -287,3 +287,87 @@ def oov_rates_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import oov_rates
 
     return oov_rates(load_table(spark, sf_dir, "documents"), vocab_size=16)
+
+
+@register(
+    "dup_graph_pagerank",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), ed0 AS (
+      SELECT d1, d2 FROM shared
+      JOIN sizes sa ON sa.doc_id = d1
+      JOIN sizes sb ON sb.doc_id = d2
+      WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.02
+    ), sym AS (
+      SELECT d1 AS s, d2 AS t FROM ed0
+      UNION ALL
+      SELECT d2 AS s, d1 AS t FROM ed0
+    ), deg AS (
+      SELECT s, COUNT(*) AS deg FROM sym GROUP BY s
+    ), n AS (
+      SELECT COUNT(*) AS n_nodes FROM deg
+    ), r0 AS (
+      SELECT s AS node, 1.0 / n.n_nodes AS r FROM deg CROSS JOIN n
+    ), c1 AS (
+      SELECT sym.t AS node, SUM(r0.r / deg.deg) AS in_sum
+      FROM sym JOIN deg USING (s) JOIN r0 ON r0.node = sym.s
+      GROUP BY sym.t
+    ), r1 AS (
+      SELECT node, ROUND((1.0 - 0.85) / n.n_nodes + 0.85 * in_sum, 10) AS r
+      FROM c1 CROSS JOIN n
+    ), c2 AS (
+      SELECT sym.t AS node, SUM(r1.r / deg.deg) AS in_sum
+      FROM sym JOIN deg USING (s) JOIN r1 ON r1.node = sym.s
+      GROUP BY sym.t
+    ), r2 AS (
+      SELECT node, ROUND((1.0 - 0.85) / n.n_nodes + 0.85 * in_sum, 10) AS r
+      FROM c2 CROSS JOIN n
+    ), c3 AS (
+      SELECT sym.t AS node, SUM(r2.r / deg.deg) AS in_sum
+      FROM sym JOIN deg USING (s) JOIN r2 ON r2.node = sym.s
+      GROUP BY sym.t
+    ), r3 AS (
+      SELECT node, ROUND((1.0 - 0.85) / n.n_nodes + 0.85 * in_sum, 10) AS r
+      FROM c3 CROSS JOIN n
+    )
+    SELECT deg.s AS node, CAST(deg.deg AS BIGINT) AS degree,
+           ROUND(r3.r, 4) AS pagerank
+    FROM deg JOIN r3 ON r3.node = deg.s
+    ORDER BY node
+    """,
+    doc="Duplication-centrality PageRank over the weak-tie similarity "
+    "graph (word-3-gram Jaccard >= 0.02 — deliberately below the "
+    "near-dup threshold: centrality needs the broad overlap graph, not "
+    "just the mirror pairs). Ranks hub/template documents whose "
+    "content radiates through the corpus — the signal connected "
+    "components flattens away. Iterations are one 8-byte-key equi-join "
+    "+ grouped sum each over a localCheckpointed edge list; fixed "
+    "3-step recipe with per-step rounding, so the DuckDB oracle "
+    "reproduces the whole iteration value-for-value (the PCA power-"
+    "iteration pattern). Oracle note: the teleport constant is written "
+    "(1.0 - 0.85), not 0.15 — IEEE 1.0-0.85 != the nearest double to "
+    "0.15, and both engines must compute the SAME subtraction. "
+    "operators/graph.py::pagerank.",
+)
+def dup_graph_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+    from ..operators.graph import pagerank
+
+    edges = dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.02
+    )
+    return pagerank(edges)

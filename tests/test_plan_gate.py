@@ -135,6 +135,10 @@ EXPECT = {
     # vocab fitted by grouped count + TakeOrdered, then broadcast back
     # (floor pinned) — the token stream itself never sort-merges
     "oov_rates_by_source": dict(max_shuffles=3, min_bhj=1, max_smj=0),
+    # 3 unrolled message-passing rounds (join + grouped sum each) over
+    # the graph-sized, localCheckpointed edge list — ceilings bound the
+    # per-iteration cost from silently growing
+    "dup_graph_pagerank": dict(max_shuffles=20, max_smj=6),
 }
 
 
@@ -266,6 +270,7 @@ BNLJ_ALLOWED = {
     "hybrid_rrf_topk",         # query vectors broadcast (dense ranker)
     "curation_v2_corpus",      # one-row vocabulary size (bigram LM gate)
     "dsir_importance_weights",  # one-row token totals under the model fit
+    "dup_graph_pagerank",       # one-row node count (teleport term, x4 steps)
 }
 
 

@@ -226,3 +226,52 @@ class TestOovRates:
         assert out["s1"]["n_tokens"] == 3 and out["s1"]["n_oov"] == 0
         assert out["s2"]["n_tokens"] == 3 and out["s2"]["n_oov"] == 2
         assert out["s2"]["oov_rate"] == pytest.approx(0.6667)
+
+
+class TestPagerank:
+    @staticmethod
+    def _reference(edges, damping=0.85, iters=3):
+        # mirror of the fixed recipe: symmetrize, uniform init, per-step
+        # round(10), final round(4)
+        sym = {}
+        for a, b in edges:
+            sym.setdefault(a, set()).add(b)
+            sym.setdefault(b, set()).add(a)
+        n = len(sym)
+        r = {v: 1.0 / n for v in sym}
+        for _ in range(iters):
+            nxt = {}
+            for v in sym:
+                s = sum(r[u] / len(sym[u]) for u in sym[v])
+                nxt[v] = round((1.0 - damping) / n + damping * s, 10)
+            r = nxt
+        return {v: round(x, 4) for v, x in r.items()}
+
+    def test_star_graph_hand_values(self, spark):
+        from shopify_etl_spark.operators.graph import pagerank
+
+        edges = [(0, 1), (0, 2), (0, 3)]
+        df = spark.createDataFrame(edges, "d1 long, d2 long")
+        got = {r["node"]: r for r in pagerank(df).collect()}
+        expect = self._reference(edges)
+        for v, pr in expect.items():
+            assert got[v]["pagerank"] == pytest.approx(pr, abs=1e-4)
+        assert got[0]["degree"] == 3 and got[1]["degree"] == 1
+        # the hub dominates
+        assert got[0]["pagerank"] > 3 * got[1]["pagerank"]
+
+    def test_symmetric_pair_stays_uniform(self, spark):
+        from shopify_etl_spark.operators.graph import pagerank
+
+        df = spark.createDataFrame([(7, 9)], "d1 long, d2 long")
+        out = {r["node"]: r["pagerank"] for r in pagerank(df).collect()}
+        assert out[7] == out[9] == 0.5
+
+    def test_rank_mass_conserved(self, spark):
+        from shopify_etl_spark.operators.graph import pagerank
+
+        edges = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+        df = spark.createDataFrame(edges, "d1 long, d2 long")
+        total = sum(r["pagerank"] for r in pagerank(df).collect())
+        # undirected graph, no dangling mass: total rank ~ 1
+        assert total == pytest.approx(1.0, abs=1e-3)
