@@ -890,3 +890,48 @@ def oov_rates(
             F.round(F.col("n_oov") / F.col("n_tokens"), 4).alias("oov_rate"),
         )
     )
+
+
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document token-distribution entropy and type-token ratio —
+    the repetitiveness signals a quality gate reads: low entropy means
+    a few tokens dominate (templates, keyword stuffing, boilerplate),
+    low TTR means low lexical diversity even when no single n-gram
+    repeats (what `repetition_signals`' top-gram fractions can miss).
+
+    Everything is per-row higher-order functions over the token array
+    (distinct -> per-type counts -> -Σ p·log2 p fold): a pure map-side
+    projection, zero shuffles, zero UDFs — at 100 TB this is a free
+    rider on whatever scan already reads the text. Cost per doc is
+    O(tokens · types); for the pathological one-doc-huge-vocab case
+    the exploded groupBy variant wins, but that shape is exactly what
+    the length gates upstream exclude.
+
+    Docs with zero tokens have no distribution and drop out (the
+    quality_filter length gate owns them).
+    """
+    toks = tokens(text_col)
+    df = df.select(F.col(id_col), toks.alias("_w")).filter(F.size("_w") > 0)
+    counts = F.transform(
+        F.array_distinct("_w"),
+        lambda c: F.size(F.filter(F.col("_w"), lambda t: t == c)),
+    )
+    n = F.size("_w").cast("double")
+    ent = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, k: acc - (k.cast("double") / n) * F.log2(k.cast("double") / n),
+    )
+    return df.select(
+        id_col,
+        F.size("_w").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("_w")).cast("long").alias("n_types"),
+        F.round(ent, 4).alias("token_entropy"),
+        # deliberately unrounded: types/tokens is an exact-integer
+        # division, bit-identical in every engine, while ROUND(x,4)
+        # hits exact .xxxx5 boundaries for denominators like 160
+        # where Spark and DuckDB rounding disagree (the JL lesson)
+        (F.size(F.array_distinct("_w")) / n).alias("ttr"),
+    )

@@ -371,3 +371,42 @@ def dup_graph_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), threshold=0.02
     )
     return pagerank(edges)
+
+
+@register(
+    "token_entropy_docs",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      FROM documents
+    ), s AS (
+      SELECT doc_id, w, len(w) AS n,
+             list_transform(list_distinct(w),
+               c -> len(list_filter(w, x -> x = c))) AS ks
+      FROM t WHERE len(w) > 0
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(len(ks) AS BIGINT) AS n_types,
+           ROUND(-list_sum(list_transform(ks,
+                 k -> (k * 1.0 / n) * log2(k * 1.0 / n))), 4)
+             AS token_entropy,
+           len(ks) * 1.0 / n AS ttr
+    FROM s
+    ORDER BY doc_id
+    """,
+    doc="Per-document token-distribution entropy and type-token ratio "
+    "— the repetitiveness signals a quality gate reads (low entropy = "
+    "template/keyword-stuffed, low TTR = low lexical diversity even "
+    "without a single repeating n-gram). Pure per-row higher-order "
+    "functions over the token array: zero shuffles, zero UDFs — a "
+    "free rider on any scan that already reads the text. TTR ships "
+    "unrounded (exact-integer division, bit-identical cross-engine; "
+    "rounding would hit exact .xxxx5 boundaries — the JL lesson). "
+    "operators/text.py::token_entropy.",
+)
+def token_entropy_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import token_entropy
+
+    return token_entropy(load_table(spark, sf_dir, "documents"))

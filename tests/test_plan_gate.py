@@ -139,6 +139,8 @@ EXPECT = {
     # the graph-sized, localCheckpointed edge list — ceilings bound the
     # per-iteration cost from silently growing
     "dup_graph_pagerank": dict(max_shuffles=20, max_smj=6),
+    # per-row HOF entropy/TTR: any exchange means it stopped being a map
+    "token_entropy_docs": dict(max_shuffles=0, max_smj=0, max_scan_width=2),
 }
 
 

@@ -275,3 +275,28 @@ class TestPagerank:
         total = sum(r["pagerank"] for r in pagerank(df).collect())
         # undirected graph, no dangling mass: total rank ~ 1
         assert total == pytest.approx(1.0, abs=1e-3)
+
+
+class TestTokenEntropy:
+    def test_hand_computed(self, spark):
+        from shopify_etl_spark.operators.text import token_entropy
+
+        df = spark.createDataFrame(
+            [(1, "a a b b"), (2, "x x x x"), (3, "p q r s")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in token_entropy(df).collect()}
+        # uniform over 2 types -> 1 bit; constant -> 0; uniform over 4 -> 2
+        assert out[1]["token_entropy"] == pytest.approx(1.0)
+        assert out[2]["token_entropy"] == pytest.approx(0.0)
+        assert out[3]["token_entropy"] == pytest.approx(2.0)
+        assert out[1]["ttr"] == 0.5 and out[2]["ttr"] == 0.25 and out[3]["ttr"] == 1.0
+        assert out[1]["n_types"] == 2 and out[1]["n_tokens"] == 4
+
+    def test_empty_docs_drop(self, spark):
+        from shopify_etl_spark.operators.text import token_entropy
+
+        df = spark.createDataFrame(
+            [(1, "   "), (2, "a b")], "doc_id long, text string"
+        )
+        assert [r["doc_id"] for r in token_entropy(df).collect()] == [2]
