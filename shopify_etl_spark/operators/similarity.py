@@ -777,3 +777,75 @@ def jl_bucket_near_dups(
         .filter(F.col("_sim") >= threshold)
         .select("d1", "d2", F.round("_sim", 4).alias("cosine_sim"))
     )
+
+
+def pca_top2_scores(
+    emb: DataFrame,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 1000,
+    iters: int = 3,
+    scale_pow: int = 33,
+) -> DataFrame:
+    """First TWO principal-component scores: the deflation extension of
+    :func:`pca_power_scores` — after the PC1 power iteration, subtract
+    the rank-one term ``λ₁·v₁v₁ᵀ`` and iterate again on the deflated
+    matrix. Same economics (one Gram pass, a 64×64 driver solve, a
+    map-only projection) and the same cross-engine discipline, with two
+    additional numeric pins that make the SQL oracle exact:
+
+    * the Gram is divided by a FIXED power of two (``2^scale_pow``) —
+      exact in IEEE, so ``v₁`` is bit-unchanged from the unscaled
+      iteration — which keeps λ₁ O(1..10²); its ~1e-15 relative
+      cross-engine error is then far inside the round(10) quantum
+      (unnormalized, λ₁ ~ 1e10 would carry absolute error ~1e-5 and
+      flip the rounding);
+    * every deflated entry is rounded to 10 decimals before the second
+      iteration, so both engines iterate the SAME matrix.
+
+    Returns ``(id, pc1_score, pc2_score)``.
+    """
+    import numpy as np
+
+    gram = gram_matrix(emb, in_dim, vec_col, quant).collect()
+    G = np.zeros((in_dim, in_dim), dtype=np.float64)
+    for r in gram:
+        G[r["i"] - 1, r["j"] - 1] = r["gv"]
+        G[r["j"] - 1, r["i"] - 1] = r["gv"]
+    Gs = G / float(1 << scale_pow)
+
+    def iterate(M):
+        v = np.ones(in_dim)
+        for _ in range(iters):
+            y = M @ v
+            v = np.round(y / np.abs(y).max(), 10)
+        return v
+
+    v1 = iterate(Gs)
+    nv = v1 @ v1
+    lam = np.round((v1 @ Gs @ v1) / nv, 10)
+    # rank-one deflation for a NON-unit v1 is λ·v1v1ᵀ/(v1ᵀv1): the L∞
+    # normalization leaves ‖v1‖² ≈ 10-30, and omitting the divisor
+    # over-subtracts by that factor — the dominant eigenvalue flips to
+    # strongly negative and the second iteration re-converges onto PC1
+    # (|λ| largest wins in power iteration, sign ignored)
+    G2 = np.round(Gs - (lam * np.outer(v1, v1)) / nv, 10)
+    v2 = iterate(G2)
+
+    q = F.expr(
+        f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {quant}) AS BIGINT))"
+    )
+
+    def proj(v, name):
+        vlit = F.array(*[F.lit(float(x)) for x in v])
+        s = F.aggregate(
+            F.zip_with(q, vlit, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ) / F.lit(float(quant))
+        return F.round(s, 4).alias(name)
+
+    return emb.select(
+        F.col(id_col), proj(v1, "pc1_score"), proj(v2, "pc2_score")
+    )

@@ -95,6 +95,7 @@ _CHANGED_R05 = [
     "jl_bucket_near_dups",         # new s2 (oracle-able angular LSH)
     "dup_graph_pagerank",          # new s2 (duplication centrality)
     "token_entropy_docs",          # new s2 (entropy/TTR quality signal)
+    "pca_top2_scores",             # new s2 (PC1+PC2 via deflation)
     "oov_rates_by_source",         # new s2 (vocab coverage diagnostic)
     "doc_novelty_scores",          # new s2 (first-occurrence novelty)
     "jl_projection_docs",          # new s2 (deterministic JL compression)

@@ -410,3 +410,80 @@ def token_entropy_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import token_entropy
 
     return token_entropy(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "pca_top2_scores",
+    oracle=r"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      FROM embeddings
+    ), flat AS MATERIALIZED (
+      SELECT vec_id, idx.i, q[idx.i] AS x
+      FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+    ), g AS MATERIALIZED (
+      SELECT a.i, b.i AS j, SUM(a.x * b.x) / 8589934592.0 AS gv
+      FROM flat a JOIN flat b USING (vec_id)
+      GROUP BY a.i, b.i
+    ), v0 AS (
+      SELECT unnest(range(1, 65)) AS i, 1.0 AS val
+    ), y1 AS (
+      SELECT g.i, SUM(g.gv * v0.val) AS y FROM g JOIN v0 ON g.j = v0.i GROUP BY g.i
+    ), v1 AS (
+      SELECT i, ROUND(y / (SELECT MAX(ABS(y)) FROM y1), 10) AS val FROM y1
+    ), y2 AS (
+      SELECT g.i, SUM(g.gv * v1.val) AS y FROM g JOIN v1 ON g.j = v1.i GROUP BY g.i
+    ), v2 AS (
+      SELECT i, ROUND(y / (SELECT MAX(ABS(y)) FROM y2), 10) AS val FROM y2
+    ), y3 AS (
+      SELECT g.i, SUM(g.gv * v2.val) AS y FROM g JOIN v2 ON g.j = v2.i GROUP BY g.i
+    ), va AS MATERIALIZED (
+      SELECT i, ROUND(y / (SELECT MAX(ABS(y)) FROM y3), 10) AS val FROM y3
+    ), lam AS (
+      SELECT ROUND(
+        (SELECT SUM(a.val * g.gv * b.val)
+         FROM g JOIN va a ON a.i = g.i JOIN va b ON b.i = g.j)
+        / (SELECT SUM(val * val) FROM va), 10) AS l
+    ), nv AS (
+      SELECT SUM(val * val) AS n2 FROM va
+    ), g2 AS MATERIALIZED (
+      SELECT g.i, g.j,
+             ROUND(g.gv - (lam.l * a.val * b.val) / nv.n2, 10) AS gv
+      FROM g JOIN va a ON a.i = g.i JOIN va b ON b.i = g.j
+      CROSS JOIN lam CROSS JOIN nv
+    ), w1y AS (
+      SELECT g2.i, SUM(g2.gv * v0.val) AS y FROM g2 JOIN v0 ON g2.j = v0.i GROUP BY g2.i
+    ), w1 AS (
+      SELECT i, ROUND(y / (SELECT MAX(ABS(y)) FROM w1y), 10) AS val FROM w1y
+    ), w2y AS (
+      SELECT g2.i, SUM(g2.gv * w1.val) AS y FROM g2 JOIN w1 ON g2.j = w1.i GROUP BY g2.i
+    ), w2 AS (
+      SELECT i, ROUND(y / (SELECT MAX(ABS(y)) FROM w2y), 10) AS val FROM w2y
+    ), w3y AS (
+      SELECT g2.i, SUM(g2.gv * w2.val) AS y FROM g2 JOIN w2 ON g2.j = w2.i GROUP BY g2.i
+    ), wb AS (
+      SELECT i, ROUND(y / (SELECT MAX(ABS(y)) FROM w3y), 10) AS val FROM w3y
+    )
+    SELECT f.vec_id,
+           ROUND(SUM(f.x * va.val) / 1000.0, 4) AS pc1_score,
+           ROUND(SUM(f.x * wb.val) / 1000.0, 4) AS pc2_score
+    FROM flat f JOIN va ON f.i = va.i JOIN wb ON f.i = wb.i
+    GROUP BY f.vec_id
+    ORDER BY f.vec_id
+    """,
+    doc="First TWO principal components via deflation: PC1 power "
+    "iteration, rank-one subtraction of λ₁·v₁v₁ᵀ, second iteration on "
+    "the deflated matrix — all on the one-pass distributed Gram. Two "
+    "numeric pins make the oracle exact: the Gram is divided by a "
+    "FIXED 2^33 (exact in IEEE, v₁ bit-unchanged, λ₁ kept O(1..100) "
+    "so its ~1e-15 relative cross-engine error sits far inside the "
+    "round(10) quantum), and every deflated entry is rounded before "
+    "the second iteration so both engines iterate the same matrix. "
+    "operators/similarity.py::pca_top2_scores.",
+)
+def pca_top2_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pca_top2_scores
+
+    return pca_top2_scores(load_table(spark, sf_dir, "embeddings"))

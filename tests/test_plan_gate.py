@@ -141,6 +141,9 @@ EXPECT = {
     "dup_graph_pagerank": dict(max_shuffles=20, max_smj=6),
     # per-row HOF entropy/TTR: any exchange means it stopped being a map
     "token_entropy_docs": dict(max_shuffles=0, max_smj=0, max_scan_width=2),
+    # both component projections are map-only broadcast-backs (Gram +
+    # deflation run at build time as bounded driver jobs)
+    "pca_top2_scores": dict(max_shuffles=0, max_smj=0, max_scan_width=2),
 }
 
 

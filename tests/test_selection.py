@@ -300,3 +300,65 @@ class TestTokenEntropy:
             [(1, "   "), (2, "a b")], "doc_id long, text string"
         )
         assert [r["doc_id"] for r in token_entropy(df).collect()] == [2]
+
+
+class TestPcaTop2:
+    def test_matches_numpy_deflation(self, spark):
+        from shopify_etl_spark.operators.similarity import pca_top2_scores
+
+        rng = np.random.RandomState(13)
+        d1 = rng.randn(64); d1 /= np.linalg.norm(d1)
+        d2 = rng.randn(64); d2 -= (d2 @ d1) * d1; d2 /= np.linalg.norm(d2)
+        vecs = (
+            rng.randn(40, 1) * 2.0 @ d1[None, :]
+            + rng.randn(40, 1) * 1.0 @ d2[None, :]
+            + rng.randn(40, 64) * 0.03
+        ).astype(np.float32)
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        out = {r["vec_id"]: r for r in pca_top2_scores(df).collect()}
+
+        q = np.rint(vecs.astype(np.float64) * 1000).astype(np.int64)
+        Gs = (q.T @ q).astype(np.float64) / float(1 << 33)
+
+        def it(M):
+            v = np.ones(64)
+            for _ in range(3):
+                y = M @ v
+                v = np.round(y / np.abs(y).max(), 10)
+            return v
+
+        v1 = it(Gs)
+        nv = v1 @ v1
+        lam = np.round((v1 @ Gs @ v1) / nv, 10)
+        v2 = it(np.round(Gs - (lam * np.outer(v1, v1)) / nv, 10))
+        e1 = (q @ v1) / 1000.0
+        e2 = (q @ v2) / 1000.0
+        for i in range(40):
+            assert out[i]["pc1_score"] == pytest.approx(e1[i], abs=2e-4)
+            assert out[i]["pc2_score"] == pytest.approx(e2[i], abs=2e-4)
+
+    def test_components_capture_orthogonal_directions(self, spark):
+        from shopify_etl_spark.operators.similarity import pca_top2_scores
+
+        rng = np.random.RandomState(21)
+        d1 = rng.randn(64); d1 /= np.linalg.norm(d1)
+        d2 = rng.randn(64); d2 -= (d2 @ d1) * d1; d2 /= np.linalg.norm(d2)
+        c1 = rng.randn(60, 1) * 3.0
+        c2 = rng.randn(60, 1) * 1.5
+        vecs = (c1 @ d1[None, :] + c2 @ d2[None, :]
+                + rng.randn(60, 64) * 0.02).astype(np.float32)
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        rows = pca_top2_scores(df).collect()
+        s1 = np.array([r["pc1_score"] for r in sorted(rows, key=lambda r: r["vec_id"])])
+        s2 = np.array([r["pc2_score"] for r in sorted(rows, key=lambda r: r["vec_id"])])
+        # pc1 tracks the dominant planted direction, pc2 the second,
+        # and the two score vectors are (nearly) uncorrelated
+        assert abs(np.corrcoef(s1, c1[:, 0])[0, 1]) > 0.99
+        assert abs(np.corrcoef(s2, c2[:, 0])[0, 1]) > 0.97
+        assert abs(np.corrcoef(s1, s2)[0, 1]) < 0.2
