@@ -93,6 +93,12 @@ FAMILY = (
     "pca_power_scores",
     "jl_bucket_near_dups",
     "oov_rates_by_source",
+    # graph edges grow linearly (cross-replica overlap is zero under the
+    # token remap — 10 disjoint copies of the same graph), so each
+    # message-passing round is a linear-sized join; entropy is map-only
+    "dup_graph_pagerank",
+    "token_entropy_docs",
+    "pca_top2_scores",
 )
 
 
