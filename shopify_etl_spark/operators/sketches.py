@@ -180,3 +180,33 @@ def cms_heavy_hitters(
     est = cms_query(sketch, cand, key_col, width=width, depth=depth, seed=seed)
     # est is bounded by n_candidates rows — broadcast, never shuffle cand
     return cand.join(F.broadcast(est), key_col)
+
+
+def cms_inner_product(sa: DataFrame, sb: DataFrame) -> DataFrame:
+    """Equi-join SIZE estimate from two CMS grids (Cormode–Muthukrishnan
+    inner-product estimator): for each depth row, sum the cellwise
+    product of the two grids; take the MIN over rows.
+
+    This is the planner's question — "how many rows will A ⋈ B on key k
+    produce" = Σ_k count_A(k)·count_B(k) — answered from two
+    width×depth summaries without touching either table. Guarantees
+    (non-negative counts): every row's cellwise-product sum ≥ the true
+    inner product (collisions only ADD mass), so the min stays an
+    UPPER-bounded-error overestimate — est ≥ true always, and
+    est ≤ true + (e/width)·N_a·N_b with the standard CMS slack. Both
+    grids must share (width, depth, seed); grids are mergeable first
+    (``cms_merge``), so per-shard sketches estimate cross-shard joins.
+
+    The left join keeps depth rows whose cells never overlap (their
+    inner product is 0 — an inner join would silently drop them and the
+    min would overestimate).
+    """
+    b = sb.select(
+        F.col("row"), F.col("cell"), F.col("c").alias("_cb")
+    )
+    return (
+        sa.join(b, ["row", "cell"], "left")
+        .groupBy("row")
+        .agg(F.sum(F.col("c") * F.coalesce("_cb", F.lit(0))).alias("_ip"))
+        .agg(F.coalesce(F.min("_ip"), F.lit(0)).cast("long").alias("join_size_est"))
+    )

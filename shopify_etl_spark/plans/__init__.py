@@ -96,6 +96,7 @@ _CHANGED_R05 = [
     "dup_graph_pagerank",          # new s2 (duplication centrality)
     "token_entropy_docs",          # new s2 (entropy/TTR quality signal)
     "pca_top2_scores",             # new s2 (PC1+PC2 via deflation)
+    "cms_join_size",               # new s2 (sketch join cardinality)
     "oov_rates_by_source",         # new s2 (vocab coverage diagnostic)
     "doc_novelty_scores",          # new s2 (first-occurrence novelty)
     "jl_projection_docs",          # new s2 (deterministic JL compression)

@@ -487,3 +487,80 @@ def pca_top2_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import pca_top2_scores
 
     return pca_top2_scores(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "cms_join_size",
+    # Guarantee-gate pattern (cms_token_counts): the estimate is engine-
+    # specific (xxhash64 grid) but its published bounds are exact, so the
+    # oracle-checked output is (exact join size, in-bounds flags). Lower
+    # bound est >= true is DETERMINISTIC for the inner-product estimator
+    # (collisions only add mass); upper uses the (e/width)*Na*Nb slack.
+    oracle=r"""
+    WITH c AS (
+      SELECT user_id, COUNT(*) AS n FROM events
+      WHERE event_type = 'click' AND user_id IS NOT NULL GROUP BY user_id
+    ), p AS (
+      SELECT user_id, COUNT(*) AS n FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL GROUP BY user_id
+    )
+    SELECT CAST((SELECT SUM(n) FROM c) AS BIGINT) AS n_clicks,
+           CAST((SELECT SUM(n) FROM p) AS BIGINT) AS n_purchases,
+           CAST(COALESCE(SUM(c.n * p.n), 0) AS BIGINT) AS true_join_size,
+           TRUE AS est_lower_ok, TRUE AS est_upper_ok
+    FROM c JOIN p USING (user_id)
+    """,
+    doc="Planning-time equi-join cardinality estimation from two CMS "
+    "grids (Cormode-Muthukrishnan inner product): 'how many rows will "
+    "the click x purchase attribution join produce per user' answered "
+    "from two width x depth summaries without touching either side — "
+    "the estimate that decides broadcast-vs-shuffle and pair-explosion "
+    "guards before running purchase_click_asof. Grids are the SAME "
+    "mergeable sketches the streaming store maintains, so the estimate "
+    "stays current as batches land. Output: exact join size + flags "
+    "asserting est >= true (deterministic: collisions only add) and "
+    "est <= true + (e/width)*Na*Nb. "
+    "operators/sketches.py::cms_inner_product.",
+)
+def cms_join_size_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..operators import sketches
+
+    width, depth = 2048, 4
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .localCheckpoint(eager=False)
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    sa = sketches.cms_build(clicks, "user_id", width=width, depth=depth)
+    sb = sketches.cms_build(purch, "user_id", width=width, depth=depth)
+    est = sketches.cms_inner_product(sa, sb)
+    ca = clicks.groupBy("user_id").agg(F.count(F.lit(1)).alias("na"))
+    cb = purch.groupBy("user_id").agg(F.count(F.lit(1)).alias("nb"))
+    truth = (
+        ca.join(cb, "user_id")
+        .agg(F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0)).alias("t"))
+    )
+    totals = clicks.agg(F.count(F.lit(1)).alias("n_clicks")).join(
+        F.broadcast(purch.agg(F.count(F.lit(1)).alias("n_purchases")))
+    )
+    slack = F.lit(math.e / width)
+    return (
+        F.broadcast(totals)
+        .join(F.broadcast(truth))
+        .join(F.broadcast(est))
+        .select(
+            F.col("n_clicks").cast("long"),
+            F.col("n_purchases").cast("long"),
+            F.col("t").cast("long").alias("true_join_size"),
+            (F.col("join_size_est") >= F.col("t")).alias("est_lower_ok"),
+            (
+                F.col("join_size_est")
+                <= F.col("t") + slack * F.col("n_clicks") * F.col("n_purchases")
+            ).alias("est_upper_ok"),
+        )
+    )

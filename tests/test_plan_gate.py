@@ -144,6 +144,9 @@ EXPECT = {
     # both component projections are map-only broadcast-backs (Gram +
     # deflation run at build time as bounded driver jobs)
     "pca_top2_scores": dict(max_shuffles=0, max_smj=0, max_scan_width=2),
+    # two grid builds + grid-keyed estimate join + exact twin; the
+    # final assembly is one-row x one-row BNLJs (allowlisted below)
+    "cms_join_size": dict(max_shuffles=10, max_smj=2),
 }
 
 
@@ -276,6 +279,7 @@ BNLJ_ALLOWED = {
     "curation_v2_corpus",      # one-row vocabulary size (bigram LM gate)
     "dsir_importance_weights",  # one-row token totals under the model fit
     "dup_graph_pagerank",       # one-row node count (teleport term, x4 steps)
+    "cms_join_size",            # one-row totals/truth/estimate assembly
 }
 
 

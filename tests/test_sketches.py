@@ -127,3 +127,65 @@ def test_cms_lower_bound_property(spark):
         )
         bad = joined.filter(F.col("cms_count") < F.col("n")).collect()
         assert not bad, (trial, width, depth, bad)
+
+
+class TestCmsInnerProduct:
+    def test_exact_on_collision_free_grid(self, spark):
+        from shopify_etl_spark.operators import sketches
+
+        a = spark.createDataFrame([("u1",)] * 3 + [("u2",)] * 2, ["k"])
+        b = spark.createDataFrame([("u1",)] * 4 + [("u3",)] * 5, ["k"])
+        sa = sketches.cms_build(a, "k", width=2048, depth=4)
+        sb = sketches.cms_build(b, "k", width=2048, depth=4)
+        est = sketches.cms_inner_product(sa, sb).collect()[0]["join_size_est"]
+        # true join size = 3*4 (only u1 overlaps); wide grid -> collision-free
+        assert est == 12
+
+    def test_lower_bound_holds_on_collision_heavy_grid(self, spark):
+        from shopify_etl_spark.operators import sketches
+
+        rows = [(f"k{i}",) for i in range(60) for _ in range(i % 4 + 1)]
+        a = spark.createDataFrame(rows, ["k"])
+        b = spark.createDataFrame(rows[::2], ["k"])
+        true = (
+            a.groupBy("k").count().withColumnRenamed("count", "na")
+            .join(b.groupBy("k").count().withColumnRenamed("count", "nb"), "k")
+            .selectExpr("sum(na * nb) v").collect()[0]["v"]
+        )
+        # width 8 forces heavy collisions: estimate must still never undercount
+        sa = sketches.cms_build(a, "k", width=8, depth=3)
+        sb = sketches.cms_build(b, "k", width=8, depth=3)
+        est = sketches.cms_inner_product(sa, sb).collect()[0]["join_size_est"]
+        assert est >= true
+
+    def test_disjoint_sides_estimate_small_and_empty_side_zero(self, spark):
+        from shopify_etl_spark.operators import sketches
+
+        a = spark.createDataFrame([("a1",), ("a2",)], ["k"])
+        b = spark.createDataFrame([("b1",), ("b2",)], ["k"])
+        sa = sketches.cms_build(a, "k", width=2048, depth=4)
+        sb = sketches.cms_build(b, "k", width=2048, depth=4)
+        est = sketches.cms_inner_product(sa, sb).collect()[0]["join_size_est"]
+        assert est == 0  # wide grid: disjoint keys share no cells
+        empty = sketches.cms_build(
+            spark.createDataFrame([], "k string"), "k", width=2048, depth=4
+        )
+        assert (
+            sketches.cms_inner_product(sa, empty).collect()[0]["join_size_est"] == 0
+        )
+
+    def test_merge_then_estimate_equals_whole(self, spark):
+        from shopify_etl_spark.operators import sketches
+
+        a1 = spark.createDataFrame([("x",)] * 2 + [("y",)], ["k"])
+        a2 = spark.createDataFrame([("x",)] * 3, ["k"])
+        b = spark.createDataFrame([("x",)] * 2 + [("y",)] * 4, ["k"])
+        whole = sketches.cms_build(a1.unionAll(a2), "k", width=256, depth=4)
+        merged = sketches.cms_merge(
+            sketches.cms_build(a1, "k", width=256, depth=4),
+            sketches.cms_build(a2, "k", width=256, depth=4),
+        )
+        sb = sketches.cms_build(b, "k", width=256, depth=4)
+        e1 = sketches.cms_inner_product(whole, sb).collect()[0]["join_size_est"]
+        e2 = sketches.cms_inner_product(merged, sb).collect()[0]["join_size_est"]
+        assert e1 == e2
