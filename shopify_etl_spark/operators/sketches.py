@@ -210,3 +210,43 @@ def cms_inner_product(sa: DataFrame, sb: DataFrame) -> DataFrame:
         .agg(F.sum(F.col("c") * F.coalesce("_cb", F.lit(0))).alias("_ip"))
         .agg(F.coalesce(F.min("_ip"), F.lit(0)).cast("long").alias("join_size_est"))
     )
+
+
+def hll_overlap(
+    a: DataFrame, b: DataFrame, key_col: str, lg_k: int = DEFAULT_LG_K
+) -> DataFrame:
+    """Distinct-key OVERLAP estimate between two sides by sketch algebra:
+    ``|A ∩ B| = |A| + |B| − |A ∪ B|`` with every term an HLL estimate
+    and the union computed by lossless sketch union (never raw data).
+
+    This is the "how selective is this join key" planner input that
+    complements :func:`cms_inner_product`'s row-count estimate: CMS says
+    how many PAIRS the join emits, this says how many KEYS participate.
+    Both sides' sketches are the same mergeable per-shard/streaming
+    aggregates the rest of the sketch layer maintains, so the answer
+    stays current without re-reading history. Inclusion–exclusion
+    amplifies the relative error of the union estimate when the overlap
+    is small — a known property of the construction, bounded by the
+    3·rsd slack the guarantee gate asserts on each term.
+    """
+    sa = a.agg(F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("ska"))
+    sb = b.agg(F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("skb"))
+    return (
+        F.broadcast(sa)
+        .join(F.broadcast(sb))
+        .select(
+            F.hll_sketch_estimate("ska").alias("est_a"),
+            F.hll_sketch_estimate("skb").alias("est_b"),
+            F.hll_sketch_estimate(
+                F.hll_union("ska", "skb")
+            ).alias("est_union"),
+        )
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_overlap"
+            ),
+        )
+    )

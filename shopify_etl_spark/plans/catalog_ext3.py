@@ -564,3 +564,72 @@ def cms_join_size_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_upper_ok"),
         )
     )
+
+
+@register(
+    "hll_key_overlap",
+    # approx_event_stats' guarantee-gate pattern: exact twins + in-bounds
+    # flags. Each HLL term carries the |err| <= 3*rsd(lg_k=14 ~ 0.65%)
+    # slack; inclusion-exclusion sums the three term errors, so the
+    # overlap flag uses 3 terms x 3*rsd on the union scale.
+    oracle=r"""
+    WITH c AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'click' AND user_id IS NOT NULL
+    ), p AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    )
+    SELECT CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS true_a,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS true_b,
+           CAST((SELECT COUNT(*) FROM c JOIN p USING (user_id)) AS BIGINT)
+             AS true_overlap,
+           TRUE AS a_ok, TRUE AS b_ok, TRUE AS overlap_ok
+    """,
+    doc="Distinct-key overlap between the click and purchase sides by "
+    "HLL sketch algebra (|A∩B| = |A| + |B| − |A∪B|, union lossless on "
+    "sketch state): the 'how many keys participate in this join' "
+    "planner input complementing cms_join_size's pair count. Sketches "
+    "are the same mergeable per-shard aggregates the streaming store "
+    "maintains. Guarantee-gate oracle: each term within 3·rsd, the "
+    "inclusion-exclusion overlap within the summed term slack. "
+    "operators/sketches.py::hll_overlap.",
+)
+def hll_key_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches
+
+    lg_k = 14
+    rsd = 1.04 / (2 ** (lg_k / 2.0))  # standard HLL relative error
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .localCheckpoint(eager=False)
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    purch = ev.filter(F.col("event_type") == "purchase")
+    est = sketches.hll_overlap(clicks, purch, "user_id", lg_k=lg_k)
+    ta = clicks.agg(F.countDistinct("user_id").alias("true_a"))
+    tb = purch.agg(F.countDistinct("user_id").alias("true_b"))
+    tov = (
+        clicks.select("user_id").distinct()
+        .join(purch.select("user_id").distinct(), "user_id")
+        .agg(F.count(F.lit(1)).alias("true_overlap"))
+    )
+    within = lambda e, t, k: (  # noqa: E731
+        F.abs(F.col(e) - F.col(t)) <= F.lit(3 * k * rsd) * F.col("est_union")
+    )
+    return (
+        F.broadcast(ta)
+        .join(F.broadcast(tb))
+        .join(F.broadcast(tov))
+        .join(F.broadcast(est))
+        .select(
+            F.col("true_a").cast("long"),
+            F.col("true_b").cast("long"),
+            F.col("true_overlap").cast("long"),
+            within("est_a", "true_a", 1).alias("a_ok"),
+            within("est_b", "true_b", 1).alias("b_ok"),
+            within("est_overlap", "true_overlap", 3).alias("overlap_ok"),
+        )
+    )

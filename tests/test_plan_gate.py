@@ -147,6 +147,8 @@ EXPECT = {
     # two grid builds + grid-keyed estimate join + exact twin; the
     # final assembly is one-row x one-row BNLJs (allowlisted below)
     "cms_join_size": dict(max_shuffles=10, max_smj=2),
+    # two sketch aggs + exact twins; assembly is one-row BNLJs
+    "hll_key_overlap": dict(max_shuffles=10, max_smj=2),
 }
 
 
@@ -280,6 +282,7 @@ BNLJ_ALLOWED = {
     "dsir_importance_weights",  # one-row token totals under the model fit
     "dup_graph_pagerank",       # one-row node count (teleport term, x4 steps)
     "cms_join_size",            # one-row totals/truth/estimate assembly
+    "hll_key_overlap",          # one-row sketch/truth assembly
 }
 
 

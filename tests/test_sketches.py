@@ -189,3 +189,23 @@ class TestCmsInnerProduct:
         e1 = sketches.cms_inner_product(whole, sb).collect()[0]["join_size_est"]
         e2 = sketches.cms_inner_product(merged, sb).collect()[0]["join_size_est"]
         assert e1 == e2
+
+
+class TestHllOverlap:
+    def test_overlap_estimate_near_truth(self, spark):
+        from shopify_etl_spark.operators import sketches
+
+        a = spark.createDataFrame([(f"u{i}",) for i in range(200)], ["k"])
+        b = spark.createDataFrame([(f"u{i}",) for i in range(150, 400)], ["k"])
+        r = sketches.hll_overlap(a, b, "k").collect()[0]
+        # true overlap = u150..u199 = 50; sparse regime -> near-exact
+        assert abs(r["est_overlap"] - 50) <= 5
+        assert abs(r["est_a"] - 200) <= 5 and abs(r["est_b"] - 250) <= 6
+
+    def test_disjoint_overlap_near_zero(self, spark):
+        from shopify_etl_spark.operators import sketches
+
+        a = spark.createDataFrame([(f"a{i}",) for i in range(100)], ["k"])
+        b = spark.createDataFrame([(f"b{i}",) for i in range(100)], ["k"])
+        r = sketches.hll_overlap(a, b, "k").collect()[0]
+        assert abs(r["est_overlap"]) <= 5
