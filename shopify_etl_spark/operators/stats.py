@@ -65,3 +65,68 @@ def winsorize(
             ).alias("was_clipped"),
         )
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str = "value",
+    segment_col: str = "event_type",
+    lo: float = 0.0,
+    hi: float = 500.0,
+    n_buckets: int = 20,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index of each segment's value distribution
+    against the WHOLE population — the drift score DQ dashboards
+    threshold (rule of thumb: <0.1 stable, 0.1–0.25 shifting, >0.25
+    drifted). PSI = Σ_buckets (p_seg − p_all)·ln(p_seg/p_all) over a
+    fixed-range histogram, add-``alpha`` smoothed so empty buckets
+    don't produce ±inf.
+
+    Fixed bucket edges (``lo``/``hi`` clamped, same recipe as
+    event_value_histogram) rather than data-dependent quantile edges:
+    edges that move with the data make two runs incomparable — the
+    exact property a STABILITY index must not have. Shape: one grouped
+    count per (segment, bucket), one n_buckets-row broadcast of the
+    population histogram, one segment rollup — everything after the
+    first aggregation is bounded by segments × buckets.
+    """
+    b = F.least(
+        F.greatest(
+            F.floor(F.col(value_col) / F.lit(hi - lo) * n_buckets), F.lit(0)
+        ),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    base = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(segment_col).alias("seg"), b.alias("bucket"))
+        .localCheckpoint(eager=False)
+    )
+    seg_counts = base.groupBy("seg", "bucket").agg(
+        F.count(F.lit(1)).alias("n_sb")
+    )
+    seg_totals = base.groupBy("seg").agg(F.count(F.lit(1)).alias("n_s"))
+    all_counts = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_b"))
+    all_total = base.agg(F.count(F.lit(1)).alias("n"))
+    # dense (segment x bucket) frame so zero-count buckets still carry
+    # their smoothed probability into the sum
+    buckets = base.sparkSession.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    dense = seg_totals.crossJoin(F.broadcast(buckets))
+    sm = float(alpha)
+    bsm = float(alpha * n_buckets)
+    p_seg = (F.coalesce(F.col("n_sb"), F.lit(0)) + sm) / (F.col("n_s") + bsm)
+    p_all = (F.coalesce(F.col("n_b"), F.lit(0)) + sm) / (F.col("n") + bsm)
+    term = (p_seg - p_all) * F.log(p_seg / p_all)
+    return (
+        dense.join(seg_counts, ["seg", "bucket"], "left")
+        .join(F.broadcast(all_counts), "bucket", "left")
+        .join(F.broadcast(all_total))
+        .groupBy("seg")
+        .agg(
+            F.max("n_s").cast("long").alias("n_rows"),
+            F.round(F.sum(term), 4).alias("psi"),
+        )
+        .select(F.col("seg").alias(segment_col), "n_rows", "psi")
+    )

@@ -98,6 +98,7 @@ _CHANGED_R05 = [
     "pca_top2_scores",             # new s2 (PC1+PC2 via deflation)
     "cms_join_size",               # new s2 (sketch join cardinality)
     "hll_key_overlap",             # new s2 (sketch key overlap)
+    "psi_value_drift",             # new s2 (PSI distribution drift)
     "oov_rates_by_source",         # new s2 (vocab coverage diagnostic)
     "doc_novelty_scores",          # new s2 (first-occurrence novelty)
     "jl_projection_docs",          # new s2 (deterministic JL compression)

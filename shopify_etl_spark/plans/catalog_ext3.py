@@ -633,3 +633,54 @@ def hll_key_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             within("est_overlap", "true_overlap", 3).alias("overlap_ok"),
         )
     )
+
+
+@register(
+    "psi_value_drift",
+    oracle=r"""
+    WITH base AS (
+      SELECT event_type AS seg,
+             CAST(least(greatest(floor(value / 500.0 * 20), 0), 19) AS INT)
+               AS bucket
+      FROM events WHERE value IS NOT NULL
+    ), seg_tot AS (
+      SELECT seg, COUNT(*) AS n_s FROM base GROUP BY seg
+    ), seg_cnt AS (
+      SELECT seg, bucket, COUNT(*) AS n_sb FROM base GROUP BY seg, bucket
+    ), all_cnt AS (
+      SELECT bucket, COUNT(*) AS n_b FROM base GROUP BY bucket
+    ), tot AS (
+      SELECT COUNT(*) AS n FROM base
+    ), dense AS (
+      SELECT st.seg, st.n_s, b.bucket
+      FROM seg_tot st CROSS JOIN (SELECT unnest(range(0, 20)) AS bucket) b
+    ), terms AS (
+      SELECT d.seg, d.n_s,
+             (COALESCE(sc.n_sb, 0) + 0.5) / (d.n_s + 10.0) AS p_seg,
+             (COALESCE(ac.n_b, 0) + 0.5) / (t.n + 10.0) AS p_all
+      FROM dense d
+      LEFT JOIN seg_cnt sc ON sc.seg = d.seg AND sc.bucket = d.bucket
+      LEFT JOIN all_cnt ac ON ac.bucket = d.bucket
+      CROSS JOIN tot t
+    )
+    SELECT seg AS event_type,
+           CAST(MAX(n_s) AS BIGINT) AS n_rows,
+           ROUND(SUM((p_seg - p_all) * ln(p_seg / p_all)), 4) AS psi
+    FROM terms
+    GROUP BY seg
+    ORDER BY event_type
+    """,
+    doc="Population Stability Index of each event segment's value "
+    "distribution against the whole population — the drift score DQ "
+    "dashboards threshold (<0.1 stable, >0.25 drifted). Fixed-range "
+    "20-bucket histogram (edges that move with the data would make two "
+    "runs incomparable — the property a STABILITY index must not "
+    "have), add-0.5 smoothing so empty buckets stay finite. After the "
+    "first grouped count everything is bounded by segments x buckets; "
+    "the population histogram broadcasts as 20 rows. "
+    "operators/stats.py::psi_drift.",
+)
+def psi_value_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import psi_drift
+
+    return psi_drift(load_table(spark, sf_dir, "events"))

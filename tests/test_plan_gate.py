@@ -149,6 +149,9 @@ EXPECT = {
     "cms_join_size": dict(max_shuffles=10, max_smj=2),
     # two sketch aggs + exact twins; assembly is one-row BNLJs
     "hll_key_overlap": dict(max_shuffles=10, max_smj=2),
+    # one corpus-keyed grouped count; everything after is bounded by
+    # segments x buckets (population hist broadcast, 20 rows)
+    "psi_value_drift": dict(max_shuffles=6, min_bhj=1, max_smj=1),
 }
 
 
@@ -283,6 +286,7 @@ BNLJ_ALLOWED = {
     "dup_graph_pagerank",       # one-row node count (teleport term, x4 steps)
     "cms_join_size",            # one-row totals/truth/estimate assembly
     "hll_key_overlap",          # one-row sketch/truth assembly
+    "psi_value_drift",          # 20-row bucket frame + one-row total
 }
 
 

@@ -362,3 +362,38 @@ class TestPcaTop2:
         assert abs(np.corrcoef(s1, c1[:, 0])[0, 1]) > 0.99
         assert abs(np.corrcoef(s2, c2[:, 0])[0, 1]) > 0.97
         assert abs(np.corrcoef(s1, s2)[0, 1]) < 0.2
+
+
+class TestPsiDrift:
+    def test_identical_segments_score_zero(self, spark):
+        from shopify_etl_spark.operators.stats import psi_drift
+
+        rows = [("a", float(v)) for v in range(0, 500, 10)] + [
+            ("b", float(v)) for v in range(0, 500, 10)
+        ]
+        df = spark.createDataFrame(rows, "event_type string, value double")
+        out = {r["event_type"]: r["psi"] for r in psi_drift(df).collect()}
+        # both segments == the population -> PSI ~ 0 (not exactly: the
+        # smoothing denominators differ between segment and population)
+        assert out["a"] == out["b"]
+        assert abs(out["a"]) < 0.001
+
+    def test_shifted_segment_scores_high(self, spark):
+        from shopify_etl_spark.operators.stats import psi_drift
+
+        low = [("low", float(v % 100)) for v in range(200)]
+        high = [("high", 400.0 + v % 100) for v in range(200)]
+        df = spark.createDataFrame(low + high, "event_type string, value double")
+        out = {r["event_type"]: r["psi"] for r in psi_drift(df).collect()}
+        # each half concentrates in disjoint buckets vs the mixed
+        # population -> strong drift on both sides
+        assert out["low"] > 0.25 and out["high"] > 0.25
+
+    def test_nulls_excluded(self, spark):
+        from shopify_etl_spark.operators.stats import psi_drift
+
+        df = spark.createDataFrame(
+            [("a", 10.0), ("a", None), ("a", 20.0)],
+            "event_type string, value double",
+        )
+        assert psi_drift(df).collect()[0]["n_rows"] == 2
