@@ -103,3 +103,58 @@ def test_novelty_bounds_and_first_doc_is_fully_novel(spark, docs):
     for d in docs:
         all_shingles |= {tuple(d[i:i + 3]) for i in range(len(d) - 2)}
     assert sum(r["n_novel"] for r in rows) == len(all_shingles)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    tokens=st.lists(st.sampled_from("abcdef"), min_size=1, max_size=40),
+    cut=st.integers(0, 40),
+)
+def test_mergeable_states_are_split_invariant(spark, tokens, cut):
+    """The property every epoch store relies on: fitting per-batch and
+    merging EQUALS fitting the whole history, for ANY split point —
+    CMS grids (cellwise sum) and DSIR models (bucket-keyed sum)."""
+    from pyspark.sql import functions as F
+
+    from shopify_etl_spark.operators import sketches
+    from shopify_etl_spark.operators.selection import dsir_fit, dsir_token_stream
+
+    cut = min(cut, len(tokens))
+    a, b = tokens[:cut], tokens[cut:]
+
+    def tok_df(toks):
+        return spark.createDataFrame([(t,) for t in toks] or [], "token string")
+
+    whole = sketches.cms_build(tok_df(tokens), "token", width=32, depth=3)
+    merged = sketches.cms_merge(
+        sketches.cms_build(tok_df(a), "token", width=32, depth=3),
+        sketches.cms_build(tok_df(b), "token", width=32, depth=3),
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+    def doc_df(toks, base):
+        rows = [(base + i, t, i % 2 == 0) for i, t in enumerate(toks)]
+        return spark.createDataFrame(rows or [], "doc_id long, text string, tgt boolean")
+
+    def fit(df):
+        return dsir_fit(dsir_token_stream(df, F.col("tgt"), n_buckets=64))
+
+    # DSIR model counts must be invariant to doc-id assignment (batch b
+    # re-based at 1000 vs 0) for any split: the model sees only token
+    # buckets and target flags, never ids
+    def merge_fits(fa, fb):
+        return (
+            fa.unionByName(fb)
+            .groupBy("f")
+            .agg(F.sum("c_r").alias("c_r"), F.sum("c_t").alias("c_t"))
+        )
+
+    rebased = merge_fits(fit(doc_df(a, 0)), fit(doc_df(b, 1000)))
+    in_place = merge_fits(fit(doc_df(a, 0)), fit(doc_df(b, 0)))
+    assert sorted(map(tuple, rebased.collect())) == sorted(
+        map(tuple, in_place.collect())
+    )
