@@ -99,6 +99,7 @@ _CHANGED_R05 = [
     "cms_join_size",               # new s2 (sketch join cardinality)
     "hll_key_overlap",             # new s2 (sketch key overlap)
     "psi_value_drift",             # new s2 (PSI distribution drift)
+    "curriculum_mix_docs",         # new s2 (tercile-weighted epoch mix)
     "oov_rates_by_source",         # new s2 (vocab coverage diagnostic)
     "doc_novelty_scores",          # new s2 (first-occurrence novelty)
     "jl_projection_docs",          # new s2 (deterministic JL compression)

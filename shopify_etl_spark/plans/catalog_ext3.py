@@ -684,3 +684,99 @@ def psi_value_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.stats import psi_drift
 
     return psi_drift(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "curriculum_mix_docs",
+    # Composition of two independently-oracled pieces: the CCNet tercile
+    # CTE (ccnet_ppl_buckets — NTILE on the rounded score + doc_id so
+    # boundaries are cross-engine stable) and the epoch_mix repetition
+    # rule (epoch_mix_docs — floor(w) + salted-md5 Bernoulli fraction).
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+      FROM documents
+    ), parts AS (
+      SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk)),
+                      i -> tk[i] || ' ' || tk[i+1])) AS bg
+        FROM toks WHERE len(tk) >= 2
+      )
+    ), bgc AS (
+      SELECT bg, COUNT(*) AS c12 FROM parts GROUP BY bg
+    ), pc AS (
+      SELECT w1, COUNT(*) AS c1 FROM parts GROUP BY w1
+    ), vocab AS (
+      SELECT COUNT(DISTINCT t) AS v
+      FROM (SELECT unnest(tk) AS t FROM toks)
+    ), scored AS (
+      SELECT p.doc_id,
+             ROUND(AVG(-log2((b.c12 + 1.0) / (c.c1 + 1.0 * v.v))), 4)
+               AS score_bits
+      FROM parts p JOIN bgc b USING (bg) JOIN pc c USING (w1)
+      CROSS JOIN vocab v
+      GROUP BY p.doc_id
+    ), bucketed AS (
+      SELECT s.doc_id, d.lang,
+             CASE NTILE(3) OVER (PARTITION BY d.lang
+                                 ORDER BY s.score_bits, s.doc_id)
+               WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+               AS ppl_bucket
+      FROM scored s JOIN documents d USING (doc_id)
+    ), w(ppl_bucket, base, thr) AS (
+      VALUES ('head', 2, '00000000'),
+             ('middle', 1, '00000000'),
+             ('tail', 0, '40000000')
+    ), mixed AS (
+      SELECT b.doc_id, b.lang, b.ppl_bucket,
+             CAST(w.base + (CASE WHEN substring(
+                    md5('mix-v1' || CAST(b.doc_id AS VARCHAR)), 1, 8) < w.thr
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
+      FROM bucketed b JOIN w USING (ppl_bucket)
+    )
+    SELECT doc_id, lang, ppl_bucket, n_copies,
+           CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_idx
+    FROM mixed WHERE n_copies > 0
+    """,
+    doc="Quality-curriculum training mix — the end-to-end 'build the "
+    "epoch' query: CCNet perplexity terciles per language (head = most "
+    "fluent) drive per-tercile repetition weights (head x2, middle x1, "
+    "tail x0.25) applied by deterministic epoch_mix repetition. The "
+    "composition of two independently-oracled stages verified as ONE "
+    "pipeline; the LM stays vocabulary-sized, the mix is a pure "
+    "projection + explode — no shuffle beyond the tercile window. "
+    "operators/text.py::bigram_lm_scores + operators/sampling.py::"
+    "epoch_mix.",
+)
+def curriculum_mix_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators import text as text_ops
+    from ..operators.sampling import epoch_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text_ops.bigram_lm_scores(docs).select(
+        "doc_id", F.round("avg_nll_bits", 4).alias("score_bits")
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("score_bits"), F.asc("doc_id"))
+    bucketed = (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", F.ntile(3).over(w).alias("b"))
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("b") == 1, "head")
+            .when(F.col("b") == 2, "middle")
+            .otherwise("tail")
+            .alias("ppl_bucket"),
+        )
+    )
+    mixed = epoch_mix(
+        bucketed,
+        {"head": 2.0, "middle": 1.0, "tail": 0.25},
+        group_col="ppl_bucket",
+        key_col="doc_id",
+    )
+    return mixed.select("doc_id", "lang", "ppl_bucket", "n_copies", "copy_idx")

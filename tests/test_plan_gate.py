@@ -152,6 +152,9 @@ EXPECT = {
     # one corpus-keyed grouped count; everything after is bounded by
     # segments x buckets (population hist broadcast, 20 rows)
     "psi_value_drift": dict(max_shuffles=6, min_bhj=1, max_smj=1),
+    # LM model joins (vocab-sized) + tercile window + map-side mix; the
+    # repetition explode adds no exchange
+    "curriculum_mix_docs": dict(max_shuffles=10, max_smj=3),
 }
 
 
@@ -287,6 +290,7 @@ BNLJ_ALLOWED = {
     "cms_join_size",            # one-row totals/truth/estimate assembly
     "hll_key_overlap",          # one-row sketch/truth assembly
     "psi_value_drift",          # 20-row bucket frame + one-row total
+    "curriculum_mix_docs",      # one-row vocabulary size (bigram LM gate)
 }
 
 
