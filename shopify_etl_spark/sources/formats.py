@@ -81,3 +81,19 @@ def read_table(
             "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"
         )
     return r.load(path)
+
+
+def read_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet directory whose files were written under EVOLVING
+    schemas (columns added over time): ``mergeSchema`` unions the file
+    footers, and rows from files that predate a column read NULL for it.
+
+    The contract this wrapper pins (tests/test_formats.py): ADDING a
+    column is safe and retroactively nullable; CHANGING a column's type
+    fails the read loudly (Spark refuses to merge int vs string) —
+    never a silent cast. Schema merging reads every file footer, so at
+    100 TB prefer declaring the target schema explicitly once known;
+    this path is for the discovery/backfill window where the writer
+    fleet is mid-migration.
+    """
+    return spark.read.option("mergeSchema", True).parquet(path)

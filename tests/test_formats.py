@@ -61,3 +61,34 @@ def test_schema_on_read_requires_schema(spark, tmp_path, lineitem):
 def test_unknown_format_rejected(spark, lineitem, tmp_path):
     with pytest.raises(ValueError, match="unsupported format"):
         write_table(lineitem, str(tmp_path / "x"), "avro")
+
+
+class TestSchemaEvolution:
+    def test_added_column_reads_null_for_old_files(self, spark, tmp_path):
+        from shopify_etl_spark.sources.formats import read_evolving
+
+        p = str(tmp_path / "evolving")
+        spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(
+            f"{p}/batch=1"
+        )
+        spark.createDataFrame(
+            [(2, "b", 9.5)], "id long, name string, score double"
+        ).write.parquet(f"{p}/batch=2")
+        out = read_evolving(spark, p)
+        assert set(out.columns) >= {"id", "name", "score"}
+        rows = {r["id"]: r for r in out.collect()}
+        assert rows[1]["score"] is None  # retroactively nullable
+        assert rows[2]["score"] == 9.5
+
+    def test_type_change_fails_loudly(self, spark, tmp_path):
+        from shopify_etl_spark.sources.formats import read_evolving
+
+        p = str(tmp_path / "conflict")
+        spark.createDataFrame([(1, 10)], "id long, v long").write.parquet(
+            f"{p}/batch=1"
+        )
+        spark.createDataFrame([(2, "ten")], "id long, v string").write.parquet(
+            f"{p}/batch=2"
+        )
+        with pytest.raises(Exception, match="(?i)merge|incompatible|failed"):
+            read_evolving(spark, p).collect()
