@@ -780,3 +780,87 @@ def curriculum_mix_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col="doc_id",
     )
     return mixed.select("doc_id", "lang", "ppl_bucket", "n_copies", "copy_idx")
+
+
+@register(
+    "dedup_cluster_stats",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT d1, d2
+      FROM shared
+      JOIN sizes sa ON sa.doc_id = d1
+      JOIN sizes sb ON sb.doc_id = d2
+      WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.8
+    ), edges AS (
+      SELECT d1 AS u, d2 AS v FROM pairs
+      UNION
+      SELECT d2, d1 FROM pairs
+    ), reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+    ), comp AS (
+      SELECT u AS doc, MIN(v) AS cluster_id FROM reach GROUP BY u
+    ), csize AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id
+    ), tot AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    )
+    SELECT cs.cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cs.cluster_size) AS BIGINT) AS n_docs_in,
+           CAST(SUM(cs.cluster_size - 1) AS BIGINT) AS n_removable,
+           ROUND(SUM(cs.cluster_size) * 1.0 / t.n_docs, 4) AS corpus_frac
+    FROM csize cs CROSS JOIN tot t
+    GROUP BY cs.cluster_size, t.n_docs
+    ORDER BY cs.cluster_size
+    """,
+    doc="Dedup observability: the component-size histogram of the "
+    "near-dup cluster graph — how many clusters of each size, how many "
+    "documents they tie up, how many rows dedup would remove "
+    "(size-1 per cluster), and the corpus fraction affected. The "
+    "numbers a curation run reports before anyone commits to deleting "
+    "data. Clustering cost is shared with dedup_clusters (same "
+    "operator); the rollup is bounded by the number of clusters. "
+    "operators/dedup.py::duplicate_clusters + grouped rollup.",
+)
+def dedup_cluster_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+    comp = dedup.duplicate_clusters(pairs)
+    csize = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    tot = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+    return (
+        csize.join(tot)
+        .groupBy("cluster_size", "n_docs")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("cluster_size").cast("long").alias("n_docs_in"),
+            F.sum(F.col("cluster_size") - 1).cast("long").alias("n_removable"),
+        )
+        .select(
+            "cluster_size",
+            "n_clusters",
+            "n_docs_in",
+            "n_removable",
+            F.round(F.col("n_docs_in") / F.col("n_docs"), 4).alias("corpus_frac"),
+        )
+    )

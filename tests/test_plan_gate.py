@@ -155,6 +155,9 @@ EXPECT = {
     # LM model joins (vocab-sized) + tercile window + map-side mix; the
     # repetition explode adds no exchange
     "curriculum_mix_docs": dict(max_shuffles=10, max_smj=3),
+    # final-stage rollup only (clustering runs behind its checkpoint,
+    # like dedup_corpus/leakage_safe_split): cluster-count-sized
+    "dedup_cluster_stats": dict(max_shuffles=4, max_smj=1),
 }
 
 
@@ -291,6 +294,7 @@ BNLJ_ALLOWED = {
     "hll_key_overlap",          # one-row sketch/truth assembly
     "psi_value_drift",          # 20-row bucket frame + one-row total
     "curriculum_mix_docs",      # one-row vocabulary size (bigram LM gate)
+    "dedup_cluster_stats",      # one-row corpus total under the histogram
 }
 
 
