@@ -99,6 +99,11 @@ FAMILY = (
     "dup_graph_pagerank",
     "token_entropy_docs",
     "pca_top2_scores",
+    # late session-2: the curriculum chain rides the LM scorer's ~linear
+    # growth; cluster stats share dedup_clusters' clustering cost with a
+    # cluster-count-sized rollup on top
+    "curriculum_mix_docs",
+    "dedup_cluster_stats",
 )
 
 
@@ -129,6 +134,23 @@ def build_sf1(spark, src_dir: str, out_dir: str) -> None:
     for p in eparts[1:]:
         eout = eout.unionByName(p)
     eout.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+    # events: shift event_id AND user_id per replica — per-user event
+    # multiplicities (the join-size / overlap / PSI inputs) replicate
+    # exactly, so true answers scale by known factors. load_table owns
+    # the TIMESTAMP(NANOS) handling; the rewrite stores micros.
+    from shopify_etl_spark.plans.catalog import load_table
+
+    ev = load_table(spark, src_dir, "events")
+    vparts = [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(i * ID_OFFSET))
+        .withColumn("user_id", F.col("user_id") + F.lit(i * ID_OFFSET))
+        for i in range(REPLICAS)
+    ]
+    vout = vparts[0]
+    for p in vparts[1:]:
+        vout = vout.unionByName(p)
+    vout.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
 
 
 def time_query(spark, name: str, sf_dir: str, runs: int) -> tuple[float, int]:
