@@ -762,6 +762,10 @@ def source_overlap_matrix(
         )
         .select("src", h(F.col("s_raw")).alias("s"))
         .distinct()
+        # three consumers (sizes + both self-join sides) — checkpoint so
+        # the corpus-sized scan+explode+distinct computes once, not three
+        # times (the shingle_postings pattern)
+        .localCheckpoint(eager=False)
     )
     sizes = src_shingles.groupBy("src").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = src_shingles.alias("a"), src_shingles.alias("b")

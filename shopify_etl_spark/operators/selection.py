@@ -100,6 +100,14 @@ def dsir_score(
     in exactly one bucket), so scoring never re-reads the corpus the
     model was fitted on. The fitted log-ratio table broadcasts; the
     per-doc sum partial-aggregates map-side.
+
+    The join is a LEFT join: when the stream comes from a DIFFERENT
+    corpus than the model fit (the streaming-model use case), tokens
+    can hash to buckets with no fitted row, and those must contribute
+    the zero-count smoothed ratio log(α/(n_t+b)) − log(α/(n_r+b)) —
+    dropping them (an inner join) would bias every cross-corpus weight
+    toward the seen vocabulary and undercount n_tokens. Same-corpus
+    scoring is unaffected (every bucket present by construction).
     """
     totals = model.agg(
         F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t")
@@ -108,15 +116,21 @@ def dsir_score(
     log_ratio = F.log(
         (F.col("c_t") + F.lit(alpha)) / (F.col("n_t") + b)
     ) - F.log((F.col("c_r") + F.lit(alpha)) / (F.col("n_r") + b))
+    unseen = F.log(F.lit(alpha) / (F.col("n_t") + b)) - F.log(
+        F.lit(alpha) / (F.col("n_r") + b)
+    )
     ratio = F.broadcast(
         model.join(F.broadcast(totals)).select("f", log_ratio.alias("lr"))
     )
     return (
-        stream.join(ratio, "f")
+        stream.join(ratio, "f", "left")
+        .join(F.broadcast(totals))
         .groupBy(id_col, "is_target")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.round(F.sum("lr"), 4).alias("dsir_logw"),
+            F.round(F.sum(F.coalesce(F.col("lr"), unseen)), 4).alias(
+                "dsir_logw"
+            ),
         )
     )
 

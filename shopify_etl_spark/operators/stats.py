@@ -93,7 +93,8 @@ def psi_drift(
     """
     b = F.least(
         F.greatest(
-            F.floor(F.col(value_col) / F.lit(hi - lo) * n_buckets), F.lit(0)
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(hi - lo) * n_buckets),
+            F.lit(0),
         ),
         F.lit(n_buckets - 1),
     ).cast("int")

@@ -812,9 +812,12 @@ def bpe_apply(
         memo[word] = syms
         return syms
 
+    # the id column keeps the CALLER's name and type — hardcoding
+    # doc_id/int64 here broke joins for any other id column (and crashed
+    # the Arrow worker on string ids)
     schema = StructType(
         [
-            StructField("doc_id", LongType(), False),
+            StructField(id_col, df.schema[id_col].dataType, False),
             StructField("n_bpe_tokens", LongType(), False),
             StructField("bpe_tokens", ArrayType(StringType()), False),
         ]
@@ -825,16 +828,15 @@ def bpe_apply(
 
         for pdf in batches:
             memo: dict = {}
-            ids, ns, toks = [], [], []
-            for did, txt in zip(pdf[id_col], pdf[text_col]):
+            ns, toks = [], []
+            for txt in pdf[text_col]:
                 out: list[str] = []
                 for w in pattern.findall(txt or ""):
                     out.extend(encode_word(w, memo))
-                ids.append(did)
                 ns.append(len(out))
                 toks.append(out)
             yield pd.DataFrame(
-                {"doc_id": pd.Series(ids, dtype="int64"),
+                {id_col: pdf[id_col].reset_index(drop=True),
                  "n_bpe_tokens": pd.Series(ns, dtype="int64"),
                  "bpe_tokens": pd.Series(toks, dtype=object)}
             )

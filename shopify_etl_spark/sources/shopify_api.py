@@ -244,11 +244,14 @@ class HttpTransport:
                     continue
                 raise
             errors = payload.get("errors")
-            if errors and "data" not in payload:
-                # GraphQL-level failure arrives as HTTP 200. THROTTLED is
-                # the in-band twin of 429 — retry; anything else (bad
-                # query, auth) is permanent and must surface descriptively
-                # instead of a KeyError on the missing 'data'.
+            if errors and payload.get("data") is None:
+                # GraphQL-level failure arrives as HTTP 200 — either with
+                # no 'data' key at all or (the spec-compliant execution-
+                # error shape) with an explicit "data": null, so the gate
+                # is data-is-None, not key-absence. THROTTLED is the
+                # in-band twin of 429 — retry; anything else (bad query,
+                # auth) is permanent and must surface descriptively
+                # instead of a TypeError on the null 'data'.
                 codes = {
                     (e.get("extensions") or {}).get("code")
                     for e in errors

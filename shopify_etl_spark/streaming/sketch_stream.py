@@ -227,7 +227,16 @@ def compact_sketch_epochs(
         live = set(live_grid_dirs(spark, sketch_dir))
         for st in fs_root.listStatus(root):
             name = st.getPath().getName()
-            if not st.isDirectory() or _grid_range(name) is None:
+            if not st.isDirectory():
+                continue
+            # a crash between writing .compact-<lo>-<hi>.tmp and the
+            # publishing rename leaves a tmp dir no reader sees and no
+            # future compaction reuses (the next <lo>-<hi> differs once
+            # the store advances) — sweep it here or it leaks forever
+            if name.startswith(".compact-") and name.endswith(".tmp"):
+                fs_root.delete(st.getPath(), True)
+                continue
+            if _grid_range(name) is None:
                 continue
             full = os.path.join(sketch_dir, name)
             committed = fs_root.exists(

@@ -129,9 +129,10 @@ def stream_span_screen(
 def read_span_stats(spark: SparkSession, out_dir: str) -> DataFrame:
     """Per-doc stats across COMMITTED epochs only (a crashed epoch's
     partial files are excluded; the stream rewrites them on restart)."""
-    from .sketch_stream import _epoch_committed, live_grid_dirs
+    from .sketch_stream import live_grid_dirs
 
-    dirs = [d for d in live_grid_dirs(spark, out_dir) if _epoch_committed(spark, d)]
+    # live_grid_dirs already returns only _SUCCESS-committed dirs
+    dirs = live_grid_dirs(spark, out_dir)
     if not dirs:
         return spark.createDataFrame(
             [],

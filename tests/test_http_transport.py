@@ -187,6 +187,13 @@ class _FlakyHandler(_GraphQLHandler):
                 if action == "throttle"
                 else [{"message": "Field 'bogus' doesn't exist"}]
             }
+            if action == "errors-null-data":
+                # the GraphQL-spec execution-error shape: data present
+                # but explicitly null alongside errors
+                payload = {
+                    "data": None,
+                    "errors": [{"message": "Field 'bogus' doesn't exist"}],
+                }
             out = json.dumps(payload).encode()
             self.send_response(200)
             self.send_header("Content-Type", "application/json")
@@ -219,6 +226,16 @@ def test_http_transport_retries_429_500_and_throttled(flaky_server):
 
 def test_http_transport_graphql_errors_raise_descriptively(flaky_server):
     _FlakyHandler.plan = ["errors"]
+    tr = HttpTransport(flaky_server, token="", entity="orders", page_size=100)
+    with pytest.raises(RuntimeError, match="Field 'bogus'"):
+        tr.fetch_page(0)
+
+
+def test_http_transport_null_data_error_shape_raises_descriptively(flaky_server):
+    # spec-compliant servers return {"data": null, "errors": [...]} — the
+    # gate must fire on data-is-None, not key-absence, or fetch_page dies
+    # on a TypeError instead of the descriptive error
+    _FlakyHandler.plan = ["errors-null-data"]
     tr = HttpTransport(flaky_server, token="", entity="orders", page_size=100)
     with pytest.raises(RuntimeError, match="Field 'bogus'"):
         tr.fetch_page(0)

@@ -116,10 +116,12 @@ EXPECT = {
     # per-type stats broadcast back over the stream (floor pinned); the
     # one SMJ is the 5-row med x mad stats join
     "robust_value_outliers": dict(max_shuffles=4, min_bhj=2, max_smj=1),
-    # DSIR: bucket-sized model (groupBy f) + one-row totals BNLJ, fitted
-    # ratio explicitly broadcast back over the token stream (floor
-    # pinned), per-doc rollup — the token stream itself never sort-merges
-    "dsir_importance_weights": dict(max_shuffles=4, min_bhj=1, max_smj=0),
+    # DSIR: bucket-sized model (groupBy f) + one-row totals (evaluated
+    # for the ratio AND the unseen-bucket fallback — both aggs are over
+    # the 8192-row model, not the corpus), fitted ratio explicitly
+    # broadcast back over the token stream (floor pinned), per-doc
+    # rollup — the token stream itself never sort-merges
+    "dsir_importance_weights": dict(max_shuffles=6, min_bhj=1, max_smj=0),
     # first-occurrence min-agg keyed like the postings join (exchange
     # reuse); the join may SMJ at scale (both sides corpus/vocab-sized)
     "doc_novelty_scores": dict(max_shuffles=3, max_smj=1),

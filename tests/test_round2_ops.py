@@ -559,3 +559,21 @@ class TestBpeTrainApply:
         docs = spark.createDataFrame([Row(doc_id=1, text="ab cd")])
         (r,) = bpe_apply(docs, []).collect()
         assert list(r.bpe_tokens) == ["a", "b", " ", "c", "d"]
+
+
+def test_bpe_apply_honors_custom_id_column(spark):
+    """The output id column keeps the caller's NAME and TYPE — a string
+    order_id must survive (the old hardcoded doc_id/int64 schema broke
+    downstream joins and crashed the Arrow worker on string ids)."""
+    from shopify_etl_spark.operators.text import bpe_apply
+
+    df = spark.createDataFrame(
+        [("ord-1", "aa ab"), ("ord-2", "bb")],
+        "order_id string, body string",
+    )
+    out = bpe_apply(df, [("a", "a")], text_col="body", id_col="order_id")
+    assert out.columns[0] == "order_id"
+    rows = {r["order_id"]: r for r in out.collect()}
+    # pretokens: "aa", " ", "ab"; only the (a,a) merge applies
+    assert rows["ord-1"]["bpe_tokens"] == ["aa", " ", "a", "b"]
+    assert rows["ord-2"]["n_bpe_tokens"] == 2

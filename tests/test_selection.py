@@ -397,3 +397,50 @@ class TestPsiDrift:
             "event_type string, value double",
         )
         assert psi_drift(df).collect()[0]["n_rows"] == 2
+
+
+class TestDsirCrossCorpus:
+    def test_unseen_buckets_get_smoothed_ratio_not_dropped(self, spark):
+        from shopify_etl_spark.operators.selection import (
+            dsir_fit,
+            dsir_score,
+            dsir_token_stream,
+        )
+
+        fit_docs = spark.createDataFrame(
+            [(1, "a a b", True), (2, "b c", False)],
+            "doc_id long, text string, tgt boolean",
+        )
+        model = dsir_fit(dsir_token_stream(fit_docs, F.col("tgt"), n_buckets=512))
+        # score a DIFFERENT corpus: token 'z' hashes to a bucket with no
+        # fitted row and must contribute the zero-count smoothed ratio,
+        # not silently drop
+        new_docs = spark.createDataFrame(
+            [(10, "a z z", False)], "doc_id long, text string, tgt boolean"
+        )
+        stream = dsir_token_stream(new_docs, F.col("tgt"), n_buckets=512)
+        row = dsir_score(stream, model, n_buckets=512).collect()[0]
+        assert row["n_tokens"] == 3  # all three tokens counted
+        # hand-compute: model counts a:(r2,t2) b:(r2,t1) c:(r1,t0);
+        # n_r=5, n_t=3, B=512, alpha=1
+        def lr(ct, cr):
+            return math.log((ct + 1) / (3 + 512)) - math.log((cr + 1) / (5 + 512))
+
+        expect = lr(2, 2) + 2 * lr(0, 0)  # 'a' seen, 'z' unseen twice
+        assert row["dsir_logw"] == pytest.approx(round(expect, 4), abs=1e-4)
+
+
+class TestPsiLoOffset:
+    def test_nonzero_lo_buckets_correctly(self, spark):
+        from shopify_etl_spark.operators.stats import psi_drift
+
+        # values in [100, 200): with lo=100 the histogram must spread
+        # across buckets, not collapse into the top clamp
+        rows = [("a", 100.0 + v) for v in range(0, 100, 5)] + [
+            ("b", 100.0 + v) for v in range(0, 100, 5)
+        ]
+        df = spark.createDataFrame(rows, "event_type string, value double")
+        out = {r["event_type"]: r["psi"]
+               for r in psi_drift(df, lo=100.0, hi=200.0, n_buckets=10).collect()}
+        # identical segments over a correctly-offset histogram: PSI ~ 0
+        assert abs(out["a"]) < 0.001 and out["a"] == out["b"]

@@ -928,3 +928,42 @@ def test_compact_dsir_model_weights_unchanged(spark, tmp_path):
         stream, read_dsir_model(spark, model_dir), n_buckets=128
     ).collect()))
     assert after == before
+
+
+def test_compact_sweeps_orphan_tmp_dir(spark, tmp_path):
+    """A crash between writing .compact-*.tmp and the publishing rename
+    must not leak the tmp dir forever: the next compaction run sweeps
+    it (the <lo>-<hi> range may never recur once the store advances)."""
+    from pyspark.sql import functions as F
+
+    from shopify_etl_spark.streaming.sketch_stream import (
+        compact_sketch_epochs,
+        read_sketch,
+        stream_cms,
+    )
+
+    src = tmp_path / "tokfeed"
+    sk_dir = str(tmp_path / "cms")
+    ckpt = str(tmp_path / "ck")
+    schema = "token string, ingested_at string"
+    for i, toks in enumerate([["a", "b"], ["b", "c"], ["c", "d"]]):
+        _write_jsonl(src / f"b{i}.jsonl", [
+            {"token": t, "ingested_at": "2024-05-01T10:00:00.000Z"} for t in toks
+        ])
+        feed = spark.readStream.schema(schema).json(str(src))
+        stream_cms(feed, "token", sk_dir, ckpt, width=64, depth=3).awaitTermination(120)
+
+    # simulate the crash: a fully-written tmp dir that never got renamed
+    orphan = tmp_path / "cms" / ".compact-0-1.tmp"
+    spark.createDataFrame([(0, 1, 1)], "row int, cell int, c long").write.parquet(
+        str(orphan)
+    )
+    assert orphan.exists()
+
+    before = sorted(map(tuple, read_sketch(spark, sk_dir).collect()))
+    out = compact_sketch_epochs(spark, sk_dir)
+    assert out is not None
+    assert not orphan.exists()  # swept
+    after = sorted(map(tuple, read_sketch(spark, sk_dir).collect()))
+    assert after == before  # and the sweep changed no estimate
+    del F
