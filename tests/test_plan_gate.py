@@ -77,9 +77,10 @@ EXPECT = {
     # SMJ; the broadcast floors pin the provably tiny sides (per-source
     # sizes; the one-row normalizer is a BNLJ, allowlisted below).
     "semantic_dedup_docs": dict(max_shuffles=9, max_smj=3, max_scan_width=2),
-    "source_overlap_matrix": dict(
-        max_shuffles=10, min_bhj=2, max_smj=1, max_scan_width=2
-    ),
+    # scan now sits behind the shingle-set localCheckpoint (three
+    # consumers, one corpus pass) so no parquet scan is visible in the
+    # final plan — scan-width unpinnable, like the other checkpointed ops
+    "source_overlap_matrix": dict(max_shuffles=10, min_bhj=2, max_smj=1),
     "source_mixture_weights": dict(max_shuffles=4, max_smj=0, max_scan_width=2),
     # pure narrow mapInPandas chain (synth -> encode -> decode -> stats):
     # any Exchange here means the audio pipeline stopped being a map
