@@ -67,6 +67,72 @@ def winsorize(
     )
 
 
+def value_histogram(
+    df: DataFrame,
+    value_col: str = "value",
+    segment_col: str = "event_type",
+    lo: float = 0.0,
+    hi: float = 500.0,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Fixed-range per-segment histogram ``(seg, bucket, n_sb)`` — the
+    SUM-mergeable sufficient statistic for PSI: histograms over disjoint
+    batches add, so a streaming store can keep one per epoch
+    (``streaming/drift_stream.py``) and any window's drift score reads
+    from segments × buckets rows, never raw history."""
+    b = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(hi - lo) * n_buckets),
+            F.lit(0),
+        ),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(segment_col).alias("seg"), b.alias("bucket"))
+        .groupBy("seg", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_sb"))
+    )
+
+
+def psi_from_histogram(
+    hist: DataFrame,
+    segment_col: str = "event_type",
+    n_buckets: int = 20,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """PSI per segment from a ``(seg, bucket, n_sb)`` histogram — every
+    total (segment sizes, population histogram, grand total) derives
+    from the histogram itself, so batch and streaming paths score
+    IDENTICALLY from the same merged counts."""
+    hist = hist.localCheckpoint(eager=False)  # four consumers below
+    seg_totals = hist.groupBy("seg").agg(F.sum("n_sb").alias("n_s"))
+    all_counts = hist.groupBy("bucket").agg(F.sum("n_sb").alias("n_b"))
+    all_total = hist.agg(F.sum("n_sb").alias("n"))
+    buckets = hist.sparkSession.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    # dense (segment x bucket) frame so zero-count buckets still carry
+    # their smoothed probability into the sum
+    dense = seg_totals.crossJoin(F.broadcast(buckets))
+    sm = float(alpha)
+    bsm = float(alpha * n_buckets)
+    p_seg = (F.coalesce(F.col("n_sb"), F.lit(0)) + sm) / (F.col("n_s") + bsm)
+    p_all = (F.coalesce(F.col("n_b"), F.lit(0)) + sm) / (F.col("n") + bsm)
+    term = (p_seg - p_all) * F.log(p_seg / p_all)
+    return (
+        dense.join(hist, ["seg", "bucket"], "left")
+        .join(F.broadcast(all_counts), "bucket", "left")
+        .join(F.broadcast(all_total))
+        .groupBy("seg")
+        .agg(
+            F.max("n_s").cast("long").alias("n_rows"),
+            F.round(F.sum(term), 4).alias("psi"),
+        )
+        .select(F.col("seg").alias(segment_col), "n_rows", "psi")
+    )
+
+
 def psi_drift(
     df: DataFrame,
     value_col: str = "value",
@@ -87,47 +153,12 @@ def psi_drift(
     event_value_histogram) rather than data-dependent quantile edges:
     edges that move with the data make two runs incomparable — the
     exact property a STABILITY index must not have. Shape: one grouped
-    count per (segment, bucket), one n_buckets-row broadcast of the
-    population histogram, one segment rollup — everything after the
-    first aggregation is bounded by segments × buckets.
+    count per (segment, bucket), then everything is bounded by
+    segments × buckets (:func:`psi_from_histogram`).
     """
-    b = F.least(
-        F.greatest(
-            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(hi - lo) * n_buckets),
-            F.lit(0),
-        ),
-        F.lit(n_buckets - 1),
-    ).cast("int")
-    base = (
-        df.filter(F.col(value_col).isNotNull())
-        .select(F.col(segment_col).alias("seg"), b.alias("bucket"))
-        .localCheckpoint(eager=False)
-    )
-    seg_counts = base.groupBy("seg", "bucket").agg(
-        F.count(F.lit(1)).alias("n_sb")
-    )
-    seg_totals = base.groupBy("seg").agg(F.count(F.lit(1)).alias("n_s"))
-    all_counts = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_b"))
-    all_total = base.agg(F.count(F.lit(1)).alias("n"))
-    # dense (segment x bucket) frame so zero-count buckets still carry
-    # their smoothed probability into the sum
-    buckets = base.sparkSession.range(n_buckets).select(
-        F.col("id").cast("int").alias("bucket")
-    )
-    dense = seg_totals.crossJoin(F.broadcast(buckets))
-    sm = float(alpha)
-    bsm = float(alpha * n_buckets)
-    p_seg = (F.coalesce(F.col("n_sb"), F.lit(0)) + sm) / (F.col("n_s") + bsm)
-    p_all = (F.coalesce(F.col("n_b"), F.lit(0)) + sm) / (F.col("n") + bsm)
-    term = (p_seg - p_all) * F.log(p_seg / p_all)
-    return (
-        dense.join(seg_counts, ["seg", "bucket"], "left")
-        .join(F.broadcast(all_counts), "bucket", "left")
-        .join(F.broadcast(all_total))
-        .groupBy("seg")
-        .agg(
-            F.max("n_s").cast("long").alias("n_rows"),
-            F.round(F.sum(term), 4).alias("psi"),
-        )
-        .select(F.col("seg").alias(segment_col), "n_rows", "psi")
+    return psi_from_histogram(
+        value_histogram(df, value_col, segment_col, lo, hi, n_buckets),
+        segment_col,
+        n_buckets,
+        alpha,
     )

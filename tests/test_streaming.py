@@ -967,3 +967,57 @@ def test_compact_sweeps_orphan_tmp_dir(spark, tmp_path):
     after = sorted(map(tuple, read_sketch(spark, sk_dir).collect()))
     assert after == before  # and the sweep changed no estimate
     del F
+
+
+def test_stream_histogram_psi_matches_batch(spark, tmp_path):
+    """Streaming drift store: per-batch histograms SUM-merged across
+    epochs equal the one-shot histogram, the PSI read from the store
+    equals the batch operator on the same rows, replay adds nothing,
+    and compaction changes no score."""
+    from shopify_etl_spark.operators.stats import psi_drift, value_histogram
+    from shopify_etl_spark.streaming.drift_stream import (
+        compact_histogram_epochs,
+        read_histogram,
+        read_psi,
+        stream_value_histogram,
+    )
+
+    src = tmp_path / "valfeed"
+    h_dir = str(tmp_path / "hist")
+    ckpt = str(tmp_path / "hist_ckpt")
+    schema = "event_type string, value double"
+
+    batches = [
+        [("click", 10.0), ("click", 480.0), ("view", 250.0)],
+        [("click", 20.0), ("view", 260.0), ("view", 490.0)],
+        [("view", 5.0), ("click", 250.0)],
+    ]
+    for i, rows in enumerate(batches):
+        _write_jsonl(src / f"b{i}.jsonl", [
+            {"event_type": t, "value": v} for t, v in rows
+        ])
+        feed = spark.readStream.schema(schema).json(str(src))
+        stream_value_histogram(feed, h_dir, ckpt).awaitTermination(120)
+
+    all_rows = spark.createDataFrame(
+        [r for b in batches for r in b], schema
+    )
+    merged = read_histogram(spark, h_dir)
+    whole = value_histogram(all_rows)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+    via_store = sorted(map(tuple, read_psi(spark, h_dir).collect()))
+    via_batch = sorted(map(tuple, psi_drift(all_rows).collect()))
+    assert via_store == via_batch
+
+    # replay no-op
+    feed = spark.readStream.schema(schema).json(str(src))
+    stream_value_histogram(feed, h_dir, ckpt).awaitTermination(120)
+    assert sorted(map(tuple, read_psi(spark, h_dir).collect())) == via_store
+
+    # compaction: scores unchanged, store folded
+    out = compact_histogram_epochs(spark, h_dir)
+    assert out is not None and "compact=" in out
+    assert sorted(map(tuple, read_psi(spark, h_dir).collect())) == via_store
