@@ -162,3 +162,61 @@ def psi_drift(
         n_buckets,
         alpha,
     )
+
+
+def psi_between_histograms(
+    ref: DataFrame,
+    cur: DataFrame,
+    segment_col: str = "event_type",
+    n_buckets: int = 20,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """PSI of the CURRENT window's per-segment value distribution
+    against a REFERENCE window — the production drift comparison (this
+    week vs the frozen baseline), as opposed to
+    :func:`psi_from_histogram`'s segment-vs-population view.
+
+    Both inputs are ``(seg, bucket, n_sb)`` histograms (from
+    :func:`value_histogram` or a streaming store read) — comparing
+    summaries, not raw rows, is what lets the baseline be a compacted
+    epoch store instead of retained history. Segments present on only
+    one side still score: the missing side smooths to the uniform
+    add-``alpha`` distribution, which reads as maximal drift rather
+    than a silent drop.
+    """
+    r = ref.select("seg", "bucket", F.col("n_sb").alias("n_ref"))
+    c = cur.select("seg", "bucket", F.col("n_sb").alias("n_cur"))
+    segs = (
+        r.select("seg").union(c.select("seg")).distinct()
+        .localCheckpoint(eager=False)
+    )
+    rt = r.groupBy("seg").agg(F.sum("n_ref").alias("t_ref"))
+    ct = c.groupBy("seg").agg(F.sum("n_cur").alias("t_cur"))
+    buckets = ref.sparkSession.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    dense = (
+        segs.crossJoin(F.broadcast(buckets))
+        .join(rt, "seg", "left")
+        .join(ct, "seg", "left")
+        .join(r, ["seg", "bucket"], "left")
+        .join(c, ["seg", "bucket"], "left")
+    )
+    sm = float(alpha)
+    bsm = float(alpha * n_buckets)
+    p_ref = (F.coalesce("n_ref", F.lit(0)) + sm) / (
+        F.coalesce("t_ref", F.lit(0)) + bsm
+    )
+    p_cur = (F.coalesce("n_cur", F.lit(0)) + sm) / (
+        F.coalesce("t_cur", F.lit(0)) + bsm
+    )
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return (
+        dense.groupBy("seg")
+        .agg(
+            F.coalesce(F.max("t_ref"), F.lit(0)).cast("long").alias("n_ref_rows"),
+            F.coalesce(F.max("t_cur"), F.lit(0)).cast("long").alias("n_cur_rows"),
+            F.round(F.sum(term), 4).alias("psi"),
+        )
+        .select(F.col("seg").alias(segment_col), "n_ref_rows", "n_cur_rows", "psi")
+    )

@@ -864,3 +864,80 @@ def dedup_cluster_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_docs_in") / F.col("n_docs"), 4).alias("corpus_frac"),
         )
     )
+
+
+@register(
+    "psi_time_drift",
+    oracle=r"""
+    WITH e AS (
+      SELECT event_type AS seg, value, epoch_us(ts) AS us
+      FROM events WHERE value IS NOT NULL
+    ), b AS (
+      SELECT MIN(us) AS mn, MAX(us) AS mx FROM e
+    ), t AS (
+      SELECT seg,
+             CAST(least(greatest(floor(value / 500.0 * 20), 0), 19) AS INT)
+               AS bucket,
+             us > (b.mn + b.mx) // 2 AS is_cur
+      FROM e CROSS JOIN b
+    ), rh AS (
+      SELECT seg, bucket, COUNT(*) AS n_ref FROM t WHERE NOT is_cur
+      GROUP BY seg, bucket
+    ), ch AS (
+      SELECT seg, bucket, COUNT(*) AS n_cur FROM t WHERE is_cur
+      GROUP BY seg, bucket
+    ), rt AS (
+      SELECT seg, SUM(n_ref) AS t_ref FROM rh GROUP BY seg
+    ), ct AS (
+      SELECT seg, SUM(n_cur) AS t_cur FROM ch GROUP BY seg
+    ), segs AS (
+      SELECT seg FROM rh UNION SELECT seg FROM ch
+    ), dense AS (
+      SELECT s.seg, bk.bucket,
+             COALESCE(rt.t_ref, 0) AS t_ref, COALESCE(ct.t_cur, 0) AS t_cur,
+             COALESCE(rh.n_ref, 0) AS n_ref, COALESCE(ch.n_cur, 0) AS n_cur
+      FROM (SELECT DISTINCT seg FROM segs) s
+      CROSS JOIN (SELECT unnest(range(0, 20)) AS bucket) bk
+      LEFT JOIN rt ON rt.seg = s.seg
+      LEFT JOIN ct ON ct.seg = s.seg
+      LEFT JOIN rh ON rh.seg = s.seg AND rh.bucket = bk.bucket
+      LEFT JOIN ch ON ch.seg = s.seg AND ch.bucket = bk.bucket
+    )
+    SELECT seg AS event_type,
+           CAST(MAX(t_ref) AS BIGINT) AS n_ref_rows,
+           CAST(MAX(t_cur) AS BIGINT) AS n_cur_rows,
+           ROUND(SUM(((n_cur + 0.5) / (t_cur + 10.0)
+                      - (n_ref + 0.5) / (t_ref + 10.0))
+                     * ln(((n_cur + 0.5) / (t_cur + 10.0))
+                          / ((n_ref + 0.5) / (t_ref + 10.0)))), 4) AS psi
+    FROM dense
+    GROUP BY seg
+    ORDER BY event_type
+    """,
+    doc="Temporal distribution drift: PSI of each segment's value "
+    "distribution in the SECOND half of event time against the first "
+    "half — 'did this week's data shift against the baseline', the "
+    "production drift comparison (vs psi_value_drift's segment-vs-"
+    "population view). The epoch-microsecond midpoint split is exact "
+    "integer arithmetic in both engines; after the two grouped counts "
+    "everything is bounded by segments x buckets, and at scale the two "
+    "windows come from the streaming histogram store "
+    "(streaming/drift_stream.py) instead of raw history. "
+    "operators/stats.py::psi_between_histograms.",
+)
+def psi_time_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import psi_between_histograms, value_histogram
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value", F.unix_micros("ts").alias("us"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = F.broadcast(ev.agg(F.min("us").alias("mn"), F.max("us").alias("mx")))
+    tagged = ev.join(bounds).withColumn(
+        "is_cur", F.col("us") > F.expr("(mn + mx) div 2")
+    )
+    ref = value_histogram(tagged.filter(~F.col("is_cur")), "value", "event_type")
+    cur = value_histogram(tagged.filter(F.col("is_cur")), "value", "event_type")
+    return psi_between_histograms(ref, cur)

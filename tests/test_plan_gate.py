@@ -161,6 +161,9 @@ EXPECT = {
     # final-stage rollup only (clustering runs behind its checkpoint,
     # like dedup_corpus/leakage_safe_split): cluster-count-sized
     "dedup_cluster_stats": dict(max_shuffles=4, max_smj=1),
+    # two window histograms + the bounded dense-frame comparison; the
+    # checkpointed event stream scans once
+    "psi_time_drift": dict(max_shuffles=14, max_smj=4),
 }
 
 
@@ -298,6 +301,7 @@ BNLJ_ALLOWED = {
     "psi_value_drift",          # 20-row bucket frame + one-row total
     "curriculum_mix_docs",      # one-row vocabulary size (bigram LM gate)
     "dedup_cluster_stats",      # one-row corpus total under the histogram
+    "psi_time_drift",           # one-row ts bounds + 20-row bucket frames
 }
 
 

@@ -444,3 +444,57 @@ class TestPsiLoOffset:
                for r in psi_drift(df, lo=100.0, hi=200.0, n_buckets=10).collect()}
         # identical segments over a correctly-offset histogram: PSI ~ 0
         assert abs(out["a"]) < 0.001 and out["a"] == out["b"]
+
+
+class TestPsiBetweenHistograms:
+    def test_identical_windows_score_zero(self, spark):
+        from shopify_etl_spark.operators.stats import (
+            psi_between_histograms,
+            value_histogram,
+        )
+
+        rows = [("a", float(v)) for v in range(0, 500, 25)]
+        df = spark.createDataFrame(rows, "event_type string, value double")
+        h = value_histogram(df)
+        out = psi_between_histograms(h, h).collect()[0]
+        # same histogram on both sides: identical smoothing -> exactly 0
+        assert out["psi"] == 0.0
+        assert out["n_ref_rows"] == out["n_cur_rows"] == 20
+
+    def test_shifted_window_scores_high(self, spark):
+        from shopify_etl_spark.operators.stats import (
+            psi_between_histograms,
+            value_histogram,
+        )
+
+        ref = value_histogram(spark.createDataFrame(
+            [("a", float(v % 100)) for v in range(100)],
+            "event_type string, value double",
+        ))
+        cur = value_histogram(spark.createDataFrame(
+            [("a", 400.0 + v % 100) for v in range(100)],
+            "event_type string, value double",
+        ))
+        out = psi_between_histograms(ref, cur).collect()[0]
+        assert out["psi"] > 0.25
+
+    def test_segment_missing_from_reference_reads_as_drift(self, spark):
+        from shopify_etl_spark.operators.stats import (
+            psi_between_histograms,
+            value_histogram,
+        )
+
+        ref = value_histogram(spark.createDataFrame(
+            [("a", 10.0)], "event_type string, value double",
+        ))
+        cur = value_histogram(spark.createDataFrame(
+            [("a", 10.0)] + [("new_seg", 300.0)] * 50,
+            "event_type string, value double",
+        ))
+        out = {r["event_type"]: r for r in psi_between_histograms(ref, cur).collect()}
+        assert "new_seg" in out  # never silently dropped
+        assert out["new_seg"]["n_ref_rows"] == 0
+        # 50 concentrated rows vs the uniform smoothed prior = loud drift
+        # (a single row would stay quiet — smoothing treats tiny samples
+        # as weak evidence, which is the intended behavior)
+        assert out["new_seg"]["psi"] > 0.25
