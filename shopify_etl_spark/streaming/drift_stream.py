@@ -97,4 +97,29 @@ __all__ = [
     "read_histogram",
     "read_psi",
     "compact_histogram_epochs",
+    "read_psi_vs_baseline",
 ]
+
+
+def read_psi_vs_baseline(
+    spark: SparkSession,
+    baseline_dir: str,
+    current_dir: str,
+    segment_col: str = "event_type",
+    n_buckets: int = 20,
+    alpha: float = 0.5,
+):
+    """PSI of one histogram store against another — the production
+    pairing: freeze (or compact) a vetted window as ``baseline_dir``,
+    keep streaming into ``current_dir``, and every read answers "has
+    this week drifted from the blessed distribution" from two
+    segments×buckets summaries."""
+    from ..operators.stats import psi_between_histograms
+
+    return psi_between_histograms(
+        read_histogram(spark, baseline_dir),
+        read_histogram(spark, current_dir),
+        segment_col,
+        n_buckets,
+        alpha,
+    )

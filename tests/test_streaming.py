@@ -1021,3 +1021,44 @@ def test_stream_histogram_psi_matches_batch(spark, tmp_path):
     out = compact_histogram_epochs(spark, h_dir)
     assert out is not None and "compact=" in out
     assert sorted(map(tuple, read_psi(spark, h_dir).collect())) == via_store
+
+
+def test_read_psi_vs_baseline_between_two_stores(spark, tmp_path):
+    """Two independent histogram stores compared store-to-store: a
+    shifted current window scores loud drift against the frozen
+    baseline, and equals the batch psi_between_histograms on the same
+    rows."""
+    from shopify_etl_spark.operators.stats import (
+        psi_between_histograms,
+        value_histogram,
+    )
+    from shopify_etl_spark.streaming.drift_stream import (
+        read_psi_vs_baseline,
+        stream_value_histogram,
+    )
+
+    schema = "event_type string, value double"
+    base_rows = [("click", float(v % 100)) for v in range(60)]
+    cur_rows = [("click", 400.0 + v % 100) for v in range(60)]
+
+    def build_store(name, rows):
+        src = tmp_path / f"{name}_feed"
+        d = str(tmp_path / name)
+        ck = str(tmp_path / f"{name}_ck")
+        _write_jsonl(src / "b0.jsonl", [
+            {"event_type": t, "value": v} for t, v in rows
+        ])
+        feed = spark.readStream.schema(schema).json(str(src))
+        stream_value_histogram(feed, d, ck).awaitTermination(120)
+        return d
+
+    base_dir = build_store("base", base_rows)
+    cur_dir = build_store("cur", cur_rows)
+    via_stores = sorted(map(tuple,
+        read_psi_vs_baseline(spark, base_dir, cur_dir).collect()))
+    via_batch = sorted(map(tuple, psi_between_histograms(
+        value_histogram(spark.createDataFrame(base_rows, schema)),
+        value_histogram(spark.createDataFrame(cur_rows, schema)),
+    ).collect()))
+    assert via_stores == via_batch
+    assert via_stores[0][3] > 0.25  # loud drift

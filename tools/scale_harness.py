@@ -104,6 +104,11 @@ FAMILY = (
     # cluster-count-sized rollup on top
     "curriculum_mix_docs",
     "dedup_cluster_stats",
+    # events-table family (events replicated since session 2)
+    "psi_value_drift",
+    "psi_time_drift",
+    "cms_join_size",
+    "hll_key_overlap",
 )
 
 
