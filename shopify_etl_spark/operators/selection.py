@@ -81,10 +81,14 @@ def dsir_fit(stream: DataFrame) -> DataFrame:
     target count in ONE grouped pass (the target model is a conditional
     sum, not a second scan). Counts are mergeable — models fitted on
     disjoint batches SUM to the whole-corpus model."""
+    # checkpointed: scoring consumes the model three times (fitted
+    # ratio, totals, unseen-bucket fallback) and each consumer would
+    # otherwise re-run the corpus-sized token aggregation — the
+    # materialization is bucket-sized (≤ n_buckets rows)
     return stream.groupBy("f").agg(
         F.count(F.lit(1)).alias("c_r"),
         F.sum(F.col("is_target").cast("long")).alias("c_t"),
-    )
+    ).localCheckpoint(eager=False)
 
 
 def dsir_score(
