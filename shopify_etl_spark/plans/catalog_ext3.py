@@ -941,3 +941,84 @@ def psi_time_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = value_histogram(tagged.filter(~F.col("is_cur")), "value", "event_type")
     cur = value_histogram(tagged.filter(F.col("is_cur")), "value", "event_type")
     return psi_between_histograms(ref, cur)
+
+
+@register(
+    "corpus_datasheet",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, text, lang, source,
+             len(list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> '')) AS n_toks
+      FROM documents
+    ), tok AS (
+      SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                x -> x <> '')) AS t
+      FROM documents
+    ), dup AS (
+      SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_dup_docs FROM (
+        SELECT COUNT(*) AS c FROM d GROUP BY text HAVING COUNT(*) > 1
+      )
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST((SELECT COUNT(DISTINCT t) FROM tok) AS BIGINT) AS vocab_size,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           (SELECT n_dup_docs FROM dup) AS n_exact_dup_docs,
+           ROUND((SELECT n_dup_docs FROM dup) * 1.0 / COUNT(*), 4)
+             AS exact_dup_frac,
+           ROUND(AVG(n_toks), 2) AS avg_doc_tokens
+    FROM d
+    """,
+    doc="The dataset datasheet in one row: corpus size (docs/tokens/"
+    "vocabulary), language and source diversity, exact-duplicate "
+    "pressure (documents whose full text occurs more than once), and "
+    "mean document length — the headline numbers a dataset card or a "
+    "pre-training run sign-off quotes. Two grouped passes over one "
+    "checkpointed scan (token aggregate + text-identity aggregate), "
+    "everything else one-row arithmetic.",
+)
+def corpus_datasheet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import token_count
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang", "source", token_count("text").alias("n_toks"))
+        .localCheckpoint(eager=False)
+    )
+    dup = F.broadcast(
+        docs.groupBy("text")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n_dup_docs"))
+    )
+    vocab = F.broadcast(
+        docs.select(F.explode(F.split("text", r"\s+")).alias("t"))
+        .filter(F.col("t") != "")
+        .agg(F.countDistinct("t").alias("vocab_size"))
+    )
+    return (
+        docs.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .join(vocab)
+        .join(dup)
+        .select(
+            F.col("n_docs").cast("long"),
+            F.col("n_tokens").cast("long"),
+            F.col("vocab_size").cast("long"),
+            F.col("n_langs").cast("long"),
+            F.col("n_sources").cast("long"),
+            F.col("n_dup_docs").cast("long").alias("n_exact_dup_docs"),
+            F.round(F.col("n_dup_docs") / F.col("n_docs"), 4).alias(
+                "exact_dup_frac"
+            ),
+            F.round(F.col("n_tokens") / F.col("n_docs"), 2).alias(
+                "avg_doc_tokens"
+            ),
+        )
+    )

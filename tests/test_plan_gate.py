@@ -164,6 +164,8 @@ EXPECT = {
     # two window histograms + the bounded dense-frame comparison; the
     # checkpointed event stream scans once
     "psi_time_drift": dict(max_shuffles=14, max_smj=4),
+    # two grouped passes over one checkpointed scan + one-row assembly
+    "corpus_datasheet": dict(max_shuffles=8, max_smj=0),
 }
 
 
@@ -302,6 +304,7 @@ BNLJ_ALLOWED = {
     "curriculum_mix_docs",      # one-row vocabulary size (bigram LM gate)
     "dedup_cluster_stats",      # one-row corpus total under the histogram
     "psi_time_drift",           # one-row ts bounds + 20-row bucket frames
+    "corpus_datasheet",         # one-row vocab/dup/total assembly
 }
 
 
