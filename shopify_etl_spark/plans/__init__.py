@@ -103,6 +103,7 @@ _CHANGED_R05 = [
     "dedup_cluster_stats",         # new s2 (cluster-size histogram)
     "psi_time_drift",              # new s2 (first-vs-second-half drift)
     "corpus_datasheet",            # new s2 (dataset-card summary row)
+    "lang_id_confusion",           # new s2 (classifier confusion matrix)
     "oov_rates_by_source",         # new s2 (vocab coverage diagnostic)
     "doc_novelty_scores",          # new s2 (first-occurrence novelty)
     "jl_projection_docs",          # new s2 (deterministic JL compression)

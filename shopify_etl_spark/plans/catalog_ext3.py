@@ -1022,3 +1022,64 @@ def corpus_datasheet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "lang_id_confusion",
+    oracle=r"""
+    WITH pred AS (
+      SELECT doc_id, lang,
+        CASE
+          WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+          WHEN s_en >= greatest(s_es, s_fr, s_zh)       THEN 'en'
+          WHEN s_es >= greatest(s_fr, s_zh)             THEN 'es'
+          WHEN s_fr >= s_zh                             THEN 'fr'
+          ELSE 'zh' END AS pred_lang
+      FROM (
+        SELECT doc_id, lang,
+          len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x IN ('der','die','und','das','ist'))) AS s_de,
+          len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x IN ('the','and','of','to','is')))    AS s_en,
+          len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x IN ('el','la','que','los','es')))    AS s_es,
+          len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x IN ('le','la','et','les','est')))    AS s_fr,
+          len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x IN ('的','是','了','在','我')))      AS s_zh
+        FROM documents
+      )
+    ), tot AS (
+      SELECT lang, COUNT(*) AS n_lang FROM pred GROUP BY lang
+    )
+    SELECT p.lang AS true_lang, p.pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) * 1.0 / t.n_lang, 4) AS frac_of_true
+    FROM pred p JOIN tot t ON t.lang = p.lang
+    GROUP BY p.lang, p.pred_lang, t.n_lang
+    ORDER BY true_lang, pred_lang
+    """,
+    doc="Language-ID confusion matrix: the marker-word classifier's "
+    "predictions against the labeled lang column, as (true, predicted) "
+    "counts and per-true-language fractions — the evaluation every "
+    "classifier-driven curation gate needs BEFORE its output routes "
+    "documents (lang_id_heuristic scores docs; this scores the "
+    "classifier). One classification pass + a labels-sized rollup. "
+    "operators/text.py::lang_id + grouped rollup.",
+)
+def lang_id_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = text_ops.lang_id(docs).select("doc_id", "pred_lang")
+    joined = (
+        docs.select("doc_id", "lang").join(pred, "doc_id")
+        .localCheckpoint(eager=False)
+    )
+    tot = joined.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    return (
+        joined.groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .join(F.broadcast(tot), "lang")
+        .select(
+            F.col("lang").alias("true_lang"),
+            "pred_lang",
+            "n",
+            F.round(F.col("n") / F.col("n_lang"), 4).alias("frac_of_true"),
+        )
+    )

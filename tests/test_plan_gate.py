@@ -166,6 +166,8 @@ EXPECT = {
     "psi_time_drift": dict(max_shuffles=14, max_smj=4),
     # two grouped passes over one checkpointed scan + one-row assembly
     "corpus_datasheet": dict(max_shuffles=8, max_smj=0),
+    # one classification pass + labels-sized rollup (totals broadcast)
+    "lang_id_confusion": dict(max_shuffles=5, min_bhj=1, max_smj=1),
 }
 
 
