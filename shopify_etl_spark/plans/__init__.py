@@ -104,6 +104,7 @@ _CHANGED_R05 = [
     "psi_time_drift",              # new s2 (first-vs-second-half drift)
     "corpus_datasheet",            # new s2 (dataset-card summary row)
     "lang_id_confusion",           # new s2 (classifier confusion matrix)
+    "shard_balance_report",        # new s2 (packer balance rollup)
     "oov_rates_by_source",         # new s2 (vocab coverage diagnostic)
     "doc_novelty_scores",          # new s2 (first-occurrence novelty)
     "jl_projection_docs",          # new s2 (deterministic JL compression)

@@ -1083,3 +1083,60 @@ def lang_id_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") / F.col("n_lang"), 4).alias("frac_of_true"),
         )
     )
+
+
+@register(
+    "shard_balance_report",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT source, n_tokens,
+             CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / 1000) AS BIGINT) AS shard_id
+      FROM t
+    )
+    SELECT source, shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           CAST(SUM(n_tokens) - 1000 AS BIGINT) AS overrun_tokens
+    FROM packed
+    GROUP BY source, shard_id
+    ORDER BY source, shard_id
+    """,
+    doc="Shard-balance observability over the greedy token-budget "
+    "packer: per (source, shard) document count, token total and "
+    "budget overrun — the numbers that tell a training job whether its "
+    "shards are balanced BEFORE it schedules them (a shard overruns by "
+    "at most its straddling document; a large overrun means one doc "
+    "dwarfs the budget and should be chunked upstream). Same "
+    "per-source cumulative window as token_budget_shards plus a "
+    "shard-count-sized rollup. operators/packing.py::pack_shards + "
+    "grouped rollup.",
+)
+def shard_balance_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import packing
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = packing.pack_shards(docs, budget=1000)
+    return (
+        packed.groupBy("source", "shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("shard_tokens"),
+        )
+        .select(
+            "source",
+            "shard_id",
+            "n_docs",
+            "shard_tokens",
+            (F.col("shard_tokens") - F.lit(1000)).cast("long").alias(
+                "overrun_tokens"
+            ),
+        )
+    )

@@ -168,6 +168,8 @@ EXPECT = {
     "corpus_datasheet": dict(max_shuffles=8, max_smj=0),
     # one classification pass + labels-sized rollup (totals broadcast)
     "lang_id_confusion": dict(max_shuffles=5, min_bhj=1, max_smj=1),
+    # the packer's per-source window + a shard-count-sized rollup
+    "shard_balance_report": dict(max_shuffles=3, max_smj=0, max_scan_width=3),
 }
 
 
