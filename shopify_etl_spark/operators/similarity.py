@@ -422,6 +422,106 @@ def lsh_bucket_topk(
     )
 
 
+def lsh_recall_gate(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    n_probes: int = 1,
+    query_id: str = "query_id",
+    query_vec: str = "qv",
+    corpus_id: str = "neighbor_id",
+    corpus_vec: str = "cv",
+) -> DataFrame:
+    """Guarantee-gate view of :func:`lsh_bucket_topk` — the oracle-checkable
+    answer for a seeded-random ANN method.
+
+    The raw LSH top-k is not cross-engine reproducible (bucket membership
+    hangs on the SIGN of float dot products; a different summation order can
+    flip a near-zero bit), but the method's CONTRACT is deterministic, so
+    the gate runs the full LSH pipeline and emits, per query, properties
+    that are TRUE by construction whenever the implementation is correct:
+
+    * ``sims_match_exact`` — every emitted cosine_sim equals the true
+      cosine of that (query, neighbor) pair (LSH approximates the
+      CANDIDATE SET, never the scores);
+    * ``self_excluded`` / ``k_bounded`` — no self-match, ≤ k rows;
+    * ``max_sim_le_exact_top1`` — no emitted similarity exceeds the exact
+      global top-1 (rounding is monotone, so this survives the ROUND(4));
+    * ``top1_sim_attained_if_present`` — if the exact top-1 neighbor made
+      it into the emitted rows, the best emitted similarity equals its
+      similarity (the window order is total, so a candidate set containing
+      the global max must rank it first).
+
+    Alongside the flags the gate carries the exact brute-force top-1
+    (id + sim), which a SQL oracle recomputes value-for-value — the
+    ``approx_event_stats`` / ``cms_*`` pattern: a broken bucket join,
+    score expression, or ranking window hash-mismatches instead of
+    sailing through a rows-only check. Recall itself is pinned in
+    tests (tests/test_similarity.py), where a fixed dataset makes it
+    deterministic.
+    """
+    lsh = lsh_bucket_topk(
+        queries, corpus, dim, k, n_planes, n_probes,
+        query_id, query_vec, corpus_id, corpus_vec,
+    )
+    exact1 = cosine_topk(
+        queries, corpus, 1, query_id, query_vec, corpus_id, corpus_vec
+    ).select(
+        query_id,
+        F.col(corpus_id).alias("exact_top1_id"),
+        F.col("cosine_sim").alias("exact_top1_sim"),
+    )
+    # True cosine for each emitted pair, via the SAME expressions the LSH
+    # scorer uses — bit-identical doubles inside one engine.
+    qn = queries.withColumn("_qn", _norm(query_vec))
+    cn = corpus.withColumn("_cn", _norm(corpus_vec))
+    scored = (
+        lsh.join(F.broadcast(qn), query_id)
+        .join(cn, corpus_id)
+        .select(
+            query_id,
+            corpus_id,
+            "cosine_sim",
+            F.round(
+                _dot(query_vec, corpus_vec) / (F.col("_qn") * F.col("_cn")), 4
+            ).alias("_true"),
+        )
+    )
+    per_q = (
+        scored.join(F.broadcast(exact1.select(query_id, "exact_top1_id")), query_id)
+        .groupBy(query_id)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.max("cosine_sim").alias("_max_sim"),
+            F.min((F.col("cosine_sim") == F.col("_true")).cast("int")).alias("_match"),
+            F.min((F.col(corpus_id) != F.col(query_id)).cast("int")).alias("_noself"),
+            F.max((F.col(corpus_id) == F.col("exact_top1_id")).cast("int")).alias(
+                "_top1_present"
+            ),
+        )
+    )
+    # Left join from the exact side: a query whose probed buckets were all
+    # empty still gets a (vacuously true) gate row.
+    return exact1.join(per_q, query_id, "left").select(
+        query_id,
+        "exact_top1_id",
+        "exact_top1_sim",
+        F.coalesce(F.col("_match") == 1, F.lit(True)).alias("sims_match_exact"),
+        F.coalesce(F.col("_noself") == 1, F.lit(True)).alias("self_excluded"),
+        F.coalesce(F.col("_n") <= k, F.lit(True)).alias("k_bounded"),
+        F.coalesce(
+            F.col("_max_sim") <= F.col("exact_top1_sim"), F.lit(True)
+        ).alias("max_sim_le_exact_top1"),
+        F.coalesce(
+            (F.col("_top1_present") == 0)
+            | (F.col("_max_sim") == F.col("exact_top1_sim")),
+            F.lit(True),
+        ).alias("top1_sim_attained_if_present"),
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -82,6 +82,28 @@ def test_lsh_multiprobe_recall_monotone(spark, sf_dir):
     assert r4 > 0  # 4 probes on 500 docs must surface at least one true hit
 
 
+def test_lsh_recall_gate_flags_all_true(spark, sf_dir):
+    """The guarantee-gate flags must hold BY CONSTRUCTION for the real LSH
+    run, and the exact-top-1 twin must match the brute-force answer — this
+    is what the lsh_ann_topk DuckDB oracle asserts per round."""
+    q, c = _qc(spark, sf_dir)
+    rows = similarity.lsh_recall_gate(
+        q, c, dim=64, k=10, n_planes=8, n_probes=4
+    ).collect()
+    assert len(rows) == 5  # one gate row per query, even for empty buckets
+    exact1 = {
+        r.query_id: (r.neighbor_id, r.cosine_sim)
+        for r in similarity.cosine_topk(q, c, k=1).collect()
+    }
+    for r in rows:
+        assert r.sims_match_exact is True
+        assert r.self_excluded is True
+        assert r.k_bounded is True
+        assert r.max_sim_le_exact_top1 is True
+        assert r.top1_sim_attained_if_present is True
+        assert (r.exact_top1_id, r.exact_top1_sim) == exact1[r.query_id]
+
+
 def test_blocked_cosine_pairs_exact_below_cap(spark, sf_dir):
     """With every block under the cap the operator must equal the naive
     all-pairs-within-label join exactly (this is what keeps the
