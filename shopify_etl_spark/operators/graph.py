@@ -24,7 +24,7 @@ Design for both scale and verification:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -34,6 +34,8 @@ def pagerank(
     dst: str = "d2",
     damping: float = 0.85,
     iters: int = 3,
+    max_degree: int | None = None,
+    weight: str = "jaccard",
 ) -> DataFrame:
     """PageRank over an UNDIRECTED unique-pair edge list.
 
@@ -45,16 +47,50 @@ def pagerank(
     ``(1-damping)/|V|``; every node of the symmetrized graph has
     out-degree ≥ 1, so there is no dangling-mass term.
 
-    Returns (node, degree, pagerank) with pagerank rounded to 4.
+    ``max_degree`` sparsifies the symmetrized graph before message
+    passing: each node keeps only its ``max_degree`` strongest OUTGOING
+    edges by ``weight`` (descending, deterministic tie-break on the
+    neighbor id), so |E| ≤ max_degree·|V| no matter how dense the
+    overlap graph is. On a real overlapping corpus a weak-tie threshold
+    (Jaccard ≥ 0.02) makes |E| the scale driver — boilerplate hubs can
+    touch a large fraction of the corpus, and an uncapped hub
+    contributes degree² join work downstream. The cap makes the edge
+    phase worst-case-bounded while keeping each spoke's strongest link
+    to its hub (spokes keep A→hub even when the hub drops hub→A, so
+    hub in-mass — the centrality signal — survives; the capped graph is
+    directed by construction). The cap is a per-source window rank —
+    SQL-expressible, so the capped recipe stays oracle-checkable
+    end-to-end. Every node keeps ≥ 1 outgoing edge, so the no-dangling
+    invariant is unchanged.
+
+    Returns (node, degree, pagerank) with pagerank rounded to 4;
+    ``degree`` is the post-cap out-degree.
     """
-    fwd = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    fwd = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("t"), F.col(weight).alias("_w")
+    ) if max_degree is not None else edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("t")
+    )
     # checkpoint BEFORE the degree aggregation: deg and the join below
     # are two separate consumers of sym, and without the cut each one
     # re-derives the (often expensive) upstream similarity pipeline —
     # measured 2x the whole edge-build cost on the Jaccard graph
-    sym = fwd.unionByName(
-        edges.select(F.col(dst).alias("s"), F.col(src).alias("t"))
-    ).localCheckpoint(eager=False)
+    if max_degree is not None:
+        rev = edges.select(
+            F.col(dst).alias("s"), F.col(src).alias("t"), F.col(weight).alias("_w")
+        )
+        wnd = Window.partitionBy("s").orderBy(F.desc("_w"), F.asc("t"))
+        sym = (
+            fwd.unionByName(rev)
+            .withColumn("_rn", F.row_number().over(wnd))
+            .filter(F.col("_rn") <= max_degree)
+            .select("s", "t")
+            .localCheckpoint(eager=False)
+        )
+    else:
+        sym = fwd.unionByName(
+            edges.select(F.col(dst).alias("s"), F.col(src).alias("t"))
+        ).localCheckpoint(eager=False)
     deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     # one materialization feeds every iteration (and the degree/node
     # side) — each unrolled join reuses this single small edge table
@@ -71,13 +107,27 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("in_sum"))
         )
+        # Under max_degree the update must be TOTAL over the node set
+        # (left join + coalesce): the capped graph is directed, so a node
+        # all neighbors dropped has zero in-edges and must keep its
+        # teleport-only rank (and keep SENDING its mass in later
+        # iterations) rather than silently vanishing from the state. The
+        # symmetric uncapped graph has no such nodes — every out-edge has
+        # a reverse — so it skips the extra node-set join (same values,
+        # one fewer shuffle per iteration; plan-gate pinned).
+        if max_degree is not None:
+            update_base = nodes.select("node").join(contribs, "node", "left")
+            in_sum = F.coalesce("in_sum", F.lit(0.0))
+        else:
+            update_base = contribs
+            in_sum = F.col("in_sum")
         ranks = (
-            contribs.join(n)
+            update_base.join(n)
             .select(
                 "node",
                 F.round(
                     (1.0 - damping) / F.col("n_nodes")
-                    + F.lit(damping) * F.col("in_sum"),
+                    + F.lit(damping) * in_sum,
                     10,
                 ).alias("r"),
             )

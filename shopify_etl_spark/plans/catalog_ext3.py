@@ -374,6 +374,108 @@ def dup_graph_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pagerank_degree_capped",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      FROM documents
+    ), sh AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), shared AS MATERIALIZED (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), ed0 AS (
+      SELECT d1, d2,
+             ROUND(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) AS w
+      FROM shared
+      JOIN sizes sa ON sa.doc_id = d1
+      JOIN sizes sb ON sb.doc_id = d2
+      WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.02
+    ), symw AS (
+      SELECT d1 AS s, d2 AS t, w FROM ed0
+      UNION ALL
+      SELECT d2 AS s, d1 AS t, w FROM ed0
+    ), capped AS MATERIALIZED (
+      SELECT s, t FROM (
+        SELECT s, t,
+               ROW_NUMBER() OVER (PARTITION BY s ORDER BY w DESC, t) AS rn
+        FROM symw
+      ) WHERE rn <= 3
+    ), deg AS MATERIALIZED (
+      SELECT s, COUNT(*) AS deg FROM capped GROUP BY s
+    ), n AS (
+      SELECT COUNT(*) AS n_nodes FROM deg
+    ), r0 AS (
+      SELECT s AS node, 1.0 / n.n_nodes AS r FROM deg CROSS JOIN n
+    ), c1 AS (
+      SELECT capped.t AS node, SUM(r0.r / deg.deg) AS in_sum
+      FROM capped JOIN deg USING (s) JOIN r0 ON r0.node = capped.s
+      GROUP BY capped.t
+    ), r1 AS MATERIALIZED (
+      -- total update: a node with zero in-edges keeps its teleport-only
+      -- rank (the capped graph is directed; the symmetric twin never
+      -- exercises the COALESCE arm)
+      SELECT deg.s AS node,
+             ROUND((1.0 - 0.85) / n.n_nodes
+                   + 0.85 * COALESCE(c1.in_sum, 0), 10) AS r
+      FROM deg CROSS JOIN n LEFT JOIN c1 ON c1.node = deg.s
+    ), c2 AS (
+      SELECT capped.t AS node, SUM(r1.r / deg.deg) AS in_sum
+      FROM capped JOIN deg USING (s) JOIN r1 ON r1.node = capped.s
+      GROUP BY capped.t
+    ), r2 AS MATERIALIZED (
+      SELECT deg.s AS node,
+             ROUND((1.0 - 0.85) / n.n_nodes
+                   + 0.85 * COALESCE(c2.in_sum, 0), 10) AS r
+      FROM deg CROSS JOIN n LEFT JOIN c2 ON c2.node = deg.s
+    ), c3 AS (
+      SELECT capped.t AS node, SUM(r2.r / deg.deg) AS in_sum
+      FROM capped JOIN deg USING (s) JOIN r2 ON r2.node = capped.s
+      GROUP BY capped.t
+    ), r3 AS (
+      SELECT deg.s AS node,
+             ROUND((1.0 - 0.85) / n.n_nodes
+                   + 0.85 * COALESCE(c3.in_sum, 0), 10) AS r
+      FROM deg CROSS JOIN n LEFT JOIN c3 ON c3.node = deg.s
+    )
+    SELECT deg.s AS node, CAST(deg.deg AS BIGINT) AS degree,
+           ROUND(r3.r, 4) AS pagerank
+    FROM deg JOIN r3 ON r3.node = deg.s
+    ORDER BY node
+    """,
+    doc="dup_graph_pagerank with degree-capped edge sparsification: each "
+    "node keeps only its 3 strongest outgoing edges by Jaccard weight "
+    "(deterministic tie-break on neighbor id) before message passing, so "
+    "|E| <= 3|V| no matter how dense the weak-tie overlap graph gets — "
+    "the worst-case bound the uncapped 0.02-threshold build lacks on a "
+    "boilerplate-heavy real corpus (a hub touching half the corpus "
+    "otherwise contributes degree^2 downstream work). Spokes keep their "
+    "edge TO a hub even when the hub drops the reverse, so hub in-mass "
+    "(the centrality signal) survives; the capped graph is directed, and "
+    "a node every neighbor dropped receives only teleport mass (the "
+    "COALESCE arm). The cap is one per-source window rank — "
+    "SQL-expressible, so the whole capped recipe is oracle-checked "
+    "value-for-value like the uncapped twin. "
+    "operators/graph.py::pagerank(max_degree=3).",
+)
+def pagerank_degree_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+    from ..operators.graph import pagerank
+
+    edges = dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.02
+    )
+    return pagerank(edges, max_degree=3)
+
+
+@register(
     "token_entropy_docs",
     oracle=r"""
     WITH t AS (

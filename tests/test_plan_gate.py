@@ -142,6 +142,11 @@ EXPECT = {
     # the graph-sized, localCheckpointed edge list — ceilings bound the
     # per-iteration cost from silently growing
     "dup_graph_pagerank": dict(max_shuffles=20, max_smj=6),
+    # same 3 unrolled rounds + one per-source window for the degree cap
+    # and one node-set-sized total-update join per round (the directed
+    # capped graph can have zero-in-edge nodes); post-cap |E| <= 3|V|
+    # bounds every iteration join
+    "pagerank_degree_capped": dict(max_shuffles=25, max_smj=8),
     # per-row HOF entropy/TTR: any exchange means it stopped being a map
     "token_entropy_docs": dict(max_shuffles=0, max_smj=0, max_scan_width=2),
     # both component projections are map-only broadcast-backs (Gram +
@@ -302,6 +307,8 @@ BNLJ_ALLOWED = {
     "curation_v2_corpus",      # one-row vocabulary size (bigram LM gate)
     "dsir_importance_weights",  # one-row token totals under the model fit
     "dup_graph_pagerank",       # one-row node count (teleport term, x4 steps)
+    "pagerank_degree_capped",   # one-row node count (teleport term, x4 steps)
+    "lsh_ann_topk",             # query vectors broadcast (exact-top-1 twin)
     "cms_join_size",            # one-row totals/truth/estimate assembly
     "hll_key_overlap",          # one-row sketch/truth assembly
     "psi_value_drift",          # 20-row bucket frame + one-row total

@@ -276,6 +276,39 @@ class TestPagerank:
         # undirected graph, no dangling mass: total rank ~ 1
         assert total == pytest.approx(1.0, abs=1e-3)
 
+    def test_degree_cap_bounds_edges_keeps_all_nodes(self, spark):
+        """max_degree sparsification: a hub with 6 spokes keeps only its 2
+        strongest outgoing edges, every node survives (incl. spokes whose
+        only in-edge the hub dropped — they keep teleport-only rank), and
+        the hub still dominates because every spoke keeps its edge TO it."""
+        from shopify_etl_spark.operators.graph import pagerank
+
+        # hub 0 with 6 spokes; weights rank spoke 1 > 2 > ... > 6
+        edges = [(0, i, 1.0 - 0.1 * i) for i in range(1, 7)]
+        df = spark.createDataFrame(edges, "d1 long, d2 long, jaccard double")
+        got = {r["node"]: r for r in pagerank(df, max_degree=2).collect()}
+        assert set(got) == {0, 1, 2, 3, 4, 5, 6}  # no node vanishes
+        assert got[0]["degree"] == 2  # hub capped from 6 outgoing to 2
+        assert all(got[i]["degree"] == 1 for i in range(1, 7))  # spokes keep hub edge
+        assert all(got[0]["pagerank"] > got[i]["pagerank"] for i in range(1, 7))
+        # spokes the hub dropped (3..6) get identical teleport-only-in ranks
+        assert len({got[i]["pagerank"] for i in range(3, 7)}) == 1
+        # retained spokes (1, 2) receive hub mass on top
+        assert got[1]["pagerank"] > got[3]["pagerank"]
+
+    def test_degree_cap_noop_below_cap(self, spark):
+        """A cap larger than every degree must reproduce the uncapped
+        answer exactly (the capped query's oracle twin relies on this)."""
+        from shopify_etl_spark.operators.graph import pagerank
+
+        edges = [(0, 1, 0.9), (1, 2, 0.8), (2, 3, 0.7), (3, 0, 0.6), (0, 2, 0.5)]
+        df = spark.createDataFrame(edges, "d1 long, d2 long, jaccard double")
+        plain = {(r["node"], r["degree"], r["pagerank"])
+                 for r in pagerank(df.select("d1", "d2")).collect()}
+        capped = {(r["node"], r["degree"], r["pagerank"])
+                  for r in pagerank(df, max_degree=10).collect()}
+        assert plain == capped
+
 
 class TestTokenEntropy:
     def test_hand_computed(self, spark):
