@@ -762,6 +762,21 @@ def gram_matrix(
     return parts.groupBy("i", "j").agg(F.sum("v").alias("gv"))
 
 
+def _round_half_away(a, decimals: int):
+    """SQL ROUND semantics (half away from zero) for the driver-side
+    iteration steps. ``np.round`` is round-half-to-EVEN, which silently
+    diverges from the DuckDB/Spark ROUND the oracles use whenever an
+    iterate lands exactly on a tie at the target decimal — a
+    measure-zero event, but the whole point of the fixed recipe is that
+    both engines compute the SAME numbers, not almost always the same.
+    Elementwise over arrays; ``floor(|x|·f + 0.5)`` is exactly
+    half-away-from-zero for finite x."""
+    import numpy as np
+
+    f = 10.0 ** decimals
+    return np.sign(a) * np.floor(np.abs(a) * f + 0.5) / f
+
+
 def pca_power_scores(
     emb: DataFrame,
     in_dim: int = 64,
@@ -796,7 +811,7 @@ def pca_power_scores(
     v = np.ones(in_dim)
     for _ in range(iters):
         y = G @ v
-        v = np.round(y / np.abs(y).max(), 10)
+        v = _round_half_away(y / np.abs(y).max(), 10)
     q = F.expr(
         f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {quant}) AS BIGINT))"
     )
@@ -919,18 +934,18 @@ def pca_top2_scores(
         v = np.ones(in_dim)
         for _ in range(iters):
             y = M @ v
-            v = np.round(y / np.abs(y).max(), 10)
+            v = _round_half_away(y / np.abs(y).max(), 10)
         return v
 
     v1 = iterate(Gs)
     nv = v1 @ v1
-    lam = np.round((v1 @ Gs @ v1) / nv, 10)
+    lam = _round_half_away((v1 @ Gs @ v1) / nv, 10)
     # rank-one deflation for a NON-unit v1 is λ·v1v1ᵀ/(v1ᵀv1): the L∞
     # normalization leaves ‖v1‖² ≈ 10-30, and omitting the divisor
     # over-subtracts by that factor — the dominant eigenvalue flips to
     # strongly negative and the second iteration re-converges onto PC1
     # (|λ| largest wins in power iteration, sign ignored)
-    G2 = np.round(Gs - (lam * np.outer(v1, v1)) / nv, 10)
+    G2 = _round_half_away(Gs - (lam * np.outer(v1, v1)) / nv, 10)
     v2 = iterate(G2)
 
     q = F.expr(

@@ -95,6 +95,27 @@ def value_histogram(
     )
 
 
+def _checked_bucket(n_buckets: int):
+    """In-plan guard: a histogram row whose bucket id falls outside
+    [0, n_buckets) means the histogram was built with a DIFFERENT bucket
+    count than the PSI call assumes — the dense frame would silently
+    drop that mass from the PSI terms while the totals keep it,
+    producing a wrong score with no error. Fail loudly instead."""
+    return F.when(
+        (F.col("bucket") >= 0) & (F.col("bucket") < F.lit(n_buckets)),
+        F.col("bucket"),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "psi: histogram bucket %s outside [0, "
+                f"{n_buckets}) — bucket-count mismatch between the "
+                "histogram build and this PSI call",
+                F.col("bucket"),
+            )
+        ).cast("int")
+    )
+
+
 def psi_from_histogram(
     hist: DataFrame,
     segment_col: str = "event_type",
@@ -104,7 +125,10 @@ def psi_from_histogram(
     """PSI per segment from a ``(seg, bucket, n_sb)`` histogram — every
     total (segment sizes, population histogram, grand total) derives
     from the histogram itself, so batch and streaming paths score
-    IDENTICALLY from the same merged counts."""
+    IDENTICALLY from the same merged counts. A histogram built with a
+    different bucket count than ``n_buckets`` raises in-plan
+    (:func:`_checked_bucket`) instead of silently skewing the score."""
+    hist = hist.withColumn("bucket", _checked_bucket(n_buckets))
     hist = hist.localCheckpoint(eager=False)  # four consumers below
     seg_totals = hist.groupBy("seg").agg(F.sum("n_sb").alias("n_s"))
     all_counts = hist.groupBy("bucket").agg(F.sum("n_sb").alias("n_b"))
@@ -184,8 +208,10 @@ def psi_between_histograms(
     add-``alpha`` distribution, which reads as maximal drift rather
     than a silent drop.
     """
-    r = ref.select("seg", "bucket", F.col("n_sb").alias("n_ref"))
-    c = cur.select("seg", "bucket", F.col("n_sb").alias("n_cur"))
+    r = ref.select("seg", _checked_bucket(n_buckets).alias("bucket"),
+                   F.col("n_sb").alias("n_ref"))
+    c = cur.select("seg", _checked_bucket(n_buckets).alias("bucket"),
+                   F.col("n_sb").alias("n_cur"))
     segs = (
         r.select("seg").union(c.select("seg")).distinct()
         .localCheckpoint(eager=False)

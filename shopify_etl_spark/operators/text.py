@@ -848,7 +848,6 @@ def oov_rates(
     df: DataFrame,
     vocab_size: int = 100,
     text_col: str = "text",
-    id_col: str = "doc_id",
     group_col: str = "source",
 ) -> DataFrame:
     """Out-of-vocabulary rate per group against the corpus top-``vocab_size``

@@ -1206,7 +1206,7 @@ def lang_id_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source, shard_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
-           CAST(SUM(n_tokens) - 1000 AS BIGINT) AS overrun_tokens
+           CAST(GREATEST(SUM(n_tokens) - 1000, 0) AS BIGINT) AS overrun_tokens
     FROM packed
     GROUP BY source, shard_id
     ORDER BY source, shard_id
@@ -1216,10 +1216,12 @@ def lang_id_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "budget overrun — the numbers that tell a training job whether its "
     "shards are balanced BEFORE it schedules them (a shard overruns by "
     "at most its straddling document; a large overrun means one doc "
-    "dwarfs the budget and should be chunked upstream). Same "
-    "per-source cumulative window as token_budget_shards plus a "
-    "shard-count-sized rollup. operators/packing.py::pack_shards + "
-    "grouped rollup.",
+    "dwarfs the budget and should be chunked upstream). overrun_tokens "
+    "is clamped at 0: each source's trailing shard is legitimately "
+    "underfull, and a negative 'overrun' would misread as data, not "
+    "slack. Same per-source cumulative window as token_budget_shards "
+    "plus a shard-count-sized rollup. operators/packing.py::pack_shards "
+    "+ grouped rollup.",
 )
 def shard_balance_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import packing
@@ -1237,8 +1239,8 @@ def shard_balance_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shard_id",
             "n_docs",
             "shard_tokens",
-            (F.col("shard_tokens") - F.lit(1000)).cast("long").alias(
-                "overrun_tokens"
-            ),
+            F.greatest(F.col("shard_tokens") - F.lit(1000), F.lit(0))
+            .cast("long")
+            .alias("overrun_tokens"),
         )
     )

@@ -494,6 +494,28 @@ class TestPsiBetweenHistograms:
         assert out["psi"] == 0.0
         assert out["n_ref_rows"] == out["n_cur_rows"] == 20
 
+    def test_bucket_count_mismatch_fails_loudly(self, spark):
+        """A histogram built with MORE buckets than the PSI call assumes
+        must raise in-plan, not silently drop the out-of-range buckets'
+        mass from the PSI terms while keeping it in the denominators."""
+        from shopify_etl_spark.operators.stats import (
+            psi_between_histograms,
+            psi_from_histogram,
+            value_histogram,
+        )
+
+        df = spark.createDataFrame(
+            [("a", float(v)) for v in range(0, 500, 10)],
+            "event_type string, value double",
+        )
+        h40 = value_histogram(df, n_buckets=40)  # buckets 0..39
+        with pytest.raises(Exception, match="bucket-count mismatch"):
+            psi_from_histogram(h40, n_buckets=20).collect()
+        with pytest.raises(Exception, match="bucket-count mismatch"):
+            psi_between_histograms(h40, h40, n_buckets=20).collect()
+        # matching counts still score
+        assert psi_from_histogram(h40, n_buckets=40).collect()
+
     def test_shifted_window_scores_high(self, spark):
         from shopify_etl_spark.operators.stats import (
             psi_between_histograms,
