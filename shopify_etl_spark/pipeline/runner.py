@@ -74,6 +74,31 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return fs, hpath
 
 
+def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text file via the Hadoop FS API (scheme-agnostic —
+    markers, manifests, bindings). Overwrites; callers needing an atomic
+    publish write to a sibling and rename."""
+    fs, p = _hadoop_fs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def fs_read_text(spark: SparkSession, path: str) -> str | None:
+    """Read a small text file via the Hadoop FS API; None if absent."""
+    fs, p = _hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return bytes(data).decode("utf-8")
+
+
 def table_exists(spark: SparkSession, path: str) -> bool:
     fs, hpath = _hadoop_fs(spark, path)
     return bool(fs.exists(hpath))

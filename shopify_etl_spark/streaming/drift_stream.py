@@ -25,6 +25,7 @@ from ..operators.stats import psi_from_histogram, value_histogram
 from .sketch_stream import (
     _epoch_committed,
     _epoch_dir,
+    check_store_pairing,
     compact_sketch_epochs,
     live_grid_dirs,
 )
@@ -50,6 +51,7 @@ def stream_value_histogram(
     def merge_batch(batch: DataFrame, epoch: int) -> None:
         out = _epoch_dir(hist_dir, epoch)
         spark = batch.sparkSession
+        check_store_pairing(spark, hist_dir, checkpoint_dir, epoch)
         if _epoch_committed(spark, out):
             return
         hist = value_histogram(batch, value_col, segment_col, lo, hi, n_buckets)

@@ -59,8 +59,10 @@ def stream_near_dedup_docs(
 
     def dedup_batch(batch: DataFrame, epoch: int) -> None:
         sp = batch.sparkSession
-        from .sketch_stream import _epoch_committed
+        from .sketch_stream import _epoch_committed, check_store_pairing
 
+        check_store_pairing(sp, out_dir, checkpoint_dir, epoch)
+        check_store_pairing(sp, state_dir, checkpoint_dir, epoch)
         out_ep, state_ep = _epoch_dir(out_dir, epoch), _epoch_dir(state_dir, epoch)
         if _epoch_committed(sp, out_ep) and _epoch_committed(sp, state_ep):
             return  # replayed epoch: both writes already committed

@@ -30,6 +30,7 @@ from ..operators.selection import dsir_fit, dsir_token_stream
 from .sketch_stream import (
     _epoch_committed,
     _epoch_dir,
+    check_store_pairing,
     compact_sketch_epochs,
     live_grid_dirs,
 )
@@ -61,6 +62,7 @@ def stream_dsir_model(
     def merge_batch(batch: DataFrame, epoch: int) -> None:
         out = _epoch_dir(model_dir, epoch)
         spark = batch.sparkSession
+        check_store_pairing(spark, model_dir, checkpoint_dir, epoch)
         if _epoch_committed(spark, out):
             return
         model = dsir_fit(

@@ -26,7 +26,13 @@ Operational invariant: a sketch store is PAIRED with its stream
 checkpoint — epoch ids come from the checkpoint's batch counter, so
 pointing a FRESH checkpoint at an existing store would collide new
 batch 0 with the old ``epoch=0`` and skip it. Reset both together (or
-neither), exactly like any foreachBatch sink keyed by batch id.
+neither), exactly like any foreachBatch sink keyed by batch id. The
+invariant is ENFORCED, not just documented (:func:`check_store_pairing`,
+called by every store-writing stream in this package): the store records
+its checkpoint's query id on first write and refuses batches from a
+different checkpoint, and a batch id below the store's max committed
+epoch refuses outright — the documented operational trap is an error,
+never a silent skip.
 """
 
 from __future__ import annotations
@@ -106,6 +112,84 @@ def live_grid_dirs(spark: SparkSession, base: str) -> list[str]:
     return [p for _, _, p in sorted(live)]
 
 
+_BINDING_FILE = "_store_binding"
+
+
+def _checkpoint_identity(spark: SparkSession, checkpoint_dir: str) -> str | None:
+    """The streaming checkpoint's query id (``<checkpoint>/metadata``,
+    written by StreamExecution at stream start, before batch 0 runs).
+    Stable across restarts of the SAME checkpoint; a deleted/recreated
+    checkpoint — even at the same path — gets a fresh uuid, which is
+    exactly the identity the pairing check needs (a path comparison
+    would miss an in-place reset)."""
+    import json
+
+    from ..pipeline.runner import fs_read_text
+
+    try:
+        raw = fs_read_text(spark, os.path.join(checkpoint_dir, "metadata"))
+        return json.loads(raw).get("id") if raw else None
+    except Exception:  # malformed/foreign metadata: fall back to epoch check
+        return None
+
+
+def check_store_pairing(
+    spark: SparkSession, store_dir: str, checkpoint_dir: str, epoch: int
+) -> None:
+    """Enforce the store/checkpoint pairing invariant before a batch
+    touches the store. Two independent refusals:
+
+    1. **Identity binding** — on first write the store records its
+       checkpoint's query id in ``_store_binding``; a batch arriving from
+       a DIFFERENT checkpoint (fresh checkpoint pointed at an old store —
+       the silent-skip trap) raises instead of colliding its restarted
+       batch counter with committed epochs. Catches the trap even when
+       the store holds only ``epoch=0`` (where the counter check below
+       cannot distinguish a replay from a restart).
+    2. **Epoch monotonicity** — a batch id BELOW the store's max
+       committed epoch can only come from a reset batch counter (a
+       legitimate crash replay re-delivers the LAST batch, never an
+       older one); refuse. Covers pre-binding legacy stores and
+       checkpoints whose metadata is unreadable.
+
+    The binding is written only after both checks pass, so a refused
+    batch never adopts the store.
+    """
+    from ..pipeline.runner import _hadoop_fs, fs_read_text, fs_write_text
+
+    binding_path = os.path.join(store_dir, _BINDING_FILE)
+    ident = _checkpoint_identity(spark, checkpoint_dir)
+    bound = fs_read_text(spark, binding_path)
+    if bound is not None and ident is not None and bound.strip() != ident:
+        raise RuntimeError(
+            f"store/checkpoint pairing violation: {store_dir} was written "
+            f"by checkpoint id {bound.strip()!r} but this batch comes from "
+            f"{ident!r} ({checkpoint_dir}). A fresh checkpoint restarts its "
+            "batch counter at 0 and would collide with (and silently skip) "
+            "this store's committed epochs. Reset the store and checkpoint "
+            f"TOGETHER, or delete {binding_path} to deliberately rebind."
+        )
+    ranges = [
+        _grid_range(st.getPath().getName())
+        for fs, root in [_hadoop_fs(spark, store_dir)]
+        if fs.exists(root)
+        for st in fs.listStatus(root)
+        if st.isDirectory()
+        and _epoch_committed(spark, os.path.join(store_dir, st.getPath().getName()))
+    ]
+    max_hi = max((r[1] for r in ranges if r is not None), default=None)
+    if max_hi is not None and epoch < max_hi:
+        raise RuntimeError(
+            f"store/checkpoint pairing violation: batch {epoch} arrived at "
+            f"{store_dir} whose max committed epoch is {max_hi}. Structured "
+            "Streaming only ever replays the LAST batch, so a lower batch "
+            "id means the checkpoint's counter was reset against a live "
+            "store. Reset the store and checkpoint together."
+        )
+    if bound is None and ident is not None:
+        fs_write_text(spark, binding_path, ident)
+
+
 def _epoch_committed(spark: SparkSession, epoch_dir: str) -> bool:
     """True only if the epoch's write COMMITTED (``_SUCCESS`` present).
 
@@ -144,6 +228,7 @@ def stream_cms(
     def merge_batch(batch: DataFrame, epoch: int) -> None:
         out = _epoch_dir(sketch_dir, epoch)
         spark = batch.sparkSession
+        check_store_pairing(spark, sketch_dir, checkpoint_dir, epoch)
         if _epoch_committed(spark, out):  # replayed AND committed — already merged
             return
         # mode("overwrite") below makes the rewrite of a partial epoch safe:
@@ -301,6 +386,7 @@ def stream_distinct_sketches(
     def merge_batch(batch: DataFrame, epoch: int) -> None:
         out = _epoch_dir(sketch_dir, epoch)
         spark = batch.sparkSession
+        check_store_pairing(spark, sketch_dir, checkpoint_dir, epoch)
         if _epoch_committed(spark, out):
             return
         sketches.distinct_sketches(batch, key_col, group_cols, lg_k).write.mode(

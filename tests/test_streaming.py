@@ -325,6 +325,59 @@ def test_stream_cms_incremental_merge_equals_whole(spark, tmp_path):
     assert sorted(map(tuple, read_sketch(spark, sk_dir).collect())) == before
 
 
+def test_fresh_checkpoint_against_live_store_refused(spark, tmp_path):
+    """The store/checkpoint pairing invariant is ENFORCED: a fresh
+    checkpoint pointed at an existing store raises (both the identity
+    binding and, for pre-binding stores, the batch-counter check)
+    instead of colliding batch 0 with the old epoch=0 and silently
+    skipping it — which would lose that batch's contribution with no
+    error."""
+    from shopify_etl_spark.streaming.sketch_stream import (
+        _BINDING_FILE,
+        read_sketch,
+        stream_cms,
+    )
+
+    src = tmp_path / "tokfeed"
+    sk_dir = str(tmp_path / "cms")
+    ckpt = str(tmp_path / "cms_ckpt")
+    schema = "token string, ingested_at string"
+
+    def run(name, tokens, checkpoint):
+        _write_jsonl(src / name, [
+            {"token": tk, "ingested_at": "2024-05-01T10:00:00.000Z"}
+            for tk in tokens
+        ])
+        feed = spark.readStream.schema(schema).json(str(src))
+        return stream_cms(feed, "token", sk_dir, checkpoint, width=64, depth=3)
+
+    run("b1.jsonl", ["a", "b", "a"], ckpt).awaitTermination(120)
+    run("b2.jsonl", ["c", "c"], ckpt).awaitTermination(120)
+    assert (tmp_path / "cms" / _BINDING_FILE).exists()  # identity recorded
+    before = sorted(map(tuple, read_sketch(spark, sk_dir).collect()))
+
+    # 1. identity check: fresh checkpoint, marker present
+    q = run("b3.jsonl", ["d"], str(tmp_path / "ck_fresh"))
+    with pytest.raises(Exception, match="pairing violation"):
+        q.awaitTermination(120)
+
+    # 2. counter check: pre-binding store (marker deleted), fresh checkpoint
+    #    restarts at batch 0 < max committed epoch 1
+    (tmp_path / "cms" / _BINDING_FILE).unlink()
+    q = run("b4.jsonl", ["e"], str(tmp_path / "ck_fresh2"))
+    with pytest.raises(Exception, match="pairing violation"):
+        q.awaitTermination(120)
+
+    # the refused batches wrote nothing and adopted nothing
+    assert sorted(map(tuple, read_sketch(spark, sk_dir).collect())) == before
+    assert not (tmp_path / "cms" / _BINDING_FILE).exists()
+
+    # the PAIRED checkpoint still works after the refusals (and re-adopts)
+    run("b5.jsonl", ["f"], ckpt).awaitTermination(120)
+    assert (tmp_path / "cms" / _BINDING_FILE).exists()
+    assert len(read_sketch(spark, sk_dir).collect()) > 0
+
+
 def test_stream_distinct_sketches_matches_one_shot(spark, tmp_path):
     """Streaming HLL maintenance: epoch-unioned per-batch sketches give
     the same per-group estimates as sketching the full history at once
