@@ -15,9 +15,12 @@ Spark twin of the reference's daily job (reference daily_scheduler.py:
   order items, keyed snapshot append.
 
 Warehouse tables are parquet directories; merged results are staged to a
-``_tmp`` sibling and atomically swapped, replacing the reference's
-per-entity Postgres transaction with per-table atomicity + idempotent
-re-runs (SURVEY §7.4 risk 1).
+``_tmp`` sibling and atomically swapped. The orders entity writes TWO
+tables per run (fact_orders + fact_order_items) and the reference
+commits them in one transaction (run_etl_with_retries.py:60-94), so the
+pair publishes through the manifest store in ``txn_store.py`` — one
+atomic rename covers both tables, closing SURVEY §7.4 risk 1; every
+single-table merge keeps the plain swap.
 """
 
 from __future__ import annotations
@@ -178,6 +181,73 @@ def archive_raw(spark: SparkSession, src: str, archive_dir: str, store: str, ent
     return dest
 
 
+ORDERS_PAIR = ("fact_orders", "fact_order_items")
+
+
+def orders_pair_store(spark: SparkSession, warehouse_dir: str):
+    """The warehouse's transactional store for the orders entity pair."""
+    from .txn_store import PairStore
+
+    return PairStore(spark, f"{warehouse_dir}/orders_txn", "created_month")
+
+
+def read_warehouse_table(spark: SparkSession, warehouse_dir: str, table: str):
+    """Resolve a warehouse table to a DataFrame (None if absent).
+
+    The orders pair lives in the manifest store once migrated — readers
+    resolve the latest committed manifest and always see a CONSISTENT
+    (fact_orders, fact_order_items) pair; every other table is a plain
+    parquet directory maintained by ``atomic_overwrite``.
+    """
+    if table in ORDERS_PAIR:
+        store = orders_pair_store(spark, warehouse_dir)
+        if store.exists():
+            return store.read_table(table)
+    return _read_table(spark, f"{warehouse_dir}/{table}")
+
+
+def _migrate_orders_pair(spark: SparkSession, wh: str, store) -> None:
+    """One-time adoption of a plain-layout orders pair into the
+    transactional store (the analog of ``_merge_into_partitions``'s
+    legacy migration). The migrated snapshot publishes as version 1 with
+    the usual single-rename atomicity; the plain directories are removed
+    only AFTER that publish (and re-swept if a crash left them behind —
+    readers already prefer the store, so the leftovers are inert)."""
+    plain_orders = f"{wh}/fact_orders"
+    plain_items = f"{wh}/fact_order_items"
+    if not store.exists():
+        updates = []
+        po = _read_table(spark, plain_orders)
+        if po is not None:
+            if "created_month" not in po.columns:
+                po = merge.with_month_partition(po)
+            updates.append(("fact_orders", po, lambda ex, st: st))
+        pi = _read_table(spark, plain_items)
+        if pi is not None:
+            if "created_month" not in pi.columns:
+                if po is None:
+                    raise ValueError(
+                        f"{plain_items} has no created_month column and no "
+                        f"{plain_orders} to derive it from; rebuild the pair"
+                    )
+                # legacy items carry no parent timestamp: derive the month
+                # from the parent order; orphans land in the NULL partition
+                # rather than being dropped
+                parents = po.select("order_id", "created_month")
+                pi = pi.join(parents, "order_id", "left").select(
+                    *pi.columns, "created_month"
+                )
+            updates.append(("fact_order_items", pi, lambda ex, st: st))
+        if not updates:
+            return
+        store.commit(updates)
+    # sweep the plain dirs (post-publish; idempotent across crashes)
+    for path in (plain_orders, plain_items):
+        fs, p = _hadoop_fs(spark, path)
+        if fs.exists(p):
+            fs.delete(p, True)
+
+
 def _stage_one(spark: SparkSession, cfg: PipelineConfig, runlog: RunLog, store: str, entity: str):
     """One staging task (reference process_entity, daily_scheduler.py:100-148)."""
     # Each staging thread gets its own scheduler pool so concurrent jobs
@@ -319,22 +389,6 @@ def _merge_entity(spark: SparkSession, cfg: PipelineConfig, entity: str, ingest_
         staged_orders = merge.stamp_ingested(
             project_declared(staged_orders, "fact_orders"), ingest_ts
         )
-        # Partition-scoped upsert — the 100 TB shape of M6: fact_orders is
-        # partitioned by month(created_at); a daily batch touches only the
-        # 1-2 partitions its staged keys live in, every other month's files
-        # are never opened (the old full-table upsert+atomic_overwrite
-        # rewrote the whole fact table each run). created_at is immutable
-        # per order, so keys never move across partitions.
-        merge.upsert_partitioned(
-            spark,
-            f"{wh}/fact_orders",
-            merge.with_month_partition(staged_orders),
-            MERGE_KEYS["fact_orders"],
-            "created_month",
-            # Legacy (pre-partitioned) fact_orders migrates itself: it
-            # carries created_at, so the partition value derives in place.
-            derive_partition=merge.with_month_partition,
-        )
 
         # children: keep only the winning parent version's rows (the
         # transient _parent_updated_at carries the order version)
@@ -344,10 +398,10 @@ def _merge_entity(spark: SparkSession, cfg: PipelineConfig, entity: str, ingest_
             "_parent_updated_at",
             ["quantity", "title"],
         )
-        # Partition-scoped delete+reload — the 100 TB shape of M7: items
-        # are partitioned by the PARENT order's created month (immutable),
-        # so all existing children of a staged order live inside the
-        # partitions this batch touches; other months are never opened.
+        # Items partition on the PARENT order's created month (immutable),
+        # so every existing child of a staged order lives inside the
+        # partitions the batch touches — the delete side of delete+reload
+        # never looks outside the pruned set.
         staged_items = merge.with_month_partition(
             staged_items, "_parent_created_at", "created_month"
         )
@@ -355,26 +409,32 @@ def _merge_entity(spark: SparkSession, cfg: PipelineConfig, entity: str, ingest_
             project_declared(staged_items, "fact_order_items", keep=("created_month",)),
             ingest_ts,
         )
-        # Legacy fact_order_items has no parent timestamp at all — derive
-        # each child's month from the (already-migrated) parent fact_orders
-        # via a key join. Orphans (no surviving parent) land in the NULL
-        # partition rather than being dropped.
-        def _derive_items_partition(items):
-            parents = spark.read.parquet(f"{wh}/fact_orders").select(
-                "order_id", "created_month"
-            )
-            return items.join(parents, "order_id", "left").select(
-                *items.columns, "created_month"
-            )
 
-        merge.delete_reload_partitioned(
-            spark,
-            f"{wh}/fact_order_items",
-            staged_items,
-            ["order_id"],
-            "created_month",
-            derive_partition=_derive_items_partition,
-        )
+        # M6+M7 commit ATOMICALLY as a pair, matching the reference's
+        # one-transaction-per-entity semantics (run_etl_with_retries.py:
+        # 60-94, conn.autocommit=False at :30): both tables' touched
+        # month partitions stage into fresh generation dirs, and ONE
+        # manifest rename publishes them together — a crash between the
+        # two table writes leaves readers on the OLD consistent pair
+        # (crash-injection pinned in tests/test_pipeline.py). Partition
+        # scoping is unchanged: a daily batch still opens only the 1-2
+        # months its staged keys live in.
+        store = orders_pair_store(spark, wh)
+        _migrate_orders_pair(spark, wh, store)
+        store.commit([
+            (
+                "fact_orders",
+                merge.with_month_partition(staged_orders),
+                lambda ex, st: st if ex is None
+                else merge.upsert(ex, st, MERGE_KEYS["fact_orders"]),
+            ),
+            (
+                "fact_order_items",
+                staged_items,
+                lambda ex, st: st if ex is None
+                else merge.delete_reload(ex, st, ["order_id"]),
+            ),
+        ])
 
 
 def run_daily(spark: SparkSession, cfg: PipelineConfig, ingest_ts=None) -> dict:

@@ -7,9 +7,16 @@ import pytest
 from pyspark.sql import functions as F
 
 from shopify_etl_spark.pipeline import PipelineConfig, RunLog, run_daily
+from shopify_etl_spark.pipeline.runner import read_warehouse_table
 from shopify_etl_spark.schemas import SCHEMA_MAP
 
 from tests.shopify_fixtures import make_fixture_set
+
+
+def _read(spark, wh, table):
+    df = read_warehouse_table(spark, wh, table)
+    assert df is not None, table
+    return df
 
 
 @pytest.fixture(scope="module")
@@ -37,11 +44,11 @@ def test_daily_run_end_to_end_and_replay(spark, tmp_path, fixture_paths):
     assert all(res["merge"].values()), res
 
     wh = cfg.warehouse_dir
-    dim_customers = spark.read.parquet(f"{wh}/dim_customers")
-    fact_orders = spark.read.parquet(f"{wh}/fact_orders")
-    items = spark.read.parquet(f"{wh}/fact_order_items")
-    inv = spark.read.parquet(f"{wh}/fact_current_inventory")
-    snap = spark.read.parquet(f"{wh}/inventory_snapshot")
+    dim_customers = _read(spark, wh, "dim_customers")
+    fact_orders = _read(spark, wh, "fact_orders").drop("created_month")
+    items = _read(spark, wh, "fact_order_items").drop("created_month")
+    inv = _read(spark, wh, "fact_current_inventory")
+    snap = _read(spark, wh, "inventory_snapshot")
 
     assert dim_customers.count() == 60  # 30 per store
     assert dim_customers.columns == SCHEMA_MAP["dim_customers"] + ["ingested_at"]
@@ -52,7 +59,7 @@ def test_daily_run_end_to_end_and_replay(spark, tmp_path, fixture_paths):
     assert snap.select("snapshot_date").distinct().count() == 1
 
     before = {
-        t: sorted(map(tuple, spark.read.parquet(f"{wh}/{t}").collect()))
+        t: sorted(map(tuple, _read(spark, wh, t).collect()))
         for t in ("dim_customers", "fact_orders", "fact_order_items",
                   "fact_current_inventory", "inventory_snapshot")
     }
@@ -60,7 +67,7 @@ def test_daily_run_end_to_end_and_replay(spark, tmp_path, fixture_paths):
     res2 = run_daily(spark, cfg, ingest_ts="2025-11-28 06:00:00")
     assert all(res2["merge"].values())
     for t, rows in before.items():
-        after = sorted(map(tuple, spark.read.parquet(f"{wh}/{t}").collect()))
+        after = sorted(map(tuple, _read(spark, wh, t).collect()))
         assert after == rows, f"{t} changed on replay"
 
 
@@ -73,7 +80,7 @@ def test_incremental_batch2_upserts(spark, tmp_path, fixture_paths):
     cfg.raw_paths["wholesale_orders"] = str(fixture_paths["wholesale_orders_b2"])
     res = run_daily(spark, cfg, ingest_ts="2025-11-29 06:00:00")
     assert all(res["merge"].values())
-    fact_orders = spark.read.parquet(f"{cfg.warehouse_dir}/fact_orders")
+    fact_orders = _read(spark, cfg.warehouse_dir, "fact_orders")
     assert fact_orders.count() == 100  # 80 + 10 new per store
     upd = fact_orders.filter(F.col("order_id") == "R-0").collect()[0]
     assert upd.updated_at.day == 28  # updated row won
@@ -81,11 +88,21 @@ def test_incremental_batch2_upserts(spark, tmp_path, fixture_paths):
 
 
 def _partition_fingerprint(wh_dir: str, month: str, table: str = "fact_orders") -> dict:
-    """{relative file path: md5} for one created_month partition directory."""
+    """{relative file path: md5} for one created_month partition of the
+    orders pair store, resolved through the latest committed manifest —
+    untouched partitions must keep pointing at their ORIGINAL generation
+    dir with byte-identical files."""
     import hashlib
+    import json
     from pathlib import Path
 
-    base = Path(wh_dir) / table / f"created_month={month}"
+    manifests = sorted((Path(wh_dir) / "orders_txn" / "versions").glob("v*.json"))
+    man = json.loads(manifests[-1].read_text())
+    gen = man["tables"][table][month]
+    base = (
+        Path(wh_dir) / "orders_txn" / "data" / table / gen
+        / f"created_month={month}"
+    )
     return {
         str(p.relative_to(base)): hashlib.md5(p.read_bytes()).hexdigest()
         for p in sorted(base.rglob("*"))
@@ -149,7 +166,7 @@ def test_partitioned_upsert_leaves_untouched_months_byte_identical(
         == before_oct_i
     )
 
-    fact = spark.read.parquet(f"{cfg.warehouse_dir}/fact_orders")
+    fact = _read(spark, cfg.warehouse_dir, "fact_orders")
     assert fact.count() == 5  # 4 + 1 new
     nov = fact.filter(F.col("order_id") == "R-3").collect()[0]
     assert nov.updated_at.day == 28  # day-2 version won
@@ -158,12 +175,116 @@ def test_partitioned_upsert_leaves_untouched_months_byte_identical(
 
     # delete+reload held within the touched month: the updated order's
     # children are exactly the day-2 versions, new order's children present
-    items = spark.read.parquet(f"{cfg.warehouse_dir}/fact_order_items")
+    items = _read(spark, cfg.warehouse_dir, "fact_order_items")
     assert items.groupBy("order_id", "line_item_id").count().filter("count>1").count() == 0
     assert items.filter(F.col("order_id") == "R-99").count() > 0
     r3 = items.filter(F.col("order_id") == "R-3")
     assert r3.count() > 0
     assert {r.ingested_at.day for r in r3.select("ingested_at").collect()} == {29}
+
+
+def test_orders_pair_commit_is_atomic_across_tables(
+    spark, tmp_path, fixture_paths, monkeypatch
+):
+    """The reference commits fact_orders + fact_order_items in ONE
+    transaction (run_etl_with_retries.py:60-94). Crash injection: kill
+    the merge BETWEEN the two tables' data writes — readers must keep
+    seeing the OLD consistent pair (day-1 orders WITH day-1 items, never
+    day-2 orders beside day-1 items), and the re-run must complete and
+    publish the new pair."""
+    from shopify_etl_spark.pipeline import txn_store
+
+    cfg = _cfg(tmp_path, fixture_paths, retries=1)
+    res = run_daily(spark, cfg, ingest_ts="2025-11-28 06:00:00")
+    assert all(res["merge"].values())
+    wh = cfg.warehouse_dir
+    before_orders = sorted(
+        map(tuple, _read(spark, wh, "fact_orders").collect())
+    )
+    before_items = sorted(
+        map(tuple, _read(spark, wh, "fact_order_items").collect())
+    )
+
+    # day 2 with a crash after the FIRST table's generation write
+    real_write = txn_store._write_gen
+    calls = {"n": 0}
+
+    def crashing_write(df, gen_dir, partition_col):
+        calls["n"] += 1
+        if calls["n"] == 2:  # fact_orders wrote; kill before items
+            raise RuntimeError("injected crash between pair writes")
+        real_write(df, gen_dir, partition_col)
+
+    monkeypatch.setattr(txn_store, "_write_gen", crashing_write)
+    cfg.raw_paths = dict(cfg.raw_paths)
+    cfg.raw_paths["retail_orders"] = str(fixture_paths["retail_orders_b2"])
+    cfg.raw_paths["wholesale_orders"] = str(fixture_paths["wholesale_orders_b2"])
+    res2 = run_daily(spark, cfg, ingest_ts="2025-11-29 06:00:00")
+    assert res2["merge"]["orders"] is False  # the crash surfaced
+    assert calls["n"] == 2
+
+    # reader still sees the OLD pair — consistent, not mixed
+    assert sorted(map(tuple, _read(spark, wh, "fact_orders").collect())) == before_orders
+    assert sorted(map(tuple, _read(spark, wh, "fact_order_items").collect())) == before_items
+
+    # re-run (no injection) completes and publishes the NEW pair together
+    monkeypatch.setattr(txn_store, "_write_gen", real_write)
+    res3 = run_daily(spark, cfg, ingest_ts="2025-11-29 06:00:00")
+    assert res3["merge"]["orders"] is True
+    fact = _read(spark, wh, "fact_orders")
+    items = _read(spark, wh, "fact_order_items")
+    assert fact.count() == 100  # 80 + 10 new per store
+    assert fact.groupBy("order_id").count().filter("count>1").count() == 0
+    assert items.groupBy("order_id", "line_item_id").count().filter("count>1").count() == 0
+    # parent-child consistency: every item's parent exists
+    assert items.join(fact, "order_id", "left_anti").count() == 0
+
+
+def test_orders_pair_migrates_plain_layout(spark, tmp_path, fixture_paths):
+    """A warehouse written by the pre-store engine (plain fact_orders /
+    fact_order_items parquet dirs) migrates itself on the next orders
+    merge: version 1 = the adopted snapshot, the daily batch lands on
+    top, and the plain dirs are swept after the publish."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as SF
+
+    cfg = _cfg(tmp_path, fixture_paths)
+    res = run_daily(spark, cfg, ingest_ts="2025-11-28 06:00:00")
+    assert all(res["merge"].values())
+    wh = cfg.warehouse_dir
+
+    # demote the store back to a plain layout (the legacy engine's output)
+    import shutil
+
+    plain_orders = _read(spark, wh, "fact_orders").drop("created_month")
+    plain_items = _read(spark, wh, "fact_order_items").drop("created_month")
+    plain_orders.write.mode("overwrite").parquet(f"{wh}/_po")
+    plain_items.write.mode("overwrite").parquet(f"{wh}/_pi")
+    expect_orders = sorted(map(tuple, plain_orders.collect()))
+    shutil.rmtree(f"{wh}/orders_txn")
+    shutil.move(f"{wh}/_po", f"{wh}/fact_orders")
+    shutil.move(f"{wh}/_pi", f"{wh}/fact_order_items")
+
+    # day-2 run: migration + batch, one store, plain dirs gone
+    cfg.raw_paths = dict(cfg.raw_paths)
+    cfg.raw_paths["retail_orders"] = str(fixture_paths["retail_orders_b2"])
+    cfg.raw_paths["wholesale_orders"] = str(fixture_paths["wholesale_orders_b2"])
+    res2 = run_daily(spark, cfg, ingest_ts="2025-11-29 06:00:00")
+    assert res2["merge"]["orders"] is True
+    assert not Path(f"{wh}/fact_orders").exists()
+    assert not Path(f"{wh}/fact_order_items").exists()
+    fact = _read(spark, wh, "fact_orders")
+    assert fact.count() == 100
+    # every pre-migration row not re-delivered on day 2 survived unchanged
+    updated = {f"R-{i}" for i in range(8)} | {f"W-{5000 + i}" for i in range(8)}
+    expect_kept = sorted(t for t in expect_orders if t[0] not in updated)
+    kept_ids = [t[0] for t in expect_kept]
+    kept = sorted(
+        map(tuple, fact.drop("created_month")
+            .filter(SF.col("order_id").isin(kept_ids)).collect())
+    )
+    assert kept == expect_kept
 
 
 def test_barrier_skips_merge_on_staging_failure(spark, tmp_path, fixture_paths):
