@@ -9,13 +9,15 @@ Execution is forced with the ``noop`` sink (full pipeline runs, rows are
 materialized and discarded executor-side) so timings measure the engine,
 not driver-side collect serialization.
 
-Every query is timed ``$SPARK_GRAFT_BENCH_RUNS`` times (default 2) and
-the record carries a variance-resistant per-query headline: best-of-2
-warm at the default (the first run absorbs codegen/JIT; the second is
-the comparable number), median when runs >= 3. Rationale: the r03→r04
-official records drifted +36% on untouched queries, which swamped every
-real regression signal a single-shot timing could carry; measured warm
-run-to-run spread is ~5% (BENCH_LOCAL.json variance field).
+Every query is timed ``$SPARK_GRAFT_BENCH_RUNS`` times (default 3) and
+the record carries a variance-resistant per-query headline: the median
+at the default (the first run absorbs codegen/JIT and the median
+discards it; ``warm_rel_spread_median`` then separates environment
+noise from real change), best-of-N warm when runs <= 2. Rationale: the
+r03→r04 official records drifted +36% on untouched queries, which
+swamped every real regression signal a single-shot timing could carry;
+measured warm run-to-run spread is ~5% (BENCH_LOCAL.json variance
+field).
 """
 
 from __future__ import annotations
@@ -41,7 +43,7 @@ def _timed(fn) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:

@@ -1,0 +1,617 @@
+"""Minimal self-contained baseline JPEG codec (stdlib struct + numpy).
+
+The multimodal layer's last compressed-container seam: PNG/WAV/Y4M proved
+dependency-free codecs are feasible in this environment (no Pillow /
+opencv / ffmpeg), and baseline JPEG closes the image family. Scope is the
+honest baseline subset (ITU-T T.81):
+
+* **sequential DCT, 8-bit** (SOF0), Huffman entropy coding (DHT),
+* **1 component (grayscale) or 3 components (YCbCr, JFIF)**,
+* **no chroma subsampling on encode (4:4:4)**; decode additionally
+  accepts any h/v sampling factors ≤ 2 (4:2:0 / 4:2:2 from other
+  encoders) with block-replication upsampling,
+* restart intervals (DRI/RSTn) on decode,
+* progressive (SOF2), arithmetic coding and 12-bit depth stay OUTSIDE —
+  they raise ``NotImplementedError`` at the same seam the other codecs
+  use, behind this working default path.
+
+JPEG is lossy, so the test contract differs from PNG's bit-exact
+round-trip: ``decode(encode(x, quality=q))`` must reconstruct within a
+PSNR bound that tightens with q (pinned in tests/test_jpeg_codec.py),
+DC-flat blocks must round-trip exactly at q=100 on the luma path, and
+the decoder must reject/raise on the documented out-of-scope shapes.
+
+Decode cost is Huffman bit-reading per coefficient (Python) + numpy
+matrix IDCT per block; the Arrow ``mapInPandas`` batching above this
+keeps per-row Python overhead off the hot path, same as png_codec.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Shared tables
+# ---------------------------------------------------------------------------
+
+#: Zig-zag order: index i of the scan → (row, col) in the 8×8 block.
+_ZIGZAG = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+#: Annex K.1 base quantization tables (luminance, chrominance).
+_Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K.3 standard Huffman tables: (bits[1..16], values)
+_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8×8 DCT-II matrix D: dct2(B) = D @ B @ D.T."""
+    k = np.arange(8)
+    d = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) / 2.0
+    d[0, :] = 1.0 / (2 * np.sqrt(2.0))
+    return d
+
+
+_DCT = _dct_matrix()
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling of the Annex K tables (clamped to [1, 255])."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (_Q_LUMA, _Q_CHROMA):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int64))
+    return out[0], out[1]
+
+
+def _build_huffman_encode(bits, values) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) per T.81 C.2 canonical code assignment."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _build_huffman_decode(bits, values) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol (tiny tables; dict lookup is plenty)."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """Signed value → (category s, s-bit code) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    a, s = abs(v), 0
+    while a:
+        a >>= 1
+        s += 1
+    code = v if v > 0 else v + (1 << s) - 1
+    return s, code
+
+
+def _extend(code: int, s: int) -> int:
+    """Inverse of :func:`_magnitude` (T.81 F.2.2.1 EXTEND)."""
+    return code if code >= (1 << (s - 1)) else code - (1 << s) + 1
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            byte = (self._acc >> self._n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.out.append(0x00)
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)  # 1-pad to the byte boundary
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self._acc = 0
+        self._n = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("jpeg: entropy stream truncated")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                self.pos += 1  # stuffed byte
+            else:
+                raise ValueError("jpeg: unexpected marker inside scan")
+        self._acc = (self._acc << 8) | b
+        self._n += 8
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            self._fill()
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("jpeg: invalid Huffman code")
+
+    def byte_align(self) -> None:
+        self._n = 0
+
+
+# ---------------------------------------------------------------------------
+# Encode
+# ---------------------------------------------------------------------------
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = (ycc[..., i] for i in range(3))
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.stack([r, g, b], axis=-1)
+
+
+def _tiles(plane: np.ndarray, n_by: int, n_bx: int) -> np.ndarray:
+    """Edge-replicated 8×8 tiling to a fixed block grid: (n_by, n_bx, 8, 8)."""
+    h, w = plane.shape
+    padded = np.pad(
+        plane, ((0, n_by * 8 - h), (0, n_bx * 8 - w)), mode="edge"
+    )
+    return padded.reshape(n_by, 8, n_bx, 8).transpose(0, 2, 1, 3)
+
+
+def _downsample2(plane: np.ndarray) -> np.ndarray:
+    """2×2 mean downsample (edge-padded to even dims) — the 4:2:0 chroma."""
+    h, w = plane.shape
+    p = np.pad(plane, ((0, h % 2), (0, w % 2)), mode="edge")
+    return p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(axis=(1, 3))
+
+
+def _encode_block(writer, block_zz, prev_dc, dc_t, ac_t) -> int:
+    """Entropy-encode one zig-zag block; returns its DC for the predictor."""
+    dc = int(block_zz[0])
+    s, code = _magnitude(dc - prev_dc)
+    hc, hl = dc_t[s]
+    writer.write(hc, hl)
+    if s:
+        writer.write(code, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(block_zz)[0])) if np.any(block_zz[1:]) else 0
+    for k in range(1, last_nz + 1):
+        v = int(block_zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            hc, hl = ac_t[0xF0]  # ZRL
+            writer.write(hc, hl)
+            run -= 16
+        s, code = _magnitude(v)
+        hc, hl = ac_t[(run << 4) | s]
+        writer.write(hc, hl)
+        writer.write(code, s)
+        run = 0
+    if last_nz < 63:
+        hc, hl = ac_t[0x00]  # EOB
+        writer.write(hc, hl)
+    return dc
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 raster (H,W) grayscale or (H,W,3) RGB → baseline JFIF bytes.
+
+    Standard Annex K Huffman tables, IJG quality scaling of the Annex K
+    quantization tables. ``subsampling='420'`` (3-component only) mean-
+    downsamples chroma 2×2 and interleaves 16×16 MCUs — the dominant
+    real-world layout, and what exercises the decoder's upsampling path.
+    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs (the
+    error-resilience layout long scans use; resets DC predictors and
+    byte-aligns, exactly what the decoder's segment splitting expects).
+    """
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        planes = [arr.astype(np.float64)]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        ycc = _rgb_to_ycbcr(arr)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+    else:
+        raise ValueError(f"unsupported raster shape {arr.shape}")
+    h, w = arr.shape[:2]
+    n_comp = len(planes)
+    if subsampling == "420" and n_comp == 3:
+        samp = [(2, 2), (1, 1), (1, 1)]
+        planes = [planes[0], _downsample2(planes[1]), _downsample2(planes[2])]
+    elif subsampling == "444":
+        samp = [(1, 1)] * n_comp
+    else:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    q_luma, q_chroma = _quality_tables(quality)
+    qtabs = [q_luma] + ([q_chroma] if n_comp == 3 else [])
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    for tid, q in enumerate(qtabs):
+        zz = q[_ZIGZAG].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sof = struct.pack(">BHHB", 8, h, w, n_comp)
+    for c in range(n_comp):
+        sof += struct.pack(
+            ">BBB", c + 1, (samp[c][0] << 4) | samp[c][1], 0 if c == 0 else 1
+        )
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    huff_specs = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
+    if n_comp == 3:
+        huff_specs += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
+    enc_tabs = {}
+    for tc_th, (bits, values) in huff_specs:
+        payload = bytes([tc_th]) + bytes(bits) + bytes(values)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+        enc_tabs[tc_th] = _build_huffman_encode(bits, values)
+    sos = struct.pack(">B", n_comp)
+    for c in range(n_comp):
+        sos += struct.pack(">BB", c + 1, 0x00 if c == 0 else 0x11)
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    # Quantized coefficients per component, on each component's own block
+    # grid (vectorized DCT over all blocks at once).
+    comp_coefs = []
+    for c, plane in enumerate(planes):
+        n_by, n_bx = mcuy * samp[c][1], mcux * samp[c][0]
+        tiles = _tiles(plane - 128.0, n_by, n_bx)
+        coefs = np.einsum("ij,abjk,lk->abil", _DCT, tiles, _DCT)
+        q = qtabs[min(c, len(qtabs) - 1)].reshape(8, 8)
+        comp_coefs.append(
+            np.round(coefs / q).astype(np.int64).reshape(n_by, n_bx, 64)
+        )
+
+    writer = _BitWriter()
+    prev_dc = [0] * n_comp
+    mcu_in_seg, rst_n = 0, 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_in_seg == restart_interval:
+                writer.flush()
+                writer.out += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) % 8
+                prev_dc = [0] * n_comp
+                mcu_in_seg = 0
+            for c in range(n_comp):
+                dc_t = enc_tabs[0x00 if c == 0 else 0x01]
+                ac_t = enc_tabs[0x10 if c == 0 else 0x11]
+                for by in range(samp[c][1]):
+                    for bx in range(samp[c][0]):
+                        block = comp_coefs[c][
+                            my * samp[c][1] + by, mx * samp[c][0] + bx
+                        ][_ZIGZAG]
+                        prev_dc[c] = _encode_block(
+                            writer, block, prev_dc[c], dc_t, ac_t
+                        )
+            mcu_in_seg += 1
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes → uint8 raster (H,W) or (H,W,3) RGB.
+
+    Accepts baseline sequential (SOF0) with 1 or 3 components, any h/v
+    sampling factors ≤ 2, standard or custom Huffman/quantization tables,
+    and restart intervals. Progressive (SOF2) and arithmetic coding raise
+    NotImplementedError — the documented seam, same contract as the other
+    codecs in this package.
+    """
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"jpeg: expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        length = struct.unpack(">H", data[pos:pos + 2])[0]
+        seg = data[pos + 2:pos + length]
+        pos += length
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("jpeg: 16-bit quant tables")
+                zz = np.frombuffer(seg[off + 1:off + 65], dtype=np.uint8)
+                q = np.zeros(64, dtype=np.int64)
+                q[_ZIGZAG] = zz
+                qtabs[tq] = q.reshape(8, 8)
+                off += 65
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(seg):
+                tc_th = seg[off]
+                bits = list(seg[off + 1:off + 17])
+                n = sum(bits)
+                values = list(seg[off + 17:off + 17 + n])
+                htabs[tc_th] = _build_huffman_decode(bits, values)
+                off += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline(+ext seq)
+            prec, h, w, n_comp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError("jpeg: only 8-bit precision")
+            comps = []
+            for c in range(n_comp):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            if any(c["h"] > 2 or c["v"] > 2 for c in comps):
+                raise NotImplementedError("jpeg: sampling factors > 2")
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"jpeg: only baseline sequential (SOF0) supported, got "
+                f"SOF{marker - 0xC0}"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF")
+            n_scan = seg[0]
+            scan_tabs = {}
+            for c in range(n_scan):
+                cid, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan_tabs[cid] = (tdta >> 4, tdta & 0x0F)
+            end = _find_scan_end(data, pos)
+            pixels = _decode_scan(
+                data[pos:end], frame, qtabs, htabs, scan_tabs,
+                restart_interval,
+            )
+            return pixels
+        # APPn/COM and everything else: skipped
+    raise ValueError("jpeg: no scan data found")
+
+
+def _find_scan_end(data: bytes, start: int) -> int:
+    """Index of the first real marker (not stuffing/RST) after the scan."""
+    i = start
+    while i < len(data) - 1:
+        if data[i] == 0xFF and data[i + 1] not in (0x00,) and not (
+            0xD0 <= data[i + 1] <= 0xD7
+        ):
+            return i
+        i += 1
+    return len(data)
+
+
+def _decode_scan(scan, frame, qtabs, htabs, scan_tabs, restart_interval):
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for c in comps:
+        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
+        planes.append(np.zeros((ph, pw), dtype=np.float64))
+
+    # split on RST markers; each segment resets DC predictors + alignment
+    segments = []
+    if restart_interval:
+        seg, i = bytearray(), 0
+        while i < len(scan):
+            if scan[i] == 0xFF and i + 1 < len(scan) and 0xD0 <= scan[i + 1] <= 0xD7:
+                segments.append(bytes(seg))
+                seg = bytearray()
+                i += 2
+                continue
+            seg.append(scan[i])
+            i += 1
+        segments.append(bytes(seg))
+    else:
+        segments = [scan]
+
+    idct = _DCT.T
+    seg_idx, reader = 0, _BitReader(segments[0])
+    prev_dc = [0] * len(comps)
+    mcu_in_seg = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_in_seg == restart_interval:
+                seg_idx += 1
+                reader = _BitReader(segments[seg_idx])
+                prev_dc = [0] * len(comps)
+                mcu_in_seg = 0
+            for ci, comp in enumerate(comps):
+                td, ta = scan_tabs[comp["id"]]
+                dc_t, ac_t = htabs[0x00 | td], htabs[0x10 | ta]
+                q = qtabs[comp["tq"]]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = reader.read_symbol(dc_t)
+                        diff = _extend(reader.read_bits(s), s) if s else 0
+                        prev_dc[ci] += diff
+                        zz[0] = prev_dc[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.read_symbol(ac_t)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("jpeg: AC index overflow")
+                            zz[k] = _extend(reader.read_bits(s), s)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[_ZIGZAG] = zz
+                        block = block.reshape(8, 8) * q
+                        pix = idct @ block @ _DCT
+                        y0 = (my * comp["v"] + by) * 8
+                        x0 = (mx * comp["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
+            mcu_in_seg += 1
+
+    full = []
+    for ci, comp in enumerate(comps):
+        p = planes[ci] + 128.0
+        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        if ry > 1 or rx > 1:  # block-replication upsample (4:2:0 / 4:2:2)
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    rgb = _ycbcr_to_rgb(np.stack(full, axis=-1))
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -11,6 +11,10 @@ Decode paths, in preference order:
 * **Built-in PNG codec** (``operators/png_codec.py``, stdlib zlib +
   numpy) — real decode of real PNG bytes with zero external deps; this
   is the live path in this environment.
+* **Built-in baseline JPEG codec** (``operators/jpeg_codec.py``,
+  stdlib struct + numpy) — real Huffman+DCT decode of baseline
+  sequential JPEG (1/3 components, sampling factors ≤ 2, restart
+  intervals); progressive/arithmetic stay at the seam.
 * **Built-in Y4M demuxer** (``operators/y4m_codec.py``) — real
   frame extraction from uncompressed YUV4MPEG2 video payloads.
 * **Built-in WAV codec** (``operators/wav_codec.py``) — real PCM
@@ -94,14 +98,15 @@ def assets_from_documents(docs: DataFrame, id_col: str = "doc_id", text_col: str
 
 def _decode_raster(payload: bytes, fmt: str):
     """payload → uint8 numpy raster. Pillow when importable (any format),
-    else the built-in PNG codec for ``fmt='png'``; NotImplementedError
-    for formats that genuinely need an absent codec.
+    else the built-in codecs for ``fmt='png'`` (lossless) and
+    ``fmt in ('jpeg', 'jpg')`` (baseline sequential);
+    NotImplementedError for formats that genuinely need an absent codec.
 
     Import and decode are deliberately separate: only ImportError may
     route to the fallback chain silently. A Pillow DECODE failure (bad or
     unsupported bytes in a Pillow-equipped environment) still falls back
-    to the built-in codec for png, and raises NotImplementedError for
-    anything else — so behavior is identical with and without Pillow
+    to the built-in codecs for png/jpeg, and raises NotImplementedError
+    for anything else — so behavior is identical with and without Pillow
     installed instead of leaking UnidentifiedImageError.
     """
     import numpy as np
@@ -121,9 +126,13 @@ def _decode_raster(payload: bytes, fmt: str):
         from .png_codec import decode_png
 
         return decode_png(bytes(payload))
+    if fmt in ("jpeg", "jpg"):
+        from .jpeg_codec import decode_jpeg
+
+        return decode_jpeg(bytes(payload))
     raise NotImplementedError(
-        f"no codec for format={fmt!r} here (built-in codec covers png; "
-        "install Pillow for the rest)"
+        f"no codec for format={fmt!r} here (built-in codecs cover png and "
+        "baseline jpeg; install Pillow for the rest)"
     )
 
 

@@ -135,15 +135,54 @@ _CHANGED_R05 = [
     "approx_event_stats",          # null-user_id filter + left-join carry
 ]
 
-# Freshness order: round-5 changes, then everything whose latest official
-# row predates r04 (stalest first by construction of the r03/r04 lists),
-# then the r04-sampled set.
-_SAMPLE_FIRST = _CHANGED_R05 + [
-    n for n in QUERIES
-    if n not in _CHANGED_R05 and n not in _R04_SAMPLED
+# Queries the round-5 driver sampled (CORRECTNESS_r05.json keys): their
+# evidence is freshest, so they sort last among the unchanged.
+_R05_SAMPLED = [
+    "dsir_importance_weights", "jl_bucket_near_dups", "dup_graph_pagerank",
+    "token_entropy_docs", "pca_top2_scores", "cms_join_size",
+    "hll_key_overlap", "psi_value_drift", "curriculum_mix_docs",
+    "dedup_cluster_stats", "psi_time_drift", "corpus_datasheet",
+    "lang_id_confusion", "shard_balance_report", "oov_rates_by_source",
+    "doc_novelty_scores", "jl_projection_docs", "pca_power_scores",
+    "audio_demux_stats", "ccnet_ppl_buckets", "kmeans_fixed_init_clusters",
+    "cms_heavy_hitters", "bm25_champion_lists", "lm_bigram_scores",
+    "semantic_dedup_docs", "source_mixture_weights", "source_overlap_matrix",
+    "hard_negative_pairs", "hybrid_rrf_topk", "duplicate_span_stats",
+    "duplicate_span_intervals", "trim_repeated_spans", "leakage_safe_split",
+    "bpe_apply_one_merge", "mutual_knn_pairs", "cross_corpus_near_dups",
+    "curation_v2_corpus", "daily_value_ohlc", "robust_value_outliers",
+    "trained_ivf_topk", "image_decode_stats", "approx_event_stats",
+    "minhash_dedup_candidates", "simhash_near_pairs", "ann_cosine_topk",
+    "lsh_ann_topk", "multimodal_features", "embedding_near_dup_pairs",
+    "purchase_click_asof", "purchase_error_range_join",
 ]
 
-_missing = [n for n in _SAMPLE_FIRST + _R04_SAMPLED + _R03_SAMPLED if n not in QUERIES]
+# New or code-changed in round 6 — sample these first.
+_CHANGED_R06 = [
+    "lsh_ann_topk",             # now the guarantee-gate view (oracled)
+    "pagerank_degree_capped",   # new (worst-case-bounded edge build)
+    "dup_graph_pagerank",       # pagerank() iteration refactor (same values)
+    "shard_balance_report",     # overrun_tokens clamped at 0
+    "oov_rates_by_source",      # dead id_col parameter dropped
+    "pca_power_scores",         # driver rounding now SQL-ROUND semantics
+    "pca_top2_scores",          # driver rounding now SQL-ROUND semantics
+    "psi_value_drift",          # in-plan bucket-count guard
+    "psi_time_drift",           # in-plan bucket-count guard
+]
+
+# Freshness order: round-6 changes, then everything whose latest official
+# row predates r05 (stalest first by construction of the earlier lists),
+# then the r05-sampled set.
+_SAMPLE_FIRST = _CHANGED_R06 + [
+    n for n in QUERIES
+    if n not in _CHANGED_R06 and n not in _R05_SAMPLED
+]
+
+_missing = [
+    n
+    for n in _SAMPLE_FIRST + _R05_SAMPLED + _R04_SAMPLED + _R03_SAMPLED
+    if n not in QUERIES
+]
 if _missing:  # pragma: no cover - guards against a renamed query
     raise RuntimeError(f"catalog ordering references unknown queries: {_missing}")
 

@@ -2,9 +2,10 @@
 
 The large-scale training-data-pipeline surface (BASELINE.json north star)
 declared as catalog queries. SQL-expressible ops carry a DuckDB oracle;
-signature/LSH ops (engine-specific hashing) are rows-only checks whose
-correctness is instead proven in tests/ against the exact-oracle variants
-(e.g. MinHash candidates must cover every true Jaccard≥0.8 pair).
+seeded-random signature/LSH ops verify through guarantee-gate oracles
+(exact twins + by-construction flags the SQL recomputes/asserts) with the
+recall-vs-exact invariants additionally pinned in tests/ (e.g. MinHash
+candidates must cover every true Jaccard≥0.8 pair).
 """
 
 from __future__ import annotations

@@ -237,8 +237,8 @@ def pca_power_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "JL components — an angular-LSH (SimHash) pipeline whose blocking "
     "key is an exact integer sign, so the whole thing value-checks "
     "against a SQL oracle (the seeded-random LSH twin, lsh_ann_topk, "
-    "is rows-only by nature; this query is the family's oracle-able "
-    "representative). 2^8 buckets cut the self-join to ~(n/256)² per "
+    "verifies via its guarantee gate; this query is the family's "
+    "value-exact representative). 2^8 buckets cut the self-join to ~(n/256)² per "
     "bucket; exact cosine on the original vectors scores only within-"
     "bucket candidates. operators/similarity.py::jl_bucket_near_dups.",
 )

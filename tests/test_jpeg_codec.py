@@ -1,0 +1,151 @@
+"""Baseline JPEG codec tests: lossy round-trip within PSNR bounds, marker
+structure, subsampling + restart-interval decode paths, documented seams."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from shopify_etl_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return float("inf") if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def _test_image(h=40, w=56, channels=3, seed=7):
+    """Smooth gradient + low-frequency texture — the content JPEG is FOR
+    (pure noise is the adversarial case and has no PSNR guarantee)."""
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:h, 0:w]
+    base = 96 + 64 * np.sin(x / 9.0) * np.cos(y / 7.0) + x * 0.5 + y * 0.3
+    if channels == 1:
+        return np.clip(base + rng.normal(0, 2, (h, w)), 0, 255).astype(np.uint8)
+    chans = [
+        np.clip(base * s + rng.normal(0, 2, (h, w)), 0, 255)
+        for s in (1.0, 0.8, 0.6)
+    ]
+    return np.stack(chans, axis=-1).astype(np.uint8)
+
+
+class TestRoundTrip:
+    def test_grayscale_psnr(self):
+        img = _test_image(channels=1)
+        out = decode_jpeg(encode_jpeg(img, quality=90))
+        assert out.shape == img.shape and out.dtype == np.uint8
+        assert _psnr(img, out) > 38
+
+    def test_rgb_psnr(self):
+        img = _test_image(channels=3)
+        out = decode_jpeg(encode_jpeg(img, quality=90))
+        assert out.shape == img.shape
+        assert _psnr(img, out) > 32
+
+    def test_quality_monotone(self):
+        """Higher quality must not reconstruct worse (the quantization
+        tables shrink monotonically with q)."""
+        img = _test_image(channels=3)
+        psnrs = [
+            _psnr(img, decode_jpeg(encode_jpeg(img, quality=q)))
+            for q in (25, 50, 90)
+        ]
+        assert psnrs[0] <= psnrs[1] + 0.5 <= psnrs[2] + 1.0
+        assert psnrs[0] > 20  # even q=25 keeps the structure
+
+    def test_flat_image_exact_at_q100(self):
+        """A DC-only (flat) image has zero AC energy — at quality=100 the
+        luma path must round-trip EXACTLY (quantization of a flat block
+        touches only the DC term)."""
+        img = np.full((24, 24), 137, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=100))
+        assert np.array_equal(out, img)
+
+    def test_non_multiple_of_8_dims(self):
+        img = _test_image(h=13, w=21, channels=3)
+        out = decode_jpeg(encode_jpeg(img, quality=85))
+        assert out.shape == (13, 21, 3)
+        assert _psnr(img, out) > 28
+
+    def test_single_pixel(self):
+        img = np.array([[200]], dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=95))
+        assert out.shape == (1, 1)
+        assert abs(int(out[0, 0]) - 200) <= 3
+
+
+class TestLayouts:
+    def test_420_subsampling_round_trip(self):
+        """4:2:0 — the dominant real-world layout: chroma mean-downsampled
+        2x2, 16x16 interleaved MCUs; exercises the decoder's sampling-
+        factor handling and block-replication upsample."""
+        img = _test_image(h=40, w=56, channels=3)
+        data = encode_jpeg(img, quality=90, subsampling="420")
+        out = decode_jpeg(data)
+        assert out.shape == img.shape
+        assert _psnr(img, out) > 28
+        # and it actually subsampled: smaller than 4:4:4 at the same q
+        assert len(data) < len(encode_jpeg(img, quality=90))
+
+    def test_420_odd_dims(self):
+        img = _test_image(h=17, w=23, channels=3)
+        out = decode_jpeg(encode_jpeg(img, quality=90, subsampling="420"))
+        assert out.shape == (17, 23, 3)
+        assert _psnr(img, out) > 26
+
+    def test_restart_intervals(self):
+        """DRI/RSTn layout: predictors reset per segment, scan splits on
+        the markers, decoded pixels equal the no-restart encode's."""
+        img = _test_image(h=40, w=64, channels=3)
+        plain = decode_jpeg(encode_jpeg(img, quality=88))
+        rst = decode_jpeg(encode_jpeg(img, quality=88, restart_interval=2))
+        assert np.array_equal(plain, rst)
+
+    def test_restart_intervals_420(self):
+        img = _test_image(h=48, w=48, channels=3)
+        plain = decode_jpeg(encode_jpeg(img, quality=80, subsampling="420"))
+        rst = decode_jpeg(
+            encode_jpeg(img, quality=80, subsampling="420", restart_interval=1)
+        )
+        assert np.array_equal(plain, rst)
+
+
+class TestStructure:
+    def test_marker_layout(self):
+        data = encode_jpeg(_test_image(channels=3), quality=85)
+        assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+        # SOF0 present with 3 components and 8-bit precision
+        i = data.index(b"\xff\xc0")
+        prec, h, w, n = struct.unpack(">BHHB", data[i + 4:i + 10])
+        assert (prec, h, w, n) == (8, 40, 56, 3)
+
+    def test_entropy_bytes_are_stuffed(self):
+        """No bare 0xFF may appear inside the scan (T.81 byte stuffing)."""
+        data = encode_jpeg(_test_image(channels=1, seed=3), quality=10)
+        i = data.index(b"\xff\xda")
+        scan = data[i + 2 + struct.unpack(">H", data[i + 2:i + 4])[0]:-2]
+        j = 0
+        while j < len(scan) - 1:
+            if scan[j] == 0xFF:
+                assert scan[j + 1] == 0x00, f"bare FF at {j}"
+                j += 2
+            else:
+                j += 1
+
+    def test_rejects_non_jpeg(self):
+        with pytest.raises(ValueError, match="SOI"):
+            decode_jpeg(b"\x89PNG\r\n\x1a\nnot a jpeg")
+
+    def test_progressive_raises_documented_seam(self):
+        """SOF2 (progressive) is outside the baseline subset and must hit
+        the NotImplementedError seam, not mis-decode."""
+        data = bytearray(encode_jpeg(_test_image(channels=1), quality=85))
+        i = bytes(data).index(b"\xff\xc0")
+        data[i + 1] = 0xC2
+        with pytest.raises(NotImplementedError, match="SOF2"):
+            decode_jpeg(bytes(data))
+
+    def test_bad_quality_clamped(self):
+        img = _test_image(channels=1)
+        assert decode_jpeg(encode_jpeg(img, quality=0)).shape == img.shape
+        assert decode_jpeg(encode_jpeg(img, quality=1000)).shape == img.shape
