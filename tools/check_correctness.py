@@ -10,6 +10,7 @@ order-insensitive canonical value dump. Usage:
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -55,6 +56,18 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    # Optional driver-format artifact (CORRECTNESS_r*.json shape) — the
+    # local all-query mirror the per-round ALLCHECK records come from.
+    out_path = os.environ.get("SPARK_GRAFT_ALLCHECK_OUT")
+    results: dict[str, dict] = {}
+
+    def record(name, *, rows=None, schema=None, hashm=None, s_rows=None,
+               o_rows=None, err=None):
+        results[name] = {
+            "rows_match": rows, "schema_match": schema, "hash_match": hashm,
+            "spark_rows": s_rows, "oracle_rows": o_rows, "err": err,
+        }
+
     for name, builder in queries.items():
         if only and name not in only:
             continue
@@ -66,9 +79,11 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
+            record(name, err=f"spark: {e}")
             continue
         if name not in oracles:
             print(f"ok   {name}: rows-only check, {len(srows)} rows ({time.time()-t0:.1f}s)")
+            record(name, s_rows=len(srows), err="no_oracle")
             continue
         try:
             cur = con.execute(oracles[name])
@@ -96,6 +111,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: oracle error: {e}")
             failures.append(name)
+            record(name, s_rows=len(srows), err=f"oracle: {e}")
             continue
 
         sc, sv = frame_to_canon(scols, srows)
@@ -103,10 +119,13 @@ def main() -> int:
         if sc != oc:
             print(f"FAIL {name}: columns differ spark={sc} oracle={oc}")
             failures.append(name)
+            record(name, rows=len(sv) == len(ov), schema=False,
+                   s_rows=len(sv), o_rows=len(ov))
             continue
         if len(sv) != len(ov):
             print(f"FAIL {name}: rowcount spark={len(sv)} oracle={len(ov)}")
             failures.append(name)
+            record(name, rows=False, schema=True, s_rows=len(sv), o_rows=len(ov))
             continue
         diff = [i for i, (a, b) in enumerate(zip(sv, ov)) if a != b]
         if diff:
@@ -116,10 +135,20 @@ def main() -> int:
             print(f"  spark  {sv[i]}")
             print(f"  oracle {ov[i]}")
             failures.append(name)
+            record(name, rows=True, schema=True, hashm=False,
+                   s_rows=len(sv), o_rows=len(ov))
             continue
         print(f"ok   {name}: {len(sv)} rows match ({time.time()-t0:.1f}s)")
+        record(name, rows=True, schema=True, hashm=True,
+               s_rows=len(sv), o_rows=len(ov))
 
     spark.stop()
+    if out_path:
+        import json
+
+        with open(out_path, "w") as fh:
+            json.dump(results, fh, indent=2)
+        print(f"wrote {len(results)} records to {out_path}")
     if failures:
         print(f"\n{len(failures)} FAILURES: {failures}")
         return 1
