@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -427,6 +428,74 @@ def synth_png_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(rows, columns=["asset_id", "payload", "meta"])
 
     return docs.select(id_col).mapInPandas(synth, ASSET_SCHEMA)
+
+
+JPEG_ROUNDTRIP_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("n_pixels", LongType(), False),
+        StructField("dims_match", BooleanType(), False),
+        StructField("mae_le_4", BooleanType(), False),
+        StructField("psnr_ge_30", BooleanType(), False),
+    ]
+)
+
+
+def jpeg_roundtrip_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    quality: int = 90,
+) -> DataFrame:
+    """Lossy-codec round-trip gate — the JPEG twin of the lossless
+    ``image_decode_stats``/``audio_demux_stats`` pipelines, adapted to a
+    codec whose pixels are NOT bit-recoverable: per key ``d`` a smooth
+    deterministic gradient raster ``w = 24 + d % 9`` × ``h = 24 + d % 7``
+    with pixel ``(r, c) = (d % 97) + 3r + 2c`` (≤ 248, no clipping —
+    SQL-regenerable) is encoded through the REAL baseline JPEG writer and
+    decoded back; the output carries the exact geometry plus
+    by-construction quality flags (dims match; mean abs error ≤ 4; PSNR
+    ≥ 30 dB — a linear ramp concentrates DCT energy in the lowest
+    coefficients, far inside quality-90 quantization). Every step is a
+    deterministic pure function of ``d``, so the flags are stable across
+    partitionings and runs; the oracle regenerates the geometry and
+    asserts the flags (the guarantee-gate pattern). One narrow
+    ``mapInPandas`` chain, zero shuffles.
+    """
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .jpeg_codec import decode_jpeg, encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = 24 + d % 9, 24 + d % 7
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                raster = ((d % 97) + 3 * r + 2 * c).astype(np.uint8)
+                out = decode_jpeg(encode_jpeg(raster, quality=quality))
+                dims = out.shape == (h, w)
+                err = np.abs(
+                    out.astype(np.float64) - raster.astype(np.float64)
+                )
+                mse = float((err**2).mean())
+                psnr = float("inf") if mse == 0 else 10 * np.log10(255.0**2 / mse)
+                rows.append(
+                    (d, w, h, w * h, dims, float(err.mean()) <= 4.0, psnr >= 30.0)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "n_pixels",
+                    "dims_match", "mae_le_4", "psnr_ge_30",
+                ],
+            )
+
+    return docs.select(id_col).mapInPandas(roundtrip, JPEG_ROUNDTRIP_SCHEMA)
 
 
 AUDIO_FEATURE_SCHEMA = StructType(

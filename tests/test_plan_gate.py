@@ -86,6 +86,7 @@ EXPECT = {
     # any Exchange here means the audio pipeline stopped being a map
     "audio_demux_stats": dict(max_shuffles=0, max_smj=0, max_scan_width=1),
     "image_decode_stats": dict(max_shuffles=0, max_smj=0, max_scan_width=1),
+    "jpeg_roundtrip_stats": dict(max_shuffles=0, max_smj=0, max_scan_width=1),
     # fusion of two bounded top-k lists: the query-side postings/sizes are
     # broadcast (floor pinned); corpus-sized joins stay SMJ'd on 8-byte keys
     "hybrid_rrf_topk": dict(max_shuffles=10, min_bhj=2, max_smj=2),
