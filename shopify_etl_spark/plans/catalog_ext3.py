@@ -374,6 +374,56 @@ def dup_graph_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "training_sequence_spans",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> '')) AS n
+      FROM documents
+    ), s AS (
+      SELECT source, doc_id, n,
+             COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS st
+      FROM t WHERE n > 0
+    ), e AS (
+      SELECT source, doc_id, n, st,
+             unnest(range(CAST(st // 128 AS BIGINT),
+                          CAST((st + n - 1) // 128 + 1 AS BIGINT))) AS seq_id
+      FROM s
+    )
+    SELECT source,
+           CAST(seq_id AS BIGINT) AS seq_id,
+           doc_id,
+           CAST(GREATEST(st, seq_id * 128) - seq_id * 128 AS BIGINT)
+             AS seq_start,
+           CAST(GREATEST(st, seq_id * 128) - st AS BIGINT) AS doc_offset,
+           CAST(LEAST(st + n, seq_id * 128 + 128)
+                - GREATEST(st, seq_id * 128) AS BIGINT) AS chunk_len
+    FROM e
+    ORDER BY source, seq_id, doc_id
+    """,
+    doc="GPT-style sequence packing with document-boundary spans: "
+    "documents concatenate in deterministic order per source and cut "
+    "every 128 tokens; output is the (sequence, doc chunk) boundary map "
+    "a trainer needs for cross-document attention masking (seq_start / "
+    "doc_offset / chunk_len per straddle). One per-source cumulative "
+    "window (packing is sequential within a group by definition — "
+    "parallelism comes from the grouping key, never a global window) "
+    "plus a per-row sequence() explode bounded by 1 + n_tokens/128 rows "
+    "per doc. Fully SQL-expressible, value-checked end to end. "
+    "operators/packing.py::pack_sequences.",
+)
+def training_sequence_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import packing
+
+    return packing.pack_sequences(
+        load_table(spark, sf_dir, "documents"), seq_len=128
+    )
+
+
+@register(
     "jpeg_roundtrip_stats",
     # The synth formula (multimodal.jpeg_roundtrip_stats) regenerated in
     # SQL for geometry; the pixels are NOT SQL-recoverable (lossy DCT

@@ -30,3 +30,65 @@ def test_pack_shards_deterministic(spark, sf_dir):
     a = sorted(map(tuple, packing.pack_shards(docs, budget=1000).collect()))
     b = sorted(map(tuple, packing.pack_shards(docs, budget=1000).collect()))
     assert a == b
+
+
+def test_pack_sequences_hand_example(spark):
+    """Tokens concatenate per source in doc_id order and cut every 5:
+    doc 1 (4 tok) fills [0,4) of seq 0; doc 2 (3 tok) takes [4,5) of
+    seq 0 then [0,2) of seq 1 — the straddle carries doc_offset 1."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d", "A"),
+            (2, "e f g", "A"),
+            (3, "", "A"),            # empty doc packs nothing
+            (10, "x y z w v u", "B"),  # other group restarts at seq 0
+        ],
+        ["doc_id", "text", "source"],
+    )
+    rows = {
+        (r.source, r.seq_id, r.doc_id): (r.seq_start, r.doc_offset, r.chunk_len)
+        for r in packing.pack_sequences(df, seq_len=5).collect()
+    }
+    assert rows == {
+        ("A", 0, 1): (0, 0, 4),
+        ("A", 0, 2): (4, 0, 1),
+        ("A", 1, 2): (0, 1, 2),
+        ("B", 0, 10): (0, 0, 5),
+        ("B", 1, 10): (0, 5, 1),
+    }
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Chunks of one doc partition its tokens exactly; every sequence
+    except each group's last is filled to exactly seq_len."""
+    from pyspark.sql import functions as F
+
+    from shopify_etl_spark.plans.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = packing.pack_sequences(docs, seq_len=64).cache()
+    try:
+        # per-doc: chunk offsets/lengths partition [0, n_tokens)
+        per_doc = (
+            spans.groupBy("source", "doc_id")
+            .agg(
+                F.sum("chunk_len").alias("total"),
+                F.min("doc_offset").alias("first_off"),
+            )
+        )
+        shards = packing.pack_shards(docs, budget=10**9)  # just n_tokens
+        joined = per_doc.join(
+            shards.select("doc_id", "n_tokens"), "doc_id"
+        )
+        assert joined.filter("total <> n_tokens OR first_off <> 0").count() == 0
+        # per-sequence fill: seq_len everywhere but each group's last seq
+        fills = (
+            spans.groupBy("source", "seq_id")
+            .agg(F.sum("chunk_len").alias("fill"))
+        )
+        last = fills.groupBy("source").agg(F.max("seq_id").alias("last_seq"))
+        not_last = fills.join(last, "source").filter("seq_id < last_seq")
+        assert not_last.filter("fill <> 64").count() == 0
+        assert fills.filter("fill > 64 OR fill <= 0").count() == 0
+    finally:
+        spans.unpersist()

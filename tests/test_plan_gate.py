@@ -168,14 +168,20 @@ EXPECT = {
     # like dedup_corpus/leakage_safe_split): cluster-count-sized
     "dedup_cluster_stats": dict(max_shuffles=4, max_smj=1),
     # two window histograms + the bounded dense-frame comparison; the
-    # checkpointed event stream scans once
-    "psi_time_drift": dict(max_shuffles=14, max_smj=4),
+    # checkpointed event stream scans once. +1 exchange since r6: the
+    # in-plan bucket-count guard's projection sits between the two
+    # histogram reads and costs one segments×buckets-sized reshuffle —
+    # bounded, and worth the loud failure on a mismatched histogram
+    "psi_time_drift": dict(max_shuffles=15, max_smj=4),
     # two grouped passes over one checkpointed scan + one-row assembly
     "corpus_datasheet": dict(max_shuffles=8, max_smj=0),
     # one classification pass + labels-sized rollup (totals broadcast)
     "lang_id_confusion": dict(max_shuffles=5, min_bhj=1, max_smj=1),
     # the packer's per-source window + a shard-count-sized rollup
     "shard_balance_report": dict(max_shuffles=3, max_smj=0, max_scan_width=3),
+    # one per-source window + a per-row sequence explode — any join or
+    # extra exchange means the packer stopped being a single-pass window
+    "training_sequence_spans": dict(max_shuffles=2, max_smj=0, max_scan_width=3),
 }
 
 
