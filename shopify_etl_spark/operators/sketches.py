@@ -250,3 +250,85 @@ def hll_overlap(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — the memory-bounded membership screen
+# ---------------------------------------------------------------------------
+
+
+def _bloom_pos(key_col, i_col, m: int, salt: str):
+    """Portable position hash: md5 over ``salt:i:key`` → 60-bit int % m.
+
+    Same engine-portable conversion as ``dedup._md5_hash64`` — DuckDB
+    recomputes it as ``CAST(('0x' || substr(md5(...), 1, 15)) AS BIGINT)``,
+    so a SQL oracle reproduces every bit position exactly.
+    """
+    payload = F.concat(
+        F.lit(f"{salt}:"), i_col.cast("string"), F.lit(":"), F.col(key_col)
+    )
+    return (
+        F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long") % m
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m: int = 4096,
+    k: int = 3,
+    salt: str = "bloom-v1",
+) -> DataFrame:
+    """Distributed Bloom filter over a key column, materialized as its
+    SET-POSITION table: ≤ ``m`` rows of one int each, no matter how many
+    keys went in — the fixed-size membership screen for cross-corpus
+    ingest dedup at 100 TB (the exact anti-join re-shuffles both corpora
+    per ingest batch; the Bloom table broadcasts once and answers from
+    executor memory, at a bounded, measurable false-positive rate and
+    ZERO false negatives).
+
+    Build is one scan: explode each key into its ``k`` hash positions
+    (deterministic salted md5 — engine-portable, so the whole filter is
+    SQL-oracle-checkable) and keep the distinct set. Mergeable by
+    construction: the union of two stores' position tables IS the filter
+    of their union — same epoch-store economics as CMS/HLL.
+    """
+    idx = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("_i")
+    return (
+        df.select(F.col(key_col), idx)
+        .select(_bloom_pos(key_col, F.col("_i"), m, salt).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    df: DataFrame,
+    key_col: str,
+    m: int = 4096,
+    k: int = 3,
+    salt: str = "bloom-v1",
+    id_cols=None,
+) -> DataFrame:
+    """Membership screen: ``might_contain`` per probe key — TRUE iff all
+    ``k`` of the key's positions are set in ``bloom``.
+
+    The filter table broadcasts (≤ m ints); the probe side computes its
+    positions in-row and LEFT-joins them — one broadcast join, the probe
+    corpus never shuffles. Contract (the Bloom guarantee, asserted by
+    the oracle gate): no false negatives — every key that was IN the
+    build set answers TRUE; FALSE is definitive.
+    """
+    id_cols = list(id_cols or [key_col])
+    idx = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("_i")
+    probes = df.select(*id_cols, F.col(key_col), idx).select(
+        *id_cols, _bloom_pos(key_col, F.col("_i"), m, salt).alias("pos")
+    )
+    marked = bloom.select("pos", F.lit(1).alias("_set"))
+    return (
+        probes.join(F.broadcast(marked), "pos", "left")
+        .groupBy(*id_cols)
+        .agg(
+            (F.min(F.coalesce("_set", F.lit(0))) == 1).alias("might_contain")
+        )
+    )

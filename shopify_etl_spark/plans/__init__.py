@@ -163,6 +163,7 @@ _CHANGED_R06 = [
     "pagerank_degree_capped",   # new (worst-case-bounded edge build)
     "jpeg_roundtrip_stats",     # new (baseline JPEG encode/decode gate)
     "training_sequence_spans",  # new (attention-mask boundary packing)
+    "bloom_ingest_screen",      # new (fixed-size membership screen)
     "dup_graph_pagerank",       # pagerank() iteration refactor (same values)
     "shard_balance_report",     # overrun_tokens clamped at 0
     "oov_rates_by_source",      # dead id_col parameter dropped

@@ -374,6 +374,78 @@ def dup_graph_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bloom_ingest_screen",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+      FROM documents
+    ), build AS (
+      SELECT DISTINCT f FROM fp WHERE doc_id % 2 = 0
+    ), setpos AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5('bloom-v1:' || CAST(i.i AS VARCHAR)
+                                  || ':' || f), 1, 15)) AS BIGINT) % 4096
+               AS pos
+      FROM build CROSS JOIN (SELECT unnest(range(3)) AS i) i
+    ), probes AS (
+      SELECT doc_id, f,
+             CAST(('0x' || substr(md5('bloom-v1:' || CAST(i.i AS VARCHAR)
+                                  || ':' || f), 1, 15)) AS BIGINT) % 4096
+               AS pos
+      FROM fp CROSS JOIN (SELECT unnest(range(3)) AS i) i
+    ), mc AS (
+      SELECT p.doc_id,
+             MIN(CASE WHEN s.pos IS NULL THEN 0 ELSE 1 END) = 1
+               AS might_contain
+      FROM probes p LEFT JOIN setpos s ON p.pos = s.pos
+      GROUP BY p.doc_id
+    )
+    SELECT mc.doc_id, mc.might_contain,
+           (fp.f IN (SELECT f FROM build)) AS exact_member,
+           (NOT (fp.f IN (SELECT f FROM build))) OR mc.might_contain
+             AS no_false_negative
+    FROM mc JOIN fp ON fp.doc_id = mc.doc_id
+    ORDER BY mc.doc_id
+    """,
+    doc="Bloom-filter ingest screen — the memory-bounded membership test "
+    "a 100 TB cross-corpus dedup runs before paying an exact anti-join: "
+    "even-id docs' normalized fingerprints build a fixed-size filter "
+    "(<= 4096 set-position rows regardless of corpus size, broadcast "
+    "once), the WHOLE corpus probes it with one broadcast join (the "
+    "probe corpus never shuffles). Positions come from salted md5 — "
+    "engine-portable, so unlike library blooms the WHOLE filter is "
+    "value-exact in SQL: the oracle rebuilds every set bit and "
+    "reproduces each might_contain verdict, plus the Bloom contract "
+    "flag (no false negatives; FALSE is definitive, TRUE goes on to "
+    "the exact screen — operators/dedup.py::cross-corpus ingest). "
+    "operators/sketches.py::bloom_build/bloom_probe.",
+)
+def bloom_ingest_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches
+    from ..operators.text import fingerprint_md5
+
+    fp = fingerprint_md5(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("fp_md5").alias("f")
+    )
+    build = fp.filter(F.col("doc_id") % 2 == 0).select("f").distinct()
+    bloom = sketches.bloom_build(build, "f")
+    screened = sketches.bloom_probe(bloom, fp, "f", id_cols=["doc_id", "f"])
+    members = build.select(F.col("f"), F.lit(True).alias("_m"))
+    return (
+        screened.join(F.broadcast(members), "f", "left")
+        .select(
+            "doc_id",
+            "might_contain",
+            F.coalesce("_m", F.lit(False)).alias("exact_member"),
+            (~F.coalesce("_m", F.lit(False)) | F.col("might_contain")).alias(
+                "no_false_negative"
+            ),
+        )
+    )
+
+
+@register(
     "training_sequence_spans",
     oracle=r"""
     WITH t AS (

@@ -182,6 +182,10 @@ EXPECT = {
     # one per-source window + a per-row sequence explode — any join or
     # extra exchange means the packer stopped being a single-pass window
     "training_sequence_spans": dict(max_shuffles=2, max_smj=0, max_scan_width=3),
+    # build distinct + filter distinct + probe rollup + member check; the
+    # filter table and member set BROADCAST (floor pinned) — the probe
+    # corpus must never sort-merge against the fixed-size filter
+    "bloom_ingest_screen": dict(max_shuffles=5, min_bhj=2, max_smj=0),
 }
 
 

@@ -209,3 +209,39 @@ class TestHllOverlap:
         b = spark.createDataFrame([(f"b{i}",) for i in range(100)], ["k"])
         r = sketches.hll_overlap(a, b, "k").collect()[0]
         assert abs(r["est_overlap"]) <= 5
+
+
+class TestBloom:
+    def test_no_false_negatives_and_definitive_false(self, spark):
+        from shopify_etl_spark.operators import sketches
+
+        keys = spark.createDataFrame(
+            [(f"key-{i}",) for i in range(200)], ["f"]
+        )
+        bloom = sketches.bloom_build(keys, "f", m=1024, k=3)
+        assert bloom.count() <= 1024  # fixed-size no matter the input
+        # every built key must answer TRUE (the Bloom guarantee)
+        hits = sketches.bloom_probe(bloom, keys, "f", m=1024, k=3).collect()
+        assert all(r.might_contain for r in hits) and len(hits) == 200
+        # fresh keys: FALSE answers are definitive non-members; at this
+        # load factor most of them must come back FALSE
+        fresh = spark.createDataFrame(
+            [(f"other-{i}",) for i in range(200)], ["f"]
+        )
+        out = sketches.bloom_probe(bloom, fresh, "f", m=1024, k=3).collect()
+        n_false = sum(1 for r in out if not r.might_contain)
+        assert n_false >= 150  # fpr bound is ~ (k*n/m)^k << 25%
+
+    def test_mergeable_union_is_filter_of_union(self, spark):
+        from shopify_etl_spark.operators import sketches
+
+        a = spark.createDataFrame([(f"a-{i}",) for i in range(50)], ["f"])
+        b = spark.createDataFrame([(f"b-{i}",) for i in range(50)], ["f"])
+        merged = (
+            sketches.bloom_build(a, "f").unionByName(sketches.bloom_build(b, "f"))
+            .distinct()
+        )
+        whole = sketches.bloom_build(a.unionByName(b), "f")
+        assert sorted(r.pos for r in merged.collect()) == sorted(
+            r.pos for r in whole.collect()
+        )
