@@ -1115,3 +1115,58 @@ def test_read_psi_vs_baseline_between_two_stores(spark, tmp_path):
     ).collect()))
     assert via_stores == via_batch
     assert via_stores[0][3] > 0.25  # loud drift
+
+
+def test_stream_bloom_matches_one_shot_and_compacts(spark, tmp_path):
+    """Streaming Bloom maintenance: epoch-merged batch filters EQUAL the
+    one-shot filter of the full history (distinct-mergeable), the probe
+    guarantee holds through the store (no false negatives for any key
+    that streamed in), replay is a no-op, and compaction changes no
+    membership answer."""
+    from shopify_etl_spark.operators import sketches
+    from shopify_etl_spark.streaming.bloom_stream import (
+        compact_bloom_epochs,
+        read_bloom,
+        stream_bloom,
+    )
+
+    src = tmp_path / "keyfeed"
+    bl_dir = str(tmp_path / "bloom")
+    ckpt = str(tmp_path / "bloom_ckpt")
+    schema = "f string, ingested_at string"
+
+    def run_batch(name, keys):
+        _write_jsonl(src / name, [
+            {"f": k, "ingested_at": "2024-05-01T10:00:00.000Z"} for k in keys
+        ])
+        feed = spark.readStream.schema(schema).json(str(src))
+        stream_bloom(feed, "f", bl_dir, ckpt, m=512, k=3).awaitTermination(120)
+
+    b1 = [f"doc-{i}" for i in range(40)]
+    b2 = [f"doc-{i}" for i in range(30, 70)]
+    run_batch("b1.jsonl", b1)
+    run_batch("b2.jsonl", b2)
+
+    merged = read_bloom(spark, bl_dir)
+    whole = sketches.bloom_build(
+        spark.createDataFrame([(kk,) for kk in b1 + b2], ["f"]), "f", m=512, k=3
+    )
+    assert sorted(r.pos for r in merged.collect()) == sorted(
+        r.pos for r in whole.collect()
+    )
+    # Bloom guarantee through the store: every streamed key answers TRUE
+    seen = spark.createDataFrame([(kk,) for kk in set(b1 + b2)], ["f"])
+    hits = sketches.bloom_probe(merged, seen, "f", m=512, k=3).collect()
+    assert all(r.might_contain for r in hits)
+
+    # replay on the same checkpoint: no change
+    before = sorted(r.pos for r in merged.collect())
+    feed = spark.readStream.schema(schema).json(str(src))
+    stream_bloom(feed, "f", bl_dir, ckpt, m=512, k=3).awaitTermination(120)
+    assert sorted(r.pos for r in read_bloom(spark, bl_dir).collect()) == before
+
+    # third batch, then compact: answers unchanged
+    run_batch("b3.jsonl", [f"late-{i}" for i in range(10)])
+    full = sorted(r.pos for r in read_bloom(spark, bl_dir).collect())
+    assert compact_bloom_epochs(spark, bl_dir) is not None
+    assert sorted(r.pos for r in read_bloom(spark, bl_dir).collect()) == full
