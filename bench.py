@@ -96,6 +96,14 @@ def main() -> None:
         "dedup_clusters",
         "dedup_corpus",
         "dedup_corpus_best",
+        # cluster consumers: a curation run clusters ONCE and fans out;
+        # these charge their rollup/split against the shared labels
+        "dedup_cluster_stats",
+        "leakage_safe_split",
+        # the weak-tie similarity graph is built once from the SAME
+        # shared postings; both PageRank variants iterate over it
+        "dup_graph_pagerank",
+        "pagerank_degree_capped",
     )
     # the span family shares one materialized window-hash stage the same
     # way (one corpus pass, three consumers)
@@ -164,6 +172,33 @@ def main() -> None:
         bench("dedup_corpus_best",
               lambda: noop(dedup.apply_dedup_best(docs, clusters, "n_chars")
                            .select("doc_id", "source")))
+
+        from shopify_etl_spark.plans.catalog_ext2 import leakage_split_from
+        from shopify_etl_spark.plans.catalog_ext3 import cluster_stats_from
+
+        bench("dedup_cluster_stats",
+              lambda: noop(cluster_stats_from(docs, clusters)))
+        bench("leakage_safe_split",
+              lambda: noop(leakage_split_from(docs, clusters)))
+
+        # Weak-tie graph family: the 0.02-threshold edge list shares the
+        # SAME postings stage; both PageRank variants message-pass over
+        # one materialized edge table (_stage: discipline as above).
+        from shopify_etl_spark.operators.graph import pagerank
+
+        edges = None
+
+        def build_edges():
+            nonlocal edges
+            edges = dedup.ngram_jaccard_pairs(
+                docs, threshold=0.02, postings=postings
+            ).localCheckpoint(eager=False)
+            edges.count()  # force the materialization the family shares
+
+        bench("_stage:jaccard_edges_wk", build_edges)
+        bench("dup_graph_pagerank", lambda: noop(pagerank(edges)))
+        bench("pagerank_degree_capped",
+              lambda: noop(pagerank(edges, max_degree=3)))
     except Exception as e:  # noqa: BLE001
         print(f"bench error in dedup family: {e}", file=sys.stderr)
         for name in shared_dedup:

@@ -2336,6 +2336,25 @@ _LEAK_T = {
 }
 
 
+def leakage_split_from(docs: DataFrame, comp: DataFrame) -> DataFrame:
+    """The leakage-safe split over a PRECOMPUTED cluster assignment
+    (``comp``: (doc, cluster_id)) — split out so a pipeline that already
+    clustered (and bench.py's shared-clusters family) charges the
+    clustering once."""
+    clusters = comp.withColumnRenamed("doc", "doc_id")
+    keyed = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).cast("long").alias("group_key"),
+        )
+    )
+    return _sampling.hash_split(
+        keyed, "group_key", _LEAK_W, salt="leakfree-v1"
+    ).select("doc_id", "group_key", "split")
+
+
 @register(
     "leakage_safe_split",
     # Split thresholds are the hash_split scheme (first 8 md5 hex chars
@@ -2399,20 +2418,10 @@ _LEAK_T = {
 )
 def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    clusters = dedup.duplicate_clusters(
+    comp = dedup.duplicate_clusters(
         dedup.ngram_jaccard_pairs(docs, threshold=0.8)
-    ).withColumnRenamed("doc", "doc_id")
-    keyed = (
-        docs.select("doc_id")
-        .join(clusters, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("cluster_id", F.col("doc_id")).cast("long").alias("group_key"),
-        )
     )
-    return _sampling.hash_split(
-        keyed, "group_key", _LEAK_W, salt="leakfree-v1"
-    ).select("doc_id", "group_key", "split")
+    return leakage_split_from(docs, comp)
 
 
 @register(

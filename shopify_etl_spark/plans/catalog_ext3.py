@@ -1044,6 +1044,33 @@ def curriculum_mix_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixed.select("doc_id", "lang", "ppl_bucket", "n_copies", "copy_idx")
 
 
+def cluster_stats_from(docs: DataFrame, comp: DataFrame) -> DataFrame:
+    """The dedup_cluster_stats rollup over a PRECOMPUTED cluster
+    assignment — split out so a pipeline (and bench.py) that already
+    clustered the corpus charges the clustering cost once and fans out,
+    exactly like the shared shingle/span stages."""
+    csize = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    tot = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+    return (
+        csize.join(tot)
+        .groupBy("cluster_size", "n_docs")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("cluster_size").cast("long").alias("n_docs_in"),
+            F.sum(F.col("cluster_size") - 1).cast("long").alias("n_removable"),
+        )
+        .select(
+            "cluster_size",
+            "n_clusters",
+            "n_docs_in",
+            "n_removable",
+            F.round(F.col("n_docs_in") / F.col("n_docs"), 4).alias("corpus_frac"),
+        )
+    )
+
+
 @register(
     "dedup_cluster_stats",
     oracle=r"""
@@ -1106,26 +1133,7 @@ def dedup_cluster_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
     comp = dedup.duplicate_clusters(pairs)
-    csize = comp.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    tot = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
-    return (
-        csize.join(tot)
-        .groupBy("cluster_size", "n_docs")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_clusters"),
-            F.sum("cluster_size").cast("long").alias("n_docs_in"),
-            F.sum(F.col("cluster_size") - 1).cast("long").alias("n_removable"),
-        )
-        .select(
-            "cluster_size",
-            "n_clusters",
-            "n_docs_in",
-            "n_removable",
-            F.round(F.col("n_docs_in") / F.col("n_docs"), 4).alias("corpus_frac"),
-        )
-    )
+    return cluster_stats_from(docs, comp)
 
 
 @register(
