@@ -109,6 +109,12 @@ FAMILY = (
     "psi_time_drift",
     "cms_join_size",
     "hll_key_overlap",
+    # round 6: per-source window packer, fixed-size bloom screen,
+    # Arrow-parallel codec round-trip, degree-capped message passing
+    "training_sequence_spans",
+    "bloom_ingest_screen",
+    "jpeg_roundtrip_stats",
+    "pagerank_degree_capped",
 )
 
 
