@@ -59,10 +59,20 @@ class PairStore:
     partitions — the same precondition the partition-scoped merge had).
     """
 
-    def __init__(self, spark: SparkSession, root: str, partition_col: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        partition_col: str,
+        retain_versions: int = 2,
+    ):
         self.spark = spark
         self.root = root
         self.partition_col = partition_col
+        # How many committed versions stay readable. 2 = current + one
+        # back: enough for time-travel diffing and for ROLLBACK after a
+        # bad batch, while GC still reclaims superseded data promptly.
+        self.retain_versions = max(1, retain_versions)
 
     # -- filesystem plumbing -------------------------------------------------
 
@@ -107,18 +117,27 @@ class PairStore:
         raw = fs_read_text(
             self.spark, f"{self._versions_dir()}/v{v:07d}.json"
         )
+        if raw is None:
+            raise FileNotFoundError(
+                f"PairStore: version {v} is not retained at {self.root} "
+                f"(retain_versions={self.retain_versions}; available: "
+                f"{self._committed_versions()})"
+            )
         return json.loads(raw)
 
     # -- reads ---------------------------------------------------------------
 
-    def read_table(self, table: str) -> DataFrame | None:
-        """The table's current committed state, partition column included.
+    def read_table(self, table: str, version: int | None = None) -> DataFrame | None:
+        """The table's committed state, partition column included —
+        current by default, or AS OF a retained ``version`` (time
+        travel; the last ``retain_versions`` manifests and every data
+        directory they reference survive GC).
 
-        Reads exactly the (generation, partition) directories the latest
+        Reads exactly the (generation, partition) directories the
         manifest lists — never a whole generation dir, which may hold
         partitions superseded by later commits but not yet swept.
         """
-        entries = self.manifest()["tables"].get(table)
+        entries = self.manifest(version)["tables"].get(table)
         if not entries:
             return None
         by_gen: dict[str, list[str]] = {}
@@ -250,39 +269,86 @@ class PairStore:
         if not fs.rename(tmp_p, final_p):
             raise IOError(f"PairStore: failed to publish {final}")
 
+    def rollback(self, to_version: int) -> int:
+        """Publish a RETAINED past version's table map as a NEW version —
+        the bad-batch recovery story: no data is rewritten (the old
+        generations still exist under the retention window), so rollback
+        is exactly one manifest write + one atomic rename, with the same
+        crash contract as any commit. History stays append-only: the bad
+        version remains inspectable until retention ages it out."""
+        old = self.manifest(to_version)
+        new_version = self.current_version() + 1
+        manifest = {
+            "version": new_version,
+            "partition_col": self.partition_col,
+            "tables": {t: dict(m) for t, m in old["tables"].items()},
+            "rolled_back_from": self.current_version(),
+            "rolled_back_to": to_version,
+        }
+        self._publish(manifest, new_version)
+        try:
+            self._gc(manifest)
+        except Exception as e:  # noqa: BLE001 — space reclaim only
+            import sys
+
+            print(f"PairStore gc warning ({self.root}): {e}", file=sys.stderr)
+        return new_version
+
     def _gc(self, manifest: dict) -> None:
-        """Sweep superseded manifests and unreferenced data dirs. Pure
-        space reclaim: readers only follow the latest manifest, so
-        anything swept here is already invisible (a crash mid-GC just
-        leaves garbage for the next commit's sweep)."""
+        """Sweep manifests beyond the retention window and data dirs no
+        RETAINED manifest references. Pure space reclaim: readers only
+        follow retained manifests, so anything swept here is already
+        invisible (a crash mid-GC just leaves garbage for the next
+        commit's sweep)."""
         fs, vp = self._fs(self._versions_dir())
-        keep = f"v{manifest['version']:07d}.json"
+        current = manifest["version"]
+        floor = current - self.retain_versions + 1
         for st in fs.listStatus(vp):
             name = st.getPath().getName()
-            if name != keep and (
-                name.startswith("v") or name.startswith("_tmp.")
-            ):
+            if name.startswith("_tmp."):
                 fs.delete(st.getPath(), False)
-        for table, entries in manifest["tables"].items():
+                continue
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    v = int(name[1:-5])
+                except ValueError:
+                    continue
+                if v < floor or v > current:
+                    fs.delete(st.getPath(), False)
+        # union of live (partition → gen) entries across retained manifests
+        retained = [manifest]
+        for v in self._committed_versions():
+            if v != current:
+                try:
+                    retained.append(self.manifest(v))
+                except FileNotFoundError:
+                    continue
+        live_by_table: dict[str, set] = {}
+        for man in retained:
+            for table, entries in man["tables"].items():
+                bucket = live_by_table.setdefault(table, set())
+                bucket.update((k, g) for k, g in entries.items())
+        for table, live in live_by_table.items():
             tdir = f"{self.root}/data/{table}"
             tfs, tp = self._fs(tdir)
             if not tfs.exists(tp):
                 continue
+            live_gens = {g for _, g in live}
             for st in tfs.listStatus(tp):
                 if not st.isDirectory():
                     continue
                 gen = st.getPath().getName()
-                live = {k for k, g in entries.items() if g == gen}
-                if not live:
+                if gen not in live_gens:
                     tfs.delete(st.getPath(), True)
                     continue
+                keep_parts = {k for k, g in live if g == gen}
                 prefix = f"{self.partition_col}="
                 remaining = 0
                 for pst in tfs.listStatus(st.getPath()):
                     pname = pst.getPath().getName()
                     if not pname.startswith(prefix):
                         continue
-                    if pname[len(prefix):] in live:
+                    if pname[len(prefix):] in keep_parts:
                         remaining += 1
                     else:
                         tfs.delete(pst.getPath(), True)

@@ -73,23 +73,55 @@ def test_random_commit_walk_matches_model(spark, tmp_path):
         assert _store_rows(store, "ta") == model_a, f"step {_step} ta"
         assert _store_rows(store, "tb") == model_b, f"step {_step} tb"
 
-    # GC invariant: after the walk, every (table, partition) in the live
-    # manifest resolves to exactly ONE on-disk generation dir, and no
-    # unreferenced generation/partition dirs remain.
-    man = store.manifest()
-    for table, entries in man["tables"].items():
+    # GC invariant: on-disk (generation, partition) dirs are exactly the
+    # union of what the RETAINED manifests reference — nothing more.
+    retained = [store.manifest(), store.manifest(store.current_version() - 1)]
+    for table in {"ta", "tb"}:
         data = Path(tmp_path / "pair" / "data" / table)
         on_disk = {
             (g.name, p.name.split("=", 1)[1])
             for g in data.iterdir() if g.is_dir()
             for p in g.iterdir() if p.is_dir()
         }
-        live = {(g, k) for k, g in entries.items()}
+        live = {
+            (g, k)
+            for man in retained
+            for k, g in man["tables"].get(table, {}).items()
+        }
         assert on_disk == live, table
-    # exactly one committed manifest retained
+    # exactly retain_versions committed manifests survive
     versions = sorted((tmp_path / "pair" / "versions").glob("v*.json"))
-    assert len(versions) == 1
+    assert len(versions) == 2
     assert json.loads(versions[-1].read_text())["version"] == 6
+
+
+def test_time_travel_and_rollback(spark, tmp_path):
+    """The retention window makes the previous version readable AS OF,
+    and rollback republishes it as a NEW version without rewriting any
+    data — the bad-batch recovery story."""
+    import pytest
+
+    store = PairStore(spark, str(tmp_path / "pair"), "created_month")
+    store.commit([("t", _df(spark, [(1, "good", "2025-01")]), _upsert)])
+    good = _store_rows(store, "t")
+    store.commit([("t", _df(spark, [(1, "BAD", "2025-01")]), _upsert)])
+    assert _store_rows(store, "t") == {1: ("BAD", "2025-01")}
+    # time travel: version 1 still resolves under retain_versions=2
+    assert {
+        r["k"]: (r["v"], r["created_month"])
+        for r in store.read_table("t", version=1).collect()
+    } == good
+    # rollback: new version 3 with version 1's table map, no data rewrite
+    assert store.rollback(1) == 3
+    assert _store_rows(store, "t") == good
+    assert store.manifest()["rolled_back_to"] == 1
+    # the bad version ages out of retention (3 retained? window=2: keep 2,3)
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        store.manifest(1)
+    # ...but version 2 (the bad one) stays inspectable inside the window
+    assert {
+        r["v"] for r in store.read_table("t", version=2).collect()
+    } == {"BAD"}
 
 
 def test_empty_partition_disappears_from_manifest(spark, tmp_path):
