@@ -392,7 +392,12 @@ def synth_wav_assets(docs: DataFrame, id_col: str = "doc_id", rate: int = 16000)
                 rows.append((d, blob, meta))
             yield pd.DataFrame(rows, columns=["asset_id", "payload", "meta"])
 
-    return docs.select(id_col).mapInPandas(synth, ASSET_SCHEMA)
+    from .text import spread_small
+
+    # the synth+codec work is CPU-bound Python: a one-file input must
+    # not serialize it through one task (round-robin spread; no-op on
+    # wide inputs — the 100 TB case)
+    return spread_small(docs.select(id_col)).mapInPandas(synth, ASSET_SCHEMA)
 
 
 def synth_png_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -427,7 +432,12 @@ def synth_png_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows.append((d, blob, meta))
             yield pd.DataFrame(rows, columns=["asset_id", "payload", "meta"])
 
-    return docs.select(id_col).mapInPandas(synth, ASSET_SCHEMA)
+    from .text import spread_small
+
+    # the synth+codec work is CPU-bound Python: a one-file input must
+    # not serialize it through one task (round-robin spread; no-op on
+    # wide inputs — the 100 TB case)
+    return spread_small(docs.select(id_col)).mapInPandas(synth, ASSET_SCHEMA)
 
 
 JPEG_ROUNDTRIP_SCHEMA = StructType(
@@ -495,7 +505,13 @@ def jpeg_roundtrip_stats(
                 ],
             )
 
-    return docs.select(id_col).mapInPandas(roundtrip, JPEG_ROUNDTRIP_SCHEMA)
+    from .text import spread_small
+
+    # per-coefficient Huffman coding is the heaviest Python in the repo:
+    # spread an under-partitioned input or one task pays it all
+    return spread_small(docs.select(id_col)).mapInPandas(
+        roundtrip, JPEG_ROUNDTRIP_SCHEMA
+    )
 
 
 AUDIO_FEATURE_SCHEMA = StructType(
