@@ -758,7 +758,14 @@ def gram_matrix(
                 {"i": iu + 1, "j": ju + 1, "v": G[iu, ju]}
             )
 
-    parts = emb.select(vec_col).mapInPandas(partial, "i int, j int, v long")
+    from .text import spread_small
+
+    # the per-partition GEMM is CPU-bound: a one-file input must not
+    # serialize it through one task (round-robin spread; no-op on wide
+    # inputs, and the partial-sum reduction is partitioning-invariant)
+    parts = spread_small(emb.select(vec_col)).mapInPandas(
+        partial, "i int, j int, v long"
+    )
     return parts.groupBy("i", "j").agg(F.sum("v").alias("gv"))
 
 
