@@ -971,3 +971,89 @@ def pca_top2_scores(
     return emb.select(
         F.col(id_col), proj(v1, "pc1_score"), proj(v2, "pc2_score")
     )
+
+
+def knn_label_disagreement(
+    emb: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    cent_id: str = "cid",
+    cent_vec: str = "cv",
+) -> DataFrame:
+    """Label-noise screening by kNN disagreement: each vector's k nearest
+    cosine neighbors vote, and a vector whose neighborhood majority-votes
+    a DIFFERENT label is flagged as likely mislabeled — the standard
+    cheap pass over a labeled training set before it trains anything
+    (confident-learning's nearest-neighbor baseline).
+
+    Neighbor search is IVF-cell-blocked (same deterministic assignment
+    as :func:`ivf_assign`): vectors co-locate by cell in one shuffle,
+    pairs are |cell|² per cell — never corpus² — and the directed top-k
+    is one window per vector. Vectors alone in their cell have no
+    neighborhood and report 0 neighbors / rate 0 / not suspect (no
+    evidence ≠ evidence of noise). At 100 TB the centroid table is the
+    √n-sized IVF codebook and everything downstream of the assignment
+    is bounded by the largest cell (re-split oversized cells upstream
+    with finer codebooks, as oversize_blocks does for label blocks).
+    """
+    assign = ivf_assign(
+        emb, centroids, corpus_id=id_col, corpus_vec=vec_col,
+        cent_id=cent_id, cent_vec=cent_vec,
+    )
+    base = emb.join(assign, id_col).select(
+        F.col("centroid_id").alias("_blk"),
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(label_col),
+    )
+    a = base.select(
+        "_blk",
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("va"),
+        F.col(label_col).alias("la"),
+    ).withColumn("_na", _norm("va"))
+    b = base.select(
+        "_blk",
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("vb"),
+        F.col(label_col).alias("lb"),
+    ).withColumn("_nb", _norm("vb"))
+    pairs = (
+        a.join(b, "_blk")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "la",
+            "b",
+            "lb",
+            (_dot("va", "vb") / (F.col("_na") * F.col("_nb"))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("sim"), F.asc("b"))
+    knn = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    per = knn.groupBy("a").agg(
+        F.count(F.lit(1)).alias("_n_nb"),
+        F.sum((F.col("lb") != F.col("la")).cast("int")).alias("_n_diff"),
+    )
+    return (
+        emb.select(F.col(id_col), F.col(label_col).alias("label"))
+        .join(per.withColumnRenamed("a", id_col), id_col, "left")
+        .select(
+            id_col,
+            "label",
+            F.coalesce(F.col("_n_nb"), F.lit(0)).cast("long").alias("n_neighbors"),
+            F.coalesce(F.col("_n_diff"), F.lit(0)).cast("long").alias("n_disagree"),
+            F.when(
+                F.coalesce(F.col("_n_nb"), F.lit(0)) > 0,
+                F.round(F.col("_n_diff") / F.col("_n_nb"), 4),
+            ).otherwise(F.lit(0.0)).alias("disagree_rate"),
+            (
+                (F.coalesce(F.col("_n_nb"), F.lit(0)) > 0)
+                & (2 * F.coalesce(F.col("_n_diff"), F.lit(0))
+                   > F.coalesce(F.col("_n_nb"), F.lit(0)))
+            ).alias("label_suspect"),
+        )
+    )

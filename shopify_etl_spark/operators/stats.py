@@ -246,3 +246,53 @@ def psi_between_histograms(
         )
         .select(F.col("seg").alias(segment_col), "n_ref_rows", "n_cur_rows", "psi")
     )
+
+
+def token_js_divergence(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen-Shannon divergence between each group's unigram distribution
+    and the whole corpus's — the mixture diagnostic that tells you which
+    source is lexically off-distribution before you weight an epoch mix
+    (0 = identical to the corpus, 1 bit = disjoint support).
+
+    The absent-term mass is closed-form, which is what makes this
+    scale-shaped: for a term the group never emits, p=0 and the JSD
+    contribution collapses to ``q·log2(2q/q) = q``, so the full sum is
+
+        0.5·Σ_present [p·log2(2p/(p+q)) + q·log2(2q/(p+q))]
+        + 0.5·(1 − Σ_present q)
+
+    and only terms PRESENT in the group ever join — no vocabulary ×
+    groups expansion, no outer join. The global term table is
+    vocabulary-sized (Heaps' law) and broadcasts onto the per-group
+    counts; the rest is one partial-aggregated groupBy per group.
+    """
+    from ..operators.text import tokens
+
+    toks = df.select(F.col(by), F.explode(tokens(text_col)).alias("term"))
+    src = toks.groupBy(by, "term").agg(F.count(F.lit(1)).alias("c_s"))
+    glob = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c_g"))
+    n_g = toks.select(F.count(F.lit(1)).alias("n_g"))
+    totals = src.groupBy(by).agg(F.sum("c_s").alias("n_s"))
+    joined = (
+        src.join(F.broadcast(glob), "term")
+        .join(F.broadcast(totals), by)
+        .crossJoin(F.broadcast(n_g))
+    )
+    p = F.col("c_s") / F.col("n_s")
+    q = F.col("c_g") / F.col("n_g")
+    contrib = p * F.log2(2.0 * p / (p + q)) + q * F.log2(2.0 * q / (p + q))
+    return (
+        joined.groupBy(by)
+        .agg(
+            F.first("n_s").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.round(
+                0.5 * F.sum(contrib) + 0.5 * (1.0 - F.sum(q)), 4
+            ).alias("js_divergence"),
+        )
+        .orderBy(by)
+    )

@@ -936,3 +936,111 @@ def token_entropy(
         # where Spark and DuckDB rounding disagree (the JL lesson)
         (F.size(F.array_distinct("_w")) / n).alias("ttr"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k terms by smoothed tf-idf — the classic keyword
+    extractor (and the lexical feature a curation pipeline hands to a
+    topic router or a near-dup explainer).
+
+    ``idf = ln((N+1)/(df+1)) + 1`` (sklearn's smooth variant: never zero,
+    never divides by zero, unseen-term-safe). Shapes for 100 TB: the
+    token explode feeds ONE partial-aggregated groupBy per (doc, term);
+    the document-frequency table is vocabulary-sized (Heaps' law: ~√corpus)
+    and broadcasts back onto the tf stream, so nothing corpus-sized
+    shuffles twice; the final top-k is one window per doc partition.
+
+    Ranking ties: the window orders by the score rounded to 10 decimals
+    (collapsing cross-engine last-ulp differences in ``ln`` — the PCA
+    lesson), then term ascending, so the emitted rows are a total,
+    engine-independent order.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.select(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "_score",
+            F.col("tf")
+            * (F.log((F.col("_n") + 1.0) / (F.col("doc_freq") + 1.0)) + 1.0),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc(F.round("_score", 10)), F.asc("term")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select(
+            id_col,
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            F.col("term_rank").cast("int").alias("term_rank"),
+            F.round("_score", 4).alias("tfidf"),
+        )
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """Zipf-law fit per group: OLS of ln(freq) on ln(rank) over the
+    top-``top_n`` terms — slope ≈ -1 for natural language, much flatter
+    for template/spam text and steeper for keyword-stuffed text, so the
+    (slope, r²) pair is a corpus-level quality fingerprint a datasheet
+    reports next to entropy/TTR.
+
+    Ranks are exact-integer ordered (freq desc, term asc), the OLS runs
+    on ≤ top_n points per group via closed-form sums, and everything
+    upstream is the same vocabulary-sized frequency table the other text
+    diagnostics ride — per-group cost is O(top_n), corpus cost is the
+    token explode.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(by), F.explode(tokens(text_col)).alias("term"))
+    freq = toks.groupBy(by, "term").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy(by).orderBy(F.desc("freq"), F.asc("term"))
+    top = freq.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_n
+    )
+    pts = top.select(
+        by,
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    agg = pts.groupBy(by).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = cov / vx
+    return agg.select(
+        by,
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "zipf_intercept"
+        ),
+        F.round((cov * cov) / (vx * vy), 4).alias("r2"),
+    ).orderBy(by)

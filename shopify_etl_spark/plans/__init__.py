@@ -2,6 +2,7 @@ from .catalog import QUERIES, QuerySpec, load_table, register  # noqa: F401
 from . import catalog_ext  # noqa: F401,E402  (registers extension queries)
 from . import catalog_ext2  # noqa: F401,E402  (round-2 extension queries)
 from . import catalog_ext3  # noqa: F401,E402  (round-5 session-2 queries)
+from . import catalog_ext4  # noqa: F401,E402  (round-6 session-2 queries)
 
 # ---------------------------------------------------------------------------
 # Catalog ordering.
@@ -159,6 +160,10 @@ _R05_SAMPLED = [
 
 # New or code-changed in round 6 — sample these first.
 _CHANGED_R06 = [
+    "tfidf_top_terms",          # new s2 (smoothed tf-idf keyword top-3)
+    "token_js_divergence",      # new s2 (source-vs-corpus JS divergence)
+    "zipf_law_fit",             # new s2 (Zipf slope/r2 fingerprint)
+    "knn_label_disagreement",   # new s2 (IVF-blocked label-noise screen)
     "lsh_ann_topk",             # now the guarantee-gate view (oracled)
     "pagerank_degree_capped",   # new (worst-case-bounded edge build)
     "jpeg_roundtrip_stats",     # new (baseline JPEG encode/decode gate)

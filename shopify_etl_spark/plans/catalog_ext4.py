@@ -1,0 +1,236 @@
+"""Round-6 session-2 extension queries: corpus-analytics diagnostics a
+training-data pipeline runs between curation passes — keyword extraction,
+source-vs-corpus divergence, label-noise screening, and a Zipf-law
+quality fingerprint.
+
+Same contract as catalog.py: every ``@register`` pairs a Spark builder
+with a DuckDB oracle that recomputes the FULL pipeline in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import load_table, register
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ), tf AS MATERIALIZED (
+      SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), ranked AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.doc_freq,
+             tf.tf * (ln((n.n_docs + 1.0) / (df.doc_freq + 1.0)) + 1.0)
+               AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY ROUND(tf.tf * (ln((n.n_docs + 1.0)
+                              / (df.doc_freq + 1.0)) + 1.0), 10) DESC,
+                        tf.term) AS term_rank
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term,
+           CAST(tf AS BIGINT) AS tf,
+           CAST(doc_freq AS BIGINT) AS doc_freq,
+           CAST(term_rank AS INTEGER) AS term_rank,
+           ROUND(score, 4) AS tfidf
+    FROM ranked WHERE term_rank <= 3
+    ORDER BY doc_id, term_rank
+    """,
+    doc="Per-document top-3 terms by smoothed tf-idf (sklearn's "
+    "ln((N+1)/(df+1))+1 idf) — keyword extraction for topic routing and "
+    "near-dup explanation. One partial-aggregated (doc,term) groupBy off "
+    "the token explode; the document-frequency table is vocabulary-sized "
+    "(Heaps' law) and broadcasts back, so nothing corpus-sized shuffles "
+    "twice; top-k is one window per doc. The rank orders by the score "
+    "ROUNDed to 10 decimals (collapses cross-engine ln ulp differences — "
+    "the PCA lesson) then term. operators/text.py::tfidf_top_terms.",
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import spread_small, tfidf_top_terms
+
+    return tfidf_top_terms(spread_small(load_table(spark, sf_dir, "documents")))
+
+
+@register(
+    "token_js_divergence",
+    oracle=r"""
+    WITH t AS MATERIALIZED (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ), src AS MATERIALIZED (
+      SELECT source, term, COUNT(*) AS c_s FROM t GROUP BY source, term
+    ), glob AS (
+      SELECT term, COUNT(*) AS c_g FROM t GROUP BY term
+    ), ng AS (
+      SELECT COUNT(*) AS n_g FROM t
+    ), tots AS (
+      SELECT source, SUM(c_s) AS n_s FROM src GROUP BY source
+    )
+    SELECT src.source,
+           CAST(MAX(tots.n_s) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(0.5 * SUM(
+                   (c_s * 1.0 / n_s)
+                     * log2(2.0 * (c_s * 1.0 / n_s)
+                            / ((c_s * 1.0 / n_s) + (c_g * 1.0 / n_g)))
+                 + (c_g * 1.0 / n_g)
+                     * log2(2.0 * (c_g * 1.0 / n_g)
+                            / ((c_s * 1.0 / n_s) + (c_g * 1.0 / n_g))))
+               + 0.5 * (1.0 - SUM(c_g * 1.0 / n_g)), 4) AS js_divergence
+    FROM src
+    JOIN glob USING (term)
+    JOIN tots USING (source)
+    CROSS JOIN ng
+    GROUP BY src.source
+    ORDER BY src.source
+    """,
+    doc="Jensen-Shannon divergence of each source's unigram distribution "
+    "vs the whole corpus — the lexical drift score behind epoch-mix "
+    "weighting (0 = on-distribution, 1 bit = disjoint). The absent-term "
+    "mass is closed-form (p=0 collapses the contribution to q), so only "
+    "terms PRESENT in a source ever join: no vocabulary x sources "
+    "expansion, no outer join. Global term table is vocabulary-sized and "
+    "broadcasts; one grouped sum per source. "
+    "operators/stats.py::token_js_divergence.",
+)
+def token_js_divergence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import token_js_divergence
+    from ..operators.text import spread_small
+
+    return token_js_divergence(
+        spread_small(load_table(spark, sf_dir, "documents"))
+    )
+
+
+@register(
+    "zipf_law_fit",
+    oracle=r"""
+    WITH t AS (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ), freq AS MATERIALIZED (
+      SELECT source, term, COUNT(*) AS freq FROM t GROUP BY source, term
+    ), ranked AS (
+      SELECT source, freq,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY freq DESC, term) AS rnk
+      FROM freq
+    ), pts AS (
+      SELECT source, ln(rnk * 1.0) AS x, ln(freq * 1.0) AS y
+      FROM ranked WHERE rnk <= 100
+    ), agg AS (
+      SELECT source, COUNT(*) * 1.0 AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM pts GROUP BY source
+    )
+    SELECT source,
+           CAST(n AS BIGINT) AS n_terms,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+                 4) AS zipf_intercept,
+           ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+    FROM agg
+    ORDER BY source
+    """,
+    doc="Zipf-law fit per source: OLS of ln(freq) on ln(rank) over the "
+    "top-100 terms — slope near -1 is natural language; flat means "
+    "template/boilerplate, steep means keyword stuffing, so (slope, r2) "
+    "is a one-row corpus-quality fingerprint next to entropy/TTR in the "
+    "datasheet. Ranks are exact-integer ordered (freq desc, term asc); "
+    "the regression is closed-form sums over <=100 points per source on "
+    "the same vocabulary-sized frequency table the other diagnostics "
+    "ride. operators/text.py::zipf_fit.",
+)
+def zipf_law_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import spread_small, zipf_fit
+
+    return zipf_fit(spread_small(load_table(spark, sf_dir, "documents")))
+
+
+@register(
+    "knn_label_disagreement",
+    oracle=r"""
+    WITH c AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id % 61 = 0
+    ), scored AS (
+      SELECT e.vec_id, c.cid,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv)
+               AS sim
+      FROM embeddings e CROSS JOIN c
+    ), assign AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cid) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ), base AS MATERIALIZED (
+      SELECT a.cid, e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, e.label
+      FROM embeddings e JOIN assign a USING (vec_id)
+    ), knn AS (
+      SELECT a, la, lb FROM (
+        SELECT x.vec_id AS a, x.label AS la, y.label AS lb,
+               ROW_NUMBER() OVER (
+                 PARTITION BY x.vec_id
+                 ORDER BY list_cosine_similarity(x.v, y.v) DESC, y.vec_id
+               ) AS rn
+        FROM base x JOIN base y
+          ON x.cid = y.cid AND x.vec_id <> y.vec_id
+      ) WHERE rn <= 5
+    ), per AS (
+      SELECT a, COUNT(*) AS n_nb,
+             SUM(CASE WHEN lb <> la THEN 1 ELSE 0 END) AS n_diff
+      FROM knn GROUP BY a
+    )
+    SELECT e.vec_id, e.label,
+           CAST(COALESCE(per.n_nb, 0) AS BIGINT) AS n_neighbors,
+           CAST(COALESCE(per.n_diff, 0) AS BIGINT) AS n_disagree,
+           CASE WHEN COALESCE(per.n_nb, 0) > 0
+                THEN ROUND(per.n_diff * 1.0 / per.n_nb, 4)
+                ELSE 0.0 END AS disagree_rate,
+           (COALESCE(per.n_nb, 0) > 0
+            AND 2 * COALESCE(per.n_diff, 0) > COALESCE(per.n_nb, 0))
+             AS label_suspect
+    FROM embeddings e LEFT JOIN per ON e.vec_id = per.a
+    ORDER BY e.vec_id
+    """,
+    doc="Label-noise screening by kNN disagreement: each vector's 5 "
+    "nearest cosine neighbors vote and a neighborhood majority voting a "
+    "DIFFERENT label flags the row as likely mislabeled (confident "
+    "learning's nearest-neighbor baseline) — the pass a labeled set gets "
+    "before it trains anything. Neighbor search is IVF-cell-blocked on "
+    "the same deterministic %61 codebook as ivf_assignments: one shuffle "
+    "co-locates cells, pairs are |cell|^2 per cell (never corpus^2), "
+    "top-k is one window per vector; singleton cells report 0 neighbors "
+    "/ not suspect (no evidence != evidence of noise). "
+    "operators/similarity.py::knn_label_disagreement.",
+)
+def knn_label_disagreement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 61 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv_c")
+    )
+    return similarity.knn_label_disagreement(
+        emb, cents, k=5, cent_id="cid", cent_vec="cv_c"
+    )
