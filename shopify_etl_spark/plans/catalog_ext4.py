@@ -72,7 +72,7 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), src AS MATERIALIZED (
       SELECT source, term, COUNT(*) AS c_s FROM t GROUP BY source, term
-    ), glob AS (
+    ), corp AS (
       SELECT term, COUNT(*) AS c_g FROM t GROUP BY term
     ), ng AS (
       SELECT COUNT(*) AS n_g FROM t
@@ -91,7 +91,7 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / ((c_s * 1.0 / n_s) + (c_g * 1.0 / n_g))))
                + 0.5 * (1.0 - SUM(c_g * 1.0 / n_g)), 4) AS js_divergence
     FROM src
-    JOIN glob USING (term)
+    JOIN corp USING (term)
     JOIN tots USING (source)
     CROSS JOIN ng
     GROUP BY src.source

@@ -327,6 +327,13 @@ BNLJ_ALLOWED = {
     "dedup_cluster_stats",      # one-row corpus total under the histogram
     "psi_time_drift",           # one-row ts bounds + 20-row bucket frames
     "corpus_datasheet",         # one-row vocab/dup/total assembly
+    # r7 audit (VERDICT r6 §wrong #2): the three queries below were
+    # shipped in catalog_ext4 without this audit — verified now.
+    "tfidf_top_terms",          # one-row n_docs crossJoin (text.py::tfidf_top_terms)
+    "token_js_divergence",      # one-row corpus-token total n_g (stats.py:283)
+    "knn_label_disagreement",   # ivf_assign's sqrt(n)-codebook broadcast; the
+    #   assign subtree feeds BOTH pair sides a/b, so the same bounded
+    #   centroid BNLJ appears twice in the physical plan
 }
 
 
