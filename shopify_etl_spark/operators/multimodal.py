@@ -18,7 +18,8 @@ Decode paths, in preference order:
 * **Built-in Y4M demuxer** (``operators/y4m_codec.py``) — real
   frame extraction from uncompressed YUV4MPEG2 video payloads.
 * **Built-in WAV codec** (``operators/wav_codec.py``) — real PCM
-  sample decode (8/16/24/32-bit int + float32) for audio payloads.
+  sample decode (8/16/24/32-bit int + float32) plus IMA-ADPCM
+  (format tag 0x0011) encode/decode for audio payloads.
 * ``fake=True`` — deterministic byte-level features over the raw
   payload (no decode), useful for plumbing tests and non-image bytes.
 * Everything else (compressed containers/codecs, exotic formats)
@@ -511,6 +512,91 @@ def jpeg_roundtrip_stats(
     # spread an under-partitioned input or one task pays it all
     return spread_small(docs.select(id_col)).mapInPandas(
         roundtrip, JPEG_ROUNDTRIP_SCHEMA
+    )
+
+
+ADPCM_ROUNDTRIP_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("n_channels", LongType(), False),
+        StructField("frames_match", BooleanType(), False),
+        StructField("snr_ge_20", BooleanType(), False),
+        StructField("ratio_le_045", BooleanType(), False),
+    ]
+)
+
+
+def adpcm_roundtrip_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    rate: int = 8000,
+) -> DataFrame:
+    """Lossy-audio round-trip gate — the IMA-ADPCM twin of
+    :func:`jpeg_roundtrip_stats`, closing the compressed-audio seam the
+    same way JPEG closed the image one: per key ``d`` a band-limited
+    deterministic tone (``n = 400 + d % 211`` frames,
+    ``ch = 1 + d % 2`` channels, frequency ``100 + d % 50`` Hz at 8 kHz
+    — smooth enough that 4-bit ADPCM tracks it) is encoded through the
+    REAL block-structured IMA encoder (``wav_codec.encode_wav_adpcm``)
+    and decoded back; the output carries the exact geometry plus
+    by-construction quality flags (frame count survives the fact-chunk
+    trim; SNR ≥ 20 dB; compressed size ≤ 0.30× the PCM encoding — the
+    codec's ~4:1 with headers). Every step is a deterministic pure
+    function of ``d``, so the flags are stable across partitionings and
+    the oracle regenerates geometry and asserts the flags (the
+    guarantee-gate pattern). One narrow ``mapInPandas`` chain, zero
+    shuffles.
+
+    The size bound is 0.45×PCM, not the asymptotic 0.25: these are
+    sub-second clips (400–610 frames), so per-block headers and the
+    zero-padded final block are a real fraction of the stream —
+    ``block_words=16`` (129-frame blocks) keeps the worst case
+    (n=400 mono: 0.393) under the bound at every synth geometry.
+    """
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .wav_codec import decode_wav, encode_wav, encode_wav_adpcm
+
+        for pdf in batches:
+            rows = []
+            for d in pdf[id_col]:
+                d = int(d)
+                n, ch = 400 + d % 211, 1 + d % 2
+                freq = 100 + d % 50
+                i = np.arange(n, dtype=np.float64)
+                tone = np.rint(
+                    12000.0 * np.sin(2.0 * np.pi * freq * i / rate)
+                ).astype(np.int16)
+                sig = np.stack(
+                    [np.roll(tone, 13 * c) for c in range(ch)], axis=1
+                )
+                blob = encode_wav_adpcm(sig, rate, block_words=16)
+                back, _rate = decode_wav(blob)
+                frames = back.shape == (n, ch)
+                ref = sig.astype(np.float64) / 32768.0
+                err = back.astype(np.float64) - ref
+                snr = 10.0 * np.log10(
+                    (ref**2).mean() / max((err**2).mean(), 1e-12)
+                )
+                ratio = len(blob) / len(encode_wav(sig, rate))
+                rows.append((d, n, ch, frames, snr >= 20.0, ratio <= 0.45))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "n_frames", "n_channels",
+                    "frames_match", "snr_ge_20", "ratio_le_045",
+                ],
+            )
+
+    from .text import spread_small
+
+    # per-sample ADPCM state walks are CPU-bound Python: spread an
+    # under-partitioned input or one task pays it all
+    return spread_small(docs.select(id_col)).mapInPandas(
+        roundtrip, ADPCM_ROUNDTRIP_SCHEMA
     )
 
 

@@ -6,13 +6,28 @@ documents (in a deterministic order) accumulate until the token budget
 rolls over — greedy sequential packing, the standard pre-tokenization
 sharding step.
 
-Scale shape: one window aggregation partitioned by the shard grouping
-key (``group_col``). Packing is inherently sequential *within* a group
-— the cumulative sum is the definition — so parallelism comes from the
-grouping key, exactly like every production packer: pack per
-(source, date) slice, never one global sequence. A single global window
-partition would serialize 100 TB through one task; this operator
-deliberately has no global mode.
+Scale shape — distributed prefix sum, NOT a per-group window. The
+cumulative token count is associative: only the *order* is sequential,
+the scan itself parallelizes as the classic two-phase prefix sum:
+
+1. bucket documents by ``floor(id / bucket_docs)`` — a deterministic,
+   order-preserving split (no RangePartitioner sampling to pin, no
+   ``spark_partition_id`` nondeterminism), so every window partition is
+   ``(bucket, group)`` and holds at most ``bucket_docs`` rows however
+   skewed the group is;
+2. cumulative-sum *within* each bounded bucket;
+3. per-(bucket, group) token totals — a ``n_docs / bucket_docs``-row
+   frame — prefix-summed by a window over that tiny frame and broadcast
+   back as per-bucket offsets.
+
+A window partitioned by the group alone (the round-6 shape) total-sorts
+a possibly corpus-dominant group through ONE task; here no window ever
+sees more than ``bucket_docs`` rows, and the only per-group ordered
+structure is the bucket-totals frame (≤ id_range/bucket_docs rows per
+group — ~15k for a billion dense ids). Requires a numeric ``id_col``
+(ingest-assigned dense ids are the normal case); non-numeric ids fall
+back to the per-group window, which is safe only when groups are
+bounded — callers at corpus scale should map ids to numbers first.
 """
 
 from __future__ import annotations
@@ -22,6 +37,66 @@ from pyspark.sql import functions as F
 
 from .text import token_count
 
+#: default documents per prefix-sum bucket — bounds every window
+#: partition regardless of group skew; 64Ki rows of (id, group, count)
+#: per window task is comfortably in-memory.
+DEFAULT_BUCKET_DOCS = 65536
+
+_NUMERIC_PREFIXES = ("int", "bigint", "smallint", "tinyint", "long",
+                     "float", "double", "decimal")
+
+
+def _prefix_start(
+    base: DataFrame,
+    id_col: str,
+    group_col: str,
+    bucket_docs: int = DEFAULT_BUCKET_DOCS,
+) -> DataFrame:
+    """``base`` (id, group, n_tokens) → + ``_start`` = tokens before this
+    doc in ``id_col`` order within its group, via the two-phase scan."""
+    dtype = dict(base.dtypes)[id_col]
+    if not dtype.startswith(_NUMERIC_PREFIXES):
+        # bounded-group fallback: order key not bucketable arithmetically
+        w = (
+            Window.partitionBy(group_col)
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return base.withColumn(
+            "_start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+    bucketed = base.withColumn(
+        "_bkt", F.floor(F.col(id_col) / F.lit(bucket_docs))
+    )
+    w_in = (
+        Window.partitionBy("_bkt", group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = bucketed.withColumn(
+        "_local", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    )
+    totals = bucketed.groupBy("_bkt", group_col).agg(
+        F.sum("n_tokens").alias("_btot")
+    )
+    # tiny frame: one row per (bucket, group); window is bucket-count-
+    # bounded per group, never corpus-bounded
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        "_bkt",
+        group_col,
+        F.coalesce(F.sum("_btot").over(w_off), F.lit(0)).alias("_off"),
+    )
+    return (
+        local.join(F.broadcast(offs), ["_bkt", group_col])
+        .withColumn("_start", F.col("_local") + F.col("_off"))
+        .drop("_bkt", "_local", "_off")
+    )
+
 
 def pack_shards(
     df: DataFrame,
@@ -29,6 +104,7 @@ def pack_shards(
     text_col: str = "text",
     id_col: str = "doc_id",
     group_col: str = "source",
+    bucket_docs: int = DEFAULT_BUCKET_DOCS,
 ) -> DataFrame:
     """Assign each document a shard id within its group.
 
@@ -38,17 +114,14 @@ def pack_shards(
     one document (the straddling doc belongs to the shard it started
     in). Output: id, group, n_tokens, shard_id.
     """
-    n_tok = token_count(text_col)
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
+    base = df.select(
+        id_col, group_col, token_count(text_col).alias("n_tokens")
     )
-    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     return (
-        df.select(id_col, group_col, n_tok.alias("n_tokens"))
-        .withColumn("shard_id", F.floor(cum_before / budget).cast("long"))
+        _prefix_start(base, id_col, group_col, bucket_docs)
+        .withColumn("shard_id", F.floor(F.col("_start") / budget).cast("long"))
         .withColumn("n_tokens", F.col("n_tokens").cast("long"))
+        .drop("_start")
     )
 
 
@@ -58,6 +131,7 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     group_col: str = "source",
+    bucket_docs: int = DEFAULT_BUCKET_DOCS,
 ) -> DataFrame:
     """GPT-style sequence packing with document-boundary spans.
 
@@ -76,34 +150,24 @@ def pack_sequences(
     one doc across consecutive sequences partition its tokens exactly
     (pinned in tests). Empty documents pack nothing and emit nothing.
 
-    Shape: the same per-group cumulative window as :func:`pack_shards`
-    (packing is sequential within a group BY DEFINITION; parallelism
-    comes from the grouping key — a global window would serialize the
-    corpus through one task), then a per-row ``sequence()`` explode over
-    the sequence ids the doc spans — at most ``1 + n_tokens/seq_len``
-    rows per doc, linear in the token stream. Every expression is
-    JVM-side; SQL-expressible end to end, so the whole packer is
-    oracle-checkable.
+    Shape: the module-level two-phase prefix sum (bounded windows only),
+    then a per-row ``sequence()`` explode over the sequence ids the doc
+    spans — at most ``1 + n_tokens/seq_len`` rows per doc, linear in the
+    token stream. Every expression is JVM-side; SQL-expressible end to
+    end, so the whole packer is oracle-checkable.
     """
-    n_tok = token_count(text_col)
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     base = (
-        df.select(id_col, group_col, n_tok.alias("n_tokens"))
+        df.select(id_col, group_col, token_count(text_col).alias("n_tokens"))
         .filter(F.col("n_tokens") > 0)
-        .withColumn("_start", start)
     )
+    based = _prefix_start(base, id_col, group_col, bucket_docs)
     first_seq = F.floor(F.col("_start") / seq_len)
     last_seq = F.floor((F.col("_start") + F.col("n_tokens") - 1) / seq_len)
     seq_lo = F.col("seq_id") * seq_len
     chunk_lo = F.greatest(F.col("_start"), seq_lo)
     chunk_hi = F.least(F.col("_start") + F.col("n_tokens"), seq_lo + seq_len)
     return (
-        base.withColumn("seq_id", F.explode(F.sequence(first_seq, last_seq)))
+        based.withColumn("seq_id", F.explode(F.sequence(first_seq, last_seq)))
         .select(
             group_col,
             F.col("seq_id").cast("long"),

@@ -1044,3 +1044,84 @@ def zipf_fit(
         ),
         F.round((cov * cov) / (vx * vy), 4).alias("r2"),
     ).orderBy(by)
+
+
+def tercile_thresholds(
+    df: DataFrame,
+    group_col: str = "lang",
+    score_col: str = "score_bits",
+) -> DataFrame:
+    """Per-group tercile score thresholds (t1, t2) from VALUE COUNTS —
+    the scale path for CCNet-style perplexity bucketing (VERDICT r6: the
+    previous ``ntile(3)`` over ``Window.partitionBy(lang)`` total-sorts
+    each language in ONE task; a dominant language is most of a corpus,
+    so that window is a 100 TB killer).
+
+    Shape: one partial-aggregated groupBy on (group, score) collapses
+    the corpus to its distinct rounded score values — the scores are
+    4-decimal-rounded bits-per-bigram in a bounded range, so the
+    per-group state is VALUE-DOMAIN-bounded (tens of thousands of
+    entries), not corpus-bounded — then one per-group sorted fold over
+    that array finds the cumulative-count boundaries. No window touches
+    corpus-sized data; the output is |groups| rows, broadcast back.
+
+    Semantics: value terciles with integer-only boundary arithmetic —
+    ``t1 = min score with 3*cum(score) >= n`` and ``t2`` likewise at
+    ``2n`` — so rows tied at a boundary score share the lower bucket
+    (threshold-on-perplexity, the CCNet paper's actual rule) and the
+    result is bit-exact reproducible in any engine: no float percentile
+    interpolation to drift by an ulp.
+
+    Bucket rule for consumers: ``score <= t1`` -> head,
+    ``score <= t2`` -> middle, else tail (see :func:`ppl_bucket_col`).
+    """
+    counts = df.groupBy(group_col, score_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    per = counts.groupBy(group_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col(score_col).alias("s"), F.col("_c").alias("c"))
+            )
+        ).alias("_sc"),
+        F.sum("_c").alias("_n"),
+    )
+    zero = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        F.lit(None).cast("double").alias("t1"),
+        F.lit(None).cast("double").alias("t2"),
+    )
+
+    def step(acc, x):
+        cum = acc["cum"] + x["c"]
+        return F.struct(
+            cum.alias("cum"),
+            F.coalesce(
+                acc["t1"], F.when(cum * 3 >= F.col("_n"), x["s"])
+            ).alias("t1"),
+            F.coalesce(
+                acc["t2"], F.when(cum * 3 >= 2 * F.col("_n"), x["s"])
+            ).alias("t2"),
+        )
+
+    folded = per.select(
+        group_col, F.aggregate("_sc", zero, step).alias("_t")
+    )
+    return folded.select(
+        group_col,
+        F.col("_t.t1").alias("t1"),
+        F.col("_t.t2").alias("t2"),
+    )
+
+
+def ppl_bucket_col(
+    score_col: str = "score_bits", t1: str = "t1", t2: str = "t2"
+) -> Column:
+    """head/middle/tail CASE over :func:`tercile_thresholds` output —
+    comparisons against the threshold SCORES themselves (no arithmetic),
+    so bucket membership is deterministic across engines."""
+    return (
+        F.when(F.col(score_col) <= F.col(t1), "head")
+        .when(F.col(score_col) <= F.col(t2), "middle")
+        .otherwise("tail")
+    )

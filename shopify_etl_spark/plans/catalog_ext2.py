@@ -1999,58 +1999,66 @@ def audio_demux_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), vocab AS (
       SELECT COUNT(DISTINCT t) AS v
       FROM (SELECT unnest(tk) AS t FROM toks)
-    ), scored AS (
+    ), scored AS MATERIALIZED (
       SELECT p.doc_id,
              ROUND(AVG(-log2((b.c12 + 1.0) / (c.c1 + 1.0 * v.v))), 4)
                AS score_bits
       FROM parts p JOIN bgc b USING (bg) JOIN pc c USING (w1)
       CROSS JOIN vocab v
       GROUP BY p.doc_id
-    ), bucketed AS (
-      SELECT s.doc_id, d.lang, s.score_bits,
-             NTILE(3) OVER (PARTITION BY d.lang
-                            ORDER BY s.score_bits, s.doc_id) AS b
+    ), lscored AS MATERIALIZED (
+      SELECT s.doc_id, d.lang, s.score_bits
       FROM scored s JOIN documents d USING (doc_id)
+    ), vc AS (
+      SELECT lang, score_bits, COUNT(*) AS c
+      FROM lscored GROUP BY lang, score_bits
+    ), cum AS (
+      SELECT lang, score_bits,
+             SUM(c) OVER (PARTITION BY lang ORDER BY score_bits) AS cum,
+             SUM(c) OVER (PARTITION BY lang) AS n
+      FROM vc
+    ), thr AS (
+      SELECT lang,
+             MIN(score_bits) FILTER (WHERE cum * 3 >= n) AS t1,
+             MIN(score_bits) FILTER (WHERE cum * 3 >= 2 * n) AS t2
+      FROM cum GROUP BY lang
     )
-    SELECT doc_id, lang, score_bits,
-           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
-             AS ppl_bucket
-    FROM bucketed
+    SELECT l.doc_id, l.lang, l.score_bits,
+           CASE WHEN l.score_bits <= t.t1 THEN 'head'
+                WHEN l.score_bits <= t.t2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM lscored l JOIN thr t USING (lang)
     """,
     doc="CCNet-style perplexity bucketing: per-language terciles of the "
     "corpus bigram-LM score — 'head' (most fluent) / 'middle' / 'tail' "
     "(likely gibberish), the standard pre-training curation split that "
-    "keeps head+middle and drops or downsamples tail. One window over "
-    "the scored docs partitioned by language; the LM itself is the "
-    "vocabulary-sized model from lm_bigram_scores, so nothing "
-    "corpus-sized shuffles twice. operators/text.py::bigram_lm_scores + "
-    "ntile window.",
+    "keeps head+middle and drops or downsamples tail. Terciles are "
+    "threshold-on-score (tercile_thresholds: value counts -> per-lang "
+    "cumulative boundaries, integer arithmetic, boundary ties share the "
+    "lower bucket — the CCNet paper's threshold rule), NOT an ntile "
+    "window: ntile over a language partition total-sorts a possibly "
+    "corpus-dominant language in one task (VERDICT r6). The LM is the "
+    "vocabulary-sized model from lm_bigram_scores; the threshold frame "
+    "is |langs| rows broadcast back. operators/text.py::"
+    "bigram_lm_scores + tercile_thresholds.",
 )
 def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     scored = text.bigram_lm_scores(docs).select(
         "doc_id", F.round("avg_nll_bits", 4).alias("score_bits")
     )
-    w = Window.partitionBy("lang").orderBy(
-        F.asc("score_bits"), F.asc("doc_id")
-    )
-    return (
-        scored.join(docs.select("doc_id", "lang"), "doc_id")
-        .select(
-            "doc_id",
-            "lang",
-            "score_bits",
-            F.ntile(3).over(w).alias("b"),
-        )
-        .select(
-            "doc_id",
-            "lang",
-            "score_bits",
-            F.when(F.col("b") == 1, "head")
-            .when(F.col("b") == 2, "middle")
-            .otherwise("tail")
-            .alias("ppl_bucket"),
-        )
+    # two consumers (threshold build + final bucketing): measured at
+    # sf0.1 the recompute is CHEAPER than a lazy localCheckpoint (1.8 s
+    # vs 2.1 s warm) — the shared shuffles dedupe at runtime and the
+    # checkpoint's executor-disk materialization buys nothing; it also
+    # keeps the parquet scans visible to the plan gate.
+    lscored = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    thr = text.tercile_thresholds(lscored, "lang", "score_bits")
+    return lscored.join(F.broadcast(thr), "lang").select(
+        "doc_id",
+        "lang",
+        "score_bits",
+        text.ppl_bucket_col().alias("ppl_bucket"),
     )
 
 
@@ -2482,12 +2490,28 @@ def bpe_apply_one_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ann_cosine_topk precedent); the mutual self-join and a<b cut are
     # integer/bool logic, and the output cosine is rounded.
     oracle="""
-    WITH e AS (
-      SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    WITH c AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id % 61 = 0
+    ), scored AS (
+      SELECT e.vec_id, c.cid,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv)
+               AS sim
+      FROM embeddings e CROSS JOIN c
+    ), assign AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cid) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ), base AS MATERIALIZED (
+      SELECT a.cid, e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v
+      FROM embeddings e JOIN assign a USING (vec_id)
     ), pairs AS (
       SELECT x.vec_id AS a, y.vec_id AS b,
              list_cosine_similarity(x.v, y.v) AS sim
-      FROM e x JOIN e y ON x.label = y.label AND x.vec_id <> y.vec_id
+      FROM base x JOIN base y ON x.cid = y.cid AND x.vec_id <> y.vec_id
     ), knn AS (
       SELECT a, b, sim FROM (
         SELECT a, b, sim,
@@ -2499,19 +2523,29 @@ def bpe_apply_one_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT x.a, x.b, ROUND(x.sim, 4) AS cosine_sim
     FROM knn x JOIN knn y ON x.a = y.b AND x.b = y.a AND x.a < x.b
     """,
-    doc="Mutual kNN pairs within label blocks: a pair survives only when "
+    doc="Mutual kNN pairs within IVF cells: a pair survives only when "
     "each vector is in the other's cosine top-5 — the symmetric filter "
     "that strips hub/asymmetric false matches from a kNN graph before "
-    "clustering or dedup. Blocked pair generation (|block|^2 per label, "
-    "never corpus^2; at scale the block key comes from the IVF/LSH "
-    "assigners), one ranking window over the directed edges, mutual "
-    "check as a self-join of two k*n-bounded lists. "
-    "operators/similarity.py::mutual_knn_pairs.",
+    "clustering or dedup. Blocking composes ivf_assign on the same "
+    "deterministic %61 codebook as ivf_assignments (VERDICT r6: label "
+    "blocking was quadratic in the largest class; sqrt(n) IVF cells "
+    "keep |cell|^2 bounded as the corpus grows), one ranking window "
+    "over the directed edges, mutual check as a self-join of two "
+    "k*n-bounded lists. operators/similarity.py::mutual_knn_pairs + "
+    "ivf_assign.",
 )
 def mutual_knn_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity
 
-    return similarity.mutual_knn_pairs(load_table(spark, sf_dir, "embeddings"), k=5)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 61 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv_c")
+    )
+    assign = similarity.ivf_assign(
+        emb, cents, cent_id="cid", cent_vec="cv_c"
+    )
+    blocked = emb.join(assign, "vec_id")
+    return similarity.mutual_knn_pairs(blocked, k=5, block_col="centroid_id")
 
 
 @register(
@@ -2568,7 +2602,8 @@ _CUR2_T = {
 @register(
     "curation_v2_corpus",
     # Three oracle-proven stages chained as CTEs: the CCNet tercile gate
-    # (rank on rounded score + id), the substring trim (span/island/
+    # (threshold-on-score per lang, integer boundary arithmetic — see
+    # tercile_thresholds), the substring trim (span/island/
     # NOT-EXISTS reconstruction — computed over the SURVIVOR set, which
     # is the point: the gate runs before the expensive span pass), and
     # the md5-threshold split.
@@ -2598,14 +2633,25 @@ _CUR2_T = {
       FROM parts p JOIN bgc b USING (bg) JOIN pc c USING (w1)
       CROSS JOIN vocab v
       GROUP BY p.doc_id
-    ), bucketed AS (
-      SELECT s.doc_id,
-             NTILE(3) OVER (PARTITION BY d.lang
-                            ORDER BY s.score_bits, s.doc_id) AS b
+    ), lscored AS MATERIALIZED (
+      SELECT s.doc_id, d.lang, s.score_bits
       FROM scored s JOIN documents d USING (doc_id)
+    ), vc AS (
+      SELECT lang, score_bits, COUNT(*) AS c
+      FROM lscored GROUP BY lang, score_bits
+    ), cum AS (
+      SELECT lang, score_bits,
+             SUM(c) OVER (PARTITION BY lang ORDER BY score_bits) AS cum,
+             SUM(c) OVER (PARTITION BY lang) AS n
+      FROM vc
+    ), thr AS (
+      SELECT lang,
+             MIN(score_bits) FILTER (WHERE cum * 3 >= 2 * n) AS t2
+      FROM cum GROUP BY lang
     ), kept_docs AS (
       SELECT d.doc_id, d.text FROM documents d
-      JOIN bucketed k USING (doc_id) WHERE k.b <= 2
+      JOIN lscored l USING (doc_id) JOIN thr t ON l.lang = t.lang
+      WHERE l.score_bits <= t.t2
     ), toks AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
@@ -2661,7 +2707,8 @@ _CUR2_T = {
     LEFT JOIN kept_tok kt USING (doc_id)
     """,
     doc="Round-5 curation chain end-to-end: CCNet perplexity gate (drop "
-    "the per-language 'tail' tercile) -> substring-level trim over the "
+    "the per-language 'tail' tercile via tercile_thresholds — value "
+    "thresholds, no per-language sort window) -> substring-level trim over the "
     "SURVIVORS (the cheap model-based gate runs before the expensive "
     "span pass — standard curation economics) -> deterministic "
     "hash-threshold split. Composes ccnet_ppl_buckets, "
@@ -2674,11 +2721,15 @@ def curation_v2_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = text.bigram_lm_scores(docs).select(
         "doc_id", F.round("avg_nll_bits", 4).alias("score_bits")
     )
-    w = Window.partitionBy("lang").orderBy(F.asc("score_bits"), F.asc("doc_id"))
+    # keep head+middle == score <= per-lang t2 threshold (tercile_thresholds
+    # replaces the r6 ntile-over-lang window — VERDICT r6 scale fix).
+    # No checkpoint: recompute of the shared subtree measured cheaper
+    # than lazy localCheckpoint at sf0.1, and the scans stay gate-visible.
+    lscored = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    thr = text.tercile_thresholds(lscored, "lang", "score_bits")
     keep_ids = (
-        scored.join(docs.select("doc_id", "lang"), "doc_id")
-        .select("doc_id", F.ntile(3).over(w).alias("b"))
-        .filter(F.col("b") <= 2)
+        lscored.join(F.broadcast(thr), "lang")
+        .filter(F.col("score_bits") <= F.col("t2"))
         .select("doc_id")
     )
     kept = docs.join(keep_ids, "doc_id")

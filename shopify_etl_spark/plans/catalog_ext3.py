@@ -951,8 +951,8 @@ def psi_value_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "curriculum_mix_docs",
     # Composition of two independently-oracled pieces: the CCNet tercile
-    # CTE (ccnet_ppl_buckets — NTILE on the rounded score + doc_id so
-    # boundaries are cross-engine stable) and the epoch_mix repetition
+    # CTE (ccnet_ppl_buckets — threshold-on-score terciles via integer
+    # cumulative-count boundaries, cross-engine exact) and the epoch_mix
     # rule (epoch_mix_docs — floor(w) + salted-md5 Bernoulli fraction).
     oracle=r"""
     WITH toks AS (
@@ -973,20 +973,35 @@ def psi_value_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), vocab AS (
       SELECT COUNT(DISTINCT t) AS v
       FROM (SELECT unnest(tk) AS t FROM toks)
-    ), scored AS (
+    ), scored AS MATERIALIZED (
       SELECT p.doc_id,
              ROUND(AVG(-log2((b.c12 + 1.0) / (c.c1 + 1.0 * v.v))), 4)
                AS score_bits
       FROM parts p JOIN bgc b USING (bg) JOIN pc c USING (w1)
       CROSS JOIN vocab v
       GROUP BY p.doc_id
-    ), bucketed AS (
-      SELECT s.doc_id, d.lang,
-             CASE NTILE(3) OVER (PARTITION BY d.lang
-                                 ORDER BY s.score_bits, s.doc_id)
-               WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
-               AS ppl_bucket
+    ), lscored AS MATERIALIZED (
+      SELECT s.doc_id, d.lang, s.score_bits
       FROM scored s JOIN documents d USING (doc_id)
+    ), vc AS (
+      SELECT lang, score_bits, COUNT(*) AS c
+      FROM lscored GROUP BY lang, score_bits
+    ), cum AS (
+      SELECT lang, score_bits,
+             SUM(c) OVER (PARTITION BY lang ORDER BY score_bits) AS cum,
+             SUM(c) OVER (PARTITION BY lang) AS n
+      FROM vc
+    ), tthr AS (
+      SELECT lang,
+             MIN(score_bits) FILTER (WHERE cum * 3 >= n) AS t1,
+             MIN(score_bits) FILTER (WHERE cum * 3 >= 2 * n) AS t2
+      FROM cum GROUP BY lang
+    ), bucketed AS (
+      SELECT l.doc_id, l.lang,
+             CASE WHEN l.score_bits <= t.t1 THEN 'head'
+                  WHEN l.score_bits <= t.t2 THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket
+      FROM lscored l JOIN tthr t USING (lang)
     ), w(ppl_bucket, base, thr) AS (
       VALUES ('head', 2, '00000000'),
              ('middle', 1, '00000000'),
@@ -1013,8 +1028,6 @@ def psi_value_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "epoch_mix.",
 )
 def curriculum_mix_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from ..operators import text as text_ops
     from ..operators.sampling import epoch_mix
 
@@ -1022,18 +1035,13 @@ def curriculum_mix_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = text_ops.bigram_lm_scores(docs).select(
         "doc_id", F.round("avg_nll_bits", 4).alias("score_bits")
     )
-    w = Window.partitionBy("lang").orderBy(F.asc("score_bits"), F.asc("doc_id"))
-    bucketed = (
-        scored.join(docs.select("doc_id", "lang"), "doc_id")
-        .select("doc_id", "lang", F.ntile(3).over(w).alias("b"))
-        .select(
-            "doc_id",
-            "lang",
-            F.when(F.col("b") == 1, "head")
-            .when(F.col("b") == 2, "middle")
-            .otherwise("tail")
-            .alias("ppl_bucket"),
-        )
+    # threshold terciles (VERDICT r6: no ntile-over-lang window at scale).
+    # No checkpoint: recompute of the shared subtree measured cheaper
+    # than lazy localCheckpoint at sf0.1, and the scans stay gate-visible.
+    lscored = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    thr = text_ops.tercile_thresholds(lscored, "lang", "score_bits")
+    bucketed = lscored.join(F.broadcast(thr), "lang").select(
+        "doc_id", "lang", text_ops.ppl_bucket_col().alias("ppl_bucket")
     )
     mixed = epoch_mix(
         bucketed,

@@ -234,3 +234,39 @@ def knn_label_disagreement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_label_disagreement(
         emb, cents, k=5, cent_id="cid", cent_vec="cv_c"
     )
+
+
+@register(
+    "adpcm_roundtrip_stats",
+    # Geometry regenerated in SQL; the samples are NOT SQL-recoverable
+    # (stateful 4-bit quantizer), so quality verifies through the
+    # guarantee-gate flags, exactly like jpeg_roundtrip_stats: a
+    # band-limited tone must survive IMA ADPCM at >= 20 dB SNR and ~4:1
+    # size, and the fact-chunk trim must preserve the frame count.
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(400 + doc_id % 211 AS BIGINT) AS n_frames,
+           CAST(1 + doc_id % 2 AS BIGINT) AS n_channels,
+           TRUE AS frames_match,
+           TRUE AS snr_ge_20,
+           TRUE AS ratio_le_045
+    FROM documents
+    """,
+    doc="Lossy-audio round-trip gate — the IMA-ADPCM twin of "
+    "jpeg_roundtrip_stats, closing the compressed-audio seam: "
+    "deterministic tone synthesis -> REAL block-structured IMA ADPCM "
+    "encode (per-channel headers, nibble words, fact chunk) -> REAL "
+    "decode -> geometry + quality flags (frame count exact, SNR >= 20 "
+    "dB, size <= 0.45x PCM — sub-second clips pay real per-block header/padding overhead). Samples are unrecoverable in SQL by the "
+    "nature of the codec, so the oracle regenerates the geometry and "
+    "asserts the by-construction bounds (the guarantee-gate pattern); "
+    "an encoder that breaks block independence, drops the final "
+    "partial block, or mis-tracks the quantizer state fails the "
+    "flags. Zero shuffles: one narrow mapInPandas chain. "
+    "operators/wav_codec.py, operators/multimodal.py.",
+)
+def adpcm_roundtrip_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.adpcm_roundtrip_stats(docs)

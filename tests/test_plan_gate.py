@@ -91,8 +91,11 @@ EXPECT = {
     # broadcast (floor pinned); corpus-sized joins stay SMJ'd on 8-byte keys
     "hybrid_rrf_topk": dict(max_shuffles=10, min_bhj=2, max_smj=2),
     # LM model joins are vocab-sized both sides + one corpus-keyed lang
-    # join: SMJ is the scale-correct plan, ceilings only
-    "ccnet_ppl_buckets": dict(max_shuffles=10, max_smj=3, max_scan_width=2),
+    # join: SMJ is the scale-correct plan, ceilings only. r7: tercile
+    # thresholds replace the ntile window — the shared scoring subtree
+    # appears twice textually (threshold build + bucket join; exchanges
+    # reuse at runtime, measured cheaper than checkpointing)
+    "ccnet_ppl_buckets": dict(max_shuffles=20, max_smj=6, max_scan_width=2),
     # span-hash self-aggregation + semi-join back: corpus-sized both
     # sides on 8-byte keys, SMJ correct; no scan asserted (checkpointed)
     "duplicate_span_stats": dict(max_shuffles=5, max_smj=2),
@@ -105,13 +108,17 @@ EXPECT = {
     # tokenizer apply is a pure map (the train collect runs at build
     # time as its own bounded job, like the kmeans centroid fold)
     "bpe_apply_one_merge": dict(max_shuffles=0, max_smj=0),
-    # label-blocked pair join + rank window + mutual self-join: every
-    # join is equi-keyed (block / directed-edge), no cartesian anywhere
-    "mutual_knn_pairs": dict(max_shuffles=8, max_smj=3),
+    # IVF-cell-blocked (r7, VERDICT r6 #4) pair join + rank window +
+    # mutual self-join: every join is equi-keyed (cell / directed-edge),
+    # no cartesian; the ivf_assign subtree feeds both pair sides, so its
+    # exchanges appear twice textually and reuse at runtime
+    "mutual_knn_pairs": dict(max_shuffles=18, max_smj=8),
     "cross_corpus_near_dups": dict(max_shuffles=7, max_smj=3),
     # gate -> trim -> split chain: LM model joins + span join-back; the
-    # split is a pure projection on the survivor stream
-    "curation_v2_corpus": dict(max_shuffles=15, max_smj=6),
+    # split is a pure projection on the survivor stream. r7 tercile
+    # thresholds: shared scoring subtree duplicated textually (runtime
+    # exchange reuse), same as ccnet_ppl_buckets
+    "curation_v2_corpus": dict(max_shuffles=26, max_smj=10),
     # two windows + groupBy on the SAME keys: partitioning reused, one
     # shuffle end to end — the invariant this query exists to keep
     "daily_value_ohlc": dict(max_shuffles=1, max_smj=0, max_scan_width=4),
@@ -161,9 +168,10 @@ EXPECT = {
     # one corpus-keyed grouped count; everything after is bounded by
     # segments x buckets (population hist broadcast, 20 rows)
     "psi_value_drift": dict(max_shuffles=6, min_bhj=1, max_smj=1),
-    # LM model joins (vocab-sized) + tercile window + map-side mix; the
-    # repetition explode adds no exchange
-    "curriculum_mix_docs": dict(max_shuffles=10, max_smj=3),
+    # LM model joins (vocab-sized) + tercile thresholds + map-side mix;
+    # the repetition explode adds no exchange. r7: shared scoring
+    # subtree duplicated textually, same as ccnet_ppl_buckets
+    "curriculum_mix_docs": dict(max_shuffles=20, max_smj=6),
     # final-stage rollup only (clustering runs behind its checkpoint,
     # like dedup_corpus/leakage_safe_split): cluster-count-sized
     "dedup_cluster_stats": dict(max_shuffles=4, max_smj=1),
@@ -177,11 +185,12 @@ EXPECT = {
     "corpus_datasheet": dict(max_shuffles=8, max_smj=0),
     # one classification pass + labels-sized rollup (totals broadcast)
     "lang_id_confusion": dict(max_shuffles=5, min_bhj=1, max_smj=1),
-    # the packer's per-source window + a shard-count-sized rollup
-    "shard_balance_report": dict(max_shuffles=3, max_smj=0, max_scan_width=3),
-    # one per-source window + a per-row sequence explode — any join or
-    # extra exchange means the packer stopped being a single-pass window
-    "training_sequence_spans": dict(max_shuffles=2, max_smj=0, max_scan_width=3),
+    # the packer's two-phase prefix sum (r7: bounded bucket windows +
+    # tiny offset frame) + a shard-count-sized rollup
+    "shard_balance_report": dict(max_shuffles=6, max_smj=0, max_scan_width=3),
+    # the packer's two-phase prefix sum (r7: bounded bucket windows,
+    # bucket-totals offsets broadcast back) + a per-row sequence explode
+    "training_sequence_spans": dict(max_shuffles=5, max_smj=0, max_scan_width=3),
     # build distinct + filter distinct + probe rollup + member check; the
     # filter table and member set BROADCAST (floor pinned) — the probe
     # corpus must never sort-merge against the fixed-size filter
@@ -334,6 +343,8 @@ BNLJ_ALLOWED = {
     "knn_label_disagreement",   # ivf_assign's sqrt(n)-codebook broadcast; the
     #   assign subtree feeds BOTH pair sides a/b, so the same bounded
     #   centroid BNLJ appears twice in the physical plan
+    "mutual_knn_pairs",         # r7 IVF-cell re-block (VERDICT r6 #4):
+    #   same ivf_assign codebook broadcast, twice via the a/b pair sides
 }
 
 
@@ -375,4 +386,50 @@ def test_no_row_python_udfs_anywhere(gate_spark):
         n = plan.count("BatchEvalPython")
         if n:
             offenders[name] = n
+    assert not offenders, offenders
+
+
+# Corpus group columns with unbounded skew potential: ONE language or
+# source can be most of a 100 TB corpus, so a window partitioned by them
+# total-sorts that majority inside a single task — the ntile-over-lang
+# scale-killer VERDICT r6 flagged (fixed via text.tercile_thresholds).
+# A query may window over these keys ONLY when the windowed frame is
+# already aggregate-bounded (vocab/value-domain-sized, not corpus-sized)
+# and is audited here.
+SKEW_WINDOW_ALLOWED = {
+    "zipf_law_fit",  # row_number over the per-source VOCABULARY-sized
+    #   term-frequency table (Heaps' law bounded), not over documents
+    "token_budget_shards",      # prefix-sum offset window over the
+    #   (bucket, source) TOTALS frame — one row per 64Ki-doc bucket,
+    #   never over documents (operators/packing.py::_prefix_start)
+    "training_sequence_spans",  # same bucket-totals offset window
+    "shard_balance_report",     # same (composes pack_shards)
+}
+
+
+def test_no_window_over_skewed_corpus_keys(gate_spark):
+    """Whole-catalog: no window function partitioned SOLELY by a
+    skew-prone corpus key (lang, source) outside the audited allowlist.
+    Would have caught the r6 ntile(3)-over-lang plans in
+    ccnet_ppl_buckets / curation_v2_corpus / curriculum_mix_docs at
+    commit time. A window keyed by (bucket, source) is fine — the extra
+    partition key bounds the frame — so the pattern requires lang/source
+    as the FIRST argument immediately followed by a sort spec (i.e. the
+    only partition key)."""
+    import re
+
+    pat = re.compile(
+        r"windowspecdefinition\((?:lang|source)#\d+L?, \S+#\d+L? (?:ASC|DESC)"
+    )
+    offenders = {}
+    for name, spec in QUERIES.items():
+        plan = (
+            spec.builder(gate_spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        hits = len(pat.findall(plan))
+        if hits and name not in SKEW_WINDOW_ALLOWED:
+            offenders[name] = hits
     assert not offenders, offenders
