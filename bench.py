@@ -67,7 +67,24 @@ def main() -> None:
     timings: dict[str, float] = {}      # per-query median (the headline)
     runs_detail: dict[str, list[float]] = {}  # every individual run
 
-    def bench(name: str, run_once) -> None:
+    def release_persisted() -> None:
+        """Drop every persisted RDD / cached plan the last run left
+        behind. Catalog queries are independent, but their shared-subtree
+        lazy localCheckpoints persist blocks that ONLY the ContextCleaner
+        (GC-driven, unbounded lag) would reclaim — across a ~150-query
+        sweep they accumulate, squeeze unified memory, and tax later
+        queries (VERDICT r7: lm_bigram_scores ran 4.5x slower mid-bench
+        than in isolation, in untouched code). Runs OUTSIDE the timed
+        window; family stages that intentionally share a materialized
+        frame across entries skip it (release=False) and clean up when
+        the family ends."""
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        it = jmap.values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+        spark.catalog.clearCache()
+
+    def bench(name: str, run_once, release: bool = True) -> None:
         """Variance-resistant timing for one query (-1 marks an error):
         best (warm) run when runs <= 2, median when runs >= 3."""
         samples: list[float] = []
@@ -79,6 +96,9 @@ def main() -> None:
                 timings[name] = -1.0
                 runs_detail[name] = samples + [-1.0]
                 return
+            finally:
+                if release:
+                    release_persisted()
         headline = min(samples) if n_runs <= 2 else statistics.median(samples)
         timings[name] = round(headline, 3)
         runs_detail[name] = samples
@@ -140,17 +160,17 @@ def main() -> None:
             postings = dedup.shingle_postings(docs)
             postings.count()  # force the lazy localCheckpoint to materialize
 
-        bench("_stage:shingle_postings", build_stage)
+        bench("_stage:shingle_postings", build_stage, release=False)
 
         def noop(df):
             df.write.format("noop").mode("overwrite").save()
 
         bench("ngram_jaccard_pairs",
-              lambda: noop(dedup.ngram_jaccard_pairs(docs, postings=postings)))
+              lambda: noop(dedup.ngram_jaccard_pairs(docs, postings=postings)), release=False)
         bench("minhash_dedup_candidates",
-              lambda: noop(dedup.minhash_dedup_candidates(docs, postings=postings)))
+              lambda: noop(dedup.minhash_dedup_candidates(docs, postings=postings)), release=False)
         bench("containment_dedup_pairs",
-              lambda: noop(dedup.containment_pairs(docs, postings=postings)))
+              lambda: noop(dedup.containment_pairs(docs, postings=postings)), release=False)
 
         # Cluster ONCE per run, apply twice — the real pipeline shape. The
         # iterative clustering cost is timed as dedup_clusters (its own
@@ -166,20 +186,20 @@ def main() -> None:
             )
             noop(clusters)
 
-        bench("dedup_clusters", build_clusters)
+        bench("dedup_clusters", build_clusters, release=False)
         bench("dedup_corpus",
-              lambda: noop(dedup.apply_dedup(docs, clusters).select("doc_id", "source")))
+              lambda: noop(dedup.apply_dedup(docs, clusters).select("doc_id", "source")), release=False)
         bench("dedup_corpus_best",
               lambda: noop(dedup.apply_dedup_best(docs, clusters, "n_chars")
-                           .select("doc_id", "source")))
+                           .select("doc_id", "source")), release=False)
 
         from shopify_etl_spark.plans.catalog_ext2 import leakage_split_from
         from shopify_etl_spark.plans.catalog_ext3 import cluster_stats_from
 
         bench("dedup_cluster_stats",
-              lambda: noop(cluster_stats_from(docs, clusters)))
+              lambda: noop(cluster_stats_from(docs, clusters)), release=False)
         bench("leakage_safe_split",
-              lambda: noop(leakage_split_from(docs, clusters)))
+              lambda: noop(leakage_split_from(docs, clusters)), release=False)
 
         # Weak-tie graph family: the 0.02-threshold edge list shares the
         # SAME postings stage; both PageRank variants message-pass over
@@ -195,14 +215,16 @@ def main() -> None:
             ).localCheckpoint(eager=False)
             edges.count()  # force the materialization the family shares
 
-        bench("_stage:jaccard_edges_wk", build_edges)
-        bench("dup_graph_pagerank", lambda: noop(pagerank(edges)))
+        bench("_stage:jaccard_edges_wk", build_edges, release=False)
+        bench("dup_graph_pagerank", lambda: noop(pagerank(edges)), release=False)
         bench("pagerank_degree_capped",
-              lambda: noop(pagerank(edges, max_degree=3)))
+              lambda: noop(pagerank(edges, max_degree=3)), release=False)
     except Exception as e:  # noqa: BLE001
         print(f"bench error in dedup family: {e}", file=sys.stderr)
         for name in shared_dedup:
             timings.setdefault(name, -1.0)
+    finally:
+        release_persisted()  # family over: postings/clusters/edges blocks
 
     try:
         from shopify_etl_spark.operators import dedup as _dd
@@ -217,21 +239,23 @@ def main() -> None:
             span_windows = _span_hash_windows(sdocs, 16, "text", "doc_id")
             span_windows.count()  # force the lazy localCheckpoint
 
-        bench("_stage:span_windows", build_span_stage)
+        bench("_stage:span_windows", build_span_stage, release=False)
 
         def snoop(df):
             df.write.format("noop").mode("overwrite").save()
 
         bench("duplicate_span_stats",
-              lambda: snoop(_dd.duplicate_span_stats(sdocs, windows=span_windows)))
+              lambda: snoop(_dd.duplicate_span_stats(sdocs, windows=span_windows)), release=False)
         bench("duplicate_span_intervals",
-              lambda: snoop(_dd.duplicate_span_intervals(sdocs, windows=span_windows)))
+              lambda: snoop(_dd.duplicate_span_intervals(sdocs, windows=span_windows)), release=False)
         bench("trim_repeated_spans",
-              lambda: snoop(_dd.trim_repeated_spans(sdocs, windows=span_windows)))
+              lambda: snoop(_dd.trim_repeated_spans(sdocs, windows=span_windows)), release=False)
     except Exception as e:  # noqa: BLE001
         print(f"bench error in span family: {e}", file=sys.stderr)
         for name in shared_spans:
             timings.setdefault(name, -1.0)
+    finally:
+        release_persisted()  # family over: span-window blocks
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # Spread summary: per-query relative spread (max-min)/median over the

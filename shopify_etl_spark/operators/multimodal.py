@@ -541,7 +541,7 @@ def adpcm_roundtrip_stats(
     REAL block-structured IMA encoder (``wav_codec.encode_wav_adpcm``)
     and decoded back; the output carries the exact geometry plus
     by-construction quality flags (frame count survives the fact-chunk
-    trim; SNR ≥ 20 dB; compressed size ≤ 0.30× the PCM encoding — the
+    trim; SNR ≥ 20 dB; compressed size ≤ 0.45× the PCM encoding — the
     codec's ~4:1 with headers). Every step is a deterministic pure
     function of ``d``, so the flags are stable across partitionings and
     the oracle regenerates geometry and asserts the flags (the
@@ -553,6 +553,14 @@ def adpcm_roundtrip_stats(
     zero-padded final block are a real fraction of the stream —
     ``block_words=16`` (129-frame blocks) keeps the worst case
     (n=400 mono: 0.393) under the bound at every synth geometry.
+
+    SNR margin (ADVICE r7): channel 1's ``np.roll`` delay wraps the
+    tone, so one sample jumps by up to ~12000 int16 steps and ADPCM
+    must slew through it; measured exhaustively over the full geometry
+    domain the worst-case SNR is 21.78 dB against the 20 dB flag — a
+    1.78 dB margin. Any change to ``block_words``, the cold-start
+    state, or the synth geometry must re-verify that margin before
+    trusting the oracle's unconditional TRUE.
     """
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -22,19 +22,28 @@ the scan itself parallelizes as the classic two-phase prefix sum:
 
 A window partitioned by the group alone (the round-6 shape) total-sorts
 a possibly corpus-dominant group through ONE task; here no window ever
-sees more than ``bucket_docs`` rows, and the only per-group ordered
-structure is the bucket-totals frame (≤ id_range/bucket_docs rows per
-group — ~15k for a billion dense ids). Requires a numeric ``id_col``
-(ingest-assigned dense ids are the normal case); non-numeric ids fall
-back to the per-group window, which is safe only when groups are
-bounded — callers at corpus scale should map ids to numbers first.
+sees more than ~``bucket_docs`` expected rows, and the only per-group
+ordered structure is the bucket-totals frame (≈ n_docs/bucket_docs rows
+per group). Bucket SPAN is sized from a bounded build-time stats job
+(count, min, max of the id), so the bucket count tracks the DOCUMENT
+count, not the id range — sparse numeric ids (64-bit hashes) get the
+same ~bucket_docs-per-bucket economics as dense ingest ids (ADVICE r7:
+``floor(id / bucket_docs)`` made the offsets frame id-RANGE-sized, so a
+hashed-id corpus blew the broadcast). Adversarially CLUSTERED sparse
+ids can still overfill individual buckets — uniform hashes cannot.
+Non-numeric ids fall back to the per-group window (with a loud
+warning), which is safe only when groups are bounded — callers at
+corpus scale should map ids to numbers first.
 """
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .materialize import checkpoint_tracked
 from .text import token_count
 
 #: default documents per prefix-sum bucket — bounds every window
@@ -42,8 +51,22 @@ from .text import token_count
 #: per window task is comfortably in-memory.
 DEFAULT_BUCKET_DOCS = 65536
 
-_NUMERIC_PREFIXES = ("int", "bigint", "smallint", "tinyint", "long",
-                     "float", "double", "decimal")
+#: broadcast the per-(bucket, group) offsets frame only when its worst-
+#: case row count (n_buckets * n_groups) is provably small; beyond this
+#: the join falls through to the optimizer's shuffle strategy instead of
+#: force-feeding the driver (ADVICE r7).
+_BROADCAST_OFFS_MAX_ROWS = 2_000_000
+
+# exact Spark simple-dtype names: a prefix match on "int" also catches
+# the "interval ..." dtypes, which would take the arithmetic path and
+# fail on division (ADVICE r7)
+_NUMERIC_TYPES = frozenset(
+    {"tinyint", "smallint", "int", "bigint", "long", "float", "double"}
+)
+
+
+def _is_numeric_dtype(dtype: str) -> bool:
+    return dtype in _NUMERIC_TYPES or dtype.startswith("decimal(")
 
 
 def _prefix_start(
@@ -53,10 +76,24 @@ def _prefix_start(
     bucket_docs: int = DEFAULT_BUCKET_DOCS,
 ) -> DataFrame:
     """``base`` (id, group, n_tokens) → + ``_start`` = tokens before this
-    doc in ``id_col`` order within its group, via the two-phase scan."""
+    doc in ``id_col`` order within its group, via the two-phase scan.
+
+    Any order-aligned bucketing yields the SAME result (offsets are
+    computed from actual per-bucket totals), so the stats-sized bucket
+    span below changes task boundaries, never values.
+    """
     dtype = dict(base.dtypes)[id_col]
-    if not dtype.startswith(_NUMERIC_PREFIXES):
-        # bounded-group fallback: order key not bucketable arithmetically
+    if not _is_numeric_dtype(dtype):
+        # bounded-group fallback: order key not bucketable arithmetically.
+        # This is the exact unbounded-per-group window the two-phase scan
+        # exists to remove — loud, so a corpus-scale caller notices.
+        warnings.warn(
+            f"pack: id column {id_col!r} has non-numeric dtype {dtype!r}; "
+            "falling back to an UNBOUNDED per-group prefix window that "
+            "total-sorts each group in one task. Map ids to numbers "
+            "upstream before packing at corpus scale.",
+            stacklevel=3,
+        )
         w = (
             Window.partitionBy(group_col)
             .orderBy(id_col)
@@ -65,8 +102,26 @@ def _prefix_start(
         return base.withColumn(
             "_start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
         )
-    bucketed = base.withColumn(
-        "_bkt", F.floor(F.col(id_col) / F.lit(bucket_docs))
+    # bounded build-time stats job (parquet min/max + count — the kmeans
+    # build-time-fold pattern): size the bucket SPAN so the bucket count
+    # tracks the doc count even when ids are sparse
+    st = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(id_col).alias("lo"),
+        F.max(id_col).alias("hi"),
+        F.countDistinct(group_col).alias("g"),
+    ).first()
+    if not st["n"]:
+        return base.withColumn("_start", F.lit(0).cast("bigint"))
+    n_buckets = max(1, -(-int(st["n"]) // bucket_docs))
+    span = max(1.0, (float(st["hi"]) - float(st["lo"]) + 1.0) / n_buckets)
+    # two consumers (in-bucket prefix window + bucket totals): checkpoint
+    # so the scan + tokenize-count runs once, not once per consumer
+    # (VERDICT r7: AQE fires no ReusedExchange across such fan-outs)
+    bucketed = checkpoint_tracked(
+        base.withColumn(
+            "_bkt", F.floor((F.col(id_col) - F.lit(st["lo"])) / F.lit(span))
+        )
     )
     w_in = (
         Window.partitionBy("_bkt", group_col)
@@ -79,8 +134,8 @@ def _prefix_start(
     totals = bucketed.groupBy("_bkt", group_col).agg(
         F.sum("n_tokens").alias("_btot")
     )
-    # tiny frame: one row per (bucket, group); window is bucket-count-
-    # bounded per group, never corpus-bounded
+    # small frame: one row per (bucket, group) present; the prefix window
+    # is bucket-count-bounded per group, never corpus-bounded
     w_off = (
         Window.partitionBy(group_col)
         .orderBy("_bkt")
@@ -91,8 +146,10 @@ def _prefix_start(
         group_col,
         F.coalesce(F.sum("_btot").over(w_off), F.lit(0)).alias("_off"),
     )
+    if n_buckets * int(st["g"]) <= _BROADCAST_OFFS_MAX_ROWS:
+        offs = F.broadcast(offs)
     return (
-        local.join(F.broadcast(offs), ["_bkt", group_col])
+        local.join(offs, ["_bkt", group_col])
         .withColumn("_start", F.col("_local") + F.col("_off"))
         .drop("_bkt", "_local", "_off")
     )

@@ -2043,16 +2043,19 @@ def audio_demux_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bigram_lm_scores + tercile_thresholds.",
 )
 def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.materialize import checkpoint_tracked
+
     docs = load_table(spark, sf_dir, "documents")
-    scored = text.bigram_lm_scores(docs).select(
-        "doc_id", F.round("avg_nll_bits", 4).alias("score_bits")
+    # lang rides the scoring pass (keep_cols), so NO second documents
+    # join; the scored frame has two consumers (threshold build + final
+    # bucketing) and is checkpointed so the whole LM-scoring subtree runs
+    # once (VERDICT r7: AQE fired zero ReusedExchange here — without the
+    # checkpoint the subtree, scans included, executed twice).
+    lscored = checkpoint_tracked(
+        text.bigram_lm_scores(docs, keep_cols=("lang",)).select(
+            "doc_id", "lang", F.round("avg_nll_bits", 4).alias("score_bits")
+        )
     )
-    # two consumers (threshold build + final bucketing): measured at
-    # sf0.1 the recompute is CHEAPER than a lazy localCheckpoint (1.8 s
-    # vs 2.1 s warm) — the shared shuffles dedupe at runtime and the
-    # checkpoint's executor-disk materialization buys nothing; it also
-    # keeps the parquet scans visible to the plan gate.
-    lscored = scored.join(docs.select("doc_id", "lang"), "doc_id")
     thr = text.tercile_thresholds(lscored, "lang", "score_bits")
     return lscored.join(F.broadcast(thr), "lang").select(
         "doc_id",
@@ -2536,15 +2539,23 @@ def bpe_apply_one_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mutual_knn_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity
+    from ..operators.materialize import checkpoint_tracked
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") % 61 == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv_c")
     )
-    assign = similarity.ivf_assign(
-        emb, cents, cent_id="cid", cent_vec="cv_c"
+    # the vector rides the assignment (keep_cols) — no join back to the
+    # corpus — and the blocked frame feeds both pair sides of the kNN
+    # join, so it's checkpointed: the scan + broadcast-score + argmax
+    # subtree runs ONCE (VERDICT r7: without it the executed plan scanned
+    # the embeddings table ~12x — AQE fired zero ReusedExchange).
+    blocked = checkpoint_tracked(
+        similarity.ivf_assign(
+            emb, cents, cent_id="cid", cent_vec="cv_c",
+            keep_cols=("embedding",),
+        )
     )
-    blocked = emb.join(assign, "vec_id")
     return similarity.mutual_knn_pairs(blocked, k=5, block_col="centroid_id")
 
 
@@ -2717,15 +2728,20 @@ _CUR2_T = {
     "operators/text.py + operators/dedup.py + operators/sampling.py.",
 )
 def curation_v2_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.materialize import checkpoint_tracked
+
     docs = load_table(spark, sf_dir, "documents")
-    scored = text.bigram_lm_scores(docs).select(
-        "doc_id", F.round("avg_nll_bits", 4).alias("score_bits")
-    )
     # keep head+middle == score <= per-lang t2 threshold (tercile_thresholds
     # replaces the r6 ntile-over-lang window — VERDICT r6 scale fix).
-    # No checkpoint: recompute of the shared subtree measured cheaper
-    # than lazy localCheckpoint at sf0.1, and the scans stay gate-visible.
-    lscored = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    # lang rides the scoring pass (keep_cols); the scored frame feeds the
+    # threshold build AND the keep filter, so it's checkpointed to run the
+    # LM subtree once (VERDICT r7: zero ReusedExchange without it). The
+    # only other documents scan is the survivor join feeding the trim.
+    lscored = checkpoint_tracked(
+        text.bigram_lm_scores(docs, keep_cols=("lang",)).select(
+            "doc_id", "lang", F.round("avg_nll_bits", 4).alias("score_bits")
+        )
+    )
     thr = text.tercile_thresholds(lscored, "lang", "score_bits")
     keep_ids = (
         lscored.join(F.broadcast(thr), "lang")

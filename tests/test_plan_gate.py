@@ -69,7 +69,10 @@ EXPECT = {
     # the scale-correct plan there and only ceilings are pinned.
     "cms_heavy_hitters": dict(max_shuffles=7, min_bhj=3, max_smj=0),
     "cms_token_counts": dict(max_shuffles=4, min_bhj=2, max_smj=0),
-    "lm_bigram_scores": dict(max_shuffles=7, max_smj=2, max_scan_width=2),
+    # r8: the tokenize pass is checkpointed (4 consumers), so no parquet
+    # scan is visible in the final plan — scan-width unpinnable; the
+    # scans-per-table gate below covers the subtree instead
+    "lm_bigram_scores": dict(max_shuffles=7, max_smj=2),
     "bm25_champion_lists": dict(
         max_shuffles=10, min_bhj=1, max_smj=2, max_scan_width=2
     ),
@@ -90,12 +93,13 @@ EXPECT = {
     # fusion of two bounded top-k lists: the query-side postings/sizes are
     # broadcast (floor pinned); corpus-sized joins stay SMJ'd on 8-byte keys
     "hybrid_rrf_topk": dict(max_shuffles=10, min_bhj=2, max_smj=2),
-    # LM model joins are vocab-sized both sides + one corpus-keyed lang
-    # join: SMJ is the scale-correct plan, ceilings only. r7: tercile
-    # thresholds replace the ntile window — the shared scoring subtree
-    # appears twice textually (threshold build + bucket join; exchanges
-    # reuse at runtime, measured cheaper than checkpointing)
-    "ccnet_ppl_buckets": dict(max_shuffles=20, max_smj=6, max_scan_width=2),
+    # r8 (VERDICT r7 #2): the scored frame is CHECKPOINTED — the r7
+    # "exchanges reuse at runtime" premise was false (ReusedExchange=0,
+    # subtree re-executed per consumer) — so the final plan is just the
+    # tercile-threshold build + one broadcast bucket join over the
+    # checkpoint; the LM subtree's scans are pinned by the
+    # scans-per-table gate below
+    "ccnet_ppl_buckets": dict(max_shuffles=4, min_bhj=1, max_smj=1),
     # span-hash self-aggregation + semi-join back: corpus-sized both
     # sides on 8-byte keys, SMJ correct; no scan asserted (checkpointed)
     "duplicate_span_stats": dict(max_shuffles=5, max_smj=2),
@@ -109,16 +113,18 @@ EXPECT = {
     # time as its own bounded job, like the kmeans centroid fold)
     "bpe_apply_one_merge": dict(max_shuffles=0, max_smj=0),
     # IVF-cell-blocked (r7, VERDICT r6 #4) pair join + rank window +
-    # mutual self-join: every join is equi-keyed (cell / directed-edge),
-    # no cartesian; the ivf_assign subtree feeds both pair sides, so its
-    # exchanges appear twice textually and reuse at runtime
-    "mutual_knn_pairs": dict(max_shuffles=18, max_smj=8),
+    # mutual self-join. r8: the assigned frame AND the directed top-k
+    # list are checkpointed (each feeds both sides of a self-join), so
+    # the final plan is just the k*n-bounded mutual join — the r7
+    # "exchanges reuse at runtime" premise was false (12 embeddings
+    # scans, 0 reuses); subtree scans pinned by the scans-per-table gate
+    "mutual_knn_pairs": dict(max_shuffles=3, max_smj=1),
     "cross_corpus_near_dups": dict(max_shuffles=7, max_smj=3),
-    # gate -> trim -> split chain: LM model joins + span join-back; the
-    # split is a pure projection on the survivor stream. r7 tercile
-    # thresholds: shared scoring subtree duplicated textually (runtime
-    # exchange reuse), same as ccnet_ppl_buckets
-    "curation_v2_corpus": dict(max_shuffles=26, max_smj=10),
+    # gate -> trim -> split chain over the CHECKPOINTED scored frame
+    # (r8, same rationale as ccnet_ppl_buckets): threshold build + keep
+    # filter + survivor join + span trim + split projection remain in
+    # the final plan; LM subtree pinned by the scans-per-table gate
+    "curation_v2_corpus": dict(max_shuffles=9, min_bhj=1, max_smj=4),
     # two windows + groupBy on the SAME keys: partitioning reused, one
     # shuffle end to end — the invariant this query exists to keep
     "daily_value_ohlc": dict(max_shuffles=1, max_smj=0, max_scan_width=4),
@@ -168,10 +174,10 @@ EXPECT = {
     # one corpus-keyed grouped count; everything after is bounded by
     # segments x buckets (population hist broadcast, 20 rows)
     "psi_value_drift": dict(max_shuffles=6, min_bhj=1, max_smj=1),
-    # LM model joins (vocab-sized) + tercile thresholds + map-side mix;
-    # the repetition explode adds no exchange. r7: shared scoring
-    # subtree duplicated textually, same as ccnet_ppl_buckets
-    "curriculum_mix_docs": dict(max_shuffles=20, max_smj=6),
+    # tercile thresholds + broadcast bucket join over the CHECKPOINTED
+    # scored frame (r8, same rationale as ccnet_ppl_buckets); the
+    # repetition explode adds no exchange
+    "curriculum_mix_docs": dict(max_shuffles=4, min_bhj=1, max_smj=1),
     # final-stage rollup only (clustering runs behind its checkpoint,
     # like dedup_corpus/leakage_safe_split): cluster-count-sized
     "dedup_cluster_stats": dict(max_shuffles=4, max_smj=1),
@@ -186,11 +192,13 @@ EXPECT = {
     # one classification pass + labels-sized rollup (totals broadcast)
     "lang_id_confusion": dict(max_shuffles=5, min_bhj=1, max_smj=1),
     # the packer's two-phase prefix sum (r7: bounded bucket windows +
-    # tiny offset frame) + a shard-count-sized rollup
-    "shard_balance_report": dict(max_shuffles=6, max_smj=0, max_scan_width=3),
-    # the packer's two-phase prefix sum (r7: bounded bucket windows,
-    # bucket-totals offsets broadcast back) + a per-row sequence explode
-    "training_sequence_spans": dict(max_shuffles=5, max_smj=0, max_scan_width=3),
+    # tiny offset frame; r8: the counted frame is checkpointed — two
+    # consumers — so no scan is visible in the final plan) + a
+    # shard-count-sized rollup
+    "shard_balance_report": dict(max_shuffles=6, max_smj=0),
+    # the packer's two-phase prefix sum (see shard_balance_report) +
+    # a per-row sequence explode
+    "training_sequence_spans": dict(max_shuffles=5, max_smj=0),
     # build distinct + filter distinct + probe rollup + member check; the
     # filter table and member set BROADCAST (floor pinned) — the probe
     # corpus must never sort-merge against the fixed-size filter
@@ -263,6 +271,60 @@ def test_plan_invariants(gate_spark, name):
             f"(column pruning regressed)",
             feats,
         )
+
+
+# ---------------------------------------------------------------------------
+# Scans-per-table gate (VERDICT r7 #2): a checkpointed shared subtree
+# truncates the consumer's visible plan, so the shuffle/scan ceilings above
+# can't see it. checkpoint_tracked records every pre-checkpoint subtree;
+# this gate unions the final plan with those subtree plans and asserts each
+# source table is scanned AT MOST this many times per executed query —
+# checkpoint semantics guarantee each subtree executes once, so the static
+# union IS the executed scan count. This is the pin for "the shared
+# scoring/ivf subtree runs once" (r7 shipped the claim without the pin and
+# the executed plans re-scanned embeddings ~12x).
+MAX_SCANS_PER_TABLE = {
+    "lm_bigram_scores": 1,
+    "ccnet_ppl_buckets": 1,
+    "curriculum_mix_docs": 1,
+    "curation_v2_corpus": 2,       # + the survivor join feeding the trim
+    "mutual_knn_pairs": 2,         # corpus + the %61 codebook slice
+    "knn_label_disagreement": 2,   # corpus + the codebook slice
+    "token_budget_shards": 2,      # narrow build-time stats agg + counted frame
+    "training_sequence_spans": 2,
+    "shard_balance_report": 2,
+}
+
+
+def _count_scans(plan: str) -> dict[str, int]:
+    """FileScan occurrences per source table, counted on the CURRENT plan
+    section only — an executed AQE plan's toString appends an
+    '== Initial Plan ==' section that duplicates every node."""
+    cur = plan.split("== Initial Plan ==")[0]
+    return {
+        m.rsplit("/", 1)[-1].removesuffix(".parquet"): cur.count(m)
+        for m in set(re.findall(r"[^ ,\[\]]*\.parquet", cur))
+    }
+
+
+@pytest.mark.parametrize("name", sorted(MAX_SCANS_PER_TABLE))
+def test_scans_per_table(gate_spark, name):
+    from shopify_etl_spark.operators.materialize import capture_subtrees
+
+    with capture_subtrees() as subtrees:
+        df = QUERIES[name].builder(gate_spark, SF_DIR)
+    totals: dict[str, int] = {}
+    plans = [df] + subtrees
+    for p in plans:
+        plan = p._jdf.queryExecution().executedPlan().toString()
+        for table, n in _count_scans(plan).items():
+            totals[table] = totals.get(table, 0) + n
+    assert subtrees, (
+        f"{name}: no checkpointed subtree captured — the shared-subtree "
+        "materialization this gate pins was removed"
+    )
+    cap = MAX_SCANS_PER_TABLE[name]
+    assert totals and max(totals.values()) <= cap, (name, totals)
 
 
 def test_gate_detects_lost_broadcast_hint(gate_spark):
