@@ -78,10 +78,9 @@ def main() -> None:
         window; family stages that intentionally share a materialized
         frame across entries skip it (release=False) and clean up when
         the family ends."""
-        jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        it = jmap.values().iterator()
-        while it.hasNext():
-            it.next().unpersist(False)
+        # py4j exposes the Java map as a dict-like view
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist(False)
         spark.catalog.clearCache()
 
     def bench(name: str, run_once, release: bool = True) -> None:

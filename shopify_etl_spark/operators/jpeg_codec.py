@@ -6,14 +6,21 @@ opencv / ffmpeg), and baseline JPEG closes the image family. Scope is the
 honest baseline subset (ITU-T T.81):
 
 * **sequential DCT, 8-bit** (SOF0), Huffman entropy coding (DHT),
+* **progressive DCT, 8-bit** (SOF2, T.81 Annex G): spectral selection
+  AND successive approximation on decode (DC/AC first + refinement
+  scans, EOB runs, interleaved DC scans); ``encode_jpeg_progressive``
+  emits the libjpeg-style 10-scan script so the path round-trips
+  without external encoders — and both coding paths reconstruct the
+  SAME quantized coefficients, so progressive decode must equal
+  baseline decode bit-for-bit at the same quality (pinned in tests),
 * **1 component (grayscale) or 3 components (YCbCr, JFIF)**,
 * **no chroma subsampling on encode (4:4:4)**; decode additionally
   accepts any h/v sampling factors ≤ 2 (4:2:0 / 4:2:2 from other
   encoders) with block-replication upsampling,
 * restart intervals (DRI/RSTn) on decode,
-* progressive (SOF2), arithmetic coding and 12-bit depth stay OUTSIDE —
-  they raise ``NotImplementedError`` at the same seam the other codecs
-  use, behind this working default path.
+* arithmetic coding, hierarchical (SOF5+) and 12-bit depth stay
+  OUTSIDE — they raise ``NotImplementedError`` at the same seam the
+  other codecs use, behind this working default path.
 
 JPEG is lossy, so the test contract differs from PNG's bit-exact
 round-trip: ``decode(encode(x, quality=q))`` must reconstruct within a
@@ -437,9 +444,11 @@ def encode_jpeg(
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes → uint8 raster (H,W) or (H,W,3) RGB.
 
-    Accepts baseline sequential (SOF0) with 1 or 3 components, any h/v
-    sampling factors ≤ 2, standard or custom Huffman/quantization tables,
-    and restart intervals. Progressive (SOF2) and arithmetic coding raise
+    Accepts baseline sequential (SOF0/1) AND progressive (SOF2 — spectral
+    selection + successive approximation, DC/AC first and refinement
+    scans, EOB runs) with 1 or 3 components, any h/v sampling factors
+    ≤ 2, standard or custom Huffman/quantization tables, and restart
+    intervals. Arithmetic coding and hierarchical modes raise
     NotImplementedError — the documented seam, same contract as the other
     codecs in this package.
     """
@@ -450,6 +459,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     htabs: dict[int, dict] = {}
     frame = None
     restart_interval = 0
+    coef_store = None  # progressive: per-component coefficient grids
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at {pos}")
@@ -482,7 +492,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 values = list(seg[off + 17:off + 17 + n])
                 htabs[tc_th] = _build_huffman_decode(bits, values)
                 off += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline(+ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog.
             prec, h, w, n_comp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError("jpeg: only 8-bit precision")
@@ -492,12 +502,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             if any(c["h"] > 2 or c["v"] > 2 for c in comps):
                 raise NotImplementedError("jpeg: sampling factors > 2")
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": h, "w": w, "comps": comps, "prog": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"jpeg: only baseline sequential (SOF0) supported, got "
-                f"SOF{marker - 0xC0}"
+                f"jpeg: only sequential (SOF0/1) and progressive (SOF2) "
+                f"supported, got SOF{marker - 0xC0}"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
@@ -506,16 +516,35 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("jpeg: SOS before SOF")
             n_scan = seg[0]
             scan_tabs = {}
+            scan_list = []  # ordered (comp index, td, ta) — progressive
             for c in range(n_scan):
                 cid, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_tabs[cid] = (tdta >> 4, tdta & 0x0F)
+                ci = next(
+                    i for i, cc in enumerate(frame["comps"]) if cc["id"] == cid
+                )
+                scan_list.append((ci, tdta >> 4, tdta & 0x0F))
             end = _find_scan_end(data, pos)
+            if frame.get("prog"):
+                if coef_store is None:
+                    coef_store = _alloc_coef_store(frame)
+                ss, se = seg[1 + 2 * n_scan], seg[2 + 2 * n_scan]
+                ahal = seg[3 + 2 * n_scan]
+                _decode_scan_progressive(
+                    data[pos:end], frame, htabs, scan_list,
+                    ss, se, ahal >> 4, ahal & 0x0F,
+                    coef_store, restart_interval,
+                )
+                pos = end
+                continue
             pixels = _decode_scan(
                 data[pos:end], frame, qtabs, htabs, scan_tabs,
                 restart_interval,
             )
             return pixels
         # APPn/COM and everything else: skipped
+    if frame is not None and frame.get("prog") and coef_store is not None:
+        return _reconstruct_from_coefs(frame, qtabs, coef_store)
     raise ValueError("jpeg: no scan data found")
 
 
@@ -615,3 +644,423 @@ def _decode_scan(scan, frame, qtabs, htabs, scan_tabs, restart_interval):
         return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
     rgb = _ycbcr_to_rgb(np.stack(full, axis=-1))
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive mode (T.81 Annex G): coefficients accumulate across scans —
+# spectral selection splits the zig-zag band, successive approximation
+# splits the bit-planes — and reconstruction happens once at EOI.
+# ---------------------------------------------------------------------------
+
+
+def _comp_grids(frame) -> list[dict]:
+    """Per-component block-grid geometry: the MCU-padded grid (interleaved
+    scans) and the non-interleaved grid (single-component scans cover only
+    ceil(comp_size/8) blocks — NOT the MCU padding; T.81 A.2.2)."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    out = []
+    for c in comps:
+        cw, ch = -(-w * c["h"] // hmax), -(-h * c["v"] // vmax)
+        out.append({
+            "pad_by": mcuy * c["v"], "pad_bx": mcux * c["h"],
+            "ni_by": -(-ch // 8), "ni_bx": -(-cw // 8),
+        })
+    return out
+
+
+def _alloc_coef_store(frame) -> list[np.ndarray]:
+    return [
+        np.zeros((g["pad_by"], g["pad_bx"], 64), dtype=np.int64)
+        for g in _comp_grids(frame)
+    ]
+
+
+def _split_restart_segments(scan: bytes, restart_interval: int) -> list[bytes]:
+    if not restart_interval:
+        return [scan]
+    segments, seg, i = [], bytearray(), 0
+    while i < len(scan):
+        if scan[i] == 0xFF and i + 1 < len(scan) and 0xD0 <= scan[i + 1] <= 0xD7:
+            segments.append(bytes(seg))
+            seg = bytearray()
+            i += 2
+            continue
+        seg.append(scan[i])
+        i += 1
+    segments.append(bytes(seg))
+    return segments
+
+
+def _decode_scan_progressive(
+    scan, frame, htabs, scan_list, ss, se, ah, al, coef_store,
+    restart_interval,
+):
+    """One progressive scan into the coefficient store (T.81 G.2 /
+    the classic phuff decoder structure).
+
+    DC scans (ss == 0) may interleave all components (MCU order); AC
+    scans carry exactly one component in non-interleaved block order.
+    ``ah == 0`` marks a first scan (values arrive ``<< al``), ``ah > 0``
+    a refinement scan delivering bit-plane ``al``.
+    """
+    comps = frame["comps"]
+    grids = _comp_grids(frame)
+    segments = _split_restart_segments(scan, restart_interval)
+    if ss == 0 and se != 0:
+        raise ValueError("jpeg: progressive DC scan with Se != 0")
+    if ss != 0 and len(scan_list) != 1:
+        raise ValueError("jpeg: progressive AC scan must be single-component")
+
+    # work units: for interleaved scans one MCU, for single-component
+    # scans one block — restart intervals count these units (T.81 G.2.4)
+    if len(scan_list) > 1:
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        mcux = -(-frame["w"] // (8 * hmax))
+        mcuy = -(-frame["h"] // (8 * vmax))
+        units = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                blocks = []
+                for ci, td, _ta in scan_list:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blocks.append(
+                                (ci, td, my * c["v"] + by, mx * c["h"] + bx)
+                            )
+                units.append(blocks)
+    else:
+        ci, td, ta = scan_list[0]
+        g = grids[ci]
+        units = [
+            [(ci, td if ss == 0 else ta, by, bx)]
+            for by in range(g["ni_by"])
+            for bx in range(g["ni_bx"])
+        ]
+
+    p1 = 1 << al
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    prev_dc = [0] * len(comps)
+    eobrun = 0
+    unit_in_seg = 0
+    for unit in units:
+        if restart_interval and unit_in_seg == restart_interval:
+            seg_idx += 1
+            reader = _BitReader(segments[seg_idx])
+            prev_dc = [0] * len(comps)
+            eobrun = 0
+            unit_in_seg = 0
+        for ci, tab_id, by, bx in unit:
+            zz = coef_store[ci][by, bx]
+            if ss == 0:
+                if ah == 0:  # DC first: diff-coded point-transformed DC
+                    s = reader.read_symbol(htabs[0x00 | tab_id])
+                    diff = _extend(reader.read_bits(s), s) if s else 0
+                    prev_dc[ci] += diff
+                    zz[0] = prev_dc[ci] << al
+                else:  # DC refinement: one raw bit per block
+                    if reader.read_bit():
+                        zz[0] = int(zz[0]) | p1
+            elif ah == 0:  # AC first (G.2.2): EOB runs span blocks
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                ac_t = htabs[0x10 | tab_id]
+                k = ss
+                while k <= se:
+                    rs = reader.read_symbol(ac_t)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s:
+                        k += r
+                        if k > se:
+                            raise ValueError("jpeg: AC band overflow")
+                        zz[k] = _extend(reader.read_bits(s), s) << al
+                        k += 1
+                    elif r == 15:
+                        k += 16  # ZRL
+                    else:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+            else:  # AC refinement (G.2.3)
+                eobrun = _ac_refine_block(
+                    reader, htabs[0x10 | tab_id], zz, ss, se, al, eobrun
+                )
+        unit_in_seg += 1
+
+
+def _ac_refine_block(reader, ac_t, zz, ss, se, al, eobrun) -> int:
+    """Refine one block's AC band by one bit-plane; returns the updated
+    EOB run. Already-nonzero coefficients receive a correction bit;
+    zero-history positions carry run lengths to newly-significant ±1
+    values (the phuff AC-refinement walk)."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(k):
+        if reader.read_bit() and (int(zz[k]) & p1) == 0:
+            zz[k] = int(zz[k]) + (p1 if zz[k] >= 0 else m1)
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.read_symbol(ac_t)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s:
+                # s == 1 in any valid refinement scan: new ±1 at plane al
+                val = p1 if reader.read_bit() else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.read_bits(r)
+                break
+            # advance past r zero-history coefs, correcting nonzero ones
+            while k <= se:
+                if zz[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # EOB region still refines its nonzero coefs
+            if zz[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct_from_coefs(frame, qtabs, coef_store) -> np.ndarray:
+    """Dequantize + IDCT the accumulated coefficient grids (vectorized —
+    one einsum per component) and assemble exactly like the baseline
+    path (upsample, crop, color-convert)."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    full = []
+    for ci, comp in enumerate(comps):
+        grid = coef_store[ci]
+        n_by, n_bx = grid.shape[:2]
+        blocks = np.zeros((n_by, n_bx, 64), dtype=np.float64)
+        blocks[:, :, _ZIGZAG] = grid
+        blocks = blocks.reshape(n_by, n_bx, 8, 8) * qtabs[comp["tq"]]
+        pix = np.einsum("ji,abjk,kl->abil", _DCT, blocks, _DCT)
+        plane = pix.transpose(0, 2, 1, 3).reshape(n_by * 8, n_bx * 8) + 128.0
+        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    rgb = _ycbcr_to_rgb(np.stack(full, axis=-1))
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: integer divide by 2^Al with truncation toward
+    ZERO (T.81 G.1.2.2 — arithmetic shift would floor negatives)."""
+    t = abs(v) >> al
+    return t if v >= 0 else -t
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 85
+) -> bytes:
+    """uint8 raster (H,W) grayscale or (H,W,3) RGB → progressive (SOF2)
+    JFIF bytes, libjpeg-style scan script.
+
+    Ten scans for color (six for grayscale): an interleaved DC-first scan
+    at bit-plane 1, per-component AC-first scans split spectrally
+    (1–5, then 6–63) at plane 2, two per-component AC refinement passes
+    (2→1, 1→0), and a DC refinement scan — every decoder code path
+    (spectral selection, successive approximation, DC/AC first/refine,
+    EOB handling) is exercised by a single file. 4:4:4 only, standard
+    Annex K tables; EOB runs are emitted per block (EOB0), which the
+    standard AC tables can code — run-accumulating EOBn symbols don't
+    exist in the Annex K alphabet.
+
+    The quantized coefficients are computed EXACTLY as ``encode_jpeg``
+    computes them, and the scan script transmits every bit of every
+    coefficient, so ``decode_jpeg`` of this stream equals the decode of
+    the baseline stream at the same quality bit-for-bit (pinned in
+    tests — the cross-path oracle for both implementations).
+    """
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        planes = [arr.astype(np.float64)]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        ycc = _rgb_to_ycbcr(arr)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+    else:
+        raise ValueError(f"unsupported raster shape {arr.shape}")
+    h, w = arr.shape[:2]
+    n_comp = len(planes)
+    mcux, mcuy = -(-w // 8), -(-h // 8)
+    q_luma, q_chroma = _quality_tables(quality)
+    qtabs = [q_luma] + ([q_chroma] if n_comp == 3 else [])
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    for tid, q in enumerate(qtabs):
+        zz = q[_ZIGZAG].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz
+    sof = struct.pack(">BHHB", 8, h, w, n_comp)
+    for c in range(n_comp):
+        sof += struct.pack(">BBB", c + 1, 0x11, 0 if c == 0 else 1)
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    huff_specs = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
+    if n_comp == 3:
+        huff_specs += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
+    enc_tabs = {}
+    for tc_th, (bits, values) in huff_specs:
+        payload = bytes([tc_th]) + bytes(bits) + bytes(values)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+        enc_tabs[tc_th] = _build_huffman_encode(bits, values)
+
+    coefs = []
+    for c, plane in enumerate(planes):
+        tiles = _tiles(plane - 128.0, mcuy, mcux)
+        dct = np.einsum("ij,abjk,lk->abil", _DCT, tiles, _DCT)
+        q = qtabs[min(c, len(qtabs) - 1)].reshape(8, 8)
+        zz = np.round(dct / q).astype(np.int64).reshape(mcuy, mcux, 64)
+        coefs.append(zz[:, :, _ZIGZAG])  # store in zig-zag scan order
+
+    def sos_header(comp_ids, tabs, ss, se, ah, al) -> bytes:
+        body = struct.pack(">B", len(comp_ids))
+        for cid, tdta in zip(comp_ids, tabs):
+            body += struct.pack(">BB", cid, tdta)
+        body += struct.pack(">BBB", ss, se, (ah << 4) | al)
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    def dc_first_scan(al: int) -> bytes:
+        wtr = _BitWriter()
+        prev = [0] * n_comp
+        for by in range(mcuy):
+            for bx in range(mcux):
+                for c in range(n_comp):
+                    dc_t = enc_tabs[0x00 if c == 0 else 0x01]
+                    v = int(coefs[c][by, bx, 0]) >> al  # DC PT: arith shift
+                    s, code = _magnitude(v - prev[c])
+                    prev[c] = v
+                    hc, hl = dc_t[s]
+                    wtr.write(hc, hl)
+                    if s:
+                        wtr.write(code, s)
+        wtr.flush()
+        return bytes(wtr.out)
+
+    def dc_refine_scan(al: int) -> bytes:
+        wtr = _BitWriter()
+        for by in range(mcuy):
+            for bx in range(mcux):
+                for c in range(n_comp):
+                    wtr.write((int(coefs[c][by, bx, 0]) >> al) & 1, 1)
+        wtr.flush()
+        return bytes(wtr.out)
+
+    def ac_first_scan(c: int, ss: int, se: int, al: int) -> bytes:
+        ac_t = enc_tabs[0x10 if c == 0 else 0x11]
+        wtr = _BitWriter()
+        for by in range(mcuy):
+            for bx in range(mcux):
+                zz = coefs[c][by, bx]
+                r = 0
+                for k in range(ss, se + 1):
+                    v = _pt_ac(int(zz[k]), al)
+                    if v == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        hc, hl = ac_t[0xF0]
+                        wtr.write(hc, hl)
+                        r -= 16
+                    s, code = _magnitude(v)
+                    hc, hl = ac_t[(r << 4) | s]
+                    wtr.write(hc, hl)
+                    wtr.write(code, s)
+                    r = 0
+                if r:
+                    hc, hl = ac_t[0x00]  # EOB0: per-block EOB run
+                    wtr.write(hc, hl)
+        wtr.flush()
+        return bytes(wtr.out)
+
+    def ac_refine_scan(c: int, ss: int, se: int, al: int) -> bytes:
+        ac_t = enc_tabs[0x10 if c == 0 else 0x11]
+        wtr = _BitWriter()
+        for by in range(mcuy):
+            for bx in range(mcux):
+                zz = coefs[c][by, bx]
+                mags = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+                eob_k = ss - 1  # last newly-significant position
+                for i, m in enumerate(mags):
+                    if m == 1:
+                        eob_k = ss + i
+                r, pending = 0, []
+                for k in range(ss, se + 1):
+                    m = mags[k - ss]
+                    if m == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob_k:
+                        hc, hl = ac_t[0xF0]
+                        wtr.write(hc, hl)
+                        for b in pending:
+                            wtr.write(b, 1)
+                        pending = []
+                        r -= 16
+                    if m > 1:  # already significant: correction bit
+                        pending.append(m & 1)
+                        continue
+                    hc, hl = ac_t[(r << 4) | 1]  # newly significant ±1
+                    wtr.write(hc, hl)
+                    wtr.write(1 if zz[k] > 0 else 0, 1)
+                    for b in pending:
+                        wtr.write(b, 1)
+                    pending = []
+                    r = 0
+                if r > 0 or pending:
+                    hc, hl = ac_t[0x00]  # EOB0 absorbs the tail
+                    wtr.write(hc, hl)
+                    for b in pending:
+                        wtr.write(b, 1)
+        wtr.flush()
+        return bytes(wtr.out)
+
+    all_ids = [c + 1 for c in range(n_comp)]
+    dc_tabs = [0x00 if c == 0 else 0x10 for c in range(n_comp)]
+    # scan script (libjpeg's default shape): DC first at plane 1, AC
+    # spectral halves at plane 2, AC refinements 2->1->0, DC refinement
+    out += sos_header(all_ids, dc_tabs, 0, 0, 0, 1) + dc_first_scan(1)
+    for c in range(n_comp):
+        ta = 0x00 if c == 0 else 0x11
+        out += sos_header([c + 1], [ta], 1, 5, 0, 2) + ac_first_scan(c, 1, 5, 2)
+    for c in range(n_comp):
+        ta = 0x00 if c == 0 else 0x11
+        out += sos_header([c + 1], [ta], 6, 63, 0, 2) + ac_first_scan(c, 6, 63, 2)
+    for c in range(n_comp):
+        ta = 0x00 if c == 0 else 0x11
+        out += sos_header([c + 1], [ta], 1, 63, 2, 1) + ac_refine_scan(c, 1, 63, 1)
+    for c in range(n_comp):
+        ta = 0x00 if c == 0 else 0x11
+        out += sos_header([c + 1], [ta], 1, 63, 1, 0) + ac_refine_scan(c, 1, 63, 0)
+    out += sos_header(all_ids, dc_tabs, 0, 0, 1, 0) + dc_refine_scan(0)
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -515,6 +515,90 @@ def jpeg_roundtrip_stats(
     )
 
 
+PROGRESSIVE_JPEG_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("dims_match", BooleanType(), False),
+        StructField("matches_sequential", BooleanType(), False),
+        StructField("psnr_ge_30", BooleanType(), False),
+    ]
+)
+
+
+def progressive_jpeg_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    quality: int = 90,
+) -> DataFrame:
+    """Progressive-JPEG cross-path gate — the SOF2 twin of
+    :func:`jpeg_roundtrip_stats`, closing the last image-codec seam: per
+    key ``d`` the same deterministic gradient raster (``w = 24 + d % 9``
+    × ``h = 24 + d % 7``, pixel ``(d % 97) + 3r + 2c``) is encoded
+    through the REAL progressive writer (``encode_jpeg_progressive`` —
+    libjpeg-style 10-scan script: spectral selection + successive
+    approximation) and decoded back by the multi-scan coefficient-
+    accumulating decoder.
+
+    The headline flag is STRUCTURAL, not statistical: both coding paths
+    quantize to identical coefficients and progressive scans transmit
+    every bit of them, so the progressive decode must equal the
+    baseline-sequential decode of the same raster BIT-FOR-BIT
+    (``matches_sequential``) — a decoder that drops an EOB run,
+    mis-walks a refinement pass, or shifts a bit-plane cannot pass.
+    PSNR rides along as the usual lossy-quality bound. Every step is a
+    pure function of ``d``; the oracle regenerates geometry and asserts
+    the flags (guarantee-gate pattern). One narrow ``mapInPandas``
+    chain, zero shuffles.
+    """
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .jpeg_codec import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        for pdf in batches:
+            rows = []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = 24 + d % 9, 24 + d % 7
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                raster = ((d % 97) + 3 * r + 2 * c).astype(np.uint8)
+                prog = decode_jpeg(encode_jpeg_progressive(raster, quality))
+                base = decode_jpeg(encode_jpeg(raster, quality=quality))
+                dims = prog.shape == (h, w)
+                err = prog.astype(np.float64) - raster.astype(np.float64)
+                mse = float((err**2).mean())
+                psnr = (
+                    float("inf") if mse == 0 else 10 * np.log10(255.0**2 / mse)
+                )
+                rows.append(
+                    (d, w, h, dims, bool(np.array_equal(prog, base)),
+                     psnr >= 30.0)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height",
+                    "dims_match", "matches_sequential", "psnr_ge_30",
+                ],
+            )
+
+    from .text import spread_small
+
+    # two full encodes + decodes of per-coefficient Python Huffman work
+    # per row: spread an under-partitioned input or one task pays it all
+    return spread_small(docs.select(id_col)).mapInPandas(
+        roundtrip, PROGRESSIVE_JPEG_SCHEMA
+    )
+
+
 ADPCM_ROUNDTRIP_SCHEMA = StructType(
     [
         StructField("asset_id", LongType(), False),

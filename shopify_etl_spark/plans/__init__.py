@@ -178,12 +178,31 @@ _CHANGED_R06 = [
     "psi_time_drift",           # in-plan bucket-count guard
 ]
 
-# Freshness order: round-6 changes, then everything whose latest official
-# row predates r05 (stalest first by construction of the earlier lists),
-# then the r05-sampled set.
-_SAMPLE_FIRST = _CHANGED_R06 + [
+# New or code-changed in round 8 — sample these first.
+_CHANGED_R08 = [
+    "progressive_jpeg_stats",   # new (SOF2 cross-path bit-exact gate)
+    "lm_bigram_scores",         # tokenize-once checkpoint + keep_cols
+    "ccnet_ppl_buckets",        # checkpointed scored frame (scan x1)
+    "curation_v2_corpus",       # checkpointed scored frame
+    "curriculum_mix_docs",      # checkpointed scored frame
+    "mutual_knn_pairs",         # checkpointed ivf_assign + knn list
+    "knn_label_disagreement",   # checkpointed assigned frame
+    "token_budget_shards",      # stats-sized buckets + checkpointed count
+    "training_sequence_spans",  # same packer change
+    "shard_balance_report",     # same packer change
+    "jpeg_roundtrip_stats",     # decoder marker dispatch touched (SOF2)
+]
+
+# Freshness order: round-8 changes, then round-6 changes, then everything
+# whose latest official row predates r05 (stalest first by construction
+# of the earlier lists), then the r05-sampled set.
+_SAMPLE_FIRST = _CHANGED_R08 + [
+    n for n in _CHANGED_R06 if n not in _CHANGED_R08
+] + [
     n for n in QUERIES
-    if n not in _CHANGED_R06 and n not in _R05_SAMPLED
+    if n not in _CHANGED_R08
+    and n not in _CHANGED_R06
+    and n not in _R05_SAMPLED
 ]
 
 _missing = [

@@ -270,3 +270,41 @@ def adpcm_roundtrip_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.adpcm_roundtrip_stats(docs)
+
+
+@register(
+    "progressive_jpeg_stats",
+    # Geometry regenerated in SQL; pixels are NOT SQL-recoverable (lossy
+    # DCT), so correctness verifies through guarantee-gate flags — and
+    # the headline flag is STRUCTURAL: progressive (SOF2) and baseline
+    # (SOF0) encode quantize to IDENTICAL coefficients and the 10-scan
+    # progressive script transmits every bit of them, so the multi-scan
+    # decode must equal the sequential decode bit-for-bit. Verified
+    # exhaustively over the full synth geometry domain (9 x 7 x 97
+    # combos) before the blanket-TRUE oracle shipped.
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(24 + doc_id % 9 AS BIGINT) AS width,
+           CAST(24 + doc_id % 7 AS BIGINT) AS height,
+           TRUE AS dims_match,
+           TRUE AS matches_sequential,
+           TRUE AS psnr_ge_30
+    FROM documents
+    """,
+    doc="Progressive-JPEG cross-path gate, closing the SOF2 seam: "
+    "deterministic gradient synthesis -> REAL progressive encode "
+    "(libjpeg-style scan script: interleaved DC first, spectral-split "
+    "AC first scans, two AC refinement bit-planes, DC refinement) -> "
+    "REAL coefficient-accumulating multi-scan decode -> flags. "
+    "matches_sequential pins bit-exact agreement with the baseline "
+    "path on every block — a decoder that mis-walks an EOB run, a "
+    "refinement correction bit, or a bit-plane shift cannot pass. "
+    "Zero shuffles: one narrow mapInPandas chain. "
+    "operators/jpeg_codec.py (encode_jpeg_progressive, Annex G "
+    "decode), operators/multimodal.py::progressive_jpeg_stats.",
+)
+def progressive_jpeg_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.progressive_jpeg_stats(docs)
