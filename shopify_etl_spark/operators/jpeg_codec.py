@@ -567,10 +567,10 @@ def _decode_scan(scan, frame, qtabs, htabs, scan_tabs, restart_interval):
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    planes = []
-    for c in comps:
-        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
-        planes.append(np.zeros((ph, pw), dtype=np.float64))
+    deq = [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 8, 8), dtype=np.float64)
+        for c in comps
+    ]
 
     # split on RST markers; each segment resets DC predictors + alignment
     segments = []
@@ -588,7 +588,6 @@ def _decode_scan(scan, frame, qtabs, htabs, scan_tabs, restart_interval):
     else:
         segments = [scan]
 
-    idct = _DCT.T
     seg_idx, reader = 0, _BitReader(segments[0])
     prev_dc = [0] * len(comps)
     mcu_in_seg = 0
@@ -626,20 +625,37 @@ def _decode_scan(scan, frame, qtabs, htabs, scan_tabs, restart_interval):
                             k += 1
                         block = np.zeros(64, dtype=np.float64)
                         block[_ZIGZAG] = zz
-                        block = block.reshape(8, 8) * q
-                        pix = idct @ block @ _DCT
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
+                        gy = my * comp["v"] + by
+                        gx = mx * comp["h"] + bx
+                        deq[ci][gy, gx] = block.reshape(8, 8) * q
             mcu_in_seg += 1
 
+    return _blocks_to_image(frame, deq)
+
+
+def _blocks_to_image(frame, comp_blocks) -> np.ndarray:
+    """Dequantized coefficient grids — one (n_by, n_bx, 8, 8) float64
+    array per component — → final uint8 raster.
+
+    SHARED by the sequential and the progressive decode paths: the IDCT
+    einsum, plane assembly, block-replication upsample, crop, and color
+    conversion all run with the identical op/summation order, so the
+    progressive==baseline bit-exactness contract holds by construction
+    rather than by measurement."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     full = []
     for ci, comp in enumerate(comps):
-        p = planes[ci] + 128.0
+        blocks = comp_blocks[ci]
+        n_by, n_bx = blocks.shape[:2]
+        pix = np.einsum("ji,abjk,kl->abil", _DCT, blocks, _DCT)
+        plane = pix.transpose(0, 2, 1, 3).reshape(n_by * 8, n_bx * 8) + 128.0
         ry, rx = vmax // comp["v"], hmax // comp["h"]
         if ry > 1 or rx > 1:  # block-replication upsample (4:2:0 / 4:2:2)
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        full.append(p[:h, :w])
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:h, :w])
     if len(full) == 1:
         return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
     rgb = _ycbcr_to_rgb(np.stack(full, axis=-1))
@@ -844,30 +860,19 @@ def _ac_refine_block(reader, ac_t, zz, ss, se, al, eobrun) -> int:
 
 
 def _reconstruct_from_coefs(frame, qtabs, coef_store) -> np.ndarray:
-    """Dequantize + IDCT the accumulated coefficient grids (vectorized —
-    one einsum per component) and assemble exactly like the baseline
-    path (upsample, crop, color-convert)."""
+    """Dequantize the accumulated coefficient grids, then hand off to the
+    same ``_blocks_to_image`` helper the sequential path uses — identical
+    IDCT op order by construction (the progressive==baseline bit-exactness
+    contract, see encode_jpeg_progressive)."""
     comps = frame["comps"]
-    h, w = frame["h"], frame["w"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    full = []
+    deq = []
     for ci, comp in enumerate(comps):
         grid = coef_store[ci]
         n_by, n_bx = grid.shape[:2]
         blocks = np.zeros((n_by, n_bx, 64), dtype=np.float64)
         blocks[:, :, _ZIGZAG] = grid
-        blocks = blocks.reshape(n_by, n_bx, 8, 8) * qtabs[comp["tq"]]
-        pix = np.einsum("ji,abjk,kl->abil", _DCT, blocks, _DCT)
-        plane = pix.transpose(0, 2, 1, 3).reshape(n_by * 8, n_bx * 8) + 128.0
-        ry, rx = vmax // comp["v"], hmax // comp["h"]
-        if ry > 1 or rx > 1:
-            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
-        full.append(plane[:h, :w])
-    if len(full) == 1:
-        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
-    rgb = _ycbcr_to_rgb(np.stack(full, axis=-1))
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        deq.append(blocks.reshape(n_by, n_bx, 8, 8) * qtabs[comp["tq"]])
+    return _blocks_to_image(frame, deq)
 
 
 def _pt_ac(v: int, al: int) -> int:

@@ -1013,6 +1013,16 @@ def knn_label_disagreement(
     is bounded by the largest cell (re-split oversized cells upstream
     with finer codebooks, as oversize_blocks does for label blocks).
     """
+    # the all-vectors output contract (one row per emb row, null-safe
+    # disagreement) relies on every vector getting an assignment, which
+    # requires a nonempty codebook — ivf_assign's crossJoin silently
+    # drops every row otherwise; fail loudly instead (codebook-sized
+    # check, not a corpus scan)
+    if centroids.limit(1).isEmpty():
+        raise ValueError(
+            "knn_label_disagreement: centroids table is empty — every "
+            "vector would be silently dropped; fit or supply a codebook"
+        )
     # vector + label ride the assignment (keep_cols) — no join back to
     # the corpus — and the assigned frame feeds THREE consumers (both
     # pair sides + the final per-vector join), so it's checkpointed to

@@ -6,7 +6,11 @@ import struct
 import numpy as np
 import pytest
 
-from shopify_etl_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+from shopify_etl_spark.operators.jpeg_codec import (
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_progressive,
+)
 
 
 def _psnr(a: np.ndarray, b: np.ndarray) -> float:
@@ -136,14 +140,48 @@ class TestStructure:
         with pytest.raises(ValueError, match="SOI"):
             decode_jpeg(b"\x89PNG\r\n\x1a\nnot a jpeg")
 
-    def test_progressive_raises_documented_seam(self):
-        """SOF2 (progressive) is outside the baseline subset and must hit
-        the NotImplementedError seam, not mis-decode."""
+    def test_marker_flipped_baseline_is_invalid_progressive(self):
+        """A baseline stream whose SOF0 byte is flipped to SOF2 enters the
+        progressive path and must die with a clean ValueError (its SOS
+        declares Ss=0/Se=63 — illegal for a progressive DC scan), never a
+        mis-decode or an internal crash."""
         data = bytearray(encode_jpeg(_test_image(channels=1), quality=85))
         i = bytes(data).index(b"\xff\xc0")
         data[i + 1] = 0xC2
-        with pytest.raises(NotImplementedError, match="SOF2"):
+        with pytest.raises(ValueError, match="progressive"):
             decode_jpeg(bytes(data))
+
+    def test_arithmetic_coding_raises_documented_seam(self):
+        """SOF9 (arithmetic-coded sequential) is a genuinely unimplemented
+        shape and must hit the NotImplementedError seam."""
+        data = bytearray(encode_jpeg(_test_image(channels=1), quality=85))
+        i = bytes(data).index(b"\xff\xc0")
+        data[i + 1] = 0xC9
+        with pytest.raises(NotImplementedError, match="SOF9"):
+            decode_jpeg(bytes(data))
+
+    @pytest.mark.parametrize("channels", [1, 3])
+    @pytest.mark.parametrize("quality", [10, 50, 85])
+    def test_progressive_decode_matches_baseline_bit_exact(
+        self, channels, quality
+    ):
+        """The progressive encoder transmits the exact same quantized
+        coefficients as the baseline encoder, and both decode paths share
+        one IDCT/assembly helper — so the decodes must match bit-for-bit
+        (the cross-path oracle pinned in encode_jpeg_progressive's
+        docstring)."""
+        img = _test_image(channels=channels, seed=7)
+        base = decode_jpeg(encode_jpeg(img, quality=quality))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=quality))
+        assert prog.dtype == base.dtype and prog.shape == base.shape
+        assert np.array_equal(prog, base)
+
+    def test_progressive_stream_is_sof2_multi_scan(self):
+        data = encode_jpeg_progressive(_test_image(channels=3), quality=85)
+        assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+        # multi-scan script (DC first/refine + per-component AC
+        # first/refine over split spectral bands)
+        assert data.count(b"\xff\xda") >= 6
 
     def test_bad_quality_clamped(self):
         img = _test_image(channels=1)

@@ -92,3 +92,20 @@ def test_pack_sequences_invariants(spark, sf_dir):
         assert fills.filter("fill > 64 OR fill <= 0").count() == 0
     finally:
         spans.unpersist()
+
+
+def test_pack_shards_extreme_id_span(spark):
+    """Ids spanning (almost) the full signed 64-bit range — the sparse
+    64-bit-hash case. The bucket expression must not overflow bigint on
+    ``id - lo`` (ADVICE r8): prefix sums must stay exact and id-ordered."""
+    lo, hi = -(2**63), 2**63 - 1
+    ids = [lo, lo + 7, -3, 0, 2**62, hi - 1, hi]
+    df = spark.createDataFrame(
+        [(i, "a b c", "A") for i in ids], ["doc_id", "text", "source"]
+    )
+    rows = sorted(
+        packing.pack_shards(df, budget=6).collect(), key=lambda r: r.doc_id
+    )
+    # every doc is 3 tokens, budget 6 → shards 0,0,1,1,2,2,3 in id order
+    assert [r.doc_id for r in rows] == sorted(ids)
+    assert [r.shard_id for r in rows] == [0, 0, 1, 1, 2, 2, 3]

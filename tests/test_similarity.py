@@ -347,3 +347,18 @@ def test_mutual_knn_pairs_symmetry_filter(spark):
     # k=1: only mutually-nearest pairs survive, blocks never mix
     assert set(got) == {(1, 2), (4, 5)}
     assert got[(1, 2)] > 0.999
+
+
+def test_knn_label_disagreement_empty_codebook_raises(spark):
+    """An empty centroids table would silently drop every vector through
+    ivf_assign's crossJoin; the operator must fail loudly instead
+    (ADVICE r8 — the all-vectors output contract)."""
+    import pytest
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], "x"), (2, [0.0, 1.0], "y")],
+        ["vec_id", "embedding", "label"],
+    )
+    cents = spark.createDataFrame([], "cid int, cv array<double>")
+    with pytest.raises(ValueError, match="centroids table is empty"):
+        similarity.knn_label_disagreement(emb, cents)
