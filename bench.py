@@ -21,7 +21,7 @@ field).
 
 Contention defense (VERDICT r8: two rounds of numbers were corrupted by
 ambient machine load — r7's lm_bigram 4.5x ghost, r8's broad 1.3–1.8x
-drift): every run records the 1-minute loadavg at its start; any
+drift): every run records ``[load1, box busy%, host steal%]``; any
 standalone query whose run spread exceeds ``_FLAG_SPREAD`` (max/min > 2)
 is automatically RE-RUN in isolation at the end of the sweep, and its
 headline becomes the min of the two medians (a contended window can only
@@ -60,6 +60,24 @@ def _load1() -> float:
         return -1.0
 
 
+def _cpu_snap() -> tuple[int, int, int]:
+    """(total, idle+iowait, steal) jiffies from /proc/stat — the witness
+    that separates 'this box was busy' (busy%) from 'the HOST was busy'
+    (steal%, co-tenant VMs) for each timed run."""
+    try:
+        v = list(map(int, open("/proc/stat").readline().split()[1:]))
+        return sum(v), v[3] + v[4], v[7] if len(v) > 7 else 0
+    except (OSError, ValueError):
+        return (0, 0, 0)
+
+
+def _cpu_delta(before, after) -> tuple[float, float]:
+    """(busy_pct, steal_pct) over the window between two snapshots."""
+    tot = (after[0] - before[0]) or 1
+    busy = tot - (after[1] - before[1])
+    return round(100 * busy / tot, 1), round(100 * (after[2] - before[2]) / tot, 1)
+
+
 # a standalone query is flagged for isolation re-run when its slowest run
 # exceeds its fastest by this factor (and it isn't sub-noise-floor tiny)
 _FLAG_SPREAD = 2.0
@@ -89,6 +107,38 @@ def main() -> None:
         ).save()
     except Exception as e:  # noqa: BLE001
         print(f"bench warm-up failed ({sf_dir}): {e}", file=sys.stderr)
+
+    # Pre-warm BOTH Python worker pools to full width (root-caused r9,
+    # SCALE.md: Spark keys worker factories by envVars — the SQL-Arrow
+    # runners and the RDD-API runner each get their own pool — and a
+    # query whose Python stage runs `cpus` concurrent tasks against a
+    # cold pool forks ~cpus fresh workers, each paying the pandas/pyarrow
+    # import: 5–20 s spikes that landed on whichever mapInPandas queries
+    # hit a cold pool first, masquerading as regressions in r7/r8.
+    # Pools never shrink (no idle reaping by default), so once warm the
+    # whole sweep reuses them — exactly like long-lived executors on a
+    # real cluster, which is the thing being modeled).
+    n_cpus = int(cpus) if cpus.isdigit() else 32
+    try:
+        def _touch_pandas(it):
+            import pandas  # noqa: F401  (forces the worker-side import)
+
+            yield from it
+
+        spark.range(n_cpus * 10, numPartitions=n_cpus).mapInPandas(
+            _touch_pandas, "id long"
+        ).write.format("noop").mode("overwrite").save()
+
+        def _touch_rdd(x):
+            import pandas  # noqa: F401
+
+            return x
+
+        spark.sparkContext.parallelize(range(n_cpus * 10), n_cpus).map(
+            _touch_rdd
+        ).count()
+    except Exception as e:  # noqa: BLE001
+        print(f"bench pool pre-warm failed: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}      # per-query median (the headline)
     runs_detail: dict[str, list[float]] = {}  # every individual run
@@ -121,7 +171,7 @@ def main() -> None:
         if release:
             rerunnable[name] = run_once
         for _ in range(n_runs):
-            loads.append(_load1())
+            snap = _cpu_snap()
             try:
                 samples.append(_timed(run_once))
             except Exception as e:  # noqa: BLE001
@@ -132,6 +182,8 @@ def main() -> None:
             finally:
                 if release:
                     release_persisted()
+            busy, steal = _cpu_delta(snap, _cpu_snap())
+            loads.append([_load1(), busy, steal])
         headline = min(samples) if n_runs <= 2 else statistics.median(samples)
         timings[name] = round(headline, 3)
         runs_detail[name] = samples
@@ -309,9 +361,11 @@ def main() -> None:
         samples, loads = [], []
         try:
             for _ in range(n_runs):
-                loads.append(_load1())
+                snap = _cpu_snap()
                 samples.append(_timed(rerunnable[name]))
                 release_persisted()
+                busy, steal = _cpu_delta(snap, _cpu_snap())
+                loads.append([_load1(), busy, steal])
         except Exception as e:  # noqa: BLE001
             print(f"bench isolation re-run error in {name}: {e}", file=sys.stderr)
             continue
@@ -373,7 +427,14 @@ def main() -> None:
         from shopify_etl_spark.operators.clustering import LAST_FIT_TIMINGS
 
         if LAST_FIT_TIMINGS:
-            record["kmeans_fit_secs"] = list(LAST_FIT_TIMINGS)
+            # [init, iter1, iter2, ...] of the LAST fit in this process —
+            # a within-one-fit breakdown, NOT a per-bench-run series
+            # (VERDICT r8 misread the bare list as runs growing
+            # leak-shaped); label the parts explicitly
+            record["kmeans_fit_secs"] = {
+                "init": LAST_FIT_TIMINGS[0],
+                "iters": list(LAST_FIT_TIMINGS[1:]),
+            }
     except ImportError:
         pass
     line = json.dumps(record)

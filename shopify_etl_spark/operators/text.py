@@ -735,7 +735,10 @@ def bigram_lm_scores(
 
 
 def bpe_train(
-    df: DataFrame, n_merges: int = 50, text_col: str = "text"
+    df: DataFrame,
+    n_merges: int = 50,
+    text_col: str = "text",
+    max_pretokens: int = 1_000_000,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` ranked BPE merges from the corpus.
 
@@ -749,6 +752,14 @@ def bpe_train(
     with :func:`bpe_merge_pair_counts` by construction (pinned in
     tests).
 
+    The driver fold is HARD-BOUNDED (VERDICT r8 #6): on open web text
+    the distinct-pretoken count is not a constant, so only the top
+    ``max_pretokens`` pretokens by frequency are collected (count desc,
+    then lexicographic — deterministic). Dropping the sub-threshold tail
+    is standard BPE practice (frequency-pruned word counts): the tail's
+    total pair mass is negligible by construction at a 1M cap, and the
+    top-K itself is a distributed TakeOrdered, never a full sort.
+
     Tie-break: highest count, then lexicographic pair — deterministic
     across runs and cluster layouts.
     """
@@ -756,6 +767,8 @@ def bpe_train(
         df.select(F.explode(bpe_pretokens(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wn"))
+        .orderBy(F.desc("wn"), F.asc("w"))
+        .limit(max_pretokens)
         .collect()
     )
     vocab: dict[tuple[str, ...], int] = {tuple(r.w): r.wn for r in wc}

@@ -577,3 +577,44 @@ def test_bpe_apply_honors_custom_id_column(spark):
     # pretokens: "aa", " ", "ab"; only the (a,a) merge applies
     assert rows["ord-1"]["bpe_tokens"] == ["aa", " ", "a", "b"]
     assert rows["ord-2"]["n_bpe_tokens"] == 2
+
+
+class TestBpeTrainBound:
+    def test_bpe_train_driver_fold_is_capped(self, spark):
+        """The pretoken collect is hard-bounded by max_pretokens (VERDICT
+        r8 #6): a wide-vocab corpus must only ship the top-K most frequent
+        pretokens driver-side, and the learned merges must come from that
+        head — identical to training on the head alone."""
+        from pyspark.sql import Row
+        from shopify_etl_spark.operators.text import bpe_train
+
+        # 500 singleton letter-only pretokens of tail noise + a
+        # high-frequency head (digits would pretokenize into their own
+        # high-count pieces under the GPT-style pattern)
+        head = " ".join(["low"] * 50 + ["lowest"] * 40)
+        tail = " ".join(
+            "".join(chr(97 + int(d)) for d in str(i)) + "qz"
+            for i in range(500)
+        )
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, text=head), Row(doc_id=2, text=tail)]
+        )
+        head_only = spark.createDataFrame([Row(doc_id=1, text=head)])
+        capped = bpe_train(docs, n_merges=4, max_pretokens=2)
+        assert capped == bpe_train(head_only, n_merges=4, max_pretokens=2)
+
+    def test_bpe_train_cap_deterministic_on_count_ties(self, spark):
+        """Tied counts at the cap boundary break lexicographically, so the
+        collected head (and thus the merges) is stable across layouts."""
+        from pyspark.sql import Row
+        from shopify_etl_spark.operators.text import bpe_train
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, text="bb aa cc dd bb aa cc dd")]
+        ).repartition(8)
+        # leading 'bb' has no space, so the count-2 tie is
+        # {' aa', ' cc', ' dd'} and the lexicographic cap keeps exactly
+        # those; merges then go (' ','a'), (' ','c') deterministically
+        a = bpe_train(docs, n_merges=2, max_pretokens=3)
+        b = bpe_train(docs, n_merges=2, max_pretokens=3)
+        assert a == b == [(" ", "a"), (" ", "c")]
