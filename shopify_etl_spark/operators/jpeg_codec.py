@@ -883,7 +883,7 @@ def _pt_ac(v: int, al: int) -> int:
 
 
 def encode_jpeg_progressive(
-    arr: np.ndarray, quality: int = 85
+    arr: np.ndarray, quality: int = 85, subsampling: str = "444"
 ) -> bytes:
     """uint8 raster (H,W) grayscale or (H,W,3) RGB → progressive (SOF2)
     JFIF bytes, libjpeg-style scan script.
@@ -893,15 +893,21 @@ def encode_jpeg_progressive(
     (1–5, then 6–63) at plane 2, two per-component AC refinement passes
     (2→1, 1→0), and a DC refinement scan — every decoder code path
     (spectral selection, successive approximation, DC/AC first/refine,
-    EOB handling) is exercised by a single file. 4:4:4 only, standard
-    Annex K tables; EOB runs are emitted per block (EOB0), which the
-    standard AC tables can code — run-accumulating EOBn symbols don't
-    exist in the Annex K alphabet.
+    EOB handling) is exercised by a single file. ``subsampling='420'``
+    (color only) downsamples chroma exactly like ``encode_jpeg`` and
+    interleaves the DC scans over 16×16 MCUs; the AC scans are
+    non-interleaved and cover each component's own ceil(size/8) block
+    grid (T.81 A.2.2 — NOT the MCU padding). Standard Annex K tables;
+    EOB runs are emitted per block (EOB0), which the standard AC tables
+    can code — run-accumulating EOBn symbols don't exist in the Annex K
+    alphabet.
 
     The quantized coefficients are computed EXACTLY as ``encode_jpeg``
     computes them, and the scan script transmits every bit of every
-    coefficient, so ``decode_jpeg`` of this stream equals the decode of
-    the baseline stream at the same quality bit-for-bit (pinned in
+    coefficient the visible raster depends on (MCU-padding blocks carry
+    DC only, but they exist solely in the cropped margin), so
+    ``decode_jpeg`` of this stream equals the decode of the baseline
+    stream at the same quality/subsampling bit-for-bit (pinned in
     tests — the cross-path oracle for both implementations).
     """
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
@@ -914,7 +920,17 @@ def encode_jpeg_progressive(
         raise ValueError(f"unsupported raster shape {arr.shape}")
     h, w = arr.shape[:2]
     n_comp = len(planes)
-    mcux, mcuy = -(-w // 8), -(-h // 8)
+    if subsampling == "420" and n_comp == 3:
+        samp = [(2, 2), (1, 1), (1, 1)]
+        planes = [planes[0], _downsample2(planes[1]), _downsample2(planes[2])]
+    elif subsampling == "444":
+        samp = [(1, 1)] * n_comp
+    else:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
     q_luma, q_chroma = _quality_tables(quality)
     qtabs = [q_luma] + ([q_chroma] if n_comp == 3 else [])
 
@@ -928,7 +944,9 @@ def encode_jpeg_progressive(
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz
     sof = struct.pack(">BHHB", 8, h, w, n_comp)
     for c in range(n_comp):
-        sof += struct.pack(">BBB", c + 1, 0x11, 0 if c == 0 else 1)
+        sof += struct.pack(
+            ">BBB", c + 1, (samp[c][0] << 4) | samp[c][1], 0 if c == 0 else 1
+        )
     out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
     huff_specs = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
     if n_comp == 3:
@@ -939,13 +957,20 @@ def encode_jpeg_progressive(
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
         enc_tabs[tc_th] = _build_huffman_encode(bits, values)
 
+    # per-component quantized coefficients on the MCU-padded grid, in
+    # zig-zag order — computed EXACTLY like encode_jpeg computes them
     coefs = []
+    ni_grid = []  # non-interleaved (ceil(comp_size/8)) grid per comp
     for c, plane in enumerate(planes):
-        tiles = _tiles(plane - 128.0, mcuy, mcux)
+        n_by, n_bx = mcuy * samp[c][1], mcux * samp[c][0]
+        tiles = _tiles(plane - 128.0, n_by, n_bx)
         dct = np.einsum("ij,abjk,lk->abil", _DCT, tiles, _DCT)
         q = qtabs[min(c, len(qtabs) - 1)].reshape(8, 8)
-        zz = np.round(dct / q).astype(np.int64).reshape(mcuy, mcux, 64)
+        zz = np.round(dct / q).astype(np.int64).reshape(n_by, n_bx, 64)
         coefs.append(zz[:, :, _ZIGZAG])  # store in zig-zag scan order
+        cw = -(-w * samp[c][0] // hmax)
+        ch = -(-h * samp[c][1] // vmax)
+        ni_grid.append((-(-ch // 8), -(-cw // 8)))
 
     def sos_header(comp_ids, tabs, ss, se, ah, al) -> bytes:
         body = struct.pack(">B", len(comp_ids))
@@ -955,36 +980,47 @@ def encode_jpeg_progressive(
         return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
 
     def dc_first_scan(al: int) -> bytes:
+        """Interleaved: MCU order, each component's v×h blocks per MCU
+        (T.81 A.2.3 — one block per MCU only at 4:4:4)."""
         wtr = _BitWriter()
         prev = [0] * n_comp
-        for by in range(mcuy):
-            for bx in range(mcux):
+        for my in range(mcuy):
+            for mx in range(mcux):
                 for c in range(n_comp):
                     dc_t = enc_tabs[0x00 if c == 0 else 0x01]
-                    v = int(coefs[c][by, bx, 0]) >> al  # DC PT: arith shift
-                    s, code = _magnitude(v - prev[c])
-                    prev[c] = v
-                    hc, hl = dc_t[s]
-                    wtr.write(hc, hl)
-                    if s:
-                        wtr.write(code, s)
+                    for by in range(samp[c][1]):
+                        for bx in range(samp[c][0]):
+                            gy = my * samp[c][1] + by
+                            gx = mx * samp[c][0] + bx
+                            v = int(coefs[c][gy, gx, 0]) >> al  # DC PT
+                            s, code = _magnitude(v - prev[c])
+                            prev[c] = v
+                            hc, hl = dc_t[s]
+                            wtr.write(hc, hl)
+                            if s:
+                                wtr.write(code, s)
         wtr.flush()
         return bytes(wtr.out)
 
     def dc_refine_scan(al: int) -> bytes:
         wtr = _BitWriter()
-        for by in range(mcuy):
-            for bx in range(mcux):
+        for my in range(mcuy):
+            for mx in range(mcux):
                 for c in range(n_comp):
-                    wtr.write((int(coefs[c][by, bx, 0]) >> al) & 1, 1)
+                    for by in range(samp[c][1]):
+                        for bx in range(samp[c][0]):
+                            gy = my * samp[c][1] + by
+                            gx = mx * samp[c][0] + bx
+                            wtr.write((int(coefs[c][gy, gx, 0]) >> al) & 1, 1)
         wtr.flush()
         return bytes(wtr.out)
 
     def ac_first_scan(c: int, ss: int, se: int, al: int) -> bytes:
         ac_t = enc_tabs[0x10 if c == 0 else 0x11]
         wtr = _BitWriter()
-        for by in range(mcuy):
-            for bx in range(mcux):
+        ni_by, ni_bx = ni_grid[c]
+        for by in range(ni_by):
+            for bx in range(ni_bx):
                 zz = coefs[c][by, bx]
                 r = 0
                 for k in range(ss, se + 1):
@@ -1010,8 +1046,9 @@ def encode_jpeg_progressive(
     def ac_refine_scan(c: int, ss: int, se: int, al: int) -> bytes:
         ac_t = enc_tabs[0x10 if c == 0 else 0x11]
         wtr = _BitWriter()
-        for by in range(mcuy):
-            for bx in range(mcux):
+        ni_by, ni_bx = ni_grid[c]
+        for by in range(ni_by):
+            for bx in range(ni_bx):
                 zz = coefs[c][by, bx]
                 mags = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
                 eob_k = ss - 1  # last newly-significant position

@@ -176,6 +176,21 @@ class TestStructure:
         assert prog.dtype == base.dtype and prog.shape == base.shape
         assert np.array_equal(prog, base)
 
+    @pytest.mark.parametrize("shape", [(16, 16), (24, 40), (17, 23), (33, 31)])
+    def test_progressive_420_matches_baseline_420(self, shape):
+        """4:2:0 progressive (interleaved 16x16-MCU DC scans; AC scans on
+        each component's own non-interleaved ceil(size/8) grid, T.81
+        A.2.2) decodes bit-identically to baseline 4:2:0 — including
+        partial-MCU edges, where the MCU-padding blocks carry DC only but
+        live entirely in the cropped margin."""
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=50, subsampling="420"))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, quality=50, subsampling="420")
+        )
+        assert np.array_equal(prog, base)
+
     def test_progressive_stream_is_sof2_multi_scan(self):
         data = encode_jpeg_progressive(_test_image(channels=3), quality=85)
         assert b"\xff\xc2" in data and b"\xff\xc0" not in data

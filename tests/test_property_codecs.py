@@ -302,3 +302,63 @@ def test_adpcm_3bit_seam():
     )
     with pytest.raises(NotImplementedError):
         decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+from shopify_etl_spark.operators.jpeg_codec import (  # noqa: E402
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_progressive,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 41),
+    w=st.integers(1, 41),
+    channels=st.sampled_from([1, 3]),
+    quality=st.integers(1, 100),
+    subsampling=st.sampled_from(["444", "420"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_progressive_equals_baseline_any_input(
+    h, w, channels, quality, subsampling, seed
+):
+    """Progressive and baseline streams decode bit-identically for ANY
+    raster/quality/shape/subsampling — the contract holds by construction
+    (identical quantized coefficients; one shared IDCT/assembly path), so
+    even pure noise with no PSNR guarantee must match exactly
+    (VERDICT r8 #7)."""
+    if channels == 1:
+        subsampling = "444"  # 4:2:0 is 3-component only
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if channels == 1 else (h, w, 3)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=quality, subsampling=subsampling))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, quality=quality, subsampling=subsampling)
+    )
+    assert base.shape == img.shape
+    assert np.array_equal(prog, base)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    quality=st.integers(1, 100),
+    restart=st.integers(1, 9),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_baseline_restart_intervals_do_not_change_pixels(
+    h, w, quality, restart, seed
+):
+    """DRI/RSTn layout is pure framing: the decoded raster must equal the
+    no-restart stream's decode for any interval (random shapes force
+    partial-MCU edges around segment boundaries)."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    plain = decode_jpeg(encode_jpeg(img, quality=quality))
+    rst = decode_jpeg(
+        encode_jpeg(img, quality=quality, restart_interval=restart)
+    )
+    assert np.array_equal(plain, rst)

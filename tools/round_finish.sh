@@ -10,6 +10,9 @@ set -e
 cd "$(dirname "$0")/.."
 N="${1:?usage: round_finish.sh <round-number>}"
 
+echo "== 0/3 full pytest suite (the r8 snapshot shipped red — gate it) =="
+python -m pytest tests/ -q
+
 echo "== 1/3 full-catalog oracle mirror (sf0.01) =="
 SPARK_GRAFT_ALLCHECK_OUT="ALLCHECK_r0${N}.json" \
     python tools/check_correctness.py /root/testdata/sf0.01
@@ -18,5 +21,7 @@ echo "== 2/3 catalog report =="
 python tools/catalog_report.py > CATALOG.md
 
 echo "== 3/3 bench (sf0.1, 3 runs) =="
-python bench.py > BENCH_LOCAL.json
+# bench.py writes BENCH_LOCAL.json itself; don't redirect stdout onto the
+# same file (the redirect's truncation races bench's own write)
+python bench.py > /tmp/bench_stdout.log
 tail -c 400 BENCH_LOCAL.json
