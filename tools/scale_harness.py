@@ -115,6 +115,23 @@ FAMILY = (
     "bloom_ingest_screen",
     "jpeg_roundtrip_stats",
     "pagerank_degree_capped",
+    # rounds 7–9: the trained-quantizer ANN chain (k-means partials fold
+    # stays k-row at any scale; assignment is map-side broadcast), the
+    # IVF-cell-blocked label-noise screen (cells grow 10x — in-cell
+    # quadratic pressure, same shape as mutual_knn blocks), the two-phase
+    # prefix-sum packer (bucket count tracks doc count via build-time
+    # min/max — r9's double-cast bucketing), the progressive-JPEG and
+    # audio codec chains (0-shuffle Arrow maps, must grow ~linearly),
+    # and the BPE surface under a 10x pretoken vocabulary (r9's capped
+    # driver fold: the top-K TakeOrdered replaces the unbounded collect)
+    "trained_ivf_topk",
+    "knn_label_disagreement",
+    "token_budget_shards",
+    "shard_balance_report",
+    "progressive_jpeg_stats",
+    "audio_demux_stats",
+    "bpe_pretoken_counts",
+    "bpe_apply_one_merge",
 )
 
 
@@ -199,6 +216,29 @@ def main() -> None:
         shuffle_partitions=int(cpus) if cpus.isdigit() else 32,
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    # pre-warm both Python worker pools to full width, like bench.py —
+    # otherwise the first mapInPandas cell absorbs a ~32-worker fork storm
+    # and the sf0.1/sf1 ratio is distorted (r9 root cause, SCALE.md)
+    n_cpus = int(cpus) if cpus.isdigit() else 32
+
+    def _touch_pandas(it):
+        import pandas  # noqa: F401
+
+        yield from it
+
+    spark.range(n_cpus * 10, numPartitions=n_cpus).mapInPandas(
+        _touch_pandas, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    def _touch_rdd(x):
+        import pandas  # noqa: F401
+
+        return x
+
+    spark.sparkContext.parallelize(range(n_cpus * 10), n_cpus).map(
+        _touch_rdd
+    ).count()
 
     t0 = time.time()
     build_sf1(spark, args.sf_dir, args.build_dir)
