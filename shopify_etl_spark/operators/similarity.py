@@ -996,6 +996,8 @@ def knn_label_disagreement(
     label_col: str = "label",
     cent_id: str = "cid",
     cent_vec: str = "cv",
+    max_cell: int | None = None,
+    overflow_planes: int = 6,
 ) -> DataFrame:
     """Label-noise screening by kNN disagreement: each vector's k nearest
     cosine neighbors vote, and a vector whose neighborhood majority-votes
@@ -1010,8 +1012,13 @@ def knn_label_disagreement(
     neighborhood and report 0 neighbors / rate 0 / not suspect (no
     evidence ≠ evidence of noise). At 100 TB the centroid table is the
     √n-sized IVF codebook and everything downstream of the assignment
-    is bounded by the largest cell (re-split oversized cells upstream
-    with finer codebooks, as oversize_blocks does for label blocks).
+    is bounded by the largest cell — and ``max_cell`` makes that bound a
+    hard guarantee regardless of codebook quality: cells above it are
+    LSH sub-bucketed (the same hyperplane sign-bit scheme as
+    blocked_cosine_pairs' oversize fallback), bounding per-task pairs at
+    ~(cell/2^planes)² with documented approximate recall inside those
+    cells only — never silent, exact everywhere else. Default ``None``
+    keeps the exact-within-cell behavior the catalog oracle pins.
     """
     # the all-vectors output contract (one row per emb row, null-safe
     # disagreement) relies on every vector getting an assignment, which
@@ -1040,20 +1047,38 @@ def knn_label_disagreement(
             F.col(label_col),
         )
     )
+    join_keys = ["_blk"]
+    if max_cell is not None:
+        # hard per-cell bound: oversize cells sub-bucket by hyperplane
+        # sign bits; small cells keep sub-bucket 0 (exact). The size agg
+        # and the tag both read the checkpointed frame — no re-scan.
+        dim = int(base.select(F.size(vec_col).alias("d")).first()["d"])
+        sizes = base.groupBy("_blk").agg(F.count(F.lit(1)).alias("_csz"))
+        base = (
+            base.join(F.broadcast(sizes), "_blk")
+            .withColumn(
+                "_sub",
+                F.when(F.col("_csz") <= max_cell, F.lit(0)).otherwise(
+                    _sig_col(vec_col, dim, overflow_planes)
+                ),
+            )
+            .drop("_csz")
+        )
+        join_keys = ["_blk", "_sub"]
     a = base.select(
-        "_blk",
+        *join_keys,
         F.col(id_col).alias("a"),
         F.col(vec_col).alias("va"),
         F.col(label_col).alias("la"),
     ).withColumn("_na", _norm("va"))
     b = base.select(
-        "_blk",
+        *join_keys,
         F.col(id_col).alias("b"),
         F.col(vec_col).alias("vb"),
         F.col(label_col).alias("lb"),
     ).withColumn("_nb", _norm("vb"))
     pairs = (
-        a.join(b, "_blk")
+        a.join(b, join_keys)
         .filter(F.col("a") != F.col("b"))
         .select(
             "a",

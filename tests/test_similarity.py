@@ -362,3 +362,30 @@ def test_knn_label_disagreement_empty_codebook_raises(spark):
     cents = spark.createDataFrame([], "cid int, cv array<double>")
     with pytest.raises(ValueError, match="centroids table is empty"):
         similarity.knn_label_disagreement(emb, cents)
+
+
+def test_knn_label_disagreement_max_cell_bounds_hot_cell(spark):
+    """With one centroid every vector lands in one cell (the worst-case
+    hot cell); max_cell must sub-bucket it — the op still runs, still
+    emits one row per vector, and agrees with the exact path when no
+    cell exceeds the cap."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=4)], "a" if i % 3 else "b")
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "cid int, cv array<double>"
+    )
+    bounded = similarity.knn_label_disagreement(emb, cents, max_cell=8)
+    got = {r.vec_id for r in bounded.collect()}
+    assert got == {r[0] for r in rows}  # all-vectors contract survives
+    # cap above the cell size == exact path, row for row
+    exact = similarity.knn_label_disagreement(emb, cents)
+    loose = similarity.knn_label_disagreement(emb, cents, max_cell=10_000)
+    assert sorted(map(tuple, loose.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
