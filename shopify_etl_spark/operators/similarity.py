@@ -589,6 +589,8 @@ def mutual_knn_pairs(
     block_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_block: int | None = None,
+    overflow_planes: int = 6,
 ) -> DataFrame:
     """Mutual k-nearest-neighbor pairs within blocks: (a, b) kept only
     when b is in a's cosine top-k AND a is in b's — the symmetric
@@ -599,24 +601,46 @@ def mutual_knn_pairs(
     Pair generation is blocked on ``block_col`` (label / IVF cell /
     LSH bucket), so the join is |block|² per block, never corpus² —
     the same economics as ``blocked_cosine_pairs``; at real scale the
-    block column comes from the IVF/LSH assigners in this module.
+    block column comes from the IVF/LSH assigners in this module, and
+    ``max_block`` hard-bounds the worst case regardless: blocks above
+    it are LSH sub-bucketed (hyperplane sign bits, the blocked_cosine
+    oversize scheme), trading documented approximate recall inside
+    those blocks only for a ~(block/2^planes)² per-task pair bound.
     Directed edges are ranked once over the full (a,b)+(b,a) pair set
     (cosine is symmetric, each direction ranks within its own query
     partition); the mutual check is a self-join of the two directed
     top-k lists, both bounded at k·n rows.
     """
-    a = emb.select(
-        F.col(block_col).alias("_blk"),
+    src = emb.select(
+        F.col(block_col).alias("_blk"), F.col(id_col), F.col(vec_col)
+    )
+    join_keys = ["_blk"]
+    if max_block is not None:
+        dim = int(src.select(F.size(vec_col).alias("d")).first()["d"])
+        sizes = src.groupBy("_blk").agg(F.count(F.lit(1)).alias("_bsz"))
+        src = (
+            src.join(F.broadcast(sizes), "_blk")
+            .withColumn(
+                "_sub",
+                F.when(F.col("_bsz") <= max_block, F.lit(0)).otherwise(
+                    _sig_col(vec_col, dim, overflow_planes)
+                ),
+            )
+            .drop("_bsz")
+        )
+        join_keys = ["_blk", "_sub"]
+    a = src.select(
+        *join_keys,
         F.col(id_col).alias("a"),
         F.col(vec_col).alias("va"),
     ).withColumn("_na", _norm("va"))
-    b = emb.select(
-        F.col(block_col).alias("_blk"),
+    b = src.select(
+        *join_keys,
         F.col(id_col).alias("b"),
         F.col(vec_col).alias("vb"),
     ).withColumn("_nb", _norm("vb"))
     pairs = (
-        a.join(b, "_blk")
+        a.join(b, join_keys)
         .filter(F.col("a") != F.col("b"))
         .select(
             "a",

@@ -389,3 +389,25 @@ def test_knn_label_disagreement_max_cell_bounds_hot_cell(spark):
     assert sorted(map(tuple, loose.collect())) == sorted(
         map(tuple, exact.collect())
     )
+
+
+def test_mutual_knn_max_block_bounds_hot_block(spark):
+    """One label for every vector = the hot-block worst case; max_block
+    sub-buckets it (op still runs, pairs stay mutual and deduped), and a
+    loose cap reproduces the exact path row for row."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=4)], "same")
+        for i in range(50)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    bounded = similarity.mutual_knn_pairs(emb, k=3, max_block=8).collect()
+    assert all(r.a < r.b for r in bounded)
+    assert len({(r.a, r.b) for r in bounded}) == len(bounded)
+    exact = similarity.mutual_knn_pairs(emb, k=3)
+    loose = similarity.mutual_knn_pairs(emb, k=3, max_block=10_000)
+    assert sorted(map(tuple, loose.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
