@@ -109,3 +109,37 @@ def test_pack_shards_extreme_id_span(spark):
     # every doc is 3 tokens, budget 6 → shards 0,0,1,1,2,2,3 in id order
     assert [r.doc_id for r in rows] == sorted(ids)
     assert [r.shard_id for r in rows] == [0, 0, 1, 1, 2, 2, 3]
+
+
+def test_pack_shards_bucketing_order_aligned_random_ids(spark):
+    """Property: for ANY int64 id set (clustered, sparse, extreme), the
+    two-phase bucketed prefix sum equals the single-window ground truth —
+    the double-cast bucket key only has to be order-aligned (non-strictly
+    monotone in id), never collision-free (ADVICE r8)."""
+    import random
+
+    rng = random.Random(17)
+    ids = set()
+    # mixed regimes: dense small, clustered offsets, full-range extremes
+    ids.update(rng.sample(range(1000), 40))
+    base = rng.randrange(-(2**62), 2**62)
+    ids.update(base + i for i in range(30))
+    ids.update(rng.randrange(-(2**63), 2**63 - 1) for _ in range(30))
+    ids.update([-(2**63), 2**63 - 1, 0])
+    rows = [
+        (i, "t " * (1 + (abs(i) % 7)), "s" + str(abs(i) % 3)) for i in ids
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {
+        (r.source, r.doc_id): r.shard_id
+        for r in packing.pack_shards(df, budget=10).collect()
+    }
+    # ground truth: per-source running token sum in id order
+    expect = {}
+    for src in sorted({r[2] for r in rows}):
+        cum = 0
+        for i in sorted(x[0] for x in rows if x[2] == src):
+            n_tok = 1 + (abs(i) % 7)
+            expect[(src, i)] = cum // 10
+            cum += n_tok
+    assert got == expect
