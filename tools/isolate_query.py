@@ -83,7 +83,7 @@ def main() -> None:
                 continue
             try:
                 with open(f"/proc/{pid}/cmdline", "rb") as fh:
-                    if b"pyspark.daemon" in fh.read() or False:
+                    if b"pyspark.daemon" in fh.read():
                         n += 1
             except OSError:
                 pass
