@@ -691,7 +691,14 @@ def simhash_near_pairs(
     base, extra = divmod(64, n_blocks)
     widths = [base + (1 if i < extra else 0) for i in range(n_blocks)]
     offsets = [sum(widths[:i]) for i in range(n_blocks)]
-    sigs = simhash(df, text_col, id_col, portable)
+    # the signature frame feeds BOTH sides of the bucket self-join;
+    # materialize it once (n-row, two longs per doc) or the whole
+    # tokenize→hash→SWAR-aggregate subtree — corpus scan included —
+    # executes twice (AQE fires no ReusedExchange across self-join
+    # sides, VERDICT r7; this was the last unmaterialized self-join)
+    from .materialize import checkpoint_tracked
+
+    sigs = checkpoint_tracked(simhash(df, text_col, id_col, portable))
     blocked = sigs.select(
         F.col(id_col).alias("doc"),
         "simhash64",

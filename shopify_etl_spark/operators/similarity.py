@@ -914,9 +914,14 @@ def jl_bucket_near_dups(
             lambda acc, v: acc + v,
         )
         bucket = bucket + F.when(y >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-    tagged = emb.select(
-        F.col(id_col), F.col(vec_col), bucket.alias("_bkt")
-    ).withColumn("_nrm", _norm(vec_col))
+    # n_bits × 64-dim integer aggregates per row: expensive enough that
+    # recomputing it per self-join side doubles the query — materialize
+    # the tagged frame once (same self-join rule as simhash_near_pairs)
+    tagged = checkpoint_tracked(
+        emb.select(
+            F.col(id_col), F.col(vec_col), bucket.alias("_bkt")
+        ).withColumn("_nrm", _norm(vec_col))
+    )
     a = tagged.select(
         F.col("_bkt"),
         F.col(id_col).alias("d1"),

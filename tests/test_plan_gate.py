@@ -245,9 +245,24 @@ def gate_spark(spark):
 
 @pytest.mark.parametrize("name", sorted(EXPECT))
 def test_plan_invariants(gate_spark, name):
-    df = QUERIES[name].builder(gate_spark, SF_DIR)
+    from shopify_etl_spark.operators.materialize import capture_subtrees
+
+    with capture_subtrees() as subtrees:
+        df = QUERIES[name].builder(gate_spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     feats = _plan_features(plan)
+    # scan-shaped checks (width, pushdown) must see THROUGH checkpoints:
+    # a materialized subtree hides its FileScan from the final plan, so
+    # fold the captured subtree plans into those features only. Shuffle/
+    # join ceilings stay final-plan-scoped — they were calibrated there,
+    # and the scans-per-table gate owns cross-subtree execution counts.
+    for s in subtrees:
+        sub_feats = _plan_features(
+            s._jdf.queryExecution().executedPlan().toString()
+        )
+        feats["scan_widths"].extend(sub_feats["scan_widths"])
+        feats["pushed_nonempty"] += sub_feats["pushed_nonempty"]
+        feats["n_pushed_slots"] += sub_feats["n_pushed_slots"]
     exp = EXPECT[name]
     if "max_shuffles" in exp:
         assert feats["shuffles"] <= exp["max_shuffles"], (name, feats)
