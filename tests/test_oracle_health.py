@@ -53,3 +53,13 @@ def test_every_oracle_has_a_query(con):
     q = set(entrymod.queries())
     extra = set(entrymod.oracle_sql()) - q
     assert not extra, f"oracles without a queries() entry: {extra}"
+
+
+def test_entry_contract_smoke(spark):
+    """The driver's smoke check, pinned locally: entry(spark) runs the
+    flagship query on sf0.001 and returns a non-empty DataFrame with a
+    stable schema; every oracle key has a queries() twin."""
+    df = entrymod.entry(spark)
+    assert df.columns, "entry() must return a schema'd DataFrame"
+    assert df.count() > 0
+    assert set(entrymod.oracle_sql()) <= set(entrymod.queries())
