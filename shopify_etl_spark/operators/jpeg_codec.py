@@ -441,7 +441,7 @@ def encode_jpeg(
 # ---------------------------------------------------------------------------
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
+def decode_jpeg(data: bytes, max_pixels: int = 100_000_000) -> np.ndarray:
     """Baseline JFIF bytes → uint8 raster (H,W) or (H,W,3) RGB.
 
     Accepts baseline sequential (SOF0/1) AND progressive (SOF2 — spectral
@@ -451,7 +451,27 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     intervals. Arithmetic coding and hierarchical modes raise
     NotImplementedError — the documented seam, same contract as the other
     codecs in this package.
+
+    Executor-safe on untrusted bytes (fuzz-pinned in tests): every
+    malformed stream raises a clean ``ValueError`` — internal parse
+    errors (index/key/struct/overflow) never escape raw, and a
+    StopIteration can never leak into a mapInPandas generator — and
+    ``max_pixels`` rejects decompression-bomb SOF headers (a 3-byte
+    mutation can otherwise demand a 65535×65535 float grid) before any
+    allocation, PIL-style.
     """
+    try:
+        return _decode_jpeg_impl(data, max_pixels)
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, KeyError, OverflowError, StopIteration,
+            struct.error, TypeError) as e:
+        raise ValueError(
+            f"jpeg: corrupt or truncated stream ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -496,6 +516,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             prec, h, w, n_comp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError("jpeg: only 8-bit precision")
+            if h == 0 or w == 0 or h * w > max_pixels:
+                raise ValueError(
+                    f"jpeg: frame dimensions {w}x{h} outside sane bounds "
+                    f"(max_pixels={max_pixels})"
+                )
+            if n_comp not in (1, 3):
+                raise ValueError(
+                    f"jpeg: unsupported component count {n_comp} "
+                    "(grayscale or YCbCr only)"
+                )
             comps = []
             for c in range(n_comp):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]

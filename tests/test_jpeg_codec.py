@@ -202,3 +202,54 @@ class TestStructure:
         img = _test_image(channels=1)
         assert decode_jpeg(encode_jpeg(img, quality=0)).shape == img.shape
         assert decode_jpeg(encode_jpeg(img, quality=1000)).shape == img.shape
+
+
+class TestDecoderRobustness:
+    def test_fuzz_mutations_raise_clean_errors_only(self):
+        """Executor-safety contract: ANY byte-mutated stream either
+        decodes or raises ValueError/NotImplementedError — never a raw
+        IndexError/KeyError/struct.error/StopIteration (a StopIteration
+        escaping into a mapInPandas generator silently truncates the
+        batch). Deterministic 1500-trial fuzz over all three encoder
+        layouts."""
+        import random
+
+        rnd = random.Random(2)
+        img = _test_image(24, 32, channels=3, seed=1)
+        streams = [
+            encode_jpeg(img, quality=60),
+            encode_jpeg_progressive(img, quality=60),
+            encode_jpeg(img, quality=60, subsampling="420",
+                        restart_interval=2),
+        ]
+        for _ in range(1500):
+            s = bytearray(rnd.choice(streams))
+            for _ in range(rnd.randint(1, 3)):
+                op = rnd.random()
+                if op < 0.5:
+                    s[rnd.randrange(len(s))] = rnd.randrange(256)
+                elif op < 0.75:
+                    del s[rnd.randrange(len(s))]
+                else:
+                    s.insert(rnd.randrange(len(s)), rnd.randrange(256))
+            try:
+                decode_jpeg(bytes(s))
+            except (ValueError, NotImplementedError):
+                pass
+
+    def test_decompression_bomb_header_rejected_before_alloc(self):
+        """A mutated SOF declaring 65535x65535 must fail on the header
+        check (max_pixels), not attempt a ~34 GB grid allocation."""
+        data = bytearray(encode_jpeg(_test_image(channels=1), quality=60))
+        i = bytes(data).index(b"\xff\xc0")
+        # SOF payload: len(2) prec(1) h(2) w(2) — blow up the dims
+        data[i + 5:i + 9] = b"\xff\xff\xff\xff"
+        with pytest.raises(ValueError, match="sane bounds"):
+            decode_jpeg(bytes(data))
+
+    def test_zero_dimension_rejected(self):
+        data = bytearray(encode_jpeg(_test_image(channels=1), quality=60))
+        i = bytes(data).index(b"\xff\xc0")
+        data[i + 5:i + 7] = b"\x00\x00"
+        with pytest.raises(ValueError, match="sane bounds"):
+            decode_jpeg(bytes(data))
