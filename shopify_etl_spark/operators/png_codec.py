@@ -99,13 +99,31 @@ def _unfilter(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
     return out
 
 
-def decode_png(data: bytes) -> np.ndarray:
+def decode_png(data: bytes, max_pixels: int = 100_000_000) -> np.ndarray:
     """PNG bytes → uint8 raster (H,W) for grayscale, (H,W,C) otherwise.
 
     Supports the baseline subset: bit depth 8, color types 0/2/4/6,
     no interlace. CRCs are verified — corrupt payloads raise instead of
     yielding silently-wrong pixels.
+
+    Executor-safe on untrusted bytes (fuzz-pinned, same contract as
+    decode_jpeg): malformed streams raise clean ValueError only;
+    ``max_pixels`` rejects bomb IHDR dims, and the inflate is
+    length-bounded so a crafted zlib bomb cannot balloon past the
+    declared raster size.
     """
+    try:
+        return _decode_png_impl(data, max_pixels)
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, KeyError, OverflowError, struct.error,
+            zlib.error, TypeError) as e:
+        raise ValueError(
+            f"png: corrupt or truncated stream ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _decode_png_impl(data: bytes, max_pixels: int) -> np.ndarray:
     if data[:8] != _SIGNATURE:
         raise ValueError("not a PNG (bad signature)")
     pos, ihdr, idat = 8, None, []
@@ -132,6 +150,23 @@ def decode_png(data: bytes) -> np.ndarray:
             f"interlace={interlace}); baseline subset is 8-bit "
             "non-interlaced gray/GA/RGB/RGBA"
         )
+    if w == 0 or h == 0 or w * h > max_pixels:
+        raise ValueError(
+            f"png: frame dimensions {w}x{h} outside sane bounds "
+            f"(max_pixels={max_pixels})"
+        )
     ch = _CHANNELS[color]
-    pixels = _unfilter(zlib.decompress(b"".join(idat)), w, h, ch)
+    # bound the inflate at the declared raster size: a crafted zlib bomb
+    # (valid CRCs, tiny IDAT, huge expansion) must not out-allocate the
+    # IHDR contract
+    expected = h * (w * ch + 1)
+    d = zlib.decompressobj()
+    raw = d.decompress(b"".join(idat), expected)
+    if d.decompress(b"", 1):
+        raise ValueError("png: IDAT inflates past the declared raster size")
+    if len(raw) != expected:
+        raise ValueError(
+            f"png: IDAT inflates to {len(raw)} bytes, expected {expected}"
+        )
+    pixels = _unfilter(raw, w, h, ch)
     return pixels.reshape(h, w, ch) if ch > 1 else pixels.reshape(h, w)

@@ -173,3 +173,80 @@ def test_real_decode_unknown_format_still_raises(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|no codec"):
         multimodal.decode_features(assets, fake=False).collect()
+
+
+class TestDecoderRobustness:
+    def test_fuzz_mutations_raise_clean_errors_only(self):
+        """Same executor-safety contract as decode_jpeg: any byte-mutated
+        stream either decodes or raises ValueError/NotImplementedError —
+        never raw struct.error/zlib.error/IndexError."""
+        import random
+
+        import numpy as np
+
+        rng = np.random.default_rng(1)
+        rnd = random.Random(3)
+        streams = [
+            encode_png(rng.integers(0, 256, (20, 24), dtype=np.uint8)),
+            encode_png(rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)),
+        ]
+        for _ in range(1500):
+            s = bytearray(rnd.choice(streams))
+            for _ in range(rnd.randint(1, 3)):
+                op = rnd.random()
+                if op < 0.5:
+                    s[rnd.randrange(len(s))] = rnd.randrange(256)
+                elif op < 0.75:
+                    del s[rnd.randrange(len(s))]
+                else:
+                    s.insert(rnd.randrange(len(s)), rnd.randrange(256))
+            try:
+                decode_png(bytes(s))
+            except (ValueError, NotImplementedError):
+                pass
+
+    def test_zlib_bomb_bounded_by_declared_raster(self):
+        """A crafted stream with valid CRCs whose IDAT inflates far past
+        the IHDR-declared raster must be rejected by the bounded inflate,
+        never ballooned into memory."""
+        import struct
+        import zlib
+
+        import pytest
+
+        def chunk(t, b):
+            return (
+                struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 10, 10, 8, 0, 0, 0, 0)
+        bomb = zlib.compress(b"\x00" * 5_000_000, 9)
+        png = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", bomb) + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="inflates past"):
+            decode_png(png)
+
+    def test_bomb_dims_rejected(self):
+        """Valid-CRC IHDR declaring a huge raster fails the max_pixels
+        guard before any allocation."""
+        import struct
+        import zlib
+
+        import pytest
+
+        def chunk(t, b):
+            return (
+                struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 0, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00")) + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="sane bounds"):
+            decode_png(png)
