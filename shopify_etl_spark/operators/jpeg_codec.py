@@ -530,6 +530,12 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
             for c in range(n_comp):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            # h/v of 0 is illegal per T.81 (would divide by zero in the
+            # MCU geometry below) — a corrupt byte must surface as the
+            # clean ValueError the executor-safety contract promises,
+            # never a raw ZeroDivisionError
+            if any(c["h"] == 0 or c["v"] == 0 for c in comps):
+                raise ValueError("jpeg: zero sampling factor in SOF")
             if any(c["h"] > 2 or c["v"] > 2 for c in comps):
                 raise NotImplementedError("jpeg: sampling factors > 2")
             frame = {"h": h, "w": w, "comps": comps, "prog": marker == 0xC2}

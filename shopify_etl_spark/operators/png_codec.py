@@ -162,8 +162,14 @@ def _decode_png_impl(data: bytes, max_pixels: int) -> np.ndarray:
     expected = h * (w * ch + 1)
     d = zlib.decompressobj()
     raw = d.decompress(b"".join(idat), expected)
-    if d.decompress(b"", 1):
+    # when output hits `expected` exactly, the deflate terminator may sit
+    # unread in unconsumed_tail — drain it (output still capped at 1 byte)
+    # so oversize streams paused at a block boundary can't slip past, and
+    # a stream that never reaches eof was truncated mid-block
+    if d.decompress(d.unconsumed_tail, 1):
         raise ValueError("png: IDAT inflates past the declared raster size")
+    if not d.eof:
+        raise ValueError("png: IDAT deflate stream truncated (no terminator)")
     if len(raw) != expected:
         raise ValueError(
             f"png: IDAT inflates to {len(raw)} bytes, expected {expected}"

@@ -616,19 +616,28 @@ def mutual_knn_pairs(
     )
     join_keys = ["_blk"]
     if max_block is not None:
-        dim = int(src.select(F.size(vec_col).alias("d")).first()["d"])
-        sizes = src.groupBy("_blk").agg(F.count(F.lit(1)).alias("_bsz"))
-        src = (
-            src.join(F.broadcast(sizes), "_blk")
-            .withColumn(
-                "_sub",
-                F.when(F.col("_bsz") <= max_block, F.lit(0)).otherwise(
-                    _sig_col(vec_col, dim, overflow_planes)
-                ),
+        # empty input trivially has no pairs — skip sub-bucketing rather
+        # than subscript a None .first() row
+        drow = src.select(F.size(vec_col).alias("d")).first()
+        if drow is not None:
+            dim = int(drow["d"])
+            sizes = src.groupBy("_blk").agg(F.count(F.lit(1)).alias("_bsz"))
+            # the tagged frame (per-row _sig_col: overflow_planes × dim
+            # dot products) feeds both self-join sides plus the sizes
+            # broadcast — checkpoint it so the emb scan + signature
+            # computation run once, same AQE no-ReusedExchange pattern
+            # as simhash_near_pairs / jl_bucket_near_dups
+            src = checkpoint_tracked(
+                src.join(F.broadcast(sizes), "_blk")
+                .withColumn(
+                    "_sub",
+                    F.when(F.col("_bsz") <= max_block, F.lit(0)).otherwise(
+                        _sig_col(vec_col, dim, overflow_planes)
+                    ),
+                )
+                .drop("_bsz")
             )
-            .drop("_bsz")
-        )
-        join_keys = ["_blk", "_sub"]
+            join_keys = ["_blk", "_sub"]
     a = src.select(
         *join_keys,
         F.col(id_col).alias("a"),
@@ -1081,19 +1090,24 @@ def knn_label_disagreement(
         # hard per-cell bound: oversize cells sub-bucket by hyperplane
         # sign bits; small cells keep sub-bucket 0 (exact). The size agg
         # and the tag both read the checkpointed frame — no re-scan.
-        dim = int(base.select(F.size(vec_col).alias("d")).first()["d"])
-        sizes = base.groupBy("_blk").agg(F.count(F.lit(1)).alias("_csz"))
-        base = (
-            base.join(F.broadcast(sizes), "_blk")
-            .withColumn(
-                "_sub",
-                F.when(F.col("_csz") <= max_cell, F.lit(0)).otherwise(
-                    _sig_col(vec_col, dim, overflow_planes)
-                ),
+        # Empty emb trivially satisfies the one-row-per-input contract
+        # with zero rows — skip sub-bucketing rather than subscript a
+        # None .first() row.
+        drow = base.select(F.size(vec_col).alias("d")).first()
+        if drow is not None:
+            dim = int(drow["d"])
+            sizes = base.groupBy("_blk").agg(F.count(F.lit(1)).alias("_csz"))
+            base = (
+                base.join(F.broadcast(sizes), "_blk")
+                .withColumn(
+                    "_sub",
+                    F.when(F.col("_csz") <= max_cell, F.lit(0)).otherwise(
+                        _sig_col(vec_col, dim, overflow_planes)
+                    ),
+                )
+                .drop("_csz")
             )
-            .drop("_csz")
-        )
-        join_keys = ["_blk", "_sub"]
+            join_keys = ["_blk", "_sub"]
     a = base.select(
         *join_keys,
         F.col(id_col).alias("a"),

@@ -253,3 +253,18 @@ class TestDecoderRobustness:
         data[i + 5:i + 7] = b"\x00\x00"
         with pytest.raises(ValueError, match="sane bounds"):
             decode_jpeg(bytes(data))
+
+    def test_zero_sampling_factor_rejected(self):
+        """ADVICE r9: an hv nibble of 0 in SOF must raise the contract's
+        clean ValueError, never a raw ZeroDivisionError from the MCU
+        geometry (`vmax // comp['v']`) — callers that `except ValueError`
+        to skip corrupt images would otherwise fail the whole task."""
+        data = bytearray(encode_jpeg(_test_image(channels=1), quality=60))
+        i = bytes(data).index(b"\xff\xc0")
+        # SOF: FF C0 len(2) prec(1) h(2) w(2) ncomp(1) cid(1) hv(1) ...
+        data[i + 11] = 0x10  # h=1, v=0
+        with pytest.raises(ValueError, match="zero sampling factor"):
+            decode_jpeg(bytes(data))
+        data[i + 11] = 0x01  # h=0, v=1
+        with pytest.raises(ValueError, match="zero sampling factor"):
+            decode_jpeg(bytes(data))

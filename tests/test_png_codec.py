@@ -250,3 +250,56 @@ class TestDecoderRobustness:
         )
         with pytest.raises(ValueError, match="sane bounds"):
             decode_png(png)
+
+    def test_oversize_idat_paused_at_block_boundary_rejected(self):
+        """ADVICE r9: a level-0 (stored-block) stream pauses at the
+        output cap with NO pending match state, so the old empty-input
+        probe `d.decompress(b"", 1)` produced nothing and the oversize
+        stream was silently accepted as a truncated decode. The probe
+        must feed `unconsumed_tail` so the extra byte surfaces."""
+        import struct
+        import zlib
+
+        import pytest
+
+        def chunk(t, b):
+            return (
+                struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+            )
+
+        # 4x4 gray: expected raster = 4*(4*1+1) = 20 bytes; stream
+        # inflates to 120 via stored blocks (compression level 0)
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+        oversize = zlib.compress(b"\x00" * 120, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", oversize) + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="inflates past"):
+            decode_png(png)
+
+    def test_truncated_idat_stream_rejected(self):
+        """A deflate stream that yields exactly the declared raster but
+        never reaches its terminator (Z_FULL_FLUSH prefix, no final
+        block) is a truncated stream, not a valid image."""
+        import struct
+        import zlib
+
+        import pytest
+
+        def chunk(t, b):
+            return (
+                struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+        c = zlib.compressobj()
+        trunc = c.compress(b"\x00" * 20) + c.flush(zlib.Z_FULL_FLUSH)
+        png = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", trunc) + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="truncated"):
+            decode_png(png)

@@ -411,3 +411,20 @@ def test_mutual_knn_max_block_bounds_hot_block(spark):
     assert sorted(map(tuple, loose.collect())) == sorted(
         map(tuple, exact.collect())
     )
+
+
+def test_bounded_ops_accept_empty_input(spark):
+    """ADVICE r9: with max_block/max_cell set, an empty input frame must
+    return the empty result (the one-row-per-input / mutual-pair
+    contracts hold trivially at zero rows), not raise a raw TypeError
+    from subscripting a None `.first()` row."""
+    emb = spark.createDataFrame(
+        [], "vec_id int, embedding array<double>, label string"
+    )
+    assert similarity.mutual_knn_pairs(emb, k=3, max_block=8).count() == 0
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "cid int, cv array<double>"
+    )
+    assert (
+        similarity.knn_label_disagreement(emb, cents, max_cell=8).count() == 0
+    )
