@@ -408,13 +408,88 @@ def main() -> None:
         for n, s in runs_detail.items()
         if timings.get(n, -1.0) > 0 and len(s) == n_runs and n_runs >= 3
     }
+    # ONE official number per round (VERDICT r9 #6: three defensible
+    # totals shipped and the judge had to adjudicate): headline_total is
+    # the isolation-corrected sum (flagged queries already carry
+    # min-of-medians), and window_load is its context — aggregate busy /
+    # steal witnesses over every timed run so "how dirty was the window"
+    # travels with the number instead of living in SCALE.md prose.
+    all_loads = [w for loads in runs_load.values() for w in loads]
+    window_load = (
+        {
+            "load1_median": round(
+                statistics.median(w[0] for w in all_loads), 2
+            ),
+            "busy_pct_median": round(
+                statistics.median(w[1] for w in all_loads), 1
+            ),
+            "busy_pct_p90": round(
+                sorted(w[1] for w in all_loads)[int(len(all_loads) * 0.9)], 1
+            ),
+            "steal_pct_max": round(max(w[2] for w in all_loads), 1),
+        }
+        if all_loads
+        else None
+    )
+    # Cross-round diff (VERDICT r9 #1: the in-window spread flag cannot
+    # see a uniformly-inflated window or cross-round drift — curation_v2
+    # moved 7.0->8.55s between rounds without tripping anything). Compare
+    # against the latest committed BENCH_FULL_r0N.json and flag every
+    # query whose median moved >1.3x either way at the same sf.
+    vs_prev = None
+    try:
+        import glob
+        import re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        fulls = sorted(
+            glob.glob(os.path.join(here, "BENCH_FULL_r*.json")),
+            key=lambda p: int(re.search(r"_r0*(\d+)", p).group(1)),
+        )
+        if fulls:
+            with open(fulls[-1]) as fh:
+                prev = json.load(fh)
+            if prev.get("sf") == sf:
+                prev_q = prev.get("queries", {})
+                moved = {
+                    n: {
+                        "prev": prev_q[n],
+                        "cur": t,
+                        "ratio": round(t / prev_q[n], 2),
+                    }
+                    for n, t in timings.items()
+                    if t >= _FLAG_MIN_SEC
+                    and prev_q.get(n, -1.0) >= _FLAG_MIN_SEC
+                    and (t / prev_q[n] > 1.3 or prev_q[n] / t > 1.3)
+                }
+                vs_prev = {
+                    "baseline": os.path.basename(fulls[-1]),
+                    "prev_total": prev.get("value"),
+                    "regressed": {
+                        n: d for n, d in moved.items() if d["ratio"] > 1
+                    },
+                    "improved": {
+                        n: d for n, d in moved.items() if d["ratio"] < 1
+                    },
+                }
+                for n, d in sorted(vs_prev["regressed"].items()):
+                    print(
+                        f"bench vs_prev REGRESSION {n}: "
+                        f"{d['prev']} -> {d['cur']} ({d['ratio']}x)",
+                        file=sys.stderr,
+                    )
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: vs_prev diff failed: {e}", file=sys.stderr)
     record = {
         "metric": "catalog_queries_total_wall",
         "value": total,
+        "headline_total": total,
+        "window_load": window_load,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         "variance": variance,
+        "vs_prev": vs_prev,
         "runs_detail": runs_detail,
         "runs_load": runs_load,
         "best_warm": best_warm,
@@ -463,11 +538,23 @@ def main() -> None:
             {
                 "metric": "catalog_queries_total_wall",
                 "value": total,
+                "headline_total": total,
+                "window_load": window_load,
                 "unit": "sec",
                 "queries": slowest,
                 "sf": sf,
                 "n_queries": len(timings),
                 "variance": variance,
+                "vs_prev": (
+                    {
+                        "baseline": vs_prev["baseline"],
+                        "prev_total": vs_prev["prev_total"],
+                        "regressed": vs_prev["regressed"],
+                        "n_improved": len(vs_prev["improved"]),
+                    }
+                    if vs_prev
+                    else None
+                ),
                 "full_record": "BENCH_LOCAL.json",
             }
         )

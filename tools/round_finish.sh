@@ -10,18 +10,44 @@ set -e
 cd "$(dirname "$0")/.."
 N="${1:?usage: round_finish.sh <round-number>}"
 
-echo "== 0/3 full pytest suite (the r8 snapshot shipped red — gate it) =="
+echo "== 0/4 full pytest suite (the r8 snapshot shipped red — gate it) =="
 python -m pytest tests/ -q
 
-echo "== 1/3 full-catalog oracle mirror (sf0.01) =="
+echo "== 1/4 full-catalog oracle mirror (sf0.01) =="
 SPARK_GRAFT_ALLCHECK_OUT="ALLCHECK_r0${N}.json" \
     python tools/check_correctness.py /root/testdata/sf0.01
 
-echo "== 2/3 catalog report =="
+echo "== 2/4 catalog report =="
 python tools/catalog_report.py > CATALOG.md
 
-echo "== 3/3 bench (sf0.1, 3 runs) =="
+echo "== 3/4 bench (sf0.1, 3 runs) =="
 # bench.py writes BENCH_LOCAL.json itself; don't redirect stdout onto the
-# same file (the redirect's truncation races bench's own write)
+# same file (the redirect's truncation races bench's own write). Its
+# stderr carries the vs_prev >1.3x cross-round regressions — keep it on
+# the terminal.
 python bench.py > /tmp/bench_stdout.log
 tail -c 400 BENCH_LOCAL.json
+
+echo ""
+echo "== 4/4 snapshot full bench record + cross-round diff =="
+# VERDICT r9 #1: the full per-query record must survive the round — the
+# r8 record was never committed and its loss made the one open perf
+# question (curation_v2 drift) unanswerable from artifacts.
+cp BENCH_LOCAL.json "BENCH_FULL_r$(printf '%02d' "$N").json"
+git add "BENCH_FULL_r$(printf '%02d' "$N").json"
+python - "$N" << 'EOF'
+import json, sys
+r = json.load(open("BENCH_LOCAL.json"))
+print(f"headline_total={r['headline_total']}s  window_load={r['window_load']}")
+vp = r.get("vs_prev")
+if vp:
+    print(f"vs {vp['baseline']} (total {vp['prev_total']}s):")
+    for n, d in sorted(vp["regressed"].items()):
+        print(f"  REGRESSED {n}: {d['prev']} -> {d['cur']} ({d['ratio']}x)")
+    for n, d in sorted(vp["improved"].items()):
+        print(f"  improved  {n}: {d['prev']} -> {d['cur']} ({d['ratio']}x)")
+    if not vp["regressed"] and not vp["improved"]:
+        print("  no query moved >1.3x either way")
+else:
+    print("no prior BENCH_FULL record at this sf — diff skipped")
+EOF
