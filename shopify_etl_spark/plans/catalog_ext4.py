@@ -220,7 +220,13 @@ def zipf_law_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the same deterministic %61 codebook as ivf_assignments: one shuffle "
     "co-locates cells, pairs are |cell|^2 per cell (never corpus^2), "
     "top-k is one window per vector; singleton cells report 0 neighbors "
-    "/ not suspect (no evidence != evidence of noise). "
+    "/ not suspect (no evidence != evidence of noise). The pinned query "
+    "runs the SCALE-SAFE configuration (VERDICT r9 #3): max_cell=128 is "
+    "a hard per-cell bound — above the measured cell maxima at oracle "
+    "scales (64 at sf0.01, 87 at sf0.1), so the exact path runs and the "
+    "oracle stays green, while a degenerate codebook (the scale "
+    "harness's 10x-replicated corpus collapses duplicate centroids into "
+    "~870-vector cells) LSH sub-buckets instead of going quadratic. "
     "operators/similarity.py::knn_label_disagreement.",
 )
 def knn_label_disagreement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,7 +238,7 @@ def knn_label_disagreement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv_c")
     )
     return similarity.knn_label_disagreement(
-        emb, cents, k=5, cent_id="cid", cent_vec="cv_c"
+        emb, cents, k=5, cent_id="cid", cent_vec="cv_c", max_cell=128
     )
 
 
