@@ -193,11 +193,23 @@ _CHANGED_R08 = [
     "jpeg_roundtrip_stats",     # decoder marker dispatch touched (SOF2)
 ]
 
-# Freshness order: round-8 changes, then round-6 changes, then everything
-# whose latest official row predates r05 (stalest first by construction
-# of the earlier lists), then the r05-sampled set.
-_SAMPLE_FIRST = _CHANGED_R08 + [
-    n for n in _CHANGED_R06 if n not in _CHANGED_R08
+# New or code-changed in round 10 — sample these first.
+_CHANGED_R10 = [
+    "kmeans_doc_clusters",      # now guarantee-gate oracled (was no_oracle)
+    "knn_label_disagreement",   # pinned to max_cell=128 scale-safe config
+    "mutual_knn_pairs",         # checkpointed sub-bucket frame; empty guard
+    "image_decode_stats",       # png/jpeg untrusted-bytes hardening
+    "jpeg_roundtrip_stats",     # jpeg zero-sampling-factor ValueError
+    "progressive_jpeg_stats",   # same decoder change
+]
+
+# Freshness order: round-10 changes, then round-8, then round-6, then
+# everything whose latest official row predates r05 (stalest first by
+# construction of the earlier lists), then the r05-sampled set.
+_SAMPLE_FIRST = _CHANGED_R10 + [
+    n for n in _CHANGED_R08 if n not in _CHANGED_R10
+] + [
+    n for n in _CHANGED_R06 if n not in _CHANGED_R08 + _CHANGED_R10
 ] + [
     n for n in QUERIES
     if n not in _CHANGED_R08

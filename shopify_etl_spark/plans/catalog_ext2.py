@@ -963,28 +963,104 @@ def regex_extract_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "kmeans_doc_clusters",
-    oracle=None,  # iterative fixed-point algorithm — driver records rows-only;
-    # numpy-parity + Lloyd-monotonicity pinned in tests/test_clustering.py
-    doc="Distributed spherical k-means over the embedding corpus (cluster "
-    "sizes + mean in-cluster cosine): per iteration, centroids ride in the "
+    # Guarantee-gate oracle (VERDICT r9 #4 — this was the one no_oracle
+    # cell in the 150-query grid): the fit itself is a seeded iterative
+    # fixed point no SQL engine reproduces, but its INVARIANTS are
+    # deterministic, so the query outputs them as flags plus the exact
+    # coverage count and the oracle asserts the flags TRUE — the same
+    # pattern as approx_event_stats / cms_token_counts. The per-cluster
+    # detail view stays fully hash-oracled through the deterministic
+    # twin kmeans_fixed_init_clusters.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_assigned,
+           TRUE AS n_clusters_le_k,
+           TRUE AS cluster_ids_in_range,
+           TRUE AS objective_monotone,
+           TRUE AS assign_consistent,
+           TRUE AS sim_paths_agree,
+           TRUE AS sims_in_bounds
+    FROM embeddings
+    """,
+    doc="Distributed spherical k-means over the embedding corpus, verified "
+    "through its Lloyd invariants: per iteration, centroids ride in the "
     "mapInPandas closure, each Arrow batch emits only per-cluster partial "
     "sums (map-side combine, one GEMM per batch) — the shuffle is "
     "O(batches x k) rows regardless of corpus size; vectors never "
-    "shuffle. operators/clustering.py::kmeans_fit/kmeans_assign.",
+    "shuffle. The gate re-scores every vector against the returned "
+    "centroids through a SECOND, independent path (JVM zip_with/aggregate "
+    "cosine — no Arrow, no numpy) and asserts: every vector sits in its "
+    "nearest returned centroid's cluster (assign_consistent), the Arrow "
+    "GEMM and JVM cosines agree to 1e-6 (sim_paths_agree), the seeded "
+    "fit's objective history is monotone non-decreasing "
+    "(objective_monotone — spherical Lloyd's guarantee), cluster ids "
+    "stay in [0, k) with at most k clusters, cosines stay in [-1, 1], "
+    "and every corpus row is assigned exactly once (total_assigned — "
+    "the one value DuckDB recomputes exactly). "
+    "operators/clustering.py::kmeans_fit/kmeans_assign.",
 )
 def kmeans_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     from ..operators import clustering
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents, _hist = clustering.kmeans_fit(emb, k=8, iters=3, seed=7)
+    cents, hist = clustering.kmeans_fit(emb, k=8, iters=3, seed=7)
+    # driver-side invariant over 3 floats: the spherical-Lloyd objective
+    # (mean assignment cosine) never decreases across iterations
+    monotone = all(b >= a - 1e-9 for a, b in zip(hist, hist[1:]))
+    # pre-normalize the k centroids driver-side (k x d floats, a few KB)
+    # so the JVM re-score is dot(v, cn) / ||v|| — one aggregate per pair
+    cn = [
+        [x / max(math.sqrt(sum(y * y for y in c)), 1e-12) for x in c]
+        for c in cents
+    ]
+    cent_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cn])
     assigned = clustering.kmeans_assign(emb, cents)
-    return (
-        assigned.groupBy("cluster_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("sim"), 4).alias("mean_cosine"),
+    nv = F.greatest(
+        F.sqrt(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double") * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        F.lit(1e-12),
+    )
+    sims = F.transform(
+        cent_lit,
+        lambda c: F.aggregate(
+            F.zip_with("embedding", c, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-        .orderBy("cluster_id")
+        / nv,
+    )
+    scored = (
+        emb.select("vec_id", "embedding")
+        .join(assigned, "vec_id")
+        .select(
+            "cluster_id",
+            "sim",
+            F.element_at(sims, F.col("cluster_id") + 1).alias("_jvm_sim"),
+            F.array_max(sims).alias("_best_jvm"),
+        )
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("total_assigned"),
+        F.count_distinct("cluster_id").between(1, 8).alias("n_clusters_le_k"),
+        (
+            (F.min("cluster_id") >= 0) & (F.max("cluster_id") <= 7)
+        ).alias("cluster_ids_in_range"),
+        F.lit(monotone).alias("objective_monotone"),
+        F.bool_and(
+            F.col("_jvm_sim") >= F.col("_best_jvm") - 1e-9
+        ).alias("assign_consistent"),
+        F.bool_and(
+            F.abs(F.col("sim") - F.col("_jvm_sim")) <= 1e-6
+        ).alias("sim_paths_agree"),
+        (
+            (F.min("sim") >= -1 - 1e-9) & (F.max("sim") <= 1 + 1e-9)
+        ).alias("sims_in_bounds"),
     )
 
 
