@@ -266,16 +266,20 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         chunk = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
-            if size < 16:
+            # gate on ACTUAL bytes, not the declared size — a truncated
+            # stream whose header claims size>=16 would otherwise feed
+            # struct.unpack a short buffer and escape as struct.error
+            # instead of the clean ValueError the executor contract needs
+            if len(chunk) < 16:
                 raise ValueError("WAV fmt chunk truncated")
             fmt_tag, n_ch, rate, _br, block_align, bits = struct.unpack(
                 "<HHIIHH", chunk[:16]
             )
-            if fmt_tag == _EXTENSIBLE_TAG and size >= 26:
+            if fmt_tag == _EXTENSIBLE_TAG and len(chunk) >= 26:
                 # WAVE_FORMAT_EXTENSIBLE: the real tag is the first word
                 # of the 16-byte SubFormat GUID at offset 24.
                 (fmt_tag,) = struct.unpack("<H", chunk[24:26])
-        elif cid == b"fact" and size >= 4:
+        elif cid == b"fact" and len(chunk) >= 4:
             (fact_frames,) = struct.unpack("<I", chunk[:4])
         elif cid == b"data":
             if fmt_tag is None:

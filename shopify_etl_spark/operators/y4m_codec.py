@@ -59,19 +59,26 @@ def decode_y4m(data: bytes, luma_only: bool = True):
     """
     if not data.startswith(_MAGIC):
         raise ValueError("not a YUV4MPEG2 stream (bad magic)")
-    nl = data.index(b"\n")
+    nl = data.find(b"\n")
+    if nl < 0:
+        raise ValueError("truncated Y4M: stream header has no newline")
     params = data[:nl].decode("ascii", "replace").split(" ")
     w = h = None
     cspace = "C420"  # the spec's default when no C tag is present
     for p in params[1:]:
-        if p.startswith("W"):
-            w = int(p[1:])
-        elif p.startswith("H"):
-            h = int(p[1:])
-        elif p.startswith("C"):
+        try:
+            if p.startswith("W"):
+                w = int(p[1:])
+            elif p.startswith("H"):
+                h = int(p[1:])
+        except ValueError:
+            raise ValueError(f"Y4M header has non-numeric tag {p!r}") from None
+        if p.startswith("C"):
             cspace = p
     if w is None or h is None:
         raise ValueError("Y4M header missing W/H")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"Y4M frame dimensions {w}x{h} outside sane bounds")
     if cspace not in _PLANE_RATIO:
         raise ValueError(f"unsupported Y4M colorspace {cspace!r}")
     num, den = _PLANE_RATIO[cspace]

@@ -362,3 +362,182 @@ def test_baseline_restart_intervals_do_not_change_pixels(
         encode_jpeg(img, quality=quality, restart_interval=restart)
     )
     assert np.array_equal(plain, rst)
+
+
+# -------------------------------------------- untrusted-bytes hardening
+# (VERDICT r9 #5: multimodal ingest at 100 TB is undisplayable bytes by
+# definition — r9 hardened JPEG/PNG; this closes WAV/ADPCM/Y4M. The
+# executor-safety contract: ANY byte stream either decodes or raises
+# ValueError/NotImplementedError — never struct.error/IndexError/
+# ZeroDivisionError (which would fail the whole Spark task instead of
+# skipping the one corrupt asset) — and allocations stay bounded by the
+# input size plus the declared-geometry guards.)
+
+from shopify_etl_spark.operators.png_codec import decode_png  # noqa: E402
+from shopify_etl_spark.operators.wav_codec import (  # noqa: E402
+    encode_wav_adpcm as _enc_adpcm,
+)
+
+_CLEAN = (ValueError, NotImplementedError)
+
+
+def _mutate(blob: bytes, rng) -> bytes:
+    s = bytearray(blob)
+    for _ in range(rng.integers(1, 4)):
+        op = rng.random()
+        if op < 0.5 and s:
+            s[int(rng.integers(len(s)))] = int(rng.integers(256))
+        elif op < 0.75 and s:
+            del s[int(rng.integers(len(s)))]
+        else:
+            s.insert(int(rng.integers(len(s) + 1)), int(rng.integers(256)))
+    return bytes(s)
+
+
+def _wav_streams(seed: int):
+    rng = np.random.default_rng(seed)
+    pcm = rng.integers(-2000, 2000, (50, 2), dtype=np.int64).astype(np.int16)
+    return [encode_wav(pcm, 8000), _enc_adpcm(pcm, 8000)]
+
+
+@settings(max_examples=60, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1))
+def test_wav_mutations_raise_clean_errors_only(seed):
+    rng = np.random.default_rng(seed)
+    for blob in _wav_streams(seed):
+        try:
+            out, _rate = decode_wav(_mutate(blob, rng))
+            # bounded: ADPCM expands 4-bit nibbles to 16-bit samples, so
+            # the raster can never exceed ~4x the input bytes + headers
+            assert out.nbytes <= 16 * len(blob) + 4096
+        except _CLEAN:
+            pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), frac=st.floats(0.0, 1.0))
+def test_wav_truncation_any_point(seed, frac):
+    for blob in _wav_streams(seed):
+        cut = int(len(blob) * frac)
+        try:
+            decode_wav(blob[:cut])
+        except _CLEAN:
+            pass
+
+
+def test_wav_bomb_headers_bounded():
+    """Declared sizes lie upward: a fmt/data/fact chunk claiming 4 GB on
+    a 100-byte stream must fail clean (or decode the actual bytes) —
+    slicing bounds every chunk at the real payload, so no allocation
+    follows the lie."""
+    import struct
+
+    import pytest
+
+    # fmt declares size 16 but stream ends mid-fmt -> clean truncation
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + b"\x01\x00"
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    # EXTENSIBLE tag whose chunk is too short for the SubFormat GUID ->
+    # falls back to the outer tag -> honest seam, not struct.error
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16) + b"\x00\x00"
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    with pytest.raises(NotImplementedError, match="0xfffe"):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    # fact chunk claiming 4 bytes on a 2-byte payload is ignored, and a
+    # data chunk claiming 4 GB yields only the real bytes
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"fact" + struct.pack("<I", 4) + b"\x00\x00"  # lies: only 2 bytes
+    )
+    # odd-size pad walks past the end -> no data chunk -> clean error
+    with pytest.raises(ValueError, match="no data chunk"):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", 0xFFFFFFF0) + b"\x00\x00\x00\x00"
+    )
+    out, _ = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert out.shape == (2, 1)  # the 4 real bytes, not the declared 4 GB
+
+
+def _y4m_stream(seed: int) -> bytes:
+    rng = np.random.default_rng(seed)
+    return encode_y4m(
+        [rng.integers(0, 256, (6, 9), dtype=np.uint8) for _ in range(3)]
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1))
+def test_y4m_mutations_raise_clean_errors_only(seed):
+    rng = np.random.default_rng(seed)
+    blob = _y4m_stream(seed)
+    try:
+        frames = decode_y4m(_mutate(blob, rng))
+        assert sum(f.nbytes for f in frames) <= 2 * len(blob)
+    except _CLEAN:
+        pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), frac=st.floats(0.0, 1.0))
+def test_y4m_truncation_any_point(seed, frac):
+    blob = _y4m_stream(seed)
+    try:
+        decode_y4m(blob[: int(len(blob) * frac)])
+    except _CLEAN:
+        pass
+
+
+def test_y4m_bomb_header_rejected_before_alloc():
+    """A header declaring a huge or non-positive raster on a tiny payload
+    fails the geometry/truncation guards, never allocates the claim."""
+    import pytest
+
+    with pytest.raises(ValueError, match="truncated|sane bounds"):
+        decode_y4m(b"YUV4MPEG2 W99999999 H99999999 Cmono\nFRAME\n\x00\x00")
+    for bad in (b"W0 H5", b"W5 H0", b"W-3 H4", b"W4 H-3"):
+        with pytest.raises(ValueError, match="sane bounds"):
+            decode_y4m(b"YUV4MPEG2 " + bad + b" Cmono\nFRAME\n\x00\x00")
+    with pytest.raises(ValueError, match="non-numeric"):
+        decode_y4m(b"YUV4MPEG2 Wx H4 Cmono\nFRAME\n\x00\x00")
+    with pytest.raises(ValueError, match="no newline"):
+        decode_y4m(b"YUV4MPEG2 W4 H4 Cmono")
+
+
+@settings(max_examples=50, deadline=None)
+@given(blob=st.binary(min_size=0, max_size=300))
+def test_random_garbage_all_container_parsers(blob):
+    """Pure-noise bytes through all four container decoders: clean error
+    or a decode, never a crash class."""
+    for dec in (decode_wav, decode_y4m, decode_png, decode_jpeg):
+        try:
+            dec(blob)
+        except _CLEAN:
+            pass
+
+
+@settings(max_examples=50, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1))
+def test_magic_prefixed_garbage_all_container_parsers(seed):
+    """Noise wearing each container's magic walks the real parse path
+    (chunk/marker/header scan) instead of bouncing off the magic check —
+    and must still fail clean."""
+    rng = np.random.default_rng(seed)
+    junk = rng.integers(0, 256, 200, dtype=np.uint8).tobytes()
+    cases = [
+        (decode_wav, b"RIFF" + junk[:4] + b"WAVE" + junk),
+        (decode_y4m, b"YUV4MPEG2 " + junk),
+        (decode_png, b"\x89PNG\r\n\x1a\n" + junk),
+        (decode_jpeg, b"\xff\xd8" + junk),
+    ]
+    for dec, blob in cases:
+        try:
+            dec(blob)
+        except _CLEAN:
+            pass
