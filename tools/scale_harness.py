@@ -132,6 +132,16 @@ FAMILY = (
     "audio_demux_stats",
     "bpe_pretoken_counts",
     "bpe_apply_one_merge",
+    # round 10: the reference-parity merge layer gets measured growth
+    # rows too (VERDICT r9 #7) — replicated relational tables with
+    # lockstep-shifted join keys: window dedup/upsert partitions grow in
+    # COUNT not size, the reload anti-join and inventory agg+join grow
+    # linearly, so all four should track ~10x rows at well under 10x wall
+    "upsert_orders",
+    "delete_reload_items",
+    "current_inventory_analog",
+    "latest_order_per_customer",
+    "priority_gap_fill",
 )
 
 
@@ -179,6 +189,31 @@ def build_sf1(spark, src_dir: str, out_dir: str) -> None:
     for p in vparts[1:]:
         vout = vout.unionByName(p)
     vout.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+    # merge-layer analogs (VERDICT r9 #7): replicate the relational
+    # tables with every join key shifted in lockstep, so intra-replica
+    # join relationships are exact copies — group counts grow 10x,
+    # per-group sizes stay constant (the shape a sharded production
+    # upsert/reload actually has)
+    rel = {
+        "orders": ("o_orderkey", "o_custkey"),
+        "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+        "part": ("p_partkey",),
+    }
+    for tbl, keys in rel.items():
+        t = spark.read.parquet(f"{src_dir}/{tbl}.parquet")
+        tparts = []
+        for i in range(REPLICAS):
+            r = t
+            for k in keys:
+                r = r.withColumn(k, F.col(k) + F.lit(i * ID_OFFSET))
+            tparts.append(r)
+        tout = tparts[0]
+        for p in tparts[1:]:
+            tout = tout.unionByName(p)
+        tout.repartition(32).write.mode("overwrite").parquet(
+            f"{out_dir}/{tbl}.parquet"
+        )
 
 
 def time_query(spark, name: str, sf_dir: str, runs: int) -> tuple[float, int]:
