@@ -465,7 +465,7 @@ def decode_jpeg(data: bytes, max_pixels: int = 100_000_000) -> np.ndarray:
     except (ValueError, NotImplementedError):
         raise
     except (IndexError, KeyError, OverflowError, StopIteration,
-            struct.error, TypeError) as e:
+            struct.error, TypeError, ZeroDivisionError) as e:
         raise ValueError(
             f"jpeg: corrupt or truncated stream ({type(e).__name__}: {e})"
         ) from e
@@ -496,13 +496,23 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
             off = 0
             while off < len(seg):
                 pq, tq = seg[off] >> 4, seg[off] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("jpeg: 16-bit quant tables")
-                zz = np.frombuffer(seg[off + 1:off + 65], dtype=np.uint8)
+                if pq == 0:  # 8-bit entries
+                    zz = np.frombuffer(
+                        seg[off + 1:off + 65], dtype=np.uint8
+                    ).astype(np.int64)
+                    off += 65
+                elif pq == 1:  # 16-bit big-endian entries (T.81 B.2.4.1 —
+                    # emitted by real encoders when a step exceeds 255,
+                    # e.g. libjpeg below quality ~8)
+                    zz = np.frombuffer(
+                        seg[off + 1:off + 129], dtype=">u2"
+                    ).astype(np.int64)
+                    off += 129
+                else:
+                    raise ValueError(f"jpeg: invalid DQT precision {pq}")
                 q = np.zeros(64, dtype=np.int64)
-                q[_ZIGZAG] = zz
+                q[_ZIGZAG] = zz  # short read -> shape-mismatch ValueError
                 qtabs[tq] = q.reshape(8, 8)
-                off += 65
         elif marker == 0xC4:  # DHT
             off = 0
             while off < len(seg):

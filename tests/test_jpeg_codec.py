@@ -268,3 +268,41 @@ class TestDecoderRobustness:
         data[i + 11] = 0x01  # h=0, v=1
         with pytest.raises(ValueError, match="zero sampling factor"):
             decode_jpeg(bytes(data))
+
+    def test_16bit_quant_tables_decode_bit_exact(self):
+        """Pq=1 DQT (16-bit big-endian steps, T.81 B.2.4.1) was a
+        documented seam; now decoded. Rewriting a real stream's 8-bit
+        tables as 16-bit with identical values must decode bit-equal."""
+        import struct
+
+        import numpy as np
+
+        data = encode_jpeg(_test_image(channels=3), quality=40)
+        ref = decode_jpeg(data)
+        out = bytearray()
+        pos = 0
+        while pos < len(data):
+            if data[pos] == 0xFF and data[pos + 1] == 0xDB:
+                (length,) = struct.unpack(">H", data[pos + 2:pos + 4])
+                seg = data[pos + 4:pos + 2 + length]
+                new = bytearray()
+                off = 0
+                while off < len(seg):
+                    assert seg[off] >> 4 == 0
+                    new.append(0x10 | (seg[off] & 0x0F))  # pq=1
+                    for v in seg[off + 1:off + 65]:
+                        new += struct.pack(">H", v)
+                    off += 65
+                out += b"\xff\xdb" + struct.pack(">H", len(new) + 2) + new
+                pos += 2 + length
+            else:
+                out.append(data[pos])
+                pos += 1
+        assert np.array_equal(decode_jpeg(bytes(out)), ref)
+
+    def test_invalid_dqt_precision_rejected(self):
+        data = bytearray(encode_jpeg(_test_image(channels=1), quality=60))
+        i = bytes(data).index(b"\xff\xdb")
+        data[i + 4] = 0x20 | (data[i + 4] & 0x0F)  # pq=2
+        with pytest.raises(ValueError, match="DQT precision"):
+            decode_jpeg(bytes(data))
