@@ -313,6 +313,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             raise NotImplementedError(f"PCM bit depth {bits} not supported")
     elif fmt_tag == _FLOAT_TAG and bits == 32:
         arr = np.frombuffer(pcm, dtype="<f4").astype(np.float32)
+    elif fmt_tag == _FLOAT_TAG and bits == 64:
+        arr = np.frombuffer(pcm, dtype="<f8").astype(np.float32)
     elif fmt_tag == _ADPCM_TAG:
         if bits not in (3, 4):
             raise NotImplementedError(f"IMA ADPCM {bits}-bit (only 4-bit here)")

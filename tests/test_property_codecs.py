@@ -541,3 +541,19 @@ def test_magic_prefixed_garbage_all_container_parsers(seed):
             dec(blob)
         except _CLEAN:
             pass
+
+
+def test_wav_float64_decodes():
+    """IEEE float64 WAV (fmt tag 3, bits=64) — studio interchange files
+    use it; previously fell into the NotImplementedError seam."""
+    import struct
+
+    pcm = struct.pack("<dd", 0.25, -0.5)
+    fmt = struct.pack("<HHIIHH", 3, 1, 48000, 48000 * 8, 8, 64)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    back, rate = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert rate == 48000
+    assert np.allclose(back.ravel(), [0.25, -0.5])
