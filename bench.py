@@ -342,13 +342,51 @@ def main() -> None:
     finally:
         release_persisted()  # family over: span-window blocks
 
-    # Isolation re-run: any standalone query whose run spread says "dirty
-    # window" gets a fresh set of runs now that the sweep (and, usually,
-    # whatever contended with it) is over. Headline = min of the two
-    # medians — contention only ever inflates, so the smaller median is
-    # the better estimate of the query's true cost.
+    # Load the previous round's committed full record up front: the
+    # cross-round drift flag below compares SWEEP median to SWEEP median
+    # (a query isolation-corrected last round would otherwise phantom-flag
+    # against its corrected minimum), and the final vs_prev report then
+    # compares corrected-to-corrected.
+    prev = None
+    try:
+        import glob
+        import re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        fulls = sorted(
+            glob.glob(os.path.join(here, "BENCH_FULL_r*.json")),
+            key=lambda p: int(re.search(r"_r0*(\d+)", p).group(1)),
+        )
+        if fulls:
+            with open(fulls[-1]) as fh:
+                prev = json.load(fh)
+            prev["_basename"] = os.path.basename(fulls[-1])
+            if prev.get("sf") != sf:
+                prev = None
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: could not load previous record: {e}", file=sys.stderr)
+        prev = None
+
+    def _prev_sweep(name: str) -> float:
+        """Previous round's IN-SWEEP median for a query (the isolation
+        map preserves it when the headline was corrected)."""
+        if prev is None:
+            return -1.0
+        iso = prev.get("isolation", {}).get(name)
+        if iso and "sweep_median" in iso:
+            return iso["sweep_median"]
+        return prev.get("queries", {}).get(name, -1.0)
+
+    # Isolation re-run, two triggers (VERDICT r9 #1: the spread flag
+    # catches within-window variance but not a uniformly-inflated window
+    # or cross-round drift):
+    #   1. run spread > _FLAG_SPREAD — "dirty window" for this query;
+    #   2. sweep median > 1.3x the PREVIOUS round's sweep median —
+    #      cross-round drift, even when the window looked internally calm.
+    # Headline = min of the two medians — contention only ever inflates,
+    # so the smaller median is the better estimate of the true cost.
     isolation: dict[str, dict] = {}
-    flagged = [
+    spread_flagged = [
         n
         for n, s in runs_detail.items()
         if n in rerunnable
@@ -357,6 +395,16 @@ def main() -> None:
         and min(s) > 0
         and max(s) / min(s) > _FLAG_SPREAD
     ]
+    drift_flagged = [
+        n
+        for n, t in timings.items()
+        if n in rerunnable
+        and n not in spread_flagged
+        and t >= _FLAG_MIN_SEC
+        and _prev_sweep(n) >= _FLAG_MIN_SEC
+        and t / _prev_sweep(n) > 1.3
+    ]
+    flagged = spread_flagged + drift_flagged
     for name in flagged:
         samples, loads = [], []
         try:
@@ -401,6 +449,8 @@ def main() -> None:
         "rel_spread_p90": spreads[int(len(spreads) * 0.9)] if spreads else None,
         "warm_rel_spread_median": warm[len(warm) // 2] if warm else None,
         "flagged_for_isolation": sorted(flagged),
+        "spread_flagged": sorted(spread_flagged),
+        "drift_flagged": sorted(drift_flagged),
         "reran_in_isolation": sorted(isolation),
     }
     best_warm = {
@@ -431,55 +481,38 @@ def main() -> None:
         if all_loads
         else None
     )
-    # Cross-round diff (VERDICT r9 #1: the in-window spread flag cannot
-    # see a uniformly-inflated window or cross-round drift — curation_v2
-    # moved 7.0->8.55s between rounds without tripping anything). Compare
-    # against the latest committed BENCH_FULL_r0N.json and flag every
-    # query whose median moved >1.3x either way at the same sf.
+    # Cross-round diff report: corrected-to-corrected headlines (both
+    # sides are now min-of-medians where a flag fired — the drift trigger
+    # above already re-measured this round's movers in isolation, so a
+    # query still >1.3x here survived an isolated re-run and is a real
+    # change, not a dirty window).
     vs_prev = None
-    try:
-        import glob
-        import re
-
-        here = os.path.dirname(os.path.abspath(__file__))
-        fulls = sorted(
-            glob.glob(os.path.join(here, "BENCH_FULL_r*.json")),
-            key=lambda p: int(re.search(r"_r0*(\d+)", p).group(1)),
-        )
-        if fulls:
-            with open(fulls[-1]) as fh:
-                prev = json.load(fh)
-            if prev.get("sf") == sf:
-                prev_q = prev.get("queries", {})
-                moved = {
-                    n: {
-                        "prev": prev_q[n],
-                        "cur": t,
-                        "ratio": round(t / prev_q[n], 2),
-                    }
-                    for n, t in timings.items()
-                    if t >= _FLAG_MIN_SEC
-                    and prev_q.get(n, -1.0) >= _FLAG_MIN_SEC
-                    and (t / prev_q[n] > 1.3 or prev_q[n] / t > 1.3)
-                }
-                vs_prev = {
-                    "baseline": os.path.basename(fulls[-1]),
-                    "prev_total": prev.get("value"),
-                    "regressed": {
-                        n: d for n, d in moved.items() if d["ratio"] > 1
-                    },
-                    "improved": {
-                        n: d for n, d in moved.items() if d["ratio"] < 1
-                    },
-                }
-                for n, d in sorted(vs_prev["regressed"].items()):
-                    print(
-                        f"bench vs_prev REGRESSION {n}: "
-                        f"{d['prev']} -> {d['cur']} ({d['ratio']}x)",
-                        file=sys.stderr,
-                    )
-    except Exception as e:  # noqa: BLE001
-        print(f"bench: vs_prev diff failed: {e}", file=sys.stderr)
+    if prev is not None:
+        prev_q = prev.get("queries", {})
+        moved = {
+            n: {
+                "prev": prev_q[n],
+                "cur": t,
+                "ratio": round(t / prev_q[n], 2),
+            }
+            for n, t in timings.items()
+            if t >= _FLAG_MIN_SEC
+            and prev_q.get(n, -1.0) >= _FLAG_MIN_SEC
+            and (t / prev_q[n] > 1.3 or prev_q[n] / t > 1.3)
+        }
+        vs_prev = {
+            "baseline": prev["_basename"],
+            "prev_total": prev.get("value"),
+            "regressed": {n: d for n, d in moved.items() if d["ratio"] > 1},
+            "improved": {n: d for n, d in moved.items() if d["ratio"] < 1},
+        }
+        for n, d in sorted(vs_prev["regressed"].items()):
+            print(
+                f"bench vs_prev REGRESSION {n}: "
+                f"{d['prev']} -> {d['cur']} ({d['ratio']}x)"
+                + (" [survived isolation]" if n in isolation else ""),
+                file=sys.stderr,
+            )
     record = {
         "metric": "catalog_queries_total_wall",
         "value": total,

@@ -14,7 +14,7 @@ echo "== 0/4 full pytest suite (the r8 snapshot shipped red — gate it) =="
 python -m pytest tests/ -q
 
 echo "== 1/4 full-catalog oracle mirror (sf0.01) =="
-SPARK_GRAFT_ALLCHECK_OUT="ALLCHECK_r0${N}.json" \
+SPARK_GRAFT_ALLCHECK_OUT="ALLCHECK_r$(printf '%02d' "$N").json" \
     python tools/check_correctness.py /root/testdata/sf0.01
 
 echo "== 2/4 catalog report =="
