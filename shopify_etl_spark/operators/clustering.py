@@ -144,9 +144,15 @@ def kmeans_assign(
     centroids,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_cols: tuple = (),
 ) -> DataFrame:
-    """Final assignment pass: (id, cluster_id, ROUND(sim,4)) per row —
-    same GEMM scoring, full rows out this time."""
+    """Final assignment pass: (id, *keep_cols, cluster_id, ROUND(sim,4))
+    per row — same GEMM scoring, full rows out this time.
+
+    ``keep_cols`` rides extra columns (the vector itself, a label)
+    through the Arrow map so consumers that need them avoid a join back
+    to the corpus — at scale the join is a corpus-wide shuffle, while
+    the ride-along is map-side and free."""
     import numpy as np
 
     C = np.asarray(centroids, dtype=np.float64)
@@ -161,15 +167,18 @@ def kmeans_assign(
             V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
             S = Vn @ Cn.T
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "cluster_id": S.argmax(axis=1).astype("int32"),
-                    "sim": S.max(axis=1),
-                }
-            )
+            out = {id_col: pdf[id_col]}
+            for k in keep_cols:
+                out[k] = pdf[k]
+            out["cluster_id"] = S.argmax(axis=1).astype("int32")
+            out["sim"] = S.max(axis=1)
+            yield pd.DataFrame(out)
 
     id_type = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, vec_col).mapInPandas(
-        run, f"{id_col} {id_type}, cluster_id int, sim double"
+    keep_schema = "".join(
+        f", {k} {df.schema[k].dataType.simpleString()}" for k in keep_cols
+    )
+    in_cols = [id_col, vec_col] + [k for k in keep_cols if k != vec_col]
+    return df.select(*in_cols).mapInPandas(
+        run, f"{id_col} {id_type}{keep_schema}, cluster_id int, sim double"
     )

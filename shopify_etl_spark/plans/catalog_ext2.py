@@ -1015,7 +1015,9 @@ def kmeans_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in cents
     ]
     cent_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cn])
-    assigned = clustering.kmeans_assign(emb, cents)
+    # the vector rides the assignment map (keep_cols) — no join back to
+    # the corpus, which at scale is a corpus-wide shuffle
+    assigned = clustering.kmeans_assign(emb, cents, keep_cols=("embedding",))
     nv = F.greatest(
         F.sqrt(
             F.aggregate(
@@ -1035,15 +1037,11 @@ def kmeans_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / nv,
     )
-    scored = (
-        emb.select("vec_id", "embedding")
-        .join(assigned, "vec_id")
-        .select(
-            "cluster_id",
-            "sim",
-            F.element_at(sims, F.col("cluster_id") + 1).alias("_jvm_sim"),
-            F.array_max(sims).alias("_best_jvm"),
-        )
+    scored = assigned.select(
+        "cluster_id",
+        "sim",
+        F.element_at(sims, F.col("cluster_id") + 1).alias("_jvm_sim"),
+        F.array_max(sims).alias("_best_jvm"),
     )
     return scored.agg(
         F.count(F.lit(1)).alias("total_assigned"),
