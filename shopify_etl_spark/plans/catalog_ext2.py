@@ -1807,8 +1807,9 @@ def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents, _hist = clustering.kmeans_fit(emb, k=8, iters=2, init_by="id")
-    assigned = clustering.kmeans_assign(emb, cents).select("vec_id", "cluster_id")
-    clustered = emb.select("vec_id", "embedding").join(assigned, "vec_id")
+    # the vector rides the assignment map (keep_cols) — no corpus join
+    assigned = clustering.kmeans_assign(emb, cents, keep_cols=("embedding",))
+    clustered = assigned.select("vec_id", "embedding", "cluster_id")
     pairs = similarity.blocked_cosine_pairs_gemm(
         clustered, id_col="vec_id", vec_col="embedding",
         block_col="cluster_id", threshold=0.35, dim=64, max_block_size=1000,
