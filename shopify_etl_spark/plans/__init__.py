@@ -198,9 +198,12 @@ _CHANGED_R10 = [
     "kmeans_doc_clusters",      # now guarantee-gate oracled (was no_oracle)
     "knn_label_disagreement",   # pinned to max_cell=128 scale-safe config
     "mutual_knn_pairs",         # checkpointed sub-bucket frame; empty guard
+    "semantic_dedup_docs",      # keep_cols ride-along (corpus join dropped)
+    "audio_demux_stats",        # wav/y4m untrusted-bytes hardening
+    "adpcm_roundtrip_stats",    # same decoder change
     "image_decode_stats",       # png/jpeg untrusted-bytes hardening
     "jpeg_roundtrip_stats",     # jpeg zero-sampling-factor ValueError
-    "progressive_jpeg_stats",   # same decoder change
+    "progressive_jpeg_stats",   # same decoder change + 16-bit DQT
 ]
 
 # Freshness order: round-10 changes, then round-8, then round-6, then
