@@ -1807,8 +1807,14 @@ def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents, _hist = clustering.kmeans_fit(emb, k=8, iters=2, init_by="id")
-    # the vector rides the assignment map (keep_cols) — no corpus join
-    assigned = clustering.kmeans_assign(emb, cents, keep_cols=("embedding",))
+    # the vector rides the assignment map (keep_cols) — no corpus join —
+    # and the assigned frame feeds TWO consumers (the pair generator and
+    # the final anti-join), so it's checkpointed to scan + score once
+    from ..operators.materialize import checkpoint_tracked
+
+    assigned = checkpoint_tracked(
+        clustering.kmeans_assign(emb, cents, keep_cols=("embedding",))
+    )
     clustered = assigned.select("vec_id", "embedding", "cluster_id")
     pairs = similarity.blocked_cosine_pairs_gemm(
         clustered, id_col="vec_id", vec_col="embedding",
