@@ -353,10 +353,19 @@ def main() -> None:
         import re
 
         here = os.path.dirname(os.path.abspath(__file__))
-        fulls = sorted(
-            glob.glob(os.path.join(here, "BENCH_FULL_r*.json")),
-            key=lambda p: int(re.search(r"_r0*(\d+)", p).group(1)),
-        )
+        # $SPARK_GRAFT_BENCH_PREV pins the baseline explicitly —
+        # round_finish.sh sets it to the PREVIOUS round's record so a
+        # mid-round re-run never diffs against its own round's interim
+        # snapshot (which is what the latest-file default would pick).
+        pinned = os.environ.get("SPARK_GRAFT_BENCH_PREV")
+        if pinned:
+            path = pinned if os.path.isabs(pinned) else os.path.join(here, pinned)
+            fulls = [path] if os.path.exists(path) else []
+        else:
+            fulls = sorted(
+                glob.glob(os.path.join(here, "BENCH_FULL_r*.json")),
+                key=lambda p: int(re.search(r"_r0*(\d+)", p).group(1)),
+            )
         if fulls:
             with open(fulls[-1]) as fh:
                 prev = json.load(fh)

@@ -24,8 +24,14 @@ echo "== 3/4 bench (sf0.1, 3 runs) =="
 # bench.py writes BENCH_LOCAL.json itself; don't redirect stdout onto the
 # same file (the redirect's truncation races bench's own write). Its
 # stderr carries the vs_prev >1.3x cross-round regressions — keep it on
-# the terminal.
-python bench.py > /tmp/bench_stdout.log
+# the terminal. The baseline is pinned to the PREVIOUS round's record so
+# a mid-round re-run never diffs against its own interim snapshot.
+PREV_RECORD="BENCH_FULL_r$(printf '%02d' $((N - 1))).json"
+if [ -f "$PREV_RECORD" ]; then
+    SPARK_GRAFT_BENCH_PREV="$PREV_RECORD" python bench.py > /tmp/bench_stdout.log
+else
+    python bench.py > /tmp/bench_stdout.log
+fi
 tail -c 400 BENCH_LOCAL.json
 
 echo ""
