@@ -18,9 +18,12 @@ honest baseline subset (ITU-T T.81):
   accepts any h/v sampling factors ≤ 2 (4:2:0 / 4:2:2 from other
   encoders) with block-replication upsampling,
 * restart intervals (DRI/RSTn) on decode,
-* arithmetic coding, hierarchical (SOF5+) and 12-bit depth stay
-  OUTSIDE — they raise ``NotImplementedError`` at the same seam the
-  other codecs use, behind this working default path.
+* **12-bit extended sequential** (SOF1, uint16 rasters in [0, 4095],
+  Pq=1 16-bit quantization tables, full-alphabet Huffman tables) on
+  both encode and decode — the medical/scientific-imaging mode,
+* arithmetic coding, hierarchical (SOF5+) and 12-bit *progressive*
+  stay OUTSIDE — they raise ``NotImplementedError`` at the same seam
+  the other codecs use, behind this working default path.
 
 JPEG is lossy, so the test contract differs from PNG's bit-exact
 round-trip: ``decode(encode(x, quality=q))`` must reconstruct within a
@@ -125,6 +128,25 @@ _AC_CHROMA = (
         0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
         0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
     ],
+)
+
+
+# Extended-precision (12-bit) entropy tables. T.81's Annex K sample
+# tables only cover the 8-bit symbol alphabet (DC categories <= 11, AC
+# sizes <= 10); 12-bit samples need DC diffs up to category 15 and AC
+# sizes up to 14, so the 12-bit encoder emits its own canonical tables
+# covering the full alphabet. Deliberately flat (near-uniform lengths,
+# all-ones codeword left unused per the canonical construction) — a few
+# percent larger streams in exchange for validity on ANY coefficient
+# the quantizer can produce; decoders read whatever DHT ships, so
+# interop is unaffected.
+_DC_EXT = (
+    [0, 0, 0, 15, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    list(range(16)),  # categories 0..15, 4-bit codes (one 5-bit)
+)
+_AC_EXT = (
+    [0, 0, 0, 0, 0, 0, 0, 226, 0, 0, 0, 0, 0, 0, 0, 0],
+    sorted({0x00, 0xF0} | {(r << 4) | s for r in range(16) for s in range(1, 15)}),
 )
 
 
@@ -263,19 +285,19 @@ class _BitReader:
 # ---------------------------------------------------------------------------
 
 
-def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+def _rgb_to_ycbcr(rgb: np.ndarray, center: float = 128.0) -> np.ndarray:
     r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
     y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + center
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + center
     return np.stack([y, cb, cr], axis=-1)
 
 
-def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+def _ycbcr_to_rgb(ycc: np.ndarray, center: float = 128.0) -> np.ndarray:
     y, cb, cr = (ycc[..., i] for i in range(3))
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
+    r = y + 1.402 * (cr - center)
+    g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+    b = y + 1.772 * (cb - center)
     return np.stack([r, g, b], axis=-1)
 
 
@@ -330,6 +352,7 @@ def encode_jpeg(
     quality: int = 85,
     subsampling: str = "444",
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """uint8 raster (H,W) grayscale or (H,W,3) RGB → baseline JFIF bytes.
 
@@ -340,12 +363,30 @@ def encode_jpeg(
     ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs (the
     error-resilience layout long scans use; resets DC predictors and
     byte-aligns, exactly what the decoder's segment splitting expects).
+
+    ``precision=12`` takes a uint16 raster (values in [0, 4095]) and
+    emits a T.81 extended-sequential 12-bit stream: SOF1 with Pq=1
+    16-bit quantization tables (the Annex K values scaled 16x, tracking
+    the wider sample range) and full-alphabet canonical Huffman tables
+    (DC categories to 15, AC sizes to 14 — Annex K's sample tables only
+    cover the 8-bit alphabet). Medical/scientific pipelines are the
+    real-world users of this mode.
     """
-    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if precision not in (8, 12):
+        raise ValueError(f"jpeg: precision must be 8 or 12, got {precision}")
+    if precision == 12:
+        arr = np.ascontiguousarray(arr)
+        if arr.dtype != np.uint16:
+            raise ValueError("jpeg: 12-bit encode takes a uint16 raster")
+        if arr.size and int(arr.max()) > 4095:
+            raise ValueError("jpeg: 12-bit samples must be in [0, 4095]")
+    else:
+        arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    center = float(1 << (precision - 1))
     if arr.ndim == 2:
         planes = [arr.astype(np.float64)]
     elif arr.ndim == 3 and arr.shape[2] == 3:
-        ycc = _rgb_to_ycbcr(arr)
+        ycc = _rgb_to_ycbcr(arr, center)
         planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
     else:
         raise ValueError(f"unsupported raster shape {arr.shape}")
@@ -363,6 +404,12 @@ def encode_jpeg(
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     q_luma, q_chroma = _quality_tables(quality)
+    if precision == 12:
+        # samples span 16x the 8-bit range, so the DCT coefficients do
+        # too — scale the steps 16x to keep the same perceptual quality
+        # (and the same coefficient entropy) as the 8-bit encode
+        q_luma = np.clip(q_luma * 16, 1, 65535)
+        q_chroma = np.clip(q_chroma * 16, 1, 65535)
     qtabs = [q_luma] + ([q_chroma] if n_comp == 3 else [])
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -371,19 +418,30 @@ def encode_jpeg(
         + struct.pack(">HHBB", 1, 1, 0, 0)
     )
     for tid, q in enumerate(qtabs):
-        zz = q[_ZIGZAG].astype(np.uint8).tobytes()
-        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz
+        if precision == 12:  # Pq=1: 16-bit big-endian entries
+            zz = q[_ZIGZAG].astype(">u2").tobytes()
+            out += b"\xff\xdb" + struct.pack(">HB", 131, 0x10 | tid) + zz
+        else:
+            zz = q[_ZIGZAG].astype(np.uint8).tobytes()
+            out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    sof = struct.pack(">BHHB", 8, h, w, n_comp)
+    # 12-bit is extended sequential (SOF1); 8-bit stays baseline (SOF0)
+    sof = struct.pack(">BHHB", precision, h, w, n_comp)
     for c in range(n_comp):
         sof += struct.pack(
             ">BBB", c + 1, (samp[c][0] << 4) | samp[c][1], 0 if c == 0 else 1
         )
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
-    huff_specs = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
-    if n_comp == 3:
-        huff_specs += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
+    sof_marker = b"\xff\xc0" if precision == 8 else b"\xff\xc1"
+    out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
+    if precision == 12:
+        huff_specs = [(0x00, _DC_EXT), (0x10, _AC_EXT)]
+        if n_comp == 3:
+            huff_specs += [(0x01, _DC_EXT), (0x11, _AC_EXT)]
+    else:
+        huff_specs = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
+        if n_comp == 3:
+            huff_specs += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
     enc_tabs = {}
     for tc_th, (bits, values) in huff_specs:
         payload = bytes([tc_th]) + bytes(bits) + bytes(values)
@@ -400,7 +458,7 @@ def encode_jpeg(
     comp_coefs = []
     for c, plane in enumerate(planes):
         n_by, n_bx = mcuy * samp[c][1], mcux * samp[c][0]
-        tiles = _tiles(plane - 128.0, n_by, n_bx)
+        tiles = _tiles(plane - center, n_by, n_bx)
         coefs = np.einsum("ij,abjk,lk->abil", _DCT, tiles, _DCT)
         q = qtabs[min(c, len(qtabs) - 1)].reshape(8, 8)
         comp_coefs.append(
@@ -524,8 +582,12 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
                 off += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog.
             prec, h, w, n_comp = struct.unpack(">BHHB", seg[:6])
-            if prec != 8:
-                raise NotImplementedError("jpeg: only 8-bit precision")
+            if prec not in (8, 12):
+                raise NotImplementedError(
+                    f"jpeg: only 8- and 12-bit precision (got {prec})"
+                )
+            if prec == 12 and marker == 0xC2:
+                raise NotImplementedError("jpeg: 12-bit progressive")
             if h == 0 or w == 0 or h * w > max_pixels:
                 raise ValueError(
                     f"jpeg: frame dimensions {w}x{h} outside sane bounds "
@@ -548,7 +610,10 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
                 raise ValueError("jpeg: zero sampling factor in SOF")
             if any(c["h"] > 2 or c["v"] > 2 for c in comps):
                 raise NotImplementedError("jpeg: sampling factors > 2")
-            frame = {"h": h, "w": w, "comps": comps, "prog": marker == 0xC2}
+            frame = {
+                "h": h, "w": w, "comps": comps,
+                "prog": marker == 0xC2, "prec": prec,
+            }
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -690,6 +755,10 @@ def _blocks_to_image(frame, comp_blocks) -> np.ndarray:
     rather than by measurement."""
     comps = frame["comps"]
     h, w = frame["h"], frame["w"]
+    prec = frame.get("prec", 8)
+    center = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
+    dtype = np.uint8 if prec == 8 else np.uint16
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     full = []
@@ -697,15 +766,15 @@ def _blocks_to_image(frame, comp_blocks) -> np.ndarray:
         blocks = comp_blocks[ci]
         n_by, n_bx = blocks.shape[:2]
         pix = np.einsum("ji,abjk,kl->abil", _DCT, blocks, _DCT)
-        plane = pix.transpose(0, 2, 1, 3).reshape(n_by * 8, n_bx * 8) + 128.0
+        plane = pix.transpose(0, 2, 1, 3).reshape(n_by * 8, n_bx * 8) + center
         ry, rx = vmax // comp["v"], hmax // comp["h"]
         if ry > 1 or rx > 1:  # block-replication upsample (4:2:0 / 4:2:2)
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
         full.append(plane[:h, :w])
     if len(full) == 1:
-        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
-    rgb = _ycbcr_to_rgb(np.stack(full, axis=-1))
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        return np.clip(np.round(full[0]), 0, maxv).astype(dtype)
+    rgb = _ycbcr_to_rgb(np.stack(full, axis=-1), center)
+    return np.clip(np.round(rgb), 0, maxv).astype(dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -306,3 +306,113 @@ class TestDecoderRobustness:
         data[i + 4] = 0x20 | (data[i + 4] & 0x0F)  # pq=2
         with pytest.raises(ValueError, match="DQT precision"):
             decode_jpeg(bytes(data))
+
+
+class Test12BitPrecision:
+    """12-bit extended sequential (SOF1): the seam VERDICT r9 listed is
+    now a working path — uint16 rasters, 16x-scaled Pq=1 quant tables,
+    full-alphabet Huffman tables (DC categories to 15, AC sizes to 14)."""
+
+    @staticmethod
+    def _psnr12(a, b):
+        import numpy as np
+
+        err = a.astype(np.float64) - b.astype(np.float64)
+        return 10 * np.log10(4095.0**2 / max((err**2).mean(), 1e-12))
+
+    @staticmethod
+    def _smooth12(h=48, w=40, seed=7):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        y, x = np.mgrid[0:h, 0:w]
+        return np.clip(
+            2048 + 1200 * np.sin(x / 9) + 900 * np.cos(y / 7)
+            + rng.normal(0, 30, (h, w)),
+            0, 4095,
+        ).astype(np.uint16)
+
+    def test_gray_roundtrip_psnr_and_dtype(self):
+        img = self._smooth12()
+        out = decode_jpeg(encode_jpeg(img, quality=85, precision=12))
+        assert out.dtype == np.uint16 and out.shape == img.shape
+        assert out.max() <= 4095
+        assert self._psnr12(img, out) > 40
+
+    def test_quality_monotone_12bit(self):
+        img = self._smooth12(seed=3)
+        ps = [
+            self._psnr12(img, decode_jpeg(encode_jpeg(img, quality=q, precision=12)))
+            for q in (30, 60, 90)
+        ]
+        assert ps[0] < ps[1] < ps[2]
+
+    def test_rgb_420_and_restart_layouts(self):
+        img = self._smooth12()
+        rgb = np.stack(
+            [img, np.roll(img, 5, 0), np.roll(img, 9, 1)], axis=-1
+        ).astype(np.uint16)
+        base = decode_jpeg(encode_jpeg(rgb, quality=90, precision=12))
+        assert base.dtype == np.uint16 and base.shape == rgb.shape
+        assert self._psnr12(rgb, base) > 38
+        sub = decode_jpeg(
+            encode_jpeg(rgb, quality=90, precision=12, subsampling="420")
+        )
+        assert self._psnr12(rgb, sub) > 30  # chroma is quarter-res
+        rst = decode_jpeg(
+            encode_jpeg(rgb, quality=90, precision=12, restart_interval=2)
+        )
+        assert np.array_equal(rst, base)  # framing never changes pixels
+
+    def test_stream_structure_sof1_pq1(self):
+        data = encode_jpeg(self._smooth12(), quality=80, precision=12)
+        assert b"\xff\xc1" in data and b"\xff\xc0" not in data.split(b"\xff\xda")[0]
+        i = data.index(b"\xff\xdb")
+        assert data[i + 4] >> 4 == 1  # Pq=1 16-bit table
+
+    def test_full_range_extremes_roundtrip(self):
+        """Blocks at 0 and 4095 — the DC extremes exercise the extended
+        DC categories the Annex K tables cannot express."""
+        img = np.zeros((16, 16), dtype=np.uint16)
+        img[:8, :8] = 4095
+        out = decode_jpeg(encode_jpeg(img, quality=95, precision=12))
+        assert abs(int(out[2, 2]) - 4095) < 64 and int(out[12, 12]) < 64
+
+    def test_input_validation(self):
+        img8 = np.zeros((8, 8), dtype=np.uint8)
+        with pytest.raises(ValueError, match="uint16"):
+            encode_jpeg(img8, precision=12)
+        with pytest.raises(ValueError, match="0, 4095"):
+            encode_jpeg(np.full((8, 8), 5000, dtype=np.uint16), precision=12)
+        with pytest.raises(ValueError, match="precision"):
+            encode_jpeg(img8, precision=10)
+
+    def test_12bit_progressive_rejected_as_seam(self):
+        """Flipping a 12-bit stream's SOF1 to SOF2 must hit the honest
+        NotImplementedError, not mis-decode."""
+        data = bytearray(encode_jpeg(self._smooth12(), quality=80, precision=12))
+        i = bytes(data).index(b"\xff\xc1")
+        data[i + 1] = 0xC2
+        with pytest.raises(NotImplementedError, match="12-bit progressive"):
+            decode_jpeg(bytes(data))
+
+    def test_fuzz_12bit_clean_errors_only(self):
+        """Executor-safety contract extends to the 12-bit layout."""
+        import random
+
+        rnd = random.Random(5)
+        stream = encode_jpeg(self._smooth12(24, 32), quality=60, precision=12)
+        for _ in range(600):
+            s = bytearray(stream)
+            for _ in range(rnd.randint(1, 3)):
+                op = rnd.random()
+                if op < 0.5:
+                    s[rnd.randrange(len(s))] = rnd.randrange(256)
+                elif op < 0.75:
+                    del s[rnd.randrange(len(s))]
+                else:
+                    s.insert(rnd.randrange(len(s)), rnd.randrange(256))
+            try:
+                decode_jpeg(bytes(s))
+            except (ValueError, NotImplementedError):
+                pass
