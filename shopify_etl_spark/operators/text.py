@@ -54,6 +54,62 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+def char_chunk_documents(
+    df: DataFrame,
+    chunk_chars: int = 512,
+    overlap: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking — the retrieval-side prep every
+    embedding/RAG index runs before vectorizing: fixed-size character
+    windows with overlap so no span is split without context, stable
+    (doc, chunk_idx) addressing so a hit maps back to its source offset.
+
+    One row per chunk: ``(id, chunk_idx, chunk_start, chunk_len,
+    chunk_text, n_tokens)``. Chunk starts advance by
+    ``chunk_chars - overlap``; a window is emitted while its start lands
+    before ``len - overlap`` (so a would-be tail window fully contained
+    in the previous one is dropped — the LangChain/llama-index splitter
+    convention), and every non-empty document emits at least one chunk.
+    Empty documents emit none.
+
+    Scale shape: pure JVM expressions — ``sequence`` for the starts,
+    one ``explode``, ``substring`` per chunk. Zero shuffles, zero UDFs;
+    cost is the scan plus output size, exactly like the flatteners.
+    The token-window twin (``chunk_documents`` below) and the
+    sequence-packer (``packing.pack_sequences``) are the training-side
+    counterparts; this is the indexing-side one (per-doc windows, CHAR
+    offsets — the coordinates a retrieval hit needs to map back to its
+    source span).
+    """
+    if overlap < 0 or chunk_chars <= overlap:
+        raise ValueError(
+            f"chunk_documents: need 0 <= overlap < chunk_chars, got "
+            f"chunk_chars={chunk_chars} overlap={overlap}"
+        )
+    step = chunk_chars - overlap
+    n = F.length(text_col)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(step)
+    )
+    chunk = F.substring(
+        F.col(text_col), F.col("chunk_start") + 1, chunk_chars
+    )
+    return (
+        df.filter(n > 0)
+        .select(id_col, text_col, F.explode(starts).alias("chunk_start"))
+        .select(
+            id_col,
+            (F.col("chunk_start") / step).cast("long").alias("chunk_idx"),
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.length(chunk).cast("long").alias("chunk_len"),
+            chunk.alias("chunk_text"),
+            F.size(tokens(chunk)).cast("long").alias("n_tokens"),
+        )
+    )
+
+
 #: GPT-2-style pre-tokenizer pattern (ASCII subset, non-capturing groups
 #: only — portable across Java regex and RE2): contractions, space-prefixed
 #: letter runs, space-prefixed digit runs, space-prefixed punctuation runs,

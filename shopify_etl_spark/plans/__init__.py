@@ -195,6 +195,7 @@ _CHANGED_R08 = [
 
 # New or code-changed in round 10 — sample these first.
 _CHANGED_R10 = [
+    "document_chunks",          # NEW: char-window retrieval-side chunking
     "kmeans_doc_clusters",      # now guarantee-gate oracled (was no_oracle)
     "knn_label_disagreement",   # pinned to max_cell=128 scale-safe config
     "mutual_knn_pairs",         # checkpointed sub-bucket frame; empty guard

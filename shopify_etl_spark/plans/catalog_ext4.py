@@ -314,3 +314,48 @@ def progressive_jpeg_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.progressive_jpeg_stats(docs)
+
+
+@register(
+    "document_chunks",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n
+      FROM documents WHERE length(text) > 0
+    ), s AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, greatest(n - 40 - 1, 0), 120))
+               AS cstart
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(cstart // 120 AS BIGINT) AS chunk_idx,
+           CAST(cstart AS BIGINT) AS chunk_start,
+           CAST(length(substr(text, cstart + 1, 160)) AS BIGINT)
+             AS chunk_len,
+           substr(text, cstart + 1, 160) AS chunk_text,
+           CAST(len(list_filter(
+                 regexp_split_to_array(substr(text, cstart + 1, 160),
+                                       '\s+'),
+                 x -> x <> '')) AS BIGINT) AS n_tokens
+    FROM s
+    """,
+    doc="Sliding-window document chunking (160-char windows, 40-char "
+    "overlap) — the retrieval-side prep every embedding/RAG index runs "
+    "before vectorizing: stable (doc, chunk_idx) addressing, char "
+    "offsets that map a hit back to its source span, per-chunk token "
+    "counts for budget planning. Starts advance by chunk-overlap; a "
+    "tail window fully contained in the previous one is dropped (the "
+    "standard splitter convention); every non-empty document emits at "
+    "least one chunk. Pure JVM expressions (sequence -> explode -> "
+    "substring): zero shuffles, zero UDFs — cost is the scan plus "
+    "output size, like the flatteners. Training-side counterpart is "
+    "packing.pack_sequences (token budgets, cross-doc packing). "
+    "operators/text.py::char_chunk_documents.",
+)
+def document_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import char_chunk_documents
+
+    return char_chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_chars=160, overlap=40
+    )

@@ -513,3 +513,47 @@ def test_audio_features_real_wav_decode(spark):
     mp3 = spark.createDataFrame([asset(3, b"\xff\xfb\x90\x00", "mp3")], ASSET_SCHEMA)
     with _pytest.raises(Exception, match="torchaudio|codec"):
         audio_features(mp3, fake=False).collect()
+
+
+def test_char_chunk_documents_reconstruction_property(spark):
+    """Dropping each chunk's leading `overlap` chars (except chunk 0)
+    and concatenating reconstructs the document exactly — the invariant
+    that makes overlapped windows lossless for any text/params."""
+    import random
+
+    from shopify_etl_spark.operators.text import char_chunk_documents
+
+    rnd = random.Random(11)
+    rows = [
+        (i, "".join(rnd.choice("abcd efg\nhi\tj") for _ in range(n)))
+        for i, n in enumerate([1, 7, 39, 40, 41, 79, 80, 81, 120, 200, 353])
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = char_chunk_documents(df, chunk_chars=80, overlap=40).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_idx)):
+        assert r.chunk_len == len(r.chunk_text) > 0
+        piece = r.chunk_text if r.chunk_idx == 0 else r.chunk_text[40:]
+        by_doc[r.doc_id] = by_doc.get(r.doc_id, "") + piece
+        # offsets address the source exactly
+        src = rows[r.doc_id][1]
+        assert src[r.chunk_start:r.chunk_start + 80] == r.chunk_text
+    assert by_doc == {i: t for i, t in rows}
+    # tail windows fully inside the previous chunk are dropped: a doc of
+    # exactly chunk_chars emits ONE chunk; chunk_chars+1 emits two
+    n_chunks = {r[0]: 0 for r in rows}
+    for r in out:
+        n_chunks[r.doc_id] += 1
+    assert n_chunks[6] == 1 and n_chunks[7] == 2  # len 80 -> 1, 81 -> 2
+
+
+def test_char_chunk_documents_validation_and_empty(spark):
+    import pytest
+
+    from shopify_etl_spark.operators.text import char_chunk_documents
+
+    df = spark.createDataFrame([(1, ""), (2, "xy")], ["doc_id", "text"])
+    out = char_chunk_documents(df, chunk_chars=8, overlap=2).collect()
+    assert [(r.doc_id, r.chunk_text) for r in out] == [(2, "xy")]
+    with pytest.raises(ValueError, match="overlap"):
+        char_chunk_documents(df, chunk_chars=8, overlap=8)
