@@ -18,12 +18,14 @@ honest baseline subset (ITU-T T.81):
   accepts any h/v sampling factors ≤ 2 (4:2:0 / 4:2:2 from other
   encoders) with block-replication upsampling,
 * restart intervals (DRI/RSTn) on decode,
-* **12-bit extended sequential** (SOF1, uint16 rasters in [0, 4095],
-  Pq=1 16-bit quantization tables, full-alphabet Huffman tables) on
-  both encode and decode — the medical/scientific-imaging mode,
-* arithmetic coding, hierarchical (SOF5+) and 12-bit *progressive*
-  stay OUTSIDE — they raise ``NotImplementedError`` at the same seam
-  the other codecs use, behind this working default path.
+* **12-bit precision** (uint16 rasters in [0, 4095], Pq=1 16-bit
+  quantization tables, full-alphabet Huffman tables) on both encode
+  and decode, sequential (SOF1) AND progressive (SOF2) — the
+  medical/scientific-imaging mode, pinned by the same cross-path
+  bit-exactness contract as 8-bit progressive,
+* arithmetic coding and hierarchical (SOF5+) stay OUTSIDE — they
+  raise ``NotImplementedError`` at the same seam the other codecs
+  use, behind this working default path.
 
 JPEG is lossy, so the test contract differs from PNG's bit-exact
 round-trip: ``decode(encode(x, quality=q))`` must reconstruct within a
@@ -586,8 +588,6 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
                 raise NotImplementedError(
                     f"jpeg: only 8- and 12-bit precision (got {prec})"
                 )
-            if prec == 12 and marker == 0xC2:
-                raise NotImplementedError("jpeg: 12-bit progressive")
             if h == 0 or w == 0 or h * w > max_pixels:
                 raise ValueError(
                     f"jpeg: frame dimensions {w}x{h} outside sane bounds "
@@ -998,7 +998,10 @@ def _pt_ac(v: int, al: int) -> int:
 
 
 def encode_jpeg_progressive(
-    arr: np.ndarray, quality: int = 85, subsampling: str = "444"
+    arr: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    precision: int = 8,
 ) -> bytes:
     """uint8 raster (H,W) grayscale or (H,W,3) RGB → progressive (SOF2)
     JFIF bytes, libjpeg-style scan script.
@@ -1024,12 +1027,28 @@ def encode_jpeg_progressive(
     ``decode_jpeg`` of this stream equals the decode of the baseline
     stream at the same quality/subsampling bit-for-bit (pinned in
     tests — the cross-path oracle for both implementations).
+
+    ``precision=12`` mirrors ``encode_jpeg``'s 12-bit mode (uint16
+    raster, 16x-scaled Pq=1 quantization tables, full-alphabet Huffman
+    tables) with the identical scan script — the same cross-path
+    bit-exactness contract holds because the quantized coefficients and
+    the reconstruction path are shared with the sequential encoder.
     """
-    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if precision not in (8, 12):
+        raise ValueError(f"jpeg: precision must be 8 or 12, got {precision}")
+    if precision == 12:
+        arr = np.ascontiguousarray(arr)
+        if arr.dtype != np.uint16:
+            raise ValueError("jpeg: 12-bit encode takes a uint16 raster")
+        if arr.size and int(arr.max()) > 4095:
+            raise ValueError("jpeg: 12-bit samples must be in [0, 4095]")
+    else:
+        arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    center = float(1 << (precision - 1))
     if arr.ndim == 2:
         planes = [arr.astype(np.float64)]
     elif arr.ndim == 3 and arr.shape[2] == 3:
-        ycc = _rgb_to_ycbcr(arr)
+        ycc = _rgb_to_ycbcr(arr, center)
         planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
     else:
         raise ValueError(f"unsupported raster shape {arr.shape}")
@@ -1047,6 +1066,9 @@ def encode_jpeg_progressive(
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     q_luma, q_chroma = _quality_tables(quality)
+    if precision == 12:
+        q_luma = np.clip(q_luma * 16, 1, 65535)
+        q_chroma = np.clip(q_chroma * 16, 1, 65535)
     qtabs = [q_luma] + ([q_chroma] if n_comp == 3 else [])
 
     out = bytearray(b"\xff\xd8")
@@ -1055,17 +1077,26 @@ def encode_jpeg_progressive(
         + struct.pack(">HHBB", 1, 1, 0, 0)
     )
     for tid, q in enumerate(qtabs):
-        zz = q[_ZIGZAG].astype(np.uint8).tobytes()
-        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz
-    sof = struct.pack(">BHHB", 8, h, w, n_comp)
+        if precision == 12:  # Pq=1: 16-bit big-endian entries
+            zz = q[_ZIGZAG].astype(">u2").tobytes()
+            out += b"\xff\xdb" + struct.pack(">HB", 131, 0x10 | tid) + zz
+        else:
+            zz = q[_ZIGZAG].astype(np.uint8).tobytes()
+            out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz
+    sof = struct.pack(">BHHB", precision, h, w, n_comp)
     for c in range(n_comp):
         sof += struct.pack(
             ">BBB", c + 1, (samp[c][0] << 4) | samp[c][1], 0 if c == 0 else 1
         )
     out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
-    huff_specs = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
-    if n_comp == 3:
-        huff_specs += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
+    if precision == 12:
+        huff_specs = [(0x00, _DC_EXT), (0x10, _AC_EXT)]
+        if n_comp == 3:
+            huff_specs += [(0x01, _DC_EXT), (0x11, _AC_EXT)]
+    else:
+        huff_specs = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
+        if n_comp == 3:
+            huff_specs += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
     enc_tabs = {}
     for tc_th, (bits, values) in huff_specs:
         payload = bytes([tc_th]) + bytes(bits) + bytes(values)
@@ -1078,7 +1109,7 @@ def encode_jpeg_progressive(
     ni_grid = []  # non-interleaved (ceil(comp_size/8)) grid per comp
     for c, plane in enumerate(planes):
         n_by, n_bx = mcuy * samp[c][1], mcux * samp[c][0]
-        tiles = _tiles(plane - 128.0, n_by, n_bx)
+        tiles = _tiles(plane - center, n_by, n_bx)
         dct = np.einsum("ij,abjk,lk->abil", _DCT, tiles, _DCT)
         q = qtabs[min(c, len(qtabs) - 1)].reshape(8, 8)
         zz = np.round(dct / q).astype(np.int64).reshape(n_by, n_bx, 64)

@@ -387,14 +387,30 @@ class Test12BitPrecision:
         with pytest.raises(ValueError, match="precision"):
             encode_jpeg(img8, precision=10)
 
-    def test_12bit_progressive_rejected_as_seam(self):
-        """Flipping a 12-bit stream's SOF1 to SOF2 must hit the honest
-        NotImplementedError, not mis-decode."""
-        data = bytearray(encode_jpeg(self._smooth12(), quality=80, precision=12))
-        i = bytes(data).index(b"\xff\xc1")
-        data[i + 1] = 0xC2
-        with pytest.raises(NotImplementedError, match="12-bit progressive"):
-            decode_jpeg(bytes(data))
+    def test_12bit_progressive_matches_baseline_bit_exact(self):
+        """12-bit progressive decodes bit-identically to the 12-bit
+        sequential stream — the same cross-path contract that pins the
+        8-bit progressive path, including on pure noise with no PSNR
+        structure and on 4:2:0 chroma."""
+        img = self._smooth12(41, 37, seed=9)
+        for q in (20, 60, 92):
+            base = decode_jpeg(encode_jpeg(img, quality=q, precision=12))
+            prog = decode_jpeg(
+                encode_jpeg_progressive(img, quality=q, precision=12)
+            )
+            assert np.array_equal(base, prog)
+        rng = np.random.default_rng(4)
+        noise = rng.integers(0, 4096, (23, 29, 3)).astype(np.uint16)
+        for sub in ("444", "420"):
+            base = decode_jpeg(
+                encode_jpeg(noise, quality=35, precision=12, subsampling=sub)
+            )
+            prog = decode_jpeg(
+                encode_jpeg_progressive(
+                    noise, quality=35, precision=12, subsampling=sub
+                )
+            )
+            assert np.array_equal(base, prog)
 
     def test_fuzz_12bit_clean_errors_only(self):
         """Executor-safety contract extends to the 12-bit layout."""
