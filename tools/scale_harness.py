@@ -144,6 +144,9 @@ FAMILY = (
     "current_inventory_analog",
     "latest_order_per_customer",
     "priority_gap_fill",
+    # r10: char-window chunking is map-only (sequence->explode->substr,
+    # 0 shuffles) — must grow ~linearly with the corpus
+    "document_chunks",
 )
 
 
