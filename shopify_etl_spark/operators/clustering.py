@@ -104,6 +104,10 @@ def kmeans_fit(
         .collect()
     )
     LAST_FIT_TIMINGS[:] = [round(time.time() - t0, 3)]
+    if not init:
+        raise ValueError(
+            "kmeans_fit: empty corpus — nothing to seed centroids from"
+        )
     centroids = [list(map(float, r[vec_col])) for r in init]
     history: list[float] = []
     src = df.select(id_col, vec_col)

@@ -64,3 +64,15 @@ def test_kmeans_all_points_assigned_once(spark, sf_dir):
     assert a.count() == emb.count()
     assert a.select("vec_id").distinct().count() == emb.count()
     assert a.agg(F.min("cluster_id"), F.max("cluster_id")).first()[1] <= 3
+
+
+def test_kmeans_fit_empty_corpus_raises_clean(spark):
+    """An empty embeddings frame must fail loudly with a ValueError, not
+    a raw IndexError from seeding centroids off zero rows."""
+    import pytest
+
+    from shopify_etl_spark.operators import clustering
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        clustering.kmeans_fit(emb, k=4, iters=1)
