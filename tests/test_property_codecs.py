@@ -557,3 +557,30 @@ def test_wav_float64_decodes():
     back, rate = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
     assert rate == 48000
     assert np.allclose(back.ravel(), [0.25, -0.5])
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 33),
+    w=st.integers(1, 33),
+    channels=st.sampled_from([1, 3]),
+    quality=st.integers(1, 100),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_12bit_progressive_equals_baseline_any_input(
+    h, w, channels, quality, seed
+):
+    """The progressive==baseline cross-path contract extends to 12-bit
+    for ANY raster/quality/shape — identical quantized coefficients,
+    one shared reconstruction path — so pure 12-bit noise must match
+    bit-for-bit, and the output stays uint16 in [0, 4095]."""
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if channels == 1 else (h, w, 3)
+    img = rng.integers(0, 4096, shape).astype(np.uint16)
+    base = decode_jpeg(encode_jpeg(img, quality=quality, precision=12))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, quality=quality, precision=12)
+    )
+    assert base.dtype == np.uint16 and base.shape == img.shape
+    assert base.max(initial=0) <= 4095
+    assert np.array_equal(prog, base)
