@@ -46,6 +46,30 @@ from shopify_etl_spark.plans.catalog import QUERIES  # noqa: E402
 from shopify_etl_spark.session import get_spark  # noqa: E402
 
 
+def _git_head() -> str:
+    """Code-state fingerprint: tree sha of the package + bench blob.
+
+    Stamped into every record so an unpinned re-run can recognize (and
+    skip) a baseline measured at the same code state — diffing a round's
+    snapshot against itself always reports 'no drift'. Tree shas rather
+    than HEAD: the round's artifacts-only snapshot commit moves HEAD
+    without changing any code, and same-code detection must survive it."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "rev-parse", "HEAD:shopify_etl_spark", "HEAD:bench.py"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True,
+            text=True,
+            timeout=10,
+            check=True,
+        ).stdout.split()
+        return "+".join(out)
+    except Exception:  # noqa: BLE001 - provenance is best-effort
+        return ""
+
+
 def _timed(fn) -> float:
     t0 = time.time()
     fn()
@@ -366,6 +390,26 @@ def main() -> None:
                 glob.glob(os.path.join(here, "BENCH_FULL_r*.json")),
                 key=lambda p: int(re.search(r"_r0*(\d+)", p).group(1)),
             )
+            # After round_finish.sh the newest record is THIS round's own
+            # snapshot — an unpinned re-run would silently diff against
+            # itself and report no drift. Records carry the git HEAD they
+            # were measured at (since r11); skip any trailing records
+            # taken at the current HEAD and warn.
+            head = _git_head()
+            while fulls and head:
+                try:
+                    with open(fulls[-1]) as fh:
+                        if json.load(fh).get("git_head") != head:
+                            break
+                except (OSError, ValueError):
+                    break
+                print(
+                    f"bench: baseline {os.path.basename(fulls[-1])} was "
+                    "measured at the current git HEAD (same-round snapshot)"
+                    " — falling back to the next-oldest record",
+                    file=sys.stderr,
+                )
+                fulls = fulls[:-1]
         if fulls:
             with open(fulls[-1]) as fh:
                 prev = json.load(fh)
@@ -523,6 +567,7 @@ def main() -> None:
                 file=sys.stderr,
             )
     record = {
+        "git_head": _git_head(),
         "metric": "catalog_queries_total_wall",
         "value": total,
         "headline_total": total,

@@ -159,6 +159,11 @@ def kmeans_assign(
     the ride-along is map-side and free."""
     import numpy as np
 
+    # id_col is always emitted first; a keep_cols entry naming it would
+    # duplicate the field in the output schema string while the pandas
+    # dict collapses to one column — drop it the way vec_col is handled.
+    keep_cols = tuple(k for k in keep_cols if k != id_col)
+
     C = np.asarray(centroids, dtype=np.float64)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
 

@@ -216,10 +216,18 @@ _SAMPLE_FIRST = _CHANGED_R10 + [
     n for n in _CHANGED_R06 if n not in _CHANGED_R08 + _CHANGED_R10
 ] + [
     n for n in QUERIES
-    if n not in _CHANGED_R08
+    if n not in _CHANGED_R10
+    and n not in _CHANGED_R08
     and n not in _CHANGED_R06
     and n not in _R05_SAMPLED
 ]
+
+# _SAMPLE_FIRST must stay duplicate-free by construction — the dict
+# rebuild below would silently hide a repeat introduced by a future
+# _CHANGED_R1X edit, so assert it here instead.
+if len(_SAMPLE_FIRST) != len(set(_SAMPLE_FIRST)):  # pragma: no cover
+    _dupes = sorted({n for n in _SAMPLE_FIRST if _SAMPLE_FIRST.count(n) > 1})
+    raise RuntimeError(f"_SAMPLE_FIRST contains duplicates: {_dupes}")
 
 _missing = [
     n

@@ -1051,7 +1051,11 @@ def kmeans_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cluster_ids_in_range"),
         F.lit(monotone).alias("objective_monotone"),
         F.bool_and(
-            F.col("_jvm_sim") >= F.col("_best_jvm") - 1e-9
+            # Same tolerance as sim_paths_agree: a vector nearly tied
+            # between two centroids may be resolved differently by the
+            # Arrow argmax and the JVM re-score; 1e-6 absorbs that
+            # cross-path float noise so the gate never flaps on ties.
+            F.col("_jvm_sim") >= F.col("_best_jvm") - 1e-6
         ).alias("assign_consistent"),
         F.bool_and(
             F.abs(F.col("sim") - F.col("_jvm_sim")) <= 1e-6

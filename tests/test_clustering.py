@@ -76,3 +76,14 @@ def test_kmeans_fit_empty_corpus_raises_clean(spark):
     emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="empty corpus"):
         clustering.kmeans_fit(emb, k=4, iters=1)
+
+
+def test_kmeans_assign_keep_cols_id_collision(spark, sf_dir):
+    """keep_cols naming id_col must not duplicate the field in the output
+    schema (the pandas dict collapses to one column, so a duplicated
+    schema entry would crash with a confusing Arrow schema mismatch)."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    cents, _ = clustering.kmeans_fit(emb, k=3, iters=1)
+    a = clustering.kmeans_assign(emb, cents, keep_cols=("vec_id", "embedding"))
+    assert a.columns.count("vec_id") == 1
+    assert a.count() == 50
