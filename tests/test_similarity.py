@@ -428,3 +428,149 @@ def test_bounded_ops_accept_empty_input(spark):
     assert (
         similarity.knn_label_disagreement(emb, cents, max_cell=8).count() == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# Overflow-branch CONTRACT tests (VERDICT r10 ask #1): at sf10+ the LSH
+# sub-bucketed path is the code that actually runs inside hot cells, and
+# until now nothing graded its OUTPUT VALUES — only its shape. Each test
+# plants ground truth (near-duplicate twins / mislabeled cluster members)
+# inside a block far above the cap, runs the capped op, and asserts a
+# stated recall floor against the exact path plus exactness of everything
+# the contract promises (precision, similarity values, cardinality).
+# Hyperplanes (seed 42) and fixtures (seeded rng) are deterministic, so
+# the measured recalls are stable run-to-run; floors are set well below
+# the measured values (see asserts) but above what a broken bucketing
+# (random assignment: expected recall ~1/2^planes) could reach.
+# ---------------------------------------------------------------------------
+
+
+def _twin_corpus(n_pairs=40, n_noise=320, dim=16, seed=11, noise=0.01):
+    """Hot-block corpus with planted near-duplicate twins.
+
+    Pair (2i, 2i+1) are twins: cos ≈ 1 - O(noise²) ≈ 0.9999 — the planted
+    positives. Noise vectors are iid gaussians (pairwise |cos| ≲ 0.7 at
+    dim 16, far under the 0.9 test threshold)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    truth = set()
+    for i in range(n_pairs):
+        base = rng.normal(size=dim)
+        twin = base + noise * rng.normal(size=dim)
+        rows.append((2 * i, "hot", [float(x) for x in base]))
+        rows.append((2 * i + 1, "hot", [float(x) for x in twin]))
+        truth.add((2 * i, 2 * i + 1))
+    for j in range(n_noise):
+        rows.append((10_000 + j, "hot", [float(x) for x in rng.normal(size=dim)]))
+    return rows, truth
+
+
+def _exact_pairs(rows, threshold):
+    import numpy as np
+
+    V = {i: np.asarray(v) for i, _, v in rows}
+    out = set()
+    ids = sorted(V)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            s = float(
+                V[a] @ V[b] / (np.linalg.norm(V[a]) * np.linalg.norm(V[b]))
+            )
+            if s >= threshold:
+                out.add((a, b, round(s, 4)))
+    return out
+
+
+def test_blocked_cosine_overflow_recall_and_precision(spark):
+    """Overflow contract for blocked_cosine_pairs (+ gemm twin): with the
+    hot block 4x over the cap, the sub-bucketed path must (a) engage and
+    report via oversize_blocks, (b) keep precision EXACT — every emitted
+    pair is a true ≥-threshold pair with the true similarity, because the
+    LSH only prunes candidates, never scores them — and (c) recall ≥ 0.9
+    of the exact path's pairs (planted twins at cos ≈ 0.9999 survive
+    4-plane sign bucketing with per-plane split prob θ/π ≈ 0.005)."""
+    rows, _ = _twin_corpus()
+    df = spark.createDataFrame(
+        rows, "vec_id: long, label: string, embedding: array<double>"
+    )
+    exact = _exact_pairs(rows, 0.9)
+    assert len(exact) >= 40  # the 40 planted twins are all in truth
+
+    report = similarity.oversize_blocks(df, "label", max_block_size=100).collect()
+    assert [(r.label, r.block_size) for r in report] == [("hot", 400)]
+
+    for impl in (similarity.blocked_cosine_pairs,
+                 similarity.blocked_cosine_pairs_gemm):
+        got = {
+            (r.d1, r.d2, round(r.sim, 4))
+            for r in impl(
+                df, "vec_id", "embedding", "label", threshold=0.9, dim=16,
+                max_block_size=100, overflow_planes=4,
+            ).collect()
+        }
+        assert got <= exact, f"{impl.__name__}: emitted a non-pair (precision < 1)"
+        recall = len(got) / len(exact)
+        assert recall >= 0.9, f"{impl.__name__}: overflow recall {recall:.3f} < 0.9"
+
+
+def test_mutual_knn_overflow_recall(spark):
+    """Overflow contract for mutual_knn_pairs: one 400-row block 50x over
+    max_block=8 sub-buckets; planted twins are each other's global top-1,
+    so both directions survive whenever the twins share a sub-bucket —
+    recall ≥ 0.9 of the planted pairs, every emitted pair canonical
+    (a < b, deduped) with the true rounded cosine."""
+    import numpy as np
+
+    rows, truth = _twin_corpus()
+    emb = spark.createDataFrame(
+        rows, "vec_id: long, label: string, embedding: array<double>"
+    ).select("vec_id", "embedding", "label")
+    out = similarity.mutual_knn_pairs(emb, k=3, max_block=8).collect()
+    assert all(r.a < r.b for r in out)
+    assert len({(r.a, r.b) for r in out}) == len(out)
+    got = {(r.a, r.b) for r in out}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"overflow recall on planted twins {recall:.3f} < 0.9"
+    # emitted similarities are TRUE cosines (bucketing prunes, never rescales)
+    V = {i: np.asarray(v) for i, _, v in rows}
+    for r in out:
+        s = float(V[r.a] @ V[r.b] / (np.linalg.norm(V[r.a]) * np.linalg.norm(V[r.b])))
+        assert abs(r.cosine_sim - round(s, 4)) <= 1e-9
+
+
+def test_knn_label_disagreement_overflow_recall(spark):
+    """Overflow contract for knn_label_disagreement: 10 tight clusters of
+    12 (one member mislabeled each) all land in ONE IVF cell (single
+    centroid) of 120 rows, 7.5x over max_cell=16. Sub-bucketing keeps
+    clusters together (intra-cluster angle ≈ 0.0125 rad), so each planted
+    mislabel still sees a same-cluster majority with the other label:
+    ≥ 0.8 of planted suspects flagged, all-rows cardinality intact, and
+    rates stay consistent (n_disagree ≤ n_neighbors ≤ k)."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    rows, planted = [], set()
+    vid = 0
+    for c in range(10):
+        center = rng.normal(size=16)
+        for m in range(12):
+            v = center + 0.05 * rng.normal(size=16)
+            label = f"c{c}" if m else f"c{(c + 1) % 10}"  # member 0 mislabeled
+            if m == 0:
+                planted.add(vid)
+            rows.append((vid, [float(x) for x in v], label))
+            vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    cents = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * 15)], "cid int, cv array<double>"
+    )
+    out = similarity.knn_label_disagreement(emb, cents, k=5, max_cell=16).collect()
+    assert len(out) == 120 and len({r.vec_id for r in out}) == 120
+    for r in out:
+        assert 0 <= r.n_disagree <= r.n_neighbors <= 5
+    suspects = {r.vec_id for r in out if r.label_suspect}
+    recall = len(suspects & planted) / len(planted)
+    assert recall >= 0.8, f"overflow recall on planted mislabels {recall:.2f} < 0.8"
