@@ -2840,7 +2840,15 @@ def curation_v2_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("score_bits") <= F.col("t2"))
         .select("doc_id")
     )
-    kept = docs.join(keep_ids, "doc_id")
+    # The gated survivor frame feeds TWO consumers inside the trim —
+    # the span-window shingling pass and the final reconstruct join —
+    # and without a checkpoint the docs scan + gate join re-execute per
+    # consumer (VERDICT r10 #3: this recompute kept the query at ~7 s
+    # four rounds running). Project to (doc_id, text) first so the
+    # checkpoint holds only what the trim reads.
+    kept = checkpoint_tracked(
+        docs.join(keep_ids, "doc_id").select("doc_id", "text")
+    )
     trimmed = dedup.trim_repeated_spans(kept, width=16).select(
         "doc_id", "n_kept_tokens"
     )

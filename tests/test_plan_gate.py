@@ -302,7 +302,10 @@ MAX_SCANS_PER_TABLE = {
     "lm_bigram_scores": 1,
     "ccnet_ppl_buckets": 1,
     "curriculum_mix_docs": 1,
-    "curation_v2_corpus": 2,       # + the survivor join feeding the trim
+    "curation_v2_corpus": 2,       # LM subtree + the checkpointed gated
+                                   # frame (r11: both trim consumers —
+                                   # shingling AND reconstruct — read the
+                                   # checkpoint; docs never re-scanned)
     "mutual_knn_pairs": 2,         # corpus + the %61 codebook slice
     "knn_label_disagreement": 2,   # corpus + the codebook slice
     "token_budget_shards": 2,      # narrow build-time stats agg + counted frame
