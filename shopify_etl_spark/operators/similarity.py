@@ -254,6 +254,33 @@ def oversize_blocks(
     )
 
 
+def hash_embed(text_col, dim: int = 16):
+    """Deterministic text-embedding STUB (array<double> column).
+
+    Stands in for the model encoder of a retrieval-indexing pipeline:
+    byte ``j`` is the ascii code of hex digit ``j`` of ``md5(text)``,
+    centered at 77 (the midpoint of the '0'-'9'/'a'-'f' ascii range) so
+    cosine geometry spreads across cells instead of collapsing into the
+    all-positive orthant. Properties the pipeline plumbing needs — and
+    the ONLY ones this stub claims: fixed dimension, deterministic
+    (identical text → identical vector, any engine: md5/ascii/substr
+    are bit-identical in Spark and DuckDB, so the whole downstream IVF
+    chain is SQL-oracle-checkable), never the zero vector (every ascii
+    code is 48-57 or 97-102, so |byte-77| >= 9), and pure JVM
+    expressions — no UDF, no shuffle. Swap in a real encoder behind the
+    same (text → array<double>) contract for semantic quality.
+    """
+    if not 1 <= dim <= 32:
+        raise ValueError(f"hash_embed: md5 has 32 hex digits, got dim={dim}")
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda j: (F.ascii(F.substr(F.md5(col), j, F.lit(1))) - 77).cast(
+            "double"
+        ),
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -262,9 +289,12 @@ def ivf_assign(
     cent_id: str = "cid",
     cent_vec: str = "cv",
     keep_cols: tuple[str, ...] = (),
+    sim_col: str | None = None,
 ) -> DataFrame:
     """IVF cell assignment: each vector → its nearest centroid by cosine
-    (tie-break on centroid id).
+    (tie-break on centroid id). ``sim_col`` additionally emits the
+    winning (unrounded) similarity — index manifests aggregate it as a
+    per-cell quality stat.
 
     The centroid table is tiny by construction (√n cells for n vectors is
     the classic sizing) and broadcast, so assignment is a map-side
@@ -288,10 +318,16 @@ def ivf_assign(
         )
     )
     w = Window.partitionBy(corpus_id).orderBy(F.desc("_sim"), F.asc(cent_id))
+    out = [corpus_id, *keep_cols, F.col(cent_id).alias("centroid_id")]
+    if sim_col is not None:
+        # unrounded winning similarity — manifest/quality consumers
+        # aggregate it (round AFTER the aggregate, like every float
+        # surface in the catalog)
+        out.append(F.col("_sim").alias(sim_col))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select(corpus_id, *keep_cols, F.col(cent_id).alias("centroid_id"))
+        .select(*out)
     )
 
 

@@ -207,16 +207,28 @@ _CHANGED_R10 = [
     "progressive_jpeg_stats",   # same decoder change + 16-bit DQT
 ]
 
-# Freshness order: round-10 changes, then round-8, then round-6, then
+# New or code-changed in round 11 — sample these first.
+_CHANGED_R11 = [
+    "retrieval_index_manifest",  # NEW: chunk->embed-stub->IVF->manifest chain
+    "curation_v2_corpus",        # checkpointed gated frame (trim reads once)
+    "kmeans_doc_clusters",       # gate tolerance unified at 1e-6
+    "kmeans_fixed_init_clusters",  # same clustering module (keep_cols guard)
+]
+
+# Freshness order: round-11 changes, then round-10, round-8, round-6, then
 # everything whose latest official row predates r05 (stalest first by
 # construction of the earlier lists), then the r05-sampled set.
-_SAMPLE_FIRST = _CHANGED_R10 + [
-    n for n in _CHANGED_R08 if n not in _CHANGED_R10
+_SAMPLE_FIRST = _CHANGED_R11 + [
+    n for n in _CHANGED_R10 if n not in _CHANGED_R11
 ] + [
-    n for n in _CHANGED_R06 if n not in _CHANGED_R08 + _CHANGED_R10
+    n for n in _CHANGED_R08 if n not in _CHANGED_R10 + _CHANGED_R11
+] + [
+    n for n in _CHANGED_R06
+    if n not in _CHANGED_R08 + _CHANGED_R10 + _CHANGED_R11
 ] + [
     n for n in QUERIES
-    if n not in _CHANGED_R10
+    if n not in _CHANGED_R11
+    and n not in _CHANGED_R10
     and n not in _CHANGED_R08
     and n not in _CHANGED_R06
     and n not in _R05_SAMPLED

@@ -359,3 +359,112 @@ def document_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_chunk_documents(
         load_table(spark, sf_dir, "documents"), chunk_chars=160, overlap=40
     )
+
+
+def _retrieval_centroids():
+    """8 deterministic ±1 codebook vectors (md5-parity signs, dim 16) —
+    a pure function of the salt, regenerable by any engine, so the SQL
+    oracle embeds the identical literals. ±1 entries make the IVF argmax
+    EXACT cross-engine: every centroid has norm 4, so ranking centroids
+    for a chunk compares integer dot products scaled by one shared
+    positive constant — no float-order sensitivity at all."""
+    from ..operators.similarity import _jl_signs
+
+    return _jl_signs(8, 16, "ret-cent-v1")
+
+
+_RET_CENT_SQL = ", ".join(
+    "({}, [{}])".format(c, ", ".join(f"{float(v)}" for v in row))
+    for c, row in enumerate(_retrieval_centroids())
+)
+
+
+@register(
+    "retrieval_index_manifest",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n
+      FROM documents WHERE length(text) > 0
+    ), s AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, greatest(n - 40 - 1, 0), 120))
+               AS cstart
+      FROM d
+    ), chunks AS (
+      SELECT doc_id, cstart // 120 AS chunk_idx,
+             substr(text, cstart + 1, 160) AS chunk_text
+      FROM s
+    ), emb AS (
+      SELECT doc_id, chunk_idx,
+             CAST(len(list_filter(
+                   regexp_split_to_array(chunk_text, '\s+'),
+                   x -> x <> '')) AS BIGINT) AS n_tokens,
+             list_transform(range(1, 17),
+                 j -> CAST(ascii(substr(md5(chunk_text), j, 1)) - 77
+                           AS DOUBLE)) AS ev
+      FROM chunks
+    ), cents AS (
+      SELECT * FROM (VALUES {_RET_CENT_SQL}) AS t(cid, cv)
+    ), ranked AS (
+      SELECT doc_id, n_tokens, cid, sim,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, chunk_idx
+                                ORDER BY sim DESC, cid) AS rn
+      FROM (
+        SELECT e.doc_id, e.chunk_idx, e.n_tokens, c.cid,
+               list_cosine_similarity(e.ev, CAST(c.cv AS DOUBLE[])) AS sim
+        FROM emb e CROSS JOIN cents c
+      )
+    )
+    SELECT cid AS centroid_id,
+           COUNT(*) AS n_chunks,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           ROUND(AVG(sim), 4) AS avg_sim
+    FROM ranked WHERE rn = 1 GROUP BY cid
+    """,
+    doc="End-to-end retrieval-prep chain (VERDICT r10 #8): chunk "
+    "(char_chunk_documents, 160/40) -> embed-stub (hash_embed: "
+    "deterministic md5-ascii vectors — the model-encoder seam, pure "
+    "JVM expressions) -> IVF assign (ivf_assign over an 8-cell ±1 "
+    "codebook; ±1 entries make the argmax an integer-dot comparison, "
+    "exact cross-engine) -> per-cell index manifest (chunk count, "
+    "distinct docs, token budget, mean winning cosine) — the partition "
+    "manifest an ANN index builder writes before sharding cells to "
+    "disk. The indexing-side composition twin of curation_v2_corpus's "
+    "training-side chain. One documents scan, one broadcast cross-"
+    "score, one argmax window keyed by chunk, one 8-group aggregate: "
+    "zero UDFs, zero corpus self-joins. operators/text.py::"
+    "char_chunk_documents + operators/similarity.py::hash_embed,"
+    "ivf_assign.",
+)
+def retrieval_index_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators import similarity
+    from ..operators.text import char_chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = char_chunk_documents(docs, chunk_chars=160, overlap=40)
+    emb = chunks.select(
+        "doc_id",
+        F.concat_ws(":", "doc_id", "chunk_idx").alias("chunk_key"),
+        "n_tokens",
+        similarity.hash_embed("chunk_text").alias("ev"),
+    )
+    signs = _retrieval_centroids()
+    arr = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in signs])
+    cents = spark.range(8).select(
+        F.col("id").cast("int").alias("cid"),
+        F.element_at(arr, F.col("id").cast("int") + 1).alias("cv"),
+    )
+    assigned = similarity.ivf_assign(
+        emb, cents, corpus_id="chunk_key", corpus_vec="ev",
+        cent_id="cid", cent_vec="cv",
+        keep_cols=("doc_id", "n_tokens"), sim_col="sim",
+    )
+    return assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.round(F.avg("sim"), 4).alias("avg_sim"),
+    )

@@ -44,3 +44,39 @@ def test_every_query_has_doc_and_runs_lazily(spark, sf_dir):
         assert spec.doc and len(spec.doc) > 20, name
         df = spec.builder(spark, sf_dir)  # plan only — no action
         assert df.columns, name
+
+
+def test_hash_embed_contract(spark):
+    """Embed-stub contract: deterministic (same text, same vector),
+    fixed dim, never the zero vector, dim bounded by md5's 32 hex
+    digits."""
+    import pytest
+
+    from shopify_etl_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [("alpha",), ("alpha",), ("beta",), ("",)], ["t"]
+    )
+    rows = df.select(similarity.hash_embed("t", dim=16).alias("ev")).collect()
+    assert all(len(r.ev) == 16 for r in rows)
+    assert rows[0].ev == rows[1].ev          # deterministic
+    assert rows[0].ev != rows[2].ev          # text-sensitive
+    assert all(any(abs(x) >= 9 for x in r.ev) for r in rows)  # never zero
+    with pytest.raises(ValueError, match="32 hex digits"):
+        similarity.hash_embed("t", dim=33)
+
+
+def test_retrieval_index_manifest_accounts_for_every_chunk(spark, sf_dir):
+    """The manifest's cells partition the chunk set exactly: n_chunks
+    sums to the chunker's output count, n_docs never exceeds the
+    corpus, cells are the declared 8-cell codebook, and avg_sim is a
+    valid cosine."""
+    out = QUERIES["retrieval_index_manifest"].builder(spark, sf_dir).collect()
+    n_chunks_total = (
+        QUERIES["document_chunks"].builder(spark, sf_dir).count()
+    )
+    assert sum(r.n_chunks for r in out) == n_chunks_total
+    assert all(0 <= r.centroid_id <= 7 for r in out)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert all(0 < r.n_docs <= n_docs for r in out)
+    assert all(-1.0001 <= r.avg_sim <= 1.0001 for r in out)

@@ -391,6 +391,7 @@ def test_gate_detects_lost_broadcast_hint(gate_spark):
 # sprouting a CartesianProduct — is a 100 TB scale killer and fails here.
 BNLJ_ALLOWED = {
     "ann_cosine_topk",      # query vectors broadcast over the corpus
+    "retrieval_index_manifest",  # 8-row ±1 codebook broadcast over chunks
     "ivf_assignments",      # k centroids broadcast
     "ivf_ann_topk",         # centroids + query vectors
     "trained_ivf_topk",     # k trained centroids + query vectors
