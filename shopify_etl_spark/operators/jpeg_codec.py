@@ -23,9 +23,15 @@ honest baseline subset (ITU-T T.81):
   and decode, sequential (SOF1) AND progressive (SOF2) — the
   medical/scientific-imaging mode, pinned by the same cross-path
   bit-exactness contract as 8-bit progressive,
-* arithmetic coding and hierarchical (SOF5+) stay OUTSIDE — they
-  raise ``NotImplementedError`` at the same seam the other codecs
-  use, behind this working default path.
+* **sequential arithmetic coding** (SOF9, T.81 Annex D QM-coder +
+  Annex F.1.4 statistical model) on both decode and encode
+  (``encode_jpeg_arith`` exists to generate fixtures and pin the
+  cross-path contract: the arithmetic and Huffman paths entropy-code
+  the SAME quantized coefficients, so their decodes must be
+  bit-identical), DAC conditioning markers, restart intervals,
+* progressive arithmetic (SOF10) and hierarchical (SOF5+) stay
+  OUTSIDE — they raise ``NotImplementedError`` at the same seam the
+  other codecs use, behind this working default path.
 
 JPEG is lossy, so the test contract differs from PNG's bit-exact
 round-trip: ``decode(encode(x, quality=q))`` must reconstruct within a
@@ -349,31 +355,12 @@ def _encode_block(writer, block_zz, prev_dc, dc_t, ac_t) -> int:
     return dc
 
 
-def encode_jpeg(
-    arr: np.ndarray,
-    quality: int = 85,
-    subsampling: str = "444",
-    restart_interval: int = 0,
-    precision: int = 8,
-) -> bytes:
-    """uint8 raster (H,W) grayscale or (H,W,3) RGB → baseline JFIF bytes.
-
-    Standard Annex K Huffman tables, IJG quality scaling of the Annex K
-    quantization tables. ``subsampling='420'`` (3-component only) mean-
-    downsamples chroma 2×2 and interleaves 16×16 MCUs — the dominant
-    real-world layout, and what exercises the decoder's upsampling path.
-    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs (the
-    error-resilience layout long scans use; resets DC predictors and
-    byte-aligns, exactly what the decoder's segment splitting expects).
-
-    ``precision=12`` takes a uint16 raster (values in [0, 4095]) and
-    emits a T.81 extended-sequential 12-bit stream: SOF1 with Pq=1
-    16-bit quantization tables (the Annex K values scaled 16x, tracking
-    the wider sample range) and full-alphabet canonical Huffman tables
-    (DC categories to 15, AC sizes to 14 — Annex K's sample tables only
-    cover the 8-bit alphabet). Medical/scientific pipelines are the
-    real-world users of this mode.
-    """
+def _prepare_frame(arr, quality: int, subsampling: str, precision: int):
+    """Shared encode front half (validation, color transform, MCU
+    geometry, quality-scaled quantization, vectorized DCT + quantize) —
+    the Huffman and arithmetic entropy back ends consume its output
+    unchanged, which is what makes the cross-path pixel-exactness
+    contract hold by construction."""
     if precision not in (8, 12):
         raise ValueError(f"jpeg: precision must be 8 or 12, got {precision}")
     if precision == 12:
@@ -413,7 +400,25 @@ def encode_jpeg(
         q_luma = np.clip(q_luma * 16, 1, 65535)
         q_chroma = np.clip(q_chroma * 16, 1, 65535)
     qtabs = [q_luma] + ([q_chroma] if n_comp == 3 else [])
+    # Quantized coefficients per component, on each component's own block
+    # grid (vectorized DCT over all blocks at once).
+    comp_coefs = []
+    for c, plane in enumerate(planes):
+        n_by, n_bx = mcuy * samp[c][1], mcux * samp[c][0]
+        tiles = _tiles(plane - center, n_by, n_bx)
+        coefs = np.einsum("ij,abjk,lk->abil", _DCT, tiles, _DCT)
+        q = qtabs[min(c, len(qtabs) - 1)].reshape(8, 8)
+        comp_coefs.append(
+            np.round(coefs / q).astype(np.int64).reshape(n_by, n_bx, 64)
+        )
+    return h, w, n_comp, samp, mcux, mcuy, qtabs, comp_coefs
 
+
+def _frame_headers(
+    h, w, n_comp, samp, qtabs, precision, restart_interval, sof_marker
+) -> bytearray:
+    """SOI + JFIF + DQT + optional DRI + SOF segment bytes (shared by the
+    Huffman and arithmetic encoders — only the SOF marker differs)."""
     out = bytearray(b"\xff\xd8")  # SOI
     out += (
         b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
@@ -428,14 +433,48 @@ def encode_jpeg(
             out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    # 12-bit is extended sequential (SOF1); 8-bit stays baseline (SOF0)
     sof = struct.pack(">BHHB", precision, h, w, n_comp)
     for c in range(n_comp):
         sof += struct.pack(
             ">BBB", c + 1, (samp[c][0] << 4) | samp[c][1], 0 if c == 0 else 1
         )
-    sof_marker = b"\xff\xc0" if precision == 8 else b"\xff\xc1"
     out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
+    return out
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+    precision: int = 8,
+) -> bytes:
+    """uint8 raster (H,W) grayscale or (H,W,3) RGB → baseline JFIF bytes.
+
+    Standard Annex K Huffman tables, IJG quality scaling of the Annex K
+    quantization tables. ``subsampling='420'`` (3-component only) mean-
+    downsamples chroma 2×2 and interleaves 16×16 MCUs — the dominant
+    real-world layout, and what exercises the decoder's upsampling path.
+    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs (the
+    error-resilience layout long scans use; resets DC predictors and
+    byte-aligns, exactly what the decoder's segment splitting expects).
+
+    ``precision=12`` takes a uint16 raster (values in [0, 4095]) and
+    emits a T.81 extended-sequential 12-bit stream: SOF1 with Pq=1
+    16-bit quantization tables (the Annex K values scaled 16x, tracking
+    the wider sample range) and full-alphabet canonical Huffman tables
+    (DC categories to 15, AC sizes to 14 — Annex K's sample tables only
+    cover the 8-bit alphabet). Medical/scientific pipelines are the
+    real-world users of this mode.
+    """
+    h, w, n_comp, samp, mcux, mcuy, qtabs, comp_coefs = _prepare_frame(
+        arr, quality, subsampling, precision
+    )
+    # 12-bit is extended sequential (SOF1); 8-bit stays baseline (SOF0)
+    sof_marker = b"\xff\xc0" if precision == 8 else b"\xff\xc1"
+    out = _frame_headers(
+        h, w, n_comp, samp, qtabs, precision, restart_interval, sof_marker
+    )
     if precision == 12:
         huff_specs = [(0x00, _DC_EXT), (0x10, _AC_EXT)]
         if n_comp == 3:
@@ -454,18 +493,6 @@ def encode_jpeg(
         sos += struct.pack(">BB", c + 1, 0x00 if c == 0 else 0x11)
     sos += b"\x00\x3f\x00"
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
-
-    # Quantized coefficients per component, on each component's own block
-    # grid (vectorized DCT over all blocks at once).
-    comp_coefs = []
-    for c, plane in enumerate(planes):
-        n_by, n_bx = mcuy * samp[c][1], mcux * samp[c][0]
-        tiles = _tiles(plane - center, n_by, n_bx)
-        coefs = np.einsum("ij,abjk,lk->abil", _DCT, tiles, _DCT)
-        q = qtabs[min(c, len(qtabs) - 1)].reshape(8, 8)
-        comp_coefs.append(
-            np.round(coefs / q).astype(np.int64).reshape(n_by, n_bx, 64)
-        )
 
     writer = _BitWriter()
     prev_dc = [0] * n_comp
@@ -540,6 +567,8 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
     frame = None
     restart_interval = 0
     coef_store = None  # progressive: per-component coefficient grids
+    dc_cond: dict[int, tuple[int, int]] = {}  # DAC: Tb -> (L, U)
+    ac_cond: dict[int, int] = {}  # DAC: Tb -> Kx
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at {pos}")
@@ -582,7 +611,27 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
                 values = list(seg[off + 17:off + 17 + n])
                 htabs[tc_th] = _build_huffman_decode(bits, values)
                 off += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog.
+        elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
+            off = 0
+            while off + 1 < len(seg):
+                tc_tb, cs = seg[off], seg[off + 1]
+                tc, tb = tc_tb >> 4, tc_tb & 0x0F
+                if tc == 0:  # DC: Cs packs U in the high nibble, L low
+                    lo, up = cs & 0x0F, cs >> 4
+                    if lo > up or up > 15:
+                        raise ValueError(
+                            f"jpeg: invalid DC conditioning L={lo} U={up}"
+                        )
+                    dc_cond[tb] = (lo, up)
+                elif tc == 1:  # AC: Cs is Kx in [1, 63]
+                    if not 1 <= cs <= 63:
+                        raise ValueError(f"jpeg: invalid AC conditioning Kx={cs}")
+                    ac_cond[tb] = cs
+                else:
+                    raise ValueError(f"jpeg: invalid DAC class {tc}")
+                off += 2
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):  # sequential / prog. /
+            # SOF9 sequential arithmetic
             prec, h, w, n_comp = struct.unpack(">BHHB", seg[:6])
             if prec not in (8, 12):
                 raise NotImplementedError(
@@ -613,12 +662,14 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
             frame = {
                 "h": h, "w": w, "comps": comps,
                 "prog": marker == 0xC2, "prec": prec,
+                "arith": marker == 0xC9,
             }
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"jpeg: only sequential (SOF0/1) and progressive (SOF2) "
-                f"supported, got SOF{marker - 0xC0}"
+                f"jpeg: only sequential (SOF0/1), progressive (SOF2) and "
+                f"sequential arithmetic (SOF9) supported, "
+                f"got SOF{marker - 0xC0}"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
@@ -636,6 +687,11 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
                 )
                 scan_list.append((ci, tdta >> 4, tdta & 0x0F))
             end = _find_scan_end(data, pos)
+            if frame.get("arith"):
+                return _decode_scan_arith(
+                    data[pos:end], frame, qtabs, scan_tabs,
+                    restart_interval, dc_cond, ac_cond,
+                )
             if frame.get("prog"):
                 if coef_store is None:
                     coef_store = _alloc_coef_store(frame)
@@ -1252,3 +1308,556 @@ def encode_jpeg_progressive(
     out += sos_header(all_ids, dc_tabs, 0, 0, 1, 0) + dc_refine_scan(0)
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Arithmetic coding (SOF9): T.81 Annex D QM-coder + Annex F.1.4 model
+# ---------------------------------------------------------------------------
+
+#: QM-coder probability state machine, T.81 Table D.3: one row per state
+#: (Qe estimate, next-state-after-MPS, next-state-after-LPS, MPS switch).
+#: Row 113 is the extra NON-ADAPTING ~equiprobable state libjpeg calls the
+#: "fixed bin" (Qe of state 0, self-looping) — the spec codes AC signs
+#: with a fixed 0.5 estimate and this row realizes that. These constants
+#: are spec tables, like the zig-zag/Annex-K tables above. The cross-path
+#: gates in tests pin encoder/decoder SELF-consistency (both ends share
+#: this table, so a transcription slip cannot break the round-trip —
+#: only compression ratio and interop with external encoders, which this
+#: dependency-free container cannot exercise).
+_QM_TABLE = [
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+    (0x080B, 4, 18, 0), (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0),
+    (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0), (0x0036, 9, 30, 0),
+    (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 16, 36, 0), (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0),
+    (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0CEF, 21, 43, 0),
+    (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+    (0x01B1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0),
+    (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0), (0x0068, 33, 62, 0),
+    (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0),
+    (0x2EF1, 40, 67, 0), (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0),
+    (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+    (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0),
+    (0x04DE, 52, 50, 0), (0x040F, 53, 50, 0), (0x0363, 54, 51, 0),
+    (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0), (0x01F8, 57, 54, 0),
+    (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0),
+    (0x008F, 32, 61, 0), (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0),
+    (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0), (0x2FE8, 69, 83, 0),
+    (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
+    (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
+    (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0), (0x5832, 81, 80, 1),
+    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0),
+    (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+    (0x3C3D, 100, 104, 0), (0x375E, 101, 99, 0), (0x5231, 102, 105, 0),
+    (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 105, 103, 0),
+    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 110, 111, 0), (0x5A10, 111, 110, 1),
+    (0x5522, 112, 112, 0), (0x59EB, 112, 112, 1),
+    (0x5A1D, 113, 113, 0),  # fixed bin: never adapts (AC sign coding)
+]
+
+#: Context-bin index of the non-adapting sign state.
+_QM_FIXED = 113
+
+
+class _QMEncoder:
+    """T.81 D.1 arithmetic encoder (software-conventions register layout:
+    32-bit C with the output byte at bits 19-26, 16-bit interval A
+    normalized to [0x8000, 0x10000]). Byte stuffing per D.1.6: a 0x00 is
+    inserted after every emitted 0xFF; carry-over resolves through the
+    pending-byte buffer and the stack of not-yet-final 0xFF bytes."""
+
+    def __init__(self):
+        self.a = 0x10000
+        self.c = 0
+        self.ct = 11
+        self.buffer = None  # last byte awaiting possible carry
+        self.sc = 0  # count of stacked 0xFF bytes between buffer and C
+        self.out = bytearray()
+
+    def encode(self, stats: bytearray, i: int, bit: int) -> None:
+        sv = stats[i]
+        idx, mps = sv & 0x7F, sv >> 7
+        qe, nmps, nlps, switch = _QM_TABLE[idx]
+        self.a -= qe
+        if bit == mps:
+            if self.a & 0x8000:
+                return  # short MPS path: no renorm, no state change
+            if self.a < qe:  # conditional exchange: MPS takes the top
+                self.c += self.a
+                self.a = qe
+            stats[i] = (mps << 7) | nmps
+        else:
+            if self.a < qe:
+                # conditional exchange: LPS takes the larger bottom
+                # subinterval — C unchanged, A stays A-Qe
+                pass
+            else:
+                self.c += self.a
+                self.a = qe
+            if switch:
+                mps ^= 1
+            stats[i] = (mps << 7) | nlps
+        while True:  # RENORME (D.1.6)
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+                self.ct = 8
+            if self.a & 0x8000:
+                break
+
+    def _byteout(self) -> None:
+        t = self.c >> 19
+        if t > 0xFF:  # carry: ripples through stacked 0xFFs into buffer
+            if self.buffer is not None:
+                self.out.append(self.buffer + 1)
+                if self.buffer + 1 == 0xFF:
+                    self.out.append(0x00)  # stuff after the carried FF
+            # (carry with an empty buffer cannot occur: the 3 spacer bits
+            # of the C layout bound the first byte below 0x200 and C is 0
+            # at INITENC — same invariant libjpeg relies on)
+            self.out.extend(b"\x00" * self.sc)  # FF+carry -> 00, no stuff
+            self.sc = 0
+            self.buffer = t & 0xFF  # spacer bits: can't be 0xFF here
+        elif t == 0xFF:
+            self.sc += 1  # not final until the next carry/non-FF byte
+        else:
+            if self.buffer is not None:
+                self.out.append(self.buffer)
+            for _ in range(self.sc):
+                self.out += b"\xff\x00"
+            self.sc = 0
+            self.buffer = t
+        self.c &= 0x7FFFF
+
+    def flush(self) -> bytes:
+        """D.1.8 termination: maximize trailing zero bits of C inside the
+        final interval, push the remaining bits through the byte
+        pipeline, drain the pending buffer/FF stack."""
+        t = (self.a - 1 + self.c) & 0xFFFF0000
+        self.c = t + 0x8000 if t < self.c else t
+        self.c <<= self.ct
+        self._byteout()
+        self.c <<= 8
+        self._byteout()
+        if self.buffer is not None:
+            self.out.append(self.buffer)
+            if self.buffer == 0xFF:
+                self.out.append(0x00)
+        for _ in range(self.sc):
+            self.out += b"\xff\x00"
+        self.buffer, self.sc = None, 0
+        return bytes(self.out)
+
+
+class _QMDecoder:
+    """T.81 D.2 arithmetic decoder, mirror of :class:`_QMEncoder`.
+
+    Consumes the entropy segment only (no markers except the stuffed
+    FF 00 pairs); once a marker byte or the segment end is reached it
+    feeds zero bytes forever, per the spec's convention — corrupt
+    streams therefore decode to garbage coefficients that the caller's
+    range checks reject, never to a raw IndexError."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.exhausted = False
+        # INITDEC: the encoder's first decision subdivides [0, 0x10000),
+        # so A starts at 0x10000 and Chigh (bits 16-31) holds the first
+        # 16 code-fraction bits; CT=0 makes the first renormalization
+        # shift load the third byte — the steady-state invariant (new
+        # byte at bits 8-15, CT=8 shifts until the next load) then holds
+        # for the rest of the stream.
+        self.c = (self._next_byte() << 16) | (self._next_byte() << 8)
+        self.c <<= 8
+        self.ct = 0
+        self.a = 0x10000
+
+    def _next_byte(self) -> int:
+        if self.exhausted or self.pos >= len(self.data):
+            self.exhausted = True
+            return 0
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = (
+                self.data[self.pos + 1]
+                if self.pos + 1 < len(self.data)
+                else 0xD9
+            )
+            if nxt == 0x00:
+                self.pos += 2  # stuffed zero: the data byte is 0xFF
+                return 0xFF
+            self.exhausted = True  # marker: feed zeros from here on
+            return 0
+        self.pos += 1
+        return b
+
+    def _bytein(self) -> None:
+        self.c += self._next_byte() << 8
+        self.ct = 8
+
+    def decode(self, stats: bytearray, i: int) -> int:
+        sv = stats[i]
+        idx, mps = sv & 0x7F, sv >> 7
+        qe, nmps, nlps, switch = _QM_TABLE[idx]
+        self.a -= qe
+        if (self.c >> 16) < self.a:
+            if self.a & 0x8000:
+                return mps  # short MPS path
+            # MPS_EXCHANGE (D.2.4): bottom subinterval
+            if self.a < qe:
+                bit = 1 - mps
+                if switch:
+                    mps ^= 1
+                stats[i] = (mps << 7) | nlps
+            else:
+                bit = mps
+                stats[i] = (mps << 7) | nmps
+        else:
+            # LPS_EXCHANGE (D.2.4): top subinterval
+            self.c -= self.a << 16
+            if self.a < qe:
+                bit = mps
+                stats[i] = (mps << 7) | nmps
+            else:
+                bit = 1 - mps
+                if switch:
+                    mps ^= 1
+                stats[i] = (mps << 7) | nlps
+            self.a = qe
+        while True:  # RENORMD (D.2.6)
+            if self.ct == 0:
+                self._bytein()
+            self.a <<= 1
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.a & 0x8000:
+                break
+        return bit
+
+
+def _arith_encode_dc(enc, st, dc_context, ci, diff, L, U):
+    """F.1.4.1 DC difference model (bin layout per Table F.4: S0 at the
+    conditioning-category offset, sign at S0+1, SP/SN at S0+2/3, the
+    magnitude-category tree at X1=20, magnitude bits at category+14)."""
+    s0 = dc_context[ci]
+    if diff == 0:
+        enc.encode(st, s0, 0)
+        dc_context[ci] = 0
+        return
+    enc.encode(st, s0, 1)
+    if diff > 0:
+        enc.encode(st, s0 + 1, 0)
+        pos, new_ctx, v = s0 + 2, 4, diff
+    else:
+        enc.encode(st, s0 + 1, 1)
+        pos, new_ctx, v = s0 + 3, 8, -diff
+    m = 0
+    v -= 1
+    if v:
+        enc.encode(st, pos, 1)
+        m = 1
+        v2 = v
+        pos = 20  # X1
+        while v2 >> 1:
+            v2 >>= 1
+            enc.encode(st, pos, 1)
+            m <<= 1
+            pos += 1
+    enc.encode(st, pos, 0)
+    # F.1.4.4.1.2: conditioning category for the NEXT block's S0
+    if m < (1 << L) >> 1:
+        dc_context[ci] = 0
+    elif m > (1 << U) >> 1:
+        dc_context[ci] = new_ctx + 8  # large diff
+    else:
+        dc_context[ci] = new_ctx  # small diff
+    pos += 14
+    while m >> 1:
+        m >>= 1
+        enc.encode(st, pos, 1 if (m & v) else 0)
+
+
+def _arith_decode_dc(dec, st, dc_context, ci, L, U):
+    """Mirror of :func:`_arith_encode_dc`; returns the DC difference."""
+    s0 = dc_context[ci]
+    if dec.decode(st, s0) == 0:
+        dc_context[ci] = 0
+        return 0
+    sign = dec.decode(st, s0 + 1)
+    pos = s0 + 2 + sign
+    m = dec.decode(st, pos)
+    if m:
+        pos = 20
+        while dec.decode(st, pos):
+            m <<= 1
+            if m >= 0x8000:
+                raise ValueError("jpeg: arithmetic DC magnitude overflow")
+            pos += 1
+    if m < (1 << L) >> 1:
+        dc_context[ci] = 0
+    elif m > (1 << U) >> 1:
+        dc_context[ci] = 12 + 4 * sign
+    else:
+        dc_context[ci] = 4 + 4 * sign
+    v = m
+    pos += 14
+    mm = m >> 1
+    while mm:
+        if dec.decode(st, pos):
+            v |= mm
+        mm >>= 1
+    v += 1
+    return -v if sign else v
+
+
+def _arith_encode_ac_block(enc, st, fixed, zz, kx):
+    """F.1.4.2 AC model for one zig-zag block (EOB/zero-run decisions at
+    3(k-1)/3(k-1)+1, first magnitude decisions at +2 — used twice, per
+    Figure F.8 — the shared high-magnitude trees at 189 (k<=Kx) and 217,
+    magnitude bits at category+14, signs in the fixed ~0.5 bin)."""
+    ke = 0
+    for k in range(63, 0, -1):
+        if zz[k]:
+            ke = k
+            break
+    k = 1
+    while k <= ke:
+        s = 3 * (k - 1)
+        enc.encode(st, s, 0)  # not EOB yet
+        v = int(zz[k])
+        while v == 0:
+            enc.encode(st, s + 1, 0)
+            s += 3
+            k += 1
+            v = int(zz[k])
+        enc.encode(st, s + 1, 1)
+        if v > 0:
+            enc.encode(fixed, 0, 0)
+        else:
+            enc.encode(fixed, 0, 1)
+            v = -v
+        pos = s + 2
+        m = 0
+        v -= 1
+        if v:
+            enc.encode(st, pos, 1)
+            m = 1
+            v2 = v
+            if v2 >> 1:
+                v2 >>= 1
+                enc.encode(st, pos, 1)  # second decision, same bin
+                m = 2
+                pos = 189 if k <= kx else 217
+                while v2 >> 1:
+                    v2 >>= 1
+                    enc.encode(st, pos, 1)
+                    m <<= 1
+                    pos += 1
+        enc.encode(st, pos, 0)
+        pos += 14
+        while m >> 1:
+            m >>= 1
+            enc.encode(st, pos, 1 if (m & v) else 0)
+        k += 1
+    if ke < 63:
+        enc.encode(st, 3 * ke, 1)  # EOB
+
+
+def _arith_decode_ac_block(dec, st, fixed, zz, kx):
+    """Mirror of :func:`_arith_encode_ac_block`: fills zz[1..63]."""
+    k = 1
+    while k <= 63:
+        s = 3 * (k - 1)
+        if dec.decode(st, s):
+            break  # EOB
+        while dec.decode(st, s + 1) == 0:
+            s += 3
+            k += 1
+            if k > 63:
+                raise ValueError("jpeg: arithmetic AC index overflow")
+        sign = dec.decode(fixed, 0)
+        pos = s + 2
+        m = dec.decode(st, pos)
+        if m:
+            if dec.decode(st, pos):
+                m = 2
+                pos = 189 if k <= kx else 217
+                while dec.decode(st, pos):
+                    m <<= 1
+                    if m >= 0x8000:
+                        raise ValueError(
+                            "jpeg: arithmetic AC magnitude overflow"
+                        )
+                    pos += 1
+        v = m
+        pos += 14
+        mm = m >> 1
+        while mm:
+            if dec.decode(st, pos):
+                v |= mm
+            mm >>= 1
+        v += 1
+        zz[k] = -v if sign else v
+        k += 1
+
+
+def encode_jpeg_arith(
+    arr: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+    precision: int = 8,
+) -> bytes:
+    """Sequential arithmetic-coded JPEG (SOF9), T.81 Annex D + F.1.4.
+
+    Same front half as :func:`encode_jpeg` (identical quantized
+    coefficients), different entropy back end: the adaptive QM-coder
+    instead of Huffman tables — so ``decode_jpeg`` of the two streams
+    must agree bit-for-bit on every pixel, which is the cross-path gate
+    the tests pin. Default T.81 conditioning (DC L=0/U=1, AC Kx=5); no
+    DAC marker is emitted since defaults apply. ``restart_interval``
+    flushes the coder, emits RSTn, and resets coder + statistics + DC
+    predictors per segment, exactly the reset the decoder performs.
+    Exists primarily as the fixture generator for the decoder (the ask
+    is decode — web crawls occasionally HIT arithmetic JPEGs, they
+    rarely need to WRITE them)."""
+    h, w, n_comp, samp, mcux, mcuy, qtabs, comp_coefs = _prepare_frame(
+        arr, quality, subsampling, precision
+    )
+    out = _frame_headers(
+        h, w, n_comp, samp, qtabs, precision, restart_interval, b"\xff\xc9"
+    )
+    sos = struct.pack(">B", n_comp)
+    for c in range(n_comp):
+        # Td/Ta select the statistics/conditioning table ids here
+        sos += struct.pack(">BB", c + 1, 0x00 if c == 0 else 0x11)
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    def fresh():
+        return (
+            _QMEncoder(),
+            [bytearray(64) for _ in range(2)],
+            [bytearray(256) for _ in range(2)],
+            bytearray([_QM_FIXED]),
+            [0] * n_comp,
+            [0] * n_comp,
+        )
+
+    enc, dc_stats, ac_stats, fixed, dc_context, prev_dc = fresh()
+    mcu_in_seg, rst_n = 0, 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_in_seg == restart_interval:
+                out += enc.flush()
+                out += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) % 8
+                enc, dc_stats, ac_stats, fixed, dc_context, prev_dc = fresh()
+                mcu_in_seg = 0
+            for c in range(n_comp):
+                t = 0 if c == 0 else 1
+                for by in range(samp[c][1]):
+                    for bx in range(samp[c][0]):
+                        zz = comp_coefs[c][
+                            my * samp[c][1] + by, mx * samp[c][0] + bx
+                        ][_ZIGZAG]
+                        dc = int(zz[0])
+                        _arith_encode_dc(
+                            enc, dc_stats[t], dc_context, c,
+                            dc - prev_dc[c], 0, 1,
+                        )
+                        prev_dc[c] = dc
+                        _arith_encode_ac_block(enc, ac_stats[t], fixed, zz, 5)
+            mcu_in_seg += 1
+    out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_scan_arith(
+    scan, frame, qtabs, scan_tabs, restart_interval, dc_cond, ac_cond
+):
+    """Sequential arithmetic scan decode — the driver mirrors
+    :func:`_decode_scan` (same MCU geometry, same dequantize +
+    ``_blocks_to_image`` back half) with the QM-coder replacing the
+    Huffman bit reader. Statistics, coder state and DC predictors reset
+    per restart segment (T.81 E.1.4)."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    deq = [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 8, 8), dtype=np.float64)
+        for c in comps
+    ]
+    segments = (
+        _split_restart_segments(scan, restart_interval)
+        if restart_interval
+        else [scan]
+    )
+
+    def fresh(seg):
+        return (
+            _QMDecoder(seg),
+            {t: bytearray(64) for t in range(4)},
+            {t: bytearray(256) for t in range(4)},
+            bytearray([_QM_FIXED]),
+            [0] * len(comps),
+            [0] * len(comps),
+        )
+
+    seg_idx = 0
+    dec, dc_stats, ac_stats, fixed, dc_context, prev_dc = fresh(segments[0])
+    mcu_in_seg = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_in_seg == restart_interval:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("jpeg: missing restart segment")
+                dec, dc_stats, ac_stats, fixed, dc_context, prev_dc = fresh(
+                    segments[seg_idx]
+                )
+                mcu_in_seg = 0
+            for ci, comp in enumerate(comps):
+                td, ta = scan_tabs[comp["id"]]
+                L, U = dc_cond.get(td, (0, 1))
+                kx = ac_cond.get(ta, 5)
+                if comp["tq"] not in qtabs:
+                    raise ValueError(
+                        f"jpeg: missing quantization table {comp['tq']}"
+                    )
+                q = qtabs[comp["tq"]]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        prev_dc[ci] += _arith_decode_dc(
+                            dec, dc_stats[td], dc_context, ci, L, U
+                        )
+                        zz[0] = prev_dc[ci]
+                        _arith_decode_ac_block(
+                            dec, ac_stats[ta], fixed, zz, kx
+                        )
+                        block = np.zeros(64, dtype=np.float64)
+                        block[_ZIGZAG] = zz
+                        gy = my * comp["v"] + by
+                        gx = mx * comp["h"] + bx
+                        deq[ci][gy, gx] = block.reshape(8, 8) * q
+            mcu_in_seg += 1
+    return _blocks_to_image(frame, deq)

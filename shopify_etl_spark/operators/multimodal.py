@@ -599,6 +599,85 @@ def progressive_jpeg_stats(
     )
 
 
+ARITH_JPEG_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("dims_match", BooleanType(), False),
+        StructField("matches_huffman", BooleanType(), False),
+        StructField("smaller_than_huffman", BooleanType(), False),
+        StructField("psnr_ge_30", BooleanType(), False),
+    ]
+)
+
+
+def arith_jpeg_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    quality: int = 90,
+) -> DataFrame:
+    """Arithmetic-JPEG cross-path gate — the SOF9 twin of
+    :func:`progressive_jpeg_stats`, closing the entropy-coding seam: per
+    key ``d`` the same deterministic gradient raster is encoded through
+    the REAL QM-coder writer (``encode_jpeg_arith`` — T.81 Annex D
+    state machine + Annex F.1.4 DC/AC statistical model) and decoded
+    back by the adaptive arithmetic decoder.
+
+    The headline flag is STRUCTURAL: both entropy back ends transmit
+    the IDENTICAL quantized coefficients, so the arithmetic decode must
+    equal the Huffman decode of the same raster BIT-FOR-BIT
+    (``matches_huffman``) — a decoder that mis-tracks a context bin, a
+    carry ripple, a stuffed byte, or a conditioning category cannot
+    pass. ``smaller_than_huffman`` pins the adaptive coder actually
+    adapting (static Annex-K tables lose to it on these gradients).
+    Every step is a pure function of ``d``; the oracle regenerates
+    geometry and asserts the flags (guarantee-gate pattern). One narrow
+    ``mapInPandas`` chain, zero shuffles.
+    """
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .jpeg_codec import decode_jpeg, encode_jpeg, encode_jpeg_arith
+
+        for pdf in batches:
+            rows = []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = 24 + d % 9, 24 + d % 7
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                raster = ((d % 97) + 3 * r + 2 * c).astype(np.uint8)
+                astream = encode_jpeg_arith(raster, quality=quality)
+                hstream = encode_jpeg(raster, quality=quality)
+                arith = decode_jpeg(astream)
+                huff = decode_jpeg(hstream)
+                dims = arith.shape == (h, w)
+                err = arith.astype(np.float64) - raster.astype(np.float64)
+                mse = float((err**2).mean())
+                psnr = (
+                    float("inf") if mse == 0 else 10 * np.log10(255.0**2 / mse)
+                )
+                rows.append(
+                    (d, w, h, dims, bool(np.array_equal(arith, huff)),
+                     len(astream) < len(hstream), psnr >= 30.0)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "dims_match",
+                    "matches_huffman", "smaller_than_huffman", "psnr_ge_30",
+                ],
+            )
+
+    from .text import spread_small
+
+    return spread_small(docs.select(id_col)).mapInPandas(
+        roundtrip, ARITH_JPEG_SCHEMA
+    )
+
+
 ADPCM_ROUNDTRIP_SCHEMA = StructType(
     [
         StructField("asset_id", LongType(), False),

@@ -210,9 +210,13 @@ _CHANGED_R10 = [
 # New or code-changed in round 11 — sample these first.
 _CHANGED_R11 = [
     "retrieval_index_manifest",  # NEW: chunk->embed-stub->IVF->manifest chain
+    "arith_jpeg_stats",          # NEW: SOF9 QM-coder cross-path gate
     "curation_v2_corpus",        # checkpointed gated frame (trim reads once)
     "kmeans_doc_clusters",       # gate tolerance unified at 1e-6
     "kmeans_fixed_init_clusters",  # same clustering module (keep_cols guard)
+    "jpeg_roundtrip_stats",      # decoder marker dispatch touched (SOF9/DAC)
+    "progressive_jpeg_stats",    # same decoder change
+    "image_decode_stats",        # same decoder change
 ]
 
 # Freshness order: round-11 changes, then round-10, round-8, round-6, then

@@ -468,3 +468,42 @@ def retrieval_index_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("sum_tokens"),
         F.round(F.avg("sim"), 4).alias("avg_sim"),
     )
+
+
+@register(
+    "arith_jpeg_stats",
+    # Geometry regenerated in SQL; pixels are NOT SQL-recoverable (lossy
+    # DCT + adaptive entropy coding), so correctness verifies through
+    # guarantee-gate flags — and the headline flag is STRUCTURAL:
+    # arithmetic (SOF9) and Huffman (SOF0) encode transmit IDENTICAL
+    # quantized coefficients, so the QM-coder decode must equal the
+    # Huffman decode bit-for-bit. Verified exhaustively over the full
+    # synth geometry domain (lcm(9,7,97) = 6111 combos, zero failures
+    # on all four flags) before the blanket-TRUE oracle shipped.
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(24 + doc_id % 9 AS BIGINT) AS width,
+           CAST(24 + doc_id % 7 AS BIGINT) AS height,
+           TRUE AS dims_match,
+           TRUE AS matches_huffman,
+           TRUE AS smaller_than_huffman,
+           TRUE AS psnr_ge_30
+    FROM documents
+    """,
+    doc="Arithmetic-JPEG cross-path gate, closing the SOF9 entropy seam "
+    "(VERDICT r10 #7): deterministic gradient synthesis -> REAL "
+    "QM-coder encode (T.81 Annex D state machine, Annex F.1.4 DC/AC "
+    "statistical model, carry/byte-stuffing pipeline) -> REAL adaptive "
+    "decode -> flags. matches_huffman pins bit-exact agreement with "
+    "the Huffman path on every pixel — a decoder that mis-tracks a "
+    "context bin, a carry ripple, or a conditioning category cannot "
+    "pass; smaller_than_huffman pins the adaptation actually beating "
+    "the static Annex-K tables. Zero shuffles: one narrow mapInPandas "
+    "chain. operators/jpeg_codec.py (encode_jpeg_arith, "
+    "_decode_scan_arith), operators/multimodal.py::arith_jpeg_stats.",
+)
+def arith_jpeg_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.arith_jpeg_stats(docs)

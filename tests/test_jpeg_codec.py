@@ -9,6 +9,7 @@ import pytest
 from shopify_etl_spark.operators.jpeg_codec import (
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_arith,
     encode_jpeg_progressive,
 )
 
@@ -151,13 +152,15 @@ class TestStructure:
         with pytest.raises(ValueError, match="progressive"):
             decode_jpeg(bytes(data))
 
-    def test_arithmetic_coding_raises_documented_seam(self):
-        """SOF9 (arithmetic-coded sequential) is a genuinely unimplemented
-        shape and must hit the NotImplementedError seam."""
+    def test_progressive_arithmetic_raises_documented_seam(self):
+        """SOF10 (arithmetic-coded progressive) is a genuinely
+        unimplemented shape and must hit the NotImplementedError seam
+        (sequential arithmetic SOF9 decodes since r11 — see
+        TestArithmeticCoding)."""
         data = bytearray(encode_jpeg(_test_image(channels=1), quality=85))
         i = bytes(data).index(b"\xff\xc0")
-        data[i + 1] = 0xC9
-        with pytest.raises(NotImplementedError, match="SOF9"):
+        data[i + 1] = 0xCA
+        with pytest.raises(NotImplementedError, match="SOF10"):
             decode_jpeg(bytes(data))
 
     @pytest.mark.parametrize("channels", [1, 3])
@@ -420,6 +423,109 @@ class Test12BitPrecision:
         stream = encode_jpeg(self._smooth12(24, 32), quality=60, precision=12)
         for _ in range(600):
             s = bytearray(stream)
+            for _ in range(rnd.randint(1, 3)):
+                op = rnd.random()
+                if op < 0.5:
+                    s[rnd.randrange(len(s))] = rnd.randrange(256)
+                elif op < 0.75:
+                    del s[rnd.randrange(len(s))]
+                else:
+                    s.insert(rnd.randrange(len(s)), rnd.randrange(256))
+            try:
+                decode_jpeg(bytes(s))
+            except (ValueError, NotImplementedError):
+                pass
+
+
+class TestArithmeticCoding:
+    """SOF9 sequential arithmetic (T.81 Annex D QM-coder + F.1.4 model).
+
+    The contract mirrors the progressive one: both entropy back ends
+    consume the SAME quantized coefficients from _prepare_frame, so
+    decode(arith stream) must equal decode(Huffman stream) bit-for-bit
+    — a decoder that mis-tracks a context bin, a carry, a stuffed byte
+    or a conditioning category cannot pass."""
+
+    @pytest.mark.parametrize("channels", [1, 3])
+    @pytest.mark.parametrize("quality", [10, 50, 85])
+    def test_arith_decode_matches_huffman_bit_exact(self, channels, quality):
+        img = _test_image(channels=channels)
+        hh = decode_jpeg(encode_jpeg(img, quality=quality))
+        aa = decode_jpeg(encode_jpeg_arith(img, quality=quality))
+        assert np.array_equal(hh, aa)
+
+    def test_arith_420_and_restarts_match_huffman(self):
+        img = _test_image(48, 40, channels=3, seed=3)
+        for kw in ({"subsampling": "420"}, {"restart_interval": 2},
+                   {"subsampling": "420", "restart_interval": 3}):
+            hh = decode_jpeg(encode_jpeg(img, quality=60, **kw))
+            aa = decode_jpeg(encode_jpeg_arith(img, quality=60, **kw))
+            assert np.array_equal(hh, aa), kw
+
+    def test_arith_12bit_matches_huffman(self):
+        rng = np.random.default_rng(5)
+        y, x = np.mgrid[0:24, 0:40]
+        img = np.clip(
+            2048 + 1200 * np.sin(x / 7.0) * np.cos(y / 5.0)
+            + rng.normal(0, 30, (24, 40)),
+            0, 4095,
+        ).astype(np.uint16)
+        hh = decode_jpeg(encode_jpeg(img, precision=12))
+        aa = decode_jpeg(encode_jpeg_arith(img, precision=12))
+        assert np.array_equal(hh, aa)
+
+    def test_arith_stream_is_sof9_no_dht_and_stuffed(self):
+        data = encode_jpeg_arith(_test_image(channels=3), quality=70)
+        assert b"\xff\xc9" in data and b"\xff\xc4" not in data
+        # every 0xFF inside the entropy segment is a stuffed pair or a
+        # legal marker (RSTn / EOI) — same framing rule as Huffman
+        i = data.index(b"\xff\xda")
+        seg = data[i + 2 + struct.unpack(">H", data[i + 2:i + 4])[0]:]
+        j = 0
+        while j < len(seg) - 1:
+            if seg[j] == 0xFF:
+                assert seg[j + 1] == 0x00 or seg[j + 1] in (
+                    *range(0xD0, 0xD8), 0xD9,
+                ), f"unstuffed 0xFF at {j}"
+                j += 2
+                continue
+            j += 1
+
+    def test_arith_typically_smaller_than_huffman(self):
+        """Not a spec guarantee, but the QM-coder's adaptation should
+        beat static Annex-K Huffman tables on natural content — a
+        transcribed-wrong state table would show up here as bloat."""
+        img = _test_image(64, 64, channels=3, seed=11)
+        hs = len(encode_jpeg(img, quality=75))
+        as_ = len(encode_jpeg_arith(img, quality=75))
+        assert as_ < hs
+
+    def test_dac_conditioning_bounds_rejected(self):
+        """DAC segments with out-of-range conditioning must raise the
+        clean ValueError the executor-safety contract promises."""
+        data = bytearray(encode_jpeg_arith(_test_image(channels=1)))
+        i = bytes(data).index(b"\xff\xda")
+        # splice an invalid DAC (Kx = 0) ahead of the SOS
+        bad = b"\xff\xcc" + struct.pack(">H", 4) + bytes([0x10, 0x00])
+        with pytest.raises(ValueError, match="conditioning"):
+            decode_jpeg(bytes(data[:i]) + bad + bytes(data[i:]))
+
+    def test_fuzz_arith_mutations_raise_clean_errors_only(self):
+        """Same executor-safety contract as the Huffman/progressive fuzz:
+        byte-mutated SOF9 streams decode or raise ValueError /
+        NotImplementedError — never a raw IndexError/OverflowError from
+        the coder's registers or the model's bin indices."""
+        import random
+
+        rnd = random.Random(9)
+        img = _test_image(24, 32, channels=3, seed=1)
+        streams = [
+            encode_jpeg_arith(img, quality=60),
+            encode_jpeg_arith(img, quality=60, subsampling="420",
+                              restart_interval=2),
+        ]
+        for _ in range(1200):
+            s = bytearray(rnd.choice(streams))
             for _ in range(rnd.randint(1, 3)):
                 op = rnd.random()
                 if op < 0.5:
