@@ -280,6 +280,58 @@ FRAME_SCHEMA = StructType(
 )
 
 
+#: Compressed container formats routed through pyav when it is
+#: importable (a real multimodal crawl is overwhelmingly these).
+_AV_FORMATS = ("mp4", "webm", "mkv", "mov", "avi")
+
+
+def _demux_frames(payload: bytes, fmt: str):
+    """payload → iterator of (frame_idx, uint8 luma raster) — ONE output
+    contract for every container format, so downstream sampling code is
+    format-blind:
+
+    * ``y4m``: the built-in uncompressed-container codec (always works,
+      no dependencies — the testable twin of the compressed path).
+    * mp4/webm/mkv/mov/avi: pyav WHEN IMPORTABLE (``import av``), frames
+      converted to a gray plane so the per-frame bytes match the y4m
+      path's luma contract exactly. Only ImportError routes to the
+      NotImplementedError seam; a pyav DECODE failure on untrusted
+      bytes re-raises as the clean ValueError the executor-safety
+      contract promises (same hardening as the wav/y4m decoders).
+    * anything else: NotImplementedError at the documented seam.
+    """
+    if fmt == "y4m":
+        from .y4m_codec import decode_y4m
+
+        yield from enumerate(decode_y4m(bytes(payload)))
+        return
+    if fmt in _AV_FORMATS:
+        try:
+            import av  # noqa: PLC0415 - optional dependency
+        except ImportError:
+            raise NotImplementedError(
+                f"no demuxer for format={fmt!r} here (built-in codec "
+                "covers y4m; install pyav for compressed containers)"
+            ) from None
+        import io
+
+        try:
+            with av.open(io.BytesIO(bytes(payload))) as container:
+                fi = 0
+                for frame in container.decode(video=0):
+                    yield fi, frame.to_ndarray(format="gray")
+                    fi += 1
+        except NotImplementedError:
+            raise
+        except Exception as e:  # noqa: BLE001 - av.AVError hierarchy varies
+            raise ValueError(f"{fmt} demux failed: {e}") from e
+        return
+    raise NotImplementedError(
+        f"no demuxer for format={fmt!r} here (built-in codec covers y4m; "
+        "install pyav for compressed containers)"
+    )
+
+
 def sample_frames(
     assets: DataFrame,
     every_k: int = 4,
@@ -293,33 +345,27 @@ def sample_frames(
     (1 asset → n frames) — a pandas UDF can't grow rows, a generator of
     DataFrames can. ``fake=True`` frames the payload as fixed-size byte
     windows (deterministic stand-in for container parsing); ``fake=False``
-    REALLY demuxes ``format='y4m'`` payloads with the built-in
-    uncompressed-container codec (``operators/y4m_codec.py``, luma plane
-    per frame) and raises for compressed containers at the exact seam
-    where ffmpeg/pyav would plug in. Batch boundaries don't leak into
-    results: framing is per-asset, and Spark concatenates whatever
-    DataFrames the generator yields.
+    REALLY demuxes through :func:`_demux_frames` — the built-in
+    uncompressed-container codec for ``format='y4m'`` (luma plane per
+    frame), pyav for mp4/webm/mkv/mov/avi when importable, and the
+    NotImplementedError seam otherwise; every format yields the same
+    (frame_idx, gray raster) contract so the sampling below is
+    format-blind. Batch boundaries don't leak into results: framing is
+    per-asset, and Spark concatenates whatever DataFrames the generator
+    yields.
     """
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             if not fake:
-                from .y4m_codec import decode_y4m
-
                 for aid, payload, meta in zip(
                     pdf["asset_id"], pdf["payload"], pdf["meta"]
                 ):
                     if payload is None:
                         continue
                     fmt = meta["format"] if meta is not None else None
-                    if fmt != "y4m":
-                        raise NotImplementedError(
-                            f"no demuxer for format={fmt!r} here (built-in "
-                            "codec covers y4m; plug ffmpeg/pyav for "
-                            "compressed containers)"
-                        )
-                    for fi, luma in enumerate(decode_y4m(bytes(payload))):
+                    for fi, luma in _demux_frames(payload, fmt):
                         if fi % every_k:
                             continue
                         ids.append(aid)
