@@ -10,17 +10,31 @@ set -e
 cd "$(dirname "$0")/.."
 N="${1:?usage: round_finish.sh <round-number>}"
 
-echo "== 0/4 full pytest suite (the r8 snapshot shipped red — gate it) =="
+echo "== 0/6 full pytest suite (the r8 snapshot shipped red — gate it) =="
 python -m pytest tests/ -q
 
-echo "== 1/4 full-catalog oracle mirror (sf0.01) =="
+echo "== 1/6 full-catalog oracle mirror (sf0.01) =="
 SPARK_GRAFT_ALLCHECK_OUT="ALLCHECK_r$(printf '%02d' "$N").json" \
     python tools/check_correctness.py /root/testdata/sf0.01
 
-echo "== 2/4 catalog report =="
+echo "== 2/6 sf0.1 oracle tier: the 20 most expensive queries =="
+# VERDICT r10 #2: scale-dependent divergence (overflow, spill, AQE plan
+# changes) is invisible at sf0.01 — run the expensive tail one tier up.
+TAIL_QUERIES=$(python tools/expensive_tail.py 20)
+SPARK_GRAFT_ALLCHECK_OUT="ALLCHECK_SF01_r$(printf '%02d' "$N").json" \
+    python tools/check_correctness.py /root/testdata/sf0.1 $TAIL_QUERIES
+git add "ALLCHECK_SF01_r$(printf '%02d' "$N").json"
+
+echo "== 3/6 streaming evidence gate =="
+# VERDICT r10 #5: the streaming layer's health becomes a round artifact
+# (batch-equivalence + crash-injection suites, tagged pass/fail record).
+python tools/stream_gate.py "STREAMGATE_r$(printf '%02d' "$N").json"
+git add "STREAMGATE_r$(printf '%02d' "$N").json"
+
+echo "== 4/6 catalog report =="
 python tools/catalog_report.py > CATALOG.md
 
-echo "== 3/4 bench (sf0.1, 3 runs) =="
+echo "== 5/6 bench (sf0.1, 3 runs) =="
 # bench.py writes BENCH_LOCAL.json itself; don't redirect stdout onto the
 # same file (the redirect's truncation races bench's own write). Its
 # stderr carries the vs_prev >1.3x cross-round regressions — keep it on
@@ -35,7 +49,7 @@ fi
 tail -c 400 BENCH_LOCAL.json
 
 echo ""
-echo "== 4/4 snapshot full bench record + cross-round diff =="
+echo "== 6/6 snapshot full bench record + cross-round diff =="
 # VERDICT r9 #1: the full per-query record must survive the round — the
 # r8 record was never committed and its loss made the one open perf
 # question (curation_v2 drift) unanswerable from artifacts.
