@@ -147,6 +147,12 @@ FAMILY = (
     # r10: char-window chunking is map-only (sequence->explode->substr,
     # 0 shuffles) — must grow ~linearly with the corpus
     "document_chunks",
+    # r11: the retrieval-prep chain is chunking + a map-side broadcast
+    # cross-score + one 8-group aggregate (should track document_chunks'
+    # ~linear growth); the QM-coder gate is a 0-shuffle Arrow map like
+    # its progressive twin
+    "retrieval_index_manifest",
+    "arith_jpeg_stats",
 )
 
 
