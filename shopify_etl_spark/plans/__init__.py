@@ -210,6 +210,7 @@ _CHANGED_R10 = [
 # New or code-changed in round 11 — sample these first.
 _CHANGED_R11 = [
     "retrieval_index_manifest",  # NEW: chunk->embed-stub->IVF->manifest chain
+    "retrieval_chunk_search",    # NEW: probe-search side of the chunk index
     "arith_jpeg_stats",          # NEW: SOF9 QM-coder cross-path gate
     "curation_v2_corpus",        # checkpointed gated frame (trim reads once)
     "kmeans_doc_clusters",       # gate tolerance unified at 1e-6

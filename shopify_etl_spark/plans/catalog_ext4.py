@@ -379,6 +379,19 @@ _RET_CENT_SQL = ", ".join(
 )
 
 
+def _retrieval_centroid_frame(spark: SparkSession) -> DataFrame:
+    """The 8-cell codebook as a tiny JVM-side frame (spark.range, no
+    Python workers) — shared by the manifest and search queries."""
+    from pyspark.sql import functions as F
+
+    signs = _retrieval_centroids()
+    arr = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in signs])
+    return spark.range(8).select(
+        F.col("id").cast("int").alias("cid"),
+        F.element_at(arr, F.col("id").cast("int") + 1).alias("cv"),
+    )
+
+
 @register(
     "retrieval_index_manifest",
     oracle=rf"""
@@ -451,12 +464,7 @@ def retrieval_index_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         similarity.hash_embed("chunk_text").alias("ev"),
     )
-    signs = _retrieval_centroids()
-    arr = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in signs])
-    cents = spark.range(8).select(
-        F.col("id").cast("int").alias("cid"),
-        F.element_at(arr, F.col("id").cast("int") + 1).alias("cv"),
-    )
+    cents = _retrieval_centroid_frame(spark)
     assigned = similarity.ivf_assign(
         emb, cents, corpus_id="chunk_key", corpus_vec="ev",
         cent_id="cid", cent_vec="cv",
@@ -507,3 +515,116 @@ def arith_jpeg_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.arith_jpeg_stats(docs)
+
+
+@register(
+    "retrieval_chunk_search",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n
+      FROM documents WHERE length(text) > 0
+    ), s AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, greatest(n - 40 - 1, 0), 120))
+               AS cstart
+      FROM d
+    ), chunks AS (
+      SELECT doc_id, cstart // 120 AS chunk_idx,
+             substr(text, cstart + 1, 160) AS chunk_text
+      FROM s
+    ), emb AS MATERIALIZED (
+      SELECT doc_id || ':' || chunk_idx AS ck,
+             list_transform(range(1, 17),
+                 j -> CAST(ascii(substr(md5(chunk_text), j, 1)) - 77
+                           AS DOUBLE)) AS ev
+      FROM chunks
+    ), cents AS (
+      SELECT * FROM (VALUES {_RET_CENT_SQL}) AS t(cid, cv)
+    ), assign AS (
+      SELECT ck, cid FROM (
+        SELECT e.ck, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.ck
+                   ORDER BY list_cosine_similarity(e.ev,
+                       CAST(c.cv AS DOUBLE[])) DESC, c.cid) AS rn
+        FROM emb e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT doc_id || ':' || chunk_idx AS qk,
+             list_transform(range(1, 17),
+                 j -> CAST(ascii(substr(md5(chunk_text), j, 1)) - 77
+                           AS DOUBLE)) AS qv
+      FROM chunks WHERE doc_id < 3 AND chunk_idx = 0
+    ), probes AS (
+      SELECT qk, qv, cid FROM (
+        SELECT q.qk, q.qv, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.qk
+                   ORDER BY list_cosine_similarity(q.qv,
+                       CAST(c.cv AS DOUBLE[])) DESC, c.cid) AS rn
+        FROM q CROSS JOIN cents c
+      ) WHERE rn <= 2
+    ), ranked AS (
+      SELECT qk, ck, sim,
+             ROW_NUMBER() OVER (PARTITION BY qk
+                                ORDER BY sim DESC, ck) AS rn
+      FROM (
+        SELECT p.qk, e.ck,
+               list_cosine_similarity(p.qv, e.ev) AS sim
+        FROM probes p
+        JOIN assign a ON a.cid = p.cid
+        JOIN emb e ON e.ck = a.ck
+        WHERE e.ck <> p.qk
+      )
+    )
+    SELECT CAST(split_part(qk, ':', 1) AS BIGINT) AS query_doc,
+           CAST(split_part(ck, ':', 1) AS BIGINT) AS neighbor_doc,
+           CAST(split_part(ck, ':', 2) AS BIGINT) AS neighbor_chunk,
+           ROUND(sim, 4) AS cosine_sim
+    FROM ranked WHERE rn <= 5
+    """,
+    doc="Search side of the retrieval-prep chain — completes the "
+    "indexing story retrieval_index_manifest builds: three query "
+    "chunks (chunk 0 of docs 0-2, embedded with the same hash_embed "
+    "stub) probe their 2 nearest codebook cells and score ONLY the "
+    "chunks assigned there (ivf_topk: |corpus|·n_probes/n_cells "
+    "candidates instead of the full chunk set — the IVF economics at "
+    "100 TB), returning the top-5 neighbors per query with tie-breaks "
+    "pinned (sim desc, chunk key). The chunk+embed frame is "
+    "checkpointed: ivf_topk consumes the corpus twice (cell "
+    "assignment + candidate scoring), and without the checkpoint the "
+    "chunk explode + md5 embedding re-execute per consumer. "
+    "operators/text.py::char_chunk_documents + operators/similarity"
+    ".py::hash_embed,ivf_assign,ivf_topk.",
+)
+def retrieval_chunk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators import similarity
+    from ..operators.materialize import checkpoint_tracked
+    from ..operators.text import char_chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = char_chunk_documents(docs, chunk_chars=160, overlap=40)
+    emb = checkpoint_tracked(
+        chunks.select(
+            F.concat_ws(":", "doc_id", "chunk_idx").alias("ck"),
+            similarity.hash_embed("chunk_text").alias("ev"),
+        )
+    )
+    q = chunks.filter(
+        (F.col("doc_id") < 3) & (F.col("chunk_idx") == 0)
+    ).select(
+        F.concat_ws(":", "doc_id", "chunk_idx").alias("qk"),
+        similarity.hash_embed("chunk_text").alias("qv"),
+    )
+    topk = similarity.ivf_topk(
+        q, emb, _retrieval_centroid_frame(spark), k=5, n_probes=2,
+        query_id="qk", query_vec="qv",
+        corpus_id="ck", corpus_vec="ev",
+        cent_id="cid", cent_vec="cv",
+    )
+    return topk.select(
+        F.split("qk", ":")[0].cast("long").alias("query_doc"),
+        F.split("ck", ":")[0].cast("long").alias("neighbor_doc"),
+        F.split("ck", ":")[1].cast("long").alias("neighbor_chunk"),
+        "cosine_sim",
+    )

@@ -80,3 +80,23 @@ def test_retrieval_index_manifest_accounts_for_every_chunk(spark, sf_dir):
     n_docs = load_table(spark, sf_dir, "documents").count()
     assert all(0 < r.n_docs <= n_docs for r in out)
     assert all(-1.0001 <= r.avg_sim <= 1.0001 for r in out)
+
+
+def test_retrieval_chunk_search_invariants(spark, sf_dir):
+    """Search-side contract: exactly the 3 declared queries, top-5 each,
+    self excluded, similarities valid cosines, and every neighbor is a
+    real chunk of the corpus (the index only returns what it ingested)."""
+    out = QUERIES["retrieval_chunk_search"].builder(spark, sf_dir).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_doc, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    chunk_set = {
+        (r.doc_id, r.chunk_idx)
+        for r in QUERIES["document_chunks"].builder(spark, sf_dir).collect()
+    }
+    for qd, rows in by_q.items():
+        assert len(rows) == 5
+        assert all((r.neighbor_doc, r.neighbor_chunk) != (qd, 0) for r in rows)
+        assert all((r.neighbor_doc, r.neighbor_chunk) in chunk_set for r in rows)
+        assert all(-1.0001 <= r.cosine_sim <= 1.0001 for r in rows)
