@@ -8,3 +8,8 @@ from .dedup_stream import stream_dedup_docs  # noqa: F401
 from .joins_stream import stream_click_purchase_join, stream_event_feed  # noqa: F401
 from .near_dedup_stream import read_deduped, stream_near_dedup_docs  # noqa: F401
 from .span_stream import read_span_stats, stream_span_screen  # noqa: F401
+from .index_stream import (  # noqa: F401
+    read_index_chunks,
+    read_index_manifest,
+    stream_index_chunks,
+)

@@ -1,0 +1,125 @@
+"""Streaming retrieval-index maintenance: the incremental twin of the
+batch ``retrieval_index_manifest`` chain (chunk → embed-stub → IVF
+assign → per-cell manifest).
+
+A production retrieval index is not rebuilt per crawl batch — new
+documents are chunked, embedded and assigned to their cells as they
+arrive, and the per-cell manifest is an aggregate over everything
+ingested so far. The streaming shape here:
+
+* per micro-batch (``foreachBatch``), run the SAME operator chain the
+  batch query runs — ``char_chunk_documents`` → ``hash_embed`` →
+  ``ivf_assign`` against the fixed codebook — on the NEW documents
+  only: O(batch) work, never O(corpus), because cell assignment is a
+  pure per-row function (broadcast codebook, no corpus state at all);
+* the chunk-level index rows (chunk key, doc, cell, similarity, token
+  count) append under ``epoch=<id>`` directories with the store's
+  exactly-once discipline (committed replays are skipped, partial
+  crash output is rewritten), same as the sketch/span/dedup stores;
+* the manifest is a READ-side aggregate over committed epochs
+  (:func:`read_index_manifest`) — identical to the batch manifest over
+  the union of every fed document, which is the batch-equivalence
+  contract the tests pin.
+
+At 100 TB the epoch layout is the real one too: cells are the
+repartition key when epochs are folded into servable shards, and the
+manifest aggregate reads only the (tiny) per-chunk stats columns.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import hash_embed, ivf_assign
+from ..operators.text import char_chunk_documents
+from .dedup_stream import DOC_FEED_SCHEMA
+
+
+def _epoch_dir(base: str, epoch: int) -> str:
+    return os.path.join(base, f"epoch={epoch}")
+
+
+def _codebook(spark: SparkSession) -> DataFrame:
+    """The same deterministic 8-cell ±1 codebook the batch chain uses
+    (``plans/catalog_ext4.py``) — a pure function of its salt, so batch
+    and stream agree on cell geometry without sharing any state."""
+    from ..plans.catalog_ext4 import _retrieval_centroid_frame
+
+    return _retrieval_centroid_frame(spark)
+
+
+def stream_index_chunks(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    chunk_chars: int = 160,
+    overlap: int = 40,
+):
+    """JSONL document feed → chunk/embed/assign → epoch-stored index rows.
+
+    Returns the started query; callers ``awaitTermination()``.
+    """
+    feed = spark.readStream.schema(DOC_FEED_SCHEMA).json(src_dir)
+
+    def index_batch(batch: DataFrame, epoch: int) -> None:
+        sp = batch.sparkSession
+        from .sketch_stream import _epoch_committed, check_store_pairing
+
+        check_store_pairing(sp, out_dir, checkpoint_dir, epoch)
+        out_ep = _epoch_dir(out_dir, epoch)
+        if _epoch_committed(sp, out_ep):
+            return  # replayed epoch: already committed
+        chunks = char_chunk_documents(
+            batch, chunk_chars=chunk_chars, overlap=overlap
+        )
+        emb = chunks.select(
+            "doc_id",
+            F.concat_ws(":", "doc_id", "chunk_idx").alias("chunk_key"),
+            "n_tokens",
+            hash_embed("chunk_text").alias("ev"),
+        )
+        assigned = ivf_assign(
+            emb, _codebook(sp), corpus_id="chunk_key", corpus_vec="ev",
+            cent_id="cid", cent_vec="cv",
+            keep_cols=("doc_id", "n_tokens"), sim_col="sim",
+        )
+        assigned.write.mode("overwrite").parquet(out_ep)
+
+    return (
+        feed.writeStream.foreachBatch(index_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_index_chunks(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All index rows across COMMITTED epochs (a crashed epoch's partial
+    files are excluded — the stream rewrites them on replay)."""
+    from .sketch_stream import live_grid_dirs
+
+    dirs = live_grid_dirs(spark, out_dir)
+    if not dirs:
+        raise FileNotFoundError(f"no committed index epochs under {out_dir}")
+    return spark.read.option("basePath", out_dir).parquet(*dirs)
+
+
+def read_index_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Per-cell manifest over everything ingested so far — the identical
+    aggregate the batch ``retrieval_index_manifest`` computes, so the
+    stream's manifest over N fed batches must equal the batch query
+    over their union (pinned in tests/test_streaming.py)."""
+    return (
+        read_index_chunks(spark, out_dir)
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.round(F.avg("sim"), 4).alias("avg_sim"),
+        )
+    )

@@ -1170,3 +1170,94 @@ def test_stream_bloom_matches_one_shot_and_compacts(spark, tmp_path):
     full = sorted(r.pos for r in read_bloom(spark, bl_dir).collect())
     assert compact_bloom_epochs(spark, bl_dir) is not None
     assert sorted(r.pos for r in read_bloom(spark, bl_dir).collect()) == full
+
+
+def test_stream_index_manifest_matches_batch_chain(spark, tmp_path):
+    """Incremental retrieval-index maintenance (VERDICT r10 #8's chain,
+    streaming side): two micro-batches of documents are chunked /
+    embedded / cell-assigned as they arrive, and the read-side manifest
+    over the committed epochs must equal the BATCH manifest computed
+    over the union of every fed document — counts exactly, avg_sim to
+    float noise. Checkpoint replay is a no-op."""
+    from shopify_etl_spark.operators.similarity import hash_embed, ivf_assign
+    from shopify_etl_spark.operators.text import char_chunk_documents
+    from shopify_etl_spark.plans.catalog_ext4 import _retrieval_centroid_frame
+    from shopify_etl_spark.streaming import (
+        read_index_chunks,
+        read_index_manifest,
+        stream_index_chunks,
+    )
+
+    rng_words = [f"w{i}" for i in range(30)]
+    docs1 = [
+        {"doc_id": i, "text": " ".join(rng_words[j % 30] for j in range(i, i + 60)),
+         "ingested_at": f"2024-05-01T10:{i:02d}:00.000Z"}
+        for i in range(4)
+    ]
+    docs2 = [
+        {"doc_id": 10 + i, "text": " ".join(f"x{i}n{j}" for j in range(80)),
+         "ingested_at": f"2024-05-01T11:{i:02d}:00.000Z"}
+        for i in range(3)
+    ]
+    src = tmp_path / "feed"
+    out, ckpt = str(tmp_path / "index"), str(tmp_path / "ck")
+
+    def run(name, rows):
+        _write_jsonl(src / name, rows)
+        q = stream_index_chunks(spark, str(src), out, ckpt)
+        q.awaitTermination(120)
+
+    run("b1.jsonl", docs1)
+    n_after_b1 = read_index_chunks(spark, out).count()
+    assert n_after_b1 > 0
+    run("b2.jsonl", docs2)
+
+    # batch twin over the union of everything fed
+    union = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in docs1 + docs2],
+        "doc_id long, text string",
+    )
+    chunks = char_chunk_documents(union, chunk_chars=160, overlap=40)
+    from pyspark.sql import functions as F
+
+    emb = chunks.select(
+        "doc_id",
+        F.concat_ws(":", "doc_id", "chunk_idx").alias("chunk_key"),
+        "n_tokens",
+        hash_embed("chunk_text").alias("ev"),
+    )
+    batch_manifest = {
+        r.centroid_id: r
+        for r in ivf_assign(
+            emb, _retrieval_centroid_frame(spark),
+            corpus_id="chunk_key", corpus_vec="ev",
+            cent_id="cid", cent_vec="cv",
+            keep_cols=("doc_id", "n_tokens"), sim_col="sim",
+        )
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.avg("sim").alias("avg_sim_raw"),
+        )
+        .collect()
+    }
+    stream_manifest = {
+        r.centroid_id: r
+        for r in read_index_manifest(spark, out).collect()
+    }
+    assert set(stream_manifest) == set(batch_manifest)
+    for cid, s in stream_manifest.items():
+        b = batch_manifest[cid]
+        assert (s.n_chunks, s.n_docs, s.sum_tokens) == (
+            b.n_chunks, b.n_docs, b.sum_tokens,
+        ), cid
+        # the reader rounds to 4 (the manifest contract); the batch twin
+        # keeps the raw double — equal after the same rounding
+        assert abs(s.avg_sim - round(b.avg_sim_raw, 4)) <= 1e-9, cid
+
+    # replay: same checkpoint, same files -> nothing changes
+    run("b2.jsonl", docs2)
+    total = read_index_chunks(spark, out).count()
+    assert total == sum(r.n_chunks for r in stream_manifest.values())
