@@ -120,11 +120,13 @@ EXPECT = {
     # scans, 0 reuses); subtree scans pinned by the scans-per-table gate
     "mutual_knn_pairs": dict(max_shuffles=3, max_smj=1),
     "cross_corpus_near_dups": dict(max_shuffles=7, max_smj=3),
-    # gate -> trim -> split chain over the CHECKPOINTED scored frame
-    # (r8, same rationale as ccnet_ppl_buckets): threshold build + keep
-    # filter + survivor join + span trim + split projection remain in
-    # the final plan; LM subtree pinned by the scans-per-table gate
-    "curation_v2_corpus": dict(max_shuffles=9, min_bhj=1, max_smj=4),
+    # gate -> trim -> split chain; r11 checkpoints the GATED frame too
+    # (both trim consumers read it once), which moves the threshold
+    # broadcast join + survivor join into the checkpointed subtree —
+    # the final plan keeps the span trim + split projection only. The
+    # gate join and the one-scan guarantee are pinned by the
+    # scans-per-table gate, which sees through checkpoints.
+    "curation_v2_corpus": dict(max_shuffles=9, max_smj=4),
     # two windows + groupBy on the SAME keys: partitioning reused, one
     # shuffle end to end — the invariant this query exists to keep
     "daily_value_ohlc": dict(max_shuffles=1, max_smj=0, max_scan_width=4),
