@@ -584,3 +584,65 @@ def test_12bit_progressive_equals_baseline_any_input(
     assert base.dtype == np.uint16 and base.shape == img.shape
     assert base.max(initial=0) <= 4095
     assert np.array_equal(prog, base)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n_ctx=st.integers(1, 12),
+    n=st.integers(0, 1500),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_qm_coder_roundtrip_any_decision_sequence(n_ctx, n, seed):
+    """The T.81 QM-coder must reproduce ANY (context, bit) sequence
+    bit-exactly — per-context skews from ~0 to ~1 sweep the adaptation
+    ladder, the carry pipeline, and the FF-stuffing paths the hand
+    cases can't; the emitted stream must also never contain a bare
+    0xFF (the framing rule markers rely on)."""
+    from shopify_etl_spark.operators.jpeg_codec import (
+        _QM_FIXED,
+        _QMDecoder,
+        _QMEncoder,
+    )
+
+    rng = np.random.default_rng(seed)
+    skews = rng.uniform(0.0, 1.0, size=n_ctx + 1)
+    enc = _QMEncoder()
+    st_e = bytearray(n_ctx + 1)
+    st_e[n_ctx] = _QM_FIXED
+    bits = []
+    for _ in range(n):
+        ctx = int(rng.integers(0, n_ctx + 1))
+        b = int(rng.random() < skews[ctx])
+        bits.append((ctx, b))
+        enc.encode(st_e, ctx, b)
+    data = enc.flush()
+    assert b"\xff" not in data.replace(b"\xff\x00", b"")
+    dec = _QMDecoder(data)
+    st_d = bytearray(n_ctx + 1)
+    st_d[n_ctx] = _QM_FIXED
+    for k, (ctx, b) in enumerate(bits):
+        assert dec.decode(st_d, ctx) == b, f"decision {k}"
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    quality=st.integers(5, 100),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_arith_jpeg_matches_huffman_any_geometry(h, w, quality, seed):
+    """Cross-path pixel equality must hold for ANY raster geometry and
+    quality, not just the hand-picked ones — both entropy back ends
+    transmit identical quantized coefficients by construction."""
+    from shopify_etl_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_arith,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    hh = decode_jpeg(encode_jpeg(img, quality=quality))
+    aa = decode_jpeg(encode_jpeg_arith(img, quality=quality))
+    assert np.array_equal(hh, aa)
