@@ -628,3 +628,75 @@ def retrieval_chunk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("ck", ":")[1].cast("long").alias("neighbor_chunk"),
         "cosine_sim",
     )
+
+
+@register(
+    "embedding_outlier_screen",
+    # Same interpolated-percentile semantics both engines (Spark
+    # percentile == DuckDB quantile_cont, the robust_value_outliers
+    # precedent); the outlier comparison uses sim and q10 UNROUNDED —
+    # a flip needs a cosine within ~1 ulp of the interpolated decile.
+    # Output stats are rounded.
+    oracle="""
+    WITH c AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id % 61 = 0
+    ), assign AS MATERIALIZED (
+      SELECT vec_id, cid AS centroid_id, sim FROM (
+        SELECT e.vec_id, c.cid,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv)
+                 AS sim,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+                       c.cid) AS rn
+        FROM embeddings e CROSS JOIN c
+      ) WHERE rn = 1
+    ), thr AS (
+      SELECT centroid_id, quantile_cont(sim, 0.1) AS q10
+      FROM assign GROUP BY centroid_id
+    )
+    SELECT a.vec_id, a.centroid_id,
+           ROUND(a.sim, 4) AS sim,
+           a.sim < t.q10 AS is_outlier
+    FROM assign a JOIN thr t USING (centroid_id)
+    """,
+    doc="Embedding-space outlier screen — the prototypicality gate a "
+    "curation run applies before training: every vector is assigned "
+    "to its nearest IVF cell (the %61 codebook, same geometry as "
+    "ivf_assignments) and flagged when its cosine to the cell "
+    "centroid falls below the cell's 10th percentile — far-from-"
+    "distribution vectors are encoder failures, OCR garbage, or "
+    "off-domain content, and the per-cell (not global) threshold "
+    "keeps dense and sparse regions comparable (the SemDeDup/"
+    "prototypicality observation). The assigned frame is checkpointed "
+    "(decile build + flag join both read it); thresholds are a "
+    "cells-sized broadcast. At 100 TB: one broadcast cross-score + "
+    "one bounded rollup — no pair generation at all. "
+    "operators/similarity.py::ivf_assign(sim_col).",
+)
+def embedding_outlier_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators import similarity
+    from ..operators.materialize import checkpoint_tracked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 61 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    assigned = checkpoint_tracked(
+        similarity.ivf_assign(
+            emb, cents, corpus_id="vec_id", corpus_vec="embedding",
+            cent_id="cid", cent_vec="cv", sim_col="sim",
+        )
+    )
+    thr = assigned.groupBy("centroid_id").agg(
+        F.percentile("sim", F.lit(0.1)).alias("q10")
+    )
+    return assigned.join(F.broadcast(thr), "centroid_id").select(
+        "vec_id",
+        "centroid_id",
+        F.round("sim", 4).alias("sim"),
+        (F.col("sim") < F.col("q10")).alias("is_outlier"),
+    )

@@ -395,6 +395,7 @@ BNLJ_ALLOWED = {
     "ann_cosine_topk",      # query vectors broadcast over the corpus
     "retrieval_index_manifest",  # 8-row ±1 codebook broadcast over chunks
     "retrieval_chunk_search",    # codebook broadcast: cell assign + probes
+    "embedding_outlier_screen",  # %61 codebook broadcast (behind checkpoint)
     "ivf_assignments",      # k centroids broadcast
     "ivf_ann_topk",         # centroids + query vectors
     "trained_ivf_topk",     # k trained centroids + query vectors
