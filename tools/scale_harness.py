@@ -153,6 +153,8 @@ FAMILY = (
     # its progressive twin
     "retrieval_index_manifest",
     "arith_jpeg_stats",
+    "gif_roundtrip_stats",       # 0-shuffle Arrow map, ~linear like its twins
+    "embedding_outlier_screen",  # broadcast cross-score + cells-sized rollup
 )
 
 
