@@ -9,6 +9,7 @@ from .joins_stream import stream_click_purchase_join, stream_event_feed  # noqa:
 from .near_dedup_stream import read_deduped, stream_near_dedup_docs  # noqa: F401
 from .span_stream import read_span_stats, stream_span_screen  # noqa: F401
 from .index_stream import (  # noqa: F401
+    compact_index_epochs,
     read_index_chunks,
     read_index_manifest,
     stream_index_chunks,

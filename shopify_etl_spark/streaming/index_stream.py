@@ -99,13 +99,18 @@ def stream_index_chunks(
 
 def read_index_chunks(spark: SparkSession, out_dir: str) -> DataFrame:
     """All index rows across COMMITTED epochs (a crashed epoch's partial
-    files are excluded — the stream rewrites them on replay)."""
+    files are excluded — the stream rewrites them on replay).
+
+    No ``basePath``: after compaction the store mixes ``epoch=`` and
+    ``compact=`` directory names, and parent partition discovery would
+    reject the conflicting partition columns (the sketch readers read
+    the same way)."""
     from .sketch_stream import live_grid_dirs
 
     dirs = live_grid_dirs(spark, out_dir)
     if not dirs:
         raise FileNotFoundError(f"no committed index epochs under {out_dir}")
-    return spark.read.option("basePath", out_dir).parquet(*dirs)
+    return spark.read.parquet(*dirs)
 
 
 def read_index_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -123,3 +128,21 @@ def read_index_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
             F.round(F.avg("sim"), 4).alias("avg_sim"),
         )
     )
+
+
+def compact_index_epochs(spark: SparkSession, out_dir: str) -> str | None:
+    """Fold the index store's epochs (except the newest) into one
+    ``compact=<lo>-<hi>`` dir.
+
+    Index rows are per-chunk facts — the fold is a plain row-union
+    rewrite (like the near-dup band state), but a long-lived ingest
+    stream otherwise pays one dir-listing + file-open per epoch per
+    manifest read. Reuses the sketch store's crash-safe publish (tmp →
+    single atomic rename → cleanup; the newest epoch stays out so its
+    replay gate keeps working). Every downstream manifest value is
+    unchanged (pinned in tests). At scale this fold is also where the
+    cells become the repartition key for servable shards.
+    """
+    from .sketch_stream import compact_sketch_epochs
+
+    return compact_sketch_epochs(spark, out_dir, merge=lambda df: df)

@@ -1261,3 +1261,45 @@ def test_stream_index_manifest_matches_batch_chain(spark, tmp_path):
     run("b2.jsonl", docs2)
     total = read_index_chunks(spark, out).count()
     assert total == sum(r.n_chunks for r in stream_manifest.values())
+
+
+def test_compact_index_epochs_manifest_unchanged(spark, tmp_path):
+    """Index-store compaction is a pure row-union rewrite: the per-cell
+    manifest before and after folding must be identical, the newest
+    epoch survives for its replay gate, and a post-compaction replay
+    stays a no-op."""
+    from shopify_etl_spark.streaming import (
+        compact_index_epochs,
+        read_index_chunks,
+        read_index_manifest,
+        stream_index_chunks,
+    )
+
+    src = tmp_path / "feed"
+    out, ckpt = str(tmp_path / "index"), str(tmp_path / "ck")
+
+    def run(name, rows):
+        _write_jsonl(src / name, rows)
+        q = stream_index_chunks(spark, str(src), out, ckpt)
+        q.awaitTermination(120)
+
+    for b in range(3):
+        run(f"b{b}.jsonl", [
+            {"doc_id": 100 * b + i,
+             "text": " ".join(f"t{b}x{i}w{j}" for j in range(70)),
+             "ingested_at": f"2024-06-01T0{b}:{i:02d}:00.000Z"}
+            for i in range(3)
+        ])
+
+    before = sorted(map(tuple, read_index_manifest(spark, out).collect()))
+    n_before = read_index_chunks(spark, out).count()
+    published = compact_index_epochs(spark, out)
+    assert published is not None and "compact=" in published
+    after = sorted(map(tuple, read_index_manifest(spark, out).collect()))
+    assert after == before
+    assert read_index_chunks(spark, out).count() == n_before
+
+    # replay after compaction: newest epoch's gate still works
+    q = stream_index_chunks(spark, str(src), out, ckpt)
+    q.awaitTermination(120)
+    assert read_index_chunks(spark, out).count() == n_before
