@@ -646,3 +646,25 @@ def test_arith_jpeg_matches_huffman_any_geometry(h, w, quality, seed):
     hh = decode_jpeg(encode_jpeg(img, quality=quality))
     aa = decode_jpeg(encode_jpeg_arith(img, quality=quality))
     assert np.array_equal(hh, aa)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    n_colors=st.integers(1, 256),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_roundtrip_any_shape(h, w, n_colors, interlace, seed):
+    """GIF is lossless for palettized content: ANY raster shape, palette
+    size (1..256 sweeps every LZW minimum code size), and row order must
+    round-trip pixel-exactly."""
+    from shopify_etl_spark.operators.gif_codec import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    img = rng.integers(0, n_colors, size=(h, w), dtype=np.uint8)
+    frames = decode_gif(encode_gif([img], pal, interlace=interlace))
+    assert len(frames) == 1
+    assert np.array_equal(frames[0], pal[img])
