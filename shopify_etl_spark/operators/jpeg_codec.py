@@ -1721,6 +1721,8 @@ def encode_jpeg_arith(
     subsampling: str = "444",
     restart_interval: int = 0,
     precision: int = 8,
+    dc_cond: tuple[int, int] | None = None,
+    ac_kx: int | None = None,
 ) -> bytes:
     """Sequential arithmetic-coded JPEG (SOF9), T.81 Annex D + F.1.4.
 
@@ -1734,13 +1736,29 @@ def encode_jpeg_arith(
     predictors per segment, exactly the reset the decoder performs.
     Exists primarily as the fixture generator for the decoder (the ask
     is decode — web crawls occasionally HIT arithmetic JPEGs, they
-    rarely need to WRITE them)."""
+    rarely need to WRITE them). ``dc_cond=(L, U)`` / ``ac_kx`` override
+    the default conditioning; a DAC marker is emitted for every
+    statistics table so the decoder's non-default conditioning branches
+    (the zero-diff L classification, the Kx band split) have a real
+    fixture generator too."""
+    L, U = dc_cond if dc_cond is not None else (0, 1)
+    kx = ac_kx if ac_kx is not None else 5
+    if not (0 <= L <= U <= 15 and 1 <= kx <= 63):
+        raise ValueError(
+            f"jpeg: invalid arithmetic conditioning L={L} U={U} Kx={kx}"
+        )
     h, w, n_comp, samp, mcux, mcuy, qtabs, comp_coefs = _prepare_frame(
         arr, quality, subsampling, precision
     )
     out = _frame_headers(
         h, w, n_comp, samp, qtabs, precision, restart_interval, b"\xff\xc9"
     )
+    if dc_cond is not None or ac_kx is not None:
+        dac = b""
+        for t in range(2 if n_comp == 3 else 1):
+            dac += bytes([0x00 | t, (U << 4) | L])
+            dac += bytes([0x10 | t, kx])
+        out += b"\xff\xcc" + struct.pack(">H", 2 + len(dac)) + dac
     sos = struct.pack(">B", n_comp)
     for c in range(n_comp):
         # Td/Ta select the statistics/conditioning table ids here
@@ -1778,10 +1796,12 @@ def encode_jpeg_arith(
                         dc = int(zz[0])
                         _arith_encode_dc(
                             enc, dc_stats[t], dc_context, c,
-                            dc - prev_dc[c], 0, 1,
+                            dc - prev_dc[c], L, U,
                         )
                         prev_dc[c] = dc
-                        _arith_encode_ac_block(enc, ac_stats[t], fixed, zz, 5)
+                        _arith_encode_ac_block(
+                            enc, ac_stats[t], fixed, zz, kx
+                        )
             mcu_in_seg += 1
     out += enc.flush()
     out += b"\xff\xd9"

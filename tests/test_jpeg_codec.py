@@ -538,3 +538,30 @@ class TestArithmeticCoding:
                 decode_jpeg(bytes(s))
             except (ValueError, NotImplementedError):
                 pass
+
+
+class TestArithmeticConditioning:
+    """Non-default DAC conditioning: until r11's tail work, the decoder's
+    L-classification (zero-diff category) and non-5 Kx band split had no
+    fixture generator — encode_jpeg_arith now emits a DAC marker and
+    conditions with the same (L, U, Kx), so every branch round-trips."""
+
+    @pytest.mark.parametrize(
+        "dc_cond,ac_kx",
+        [((1, 3), 1), ((2, 7), 63), ((0, 0), 16), ((4, 4), 8)],
+    )
+    def test_non_default_conditioning_matches_huffman(self, dc_cond, ac_kx):
+        img = _test_image(channels=3, seed=5)
+        base = decode_jpeg(encode_jpeg(img, quality=60))
+        stream = encode_jpeg_arith(
+            img, quality=60, dc_cond=dc_cond, ac_kx=ac_kx
+        )
+        assert b"\xff\xcc" in stream  # the DAC marker is really emitted
+        assert np.array_equal(decode_jpeg(stream), base)
+
+    def test_invalid_conditioning_rejected_at_encode(self):
+        img = _test_image(channels=1)
+        with pytest.raises(ValueError, match="conditioning"):
+            encode_jpeg_arith(img, dc_cond=(3, 1))
+        with pytest.raises(ValueError, match="conditioning"):
+            encode_jpeg_arith(img, ac_kx=0)
