@@ -448,6 +448,7 @@ def encode_jpeg(
     subsampling: str = "444",
     restart_interval: int = 0,
     precision: int = 8,
+    interleave: bool = True,
 ) -> bytes:
     """uint8 raster (H,W) grayscale or (H,W,3) RGB → baseline JFIF bytes.
 
@@ -488,6 +489,35 @@ def encode_jpeg(
         payload = bytes([tc_th]) + bytes(bits) + bytes(values)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
         enc_tabs[tc_th] = _build_huffman_encode(bits, values)
+    if not interleave:
+        # non-interleaved sequential (T.81 A.2.2): one SOS per component,
+        # blocks in raster order over that component's own grid — the
+        # fixture generator for the decoder's partial-scan path. 4:4:4
+        # only (subsampled non-interleaved grids drop the MCU padding,
+        # a different geometry this honest subset doesn't cover) and no
+        # restart markers (their MCU counting differs per scan).
+        if subsampling != "444" or restart_interval:
+            raise ValueError(
+                "jpeg: interleave=False supports 4:4:4 without restarts"
+            )
+        for c in range(n_comp):
+            sos = struct.pack(">B", 1)
+            sos += struct.pack(">BB", c + 1, 0x00 if c == 0 else 0x11)
+            sos += b"\x00\x3f\x00"
+            out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+            writer = _BitWriter()
+            dc_t = enc_tabs[0x00 if c == 0 else 0x01]
+            ac_t = enc_tabs[0x10 if c == 0 else 0x11]
+            prev = 0
+            for gy in range(mcuy):
+                for gx in range(mcux):
+                    block = comp_coefs[c][gy, gx][_ZIGZAG]
+                    prev = _encode_block(writer, block, prev, dc_t, ac_t)
+            writer.flush()
+            out += writer.out
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
     sos = struct.pack(">B", n_comp)
     for c in range(n_comp):
         sos += struct.pack(">BB", c + 1, 0x00 if c == 0 else 0x11)
@@ -531,13 +561,16 @@ def encode_jpeg(
 def decode_jpeg(data: bytes, max_pixels: int = 100_000_000) -> np.ndarray:
     """Baseline JFIF bytes → uint8 raster (H,W) or (H,W,3) RGB.
 
-    Accepts baseline sequential (SOF0/1) AND progressive (SOF2 — spectral
-    selection + successive approximation, DC/AC first and refinement
-    scans, EOB runs) with 1 or 3 components, any h/v sampling factors
+    Accepts baseline sequential (SOF0/1) — interleaved OR non-interleaved
+    (one scan per component subset, T.81 A.2.2) — progressive (SOF2 —
+    spectral selection + successive approximation, DC/AC first and
+    refinement scans, EOB runs) and sequential arithmetic (SOF9, QM-coder
+    + DAC conditioning) with 1 or 3 components, any h/v sampling factors
     ≤ 2, standard or custom Huffman/quantization tables, and restart
-    intervals. Arithmetic coding and hierarchical modes raise
-    NotImplementedError — the documented seam, same contract as the other
-    codecs in this package.
+    intervals. Hierarchical modes, progressive arithmetic (SOF10) and
+    non-interleaved arithmetic scans raise NotImplementedError — the
+    documented seams, same contract as the other codecs in this
+    package.
 
     Executor-safe on untrusted bytes (fuzz-pinned in tests): every
     malformed stream raises a clean ``ValueError`` — internal parse
@@ -567,6 +600,7 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
     frame = None
     restart_interval = 0
     coef_store = None  # progressive: per-component coefficient grids
+    seq_deq = None  # non-interleaved sequential: dequantized grids
     dc_cond: dict[int, tuple[int, int]] = {}  # DAC: Tb -> (L, U)
     ac_cond: dict[int, int] = {}  # DAC: Tb -> Kx
     while pos < len(data):
@@ -688,6 +722,12 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
                 scan_list.append((ci, tdta >> 4, tdta & 0x0F))
             end = _find_scan_end(data, pos)
             if frame.get("arith"):
+                if n_scan < len(frame["comps"]):
+                    raise NotImplementedError(
+                        "jpeg: non-interleaved arithmetic scans not "
+                        "supported here (Huffman non-interleaved and "
+                        "interleaved arithmetic both are)"
+                    )
                 return _decode_scan_arith(
                     data[pos:end], frame, qtabs, scan_tabs,
                     restart_interval, dc_cond, ac_cond,
@@ -704,6 +744,19 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
                 )
                 pos = end
                 continue
+            if n_scan < len(frame["comps"]):
+                # non-interleaved sequential: one scan per component
+                # subset — accumulate dequantized grids across scans and
+                # assemble at EOI (the progressive discipline, minus the
+                # coefficient refinement)
+                if seq_deq is None:
+                    seq_deq = _alloc_seq_grids(frame)
+                _decode_scan_noninterleaved(
+                    data[pos:end], frame, qtabs, htabs, scan_list,
+                    restart_interval, seq_deq,
+                )
+                pos = end
+                continue
             pixels = _decode_scan(
                 data[pos:end], frame, qtabs, htabs, scan_tabs,
                 restart_interval,
@@ -712,6 +765,8 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
         # APPn/COM and everything else: skipped
     if frame is not None and frame.get("prog") and coef_store is not None:
         return _reconstruct_from_coefs(frame, qtabs, coef_store)
+    if frame is not None and seq_deq is not None:
+        return _blocks_to_image(frame, seq_deq)
     raise ValueError("jpeg: no scan data found")
 
 
@@ -798,6 +853,121 @@ def _decode_scan(scan, frame, qtabs, htabs, scan_tabs, restart_interval):
             mcu_in_seg += 1
 
     return _blocks_to_image(frame, deq)
+
+
+def _alloc_seq_grids(frame) -> list[np.ndarray]:
+    """Dequantized block grids sized like :func:`_decode_scan`'s (MCU-
+    padded), shared across a non-interleaved file's scans so
+    ``_blocks_to_image`` assembles them identically to the one-scan
+    path."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    return [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 8, 8), dtype=np.float64)
+        for c in comps
+    ]
+
+
+def _decode_scan_noninterleaved(
+    scan, frame, qtabs, htabs, scan_list, restart_interval, deq
+):
+    """One sequential scan covering a SUBSET of the frame's components
+    (T.81 non-interleaved mode — libjpeg writes these for 4:4:4 when
+    asked not to interleave, and some encoders emit Y, Cb, Cr as three
+    scans). Geometry per A.2.2: a single-component scan walks that
+    component's OWN ceil(dim/8) block grid in raster order (no MCU
+    padding — the grid can be one block narrower than the interleaved
+    allocation; the padding blocks stay zero and are cropped by the
+    shared assembly). A multi-component subset scan interleaves its
+    components' h×v blocks over the global MCU grid like the full-scan
+    path. Restart markers reset predictors and bit alignment exactly as
+    in the interleaved decoder."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+
+    segments = (
+        _split_restart_segments(scan, restart_interval)
+        if restart_interval
+        else [scan]
+    )
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    prev_dc = {ci: 0 for ci, _, _ in scan_list}
+    mcu_in_seg = 0
+
+    def decode_block(ci, td, ta, gy, gx):
+        comp = comps[ci]
+        dc_t, ac_t = htabs[0x00 | td], htabs[0x10 | ta]
+        if comp["tq"] not in qtabs:
+            raise ValueError(f"jpeg: missing quantization table {comp['tq']}")
+        q = qtabs[comp["tq"]]
+        zz = np.zeros(64, dtype=np.int64)
+        s = reader.read_symbol(dc_t)
+        diff = _extend(reader.read_bits(s), s) if s else 0
+        prev_dc[ci] += diff
+        zz[0] = prev_dc[ci]
+        k = 1
+        while k < 64:
+            rs = reader.read_symbol(ac_t)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("jpeg: AC index overflow")
+            zz[k] = _extend(reader.read_bits(s), s)
+            k += 1
+        block = np.zeros(64, dtype=np.float64)
+        block[_ZIGZAG] = zz
+        deq[ci][gy, gx] = block.reshape(8, 8) * q
+
+    def next_segment():
+        nonlocal seg_idx, reader, prev_dc, mcu_in_seg
+        seg_idx += 1
+        if seg_idx >= len(segments):
+            raise ValueError("jpeg: missing restart segment")
+        reader = _BitReader(segments[seg_idx])
+        prev_dc = {ci: 0 for ci, _, _ in scan_list}
+        mcu_in_seg = 0
+
+    if len(scan_list) == 1:
+        ci, td, ta = scan_list[0]
+        comp = comps[ci]
+        comp_w = -(-(w * comp["h"]) // hmax)
+        comp_h = -(-(h * comp["v"]) // vmax)
+        bw = -(-comp_w // 8)
+        bh = -(-comp_h // 8)
+        for gy in range(bh):
+            for gx in range(bw):
+                if restart_interval and mcu_in_seg == restart_interval:
+                    next_segment()
+                decode_block(ci, td, ta, gy, gx)
+                mcu_in_seg += 1  # non-interleaved MCU = one block
+        return
+
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_in_seg == restart_interval:
+                next_segment()
+            for ci, td, ta in scan_list:
+                comp = comps[ci]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        decode_block(
+                            ci, td, ta,
+                            my * comp["v"] + by, mx * comp["h"] + bx,
+                        )
+            mcu_in_seg += 1
 
 
 def _blocks_to_image(frame, comp_blocks) -> np.ndarray:

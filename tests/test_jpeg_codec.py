@@ -565,3 +565,74 @@ class TestArithmeticConditioning:
             encode_jpeg_arith(img, dc_cond=(3, 1))
         with pytest.raises(ValueError, match="conditioning"):
             encode_jpeg_arith(img, ac_kx=0)
+
+
+class TestNonInterleaved:
+    """Non-interleaved sequential (one scan per component): until r11's
+    tail work a valid multi-scan file was mislabeled 'corrupt' — the
+    decoder now accumulates partial-component scans and assembles at
+    EOI, and encode_jpeg(interleave=False) is the fixture generator."""
+
+    @pytest.mark.parametrize("shape", [(40, 56, 3), (13, 21, 3)])
+    @pytest.mark.parametrize("quality", [30, 85])
+    def test_matches_interleaved_bit_exact(self, shape, quality):
+        rng = np.random.default_rng(sum(shape) + quality)
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        inter = decode_jpeg(encode_jpeg(img, quality=quality))
+        nonint = decode_jpeg(
+            encode_jpeg(img, quality=quality, interleave=False)
+        )
+        assert np.array_equal(inter, nonint)
+
+    def test_12bit_matches_interleaved(self):
+        img = ((np.arange(24 * 40).reshape(24, 40) * 5) % 4096).astype(
+            np.uint16
+        )
+        a = decode_jpeg(encode_jpeg(img, precision=12))
+        b = decode_jpeg(encode_jpeg(img, precision=12, interleave=False))
+        assert np.array_equal(a, b)
+
+    def test_stream_really_has_three_scans(self):
+        img = _test_image(channels=3)
+        data = encode_jpeg(img, quality=70, interleave=False)
+        assert data.count(b"\xff\xda") == 3
+
+    def test_unsupported_combinations_rejected(self):
+        img = _test_image(channels=3)
+        with pytest.raises(ValueError, match="interleave"):
+            encode_jpeg(img, subsampling="420", interleave=False)
+        with pytest.raises(ValueError, match="interleave"):
+            encode_jpeg(img, restart_interval=2, interleave=False)
+
+    def test_arith_non_interleaved_is_the_seam(self):
+        """A SOF9 stream with a partial-component SOS hits the documented
+        NotImplementedError, not a mis-decode."""
+        data = bytearray(encode_jpeg_arith(_test_image(channels=3)))
+        i = bytes(data).index(b"\xff\xda")
+        # rewrite the 3-component SOS into a 1-component one
+        # (length 2+1+2*1+3 = 8)
+        new_sos = struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+        data[i + 2:i + 2 + 12] = new_sos
+        with pytest.raises(NotImplementedError, match="non-interleaved"):
+            decode_jpeg(bytes(data))
+
+    def test_fuzz_non_interleaved_clean_errors_only(self):
+        import random
+
+        rnd = random.Random(13)
+        img = _test_image(24, 32, channels=3, seed=2)
+        stream = encode_jpeg(img, quality=60, interleave=False)
+        for _ in range(800):
+            s = bytearray(stream)
+            for _ in range(rnd.randint(1, 3)):
+                op = rnd.random()
+                if op < 0.5:
+                    s[rnd.randrange(len(s))] = rnd.randrange(256)
+                elif op < 0.75:
+                    del s[rnd.randrange(len(s))]
+                else:
+                    s.insert(rnd.randrange(len(s)), rnd.randrange(256))
+            try:
+                decode_jpeg(bytes(s))
+            except (ValueError, NotImplementedError):
+                pass
