@@ -9,9 +9,9 @@ not a PSNR bound. Scope (GIF87a/89a, the honest common subset):
   decompressor (LSB-first bit packing, clear/EOI codes, 12-bit cap with
   deferred-clear tolerance), interlaced images (the 8/8-4/8-2/4-1/2
   four-pass row order), multiple frames with canvas composition —
-  draw-over (disposal 0/1) and restore-to-background (disposal 2),
-  transparency leaving the canvas unchanged; restore-to-previous
-  (disposal 3) raises at the documented NotImplementedError seam;
+  draw-over (disposal 0/1), restore-to-background (disposal 2, filled
+  from the GLOBAL color table per spec), restore-to-previous
+  (disposal 3), transparency leaving the canvas unchanged;
 * **encode** (the fixture generator, same role as ``encode_jpeg_arith``):
   palette + index rasters → single- or multi-frame GIF89a with a real
   LZW compressor (code-width growth, table-full clear), optional
@@ -241,6 +241,7 @@ def encode_gif(
     screen=None,
     bg_index: int = 0,
     delay_cs: int = 4,
+    disposals=None,
 ) -> bytes:
     """Index rasters + one global palette → GIF89a bytes.
 
@@ -248,7 +249,9 @@ def encode_gif(
     ``palette``: (n, 3) uint8, n ≤ 256; ``offsets``: optional (top, left)
     per frame for partial updates (default (0, 0)); ``screen``: (h, w) of
     the logical screen (default: frame 0's shape). Multi-frame output
-    carries a Graphic Control Extension per frame (draw-over disposal).
+    carries a Graphic Control Extension per frame — draw-over disposal
+    by default, or per-frame methods via ``disposals`` (list of 0-3;
+    providing it forces a GCE even on single-frame output).
     """
     palette = np.ascontiguousarray(palette, dtype=np.uint8)
     if palette.ndim != 2 or palette.shape[1] != 3 or not 1 <= len(palette) <= 256:
@@ -262,6 +265,11 @@ def encode_gif(
         if int(f.max()) >= len(palette):
             raise ValueError("gif: index outside the palette")
     offsets = offsets or [(0, 0)] * len(frames)
+    if disposals is not None:
+        if len(disposals) != len(frames):
+            raise ValueError("gif: disposals must match frames 1:1")
+        if any(not 0 <= d <= 3 for d in disposals):
+            raise ValueError("gif: disposal methods must be 0..3")
     sh, sw = screen or frames[0].shape
     # color table size: next power of two >= len(palette), min 2
     ct_bits = max(1, int(np.ceil(np.log2(max(len(palette), 2)))))
@@ -272,13 +280,14 @@ def encode_gif(
     out += struct.pack("<HH", sw, sh)
     out += bytes([0x80 | ((ct_bits - 1) << 4) | (ct_bits - 1), bg_index, 0])
     out += ct.tobytes()
-    for f, (top, left) in zip(frames, offsets):
+    for k, (f, (top, left)) in enumerate(zip(frames, offsets)):
         h, w = f.shape
         if top + h > sh or left + w > sw:
             raise ValueError("gif: frame exceeds the logical screen")
-        if len(frames) > 1:
-            # GCE: disposal 1 (draw over), no transparency
-            out += b"\x21\xf9\x04" + bytes([0x04]) + struct.pack(
+        if len(frames) > 1 or disposals is not None:
+            disp = disposals[k] if disposals is not None else 1
+            # GCE: requested disposal, no transparency
+            out += b"\x21\xf9\x04" + bytes([disp << 2]) + struct.pack(
                 "<H", delay_cs
             ) + b"\x00\x00"
         out += b"\x2c" + struct.pack("<HHHH", left, top, w, h)
@@ -326,9 +335,16 @@ def decode_gif(data: bytes, max_pixels: int = 100_000_000) -> list[np.ndarray]:
     """GIF bytes → list of full-canvas RGB uint8 frames (composited).
 
     Disposal 0/1 draw over the previous canvas, disposal 2 restores the
-    background color after the frame is emitted, transparent pixels
-    leave the canvas unchanged; disposal 3 (restore-to-previous) is the
-    documented NotImplementedError seam.
+    GLOBAL-table background color after the frame is emitted (the spec's
+    background index refers to the global color table, never a local
+    one; zeros when there is no global table), disposal 3 restores the
+    pixels the frame covered to their pre-frame values, transparent
+    pixels leave the canvas unchanged.
+
+    ``max_pixels`` bounds the TOTAL decoded output (sum over frames),
+    not just one canvas — a few-KB stream declaring a huge screen plus
+    many 1x1 frames would otherwise expand to an unbounded list of
+    full-canvas copies (executor OOM on the untrusted-bytes paths).
     """
     if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("gif: missing GIF87a/GIF89a signature")
@@ -366,10 +382,9 @@ def decode_gif(data: bytes, max_pixels: int = 100_000_000) -> list[np.ndarray]:
                 flags = payload[0]
                 disposal = (flags >> 2) & 0x07
                 transparent = payload[3] if flags & 0x01 else None
-                if disposal == 3:
-                    raise NotImplementedError(
-                        "gif: disposal method 3 (restore to previous) "
-                        "not supported here"
+                if disposal > 3:
+                    raise ValueError(
+                        f"gif: reserved disposal method {disposal}"
                     )
             continue  # comment/plain-text/application: skipped
         if block != 0x2C:
@@ -400,17 +415,31 @@ def decode_gif(data: bytes, max_pixels: int = 100_000_000) -> list[np.ndarray]:
             de = np.empty_like(rect)
             de[order] = rect
             rect = de
+        if (len(frames) + 1) * sw * sh > max_pixels:
+            raise ValueError(
+                f"gif: decoded output exceeds {max_pixels} pixels "
+                f"({len(frames) + 1} frames of {sw}x{sh})"
+            )
         rgb = ct[rect]
         region = canvas[top:top + h, left:left + w]
+        saved = region.copy() if disposal == 3 else None
         if transparent is not None:
             mask = rect != transparent
             region[mask] = rgb[mask]
         else:
             region[:] = rgb
         frames.append(canvas.copy())
-        if disposal == 2:  # restore to background after emitting
-            bg = ct[bg_index] if bg_index < len(ct) else np.zeros(3, np.uint8)
+        if disposal == 2:
+            # Restore to background: the background index is defined
+            # against the GLOBAL color table (a local table's entry at
+            # the same index is a different color); no GCT → zeros.
+            if gct is not None and bg_index < len(gct):
+                bg = gct[bg_index]
+            else:
+                bg = np.zeros(3, np.uint8)
             canvas[top:top + h, left:left + w] = bg
+        elif disposal == 3:  # restore to previous: undo this frame's rect
+            canvas[top:top + h, left:left + w] = saved
         transparent = None
         disposal = 0
     if not frames:

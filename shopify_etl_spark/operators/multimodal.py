@@ -12,13 +12,14 @@ Decode paths, in preference order:
   numpy) — real decode of real PNG bytes with zero external deps; this
   is the live path in this environment.
 * **Built-in baseline JPEG codec** (``operators/jpeg_codec.py``,
-  stdlib struct + numpy) — real Huffman+DCT decode of baseline
-  sequential JPEG (1/3 components, sampling factors ≤ 2, restart
-  intervals); progressive/arithmetic stay at the seam.
+  stdlib struct + numpy) — real entropy+DCT decode of baseline /
+  extended / progressive / arithmetic JPEG (1/3 components, sampling
+  factors ≤ 2, restart intervals); lossless/hierarchical stay at
+  the seam.
 * **Built-in GIF codec** (``operators/gif_codec.py``, stdlib struct +
   numpy) — real LZW decode of GIF87a/89a stills and animations
-  (interlace, local palettes, transparency, frame composition);
-  restore-to-previous disposal stays at the seam.
+  (interlace, local palettes, transparency, frame composition with
+  all four disposal methods).
 * **Built-in Y4M demuxer** (``operators/y4m_codec.py``) — real
   frame extraction from uncompressed YUV4MPEG2 video payloads.
 * **Built-in WAV codec** (``operators/wav_codec.py``) — real PCM

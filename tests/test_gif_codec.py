@@ -114,14 +114,147 @@ class TestSemantics:
         expect[1, 1] = pal[base][1, 1]  # transparent: base shows through
         assert np.array_equal(fr[1], expect)
 
-    def test_disposal_restore_to_previous_is_the_seam(self):
+    def test_disposal_restore_to_previous_composition(self):
+        """Disposal 3: the sprite frame is visible while emitted, then
+        the canvas reverts to its pre-sprite pixels for the next frame."""
+        rng = np.random.default_rng(11)
+        pal = _pal(9)
+        base = rng.integers(0, 9, size=(8, 8), dtype=np.uint8)
+        sprite = rng.integers(0, 9, size=(3, 3), dtype=np.uint8)
+        patch = rng.integers(0, 9, size=(2, 2), dtype=np.uint8)
+        fr = decode_gif(
+            encode_gif(
+                [base, sprite, patch],
+                pal,
+                offsets=[(0, 0), (2, 2), (5, 5)],
+                screen=(8, 8),
+                disposals=[1, 3, 1],
+            )
+        )
+        assert len(fr) == 3
+        expect0 = pal[base]
+        assert np.array_equal(fr[0], expect0)
+        expect1 = expect0.copy()
+        expect1[2:5, 2:5] = pal[sprite]
+        assert np.array_equal(fr[1], expect1)
+        # frame 2: sprite reverted (restore-to-previous), patch drawn
+        expect2 = expect0.copy()
+        expect2[5:7, 5:7] = pal[patch]
+        assert np.array_equal(fr[2], expect2)
+
+    def test_disposal_3_after_disposal_2_restores_background(self):
+        """'Previous' is the post-disposal canvas of the frame before —
+        after a disposal-2 frame that is the background fill, not the
+        frame's own pixels."""
+        pal = _pal(6)
+        a = np.full((4, 4), 2, dtype=np.uint8)
+        b = np.full((4, 4), 3, dtype=np.uint8)
+        c = np.full((2, 2), 4, dtype=np.uint8)
+        fr = decode_gif(
+            encode_gif(
+                [a, b, c, c],
+                pal,
+                offsets=[(0, 0), (0, 0), (1, 1), (0, 0)],
+                screen=(4, 4),
+                bg_index=5,
+                disposals=[1, 2, 3, 1],
+            )
+        )
+        bg = pal[5]
+        assert np.array_equal(fr[1], pal[b])
+        expect2 = np.broadcast_to(bg, (4, 4, 3)).copy()
+        expect2[1:3, 1:3] = pal[c]
+        assert np.array_equal(fr[2], expect2)
+        # frame 3 starts from the restored (all-background) canvas
+        expect3 = np.broadcast_to(bg, (4, 4, 3)).copy()
+        expect3[0:2, 0:2] = pal[c]
+        assert np.array_equal(fr[3], expect3)
+
+    def test_disposal_2_background_comes_from_global_table(self):
+        """A frame with a LOCAL color table + disposal 2 must restore to
+        the GLOBAL table's background color, not the local table's entry
+        at the same index (ADVICE r11)."""
+        gpal = np.array(
+            [[1, 2, 3], [9, 9, 9], [200, 50, 25]], dtype=np.uint8
+        )
+        lpal = np.array([[77, 88, 99], [10, 20, 30]], dtype=np.uint8)
+        base = np.full((3, 3), 1, dtype=np.uint8)
+        over = np.zeros((3, 3), dtype=np.uint8)
+        data = bytearray(
+            encode_gif([base, over, base], gpal, bg_index=2,
+                       disposals=[1, 2, 1])
+        )
+        # splice a local color table onto frame 2 (the disposal-2 one):
+        # image descriptors start at 0x2c; set the LCT flag (2 entries)
+        # and insert lpal bytes right after the descriptor.
+        descs = []
+        i = -1
+        while True:
+            i = data.find(b"\x2c", i + 1)
+            if i == -1:
+                break
+            descs.append(i)
+        # the first 0x2c is frame 1's descriptor; take the second. (0x2c
+        # can also appear inside LZW data, so verify the descriptor shape:
+        # its packed byte is at +9.)
+        d = descs[1]
+        assert data[d + 9] in (0x00, 0x40)
+        data[d + 9] |= 0x80  # LCT present, size bits 0 → 2 entries
+        data[d + 10:d + 10] = lpal.tobytes()
+        fr = decode_gif(bytes(data))
+        # frame 2 drew local color 0 everywhere
+        assert np.array_equal(fr[1], np.broadcast_to(lpal[0], (3, 3, 3)))
+        # frame 3's base redraw covers all, but decode must not have
+        # crashed looking up bg in the 2-entry local table; verify via a
+        # 4th... simpler: re-decode with frame 3 as a partial update.
+        data2 = bytearray(
+            encode_gif(
+                [base, over, np.full((1, 1), 1, np.uint8)],
+                gpal,
+                offsets=[(0, 0), (0, 0), (0, 0)],
+                bg_index=2,
+                disposals=[1, 2, 1],
+            )
+        )
+        descs2 = []
+        i = -1
+        while True:
+            i = data2.find(b"\x2c", i + 1)
+            if i == -1:
+                break
+            descs2.append(i)
+        d = descs2[1]
+        assert data2[d + 9] in (0x00, 0x40)
+        data2[d + 9] |= 0x80
+        data2[d + 10:d + 10] = lpal.tobytes()
+        fr2 = decode_gif(bytes(data2))
+        expect = np.broadcast_to(gpal[2], (3, 3, 3)).copy()  # GLOBAL bg
+        expect[0, 0] = gpal[1]
+        assert np.array_equal(fr2[2], expect)
+
+    def test_reserved_disposal_rejected(self):
         pal = _pal(4)
         img = np.zeros((3, 3), dtype=np.uint8)
         data = bytearray(encode_gif([img, img], pal))
         i = data.index(b"\x21\xf9\x04")
-        data[i + 3] = (data[i + 3] & ~0x1C) | (3 << 2)
-        with pytest.raises(NotImplementedError, match="disposal"):
+        data[i + 3] = (data[i + 3] & ~0x1C) | (5 << 2)
+        with pytest.raises(ValueError, match="disposal"):
             decode_gif(bytes(data))
+
+    def test_cumulative_frame_pixel_bomb_rejected(self):
+        """A small stream with a big screen and many tiny frames must be
+        rejected on TOTAL decoded pixels, not per-canvas (ADVICE r11:
+        each emitted frame is a full-canvas copy)."""
+        pal = _pal(2)
+        tiny = np.zeros((1, 1), dtype=np.uint8)
+        data = encode_gif(
+            [tiny] * 64, pal, offsets=[(0, 0)] * 64, screen=(500, 500)
+        )
+        assert len(data) < 4000  # it really is a few-KB stream
+        with pytest.raises(ValueError, match="exceeds"):
+            decode_gif(data, max_pixels=1_000_000)
+        # same stream under a budget that admits all 64 frames is fine
+        assert len(decode_gif(data, max_pixels=64 * 250_000)) == 64
 
     def test_rejects_non_gif_and_bomb_header(self):
         with pytest.raises(ValueError, match="signature"):
@@ -169,6 +302,12 @@ class TestFuzz:
             encode_gif([img], pal),
             encode_gif([img], pal, interlace=True),
             encode_gif([img, patch], pal, offsets=[(0, 0), (2, 3)]),
+            encode_gif(
+                [img, patch, patch],
+                pal,
+                offsets=[(0, 0), (2, 3), (7, 1)],
+                disposals=[1, 3, 2],
+            ),
         ]
         for _ in range(1200):
             s = bytearray(rnd.choice(streams))
