@@ -561,16 +561,15 @@ def encode_jpeg(
 def decode_jpeg(data: bytes, max_pixels: int = 100_000_000) -> np.ndarray:
     """Baseline JFIF bytes → uint8 raster (H,W) or (H,W,3) RGB.
 
-    Accepts baseline sequential (SOF0/1) — interleaved OR non-interleaved
-    (one scan per component subset, T.81 A.2.2) — progressive (SOF2 —
-    spectral selection + successive approximation, DC/AC first and
-    refinement scans, EOB runs) and sequential arithmetic (SOF9, QM-coder
-    + DAC conditioning) with 1 or 3 components, any h/v sampling factors
-    ≤ 2, standard or custom Huffman/quantization tables, and restart
-    intervals. Hierarchical modes, progressive arithmetic (SOF10) and
-    non-interleaved arithmetic scans raise NotImplementedError — the
-    documented seams, same contract as the other codecs in this
-    package.
+    Accepts baseline sequential (SOF0/1), progressive (SOF2 — spectral
+    selection + successive approximation, DC/AC first and refinement
+    scans, EOB runs) and sequential arithmetic (SOF9, QM-coder + DAC
+    conditioning) — each interleaved OR non-interleaved (one scan per
+    component subset, T.81 A.2.2) — with 1 or 3 components, any h/v
+    sampling factors ≤ 2, standard or custom Huffman/quantization
+    tables, and restart intervals. Hierarchical modes and progressive
+    arithmetic (SOF10) raise NotImplementedError — the documented
+    seams, same contract as the other codecs in this package.
 
     Executor-safe on untrusted bytes (fuzz-pinned in tests): every
     malformed stream raises a clean ``ValueError`` — internal parse
@@ -664,6 +663,8 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
                 else:
                     raise ValueError(f"jpeg: invalid DAC class {tc}")
                 off += 2
+            if off != len(seg):  # trailing odd byte = malformed segment
+                raise ValueError("jpeg: DAC segment length not a pair multiple")
         elif marker in (0xC0, 0xC1, 0xC2, 0xC9):  # sequential / prog. /
             # SOF9 sequential arithmetic
             prec, h, w, n_comp = struct.unpack(">BHHB", seg[:6])
@@ -723,11 +724,18 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
             end = _find_scan_end(data, pos)
             if frame.get("arith"):
                 if n_scan < len(frame["comps"]):
-                    raise NotImplementedError(
-                        "jpeg: non-interleaved arithmetic scans not "
-                        "supported here (Huffman non-interleaved and "
-                        "interleaved arithmetic both are)"
+                    # non-interleaved arithmetic: same accumulate-and-
+                    # assemble-at-EOI discipline as the Huffman subset
+                    # path; each scan opens its own QM decoder (INITDEC
+                    # runs per scan — no coder state crosses scans)
+                    if seq_deq is None:
+                        seq_deq = _alloc_seq_grids(frame)
+                    _decode_scan_arith_noninterleaved(
+                        data[pos:end], frame, qtabs, scan_list,
+                        restart_interval, dc_cond, ac_cond, seq_deq,
                     )
+                    pos = end
+                    continue
                 return _decode_scan_arith(
                     data[pos:end], frame, qtabs, scan_tabs,
                     restart_interval, dc_cond, ac_cond,
@@ -1893,6 +1901,7 @@ def encode_jpeg_arith(
     precision: int = 8,
     dc_cond: tuple[int, int] | None = None,
     ac_kx: int | None = None,
+    interleave: bool = True,
 ) -> bytes:
     """Sequential arithmetic-coded JPEG (SOF9), T.81 Annex D + F.1.4.
 
@@ -1910,7 +1919,10 @@ def encode_jpeg_arith(
     the default conditioning; a DAC marker is emitted for every
     statistics table so the decoder's non-default conditioning branches
     (the zero-diff L classification, the Kx band split) have a real
-    fixture generator too."""
+    fixture generator too. ``interleave=False`` emits one SOS per
+    component (T.81 A.2.2, 4:4:4 without restarts — the same honest
+    subset as :func:`encode_jpeg`'s flag), each scan with its own
+    freshly initialized QM coder and statistics."""
     L, U = dc_cond if dc_cond is not None else (0, 1)
     kx = ac_kx if ac_kx is not None else 5
     if not (0 <= L <= U <= 15 and 1 <= kx <= 63):
@@ -1929,6 +1941,36 @@ def encode_jpeg_arith(
             dac += bytes([0x00 | t, (U << 4) | L])
             dac += bytes([0x10 | t, kx])
         out += b"\xff\xcc" + struct.pack(">H", 2 + len(dac)) + dac
+    if not interleave:
+        # one SOS per component, same scope guard as encode_jpeg's flag
+        if subsampling != "444" or restart_interval:
+            raise ValueError(
+                "jpeg: interleave=False supports 4:4:4 without restarts"
+            )
+        for c in range(n_comp):
+            sos = struct.pack(">B", 1)
+            sos += struct.pack(">BB", c + 1, 0x00 if c == 0 else 0x11)
+            sos += b"\x00\x3f\x00"
+            out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+            t = 0 if c == 0 else 1
+            enc = _QMEncoder()
+            dc_stats = bytearray(64)
+            ac_stats = bytearray(256)
+            fixed = bytearray([_QM_FIXED])
+            dc_context = [0] * n_comp
+            prev = 0
+            for gy in range(mcuy):
+                for gx in range(mcux):
+                    zz = comp_coefs[c][gy, gx][_ZIGZAG]
+                    dc = int(zz[0])
+                    _arith_encode_dc(
+                        enc, dc_stats, dc_context, c, dc - prev, L, U
+                    )
+                    prev = dc
+                    _arith_encode_ac_block(enc, ac_stats, fixed, zz, kx)
+            out += enc.flush()
+        out += b"\xff\xd9"
+        return bytes(out)
     sos = struct.pack(">B", n_comp)
     for c in range(n_comp):
         # Td/Ta select the statistics/conditioning table ids here
@@ -2051,3 +2093,103 @@ def _decode_scan_arith(
                         deq[ci][gy, gx] = block.reshape(8, 8) * q
             mcu_in_seg += 1
     return _blocks_to_image(frame, deq)
+
+
+def _decode_scan_arith_noninterleaved(
+    scan, frame, qtabs, scan_list, restart_interval, dc_cond, ac_cond, deq
+):
+    """Arithmetic scan covering a SUBSET of the frame's components —
+    the QM twin of :func:`_decode_scan_noninterleaved`, closing the
+    late-r11 seam (SOF9 + one-scan-per-component streams).
+
+    Geometry is identical to the Huffman subset path (T.81 A.2.2: a
+    single-component scan walks that component's OWN ceil(dim/8) grid
+    in raster order; a multi-component subset interleaves over the
+    global MCU grid). Entropy state is per-scan: each SOS opens with
+    INITDEC, so the QM decoder, the statistics areas, the DC contexts
+    and the DC predictors all initialize at scan start and again at
+    every restart marker (T.81 E.1.4, F.1.4.4.1.1) — nothing carries
+    across scans. Results accumulate into the shared ``deq`` grids and
+    assemble at EOI via :func:`_blocks_to_image`."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    segments = (
+        _split_restart_segments(scan, restart_interval)
+        if restart_interval
+        else [scan]
+    )
+
+    def fresh(seg):
+        return (
+            _QMDecoder(seg),
+            {t: bytearray(64) for t in range(4)},
+            {t: bytearray(256) for t in range(4)},
+            bytearray([_QM_FIXED]),
+            [0] * len(comps),
+            [0] * len(comps),
+        )
+
+    seg_idx = 0
+    dec, dc_stats, ac_stats, fixed, dc_context, prev_dc = fresh(segments[0])
+    mcu_in_seg = 0
+
+    def decode_block(ci, td, ta, gy, gx):
+        comp = comps[ci]
+        L, U = dc_cond.get(td, (0, 1))
+        kx = ac_cond.get(ta, 5)
+        if comp["tq"] not in qtabs:
+            raise ValueError(f"jpeg: missing quantization table {comp['tq']}")
+        q = qtabs[comp["tq"]]
+        zz = np.zeros(64, dtype=np.int64)
+        prev_dc[ci] += _arith_decode_dc(
+            dec, dc_stats[td], dc_context, ci, L, U
+        )
+        zz[0] = prev_dc[ci]
+        _arith_decode_ac_block(dec, ac_stats[ta], fixed, zz, kx)
+        block = np.zeros(64, dtype=np.float64)
+        block[_ZIGZAG] = zz
+        deq[ci][gy, gx] = block.reshape(8, 8) * q
+
+    def next_segment():
+        nonlocal seg_idx, dec, dc_stats, ac_stats, fixed
+        nonlocal dc_context, prev_dc, mcu_in_seg
+        seg_idx += 1
+        if seg_idx >= len(segments):
+            raise ValueError("jpeg: missing restart segment")
+        dec, dc_stats, ac_stats, fixed, dc_context, prev_dc = fresh(
+            segments[seg_idx]
+        )
+        mcu_in_seg = 0
+
+    if len(scan_list) == 1:
+        ci, td, ta = scan_list[0]
+        comp = comps[ci]
+        comp_w = -(-(w * comp["h"]) // hmax)
+        comp_h = -(-(h * comp["v"]) // vmax)
+        bw = -(-comp_w // 8)
+        bh = -(-comp_h // 8)
+        for gy in range(bh):
+            for gx in range(bw):
+                if restart_interval and mcu_in_seg == restart_interval:
+                    next_segment()
+                decode_block(ci, td, ta, gy, gx)
+                mcu_in_seg += 1  # non-interleaved MCU = one block
+        return
+
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_in_seg == restart_interval:
+                next_segment()
+            for ci, td, ta in scan_list:
+                comp = comps[ci]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        decode_block(
+                            ci, td, ta,
+                            my * comp["v"] + by, mx * comp["h"] + bx,
+                        )
+            mcu_in_seg += 1

@@ -604,16 +604,63 @@ class TestNonInterleaved:
         with pytest.raises(ValueError, match="interleave"):
             encode_jpeg(img, restart_interval=2, interleave=False)
 
-    def test_arith_non_interleaved_is_the_seam(self):
-        """A SOF9 stream with a partial-component SOS hits the documented
-        NotImplementedError, not a mis-decode."""
-        data = bytearray(encode_jpeg_arith(_test_image(channels=3)))
-        i = bytes(data).index(b"\xff\xda")
-        # rewrite the 3-component SOS into a 1-component one
-        # (length 2+1+2*1+3 = 8)
-        new_sos = struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
-        data[i + 2:i + 2 + 12] = new_sos
-        with pytest.raises(NotImplementedError, match="non-interleaved"):
+    @pytest.mark.parametrize("shape", [(40, 56, 3), (13, 21, 3)])
+    @pytest.mark.parametrize("quality", [30, 85])
+    def test_arith_non_interleaved_matches_huffman_bit_exact(
+        self, shape, quality
+    ):
+        """SOF9 + one-scan-per-component (the late-r11 seam, closed r12):
+        same quantized coefficients as the Huffman interleaved stream,
+        so all four (entropy coder × scan layout) paths must decode
+        bit-identically."""
+        rng = np.random.default_rng(sum(shape) + quality + 1)
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=quality))
+        got = decode_jpeg(
+            encode_jpeg_arith(img, quality=quality, interleave=False)
+        )
+        assert np.array_equal(base, got)
+
+    def test_arith_non_interleaved_with_nondefault_conditioning(self):
+        """Non-default DAC conditioning (the other late-r11 feature) must
+        compose with non-interleaved scans — each scan reads the same
+        DAC tables but opens its own coder/statistics."""
+        img = _test_image(24, 40, channels=3, seed=9)
+        base = decode_jpeg(encode_jpeg(img, quality=60))
+        got = decode_jpeg(
+            encode_jpeg_arith(
+                img, quality=60, interleave=False,
+                dc_cond=(1, 2), ac_kx=4,
+            )
+        )
+        assert np.array_equal(base, got)
+
+    def test_arith_stream_really_has_three_scans_and_is_sof9(self):
+        data = encode_jpeg_arith(
+            _test_image(channels=3), quality=70, interleave=False
+        )
+        assert b"\xff\xc9" in data and data.count(b"\xff\xda") == 3
+
+    def test_arith_non_interleaved_unsupported_combinations_rejected(self):
+        img = _test_image(channels=3)
+        with pytest.raises(ValueError, match="interleave"):
+            encode_jpeg_arith(img, subsampling="420", interleave=False)
+        with pytest.raises(ValueError, match="interleave"):
+            encode_jpeg_arith(img, restart_interval=2, interleave=False)
+
+    def test_dac_segment_with_trailing_odd_byte_rejected(self):
+        """A DAC segment whose payload is not a whole number of
+        (Tc/Tb, Cs) pairs must raise the clean ValueError the DQT/DHT
+        parsers raise on bad lengths, not be silently tolerated
+        (ADVICE r11)."""
+        data = bytearray(
+            encode_jpeg_arith(_test_image(channels=1), dc_cond=(1, 2))
+        )
+        i = bytes(data).index(b"\xff\xcc")
+        seg_len = struct.unpack(">H", bytes(data[i + 2:i + 4]))[0]
+        data[i + 2:i + 4] = struct.pack(">H", seg_len + 1)
+        data.insert(i + 2 + seg_len, 0x00)  # trailing odd byte
+        with pytest.raises(ValueError, match="DAC"):
             decode_jpeg(bytes(data))
 
     def test_fuzz_non_interleaved_clean_errors_only(self):
@@ -621,9 +668,12 @@ class TestNonInterleaved:
 
         rnd = random.Random(13)
         img = _test_image(24, 32, channels=3, seed=2)
-        stream = encode_jpeg(img, quality=60, interleave=False)
+        streams = [
+            encode_jpeg(img, quality=60, interleave=False),
+            encode_jpeg_arith(img, quality=60, interleave=False),
+        ]
         for _ in range(800):
-            s = bytearray(stream)
+            s = bytearray(rnd.choice(streams))
             for _ in range(rnd.randint(1, 3)):
                 op = rnd.random()
                 if op < 0.5:
