@@ -1,0 +1,266 @@
+"""Independent-decoder differentials for the codec family.
+
+Every other codec gate in this repo is cross-path WITHIN the repo
+(arithmetic-vs-Huffman, progressive-vs-sequential, encode→decode round
+trips, PSNR riders). Those catch nearly everything EXCEPT a systematic
+error shared by both paths — a wrong color-convert constant, a
+transposed zigzag that cancels on the round trip. This module closes
+that blind spot with decoders this repo did not write:
+
+* stdlib ``wave`` (always importable): exact PCM16 agreement in both
+  directions — the differential that runs in every environment;
+* Pillow (optional — the same import-try seam as the pyav demux path,
+  ``multimodal.py``): exact equality for the lossless codecs (PNG in
+  both directions; GIF stills, interlace, animations) and bounded
+  agreement for lossy JPEG — grayscale within 1 LSB (the T.81 Annex A
+  DCT-compliance bound applies directly to the output samples), RGB
+  within 3 LSB (libjpeg's integer IDCT may differ from our float64
+  reference by ±1 per YCbCr sample, and the color convert amplifies
+  that by up to the 1.772 Cb→B gain before rounding) plus a ≥99%
+  within-1 mass check so the bound can't hide a broken region.
+  Skips cleanly when Pillow is absent.
+
+Paths NOT externally differentialed (documented, with reasons):
+arithmetic JPEG (no public Python package decodes SOF9 — that gap is
+why the codec exists here; its gate is bit-exactness against the
+Huffman twin, which Pillow DOES differential), IMA-ADPCM blocks
+(stdlib ``audioop.adpcm2lin`` is the headerless DVI variant — a
+different framing, not a comparable oracle), and Y4M (no stdlib or
+Pillow decoder).
+"""
+
+import io
+import struct
+import wave
+
+import numpy as np
+import pytest
+
+from shopify_etl_spark.operators.gif_codec import decode_gif, encode_gif
+from shopify_etl_spark.operators.jpeg_codec import (
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_progressive,
+)
+from shopify_etl_spark.operators.png_codec import decode_png, encode_png
+from shopify_etl_spark.operators.wav_codec import decode_wav, encode_wav
+
+try:
+    from PIL import Image as PILImage
+
+    HAVE_PIL = True
+except ImportError:  # pragma: no cover - environment-dependent
+    HAVE_PIL = False
+
+needs_pil = pytest.mark.skipif(
+    not HAVE_PIL,
+    reason="Pillow not installed — external differential skipped "
+    "(the in-repo cross-path gates in test_{png,gif,jpeg}_codec.py "
+    "still cover these codecs)",
+)
+
+# libjpeg's integer IDCT is T.81-compliant: each decoded YCbCr sample is
+# within 1 of the exact (our float64) IDCT. Grayscale pixels ARE those
+# samples; RGB passes them through the color convert, whose largest
+# coefficient (1.772 for Cb→B) amplifies a ±1 sample error to ±1.772
+# before the final rounding step adds another half-LSB each side.
+_JPEG_TOL_GRAY = 1
+_JPEG_TOL_RGB = 3
+_JPEG_WITHIN1_MASS = 0.99
+
+
+class TestStdlibWaveDifferential:
+    @pytest.mark.parametrize("n_ch", [1, 2])
+    def test_encode_wav_read_by_stdlib_wave(self, n_ch):
+        rng = np.random.default_rng(n_ch)
+        samples = rng.integers(-32768, 32768, size=(501, n_ch), dtype=np.int16)
+        data = encode_wav(samples if n_ch > 1 else samples[:, 0], 8000)
+        with wave.open(io.BytesIO(data)) as r:
+            assert r.getnchannels() == n_ch
+            assert r.getframerate() == 8000
+            assert r.getsampwidth() == 2
+            assert r.getnframes() == 501
+            frames = r.readframes(501)
+        got = np.frombuffer(frames, dtype="<i2").reshape(-1, n_ch)
+        assert np.array_equal(got, samples)
+
+    @pytest.mark.parametrize("n_ch", [1, 2])
+    def test_stdlib_wave_written_decoded_by_us(self, n_ch):
+        rng = np.random.default_rng(10 + n_ch)
+        samples = rng.integers(-32768, 32768, size=(350, n_ch), dtype=np.int16)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(n_ch)
+            w.setsampwidth(2)
+            w.setframerate(22050)
+            w.writeframes(np.ascontiguousarray(samples).tobytes())
+        arr, rate = decode_wav(buf.getvalue())
+        assert rate == 22050
+        assert arr.shape == (350, n_ch) and arr.dtype == np.float32
+        assert np.array_equal(arr, samples.astype(np.float32) / 32768.0)
+
+    def test_stdlib_wave_rejects_nothing_we_accept_silently(self):
+        """Cross-check the header fields byte-for-byte: the fmt chunk we
+        emit must parse identically through stdlib wave's own chunk
+        walker (sample width, block align, byte rate)."""
+        data = encode_wav(np.zeros(17, dtype=np.int16), 44100)
+        with wave.open(io.BytesIO(data)) as r:
+            assert (r.getframerate() * r.getnchannels()
+                    * r.getsampwidth()) == 44100 * 2
+        i = data.index(b"fmt ")
+        _tag, n_ch, rate, byte_rate, block_align, bits = struct.unpack(
+            "<HHIIHH", data[i + 8:i + 24]
+        )
+        assert byte_rate == rate * n_ch * (bits // 8)
+        assert block_align == n_ch * (bits // 8)
+
+
+@needs_pil
+class TestPillowPNG:
+    @pytest.mark.parametrize("mode", ["L", "RGB", "RGBA"])
+    def test_ours_decoded_by_pillow_exact(self, mode):
+        rng = np.random.default_rng(len(mode))
+        shape = (23, 31) if mode == "L" else (23, 31, len(mode))
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        im = PILImage.open(io.BytesIO(encode_png(arr)))
+        assert im.mode == mode
+        assert np.array_equal(np.asarray(im), arr)
+
+    @pytest.mark.parametrize("mode", ["L", "RGB", "RGBA"])
+    def test_pillow_written_decoded_by_us_exact(self, mode):
+        rng = np.random.default_rng(7 + len(mode))
+        shape = (19, 27) if mode == "L" else (19, 27, len(mode))
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        buf = io.BytesIO()
+        PILImage.fromarray(arr, mode).save(buf, format="PNG")
+        assert np.array_equal(decode_png(buf.getvalue()), arr)
+
+    def test_pillow_adaptive_filters_decoded_by_us(self):
+        """A smooth gradient makes Pillow's zip encoder pick non-zero
+        scanline filters (Sub/Up/Average/Paeth) — the rows our encoder
+        never emits, so only an external writer exercises them against
+        real-world filter choices."""
+        y, x = np.mgrid[0:64, 0:64]
+        arr = ((y * 2 + x * 3) % 256).astype(np.uint8)
+        rgb = np.stack([arr, arr[::-1], arr.T], axis=-1)
+        buf = io.BytesIO()
+        PILImage.fromarray(rgb, "RGB").save(buf, format="PNG")
+        assert np.array_equal(decode_png(buf.getvalue()), rgb)
+
+
+@needs_pil
+class TestPillowGIF:
+    def test_still_ours_decoded_by_pillow_exact(self):
+        rng = np.random.default_rng(3)
+        pal = rng.integers(0, 256, (17, 3), dtype=np.uint8)
+        img = rng.integers(0, 17, size=(21, 33), dtype=np.uint8)
+        im = PILImage.open(io.BytesIO(encode_gif([img], pal)))
+        assert np.array_equal(np.asarray(im.convert("RGB")), pal[img])
+
+    def test_interlaced_ours_decoded_by_pillow_exact(self):
+        rng = np.random.default_rng(4)
+        pal = rng.integers(0, 256, (31, 3), dtype=np.uint8)
+        img = rng.integers(0, 31, size=(37, 19), dtype=np.uint8)
+        data = encode_gif([img], pal, interlace=True)
+        im = PILImage.open(io.BytesIO(data))
+        assert np.array_equal(np.asarray(im.convert("RGB")), pal[img])
+
+    def test_animation_ours_decoded_by_pillow_exact(self):
+        """Full-canvas draw-over frames: every correct decoder composites
+        these identically, so the per-frame comparison is exact."""
+        rng = np.random.default_rng(5)
+        pal = rng.integers(0, 256, (9, 3), dtype=np.uint8)
+        frames = [
+            rng.integers(0, 9, size=(12, 16), dtype=np.uint8)
+            for _ in range(4)
+        ]
+        data = encode_gif(frames, pal)
+        ours = decode_gif(data)
+        im = PILImage.open(io.BytesIO(data))
+        assert getattr(im, "n_frames", 1) == 4
+        for k in range(4):
+            im.seek(k)
+            assert np.array_equal(np.asarray(im.convert("RGB")), ours[k])
+
+    def test_pillow_written_decoded_by_us_exact(self):
+        """Compare OUR decode of a Pillow-written GIF against Pillow's
+        own re-decode of the same bytes — palette reordering by the
+        writer cancels out of the comparison."""
+        rng = np.random.default_rng(6)
+        arr = rng.integers(0, 64, size=(18, 25), dtype=np.uint8)
+        pal = np.zeros((256, 3), dtype=np.uint8)
+        pal[:64] = rng.integers(0, 256, (64, 3), dtype=np.uint8)
+        im = PILImage.fromarray(arr, "P")
+        im.putpalette(pal.reshape(-1).tolist())
+        buf = io.BytesIO()
+        im.save(buf, format="GIF")
+        theirs = np.asarray(PILImage.open(buf).convert("RGB"))
+        assert np.array_equal(decode_gif(buf.getvalue())[0], theirs)
+
+
+def _jpeg_agree(pil_arr, ours, tol):
+    pil_arr = pil_arr.astype(np.int64)
+    ours = ours.astype(np.int64)
+    assert pil_arr.shape == ours.shape
+    diff = np.abs(pil_arr - ours)
+    assert diff.max() <= tol, f"max diff {diff.max()} > {tol}"
+    assert (diff <= 1).mean() >= _JPEG_WITHIN1_MASS
+
+
+@needs_pil
+class TestPillowJPEG:
+    @pytest.mark.parametrize("quality", [30, 85])
+    def test_baseline_gray_within_dct_compliance_bound(self, quality):
+        rng = np.random.default_rng(quality)
+        img = rng.integers(0, 256, size=(40, 56), dtype=np.uint8)
+        data = encode_jpeg(img, quality=quality)
+        pil_arr = np.asarray(PILImage.open(io.BytesIO(data)))
+        _jpeg_agree(pil_arr, decode_jpeg(data), _JPEG_TOL_GRAY)
+
+    @pytest.mark.parametrize("subsampling", ["444", "420"])
+    @pytest.mark.parametrize("quality", [30, 85])
+    def test_baseline_rgb_within_color_convert_bound(
+        self, subsampling, quality
+    ):
+        rng = np.random.default_rng(quality + len(subsampling))
+        img = rng.integers(0, 256, size=(33, 47, 3), dtype=np.uint8)
+        data = encode_jpeg(img, quality=quality, subsampling=subsampling)
+        pil_arr = np.asarray(PILImage.open(io.BytesIO(data)).convert("RGB"))
+        _jpeg_agree(pil_arr, decode_jpeg(data), _JPEG_TOL_RGB)
+
+    def test_progressive_rgb_within_bound(self):
+        rng = np.random.default_rng(12)
+        img = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)
+        data = encode_jpeg_progressive(img, quality=70)
+        pil_arr = np.asarray(PILImage.open(io.BytesIO(data)).convert("RGB"))
+        _jpeg_agree(pil_arr, decode_jpeg(data), _JPEG_TOL_RGB)
+
+    def test_non_interleaved_ours_decoded_by_pillow(self):
+        rng = np.random.default_rng(13)
+        img = rng.integers(0, 256, size=(21, 29, 3), dtype=np.uint8)
+        data = encode_jpeg(img, quality=80, interleave=False)
+        pil_arr = np.asarray(PILImage.open(io.BytesIO(data)).convert("RGB"))
+        _jpeg_agree(pil_arr, decode_jpeg(data), _JPEG_TOL_RGB)
+
+    def test_pillow_written_decoded_by_us(self):
+        """The reverse direction: libjpeg-encoded bytes (its own Huffman
+        table choices, JFIF headers, MCU padding) through OUR decoder,
+        judged against Pillow's own decode of the same file."""
+        rng = np.random.default_rng(14)
+        img = rng.integers(0, 256, size=(30, 42, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        PILImage.fromarray(img, "RGB").save(
+            buf, format="JPEG", quality=85, subsampling=0
+        )
+        theirs = np.asarray(PILImage.open(buf).convert("RGB"))
+        _jpeg_agree(theirs, decode_jpeg(buf.getvalue()), _JPEG_TOL_RGB)
+
+    def test_pillow_written_progressive_decoded_by_us(self):
+        rng = np.random.default_rng(15)
+        img = rng.integers(0, 256, size=(26, 34, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        PILImage.fromarray(img, "RGB").save(
+            buf, format="JPEG", quality=75, progressive=True, subsampling=2
+        )
+        theirs = np.asarray(PILImage.open(buf).convert("RGB"))
+        _jpeg_agree(theirs, decode_jpeg(buf.getvalue()), _JPEG_TOL_RGB)
