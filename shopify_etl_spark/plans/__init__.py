@@ -207,6 +207,16 @@ _CHANGED_R10 = [
     "progressive_jpeg_stats",   # same decoder change + 16-bit DQT
 ]
 
+# New or code-changed in round 12 — sample these first.
+_CHANGED_R12 = [
+    "retrieval_trained_search",  # NEW: k-means-trained chunk index + probe
+    "gif_roundtrip_stats",       # gif decoder: disposal 2/3 + pixel cap
+    "arith_jpeg_stats",          # jpeg: non-interleaved SOF9 + DAC check
+    "jpeg_roundtrip_stats",      # same decoder dispatch touched
+    "progressive_jpeg_stats",    # same decoder dispatch touched
+    "image_decode_stats",        # same decoder dispatch touched
+]
+
 # New or code-changed in round 11 — sample these first.
 _CHANGED_R11 = [
     "retrieval_index_manifest",  # NEW: chunk->embed-stub->IVF->manifest chain
@@ -222,19 +232,23 @@ _CHANGED_R11 = [
     "image_decode_stats",        # same decoder change
 ]
 
-# Freshness order: round-11 changes, then round-10, round-8, round-6, then
-# everything whose latest official row predates r05 (stalest first by
-# construction of the earlier lists), then the r05-sampled set.
-_SAMPLE_FIRST = _CHANGED_R11 + [
-    n for n in _CHANGED_R10 if n not in _CHANGED_R11
+# Freshness order: round-12 changes, then round-11, round-10, round-8,
+# round-6, then everything whose latest official row predates r05 (stalest
+# first by construction of the earlier lists), then the r05-sampled set.
+_SAMPLE_FIRST = _CHANGED_R12 + [
+    n for n in _CHANGED_R11 if n not in _CHANGED_R12
 ] + [
-    n for n in _CHANGED_R08 if n not in _CHANGED_R10 + _CHANGED_R11
+    n for n in _CHANGED_R10 if n not in _CHANGED_R11 + _CHANGED_R12
+] + [
+    n for n in _CHANGED_R08
+    if n not in _CHANGED_R10 + _CHANGED_R11 + _CHANGED_R12
 ] + [
     n for n in _CHANGED_R06
-    if n not in _CHANGED_R08 + _CHANGED_R10 + _CHANGED_R11
+    if n not in _CHANGED_R08 + _CHANGED_R10 + _CHANGED_R11 + _CHANGED_R12
 ] + [
     n for n in QUERIES
-    if n not in _CHANGED_R11
+    if n not in _CHANGED_R12
+    and n not in _CHANGED_R11
     and n not in _CHANGED_R10
     and n not in _CHANGED_R08
     and n not in _CHANGED_R06

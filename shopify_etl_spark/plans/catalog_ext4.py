@@ -736,3 +736,148 @@ def gif_roundtrip_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.gif_roundtrip_stats(docs)
+
+
+def _retrieval_trained_oracle() -> str:
+    """Unrolled-Lloyd oracle for the TRAINED retrieval chain: the chunk +
+    hash-embed CTEs from retrieval_chunk_search feed the kmeans twin's
+    iteration SQL (dim 16, smallest-chunk-key init), then IVF cells,
+    2-cell probes and candidate scoring — the full train→index→search
+    story recomputed by an independent engine."""
+    from .catalog_ext2 import _kmeans_iter_sql
+
+    return rf"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n
+      FROM documents WHERE length(text) > 0
+    ), s AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, greatest(n - 40 - 1, 0), 120))
+               AS cstart
+      FROM d
+    ), chunks AS (
+      SELECT doc_id, cstart // 120 AS chunk_idx,
+             substr(text, cstart + 1, 160) AS chunk_text
+      FROM s
+    ), unit AS MATERIALIZED (
+      SELECT doc_id || ':' || chunk_idx AS vec_id,
+             list_transform(ev,
+                 x -> x / sqrt(list_sum(list_transform(ev, y -> y*y))))
+               AS u
+      FROM (
+        SELECT doc_id, chunk_idx,
+               list_transform(range(1, 17),
+                   j -> CAST(ascii(substr(md5(chunk_text), j, 1)) - 77
+                             AS DOUBLE)) AS ev
+        FROM chunks
+      )
+    ), c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1
+               AS cid, u AS c
+      FROM (SELECT vec_id, u FROM unit ORDER BY vec_id LIMIT 8)
+    ),{_kmeans_iter_sql("c0", "a1", "c1", 16)},{_kmeans_iter_sql("c1", "a2", "c2", 16)},
+    cells AS (
+      SELECT vec_id, cid FROM (
+        SELECT p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id
+                 ORDER BY list_cosine_similarity(p.u, c.c) DESC, c.cid)
+                 AS rn
+        FROM unit p CROSS JOIN c2 c
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT doc_id || ':' || chunk_idx AS qk
+      FROM chunks WHERE doc_id < 3 AND chunk_idx = 0
+    ), probes AS (
+      SELECT qk, cid FROM (
+        SELECT q.qk, c.cid,
+               row_number() OVER (PARTITION BY q.qk
+                 ORDER BY list_cosine_similarity(u.u, c.c) DESC, c.cid)
+                 AS rn
+        FROM q JOIN unit u ON u.vec_id = q.qk CROSS JOIN c2 c
+      ) WHERE rn <= 2
+    ), cand AS (
+      SELECT p.qk, e.vec_id AS ck,
+             list_cosine_similarity(qu.u, e.u) AS sim
+      FROM probes p
+      JOIN cells x ON x.cid = p.cid
+      JOIN unit e ON e.vec_id = x.vec_id AND e.vec_id <> p.qk
+      JOIN unit qu ON qu.vec_id = p.qk
+    )
+    SELECT CAST(split_part(qk, ':', 1) AS BIGINT) AS query_doc,
+           CAST(split_part(ck, ':', 1) AS BIGINT) AS neighbor_doc,
+           CAST(split_part(ck, ':', 2) AS BIGINT) AS neighbor_chunk,
+           ROUND(sim, 4) AS cosine_sim
+    FROM (
+      SELECT qk, ck, sim,
+             ROW_NUMBER() OVER (PARTITION BY qk
+                                ORDER BY sim DESC, ck) AS rn
+      FROM cand
+    ) WHERE rn <= 5
+    """
+
+
+@register(
+    "retrieval_trained_search",
+    # End-to-end TRAINED retrieval chain (VERDICT r11 #4): the ±1 stub
+    # codebook of retrieval_chunk_search replaced by a k-means-trained
+    # one. Same cross-engine discipline as trained_ivf_topk: the oracle
+    # re-trains with the unrolled-Lloyd CTEs (SQL-reproducible smallest-
+    # chunk-key init, 2 iterations, dim 16), re-assigns, re-probes and
+    # re-scores — every stage deterministic with id tie-breaks, so the
+    # whole pipeline is value-checked, not just composition-checked.
+    oracle=_retrieval_trained_oracle(),
+    doc="The production retrieval-prep shape: chunk (char windows "
+    "160/40) -> embed (hash_embed stub — the model-encoder seam) -> "
+    "TRAIN the IVF coarse quantizer on the chunk embeddings themselves "
+    "(spherical Lloyd, 2 iterations, smallest-chunk-key init any SQL "
+    "engine reproduces) -> assign chunks to trained cells -> probe "
+    "each query chunk's 2 nearest cells -> top-5 neighbors. Upgrades "
+    "retrieval_chunk_search's fixed ±1 codebook to the trained "
+    "codebook a real pipeline ships (trained_ivf_topk precedent, on "
+    "chunks instead of the embeddings table). The chunk+embed frame is "
+    "checkpointed: k-means consumes it iters+1 times and ivf_topk "
+    "twice more — one documents scan feeds them all. At 100 TB: "
+    "k ~ sqrt(n_chunks) cells, train on a hash-sample, corpus "
+    "repartitioned by cell. operators/text.py::char_chunk_documents + "
+    "operators/clustering.py::kmeans_fit + operators/similarity.py::"
+    "hash_embed,ivf_topk.",
+)
+def retrieval_trained_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators import clustering, similarity
+    from ..operators.materialize import checkpoint_tracked
+    from ..operators.text import char_chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = char_chunk_documents(docs, chunk_chars=160, overlap=40)
+    emb = checkpoint_tracked(
+        chunks.select(
+            F.concat_ws(":", "doc_id", "chunk_idx").alias("ck"),
+            similarity.hash_embed("chunk_text").alias("ev"),
+        )
+    )
+    cents, _hist = clustering.kmeans_fit(
+        emb, vec_col="ev", id_col="ck", k=8, iters=2, init_by="id"
+    )
+    cents_df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cents)], "cid int, cv array<double>"
+    )
+    q = chunks.filter(
+        (F.col("doc_id") < 3) & (F.col("chunk_idx") == 0)
+    ).select(
+        F.concat_ws(":", "doc_id", "chunk_idx").alias("qk"),
+        similarity.hash_embed("chunk_text").alias("qv"),
+    )
+    topk = similarity.ivf_topk(
+        q, emb, cents_df, k=5, n_probes=2,
+        query_id="qk", query_vec="qv",
+        corpus_id="ck", corpus_vec="ev",
+        cent_id="cid", cent_vec="cv",
+    )
+    return topk.select(
+        F.split("qk", ":")[0].cast("long").alias("query_doc"),
+        F.split("ck", ":")[0].cast("long").alias("neighbor_doc"),
+        F.split("ck", ":")[1].cast("long").alias("neighbor_chunk"),
+        "cosine_sim",
+    )

@@ -313,6 +313,9 @@ MAX_SCANS_PER_TABLE = {
     "token_budget_shards": 2,      # narrow build-time stats agg + counted frame
     "training_sequence_spans": 2,
     "shard_balance_report": 2,
+    "retrieval_trained_search": 2,  # chunk+embed checkpoint feeds k-means
+                                    # (iters+1 passes) AND ivf_topk (x2);
+                                    # the 3-query probe side re-scans once
 }
 
 
@@ -395,6 +398,7 @@ BNLJ_ALLOWED = {
     "ann_cosine_topk",      # query vectors broadcast over the corpus
     "retrieval_index_manifest",  # 8-row ±1 codebook broadcast over chunks
     "retrieval_chunk_search",    # codebook broadcast: cell assign + probes
+    "retrieval_trained_search",  # 8 TRAINED centroids broadcast, same shape
     "embedding_outlier_screen",  # %61 codebook broadcast (behind checkpoint)
     "ivf_assignments",      # k centroids broadcast
     "ivf_ann_topk",         # centroids + query vectors

@@ -155,6 +155,10 @@ FAMILY = (
     "arith_jpeg_stats",
     "gif_roundtrip_stats",       # 0-shuffle Arrow map, ~linear like its twins
     "embedding_outlier_screen",  # broadcast cross-score + cells-sized rollup
+    # r12: the trained retrieval chain — k-means on the 10x chunk frame
+    # (partials fold stays k-row), trained-codebook assign + 2-cell probe
+    # (cells grow 10x, probe candidates grow 10x; broadcast sides fixed)
+    "retrieval_trained_search",
 )
 
 
