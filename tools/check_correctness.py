@@ -48,7 +48,15 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # partial corpora (the scale_harness-built sf1 dir has only the
+        # tables its FAMILY queries read) register what exists; a query
+        # over a missing table fails loudly at run time on both engines
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # Spark-written dataset (scale_harness sf1)
+            path = f"{path}/*.parquet"
+        elif not os.path.exists(path):
+            continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     spark = get_spark("correctness-check", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")

@@ -7,7 +7,13 @@ invisible at sf0.01; the expensive tail is where the heavy plans live,
 so one tier up on exactly those queries closes the gap at minutes of
 cost (VERDICT r10 #2). Usage::
 
-    python tools/expensive_tail.py [N]         # default 20
+    python tools/expensive_tail.py [N] [record.json]   # default 20
+
+Pass the CURRENT round's just-snapshotted BENCH_FULL record explicitly —
+round_finish.sh does — so the tier is derived from this round's own
+timings; the latest-committed-record default can lag a round and drop a
+query that newly entered the top-N (VERDICT r11: ``hard_negative_pairs``
+slipped the r11 tier exactly this way).
 """
 
 from __future__ import annotations
@@ -26,14 +32,18 @@ from shopify_etl_spark.plans import QUERIES  # noqa: E402
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    fulls = sorted(
-        glob.glob(os.path.join(here, "BENCH_FULL_r*.json")),
-        key=lambda p: int(re.search(r"_r0*(\d+)", p).group(1)),
-    )
-    if not fulls:
-        print("no BENCH_FULL record found", file=sys.stderr)
-        return 1
-    with open(fulls[-1]) as fh:
+    if len(sys.argv) > 2:
+        record = sys.argv[2]
+    else:
+        fulls = sorted(
+            glob.glob(os.path.join(here, "BENCH_FULL_r*.json")),
+            key=lambda p: int(re.search(r"_r0*(\d+)", p).group(1)),
+        )
+        if not fulls:
+            print("no BENCH_FULL record found", file=sys.stderr)
+            return 1
+        record = fulls[-1]
+    with open(record) as fh:
         rec = json.load(fh)
     timings = {
         k: v
@@ -42,7 +52,7 @@ def main() -> int:
     }
     names = sorted(timings, key=lambda k: -timings[k])[:n]
     print(
-        f"expensive tail from {os.path.basename(fulls[-1])}: "
+        f"expensive tail from {os.path.basename(record)}: "
         + ", ".join(f"{k}={timings[k]}" for k in names),
         file=sys.stderr,
     )

@@ -3,38 +3,23 @@
 # CATALOG.md lagged the catalog two rounds running — script them so they
 # cannot be forgotten). Usage:  sh tools/round_finish.sh <round-number>
 #
-#   1. full-catalog oracle mirror  -> ALLCHECK_r<N>.json  (must be 0 fails)
-#   2. catalog report              -> CATALOG.md
-#   3. bench triple                -> BENCH_LOCAL.json
+# Ordering matters: the bench runs BEFORE the expensive-tail tiers so the
+# top-N lists are derived from THIS round's own record — the previous
+# latest-committed-record default lagged a round and dropped
+# hard_negative_pairs from the r11 sf0.1 tier (VERDICT r11 #2).
 set -e
 cd "$(dirname "$0")/.."
 N="${1:?usage: round_finish.sh <round-number>}"
+NN="$(printf '%02d' "$N")"
 
-echo "== 0/6 full pytest suite (the r8 snapshot shipped red — gate it) =="
+echo "== 0/7 full pytest suite (the r8 snapshot shipped red — gate it) =="
 python -m pytest tests/ -q
 
-echo "== 1/6 full-catalog oracle mirror (sf0.01) =="
-SPARK_GRAFT_ALLCHECK_OUT="ALLCHECK_r$(printf '%02d' "$N").json" \
+echo "== 1/7 full-catalog oracle mirror (sf0.01) =="
+SPARK_GRAFT_ALLCHECK_OUT="ALLCHECK_r${NN}.json" \
     python tools/check_correctness.py /root/testdata/sf0.01
 
-echo "== 2/6 sf0.1 oracle tier: the 20 most expensive queries =="
-# VERDICT r10 #2: scale-dependent divergence (overflow, spill, AQE plan
-# changes) is invisible at sf0.01 — run the expensive tail one tier up.
-TAIL_QUERIES=$(python tools/expensive_tail.py 20)
-SPARK_GRAFT_ALLCHECK_OUT="ALLCHECK_SF01_r$(printf '%02d' "$N").json" \
-    python tools/check_correctness.py /root/testdata/sf0.1 $TAIL_QUERIES
-git add "ALLCHECK_SF01_r$(printf '%02d' "$N").json"
-
-echo "== 3/6 streaming evidence gate =="
-# VERDICT r10 #5: the streaming layer's health becomes a round artifact
-# (batch-equivalence + crash-injection suites, tagged pass/fail record).
-python tools/stream_gate.py "STREAMGATE_r$(printf '%02d' "$N").json"
-git add "STREAMGATE_r$(printf '%02d' "$N").json"
-
-echo "== 4/6 catalog report =="
-python tools/catalog_report.py > CATALOG.md
-
-echo "== 5/6 bench (sf0.1, 3 runs) =="
+echo "== 2/7 bench (sf0.1, 3 runs) + snapshot + cross-round diff =="
 # bench.py writes BENCH_LOCAL.json itself; don't redirect stdout onto the
 # same file (the redirect's truncation races bench's own write). Its
 # stderr carries the vs_prev >1.3x cross-round regressions — keep it on
@@ -47,14 +32,12 @@ else
     python bench.py > /tmp/bench_stdout.log
 fi
 tail -c 400 BENCH_LOCAL.json
-
 echo ""
-echo "== 6/6 snapshot full bench record + cross-round diff =="
 # VERDICT r9 #1: the full per-query record must survive the round — the
 # r8 record was never committed and its loss made the one open perf
 # question (curation_v2 drift) unanswerable from artifacts.
-cp BENCH_LOCAL.json "BENCH_FULL_r$(printf '%02d' "$N").json"
-git add "BENCH_FULL_r$(printf '%02d' "$N").json"
+cp BENCH_LOCAL.json "BENCH_FULL_r${NN}.json"
+git add "BENCH_FULL_r${NN}.json"
 python - "$N" << 'EOF'
 import json, sys
 r = json.load(open("BENCH_LOCAL.json"))
@@ -71,3 +54,36 @@ if vp:
 else:
     print("no prior BENCH_FULL record at this sf — diff skipped")
 EOF
+
+echo "== 3/7 sf0.1 oracle tier: this round's 20 most expensive queries =="
+# VERDICT r10 #2: scale-dependent divergence (overflow, spill, AQE plan
+# changes) is invisible at sf0.01 — run the expensive tail one tier up.
+TAIL_QUERIES=$(python tools/expensive_tail.py 20 "BENCH_FULL_r${NN}.json")
+SPARK_GRAFT_ALLCHECK_OUT="ALLCHECK_SF01_r${NN}.json" \
+    python tools/check_correctness.py /root/testdata/sf0.1 $TAIL_QUERIES
+git add "ALLCHECK_SF01_r${NN}.json"
+
+echo "== 4/7 sf1 oracle tier: this round's 5 most expensive queries =="
+# VERDICT r11 #7: sf0.1 -> sf1 is where bound-and-correct branches (df
+# caps, cell caps, band widths) change regime; grade the top-5 there on
+# the scale_harness-replicated corpus (disjoint ids, bijective token
+# remap — the same corpus the SCALE.md growth rows run on).
+TOP5=$(python tools/expensive_tail.py 5 "BENCH_FULL_r${NN}.json")
+SPARK_GRAFT_DRIVER_MEM=24g python tools/scale_harness.py --build-only --keep
+SPARK_GRAFT_ALLCHECK_OUT="ALLCHECK_SF1_r${NN}.json" \
+    SPARK_GRAFT_DRIVER_MEM=24g \
+    python tools/check_correctness.py /root/repo/.scratch/sf1 $TOP5
+git add "ALLCHECK_SF1_r${NN}.json"
+rm -rf /root/repo/.scratch/sf1
+
+echo "== 5/7 streaming evidence gate =="
+# VERDICT r10 #5: the streaming layer's health becomes a round artifact
+# (batch-equivalence + crash-injection suites, tagged pass/fail record).
+python tools/stream_gate.py "STREAMGATE_r${NN}.json"
+git add "STREAMGATE_r${NN}.json"
+
+echo "== 6/7 catalog report =="
+python tools/catalog_report.py > CATALOG.md
+
+echo "== 7/7 done — review, then commit the artifacts =="
+git status --short | head -20

@@ -260,6 +260,9 @@ def main() -> None:
     ap.add_argument("--keep", action="store_true", help="keep the built corpus")
     ap.add_argument("--only", nargs="*", default=None,
                     help="measure only these FAMILY queries")
+    ap.add_argument("--build-only", action="store_true",
+                    help="build the sf1 corpus and exit (implies the dir "
+                    "is kept; the sf1 oracle tier consumes it)")
     args = ap.parse_args()
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -295,6 +298,11 @@ def main() -> None:
     t0 = time.time()
     build_sf1(spark, args.sf_dir, args.build_dir)
     build_secs = round(time.time() - t0, 3)
+
+    if args.build_only:
+        print(json.dumps({"build_secs": build_secs, "dir": args.build_dir}))
+        spark.stop()
+        return
 
     report = {"build_secs": build_secs, "replicas": REPLICAS, "queries": {}}
     for name in (args.only or FAMILY):
