@@ -12,5 +12,6 @@ from .index_stream import (  # noqa: F401
     compact_index_epochs,
     read_index_chunks,
     read_index_manifest,
+    search_index_chunks,
     stream_index_chunks,
 )

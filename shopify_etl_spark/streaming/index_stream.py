@@ -85,7 +85,10 @@ def stream_index_chunks(
         assigned = ivf_assign(
             emb, _codebook(sp), corpus_id="chunk_key", corpus_vec="ev",
             cent_id="cid", cent_vec="cv",
-            keep_cols=("doc_id", "n_tokens"), sim_col="sim",
+            # the vector rides into the store: an IVF index IS
+            # (vector, cell) — the search side scores candidates straight
+            # from the committed rows, no re-embedding
+            keep_cols=("doc_id", "n_tokens", "ev"), sim_col="sim",
         )
         assigned.write.mode("overwrite").parquet(out_ep)
 
@@ -127,6 +130,61 @@ def read_index_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("sum_tokens"),
             F.round(F.avg("sim"), 4).alias("avg_sim"),
         )
+    )
+
+
+def search_index_chunks(
+    spark: SparkSession,
+    out_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probes: int = 2,
+    query_id: str = "qk",
+    query_vec: str = "qv",
+) -> DataFrame:
+    """Probe the incrementally maintained index — the streaming twin of
+    the batch ``retrieval_chunk_search`` back half.
+
+    Candidates come from the STORE's committed cell assignments and
+    stored vectors (no re-assignment, no re-embedding): each query
+    scores the codebook, takes its ``n_probes`` nearest cells, and
+    scores only the stored chunks in those cells, top-k with the same
+    (sim desc, chunk key) tie-break as :func:`~..operators.similarity.
+    ivf_topk`. Because the store holds the identical embedding doubles
+    the batch chain computes (parquet round-trips them exactly) and the
+    codebook is the same pure-salt geometry, the answer must EQUAL the
+    batch ``ivf_topk`` over the union of every fed document after any
+    number of epochs and after compaction — the parity contract pinned
+    in tests/test_streaming.py."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import _dot, _norm
+
+    idx = read_index_chunks(spark, out_dir)
+    cents = _codebook(spark).withColumn("_cn2", _norm("cv"))
+    cq = queries.withColumn("_qn", _norm(query_vec))
+    scored = cq.crossJoin(F.broadcast(cents)).withColumn(
+        "_csim", _dot(query_vec, "cv") / (F.col("_qn") * F.col("_cn2"))
+    )
+    wq = Window.partitionBy(query_id).orderBy(F.desc("_csim"), F.asc("cid"))
+    probes = (
+        scored.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probes)
+        .select(query_id, query_vec, "_qn",
+                F.col("cid").alias("centroid_id"))
+    )
+    cand = (
+        idx.withColumn("_cn", _norm("ev"))
+        .join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("chunk_key") != F.col(query_id))
+    )
+    sim = (_dot(query_vec, "ev") / (F.col("_qn") * F.col("_cn"))).alias("sim")
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc("chunk_key"))
+    return (
+        cand.select(query_id, "chunk_key", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id, "chunk_key", F.round("sim", 4).alias("cosine_sim"))
     )
 
 
