@@ -29,6 +29,12 @@ honest baseline subset (ITU-T T.81):
   cross-path contract: the arithmetic and Huffman paths entropy-code
   the SAME quantized coefficients, so their decodes must be
   bit-identical), DAC conditioning markers, restart intervals,
+* **lossless predictive coding** (SOF3, T.81 Annex H) on both decode
+  and encode (``encode_jpeg_lossless``): all 7 predictors, 2-16 bit
+  precision, point transform, interleaved or one-scan-per-component —
+  the DICOM/raw-camera mode, pinned by an EXACT round-trip contract
+  (no DCT, no quantization; components coded directly, no color
+  transform),
 * progressive arithmetic (SOF10) and hierarchical (SOF5+) stay
   OUTSIDE — they raise ``NotImplementedError`` at the same seam the
   other codecs use, behind this working default path.
@@ -567,9 +573,13 @@ def decode_jpeg(data: bytes, max_pixels: int = 100_000_000) -> np.ndarray:
     conditioning) — each interleaved OR non-interleaved (one scan per
     component subset, T.81 A.2.2) — with 1 or 3 components, any h/v
     sampling factors ≤ 2, standard or custom Huffman/quantization
-    tables, and restart intervals. Hierarchical modes and progressive
-    arithmetic (SOF10) raise NotImplementedError — the documented
-    seams, same contract as the other codecs in this package.
+    tables, and restart intervals; plus lossless predictive (SOF3,
+    T.81 Annex H: predictors 1-7, 2-16 bit, point transform,
+    interleaved or per-component scans — returns the samples exactly,
+    uint16 above 8-bit). Hierarchical modes, progressive arithmetic
+    (SOF10), lossless subsampling/restarts raise NotImplementedError —
+    the documented seams, same contract as the other codecs in this
+    package.
 
     Executor-safe on untrusted bytes (fuzz-pinned in tests): every
     malformed stream raises a clean ``ValueError`` — internal parse
@@ -600,6 +610,8 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
     restart_interval = 0
     coef_store = None  # progressive: per-component coefficient grids
     seq_deq = None  # non-interleaved sequential: dequantized grids
+    lossless_planes = None  # lossless: per-component sample rows
+    lossless_pt = 0
     dc_cond: dict[int, tuple[int, int]] = {}  # DAC: Tb -> (L, U)
     ac_cond: dict[int, int] = {}  # DAC: Tb -> Kx
     while pos < len(data):
@@ -665,10 +677,15 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
                 off += 2
             if off != len(seg):  # trailing odd byte = malformed segment
                 raise ValueError("jpeg: DAC segment length not a pair multiple")
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):  # sequential / prog. /
-            # SOF9 sequential arithmetic
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):  # sequential /
+            # progressive / lossless / SOF9 sequential arithmetic
             prec, h, w, n_comp = struct.unpack(">BHHB", seg[:6])
-            if prec not in (8, 12):
+            if marker == 0xC3:
+                if not 2 <= prec <= 16:  # T.81 Annex H sample precision
+                    raise ValueError(
+                        f"jpeg: invalid lossless precision {prec}"
+                    )
+            elif prec not in (8, 12):
                 raise NotImplementedError(
                     f"jpeg: only 8- and 12-bit precision (got {prec})"
                 )
@@ -694,17 +711,21 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
                 raise ValueError("jpeg: zero sampling factor in SOF")
             if any(c["h"] > 2 or c["v"] > 2 for c in comps):
                 raise NotImplementedError("jpeg: sampling factors > 2")
+            if marker == 0xC3 and any(
+                c["h"] != 1 or c["v"] != 1 for c in comps
+            ):
+                raise NotImplementedError("jpeg: lossless with subsampling")
             frame = {
                 "h": h, "w": w, "comps": comps,
                 "prog": marker == 0xC2, "prec": prec,
-                "arith": marker == 0xC9,
+                "arith": marker == 0xC9, "lossless": marker == 0xC3,
             }
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"jpeg: only sequential (SOF0/1), progressive (SOF2) and "
-                f"sequential arithmetic (SOF9) supported, "
-                f"got SOF{marker - 0xC0}"
+                f"jpeg: only sequential (SOF0/1), progressive (SOF2), "
+                f"lossless (SOF3) and sequential arithmetic (SOF9) "
+                f"supported, got SOF{marker - 0xC0}"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
@@ -722,6 +743,35 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
                 )
                 scan_list.append((ci, tdta >> 4, tdta & 0x0F))
             end = _find_scan_end(data, pos)
+            if frame.get("lossless"):
+                if restart_interval:
+                    raise NotImplementedError(
+                        "jpeg: lossless with restart intervals (their "
+                        "prediction-reset semantics vary across codecs)"
+                    )
+                ss = seg[1 + 2 * n_scan]  # predictor selection
+                ahal = seg[3 + 2 * n_scan]
+                pt = ahal & 0x0F
+                if pt >= frame["prec"]:
+                    raise ValueError(
+                        f"jpeg: point transform {pt} >= precision"
+                    )
+                if lossless_planes is None:
+                    lossless_planes = [
+                        [[0] * frame["w"] for _ in range(frame["h"])]
+                        for _ in frame["comps"]
+                    ]
+                    lossless_pt = pt
+                elif pt != lossless_pt:
+                    raise ValueError(
+                        "jpeg: point transform differs across scans"
+                    )
+                _decode_scan_lossless(
+                    data[pos:end], frame, htabs, scan_list,
+                    ss, pt, lossless_planes,
+                )
+                pos = end
+                continue
             if frame.get("arith"):
                 if n_scan < len(frame["comps"]):
                     # non-interleaved arithmetic: same accumulate-and-
@@ -775,6 +825,8 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
         return _reconstruct_from_coefs(frame, qtabs, coef_store)
     if frame is not None and seq_deq is not None:
         return _blocks_to_image(frame, seq_deq)
+    if frame is not None and lossless_planes is not None:
+        return _assemble_lossless(frame, lossless_planes, lossless_pt)
     raise ValueError("jpeg: no scan data found")
 
 
@@ -2193,3 +2245,201 @@ def _decode_scan_arith_noninterleaved(
                             my * comp["v"] + by, mx * comp["h"] + bx,
                         )
             mcu_in_seg += 1
+
+
+# ---------------------------------------------------------------------------
+# Lossless mode (T.81 Annex H): predictive coding of samples — no DCT, no
+# quantization. The format DICOM archives and several raw-camera
+# pipelines ship; Pillow cannot decode it, so (like arithmetic coding)
+# the gate is the exact round trip against this module's own encoder.
+# ---------------------------------------------------------------------------
+
+#: Canonical Huffman table covering difference categories 0..16 (the DC
+#: alphabet plus the SSSS=16 "diff == 32768, no extra bits" special that
+#: only 16-bit-precision streams can produce). Kraft sum 1 - 2^-16 < 1,
+#: so no all-ones code is assigned (the JPEG-reserved pattern).
+_DC_LOSSLESS = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1],
+    list(range(17)),
+)
+
+
+def _lossless_predict(row, prev_row, x, y, predictor, default):
+    """One sample's prediction Px per T.81 H.1.2: the scan's first
+    sample and edge samples use the mandated fallbacks (default /
+    Ra-on-first-line / Rb-on-first-column); interior samples use the
+    selected predictor 1-7."""
+    if y == 0:
+        return default if x == 0 else row[x - 1]
+    if x == 0:
+        return prev_row[0]
+    ra, rb, rc = row[x - 1], prev_row[x], prev_row[x - 1]
+    if predictor == 1:
+        return ra
+    if predictor == 2:
+        return rb
+    if predictor == 3:
+        return rc
+    if predictor == 4:
+        return ra + rb - rc
+    if predictor == 5:
+        return ra + ((rb - rc) >> 1)
+    if predictor == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1  # predictor 7
+
+
+def encode_jpeg_lossless(
+    arr: np.ndarray,
+    predictor: int = 4,
+    precision: int | None = None,
+    point_transform: int = 0,
+    interleave: bool = True,
+) -> bytes:
+    """Sample raster → T.81 Annex H lossless JPEG (SOF3) bytes.
+
+    ``arr``: uint8 (H,W)/(H,W,3) for 8-bit precision, uint16 for 12/16
+    (precision defaults to 8 for uint8 input, 16 for uint16). Components
+    are coded DIRECTLY (no color transform — this is the lossless
+    contract: ``decode_jpeg(encode_jpeg_lossless(x)) == x`` bit-for-bit
+    when ``point_transform == 0``; with Pt > 0 the decode equals
+    ``(x >> Pt) << Pt``, the spec's near-lossless mode). ``predictor``
+    selects T.81 H.1.2's 1-7; ``interleave=False`` emits one scan per
+    component. Restart markers are out of scope (their prediction-reset
+    semantics vary across real lossless codecs — documented seam).
+
+    Exists primarily as the fixture generator for the decoder, like
+    ``encode_jpeg_arith`` (the ask is decode: DICOM/raw-camera archives
+    HIT lossless JPEG; they rarely need to WRITE it).
+    """
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"jpeg: invalid lossless predictor {predictor}")
+    arr = np.asarray(arr)
+    if precision is None:
+        precision = 8 if arr.dtype == np.uint8 else 16
+    if not 2 <= precision <= 16:
+        raise ValueError(f"jpeg: invalid lossless precision {precision}")
+    if not 0 <= point_transform < precision:
+        raise ValueError(f"jpeg: invalid point transform {point_transform}")
+    if arr.ndim == 2:
+        planes = [arr]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        planes = [arr[..., c] for c in range(3)]
+    else:
+        raise ValueError(f"jpeg: unsupported raster shape {arr.shape}")
+    h, w = planes[0].shape
+    if h == 0 or w == 0:
+        raise ValueError("jpeg: empty raster")
+    if int(planes[0].max(initial=0)) >= (1 << precision) or any(
+        int(p.max(initial=0)) >= (1 << precision) for p in planes
+    ):
+        raise ValueError(f"jpeg: sample exceeds {precision}-bit precision")
+    n_comp = len(planes)
+    pt = point_transform
+    default = 1 << (precision - pt - 1)
+    # shifted int rows (Python lists: the per-sample loop below is pure
+    # Python either way, and list indexing beats numpy scalar access)
+    shifted = [(np.asarray(p, dtype=np.int64) >> pt).tolist() for p in planes]
+
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", precision, h, w, n_comp)
+    for c in range(n_comp):
+        sof += struct.pack(">BBB", c + 1, 0x11, 0)  # 1x1 sampling, Tq unused
+    out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
+    bits, values = _DC_LOSSLESS
+    payload = bytes([0x00]) + bytes(bits) + bytes(values)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    enc_t = _build_huffman_encode(bits, values)
+
+    def write_samples(writer, comp_subset):
+        for y in range(h):
+            for x in range(w):
+                for c in comp_subset:
+                    rows = shifted[c]
+                    row = rows[y]
+                    prev = rows[y - 1] if y else None
+                    px = _lossless_predict(row, prev, x, y, predictor, default)
+                    d = (row[x] - px) & 0xFFFF
+                    if d == 32768:  # SSSS=16: coded with no extra bits
+                        code, length = enc_t[16]
+                        writer.write(code, length)
+                        continue
+                    if d > 32768:
+                        d -= 65536
+                    s, extra = _magnitude(d)
+                    code, length = enc_t[s]
+                    writer.write(code, length)
+                    if s:
+                        writer.write(extra, s)
+
+    def sos_header(comp_ids):
+        sos = struct.pack(">B", len(comp_ids))
+        for cid in comp_ids:
+            sos += struct.pack(">BB", cid, 0x00)  # Td=0, Ta unused
+        sos += bytes([predictor, 0, pt])  # Ss=predictor, Se=0, Ah=0, Al=Pt
+        return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    if interleave or n_comp == 1:
+        out += sos_header(list(range(1, n_comp + 1)))
+        writer = _BitWriter()
+        write_samples(writer, list(range(n_comp)))
+        writer.flush()
+        out += writer.out
+    else:
+        for c in range(n_comp):
+            out += sos_header([c + 1])
+            writer = _BitWriter()
+            write_samples(writer, [c])
+            writer.flush()
+            out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_scan_lossless(scan, frame, htabs, scan_list, predictor, pt, planes):
+    """One lossless scan (full set or subset of components) into the
+    shared per-component sample planes (Python row lists — the
+    per-sample loop is pure Python, and list indexing beats numpy
+    scalar access ~3x).
+
+    Geometry: the supported subset is 1x1 sampling, where the
+    interleaved MCU order is raster order with a per-position component
+    loop and a non-interleaved scan is a plain raster walk — both
+    handled by the same loop. Reconstruction is ``(Px + diff) mod 2^16``
+    (T.81 H.1.2.2); the SSSS=16 symbol carries diff 32768 with no extra
+    bits."""
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"jpeg: invalid lossless predictor {predictor}")
+    h, w = frame["h"], frame["w"]
+    default = 1 << (frame["prec"] - pt - 1)
+    reader = _BitReader(scan)
+    tabs = []
+    for ci, td, _ta in scan_list:
+        t = htabs.get(0x00 | td)
+        if t is None:
+            raise ValueError(f"jpeg: missing Huffman table {td}")
+        tabs.append((ci, t))
+    for y in range(h):
+        for x in range(w):
+            for ci, dc_t in tabs:
+                rows = planes[ci]
+                row = rows[y]
+                prev = rows[y - 1] if y else None
+                px = _lossless_predict(row, prev, x, y, predictor, default)
+                s = reader.read_symbol(dc_t)
+                if s == 0:
+                    diff = 0
+                elif s == 16:
+                    diff = 32768
+                else:
+                    diff = _extend(reader.read_bits(s), s)
+                row[x] = (px + diff) & 0xFFFF
+
+
+def _assemble_lossless(frame, planes, pt) -> np.ndarray:
+    prec = frame["prec"]
+    dtype = np.uint8 if prec <= 8 else np.uint16
+    full = [
+        (np.asarray(p, dtype=np.int64) << pt).astype(dtype) for p in planes
+    ]
+    return full[0] if len(full) == 1 else np.stack(full, axis=-1)

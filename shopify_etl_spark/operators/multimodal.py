@@ -1034,3 +1034,96 @@ def audio_features(assets: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return assets.mapInPandas(extract, AUDIO_FEATURE_SCHEMA)
+
+
+LOSSLESS_JPEG_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("prec_bits", LongType(), False),
+        StructField("predictor", LongType(), False),
+        StructField("n_channels", LongType(), False),
+        StructField("sample_sum", LongType(), False),
+        StructField("matches_source", BooleanType(), False),
+    ]
+)
+
+
+def lossless_jpeg_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lossless-JPEG round-trip gate (SOF3, T.81 Annex H — r12): the
+    DICOM/raw-camera twin of :func:`gif_roundtrip_stats`, with the same
+    EXACT contract — no DCT, no quantization, so ``decode(encode(x))``
+    must equal ``x`` bit-for-bit.
+
+    Per key ``d``: a ``w = 8 + d % 7`` × ``h = 6 + d % 5`` raster with
+    ``ch = 1 + 2·(d % 2)`` channels at ``prec = 16 if d % 4 == 0 else
+    8`` bits, pixel ``(r, c, k) = (d·31 + r·17 + c·7 + k·13) mod
+    2^prec``, encoded through the REAL predictive coder with predictor
+    ``1 + d % 7`` (all seven T.81 H.1.2 predictors stay exercised),
+    one-scan-per-component on ``d % 5 == 0`` — then decoded back.
+    Output carries ``matches_source`` (exact equality) AND
+    ``sample_sum``, the decoded pixels' integer sum: the oracle
+    recomputes that sum from the synthesis formula in SQL, so a decoder
+    that misreads a single sample value-mismatches even if the flag
+    logic were wrong. Every step is a pure function of ``d``; sweep
+    over the full synthesis-key domain (lcm of all periods = 140,
+    verified exhaustively pre-ship) backs the blanket-TRUE flag. One
+    narrow ``mapInPandas`` chain, zero shuffles.
+    """
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .jpeg_codec import decode_jpeg, encode_jpeg_lossless
+
+        for pdf in batches:
+            rows = []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = 8 + d % 7, 6 + d % 5
+                prec = 16 if d % 4 == 0 else 8
+                pred = 1 + d % 7
+                nch = 1 + 2 * (d % 2)
+                interleave = d % 5 != 0
+                r = np.arange(h, dtype=np.int64)[:, None, None]
+                c = np.arange(w, dtype=np.int64)[None, :, None]
+                k = np.arange(nch, dtype=np.int64)[None, None, :]
+                px = (d * 31 + r * 17 + c * 7 + k * 13) % (1 << prec)
+                dtype = np.uint8 if prec == 8 else np.uint16
+                img = px.astype(dtype)
+                if nch == 1:
+                    img = img[..., 0]
+                got = decode_jpeg(
+                    encode_jpeg_lossless(
+                        img, predictor=pred, precision=prec,
+                        interleave=interleave,
+                    )
+                )
+                rows.append(
+                    (
+                        d, w, h, prec, pred, nch,
+                        int(got.astype(np.int64).sum()),
+                        bool(
+                            got.dtype == img.dtype
+                            and np.array_equal(got, img)
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "prec_bits",
+                    "predictor", "n_channels", "sample_sum",
+                    "matches_source",
+                ],
+            )
+
+    from .text import spread_small
+
+    return spread_small(docs.select(id_col)).mapInPandas(
+        roundtrip, LOSSLESS_JPEG_SCHEMA
+    )

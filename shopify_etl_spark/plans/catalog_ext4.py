@@ -881,3 +881,56 @@ def retrieval_trained_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("ck", ":")[1].cast("long").alias("neighbor_chunk"),
         "cosine_sim",
     )
+
+
+@register(
+    "lossless_jpeg_stats",
+    # Geometry AND the decoded-pixel sum regenerated in SQL — lossless
+    # means the pixels ARE SQL-recoverable (unlike the DCT family), so
+    # this gate is value-exact like image_decode_stats, with the
+    # matches_source flag on top. The blanket-TRUE flag is backed by an
+    # exhaustive pre-ship sweep over the synthesis-key domain (lcm of
+    # all periods = 140; 280 keys = 2 full periods, zero failures).
+    oracle="""
+    WITH p AS (
+      SELECT doc_id AS d, 8 + doc_id % 7 AS w, 6 + doc_id % 5 AS h,
+             CASE WHEN doc_id % 4 = 0 THEN 16 ELSE 8 END AS prec,
+             1 + doc_id % 7 AS pred,
+             1 + 2 * (doc_id % 2) AS nch
+      FROM documents
+    ), px AS (
+      SELECT p.d, p.w, p.h, p.prec, p.pred, p.nch,
+             ((p.d * 31 + r.r * 17 + c.c * 7 + k.k * 13)
+               % CASE WHEN p.prec = 16 THEN 65536 ELSE 256 END) AS v
+      FROM p, UNNEST(range(p.h)) AS r(r), UNNEST(range(p.w)) AS c(c),
+           UNNEST(range(p.nch)) AS k(k)
+    )
+    SELECT d AS asset_id,
+           CAST(ANY_VALUE(w) AS BIGINT) AS width,
+           CAST(ANY_VALUE(h) AS BIGINT) AS height,
+           CAST(ANY_VALUE(prec) AS BIGINT) AS prec_bits,
+           CAST(ANY_VALUE(pred) AS BIGINT) AS predictor,
+           CAST(ANY_VALUE(nch) AS BIGINT) AS n_channels,
+           CAST(SUM(v) AS BIGINT) AS sample_sum,
+           TRUE AS matches_source
+    FROM px GROUP BY d
+    """,
+    doc="Lossless-JPEG round-trip gate (SOF3, T.81 Annex H — r12): "
+    "deterministic raster synthesis -> REAL predictive encode (all 7 "
+    "H.1.2 predictors across keys, 8- and 16-bit precision, gray and "
+    "3-channel, interleaved and one-scan-per-component) -> REAL decode "
+    "-> EXACT equality flag + the decoded pixels' integer sum. The "
+    "oracle recomputes the sum from the synthesis formula in SQL "
+    "(lossless = pixels are SQL-recoverable, the stronger "
+    "image_decode_stats discipline, not the DCT family's PSNR rider), "
+    "so a decoder that misreads one sample value-mismatches. Zero "
+    "shuffles: one narrow mapInPandas chain. "
+    "operators/jpeg_codec.py (encode_jpeg_lossless, "
+    "_decode_scan_lossless), operators/multimodal.py::"
+    "lossless_jpeg_stats.",
+)
+def lossless_jpeg_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.lossless_jpeg_stats(docs)

@@ -686,3 +686,133 @@ class TestNonInterleaved:
                 decode_jpeg(bytes(s))
             except (ValueError, NotImplementedError):
                 pass
+
+
+class TestLossless:
+    """Lossless predictive mode (SOF3, T.81 Annex H — r12): the contract
+    is PNG's, not the DCT family's PSNR bound — decode(encode(x)) == x
+    bit-for-bit, every predictor, every supported precision."""
+
+    @pytest.mark.parametrize("predictor", range(1, 8))
+    @pytest.mark.parametrize("shape", [(9, 13), (1, 7), (5, 1), (23, 31)])
+    def test_exact_roundtrip_gray(self, predictor, shape):
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_lossless,
+        )
+
+        rng = np.random.default_rng(predictor * 100 + sum(shape))
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        got = decode_jpeg(encode_jpeg_lossless(img, predictor=predictor))
+        assert got.dtype == np.uint8 and np.array_equal(got, img)
+
+    @pytest.mark.parametrize("predictor", [1, 4, 7])
+    @pytest.mark.parametrize("interleave", [True, False])
+    def test_exact_roundtrip_rgb(self, predictor, interleave):
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_lossless,
+        )
+
+        rng = np.random.default_rng(predictor + int(interleave))
+        img = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+        got = decode_jpeg(
+            encode_jpeg_lossless(img, predictor=predictor,
+                                 interleave=interleave)
+        )
+        assert np.array_equal(got, img)
+
+    @pytest.mark.parametrize("precision", [12, 16])
+    def test_exact_roundtrip_high_precision(self, precision):
+        """16-bit exercises the SSSS=16 'diff == 32768, no extra bits'
+        special the 8-bit alphabet never produces."""
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_lossless,
+        )
+
+        rng = np.random.default_rng(precision)
+        img = rng.integers(0, 1 << precision, (19, 11), dtype=np.uint16)
+        got = decode_jpeg(
+            encode_jpeg_lossless(img, predictor=4, precision=precision)
+        )
+        assert got.dtype == np.uint16 and np.array_equal(got, img)
+
+    def test_ssss16_special_really_fires(self):
+        """A 16-bit image alternating 0 and 65535 with predictor 1 forces
+        |diff| == 32768-adjacent codes; verify the extreme round-trips
+        (regression for the no-extra-bits branch)."""
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_lossless,
+        )
+
+        img = np.zeros((4, 8), dtype=np.uint16)
+        img[:, 1::2] = 65535
+        img[1, 3] = 32768  # first sample default is 32768: diff 0 nearby
+        got = decode_jpeg(encode_jpeg_lossless(img, predictor=1))
+        assert np.array_equal(got, img)
+
+    def test_point_transform_is_the_spec_near_lossless(self):
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_lossless,
+        )
+
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (8, 9), dtype=np.uint8)
+        got = decode_jpeg(
+            encode_jpeg_lossless(img, predictor=4, point_transform=2)
+        )
+        assert np.array_equal(got, (img >> 2) << 2)
+
+    def test_stream_structure_and_seams(self):
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_lossless,
+        )
+
+        img = _test_image(channels=3)
+        data = encode_jpeg_lossless(img, interleave=False)
+        assert b"\xff\xc3" in data and data.count(b"\xff\xda") == 3
+        assert b"\xff\xdb" not in data  # no quantization tables: lossless
+        with pytest.raises(ValueError, match="predictor"):
+            encode_jpeg_lossless(img, predictor=8)
+        with pytest.raises(ValueError, match="precision"):
+            encode_jpeg_lossless(
+                np.array([[300]], dtype=np.uint16), precision=8
+            )
+        # decoder-side seams: subsampled / restart lossless streams
+        seq = bytearray(encode_jpeg(img, quality=60, subsampling="420"))
+        i = bytes(seq).index(b"\xff\xc0")
+        seq[i + 1] = 0xC3
+        with pytest.raises(
+            (NotImplementedError, ValueError), match="lossless|jpeg"
+        ):
+            decode_jpeg(bytes(seq))
+
+    def test_fuzz_lossless_clean_errors_only(self):
+        import random
+
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_lossless,
+        )
+
+        rnd = random.Random(21)
+        img = _test_image(16, 20, channels=3, seed=3)
+        img16 = np.random.default_rng(3).integers(
+            0, 65536, (12, 14), dtype=np.uint16
+        )
+        streams = [
+            encode_jpeg_lossless(img, predictor=4),
+            encode_jpeg_lossless(img, predictor=7, interleave=False),
+            encode_jpeg_lossless(img16, predictor=2),
+        ]
+        for _ in range(800):
+            s = bytearray(rnd.choice(streams))
+            for _ in range(rnd.randint(1, 3)):
+                op = rnd.random()
+                if op < 0.5:
+                    s[rnd.randrange(len(s))] = rnd.randrange(256)
+                elif op < 0.75:
+                    del s[rnd.randrange(len(s))]
+                else:
+                    s.insert(rnd.randrange(len(s)), rnd.randrange(256))
+            try:
+                decode_jpeg(bytes(s), max_pixels=1_000_000)
+            except (ValueError, NotImplementedError):
+                pass

@@ -159,6 +159,7 @@ FAMILY = (
     # (partials fold stays k-row), trained-codebook assign + 2-cell probe
     # (cells grow 10x, probe candidates grow 10x; broadcast sides fixed)
     "retrieval_trained_search",
+    "lossless_jpeg_stats",       # 0-shuffle Arrow map, ~linear like its twins
 )
 
 
