@@ -14,9 +14,13 @@ honest baseline subset (ITU-T T.81):
   SAME quantized coefficients, so progressive decode must equal
   baseline decode bit-for-bit at the same quality (pinned in tests),
 * **1 component (grayscale) or 3 components (YCbCr, JFIF)**,
-* **no chroma subsampling on encode (4:4:4)**; decode additionally
-  accepts any h/v sampling factors ≤ 2 (4:2:0 / 4:2:2 from other
-  encoders) with block-replication upsampling,
+* **chroma subsampling on encode**: 4:4:4, 4:2:0, 4:2:2, 4:1:1 and
+  4:4:0 (mean-downsampled chroma, interleaved MCUs) on every entropy
+  back end — sequential, progressive AND arithmetic share one
+  subsampling front half, so the cross-path bit-exactness contract
+  covers every layout; decode accepts any h/v sampling factors ≤ 4
+  with integer ratios (block-replication upsampling; T.81's ≤10
+  blocks/MCU rule enforced),
 * restart intervals (DRI/RSTn) on decode,
 * **12-bit precision** (uint16 rasters in [0, 4095], Pq=1 16-bit
   quantization tables, full-alphabet Huffman tables) on both encode
@@ -324,11 +328,41 @@ def _tiles(plane: np.ndarray, n_by: int, n_bx: int) -> np.ndarray:
     return padded.reshape(n_by, 8, n_bx, 8).transpose(0, 2, 1, 3)
 
 
-def _downsample2(plane: np.ndarray) -> np.ndarray:
-    """2×2 mean downsample (edge-padded to even dims) — the 4:2:0 chroma."""
+def _downsample(plane: np.ndarray, fx: int, fy: int) -> np.ndarray:
+    """fy×fx mean downsample (edge-padded to multiples) — the chroma
+    reduction for 4:2:0 (2,2), 4:2:2 (2,1), 4:1:1 (4,1), 4:4:0 (1,2)."""
     h, w = plane.shape
-    p = np.pad(plane, ((0, h % 2), (0, w % 2)), mode="edge")
-    return p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(axis=(1, 3))
+    p = np.pad(
+        plane, ((0, -h % fy), (0, -w % fx)), mode="edge"
+    )
+    return p.reshape(
+        p.shape[0] // fy, fy, p.shape[1] // fx, fx
+    ).mean(axis=(1, 3))
+
+
+#: Luma (h, v) per encode mode; chroma is always (1, 1), mean-downsampled
+#: by the same factors — the layouts real encoders emit (4:2:0 the web
+#: default, 4:2:2 broadcast video, 4:1:1 DV camcorders, 4:4:0).
+_SUBSAMP = {"420": (2, 2), "422": (2, 1), "411": (4, 1), "440": (1, 2)}
+
+
+def _subsample_planes(planes, subsampling: str):
+    """(samp factors, downsampled planes) for an encode mode — shared by
+    the sequential/arithmetic front half and the progressive encoder."""
+    n_comp = len(planes)
+    if subsampling in _SUBSAMP and n_comp == 3:
+        fx, fy = _SUBSAMP[subsampling]
+        return (
+            [(fx, fy), (1, 1), (1, 1)],
+            [
+                planes[0],
+                _downsample(planes[1], fx, fy),
+                _downsample(planes[2], fx, fy),
+            ],
+        )
+    if subsampling == "444":
+        return [(1, 1)] * n_comp, planes
+    raise ValueError(f"unsupported subsampling {subsampling!r}")
 
 
 def _encode_block(writer, block_zz, prev_dc, dc_t, ac_t) -> int:
@@ -387,13 +421,7 @@ def _prepare_frame(arr, quality: int, subsampling: str, precision: int):
         raise ValueError(f"unsupported raster shape {arr.shape}")
     h, w = arr.shape[:2]
     n_comp = len(planes)
-    if subsampling == "420" and n_comp == 3:
-        samp = [(2, 2), (1, 1), (1, 1)]
-        planes = [planes[0], _downsample2(planes[1]), _downsample2(planes[2])]
-    elif subsampling == "444":
-        samp = [(1, 1)] * n_comp
-    else:
-        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    samp, planes = _subsample_planes(planes, subsampling)
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcux = -(-w // (8 * hmax))
@@ -709,8 +737,19 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
             # never a raw ZeroDivisionError
             if any(c["h"] == 0 or c["v"] == 0 for c in comps):
                 raise ValueError("jpeg: zero sampling factor in SOF")
-            if any(c["h"] > 2 or c["v"] > 2 for c in comps):
-                raise NotImplementedError("jpeg: sampling factors > 2")
+            if any(c["h"] > 4 or c["v"] > 4 for c in comps):
+                raise ValueError("jpeg: sampling factors > 4 (T.81 B.2.2)")
+            if sum(c["h"] * c["v"] for c in comps) > 10:
+                raise ValueError("jpeg: >10 blocks per MCU (T.81 B.2.3)")
+            _hm = max(c["h"] for c in comps)
+            _vm = max(c["v"] for c in comps)
+            if any(_hm % c["h"] or _vm % c["v"] for c in comps):
+                # 3:2-style rational resampling — no mainstream encoder
+                # emits it; the block-replication upsample needs integer
+                # ratios
+                raise NotImplementedError(
+                    "jpeg: non-integer sampling ratios"
+                )
             if marker == 0xC3 and any(
                 c["h"] != 1 or c["v"] != 1 for c in comps
             ):
@@ -1340,13 +1379,7 @@ def encode_jpeg_progressive(
         raise ValueError(f"unsupported raster shape {arr.shape}")
     h, w = arr.shape[:2]
     n_comp = len(planes)
-    if subsampling == "420" and n_comp == 3:
-        samp = [(2, 2), (1, 1), (1, 1)]
-        planes = [planes[0], _downsample2(planes[1]), _downsample2(planes[2])]
-    elif subsampling == "444":
-        samp = [(1, 1)] * n_comp
-    else:
-        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    samp, planes = _subsample_planes(planes, subsampling)
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcux = -(-w // (8 * hmax))

@@ -816,3 +816,67 @@ class TestLossless:
                 decode_jpeg(bytes(s), max_pixels=1_000_000)
             except (ValueError, NotImplementedError):
                 pass
+
+
+class TestWideSubsampling:
+    """4:2:2 / 4:1:1 / 4:4:0 layouts (r12): one shared subsampling front
+    half feeds all three entropy back ends, so progressive and
+    arithmetic must decode bit-identically to the Huffman stream on
+    EVERY layout — and decode now accepts foreign factors up to 4."""
+
+    @pytest.mark.parametrize("mode", ["422", "411", "440"])
+    def test_roundtrip_psnr_and_size(self, mode):
+        img = _test_image(h=41, w=55, channels=3)
+        data = encode_jpeg(img, quality=90, subsampling=mode)
+        out = decode_jpeg(data)
+        assert out.shape == img.shape
+        assert _psnr(img, out) > 28
+        assert len(data) < len(encode_jpeg(img, quality=90))  # vs 4:4:4
+
+    @pytest.mark.parametrize("mode", ["422", "411", "440"])
+    def test_cross_path_bit_exact_all_entropy_backends(self, mode):
+        img = _test_image(h=33, w=47, channels=3, seed=9)
+        base = decode_jpeg(encode_jpeg(img, quality=70, subsampling=mode))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, quality=70, subsampling=mode)
+        )
+        arith = decode_jpeg(
+            encode_jpeg_arith(img, quality=70, subsampling=mode)
+        )
+        assert np.array_equal(prog, base) and np.array_equal(arith, base)
+
+    @pytest.mark.parametrize("mode", ["422", "411", "440"])
+    def test_odd_dims(self, mode):
+        img = _test_image(h=17, w=23, channels=3)
+        out = decode_jpeg(encode_jpeg(img, quality=85, subsampling=mode))
+        assert out.shape == (17, 23, 3) and _psnr(img, out) > 26
+
+    def test_411_restart_intervals(self):
+        img = _test_image(h=41, w=55, channels=3)
+        plain = decode_jpeg(encode_jpeg(img, quality=80, subsampling="411"))
+        rst = decode_jpeg(
+            encode_jpeg(img, quality=80, subsampling="411",
+                        restart_interval=2)
+        )
+        assert np.array_equal(plain, rst)
+
+    def test_factor_bounds_enforced(self):
+        """Foreign SOFs: factor 5+ and >10 blocks/MCU are spec violations
+        (ValueError); legal-but-non-integer ratios hit the documented
+        NotImplementedError."""
+        data = bytearray(encode_jpeg(_test_image(channels=3), quality=60,
+                                     subsampling="411"))
+        i = bytes(data).index(b"\xff\xc0")
+        # luma h=4,v=1 at offset i+11 (component 0's h/v byte)
+        assert data[i + 11] == 0x41
+        data[i + 11] = 0x51  # h=5
+        with pytest.raises(ValueError, match="sampling factors > 4"):
+            decode_jpeg(bytes(data))
+        data[i + 11] = 0x44  # h=4, v=4 -> 16 blocks/MCU
+        with pytest.raises(ValueError, match="blocks per MCU"):
+            decode_jpeg(bytes(data))
+        data[i + 11] = 0x31  # h=3 with chroma h=1: 3 % 1 == 0... make
+        # chroma h=2 so 3 % 2 != 0 (non-integer ratio)
+        data[i + 14] = 0x21
+        with pytest.raises(NotImplementedError, match="non-integer"):
+            decode_jpeg(bytes(data))
