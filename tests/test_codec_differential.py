@@ -135,6 +135,53 @@ class TestPillowPNG:
         PILImage.fromarray(arr, mode).save(buf, format="PNG")
         assert np.array_equal(decode_png(buf.getvalue()), arr)
 
+    def test_interlaced_ours_decoded_by_pillow_exact(self):
+        rng = np.random.default_rng(31)
+        arr = rng.integers(0, 256, (14, 19, 3), dtype=np.uint8)
+        im = PILImage.open(io.BytesIO(encode_png(arr, interlace=True)))
+        assert np.array_equal(np.asarray(im), arr)
+
+    def test_palette_ours_decoded_by_pillow_exact(self):
+        from shopify_etl_spark.operators.png_codec import encode_png_paletted
+
+        rng = np.random.default_rng(32)
+        pal = rng.integers(0, 256, (11, 3), dtype=np.uint8)
+        idx = rng.integers(0, 11, (13, 17), dtype=np.uint8)
+        im = PILImage.open(io.BytesIO(encode_png_paletted(idx, pal, depth=4)))
+        assert np.array_equal(np.asarray(im.convert("RGB")), pal[idx])
+
+    def test_16bit_gray_ours_decoded_by_pillow_exact(self):
+        rng = np.random.default_rng(33)
+        arr = rng.integers(0, 65536, (9, 12), dtype=np.uint16)
+        im = PILImage.open(io.BytesIO(encode_png(arr)))
+        got = np.asarray(im).astype(np.uint16)  # mode I;16B / I
+        assert np.array_equal(got, arr)
+
+    def test_low_depth_gray_ours_decoded_by_pillow_exact(self):
+        """Pillow expands 2-bit gray to L by the same bit replication our
+        decoder uses — exact agreement expected."""
+        from shopify_etl_spark.operators.png_codec import encode_png_gray
+
+        rng = np.random.default_rng(34)
+        arr = rng.integers(0, 4, (15, 10), dtype=np.uint8)
+        im = PILImage.open(io.BytesIO(encode_png_gray(arr, 2)))
+        assert np.array_equal(
+            np.asarray(im.convert("L")), arr * 85
+        )
+
+    def test_pillow_written_palette_decoded_by_us(self):
+        rng = np.random.default_rng(35)
+        arr = rng.integers(0, 16, (12, 14), dtype=np.uint8)
+        pal = np.zeros((256, 3), dtype=np.uint8)
+        pal[:16] = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+        im = PILImage.fromarray(arr, "P")
+        im.putpalette(pal.reshape(-1).tolist())
+        buf = io.BytesIO()
+        im.save(buf, format="PNG", bits=4)
+        theirs = np.asarray(PILImage.open(buf).convert("RGB"))
+        ours = decode_png(buf.getvalue())
+        assert np.array_equal(ours[..., :3], theirs)
+
     def test_pillow_adaptive_filters_decoded_by_us(self):
         """A smooth gradient makes Pillow's zip encoder pick non-zero
         scanline filters (Sub/Up/Average/Paeth) — the rows our encoder

@@ -303,3 +303,205 @@ class TestDecoderRobustness:
         )
         with pytest.raises(ValueError, match="truncated"):
             decode_png(png)
+
+
+class TestFullSpecCoverage:
+    """r12: the decoder covers the FULL PNG combination table — palette,
+    Adam7, bit depths 1/2/4/8/16 — with lossless round-trip contracts
+    against the fixture encoders."""
+
+    @pytest.mark.parametrize("interlace", [False, True])
+    @pytest.mark.parametrize("ch", [1, 2, 3, 4])
+    def test_16bit_roundtrip(self, ch, interlace):
+        from shopify_etl_spark.operators.png_codec import encode_png
+
+        rng = np.random.default_rng(ch)
+        shape = (13, 21) if ch == 1 else (13, 21, ch)
+        img = rng.integers(0, 65536, shape, dtype=np.uint16)
+        got = decode_png(encode_png(img, interlace=interlace))
+        assert got.dtype == np.uint16 and np.array_equal(got, img)
+
+    @pytest.mark.parametrize("interlace", [False, True])
+    @pytest.mark.parametrize("depth", [1, 2, 4])
+    def test_low_depth_gray_scales_by_bit_replication(self, depth, interlace):
+        from shopify_etl_spark.operators.png_codec import encode_png_gray
+
+        rng = np.random.default_rng(depth)
+        img = rng.integers(0, 1 << depth, (16, 17), dtype=np.uint8)
+        got = decode_png(encode_png_gray(img, depth, interlace=interlace))
+        assert np.array_equal(got, img * (255 // ((1 << depth) - 1)))
+
+    @pytest.mark.parametrize("interlace", [False, True])
+    @pytest.mark.parametrize("depth", [1, 2, 4, 8])
+    def test_palette_roundtrip(self, depth, interlace):
+        from shopify_etl_spark.operators.png_codec import encode_png_paletted
+
+        rng = np.random.default_rng(depth + 20)
+        npal = min(1 << depth, 11)
+        pal = rng.integers(0, 256, (npal, 3), dtype=np.uint8)
+        idx = rng.integers(0, npal, (14, 9), dtype=np.uint8)
+        got = decode_png(
+            encode_png_paletted(idx, pal, depth=depth, interlace=interlace)
+        )
+        assert np.array_equal(got, pal[idx])
+
+    def test_palette_trns_yields_rgba(self):
+        from shopify_etl_spark.operators.png_codec import encode_png_paletted
+
+        rng = np.random.default_rng(9)
+        pal = rng.integers(0, 256, (6, 3), dtype=np.uint8)
+        trns = np.array([0, 128, 255], dtype=np.uint8)  # shorter: rest opaque
+        idx = rng.integers(0, 6, (10, 12), dtype=np.uint8)
+        got = decode_png(encode_png_paletted(idx, pal, trns=trns))
+        assert got.shape == (10, 12, 4)
+        alpha = np.array([0, 128, 255, 255, 255, 255], dtype=np.uint8)
+        assert np.array_equal(got[..., :3], pal[idx])
+        assert np.array_equal(got[..., 3], alpha[idx])
+
+    @pytest.mark.parametrize("shape", [(1, 1), (7, 1), (1, 9), (8, 8), (9, 10)])
+    def test_adam7_small_rasters_every_pass_subset(self, shape):
+        """Tiny rasters exercise the empty-pass paths (a 1x1 image has
+        SIX empty Adam7 passes)."""
+        from shopify_etl_spark.operators.png_codec import encode_png
+
+        rng = np.random.default_rng(sum(shape))
+        img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(img, interlace=True)), img)
+
+    def test_adam7_filters_do_not_leak_across_passes(self):
+        """Each Adam7 pass unfilters independently: a filter-2 (Up) first
+        row of a later pass must see zeros, not the previous pass's last
+        row. Hand-built stream: pass rows re-filtered with Up/Sub/Paeth."""
+        from shopify_etl_spark.operators.png_codec import (
+            _pass_dims,
+            _scanline_bytes,
+        )
+
+        rng = np.random.default_rng(3)
+        w = h = 12
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        raw = bytearray()
+        for x0, y0, dx, dy, pw, ph in _pass_dims(w, h):
+            if not pw or not ph:
+                continue
+            sub = img[y0::dy, x0::dx].reshape(ph, pw * 3).astype(np.int32)
+            prev = np.zeros(pw * 3, np.int32)
+            for y in range(ph):
+                row = sub[y]
+                # filter 2 (Up) on every row of every pass: the first row
+                # of each pass subtracts ZEROS — the cross-pass leak trap
+                raw.append(2)
+                raw.extend(((row - prev) & 0xFF).astype(np.uint8).tobytes())
+                prev = row
+            assert _scanline_bytes(pw, 3, 8) == pw * 3
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b"")
+        )
+        assert np.array_equal(decode_png(png), img)
+
+    def test_16bit_filters_use_byte_offset_bpp(self):
+        """Filters operate on BYTES with offset bpp (6 for 16-bit RGB) —
+        a Sub-filtered 16-bit stream decodes correctly only if the
+        left-neighbor offset is bytes-per-pixel, not channels."""
+        rng = np.random.default_rng(4)
+        img = rng.integers(0, 65536, (5, 7, 3), dtype=np.uint16)
+        rows = np.zeros((5, 42), dtype=np.uint8)
+        flat = img.reshape(5, 21)
+        rows[:, 0::2] = (flat >> 8).astype(np.uint8)
+        rows[:, 1::2] = (flat & 0xFF).astype(np.uint8)
+        raw = bytearray()
+        for y in range(5):
+            line = rows[y].astype(np.int32)
+            filt = np.zeros(42, np.int32)
+            for x in range(42):
+                a = line[x - 6] if x >= 6 else 0
+                filt[x] = (line[x] - a) & 0xFF
+            raw.append(1)  # Sub
+            raw.extend(filt.astype(np.uint8).tobytes())
+        ihdr = struct.pack(">IIBBBBB", 7, 5, 16, 2, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b"")
+        )
+        assert np.array_equal(decode_png(png), img)
+
+    def test_illegal_combinations_and_malformed_aux_chunks(self):
+        from shopify_etl_spark.operators.png_codec import (
+            encode_png_gray,
+            encode_png_paletted,
+        )
+
+        rng = np.random.default_rng(5)
+        # illegal depth/color combo via header splice (RGB at depth 4)
+        data = bytearray(encode_png(rng.integers(0, 256, (4, 4, 3),
+                                                 dtype=np.uint8)))
+        data[24] = 4  # IHDR depth byte
+        import zlib as _z
+        data[29:33] = struct.pack(
+            ">I", _z.crc32(bytes(data[12:29])) & 0xFFFFFFFF
+        )
+        with pytest.raises(ValueError, match="illegal depth/color"):
+            decode_png(bytes(data))
+        # palette stream whose PLTE is missing
+        pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+        pstream = bytearray(encode_png_paletted(
+            rng.integers(0, 4, (4, 4), dtype=np.uint8), pal
+        ))
+        i = bytes(pstream).index(b"PLTE") - 4
+        ln = struct.unpack(">I", pstream[i:i + 4])[0]
+        del pstream[i:i + 12 + ln]
+        with pytest.raises(ValueError, match="PLTE"):
+            decode_png(bytes(pstream))
+        # out-of-range index inside the pixel data
+        with pytest.raises(ValueError, match="palette index"):
+            encode_png_paletted(
+                np.full((2, 2), 9, dtype=np.uint8), pal
+            )
+        # encoder guards
+        with pytest.raises(ValueError, match="bit range"):
+            encode_png_gray(np.full((2, 2), 4, dtype=np.uint8), 2)
+
+    def test_fuzz_extended_shapes_clean_errors_only(self):
+        """Same executor-safety contract, now over palette / Adam7 /
+        16-bit / low-depth streams."""
+        import random
+
+        from shopify_etl_spark.operators.png_codec import (
+            encode_png,
+            encode_png_gray,
+            encode_png_paletted,
+        )
+
+        rnd = random.Random(7)
+        rng = np.random.default_rng(7)
+        pal = rng.integers(0, 256, (13, 3), dtype=np.uint8)
+        streams = [
+            encode_png(rng.integers(0, 65536, (9, 11, 3), dtype=np.uint16)),
+            encode_png(rng.integers(0, 256, (12, 10, 4), dtype=np.uint8),
+                       interlace=True),
+            encode_png_gray(rng.integers(0, 4, (15, 9), dtype=np.uint8), 2),
+            encode_png_paletted(
+                rng.integers(0, 13, (11, 8), dtype=np.uint8), pal,
+                trns=np.array([5, 250], dtype=np.uint8), interlace=True,
+            ),
+        ]
+        for _ in range(1200):
+            s = bytearray(rnd.choice(streams))
+            for _ in range(rnd.randint(1, 3)):
+                op = rnd.random()
+                if op < 0.5:
+                    s[rnd.randrange(len(s))] = rnd.randrange(256)
+                elif op < 0.75:
+                    del s[rnd.randrange(len(s))]
+                else:
+                    s.insert(rnd.randrange(len(s)), rnd.randrange(256))
+            try:
+                decode_png(bytes(s), max_pixels=1_000_000)
+            except ValueError:
+                pass
