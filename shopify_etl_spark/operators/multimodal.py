@@ -23,8 +23,9 @@ Decode paths, in preference order:
 * **Built-in Y4M demuxer** (``operators/y4m_codec.py``) — real
   frame extraction from uncompressed YUV4MPEG2 video payloads.
 * **Built-in WAV codec** (``operators/wav_codec.py``) — real PCM
-  sample decode (8/16/24/32-bit int + float32) plus IMA-ADPCM
-  (format tag 0x0011) encode/decode for audio payloads.
+  sample decode (8/16/24/32-bit int + float32/64), IMA-ADPCM
+  (format tag 0x0011) and G.711 µ-law/A-law (0x0007/0x0006)
+  encode/decode for audio payloads.
 * ``fake=True`` — deterministic byte-level features over the raw
   payload (no decode), useful for plumbing tests and non-image bytes.
 * Everything else (compressed containers/codecs, exotic formats)

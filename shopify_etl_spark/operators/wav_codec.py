@@ -44,6 +44,8 @@ import numpy as np
 _PCM_TAG = 0x0001
 _FLOAT_TAG = 0x0003
 _ADPCM_TAG = 0x0011  # IMA/DVI ADPCM
+_ALAW_TAG = 0x0006  # G.711 A-law
+_ULAW_TAG = 0x0007  # G.711 mu-law
 _EXTENSIBLE_TAG = 0xFFFE
 
 # ---------------------------------------------------------------------------
@@ -315,6 +317,13 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         arr = np.frombuffer(pcm, dtype="<f4").astype(np.float32)
     elif fmt_tag == _FLOAT_TAG and bits == 64:
         arr = np.frombuffer(pcm, dtype="<f8").astype(np.float32)
+    elif fmt_tag in (_ULAW_TAG, _ALAW_TAG):
+        if bits != 8:
+            raise ValueError(f"G.711 requires 8-bit codes, got {bits}")
+        table = _ULAW_DEC if fmt_tag == _ULAW_TAG else _ALAW_DEC
+        arr = table[np.frombuffer(pcm, dtype=np.uint8)].astype(
+            np.float32
+        ) / 32768.0
     elif fmt_tag == _ADPCM_TAG:
         if bits not in (3, 4):
             raise NotImplementedError(f"IMA ADPCM {bits}-bit (only 4-bit here)")
@@ -334,3 +343,96 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("WAV fmt declares zero channels")
     n = len(arr) - len(arr) % n_ch
     return arr[:n].reshape(-1, n_ch), rate
+
+
+# ---------------------------------------------------------------------------
+# G.711 companding (A-law / µ-law, format tags 0x0006 / 0x0007) — the
+# telephony codecs every call-center/voice crawl contains. Tables per the
+# classic Sun g711.c segment layout (the same reference CPython's audioop
+# implements); both directions are differential-tested against audioop
+# over the FULL domain (all 256 code bytes, all 65536 linear inputs) in
+# tests/test_codec_differential.py.
+# ---------------------------------------------------------------------------
+
+_ULAW_BIAS = 0x84
+
+
+def _ulaw_decode_table() -> np.ndarray:
+    u = ~np.arange(256, dtype=np.int32) & 0xFF
+    t = ((u & 0x0F) << 3) + _ULAW_BIAS
+    t <<= (u & 0x70) >> 4
+    return np.where(u & 0x80, _ULAW_BIAS - t, t - _ULAW_BIAS).astype(np.int16)
+
+
+def _alaw_decode_table() -> np.ndarray:
+    a = np.arange(256, dtype=np.int32) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(seg == 0, t + 8, np.where(seg == 1, t + 0x108,
+                 (t + 0x108) << np.maximum(seg - 1, 0)))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+_ULAW_DEC = _ulaw_decode_table()
+_ALAW_DEC = _alaw_decode_table()
+
+
+def _lin2ulaw(samples: np.ndarray) -> np.ndarray:
+    """int16 → µ-law code bytes (vectorized Sun-layout encoder)."""
+    x = samples.astype(np.int32) >> 2  # 14-bit domain
+    mask = np.where(x < 0, 0x7F, 0xFF)
+    x = np.abs(x)
+    x = np.minimum(x, 8159) + (_ULAW_BIAS >> 2)
+    # segment = index of the first end >= x over {0x3F,0x7F,...,0x1FFF}
+    seg = np.searchsorted(
+        np.array([0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF]),
+        x,
+    )
+    uval = (seg << 4) | ((x >> (seg + 1)) & 0x0F)
+    return (np.where(seg >= 8, 0x7F, uval) ^ mask).astype(np.uint8)
+
+
+def _lin2alaw(samples: np.ndarray) -> np.ndarray:
+    """int16 → A-law code bytes (vectorized Sun-layout encoder)."""
+    x = samples.astype(np.int32) >> 3  # 13-bit domain
+    mask = np.where(x >= 0, 0xD5, 0x55)
+    x = np.where(x >= 0, x, -x - 1)
+    seg = np.searchsorted(
+        np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF]),
+        x,
+    )
+    shift = np.where(seg < 2, 1, seg)
+    aval = (seg << 4) | ((x >> shift) & 0x0F)
+    return (np.where(seg >= 8, 0x7F, aval) ^ mask).astype(np.uint8)
+
+
+def encode_wav_g711(
+    samples: np.ndarray, sample_rate: int = 8000, law: str = "ulaw"
+) -> bytes:
+    """int16 samples, (n,) mono or (n, ch) → G.711 WAV bytes (tag
+    0x0007 µ-law / 0x0006 A-law, 8 bits per companded sample).
+
+    The fixture generator for the telephony decode path; includes the
+    ``fact`` chunk real writers emit for compressed formats."""
+    arr = np.asarray(samples, dtype=np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    if arr.ndim != 2:
+        raise ValueError(f"samples must be (n,) or (n, ch), got ndim={arr.ndim}")
+    if law == "ulaw":
+        tag, codes = _ULAW_TAG, _lin2ulaw(arr.reshape(-1))
+    elif law == "alaw":
+        tag, codes = _ALAW_TAG, _lin2alaw(arr.reshape(-1))
+    else:
+        raise ValueError(f"law must be 'ulaw' or 'alaw', got {law!r}")
+    n_ch = arr.shape[1]
+    data = codes.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", tag, n_ch, sample_rate, sample_rate * n_ch, n_ch, 8
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, arr.shape[0])
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body

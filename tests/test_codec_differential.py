@@ -9,6 +9,9 @@ that blind spot with decoders this repo did not write:
 
 * stdlib ``wave`` (always importable): exact PCM16 agreement in both
   directions — the differential that runs in every environment;
+* stdlib ``audioop`` (present through 3.12): G.711 µ-law/A-law
+  companding vs CPython's own tables — FULL-domain (every code byte,
+  every int16), both directions;
 * Pillow (optional — the same import-try seam as the pyav demux path,
   ``multimodal.py``): exact equality for the lossless codecs (PNG in
   both directions; GIF stills, interlace, animations) and bounded
@@ -311,3 +314,72 @@ class TestPillowJPEG:
         )
         theirs = np.asarray(PILImage.open(buf).convert("RGB"))
         _jpeg_agree(theirs, decode_jpeg(buf.getvalue()), _JPEG_TOL_RGB)
+
+
+try:
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop  # removed in Python 3.13
+
+    HAVE_AUDIOOP = True
+except ImportError:  # pragma: no cover - environment-dependent
+    HAVE_AUDIOOP = False
+
+needs_audioop = pytest.mark.skipif(
+    not HAVE_AUDIOOP,
+    reason="stdlib audioop removed (3.13+) — G.711 differential skipped; "
+    "the in-repo round-trip tests still cover the codec",
+)
+
+
+@needs_audioop
+class TestStdlibG711Differential:
+    """G.711 companding vs CPython's audioop — FULL-domain equality (all
+    256 code bytes, all 65536 linear inputs), not samples: companding
+    tables have segment boundaries a random probe can miss."""
+
+    def test_decode_tables_match_audioop_exactly(self):
+        from shopify_etl_spark.operators.wav_codec import _ALAW_DEC, _ULAW_DEC
+
+        codes = bytes(range(256))
+        assert np.array_equal(
+            _ULAW_DEC, np.frombuffer(audioop.ulaw2lin(codes, 2), dtype="<i2")
+        )
+        assert np.array_equal(
+            _ALAW_DEC, np.frombuffer(audioop.alaw2lin(codes, 2), dtype="<i2")
+        )
+
+    def test_encoders_match_audioop_over_full_int16_domain(self):
+        from shopify_etl_spark.operators.wav_codec import _lin2alaw, _lin2ulaw
+
+        x = np.arange(-32768, 32768, dtype=np.int16)
+        raw = x.tobytes()
+        assert np.array_equal(
+            _lin2ulaw(x),
+            np.frombuffer(audioop.lin2ulaw(raw, 2), dtype=np.uint8),
+        )
+        assert np.array_equal(
+            _lin2alaw(x),
+            np.frombuffer(audioop.lin2alaw(raw, 2), dtype=np.uint8),
+        )
+
+    @pytest.mark.parametrize("law", ["ulaw", "alaw"])
+    def test_wav_end_to_end_matches_audioop_pipeline(self, law):
+        from shopify_etl_spark.operators.wav_codec import (
+            decode_wav,
+            encode_wav_g711,
+        )
+
+        rng = np.random.default_rng(3)
+        s = rng.integers(-32768, 32768, (401, 2), dtype=np.int16)
+        arr, rate = decode_wav(encode_wav_g711(s, 8000, law))
+        assert rate == 8000 and arr.shape == (401, 2)
+        enc = getattr(audioop, f"lin2{law}")(
+            np.ascontiguousarray(s).tobytes(), 2
+        )
+        dec = np.frombuffer(
+            getattr(audioop, f"{law}2lin")(enc, 2), dtype="<i2"
+        ).reshape(-1, 2)
+        assert np.array_equal(arr, dec.astype(np.float32) / 32768.0)

@@ -668,3 +668,28 @@ def test_gif_roundtrip_any_shape(h, w, n_colors, interlace, seed):
     frames = decode_gif(encode_gif([img], pal, interlace=interlace))
     assert len(frames) == 1
     assert np.array_equal(frames[0], pal[img])
+
+
+@given(
+    n=st.integers(1, 600),
+    ch=st.integers(1, 3),
+    law=st.sampled_from(["ulaw", "alaw"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_g711_roundtrip_within_companding_error(n, ch, law, seed):
+    """G.711 is lossy (8-bit log companding of 16-bit samples): the
+    round-trip error is bounded by the widest segment's half-step —
+    ~1/32 full scale for µ-law (segment 7 step 256 in the 14-bit
+    domain → 1024 in 16-bit), ~1/16 for A-law's 13-bit domain."""
+    from shopify_etl_spark.operators.wav_codec import (
+        decode_wav,
+        encode_wav_g711,
+    )
+
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32768, (n, ch), dtype=np.int16)
+    back, rate = decode_wav(encode_wav_g711(samples, 8000, law))
+    assert rate == 8000 and back.shape == (n, ch)
+    err = np.abs(back * 32768.0 - samples.astype(np.float32))
+    assert float(err.max()) <= (1024 if law == "ulaw" else 2048)
