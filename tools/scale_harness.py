@@ -160,6 +160,7 @@ FAMILY = (
     # (cells grow 10x, probe candidates grow 10x; broadcast sides fixed)
     "retrieval_trained_search",
     "lossless_jpeg_stats",       # 0-shuffle Arrow map, ~linear like its twins
+    "g711_roundtrip_stats",      # 0-shuffle Arrow map, vectorized companding
 )
 
 
