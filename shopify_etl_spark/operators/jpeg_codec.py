@@ -33,15 +33,20 @@ honest baseline subset (ITU-T T.81):
   cross-path contract: the arithmetic and Huffman paths entropy-code
   the SAME quantized coefficients, so their decodes must be
   bit-identical), DAC conditioning markers, restart intervals,
+* **progressive arithmetic coding** (SOF10, T.81 Annex G scan
+  structure with the Annex D QM-coder and G.3 models) on both decode
+  and encode (``encode_jpeg_arith_progressive``) — the LAST JPEG DCT
+  mode; all four DCT encoders share one coefficient front half, so
+  the four decodes are bit-identical by construction (pinned),
 * **lossless predictive coding** (SOF3, T.81 Annex H) on both decode
   and encode (``encode_jpeg_lossless``): all 7 predictors, 2-16 bit
   precision, point transform, interleaved or one-scan-per-component —
   the DICOM/raw-camera mode, pinned by an EXACT round-trip contract
   (no DCT, no quantization; components coded directly, no color
   transform),
-* progressive arithmetic (SOF10) and hierarchical (SOF5+) stay
-  OUTSIDE — they raise ``NotImplementedError`` at the same seam the
-  other codecs use, behind this working default path.
+* hierarchical (SOF5+) stays OUTSIDE — it raises
+  ``NotImplementedError`` at the same seam the other codecs use,
+  behind this working default path.
 
 JPEG is lossy, so the test contract differs from PNG's bit-exact
 round-trip: ``decode(encode(x, quality=q))`` must reconstruct within a
@@ -597,17 +602,18 @@ def decode_jpeg(data: bytes, max_pixels: int = 100_000_000) -> np.ndarray:
 
     Accepts baseline sequential (SOF0/1), progressive (SOF2 — spectral
     selection + successive approximation, DC/AC first and refinement
-    scans, EOB runs) and sequential arithmetic (SOF9, QM-coder + DAC
-    conditioning) — each interleaved OR non-interleaved (one scan per
-    component subset, T.81 A.2.2) — with 1 or 3 components, any h/v
-    sampling factors ≤ 2, standard or custom Huffman/quantization
-    tables, and restart intervals; plus lossless predictive (SOF3,
-    T.81 Annex H: predictors 1-7, 2-16 bit, point transform,
-    interleaved or per-component scans — returns the samples exactly,
-    uint16 above 8-bit). Hierarchical modes, progressive arithmetic
-    (SOF10), lossless subsampling/restarts raise NotImplementedError —
-    the documented seams, same contract as the other codecs in this
-    package.
+    scans, EOB runs), sequential arithmetic (SOF9, QM-coder + DAC
+    conditioning) and progressive arithmetic (SOF10, Annex G scans
+    with the G.3 QM models) — sequential modes interleaved OR
+    non-interleaved (one scan per component subset, T.81 A.2.2) — with
+    1 or 3 components, any h/v sampling factors ≤ 4 with integer
+    ratios, standard or custom Huffman/quantization tables, and
+    restart intervals; plus lossless predictive (SOF3, T.81 Annex H:
+    predictors 1-7, 2-16 bit, point transform, interleaved or
+    per-component scans — returns the samples exactly, uint16 above
+    8-bit). Hierarchical modes and lossless/SOF10 restarts raise
+    NotImplementedError — the documented seams, same contract as the
+    other codecs in this package.
 
     Executor-safe on untrusted bytes (fuzz-pinned in tests): every
     malformed stream raises a clean ``ValueError`` — internal parse
@@ -705,8 +711,8 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
                 off += 2
             if off != len(seg):  # trailing odd byte = malformed segment
                 raise ValueError("jpeg: DAC segment length not a pair multiple")
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):  # sequential /
-            # progressive / lossless / SOF9 sequential arithmetic
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):  # sequential
+            # / progressive / lossless / arithmetic (seq + progressive)
             prec, h, w, n_comp = struct.unpack(">BHHB", seg[:6])
             if marker == 0xC3:
                 if not 2 <= prec <= 16:  # T.81 Annex H sample precision
@@ -756,15 +762,15 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
                 raise NotImplementedError("jpeg: lossless with subsampling")
             frame = {
                 "h": h, "w": w, "comps": comps,
-                "prog": marker == 0xC2, "prec": prec,
-                "arith": marker == 0xC9, "lossless": marker == 0xC3,
+                "prog": marker in (0xC2, 0xCA), "prec": prec,
+                "arith": marker in (0xC9, 0xCA),
+                "lossless": marker == 0xC3,
             }
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"jpeg: only sequential (SOF0/1), progressive (SOF2), "
-                f"lossless (SOF3) and sequential arithmetic (SOF9) "
-                f"supported, got SOF{marker - 0xC0}"
+                f"lossless (SOF3) and arithmetic (SOF9/SOF10) supported, "
+                f"got SOF{marker - 0xC0}"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
@@ -812,6 +818,19 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
                 pos = end
                 continue
             if frame.get("arith"):
+                if frame.get("prog"):  # SOF10: QM-coded progressive
+                    if coef_store is None:
+                        coef_store = _alloc_coef_store(frame)
+                    ss = seg[1 + 2 * n_scan]
+                    se = seg[2 + 2 * n_scan]
+                    ahal = seg[3 + 2 * n_scan]
+                    _decode_scan_progressive_arith(
+                        data[pos:end], frame, scan_list,
+                        ss, se, ahal >> 4, ahal & 0x0F,
+                        coef_store, dc_cond, ac_cond, restart_interval,
+                    )
+                    pos = end
+                    continue
                 if n_scan < len(frame["comps"]):
                     # non-interleaved arithmetic: same accumulate-and-
                     # assemble-at-EOI discipline as the Huffman subset
@@ -2476,3 +2495,392 @@ def _assemble_lossless(frame, planes, pt) -> np.ndarray:
         (np.asarray(p, dtype=np.int64) << pt).astype(dtype) for p in planes
     ]
     return full[0] if len(full) == 1 else np.stack(full, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Progressive arithmetic mode (SOF10): T.81 Annex G scan structure with
+# the Annex D QM-coder and the G.3 statistical models — the last JPEG
+# DCT mode (r12). Spectral selection reuses the sequential AC model's
+# per-k bins restricted to the band (EOB runs don't exist in arithmetic
+# coding: the AC model codes a per-block EOB decision); successive
+# approximation codes DC refinement bits in the fixed ~0.5 bin and AC
+# refinement with per-k correction/newly-significant decisions (G.3.3,
+# the layout libjpeg's jdarith realizes). Statistics, contexts and the
+# coder itself initialize fresh at every SOS.
+# ---------------------------------------------------------------------------
+
+
+def _arith_encode_ac_first(enc, st, fixed, zz, ss, se, al, kx):
+    """G.3.2 AC-first model over the band [ss, se] at bit-plane ``al``:
+    the sequential F.1.4.2 layout (bins at 3(k-1)) with point-transformed
+    values and a band-relative EOB decision."""
+    ke = ss - 1
+    for k in range(se, ss - 1, -1):
+        if _pt_ac(int(zz[k]), al):
+            ke = k
+            break
+    k = ss
+    while k <= ke:
+        s = 3 * (k - 1)
+        enc.encode(st, s, 0)  # not EOB yet
+        v = _pt_ac(int(zz[k]), al)
+        while v == 0:
+            enc.encode(st, s + 1, 0)
+            s += 3
+            k += 1
+            v = _pt_ac(int(zz[k]), al)
+        enc.encode(st, s + 1, 1)
+        if v > 0:
+            enc.encode(fixed, 0, 0)
+        else:
+            enc.encode(fixed, 0, 1)
+            v = -v
+        pos = s + 2
+        m = 0
+        v -= 1
+        if v:
+            enc.encode(st, pos, 1)
+            m = 1
+            v2 = v
+            if v2 >> 1:
+                v2 >>= 1
+                enc.encode(st, pos, 1)  # second decision, same bin
+                m = 2
+                pos = 189 if k <= kx else 217
+                while v2 >> 1:
+                    v2 >>= 1
+                    enc.encode(st, pos, 1)
+                    m <<= 1
+                    pos += 1
+        enc.encode(st, pos, 0)
+        pos += 14
+        while m >> 1:
+            m >>= 1
+            enc.encode(st, pos, 1 if (m & v) else 0)
+        k += 1
+    if ke < se:
+        enc.encode(st, 3 * ke, 1)  # EOB (bin 3(k-1) with k = ke+1)
+
+
+def _arith_decode_ac_first(dec, st, fixed, zz, ss, se, al, kx):
+    """Mirror of :func:`_arith_encode_ac_first`: fills zz[ss..se] with
+    values scaled by ``1 << al``."""
+    k = ss
+    while k <= se:
+        s = 3 * (k - 1)
+        if dec.decode(st, s):
+            break  # EOB
+        while dec.decode(st, s + 1) == 0:
+            s += 3
+            k += 1
+            if k > se:
+                raise ValueError("jpeg: arithmetic AC band overflow")
+        sign = dec.decode(fixed, 0)
+        pos = s + 2
+        m = dec.decode(st, pos)
+        if m:
+            if dec.decode(st, pos):
+                m = 2
+                pos = 189 if k <= kx else 217
+                while dec.decode(st, pos):
+                    m <<= 1
+                    if m >= 0x8000:
+                        raise ValueError(
+                            "jpeg: arithmetic AC magnitude overflow"
+                        )
+                    pos += 1
+        v = m
+        pos += 14
+        mm = m >> 1
+        while mm:
+            if dec.decode(st, pos):
+                v |= mm
+            mm >>= 1
+        v += 1
+        zz[k] = (-v if sign else v) << al
+        k += 1
+
+
+def _arith_encode_ac_refine(enc, st, fixed, zz, ss, se, al):
+    """G.3.3 AC-refinement model: per-k EOB decision past the previous
+    stage's end-of-block (kex), correction bits (bin 3(k-1)+2) for
+    already-significant coefficients, newly-significant ±1 decisions
+    (bin +1) with fixed-bin signs."""
+    ke = ss - 1
+    for k in range(se, ss - 1, -1):
+        if abs(int(zz[k])) >> al:
+            ke = k
+            break
+    kex = ss - 1
+    for k in range(ke, ss - 1, -1):
+        if abs(int(zz[k])) >> (al + 1):
+            kex = k
+            break
+    k = ss
+    while k <= ke:
+        s = 3 * (k - 1)
+        if k > kex:
+            enc.encode(st, s, 0)  # not EOB yet
+        while True:
+            t = abs(int(zz[k])) >> al
+            if t:
+                if t >> 1:  # already significant: this plane's bit
+                    enc.encode(st, s + 2, t & 1)
+                else:  # newly significant ±1
+                    enc.encode(st, s + 1, 1)
+                    enc.encode(fixed, 0, 0 if int(zz[k]) > 0 else 1)
+                break
+            enc.encode(st, s + 1, 0)
+            s += 3
+            k += 1  # bounded: ke's coefficient is nonzero at this plane
+        k += 1
+    if ke < se:
+        enc.encode(st, 3 * ke, 1)  # EOB (bin 3(k-1) with k = ke+1)
+
+
+def _arith_decode_ac_refine(dec, st, fixed, zz, ss, se, al):
+    """Mirror of :func:`_arith_encode_ac_refine`."""
+    p1 = 1 << al
+    m1 = -p1
+    kex = ss - 1
+    for k in range(se, ss - 1, -1):
+        if int(zz[k]):
+            kex = k
+            break
+    k = ss
+    while k <= se:
+        s = 3 * (k - 1)
+        if k > kex and dec.decode(st, s):
+            break  # EOB
+        while True:
+            if int(zz[k]):
+                if dec.decode(st, s + 2):
+                    zz[k] = int(zz[k]) + (m1 if int(zz[k]) < 0 else p1)
+                break
+            if dec.decode(st, s + 1):
+                zz[k] = m1 if dec.decode(fixed, 0) else p1
+                break
+            s += 3
+            k += 1
+            if k > se:
+                raise ValueError("jpeg: arithmetic AC refinement overflow")
+        k += 1
+
+
+def _decode_scan_progressive_arith(
+    scan, frame, scan_list, ss, se, ah, al, coef_store,
+    dc_cond, ac_cond, restart_interval,
+):
+    """One SOF10 scan into the coefficient store — the QM twin of
+    :func:`_decode_scan_progressive` (same unit geometry: DC scans may
+    interleave components in MCU order, AC scans cover one component's
+    own non-interleaved grid). The QM decoder, statistics areas, DC
+    contexts and predictors all initialize at SOS (each scan is its own
+    entropy stream); reconstruction happens once at EOI through the
+    shared :func:`_reconstruct_from_coefs`."""
+    if restart_interval:
+        raise NotImplementedError(
+            "jpeg: restart intervals in progressive arithmetic scans"
+        )
+    comps = frame["comps"]
+    grids = _comp_grids(frame)
+    if ss == 0 and se != 0:
+        raise ValueError("jpeg: progressive DC scan with Se != 0")
+    if ss != 0 and len(scan_list) != 1:
+        raise ValueError("jpeg: progressive AC scan must be single-component")
+
+    if len(scan_list) > 1:
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        mcux = -(-frame["w"] // (8 * hmax))
+        mcuy = -(-frame["h"] // (8 * vmax))
+        units = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                blocks = []
+                for ci, td, _ta in scan_list:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blocks.append(
+                                (ci, td, my * c["v"] + by, mx * c["h"] + bx)
+                            )
+                units.append(blocks)
+    else:
+        ci, td, ta = scan_list[0]
+        g = grids[ci]
+        units = [
+            [(ci, td if ss == 0 else ta, by, bx)]
+            for by in range(g["ni_by"])
+            for bx in range(g["ni_bx"])
+        ]
+
+    dec = _QMDecoder(scan)
+    dc_stats = {t: bytearray(64) for t in range(4)}
+    ac_stats = {t: bytearray(256) for t in range(4)}
+    fixed = bytearray([_QM_FIXED])
+    dc_context = [0] * len(comps)
+    prev_dc = [0] * len(comps)
+    p1 = 1 << al
+    for unit in units:
+        for ci, tab_id, by, bx in unit:
+            zz = coef_store[ci][by, bx]
+            if ss == 0:
+                if ah == 0:  # DC first: diff of point-transformed DC
+                    L, U = dc_cond.get(tab_id, (0, 1))
+                    prev_dc[ci] += _arith_decode_dc(
+                        dec, dc_stats[tab_id], dc_context, ci, L, U
+                    )
+                    zz[0] = prev_dc[ci] << al
+                else:  # DC refinement: one fixed-bin bit per block
+                    if dec.decode(fixed, 0):
+                        zz[0] = int(zz[0]) | p1
+            elif ah == 0:
+                kx = ac_cond.get(tab_id, 5)
+                _arith_decode_ac_first(
+                    dec, ac_stats[tab_id], fixed, zz, ss, se, al, kx
+                )
+            else:
+                _arith_decode_ac_refine(
+                    dec, ac_stats[tab_id], fixed, zz, ss, se, al
+                )
+
+
+def encode_jpeg_arith_progressive(
+    arr: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+) -> bytes:
+    """Progressive arithmetic-coded JPEG (SOF10) — the fixture generator
+    that closes the LAST JPEG DCT mode.
+
+    Same front half as :func:`encode_jpeg_progressive` (identical
+    quantized coefficients, identical libjpeg-style 10-scan script:
+    interleaved DC first at plane 1, per-component spectral AC halves at
+    plane 2, AC refinements 2→1→0, DC refinement) with the QM-coder
+    replacing the Huffman back end — a fresh coder + statistics per
+    scan, default T.81 conditioning (no DAC needed). Since all four
+    encoders share one coefficient front half, ``decode_jpeg`` of this
+    stream must equal the baseline, progressive-Huffman AND
+    sequential-arithmetic decodes bit-for-bit (pinned in tests — the
+    four-way cross-path gate)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    center = 128.0
+    if arr.ndim == 2:
+        planes = [arr.astype(np.float64)]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        ycc = _rgb_to_ycbcr(arr, center)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+    else:
+        raise ValueError(f"unsupported raster shape {arr.shape}")
+    h, w = arr.shape[:2]
+    n_comp = len(planes)
+    samp, planes = _subsample_planes(planes, subsampling)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    q_luma, q_chroma = _quality_tables(quality)
+    qtabs = [q_luma] + ([q_chroma] if n_comp == 3 else [])
+
+    out = _frame_headers(h, w, n_comp, samp, qtabs, 8, 0, b"\xff\xca")
+
+    coefs = []
+    ni_grid = []
+    for c, plane in enumerate(planes):
+        n_by, n_bx = mcuy * samp[c][1], mcux * samp[c][0]
+        tiles = _tiles(plane - center, n_by, n_bx)
+        dct = np.einsum("ij,abjk,lk->abil", _DCT, tiles, _DCT)
+        q = qtabs[min(c, len(qtabs) - 1)].reshape(8, 8)
+        zz = np.round(dct / q).astype(np.int64).reshape(n_by, n_bx, 64)
+        coefs.append(zz[:, :, _ZIGZAG])
+        cw = -(-w * samp[c][0] // hmax)
+        ch = -(-h * samp[c][1] // vmax)
+        ni_grid.append((-(-ch // 8), -(-cw // 8)))
+
+    def sos_header(comp_ids, tabs, ss, se, ah, al) -> bytes:
+        body = struct.pack(">B", len(comp_ids))
+        for cid, tdta in zip(comp_ids, tabs):
+            body += struct.pack(">BB", cid, tdta)
+        body += struct.pack(">BBB", ss, se, (ah << 4) | al)
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    def dc_first_scan(al: int) -> bytes:
+        enc = _QMEncoder()
+        dc_stats = {0: bytearray(64), 1: bytearray(64)}
+        dc_context = [0] * n_comp
+        prev = [0] * n_comp
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for c in range(n_comp):
+                    t = 0 if c == 0 else 1
+                    for by in range(samp[c][1]):
+                        for bx in range(samp[c][0]):
+                            gy = my * samp[c][1] + by
+                            gx = mx * samp[c][0] + bx
+                            v = int(coefs[c][gy, gx, 0]) >> al
+                            _arith_encode_dc(
+                                enc, dc_stats[t], dc_context, c,
+                                v - prev[c], 0, 1,
+                            )
+                            prev[c] = v
+        return enc.flush()
+
+    def dc_refine_scan(al: int) -> bytes:
+        enc = _QMEncoder()
+        fixed = bytearray([_QM_FIXED])
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for c in range(n_comp):
+                    for by in range(samp[c][1]):
+                        for bx in range(samp[c][0]):
+                            gy = my * samp[c][1] + by
+                            gx = mx * samp[c][0] + bx
+                            enc.encode(
+                                fixed, 0,
+                                (int(coefs[c][gy, gx, 0]) >> al) & 1,
+                            )
+        return enc.flush()
+
+    def ac_first_scan(c: int, ss: int, se: int, al: int) -> bytes:
+        enc = _QMEncoder()
+        st = bytearray(256)
+        fixed = bytearray([_QM_FIXED])
+        ni_by, ni_bx = ni_grid[c]
+        for by in range(ni_by):
+            for bx in range(ni_bx):
+                _arith_encode_ac_first(
+                    enc, st, fixed, coefs[c][by, bx], ss, se, al, 5
+                )
+        return enc.flush()
+
+    def ac_refine_scan(c: int, ss: int, se: int, al: int) -> bytes:
+        enc = _QMEncoder()
+        st = bytearray(256)
+        fixed = bytearray([_QM_FIXED])
+        ni_by, ni_bx = ni_grid[c]
+        for by in range(ni_by):
+            for bx in range(ni_bx):
+                _arith_encode_ac_refine(
+                    enc, st, fixed, coefs[c][by, bx], ss, se, al
+                )
+        return enc.flush()
+
+    all_ids = [c + 1 for c in range(n_comp)]
+    dc_tabs = [0x00 if c == 0 else 0x10 for c in range(n_comp)]
+    out += sos_header(all_ids, dc_tabs, 0, 0, 0, 1) + dc_first_scan(1)
+    for c in range(n_comp):
+        ta = 0x00 if c == 0 else 0x11
+        out += sos_header([c + 1], [ta], 1, 5, 0, 2) + ac_first_scan(c, 1, 5, 2)
+    for c in range(n_comp):
+        ta = 0x00 if c == 0 else 0x11
+        out += sos_header([c + 1], [ta], 6, 63, 0, 2) + ac_first_scan(c, 6, 63, 2)
+    for c in range(n_comp):
+        ta = 0x00 if c == 0 else 0x11
+        out += sos_header([c + 1], [ta], 1, 63, 2, 1) + ac_refine_scan(c, 1, 63, 1)
+    for c in range(n_comp):
+        ta = 0x00 if c == 0 else 0x11
+        out += sos_header([c + 1], [ta], 1, 63, 1, 0) + ac_refine_scan(c, 1, 63, 0)
+    out += sos_header(all_ids, dc_tabs, 0, 0, 1, 0) + dc_refine_scan(0)
+    out += b"\xff\xd9"
+    return bytes(out)

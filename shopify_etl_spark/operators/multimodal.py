@@ -1219,3 +1219,90 @@ def g711_roundtrip_stats(
     return spread_small(docs.select(id_col)).mapInPandas(
         roundtrip, G711_ROUNDTRIP_SCHEMA
     )
+
+
+PROG_ARITH_JPEG_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("dims_match", BooleanType(), False),
+        StructField("matches_baseline", BooleanType(), False),
+        StructField("smaller_than_prog_huffman", BooleanType(), False),
+        StructField("psnr_ge_30", BooleanType(), False),
+    ]
+)
+
+
+def prog_arith_jpeg_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    quality: int = 85,
+) -> DataFrame:
+    """Progressive-arithmetic cross-path gate (SOF10 — r12), completing
+    the JPEG DCT-mode matrix: per key ``d`` the SAME gradient synthesis
+    as :func:`arith_jpeg_stats` is encoded through the T.81 Annex G
+    scan script with the QM-coder back end
+    (``encode_jpeg_arith_progressive``) and decoded by the real G.3
+    model decoder. ``matches_baseline`` pins bit-exact agreement with
+    the SOF0 Huffman decode — all four DCT encoders share one
+    coefficient front half, so a model/context slip anywhere in the
+    G.3 DC/AC first/refinement paths cannot pass.
+    ``smaller_than_prog_huffman`` pins the adaptive coder beating the
+    static Annex-K tables scan-for-scan. One narrow mapInPandas chain,
+    zero shuffles.
+    """
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .jpeg_codec import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_arith_progressive,
+            encode_jpeg_progressive,
+        )
+
+        for pdf in batches:
+            rows = []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = 24 + d % 9, 24 + d % 7
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                raster = ((d % 97) + 3 * r + 2 * c).astype(np.uint8)
+                pstream = encode_jpeg_arith_progressive(
+                    raster, quality=quality
+                )
+                got = decode_jpeg(pstream)
+                base = decode_jpeg(encode_jpeg(raster, quality=quality))
+                dims = got.shape == (h, w)
+                err = got.astype(np.float64) - raster.astype(np.float64)
+                mse = float((err**2).mean())
+                psnr = (
+                    float("inf") if mse == 0 else 10 * np.log10(255.0**2 / mse)
+                )
+                rows.append(
+                    (
+                        d, w, h, dims,
+                        bool(np.array_equal(got, base)),
+                        len(pstream) < len(
+                            encode_jpeg_progressive(raster, quality=quality)
+                        ),
+                        psnr >= 30.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "dims_match",
+                    "matches_baseline", "smaller_than_prog_huffman",
+                    "psnr_ge_30",
+                ],
+            )
+
+    from .text import spread_small
+
+    return spread_small(docs.select(id_col)).mapInPandas(
+        roundtrip, PROG_ARITH_JPEG_SCHEMA
+    )

@@ -212,6 +212,7 @@ _CHANGED_R12 = [
     "retrieval_trained_search",  # NEW: k-means-trained chunk index + probe
     "lossless_jpeg_stats",       # NEW: SOF3 predictive round-trip gate
     "g711_roundtrip_stats",      # NEW: mu-law/A-law companding gate
+    "prog_arith_jpeg_stats",     # NEW: SOF10 four-way cross-path gate
     "gif_roundtrip_stats",       # gif decoder: disposal 2/3 + pixel cap
     "arith_jpeg_stats",          # jpeg: non-interleaved SOF9 + DAC check
     "jpeg_roundtrip_stats",      # same decoder dispatch touched

@@ -974,3 +974,42 @@ def g711_roundtrip_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.g711_roundtrip_stats(docs)
+
+
+@register(
+    "prog_arith_jpeg_stats",
+    # Pixels are not SQL-recoverable (lossy DCT + adaptive entropy
+    # coding), so correctness rides on guarantee-gate flags, and the
+    # headline flag is STRUCTURAL: all four DCT encoders share one
+    # coefficient front half, so the SOF10 decode must equal the SOF0
+    # Huffman decode bit-for-bit. Verified exhaustively over the full
+    # synth geometry domain (lcm(9, 7, 97) = 6111 keys, zero failures
+    # on all four flags) before the blanket-TRUE oracle shipped.
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(24 + doc_id % 9 AS BIGINT) AS width,
+           CAST(24 + doc_id % 7 AS BIGINT) AS height,
+           TRUE AS dims_match,
+           TRUE AS matches_baseline,
+           TRUE AS smaller_than_prog_huffman,
+           TRUE AS psnr_ge_30
+    FROM documents
+    """,
+    doc="Progressive-arithmetic JPEG gate (SOF10 — r12), completing the "
+    "DCT-mode matrix the engine decodes: deterministic gradient "
+    "synthesis -> T.81 Annex G scan script entropy-coded by the REAL "
+    "QM-coder with the G.3 statistical models (per-band EOB decisions, "
+    "fixed-bin DC refinement bits, correction/newly-significant AC "
+    "refinement) -> real decode -> flags. matches_baseline pins "
+    "bit-exact agreement with the sequential Huffman path; "
+    "smaller_than_prog_huffman pins the adaptation beating the static "
+    "Annex-K tables on the same scan script. Zero shuffles: one narrow "
+    "mapInPandas chain. operators/jpeg_codec.py "
+    "(encode_jpeg_arith_progressive, _decode_scan_progressive_arith), "
+    "operators/multimodal.py::prog_arith_jpeg_stats.",
+)
+def prog_arith_jpeg_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.prog_arith_jpeg_stats(docs)

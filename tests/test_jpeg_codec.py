@@ -152,15 +152,15 @@ class TestStructure:
         with pytest.raises(ValueError, match="progressive"):
             decode_jpeg(bytes(data))
 
-    def test_progressive_arithmetic_raises_documented_seam(self):
-        """SOF10 (arithmetic-coded progressive) is a genuinely
-        unimplemented shape and must hit the NotImplementedError seam
-        (sequential arithmetic SOF9 decodes since r11 — see
-        TestArithmeticCoding)."""
+    def test_hierarchical_raises_documented_seam(self):
+        """SOF5 (hierarchical) is the one genuinely unimplemented DCT
+        shape left and must hit the NotImplementedError seam (SOF10
+        progressive-arithmetic decodes since r12 — see
+        TestProgressiveArithmetic)."""
         data = bytearray(encode_jpeg(_test_image(channels=1), quality=85))
         i = bytes(data).index(b"\xff\xc0")
-        data[i + 1] = 0xCA
-        with pytest.raises(NotImplementedError, match="SOF10"):
+        data[i + 1] = 0xC5
+        with pytest.raises(NotImplementedError, match="SOF5"):
             decode_jpeg(bytes(data))
 
     @pytest.mark.parametrize("channels", [1, 3])
@@ -880,3 +880,111 @@ class TestWideSubsampling:
         data[i + 14] = 0x21
         with pytest.raises(NotImplementedError, match="non-integer"):
             decode_jpeg(bytes(data))
+
+
+class TestProgressiveArithmetic:
+    """SOF10 (r12) — the last JPEG DCT mode: T.81 Annex G scan
+    structure entropy-coded by the Annex D QM-coder with the G.3
+    models. All four DCT encoders share one coefficient front half, so
+    all four decodes must be bit-identical."""
+
+    @pytest.mark.parametrize("channels", [1, 3])
+    @pytest.mark.parametrize("quality", [10, 50, 85])
+    def test_four_way_cross_path_bit_exact(self, channels, quality):
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_arith_progressive,
+        )
+
+        img = _test_image(channels=channels, seed=7)
+        base = decode_jpeg(encode_jpeg(img, quality=quality))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=quality))
+        seqa = decode_jpeg(encode_jpeg_arith(img, quality=quality))
+        proga = decode_jpeg(
+            encode_jpeg_arith_progressive(img, quality=quality)
+        )
+        assert np.array_equal(base, prog)
+        assert np.array_equal(base, seqa)
+        assert np.array_equal(base, proga)
+
+    @pytest.mark.parametrize("mode", ["420", "422", "411", "440"])
+    def test_subsampled_matches_baseline(self, mode):
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_arith_progressive,
+        )
+
+        rng = np.random.default_rng(len(mode) + 17)
+        img = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=60, subsampling=mode))
+        got = decode_jpeg(
+            encode_jpeg_arith_progressive(img, quality=60, subsampling=mode)
+        )
+        assert np.array_equal(base, got)
+
+    @pytest.mark.parametrize("shape", [(8, 8), (17, 23), (7, 9), (33, 31)])
+    def test_odd_dims_noise_content(self, shape):
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_arith_progressive,
+        )
+
+        rng = np.random.default_rng(sum(shape))
+        img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=30))
+        got = decode_jpeg(encode_jpeg_arith_progressive(img, quality=30))
+        assert np.array_equal(base, got)
+
+    def test_stream_structure_and_adaptation_wins(self):
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_arith_progressive,
+        )
+
+        img = _test_image(channels=3)
+        data = encode_jpeg_arith_progressive(img, quality=85)
+        assert b"\xff\xca" in data and b"\xff\xc4" not in data  # no DHT
+        # the color script: 1 DC-first + 2x3 AC-first (spectral halves)
+        # + 2x3 AC-refine + 1 DC-refine = 14 scans
+        assert data.count(b"\xff\xda") == 14
+        # the adaptive coder must beat the static Annex-K Huffman tables
+        assert len(data) < len(encode_jpeg_progressive(img, quality=85))
+
+    def test_restart_intervals_are_the_seam(self):
+        """A SOF10 stream declaring DRI hits the documented seam."""
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_arith_progressive,
+        )
+
+        data = bytearray(
+            encode_jpeg_arith_progressive(_test_image(channels=1))
+        )
+        i = bytes(data).index(b"\xff\xda")
+        data[i:i] = b"\xff\xdd\x00\x04\x00\x02"  # splice a DRI segment
+        with pytest.raises(NotImplementedError, match="restart"):
+            decode_jpeg(bytes(data))
+
+    def test_fuzz_prog_arith_clean_errors_only(self):
+        import random
+
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_arith_progressive,
+        )
+
+        rnd = random.Random(31)
+        img = _test_image(24, 32, channels=3, seed=4)
+        streams = [
+            encode_jpeg_arith_progressive(img, quality=60),
+            encode_jpeg_arith_progressive(img, quality=60,
+                                          subsampling="420"),
+        ]
+        for _ in range(800):
+            s = bytearray(rnd.choice(streams))
+            for _ in range(rnd.randint(1, 3)):
+                op = rnd.random()
+                if op < 0.5:
+                    s[rnd.randrange(len(s))] = rnd.randrange(256)
+                elif op < 0.75:
+                    del s[rnd.randrange(len(s))]
+                else:
+                    s.insert(rnd.randrange(len(s)), rnd.randrange(256))
+            try:
+                decode_jpeg(bytes(s), max_pixels=1_000_000)
+            except (ValueError, NotImplementedError):
+                pass

@@ -161,6 +161,7 @@ FAMILY = (
     "retrieval_trained_search",
     "lossless_jpeg_stats",       # 0-shuffle Arrow map, ~linear like its twins
     "g711_roundtrip_stats",      # 0-shuffle Arrow map, vectorized companding
+    "prog_arith_jpeg_stats",     # 0-shuffle Arrow map, QM-coder constant
 )
 
 
