@@ -693,3 +693,118 @@ def test_wav_g711_roundtrip_within_companding_error(n, ch, law, seed):
     assert rate == 8000 and back.shape == (n, ch)
     err = np.abs(back * 32768.0 - samples.astype(np.float32))
     assert float(err.max()) <= (1024 if law == "ulaw" else 2048)
+
+
+# ------------------------------------------------------ r12 codec reach
+
+
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    ch=st.sampled_from([1, 3]),
+    predictor=st.integers(1, 7),
+    precision=st.sampled_from([8, 12, 16]),
+    interleave=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_lossless_jpeg_roundtrip_any_shape_predictor_precision(
+    h, w, ch, predictor, precision, interleave, seed
+):
+    """SOF3 is lossless: decode(encode(x)) == x for EVERY shape,
+    predictor, precision and scan layout — the property the 183-case
+    unit matrix samples, searched adversarially here."""
+    from shopify_etl_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(seed)
+    dt = np.uint8 if precision == 8 else np.uint16
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    img = rng.integers(0, 1 << precision, shape, dtype=dt)
+    got = decode_jpeg(
+        encode_jpeg_lossless(
+            img, predictor=predictor, precision=precision,
+            interleave=interleave,
+        )
+    )
+    assert got.dtype == img.dtype and np.array_equal(got, img)
+
+
+@given(
+    h=st.integers(1, 32),
+    w=st.integers(1, 32),
+    kind=st.sampled_from(
+        ["gray8", "gray16", "rgb8", "rgb16", "rgba8", "gray1", "gray2",
+         "gray4", "pal"]
+    ),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_full_spec_roundtrip_any_geometry(h, w, kind, interlace, seed):
+    """Full-spec PNG: every color-type/depth combination round-trips
+    losslessly under both interlace modes at ANY geometry (Adam7's
+    empty-pass and 1-pixel-pass corners included)."""
+    from shopify_etl_spark.operators.png_codec import (
+        decode_png,
+        encode_png,
+        encode_png_gray,
+        encode_png_paletted,
+    )
+
+    rng = np.random.default_rng(seed)
+    if kind in ("gray8", "gray16", "rgb8", "rgb16", "rgba8"):
+        depth = 16 if kind.endswith("16") else 8
+        ch = {"gray": 1, "rgb": 3, "rgba": 4}[kind.rstrip("816")]
+        dt = np.uint16 if depth == 16 else np.uint8
+        shape = (h, w) if ch == 1 else (h, w, ch)
+        img = rng.integers(0, 1 << depth, shape, dtype=dt)
+        got = decode_png(encode_png(img, interlace=interlace))
+        assert got.dtype == img.dtype and np.array_equal(got, img)
+    elif kind == "pal":
+        npal = int(rng.integers(1, 257))
+        pal = rng.integers(0, 256, (npal, 3), dtype=np.uint8)
+        idx = rng.integers(0, npal, (h, w), dtype=np.uint8)
+        got = decode_png(encode_png_paletted(idx, pal, interlace=interlace))
+        assert np.array_equal(got, pal[idx])
+    else:
+        d = int(kind[4:])
+        img = rng.integers(0, 1 << d, (h, w), dtype=np.uint8)
+        got = decode_png(encode_png_gray(img, d, interlace=interlace))
+        assert np.array_equal(got, img * (255 // ((1 << d) - 1)))
+
+
+@given(
+    h=st.integers(1, 32),
+    w=st.integers(1, 32),
+    ch=st.sampled_from([1, 3]),
+    quality=st.integers(5, 95),
+    subsampling=st.sampled_from(["444", "420", "422", "411", "440"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_prog_arith_jpeg_equals_baseline_any_geometry(
+    h, w, ch, quality, subsampling, seed
+):
+    """SOF10 shares the coefficient front half with SOF0, so the two
+    decodes must agree bit-for-bit at ANY geometry/quality/layout."""
+    from shopify_etl_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_arith_progressive,
+    )
+
+    if ch == 1:
+        subsampling = "444"
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=quality,
+                                   subsampling=subsampling))
+    got = decode_jpeg(
+        encode_jpeg_arith_progressive(img, quality=quality,
+                                      subsampling=subsampling)
+    )
+    assert np.array_equal(base, got)
