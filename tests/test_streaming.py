@@ -1390,3 +1390,73 @@ def test_stream_index_search_parity_with_batch(spark, tmp_path):
     assert compact_index_epochs(spark, out) is not None
     assert stream_answer() == got == batch_answer()
     queries.unpersist()
+
+
+def test_index_search_unchanged_through_torn_compaction(spark, tmp_path):
+    """The crash window between compaction publish and cleanup: the
+    compact= dir AND the subsumed epoch= dirs coexist on disk, and the
+    reader's range-containment rule must keep every candidate counted
+    exactly once — a double-read would surface as duplicate chunk_keys
+    (and wrong ranks) in the probe search's top-k."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from shopify_etl_spark.operators import similarity
+    from shopify_etl_spark.operators.text import char_chunk_documents
+    from shopify_etl_spark.streaming import (
+        compact_index_epochs,
+        read_index_chunks,
+        search_index_chunks,
+        stream_index_chunks,
+    )
+
+    words = [f"q{i}" for i in range(30)]
+    src = tmp_path / "feed"
+    out, ckpt = str(tmp_path / "index"), str(tmp_path / "ck")
+    for b in range(3):
+        _write_jsonl(src / f"b{b}.jsonl", [
+            {"doc_id": 50 * b + i,
+             "text": " ".join(words[(b + i + j) % 30] for j in range(80)),
+             "ingested_at": f"2024-08-01T0{b}:{i:02d}:00.000Z"}
+            for i in range(3)
+        ])
+        stream_index_chunks(spark, str(src), out, ckpt).awaitTermination(120)
+
+    qdocs = spark.createDataFrame(
+        [(7000, " ".join(words[(3 * j) % 30] for j in range(50)))],
+        "doc_id long, text string",
+    )
+    queries = char_chunk_documents(qdocs, chunk_chars=160, overlap=40).filter(
+        F.col("chunk_idx") == 0
+    ).select(
+        F.concat_ws(":", "doc_id", "chunk_idx").alias("qk"),
+        similarity.hash_embed("chunk_text").alias("qv"),
+    )
+    before = sorted(map(tuple, search_index_chunks(
+        spark, out, queries, k=5, n_probes=2
+    ).collect()))
+    n_rows = read_index_chunks(spark, out).count()
+
+    # compact, then RESURRECT the subsumed epoch dirs from a snapshot —
+    # the exact on-disk state a crash between publish and cleanup leaves
+    snap = tmp_path / "snap"
+    shutil.copytree(out, snap)
+    published = compact_index_epochs(spark, out)
+    assert published is not None
+    import os
+    for name in os.listdir(snap):
+        if name.startswith("epoch=") and not os.path.exists(
+            os.path.join(out, name)
+        ):
+            shutil.copytree(os.path.join(snap, name),
+                            os.path.join(out, name))
+    # both the compact dir and every subsumed epoch dir now coexist
+    assert any(n.startswith("compact=") for n in os.listdir(out))
+    assert sum(n.startswith("epoch=") for n in os.listdir(out)) >= 2
+
+    assert read_index_chunks(spark, out).count() == n_rows  # no double-read
+    after = sorted(map(tuple, search_index_chunks(
+        spark, out, queries, k=5, n_probes=2
+    ).collect()))
+    assert after == before
