@@ -7,8 +7,8 @@ is the uncompressed interchange container those tools themselves speak
 honestly: a plain-text stream header (``YUV4MPEG2 W<w> H<h> F<n>:<d>
 [C<colorspace> ...]``), then per frame a ``FRAME`` marker line followed
 by raw planar YUV bytes. Supported colorspaces: mono (luma only), 4:2:0
-(all three subsampling tags), and 4:4:4 — which covers what encoders
-emit for grayscale and standard video.
+(all three subsampling tags), 4:2:2 and 4:4:4 — every standard Y4M
+colorspace; covers what encoders emit for grayscale and video.
 
 ``operators/multimodal.py::sample_frames`` uses this for
 ``format='y4m'`` payloads; other containers (mp4/mkv/avi) remain the
@@ -28,6 +28,7 @@ _MAGIC = b"YUV4MPEG2"
 #: colorspace tag → bytes per frame as a fraction of w*h (num, den)
 _PLANE_RATIO = {
     "C420": (3, 2), "C420jpeg": (3, 2), "C420mpeg2": (3, 2), "C420paldv": (3, 2),
+    "C422": (2, 1),
     "C444": (3, 1),
     "Cmono": (1, 1),
 }
@@ -54,8 +55,8 @@ def decode_y4m(data: bytes, luma_only: bool = True):
     ``luma_only=True`` (the decimation/feature default) returns each
     frame's Y plane as (H,W); chroma planes are still parsed to advance
     the stream correctly. ``luma_only=False`` returns (H,W,3) for C444
-    and the raw planar (luma, u, v) tuple for 4:2:0 (whose chroma
-    dimensions differ from luma — callers upsample as needed).
+    and the raw planar (luma, u, v) tuple for 4:2:0 / 4:2:2 (whose
+    chroma dimensions differ from luma — callers upsample as needed).
     """
     if not data.startswith(_MAGIC):
         raise ValueError("not a YUV4MPEG2 stream (bad magic)")
@@ -108,8 +109,9 @@ def decode_y4m(data: bytes, luma_only: bool = True):
                 .transpose(1, 2, 0)
                 .copy()
             )
-        else:  # 4:2:0 — chroma is quarter-size; return the planes
-            cw, ch_ = w // 2, h // 2
+        else:  # 4:2:0 / 4:2:2 — subsampled chroma; return the planes
+            cw = w // 2
+            ch_ = h if cspace == "C422" else h // 2
             u = np.frombuffer(
                 raw[luma_bytes : luma_bytes + cw * ch_], dtype=np.uint8
             ).reshape(ch_, cw)

@@ -378,13 +378,25 @@ def test_y4m_codec_roundtrip_and_variants():
     assert f444.shape == (2, 4, 3)
     assert (f444 == rgb.transpose(1, 2, 0)).all()
 
+    # C422 (r12): half-width, full-height chroma planes
+    u22 = np.full((2, 2), 90, np.uint8)
+    v22 = np.full((2, 2), 180, np.uint8)
+    s422 = (
+        b"YUV4MPEG2 W4 H2 C422\nFRAME\n"
+        + luma.tobytes() + u22.tobytes() + v22.tobytes()
+    )
+    (g422,) = decode_y4m(s422)
+    assert (g422 == luma).all()
+    ((l3, u3, v3),) = decode_y4m(s422, luma_only=False)
+    assert (l3 == luma).all() and (u3 == u22).all() and (v3 == v22).all()
+
     # malformed inputs fail loudly, not quietly
     with _pytest.raises(ValueError, match="magic"):
         decode_y4m(b"RIFFxxxx")
     with _pytest.raises(ValueError, match="truncated"):
         decode_y4m(blob[:-3])
     with _pytest.raises(ValueError, match="colorspace"):
-        decode_y4m(b"YUV4MPEG2 W4 H2 C422\nFRAME\n" + b"\x00" * 16)
+        decode_y4m(b"YUV4MPEG2 W4 H2 C411\nFRAME\n" + b"\x00" * 16)
 
 
 def test_sample_frames_real_y4m_demux(spark):
