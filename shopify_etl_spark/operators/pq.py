@@ -1,0 +1,296 @@
+"""Product quantization (PQ): the fine quantizer of the IVF-PQ ANN
+layout (Jégou et al., "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011) — the third leg of this engine's ANN story next to
+the coarse quantizer (``clustering.kmeans_fit`` + ``similarity.
+ivf_assign``) and LSH.
+
+Why it exists at 100 TB: a float32 embedding table at crawl scale does
+not fit serving memory (64 dims × 4 B = 256 B/vector). PQ splits each
+vector into ``m`` subvectors, k-means-quantizes each subspace
+independently, and stores only the ``m`` code indices — 8 B/vector at
+``m=8, k=16`` (4-bit codes), a 32× compression — while search computes
+asymmetric distances (ADC) by summing ``m`` table lookups per candidate
+instead of a d-dim dot product.
+
+Scale shapes, per stage:
+
+* **train** (:func:`pq_train`): ONE ``mapInPandas`` pass per Lloyd
+  iteration computes partial sums for ALL ``m`` subspaces at once (one
+  GEMM per subspace per Arrow batch; the shuffle is O(batches × m × k)
+  rows, vectors never shuffle) — the same partial-fold discipline as
+  ``clustering.kmeans_fit``, paid once for the whole codebook set, not
+  per subspace. Deterministic smallest-id init (``init_by="id"``) keeps
+  the whole fit SQL-reproducible for a cross-engine oracle.
+* **assign** (:func:`pq_assign`): map-side — codebooks (m × k × d/m
+  doubles, a few KB) ride in the closure; each batch is m GEMMs; the
+  output is (id, codes) plus ride-along columns, never a join back.
+* **search** (:func:`pq_topk`): each query precomputes its m × k ADC
+  table (one tiny Arrow pass over the query frame); candidates are
+  scored by summing ``m`` JVM ``element_at`` lookups via
+  ``zip_with(codes, table)`` — no Python in the corpus-sized hot path,
+  no cross join wider than |queries| (broadcast), and the scan
+  parallelizes over whatever partitioning the code table already has.
+  Compose with ``similarity.ivf_assign`` cells to bound the scan per
+  query (IVF-PQ proper). The ADC top-k's production role is a RE-RANK
+  SHORTLIST (the paper's ADC+R): take k ~ 5-10× the final answer size
+  and re-rank the shortlist with exact distances on the stored
+  vectors — pinned in tests at recall@10 ≥ 0.8 inside an ADC top-50
+  over the hardest (i.i.d. gaussian) test corpus.
+
+Distances are EUCLIDEAN (the PQ paper's metric): subspace k-means
+minimizes L2 distortion, and ADC sums per-subspace squared distances —
+cosine consumers L2-normalize upstream, which makes L2 order equal
+cosine order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _slices(dim: int, m: int):
+    if dim % m:
+        raise ValueError(f"pq: dim {dim} not divisible by m={m}")
+    step = dim // m
+    return [(j * step, (j + 1) * step) for j in range(m)]
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    init_by: str = "id",
+    seed: int = 7,
+):
+    """Fit the m per-subspace codebooks; returns (codebooks, history).
+
+    ``codebooks``: list of m entries, each a k × (dim/m) list of lists.
+    ``history``: total L2 distortion per iteration (non-increasing — the
+    Lloyd invariant, pinned in tests). ``init_by="id"`` seeds every
+    subspace from the k smallest ids' subvectors (SQL-reproducible, the
+    ``kmeans_fixed_init_clusters`` precedent); ``"hash"`` seeds from the
+    smallest ``xxhash64(id, seed)`` rows.
+    """
+    import numpy as np
+
+    order = (
+        F.xxhash64(F.col(id_col), F.lit(seed)) if init_by == "hash"
+        else F.col(id_col)
+    )
+    init = (
+        df.select(id_col, vec_col)
+        .withColumn("_h", order)
+        .orderBy("_h")
+        .limit(k)
+        .collect()
+    )
+    if not init:
+        raise ValueError("pq_train: empty corpus — nothing to seed from")
+    dim = len(init[0][vec_col])
+    slices = _slices(dim, m)
+    # m × k × dsub
+    books = [
+        np.array([[float(x) for x in r[vec_col][a:b]] for r in init])
+        for a, b in slices
+    ]
+    if len(init) < k:
+        raise ValueError(f"pq_train: corpus smaller than k={k}")
+
+    src = df.select(id_col, vec_col)
+    partial_schema = "j int, cid int, n long, vsum array<double>, sse double"
+    history: list[float] = []
+    for _ in range(iters):
+        snapshot = [b.copy() for b in books]
+
+        def partials(batches, _books=snapshot, _slices=slices):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                out = {"j": [], "cid": [], "n": [], "vsum": [], "sse": []}
+                for j, (a, b) in enumerate(_slices):
+                    S = V[:, a:b]
+                    C = _books[j]  # k × dsub
+                    # ||s - c||^2 = ||s||^2 - 2 s·c + ||c||^2; the ||s||^2
+                    # term is assignment-invariant, kept only for the SSE
+                    d2 = (
+                        (S**2).sum(axis=1, keepdims=True)
+                        - 2.0 * (S @ C.T)
+                        + (C**2).sum(axis=1)[None, :]
+                    )
+                    cid = d2.argmin(axis=1)
+                    best = d2[np.arange(len(S)), cid]
+                    for c in np.unique(cid):
+                        mask = cid == c
+                        out["j"].append(j)
+                        out["cid"].append(int(c))
+                        out["n"].append(int(mask.sum()))
+                        out["vsum"].append(S[mask].sum(axis=0).tolist())
+                        out["sse"].append(float(best[mask].sum()))
+                yield pd.DataFrame(out)
+
+        folded = src.mapInPandas(partials, partial_schema)
+        dsub = dim // m
+        rows = folded.groupBy("j", "cid").agg(
+            F.sum("n").alias("n"),
+            F.sum("sse").alias("sse"),
+            F.reduce(
+                F.collect_list("vsum"),
+                F.array_repeat(F.lit(0.0), dsub),
+                lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q),
+            ).alias("vsum"),
+        ).collect()
+        history.append(float(sum(r["sse"] for r in rows)))
+        for r in rows:  # empty cells keep their previous centroid
+            books[r["j"]][r["cid"]] = np.asarray(r["vsum"]) / r["n"]
+    return [b.tolist() for b in books], history
+
+
+def pq_assign(
+    df: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Vectors → PQ codes: (id, codes array<int> of length m, ...).
+
+    Map-side only: the codebooks ride in the closure, each Arrow batch
+    runs one GEMM per subspace, and ``keep_cols`` ride through so no
+    consumer joins back to the corpus (the ivf_assign discipline).
+    """
+    import numpy as np
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    dim = sum(b.shape[1] for b in books)
+    slices = _slices(dim, len(books))
+    keep = list(keep_cols)
+    schema_keep = "".join(
+        f", {df.schema[c].name} {df.schema[c].dataType.simpleString()}"
+        for c in keep
+    )
+    schema = f"{id_col} {df.schema[id_col].dataType.simpleString()}, " \
+             f"codes array<int>{schema_keep}"
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            codes = np.empty((len(V), len(books)), dtype=np.int32)
+            for j, (a, b) in enumerate(slices):
+                S = V[:, a:b]
+                C = books[j]
+                d2 = -2.0 * (S @ C.T) + (C**2).sum(axis=1)[None, :]
+                codes[:, j] = d2.argmin(axis=1)
+            out = {id_col: pdf[id_col], "codes": list(codes.tolist())}
+            for c in keep:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, vec_col, *keep).mapInPandas(run, schema)
+
+
+def pq_reconstruct(codebooks):
+    """codes → approximate vector, as a JVM column expression factory:
+    ``pq_reconstruct(books)(F.col("codes"))`` concatenates the looked-up
+    centroids (flatten of per-subspace element_at) — used by tests and
+    by consumers that need approximate vectors back without Python."""
+    arrs = [
+        F.array(*[
+            F.array(*[F.lit(float(x)) for x in row]) for row in book
+        ])
+        for book in codebooks
+    ]
+
+    def expr(codes_col):
+        parts = [
+            F.element_at(arrs[j], F.element_at(codes_col, j + 1) + 1)
+            for j in range(len(arrs))
+        ]
+        return F.flatten(F.array(*parts))
+
+    return expr
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    codebooks,
+    k: int = 10,
+    query_id: str = "query_id",
+    query_vec: str = "qv",
+    corpus_id: str = "neighbor_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """ADC top-k: score PQ codes against each query's distance table.
+
+    The query side precomputes its m × k table (one tiny Arrow pass over
+    the query frame: ``table[j][c] = ||q_j - books[j][c]||²``); the
+    corpus-sized hot path is pure JVM — ``zip_with(codes, table)``
+    element_at lookups summed by ``aggregate`` — under a broadcast of
+    the (small) query frame. Output: (query_id, corpus_id, adc_dist
+    rounded to 4), top-k per query with (dist asc, id asc) tie-break.
+    """
+    import numpy as np
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    dim = sum(b.shape[1] for b in books)
+    slices = _slices(dim, len(books))
+
+    def tables(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for q in pdf[query_vec]:
+                qv = np.asarray(q, dtype=np.float64)
+                t = [
+                    ((books[j] - qv[a:b][None, :]) ** 2).sum(axis=1).tolist()
+                    for j, (a, b) in enumerate(slices)
+                ]
+                rows.append(t)
+            yield pd.DataFrame(
+                {query_id: pdf[query_id], "_adc": rows}
+            )
+
+    qid_type = queries.schema[query_id].dataType.simpleString()
+    qt = queries.select(query_id, query_vec).mapInPandas(
+        tables, f"{query_id} {qid_type}, _adc array<array<double>>"
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col(codes_col),
+            F.col("_adc"),
+            lambda c, row: F.element_at(row, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ).alias("adc_dist")
+    w = Window.partitionBy(query_id).orderBy(
+        F.asc("adc_dist"), F.asc(corpus_id)
+    )
+    return (
+        corpus_codes.crossJoin(F.broadcast(qt))
+        .select(query_id, corpus_id, dist)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(query_id, corpus_id, F.round("adc_dist", 4).alias("adc_dist"))
+    )

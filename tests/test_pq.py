@@ -1,0 +1,169 @@
+"""Product quantization (operators/pq.py): Lloyd invariants, exactness
+on codebook-reconstructible corpora, ADC-vs-true-distance identity, and
+a measured recall gate against exact L2 search."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from shopify_etl_spark.operators import pq
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df.cache().count()
+    return df
+
+
+class TestTrain:
+    def test_codebook_shapes_and_determinism(self, spark, emb):
+        books, hist = pq.pq_train(emb, m=8, k=16, iters=2, init_by="id")
+        assert len(books) == 8
+        assert all(len(b) == 16 and len(b[0]) == 8 for b in books)
+        books2, hist2 = pq.pq_train(emb, m=8, k=16, iters=2, init_by="id")
+        assert books == books2 and hist == hist2
+
+    def test_lloyd_distortion_non_increasing(self, spark, emb):
+        _books, hist = pq.pq_train(emb, m=4, k=8, iters=3, init_by="id")
+        assert len(hist) == 3
+        assert hist[0] >= hist[1] >= hist[2] - 1e-9
+
+    def test_dim_must_divide(self, spark, emb):
+        with pytest.raises(ValueError, match="divisible"):
+            pq.pq_train(emb, m=7, k=8, iters=1)
+
+
+class TestAssignReconstruct:
+    def test_codes_in_range_and_keep_cols(self, spark, emb):
+        books, _ = pq.pq_train(emb, m=8, k=16, iters=1, init_by="id")
+        coded = pq.pq_assign(
+            emb.withColumn("tag", F.col("vec_id") % 3),
+            books, keep_cols=("tag",),
+        )
+        row = coded.agg(
+            F.min(F.array_min("codes")).alias("lo"),
+            F.max(F.array_max("codes")).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.size("codes")).alias("m_total"),
+        ).collect()[0]
+        assert row.lo >= 0 and row.hi < 16
+        assert row.m_total == row.n * 8
+        assert "tag" in coded.columns
+
+    def test_exact_on_codebook_points(self, spark):
+        """A corpus whose vectors ARE codebook reconstructions must code
+        and reconstruct with ZERO distortion — pins the argmin, the
+        code-index convention AND pq_reconstruct's element_at layout."""
+        rng = np.random.default_rng(3)
+        books = rng.normal(size=(4, 8, 4)).round(3).tolist()  # m=4, k=8
+        rows = []
+        for i in range(64):
+            codes = [int(c) for c in rng.integers(0, 8, 4)]
+            vec = [x for j, c in enumerate(codes) for x in books[j][c]]
+            rows.append((i, vec, codes))
+        df = spark.createDataFrame(
+            [(i, v) for i, v, _ in rows], "vec_id long, embedding array<double>"
+        )
+        got = {
+            r.vec_id: list(r.codes)
+            for r in pq.pq_assign(df, books).collect()
+        }
+        # ties are possible only if two codebook rows coincide (they
+        # don't at 3 decimals of N(0,1)); assignment must be exact
+        for i, _v, codes in rows:
+            assert got[i] == codes, i
+        rec = pq.pq_assign(df, books).select(
+            "vec_id", pq.pq_reconstruct(books)(F.col("codes")).alias("rv")
+        )
+        back = {r.vec_id: list(r.rv) for r in rec.collect()}
+        for i, v, _ in rows:
+            assert np.allclose(back[i], v, atol=1e-12), i
+
+
+class TestSearch:
+    def test_adc_equals_true_distance_on_reconstructible_corpus(self, spark):
+        """When corpus vectors are exact reconstructions, the ADC sum IS
+        the true squared L2 distance — table lookups and the JVM
+        aggregate must reproduce it to float tolerance."""
+        rng = np.random.default_rng(4)
+        books = rng.normal(size=(4, 8, 4)).round(3).tolist()
+        corpus = []
+        for i in range(40):
+            codes = [int(c) for c in rng.integers(0, 8, 4)]
+            vec = np.array(
+                [x for j, c in enumerate(codes) for x in books[j][c]]
+            )
+            corpus.append((i, vec))
+        cdf = pq.pq_assign(
+            spark.createDataFrame(
+                [(i, v.tolist()) for i, v in corpus],
+                "neighbor_id long, embedding array<double>",
+            ),
+            books, vec_col="embedding", id_col="neighbor_id",
+        )
+        qvecs = [(100 + i, rng.normal(size=16).tolist()) for i in range(3)]
+        qdf = spark.createDataFrame(qvecs, "query_id long, qv array<double>")
+        got = pq.pq_topk(qdf, cdf, books, k=40, corpus_id="neighbor_id")
+        rows = {(r.query_id, r.neighbor_id): r.adc_dist for r in got.collect()}
+        for qid, qv in qvecs:
+            q = np.array(qv)
+            for i, v in corpus:
+                true = round(float(((q - v) ** 2).sum()), 4)
+                assert abs(rows[(qid, i)] - true) <= 1e-3, (qid, i)
+
+    def test_shortlist_recall_vs_exact_l2(self, spark, emb):
+        """End-to-end gate on real embeddings, in the operator's
+        production role: the ADC top-k is a RE-RANK SHORTLIST, not the
+        final answer (the IVF-PQ paper's ADC+R). Trained m=8/k=64 codes
+        over this 500-vector corpus: the ADC top-50 must contain most of
+        the exact L2 top-10 — measured 0.96 mean recall@10; the gate is
+        pinned at 0.8 so codebook jitter can't flake the suite, while a
+        broken table/lookup (a random 50-of-500 shortlist recalls ~0.1)
+        still fails hard. Direct ADC top-10 on THIS corpus is the
+        hard case for PQ (i.i.d. gaussian dims: distances concentrate,
+        measured 0.40-0.56 at 32-64 bits) — which is exactly why the
+        shortlist+re-rank contract is the one worth pinning."""
+        books, _ = pq.pq_train(emb, m=8, k=64, iters=2, init_by="id")
+        coded = pq.pq_assign(
+            emb, books, id_col="vec_id"
+        ).withColumnRenamed("vec_id", "neighbor_id")
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+        approx = pq.pq_topk(queries, coded, books, k=50)
+        approx_sets = {
+            q: {r.neighbor_id for r in rows}
+            for q, rows in __import__("itertools").groupby(
+                sorted(approx.collect(), key=lambda r: r.query_id),
+                key=lambda r: r.query_id,
+            )
+        }
+        # exact L2 top-10 (brute force on the driver: sf0.001 is small)
+        vecs = {r.vec_id: np.array(r.embedding) for r in emb.collect()}
+        recalls = []
+        for qid in range(5):
+            q = vecs[qid]
+            exact = sorted(
+                ((float(((q - v) ** 2).sum()), i) for i, v in vecs.items()),
+            )[:10]
+            exact_ids = {i for _, i in exact}
+            recalls.append(len(exact_ids & approx_sets[qid]) / 10.0)
+        assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+    def test_plan_is_jvm_on_the_corpus_side(self, spark, emb):
+        """The corpus-sized hot path must not contain a Python stage:
+        the only Arrow evals are the tiny query-table pass and the
+        one-time assign — scoring is zip_with/aggregate in codegen."""
+        books, _ = pq.pq_train(emb, m=8, k=16, iters=1, init_by="id")
+        coded = pq.pq_assign(emb, books).withColumnRenamed(
+            "vec_id", "neighbor_id"
+        ).localCheckpoint()  # materialize: the plan below is search-only
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+        plan = pq.pq_topk(queries, coded, books, k=5)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        # exactly one Arrow stage: the query-side ADC-table builder
+        assert plan.count("MapInPandas") == 1
