@@ -14,7 +14,8 @@ thumbnails and 16-bit scientific masters at volume:
 * all five scanline filters (None/Sub/Up/Average/Paeth), applied
   per-pass with the pass's own geometry, byte offset = bpp per spec;
 * PLTE + tRNS: palette images decode to RGB, or RGBA when a tRNS chunk
-  assigns per-entry alpha.
+  assigns per-entry alpha; gray/RGB tRNS (color-key transparency,
+  spec 11.3.2.1) emits an alpha channel keyed on the raw sample value.
 
 Output contract (matches what libpng's expand-to-8 gives and what the
 Pillow differential in tests/test_codec_differential.py compares
@@ -396,10 +397,33 @@ def _decode_png_impl(data: bytes, max_pixels: int) -> np.ndarray:
             alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
             return np.dstack([rgb, alpha[idx]])
         return rgb
+    alpha = None
+    if trns is not None:
+        # color-key transparency (spec 11.3.2.1): tRNS for gray/RGB holds
+        # one raw sample per channel, 2 bytes each at the SOURCE depth —
+        # match on raw samples before any bit-replication scaling
+        if color not in (0, 2):
+            raise ValueError(
+                f"png: tRNS chunk is illegal for color type {color}"
+            )
+        if len(trns) != 2 * ch:
+            raise ValueError(
+                f"png: malformed tRNS for color type {color} "
+                f"({len(trns)} bytes, expected {2 * ch})"
+            )
+        key = np.frombuffer(trns, dtype=">u2").astype(np.int32)
+        mask = (
+            samples.reshape(h, w, ch) == key[None, None, :]
+        ).all(axis=2)
+        alpha = np.where(mask, 0, 65535 if depth == 16 else 255)
     if depth == 16:
         arr = samples.astype(np.uint16)
     elif depth < 8:  # gray only (per the combination table)
         arr = (samples * (255 // ((1 << depth) - 1))).astype(np.uint8)
     else:
         arr = samples.astype(np.uint8)
-    return arr.reshape(h, w, ch) if ch > 1 else arr.reshape(h, w)
+    arr = arr.reshape(h, w, ch) if ch > 1 else arr.reshape(h, w)
+    if alpha is not None:
+        planes = arr if arr.ndim == 3 else arr[:, :, None]
+        return np.dstack([planes, alpha.astype(arr.dtype)])
+    return arr

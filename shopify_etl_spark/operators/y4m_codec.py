@@ -82,6 +82,16 @@ def decode_y4m(data: bytes, luma_only: bool = True):
         raise ValueError(f"Y4M frame dimensions {w}x{h} outside sane bounds")
     if cspace not in _PLANE_RATIO:
         raise ValueError(f"unsupported Y4M colorspace {cspace!r}")
+    # Subsampled chroma planes are w//2 (and h//2 for 4:2:0) wide; with an
+    # odd dimension the 2:1 byte-ratio frame size and the floor-divided
+    # plane reshape disagree, so the stream is ambiguous — reject it
+    # explicitly instead of desyncing or raising a confusing reshape error.
+    if cspace.startswith("C420") and (w % 2 or h % 2):
+        raise ValueError(
+            f"Y4M {cspace} requires even frame dimensions, got {w}x{h}"
+        )
+    if cspace == "C422" and w % 2:
+        raise ValueError(f"Y4M C422 requires even width, got {w}")
     num, den = _PLANE_RATIO[cspace]
     frame_bytes = (w * h * num) // den
     luma_bytes = w * h

@@ -113,6 +113,24 @@ def read_index_chunks(spark: SparkSession, out_dir: str) -> DataFrame:
     dirs = live_grid_dirs(spark, out_dir)
     if not dirs:
         raise FileNotFoundError(f"no committed index epochs under {out_dir}")
+    # Store-format gate: since r12 every epoch persists the embedding
+    # ('ev') so search never re-embeds. An out_dir written by the older
+    # format would otherwise surface as an opaque missing-column analysis
+    # error (or a silent schema-merge surprise) deep inside a consumer —
+    # fail here with the remediation instead. Footer-only reads, and
+    # compaction bounds the dir count, so this stays a driver-side
+    # metadata check.
+    stale = [
+        d for d in dirs if "ev" not in spark.read.parquet(d).columns
+    ]
+    if stale:
+        raise ValueError(
+            "index store at {} uses the pre-vector format: {} epoch dir(s) "
+            "lack the stored-embedding 'ev' column (e.g. {}). Rebuild the "
+            "index store — delete the store and checkpoint dirs and "
+            "re-ingest the feed — so search/manifest reads see one "
+            "schema.".format(out_dir, len(stale), stale[0])
+        )
     return spark.read.parquet(*dirs)
 
 

@@ -358,6 +358,73 @@ class TestFullSpecCoverage:
         assert np.array_equal(got[..., :3], pal[idx])
         assert np.array_equal(got[..., 3], alpha[idx])
 
+    def test_gray_and_rgb_trns_color_key_alpha(self):
+        """tRNS on color types 0/2 (color-key transparency, spec
+        11.3.2.1): pixels matching the raw-sample key get alpha 0,
+        everything else full-scale alpha (r13, ADVICE fix — previously
+        the chunk was silently dropped for non-palette types)."""
+        import struct as _struct
+
+        from shopify_etl_spark.operators.png_codec import (
+            _chunk,
+            encode_png,
+            encode_png_gray,
+        )
+
+        def splice_trns(blob: bytes, payload: bytes) -> bytes:
+            pos = 8  # insert the tRNS chunk just before the first IDAT
+            while True:
+                (length,) = _struct.unpack_from(">I", blob, pos)
+                if blob[pos + 4 : pos + 8] == b"IDAT":
+                    return blob[:pos] + _chunk(b"tRNS", payload) + blob[pos:]
+                pos += 12 + length
+
+        # gray depth 8: single-sample key
+        g = np.array([[5, 9], [5, 7]], dtype=np.uint8)
+        got = decode_png(splice_trns(encode_png(g), _struct.pack(">H", 5)))
+        assert got.shape == (2, 2, 2) and got.dtype == np.uint8
+        assert np.array_equal(got[..., 0], g)
+        assert np.array_equal(got[..., 1], np.where(g == 5, 0, 255))
+
+        # RGB depth 8: only the exact triple matches
+        rgb = np.array(
+            [[[1, 2, 3], [1, 2, 4]], [[9, 2, 3], [1, 2, 3]]], dtype=np.uint8
+        )
+        got = decode_png(
+            splice_trns(encode_png(rgb), _struct.pack(">HHH", 1, 2, 3))
+        )
+        assert got.shape == (2, 2, 4)
+        assert np.array_equal(got[..., :3], rgb)
+        assert np.array_equal(
+            got[..., 3], np.array([[0, 255], [255, 0]], np.uint8)
+        )
+
+        # depth 16: raw 16-bit key, uint16 alpha scale
+        g16 = np.array([[700, 700], [5, 65535]], dtype=np.uint16)
+        got = decode_png(
+            splice_trns(encode_png(g16), _struct.pack(">H", 700))
+        )
+        assert got.dtype == np.uint16 and got.shape == (2, 2, 2)
+        assert np.array_equal(got[..., 0], g16)
+        assert np.array_equal(got[..., 1], np.where(g16 == 700, 0, 65535))
+
+        # low-depth gray: the key matches the RAW (pre-replication)
+        # sample while the emitted channel is bit-replicated
+        g2 = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+        got = decode_png(
+            splice_trns(encode_png_gray(g2, depth=2), _struct.pack(">H", 2))
+        )
+        assert got.shape == (2, 2, 2)
+        assert np.array_equal(got[..., 0], g2 * 85)
+        assert np.array_equal(got[..., 1], np.where(g2 == 2, 0, 255))
+
+        # illegal placements still fail loudly
+        ga = np.zeros((2, 2, 2), np.uint8)  # color type 4 (gray+alpha)
+        with pytest.raises(ValueError, match="illegal for color type 4"):
+            decode_png(splice_trns(encode_png(ga), _struct.pack(">H", 0)))
+        with pytest.raises(ValueError, match="malformed tRNS"):
+            decode_png(splice_trns(encode_png(g), b"\x00"))
+
     @pytest.mark.parametrize("shape", [(1, 1), (7, 1), (1, 9), (8, 8), (9, 10)])
     def test_adam7_small_rasters_every_pass_subset(self, shape):
         """Tiny rasters exercise the empty-pass paths (a 1x1 image has

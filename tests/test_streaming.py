@@ -1305,6 +1305,28 @@ def test_compact_index_epochs_manifest_unchanged(spark, tmp_path):
     assert read_index_chunks(spark, out).count() == n_before
 
 
+def test_index_store_pre_vector_format_rejected(spark, tmp_path):
+    """An index store written before the stored-vector format (epochs
+    without the 'ev' column) fails with a clear rebuild-the-store
+    message at read time, not an opaque missing-column analysis error
+    deep inside search/manifest consumers (r13, ADVICE fix)."""
+    import pytest
+
+    from shopify_etl_spark.streaming import read_index_chunks
+
+    out = tmp_path / "index"
+    old = spark.createDataFrame(
+        [("0:0", 0, 5, 0, 0.5)],
+        "chunk_key string, doc_id long, n_tokens long, "
+        "centroid_id int, sim double",
+    )
+    # batch parquet writes publish _SUCCESS, so this epoch reads as
+    # committed — exactly what a pre-r12 stream left behind
+    old.write.mode("overwrite").parquet(str(out / "epoch=0"))
+    with pytest.raises(ValueError, match="[Rr]ebuild the .*index store"):
+        read_index_chunks(spark, str(out))
+
+
 def test_stream_index_search_parity_with_batch(spark, tmp_path):
     """Streaming↔batch SEARCH parity (VERDICT r11 stretch #8): probing
     the incrementally maintained index must return EXACTLY the batch

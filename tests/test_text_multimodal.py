@@ -397,6 +397,20 @@ def test_y4m_codec_roundtrip_and_variants():
         decode_y4m(blob[:-3])
     with _pytest.raises(ValueError, match="colorspace"):
         decode_y4m(b"YUV4MPEG2 W4 H2 C411\nFRAME\n" + b"\x00" * 16)
+    # odd dimensions with subsampled chroma are ambiguous (frame-byte
+    # ratio vs floor-divided plane widths disagree) — rejected explicitly
+    # instead of desyncing or raising a confusing reshape error (r13)
+    with _pytest.raises(ValueError, match="even frame dimensions"):
+        decode_y4m(b"YUV4MPEG2 W5 H2 C420\nFRAME\n" + b"\x00" * 15)
+    with _pytest.raises(ValueError, match="even frame dimensions"):
+        decode_y4m(b"YUV4MPEG2 W4 H3 C420jpeg\nFRAME\n" + b"\x00" * 18)
+    with _pytest.raises(ValueError, match="even width"):
+        decode_y4m(b"YUV4MPEG2 W3 H2 C422\nFRAME\n" + b"\x00" * 12)
+    # odd dims stay legal where no chroma subsampling is involved
+    (m5,) = decode_y4m(
+        b"YUV4MPEG2 W5 H3 Cmono\nFRAME\n" + bytes(range(15))
+    )
+    assert m5.shape == (3, 5)
 
 
 def test_sample_frames_real_y4m_demux(spark):
