@@ -167,3 +167,184 @@ class TestSearch:
         assert "BatchEvalPython" not in plan
         # exactly one Arrow stage: the query-side ADC-table builder
         assert plan.count("MapInPandas") == 1
+
+
+class TestIvfPq:
+    """The composed IVF-PQ search (ivf_pq_topk): probe bound, exact
+    re-rank parity with similarity.ivf_topk, and the residual (IVFADC)
+    encoding's zero-distortion case."""
+
+    @pytest.fixture(scope="class")
+    def setup(self, spark, emb):
+        from shopify_etl_spark.operators import similarity
+
+        rows = [
+            (r.vec_id, (np.array(r.embedding, dtype=np.float64)
+                        / np.linalg.norm(r.embedding)).tolist())
+            for r in emb.collect()
+        ]
+        unit = spark.createDataFrame(rows, "vec_id long, u array<double>")
+        unit.cache().count()
+        rng = np.random.default_rng(11)
+        cents = rng.normal(size=(8, 64)).round(3).tolist()
+        cents_df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "cid int, cv array<double>",
+        )
+        cells = similarity.ivf_assign(
+            unit, cents_df, corpus_id="vec_id", corpus_vec="u",
+            keep_cols=("u",),
+        )
+        cells.cache().count()
+        return unit, cents, cents_df, cells, dict(rows)
+
+    def test_rerank_parity_with_ivf_topk_and_probe_bound(
+        self, spark, emb, setup
+    ):
+        """With a shortlist covering every candidate, ADC+R re-rank must
+        return EXACTLY similarity.ivf_topk's answer (same probes, same
+        tie-breaks; L2² order == cosine order on unit vectors) — and the
+        probe bound is real: the answer equals exact search RESTRICTED
+        to the probed cells, which for this corpus differs from
+        unrestricted exact search (so scanning beyond the probed cells
+        would fail the test)."""
+        from shopify_etl_spark.operators import pq as pqm
+        from shopify_etl_spark.operators import similarity
+
+        unit, cents, cents_df, cells, vecs = setup
+        books, _ = pqm.pq_train(
+            unit, vec_col="u", id_col="vec_id", m=4, k=16, iters=2,
+            init_by="id",
+        )
+        codes = pqm.pq_assign(
+            cells, books, vec_col="u", id_col="vec_id",
+            keep_cols=("centroid_id",),
+        ).withColumnRenamed("vec_id", "neighbor_id")
+        queries = unit.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), F.col("u").alias("qv")
+        )
+        got = pqm.ivf_pq_topk(
+            queries, codes, books, cents_df, k=10, n_probes=2,
+            shortlist=1000, rerank_vecs=unit.withColumnRenamed(
+                "vec_id", "neighbor_id"),
+            exclude_self=True,
+        ).collect()
+        got_ids = {}
+        for r in sorted(got, key=lambda r: (r.query_id, r.exact_sqdist,
+                                            r.neighbor_id)):
+            got_ids.setdefault(r.query_id, []).append(r.neighbor_id)
+
+        ref = similarity.ivf_topk(
+            queries, unit.withColumnRenamed("vec_id", "neighbor_id"),
+            cents_df, k=10, n_probes=2, corpus_vec="u",
+            cent_vec="cv",
+        ).collect()
+        ref_ids = {}
+        for r in sorted(ref, key=lambda r: (r.query_id, -r.cosine_sim,
+                                            r.neighbor_id)):
+            ref_ids.setdefault(r.query_id, []).append(r.neighbor_id)
+        assert got_ids == ref_ids
+
+        # probe-bound teeth: driver-side exact search, restricted vs not
+        C = np.array(cents)
+        cell_of = {r.vec_id: r.centroid_id for r in cells.collect()}
+        restricted_differs = 0
+        for qid in range(4):
+            q = np.array(vecs[qid])
+            csim = (C @ q) / (np.linalg.norm(C, axis=1) * np.linalg.norm(q))
+            probed = set(np.lexsort((np.arange(8), -csim))[:2])
+            full = sorted(
+                (float(((q - np.array(v)) ** 2).sum()), i)
+                for i, v in vecs.items() if i != qid
+            )[:10]
+            restricted = sorted(
+                (float(((q - np.array(v)) ** 2).sum()), i)
+                for i, v in vecs.items()
+                if i != qid and cell_of[i] in probed
+            )[:10]
+            assert got_ids[qid] == [i for _, i in restricted], qid
+            if [i for _, i in full] != [i for _, i in restricted]:
+                restricted_differs += 1
+        assert restricted_differs > 0, (
+            "probing restricted nothing — the bound test has no teeth"
+        )
+
+    def test_residual_encoding_zero_distortion_case(self, spark):
+        """IVFADC residual path: when every vector IS cent[cell] + an
+        exact codebook reconstruction of the residual, residual codes
+        carry zero distortion, so ADC distances (with residual tables)
+        equal true distances and the top-k is the exact answer."""
+        from shopify_etl_spark.operators import pq as pqm
+
+        rng = np.random.default_rng(7)
+        books = rng.normal(scale=0.1, size=(4, 8, 4)).round(3).tolist()
+        cents = (rng.normal(size=(3, 16)) * 5).round(3)
+        rows = []
+        for i in range(60):
+            cell = int(i % 3)
+            codes = [int(c) for c in rng.integers(0, 8, 4)]
+            resid = np.array(
+                [x for j, c in enumerate(codes) for x in books[j][c]]
+            )
+            rows.append((i, cell, (cents[cell] + resid).tolist(), codes))
+        df = spark.createDataFrame(
+            [(i, c, v) for i, c, v, _ in rows],
+            "vec_id long, centroid_id int, u array<double>",
+        )
+        coded = pqm.pq_assign_residual(
+            df, books, cents.tolist(), vec_col="u", id_col="vec_id"
+        )
+        got_codes = {r.vec_id: list(r.codes) for r in coded.collect()}
+        for i, _c, _v, codes in rows:
+            assert got_codes[i] == codes, i
+
+        cents_df = spark.createDataFrame(
+            [(i, c.tolist()) for i, c in enumerate(cents)],
+            "cid int, cv array<double>",
+        )
+        queries = spark.createDataFrame(
+            [(100, (cents[0] + rng.normal(scale=0.05, size=16)).tolist())],
+            "query_id long, qv array<double>",
+        )
+        got = pqm.ivf_pq_topk(
+            queries,
+            coded.withColumnRenamed("vec_id", "neighbor_id"),
+            books, cents_df, k=60, n_probes=3, shortlist=100,
+            residual=True,
+        ).collect()
+        q = np.array(queries.collect()[0].qv)
+        true = {i: round(float(((q - np.array(v)) ** 2).sum()), 4)
+                for i, _c, v, _ in rows}
+        assert len(got) == 60
+        for r in got:
+            assert abs(r.adc_dist - true[r.neighbor_id]) <= 1e-3, r
+
+    def test_composed_plan_stays_jvm_and_broadcast(self, spark, emb, setup):
+        """The corpus-sized side of the composed search: no Python
+        stage, candidates joined via broadcast (never a shuffle of the
+        code table against the probe frame)."""
+        from shopify_etl_spark.operators import pq as pqm
+
+        unit, cents, cents_df, cells, _vecs = setup
+        books, _ = pqm.pq_train(
+            unit, vec_col="u", id_col="vec_id", m=4, k=16, iters=1,
+            init_by="id",
+        )
+        codes = pqm.pq_assign(
+            cells, books, vec_col="u", id_col="vec_id",
+            keep_cols=("centroid_id",),
+        ).withColumnRenamed("vec_id", "neighbor_id").localCheckpoint()
+        queries = unit.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("u").alias("qv")
+        )
+        plan = pqm.ivf_pq_topk(
+            queries, codes, books, cents_df, k=5, n_probes=2,
+            rerank_vecs=unit.withColumnRenamed("vec_id", "neighbor_id")
+            .localCheckpoint(),
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        # Arrow stages: the probe-table builder only (assign was
+        # materialized above)
+        assert plan.count("MapInPandas") == 1
+
