@@ -3,6 +3,7 @@ from . import catalog_ext  # noqa: F401,E402  (registers extension queries)
 from . import catalog_ext2  # noqa: F401,E402  (round-2 extension queries)
 from . import catalog_ext3  # noqa: F401,E402  (round-5 session-2 queries)
 from . import catalog_ext4  # noqa: F401,E402  (round-6 session-2 queries)
+from . import catalog_ext5  # noqa: F401,E402  (round-13 PQ retrieval family)
 
 # ---------------------------------------------------------------------------
 # Catalog ordering.
@@ -207,6 +208,15 @@ _CHANGED_R10 = [
     "progressive_jpeg_stats",   # same decoder change + 16-bit DQT
 ]
 
+# New or code-changed in round 13 — sample these first.
+_CHANGED_R13 = [
+    "pq_adc_topk",           # NEW: trained PQ codes + ADC top-k
+    "ivf_pq_search",         # NEW: IVFADC probe-bounded search + re-rank
+    "residual_pq_search",    # NEW: residual-encoded IVF-PQ variant
+    "image_decode_stats",    # png decoder: gray/RGB tRNS color-key alpha
+    "audio_demux_stats",     # y4m decoder: odd-dim subsampled rejection
+]
+
 # New or code-changed in round 12 — sample these first.
 _CHANGED_R12 = [
     "retrieval_trained_search",  # NEW: k-means-trained chunk index + probe
@@ -235,22 +245,28 @@ _CHANGED_R11 = [
     "image_decode_stats",        # same decoder change
 ]
 
-# Freshness order: round-12 changes, then round-11, round-10, round-8,
-# round-6, then everything whose latest official row predates r05 (stalest
-# first by construction of the earlier lists), then the r05-sampled set.
-_SAMPLE_FIRST = _CHANGED_R12 + [
-    n for n in _CHANGED_R11 if n not in _CHANGED_R12
+# Freshness order: round-13 changes, then round-12, round-11, round-10,
+# round-8, round-6, then everything whose latest official row predates r05
+# (stalest first by construction of the earlier lists), then the
+# r05-sampled set.
+_SAMPLE_FIRST = _CHANGED_R13 + [
+    n for n in _CHANGED_R12 if n not in _CHANGED_R13
 ] + [
-    n for n in _CHANGED_R10 if n not in _CHANGED_R11 + _CHANGED_R12
+    n for n in _CHANGED_R11 if n not in _CHANGED_R12 + _CHANGED_R13
+] + [
+    n for n in _CHANGED_R10
+    if n not in _CHANGED_R11 + _CHANGED_R12 + _CHANGED_R13
 ] + [
     n for n in _CHANGED_R08
-    if n not in _CHANGED_R10 + _CHANGED_R11 + _CHANGED_R12
+    if n not in _CHANGED_R10 + _CHANGED_R11 + _CHANGED_R12 + _CHANGED_R13
 ] + [
     n for n in _CHANGED_R06
     if n not in _CHANGED_R08 + _CHANGED_R10 + _CHANGED_R11 + _CHANGED_R12
+    + _CHANGED_R13
 ] + [
     n for n in QUERIES
-    if n not in _CHANGED_R12
+    if n not in _CHANGED_R13
+    and n not in _CHANGED_R12
     and n not in _CHANGED_R11
     and n not in _CHANGED_R10
     and n not in _CHANGED_R08

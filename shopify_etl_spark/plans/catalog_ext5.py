@@ -1,0 +1,415 @@
+"""Round-13 extension queries: the product-quantization retrieval family
+(VERDICT r12 #1/#2/#8) — trained PQ codes with ADC search, the composed
+IVF-PQ (IVFADC) probe-bounded search with exact re-rank, and its
+residual-encoding variant.
+
+Same contract as catalog.py: every ``@register`` pairs a Spark builder
+with a DuckDB oracle that recomputes the FULL pipeline in SQL — here
+that means the per-subspace Lloyd training itself is unrolled into CTEs
+(the ``trained_ivf_topk`` / ``retrieval_trained_search`` precedent), so
+the codebooks, the codes, the ADC distances and the final ranking are
+all value-checked cross-engine, not just composition-checked.
+
+Determinism discipline shared by every query in this file:
+
+* inits are the k smallest ids (SQL-reproducible, zero randomness);
+* every argmin/argmax ties on the centroid/code id, every top-k on the
+  row id;
+* both engines do the same double arithmetic on the same values
+  (float32 parquet widens exactly to double on both sides), so the
+  only cross-engine divergence channel is summation order at ~1e-16 —
+  ties at that scale require exactly-equal real values, which the id
+  tie-breaks then resolve identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table, register
+
+# ---------------------------------------------------------------------------
+# Unrolled-Lloyd SQL helpers (PQ: per-subspace Euclidean; coarse: cosine
+# with MEAN centroids — unlike catalog_ext2's sum-direction spherical
+# helper, the mean scale matters here because residual encoding subtracts
+# the centroid VALUES, not just ranks against their direction).
+# ---------------------------------------------------------------------------
+
+
+def _pq_iter_sql(prev: str, assign: str, nxt: str, dsub: int) -> str:
+    """One unrolled PQ-Lloyd iteration over ALL subspaces at once: the
+    ``sub`` CTE holds (vec_id, j, s=subvector); assignment is argmin
+    squared-L2 against ``prev``'s (j, cid, c) rows (tie-break cid), the
+    update is the per-(j, cid) elementwise mean, and empty cells carry
+    their previous centroid — exactly ``operators/pq.py::pq_train``."""
+    return f"""
+    {assign} AS (
+      SELECT vec_id, j, s, cid FROM (
+        SELECT p.vec_id, p.j, p.s, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id, p.j
+                 ORDER BY list_sum(list_transform(range(1, {dsub + 1}),
+                          i -> (p.s[i] - c.c[i]) * (p.s[i] - c.c[i]))) ASC,
+                          c.cid) AS rn
+        FROM sub p JOIN {prev} c ON c.j = p.j
+      ) WHERE rn = 1
+    ),
+    {nxt}_upd AS (
+      SELECT j, cid, list(m ORDER BY i) AS c FROM (
+        SELECT a.j, a.cid, t.i, SUM(a.s[t.i]) / COUNT(*) AS m
+        FROM {assign} a CROSS JOIN range(1, {dsub + 1}) t(i)
+        GROUP BY a.j, a.cid, t.i
+      ) GROUP BY j, cid
+    ),
+    {nxt} AS (
+      SELECT j, cid, c FROM {nxt}_upd
+      UNION ALL
+      SELECT pc.j, pc.cid, pc.c FROM {prev} pc
+      WHERE NOT EXISTS (SELECT 1 FROM {nxt}_upd u
+                        WHERE u.j = pc.j AND u.cid = pc.cid)
+    )"""
+
+
+def _kmeans_mean_iter_sql(prev: str, assign: str, nxt: str, dim: int) -> str:
+    """One unrolled cosine-Lloyd iteration with MEAN-of-unit-vectors
+    centroids (``operators/clustering.py::kmeans_fit`` divides the fold
+    by n; catalog_ext2's helper keeps the raw sum, which has the same
+    DIRECTION but not the same values — fine for ranking, wrong for the
+    residual subtraction this family needs)."""
+    return f"""
+    {assign} AS (
+      SELECT vec_id, u, cid FROM (
+        SELECT p.vec_id, p.u, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id
+                 ORDER BY list_cosine_similarity(p.u, c.c) DESC, c.cid) AS rn
+        FROM unit p CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    ),
+    {nxt}_upd AS (
+      SELECT cid, list(m ORDER BY i) AS c FROM (
+        SELECT a.cid, t.i, SUM(a.u[t.i]) / COUNT(*) AS m
+        FROM {assign} a CROSS JOIN range(1, {dim + 1}) t(i)
+        GROUP BY a.cid, t.i
+      ) GROUP BY cid
+    ),
+    {nxt} AS (
+      SELECT cid, c FROM {nxt}_upd
+      UNION ALL
+      SELECT pc.cid, pc.c FROM {prev} pc
+      WHERE NOT EXISTS (SELECT 1 FROM {nxt}_upd u WHERE u.cid = pc.cid)
+    )"""
+
+
+# shared SQL fragments: 64-dim embeddings, m=4 subspaces of 16 dims, k=16
+# codes per subspace, 2 Lloyd iterations, 8 smallest-id queries
+_SUB_FROM = (
+    "SELECT vec_id, t.j, list_slice({src}, t.j * 16 + 1, t.j * 16 + 16) AS s"
+    "\n      FROM {frame} CROSS JOIN range(0, 4) t(j)"
+)
+
+_PQ_B0 = """
+    b0 AS (
+      SELECT j,
+             CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id)
+                  AS INTEGER) - 1 AS cid,
+             s AS c
+      FROM sub
+      WHERE vec_id IN (SELECT vec_id FROM {frame} ORDER BY vec_id LIMIT 16)
+    )"""
+
+_PQ_CODES = """
+    codes AS MATERIALIZED (
+      SELECT vec_id, j, cid FROM (
+        SELECT p.vec_id, p.j, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id, p.j
+                 ORDER BY list_sum(list_transform(range(1, 17),
+                          i -> (p.s[i] - c.c[i]) * (p.s[i] - c.c[i]))) ASC,
+                          c.cid) AS rn
+        FROM sub p JOIN b2 c ON c.j = p.j
+      ) WHERE rn = 1
+    )"""
+
+_UNIT_CTE = """
+    unit AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[], x -> x /
+               sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                            y -> y * y)))) AS u
+      FROM embeddings
+    )"""
+
+
+@register(
+    "pq_adc_topk",
+    oracle=f"""
+    WITH sub AS MATERIALIZED (
+      {_SUB_FROM.format(src="embedding::DOUBLE[]", frame="embeddings")}
+    ),{_PQ_B0.format(frame="embeddings")},{_pq_iter_sql("b0", "pa1", "b1", 16)},{_pq_iter_sql("b1", "pa2", "b2", 16)},{_PQ_CODES},
+    q AS (SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id LIMIT 8),
+    tbl AS MATERIALIZED (
+      SELECT s.vec_id AS query_id, b.j, b.cid,
+             list_sum(list_transform(range(1, 17),
+                      i -> (s.s[i] - b.c[i]) * (s.s[i] - b.c[i]))) AS d
+      FROM sub s JOIN q ON q.query_id = s.vec_id
+      JOIN b2 b ON b.j = s.j
+    ),
+    adc AS (
+      SELECT t.query_id, e.vec_id AS neighbor_id, SUM(t.d) AS adc_dist
+      FROM codes e JOIN tbl t ON t.j = e.j AND t.cid = e.cid
+      GROUP BY t.query_id, e.vec_id
+    )
+    SELECT query_id, neighbor_id, ROUND(adc_dist, 4) AS adc_dist
+    FROM (
+      SELECT query_id, neighbor_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist ASC, neighbor_id) AS rn
+      FROM adc
+    ) WHERE rn <= 10
+    """,
+    doc="Product quantization end-to-end (VERDICT r12 #1): TRAIN the m=4 "
+    "per-subspace k=16 codebooks on the embeddings table (2 Lloyd "
+    "iterations, smallest-id init — the oracle re-trains them with "
+    "unrolled per-subspace CTEs), PQ-encode the corpus (one Arrow GEMM "
+    "pass, codebooks in the closure), then ADC top-10 for the 8 "
+    "smallest-id queries: each query's m×k distance table broadcasts and "
+    "the corpus-sized scoring is pure JVM zip_with/element_at lookups. "
+    "At 100 TB the codes are 32x smaller than the vectors and training "
+    "shuffles only O(batches × m × k) partial rows. "
+    "operators/pq.py::pq_train,pq_assign,pq_topk.",
+)
+def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pq
+    from ..operators.materialize import checkpoint_tracked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = checkpoint_tracked(
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+        )
+    )
+    books, _hist = pq.pq_train(
+        vecs, vec_col="ev", id_col="vec_id", m=4, k=16, iters=2, init_by="id"
+    )
+    codes = pq.pq_assign(
+        vecs, books, vec_col="ev", id_col="vec_id"
+    ).withColumnRenamed("vec_id", "neighbor_id")
+    queries = vecs.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv")
+    )
+    return pq.pq_topk(queries, codes, books, k=10)
+
+
+# the coarse-quantizer CTE chain shared by both composed searches:
+# unit vectors -> 8-cell mean-centroid cosine k-means (2 iters, smallest-
+# id init) -> final cell assignment + the 8 smallest-id queries' 2-cell
+# probes (same cosine geometry, ties on cid)
+_COARSE_SQL = f"""{_UNIT_CTE},
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1
+               AS cid, u AS c
+      FROM (SELECT vec_id, u FROM unit ORDER BY vec_id LIMIT 8)
+    ),{_kmeans_mean_iter_sql("c0", "ka1", "c1", 64)},{_kmeans_mean_iter_sql("c1", "ka2", "c2", 64)},
+    cells AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT p.vec_id, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id
+                 ORDER BY list_cosine_similarity(p.u, c.c) DESC, c.cid)
+                 AS rn
+        FROM unit p CROSS JOIN c2 c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id FROM unit ORDER BY vec_id LIMIT 8),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(u.u, c.c) DESC, c.cid)
+                 AS rn
+        FROM q JOIN unit u ON u.vec_id = q.query_id CROSS JOIN c2 c
+      ) WHERE rn <= 2
+    )"""
+
+# shortlist-20 then exact-L2 re-rank to top-5 — shared tail
+_RERANK_SQL = """
+    short AS (
+      SELECT query_id, neighbor_id, adc_dist FROM (
+        SELECT adc.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY adc_dist ASC, neighbor_id) AS rn
+        FROM adc
+      ) WHERE rn <= 20
+    ),
+    rr AS (
+      SELECT s.query_id, s.neighbor_id, s.adc_dist,
+             list_sum(list_transform(range(1, 65),
+                      i -> (qu.u[i] - eu.u[i]) * (qu.u[i] - eu.u[i])))
+               AS exact_sqdist
+      FROM short s
+      JOIN unit qu ON qu.vec_id = s.query_id
+      JOIN unit eu ON eu.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, ROUND(adc_dist, 4) AS adc_dist,
+           ROUND(exact_sqdist, 4) AS exact_sqdist
+    FROM (
+      SELECT rr.*, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY exact_sqdist ASC, neighbor_id) AS rn
+      FROM rr
+    ) WHERE rn <= 5
+    """
+
+
+def _coarse_spark(spark: SparkSession, sf_dir: str):
+    """Shared Spark front half: checkpointed unit-vector frame, trained
+    8-cell coarse quantizer, cell assignments (vector riding along),
+    and the 8 smallest-id queries."""
+    from ..operators import clustering, similarity
+    from ..operators.materialize import checkpoint_tracked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(ev, F.lit(0.0), lambda a, x: a + x * x))
+    unit = checkpoint_tracked(
+        emb.select("vec_id", F.transform(ev, lambda x: x / norm).alias("u"))
+    )
+    cents, _hist = clustering.kmeans_fit(
+        unit, vec_col="u", id_col="vec_id", k=8, iters=2, init_by="id"
+    )
+    cents_df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cents)], "cid int, cv array<double>"
+    )
+    cells = similarity.ivf_assign(
+        unit, cents_df, corpus_id="vec_id", corpus_vec="u", keep_cols=("u",)
+    )
+    queries = unit.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("qv")
+    )
+    return unit, cents, cents_df, cells, queries
+
+
+@register(
+    "ivf_pq_search",
+    oracle=f"""
+    WITH {_COARSE_SQL},
+    sub AS MATERIALIZED (
+      {_SUB_FROM.format(src="u", frame="unit")}
+    ),{_PQ_B0.format(frame="unit")},{_pq_iter_sql("b0", "pa1", "b1", 16)},{_pq_iter_sql("b1", "pa2", "b2", 16)},{_PQ_CODES},
+    tbl AS MATERIALIZED (
+      SELECT s.vec_id AS query_id, b.j, b.cid,
+             list_sum(list_transform(range(1, 17),
+                      i -> (s.s[i] - b.c[i]) * (s.s[i] - b.c[i]))) AS d
+      FROM sub s JOIN q ON q.query_id = s.vec_id
+      JOIN b2 b ON b.j = s.j
+    ),
+    adc AS (
+      SELECT p.query_id, e.vec_id AS neighbor_id, SUM(t.d) AS adc_dist
+      FROM probes p
+      JOIN cells x ON x.cid = p.cid
+      JOIN codes e ON e.vec_id = x.vec_id AND e.vec_id <> p.query_id
+      JOIN tbl t ON t.query_id = p.query_id AND t.j = e.j
+                AND t.cid = e.cid
+      GROUP BY p.query_id, e.vec_id
+    ),{_RERANK_SQL}""",
+    doc="IVF-PQ composed search (VERDICT r12 #2, the IVFADC layout): "
+    "L2-normalize the corpus, TRAIN the 8-cell coarse quantizer (cosine "
+    "Lloyd, 2 iters, smallest-id init), assign cells, TRAIN the m=4/k=16 "
+    "product quantizer on the unit vectors, encode, then search: each of "
+    "the 8 queries probes its 2 nearest cells, ADC-scores ONLY those "
+    "cells' codes (the probe bound — |corpus|/4 candidates per query, "
+    "asserted by the plan's broadcast cell join), shortlists 20 and "
+    "re-ranks with exact L2 on the stored vectors (ADC+R) for the final "
+    "top-5. The oracle re-derives BOTH trained quantizers with unrolled "
+    "Lloyd CTEs and replays probe/ADC/shortlist/re-rank in SQL. "
+    "operators/pq.py::ivf_pq_topk + clustering.kmeans_fit + "
+    "similarity.ivf_assign.",
+)
+def ivf_pq_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pq
+
+    unit, _cents, cents_df, cells, queries = _coarse_spark(spark, sf_dir)
+    books, _hist = pq.pq_train(
+        unit, vec_col="u", id_col="vec_id", m=4, k=16, iters=2, init_by="id"
+    )
+    codes = pq.pq_assign(
+        cells, books, vec_col="u", id_col="vec_id",
+        keep_cols=("centroid_id",),
+    ).withColumnRenamed("vec_id", "neighbor_id")
+    return pq.ivf_pq_topk(
+        queries, codes, books, cents_df, k=5, n_probes=2, shortlist=20,
+        rerank_vecs=unit.withColumnRenamed("vec_id", "neighbor_id"),
+        exclude_self=True,
+    )
+
+
+@register(
+    "residual_pq_search",
+    oracle=f"""
+    WITH {_COARSE_SQL},
+    resid AS MATERIALIZED (
+      SELECT x.vec_id,
+             list_transform(range(1, 65), i -> u.u[i] - c.c[i]) AS r
+      FROM cells x JOIN unit u ON u.vec_id = x.vec_id
+      JOIN c2 c ON c.cid = x.cid
+    ),
+    sub AS MATERIALIZED (
+      {_SUB_FROM.format(src="r", frame="resid")}
+    ),{_PQ_B0.format(frame="resid")},{_pq_iter_sql("b0", "pa1", "b1", 16)},{_pq_iter_sql("b1", "pa2", "b2", 16)},{_PQ_CODES},
+    qrs AS (
+      SELECT p.query_id, p.cid AS pcell, t.j,
+             list_slice(list_transform(range(1, 65),
+                        i -> qu.u[i] - c.c[i]),
+                        t.j * 16 + 1, t.j * 16 + 16) AS s
+      FROM probes p JOIN unit qu ON qu.vec_id = p.query_id
+      JOIN c2 c ON c.cid = p.cid
+      CROSS JOIN range(0, 4) t(j)
+    ),
+    tblr AS MATERIALIZED (
+      SELECT qrs.query_id, qrs.pcell, b.j, b.cid,
+             list_sum(list_transform(range(1, 17),
+                      i -> (qrs.s[i] - b.c[i]) * (qrs.s[i] - b.c[i])))
+               AS d
+      FROM qrs JOIN b2 b ON b.j = qrs.j
+    ),
+    adc AS (
+      SELECT p.query_id, e.vec_id AS neighbor_id, SUM(t.d) AS adc_dist
+      FROM probes p
+      JOIN cells x ON x.cid = p.cid
+      JOIN codes e ON e.vec_id = x.vec_id AND e.vec_id <> p.query_id
+      JOIN tblr t ON t.query_id = p.query_id AND t.pcell = p.cid
+                 AND t.j = e.j AND t.cid = e.cid
+      GROUP BY p.query_id, e.vec_id
+    ),{_RERANK_SQL}""",
+    doc="Residual IVF-PQ (VERDICT r12 stretch #8, the IVFADC paper's "
+    "variant proper): identical coarse chain to ivf_pq_search, but the "
+    "product quantizer trains on and encodes the RESIDUALS x - cent[cell] "
+    "(pooled across cells, roughly zero-centered, so the same m*k code "
+    "budget resolves the within-cell displacement the coarse step "
+    "already localized), and each query's ADC table is built from "
+    "q - cent[probed cell] — one table per (query, probe) pair, still a "
+    "broadcast. Search tail (probe bound, shortlist 20, exact re-rank "
+    "top-5) identical. operators/pq.py::pq_assign_residual,ivf_pq_topk.",
+)
+def residual_pq_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pq
+
+    unit, cents, cents_df, cells, queries = _coarse_spark(spark, sf_dir)
+    cents_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    )
+    resid = cells.select(
+        "vec_id",
+        F.zip_with(
+            "u",
+            F.element_at(cents_arr, F.col("centroid_id") + 1),
+            lambda a, b: a - b,
+        ).alias("r"),
+    )
+    books, _hist = pq.pq_train(
+        resid, vec_col="r", id_col="vec_id", m=4, k=16, iters=2, init_by="id"
+    )
+    codes = pq.pq_assign_residual(
+        cells, books, cents, vec_col="u", id_col="vec_id"
+    ).withColumnRenamed("vec_id", "neighbor_id")
+    return pq.ivf_pq_topk(
+        queries, codes, books, cents_df, k=5, n_probes=2, shortlist=20,
+        rerank_vecs=unit.withColumnRenamed("vec_id", "neighbor_id"),
+        residual=True, exclude_self=True,
+    )

@@ -316,6 +316,13 @@ MAX_SCANS_PER_TABLE = {
     "retrieval_trained_search": 2,  # chunk+embed checkpoint feeds k-means
                                     # (iters+1 passes) AND ivf_topk (x2);
                                     # the 3-query probe side re-scans once
+    "pq_adc_topk": 1,           # the cast-to-double checkpoint feeds PQ
+                                # train (iters passes), assign, queries
+    "ivf_pq_search": 1,         # the unit-vector checkpoint feeds coarse
+                                # k-means, ivf_assign, PQ train/assign,
+                                # queries AND the re-rank vector table
+    "residual_pq_search": 1,    # same checkpoint + the residual frame
+                                # derived from it (no extra parquet scan)
 }
 
 
@@ -434,6 +441,12 @@ BNLJ_ALLOWED = {
     #   centroid BNLJ appears twice in the physical plan
     "mutual_knn_pairs",         # r7 IVF-cell re-block (VERDICT r6 #4):
     #   same ivf_assign codebook broadcast, twice via the a/b pair sides
+    # r13 PQ retrieval family: 8-row query frames / 8-row centroid
+    # frames broadcast over the corpus — the deliberate ann_cosine_topk
+    # shape; the candidate CELL join itself is a broadcast HASH join
+    "pq_adc_topk",              # broadcast ADC-table frame (8 queries)
+    "ivf_pq_search",            # trained 8-cell codebook + probe tables
+    "residual_pq_search",       # same, tables per (query, probed cell)
 }
 
 
