@@ -175,7 +175,10 @@ def pq_assign(
     books = [np.asarray(b, dtype=np.float64) for b in codebooks]
     dim = sum(b.shape[1] for b in books)
     slices = _slices(dim, len(books))
-    keep = list(keep_cols)
+    # a keep_cols entry naming id_col or vec_col would duplicate the
+    # selected column (pandas then can't address it by name) — select
+    # each once; vec_col can still be EMITTED via keep
+    keep = [c for c in keep_cols if c != id_col]
     schema_keep = "".join(
         f", {df.schema[c].name} {df.schema[c].dataType.simpleString()}"
         for c in keep
@@ -204,7 +207,8 @@ def pq_assign(
                 out[c] = pdf[c]
             yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col, *keep).mapInPandas(run, schema)
+    in_cols = [id_col, vec_col] + [c for c in keep if c != vec_col]
+    return df.select(*in_cols).mapInPandas(run, schema)
 
 
 def pq_reconstruct(codebooks):

@@ -10,8 +10,10 @@ from .near_dedup_stream import read_deduped, stream_near_dedup_docs  # noqa: F40
 from .span_stream import read_span_stats, stream_span_screen  # noqa: F401
 from .index_stream import (  # noqa: F401
     compact_index_epochs,
+    pq_books,
     read_index_chunks,
     read_index_manifest,
     search_index_chunks,
+    search_index_pq,
     stream_index_chunks,
 )

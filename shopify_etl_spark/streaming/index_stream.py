@@ -51,6 +51,34 @@ def _codebook(spark: SparkSession) -> DataFrame:
     return _retrieval_centroid_frame(spark)
 
 
+def pq_books():
+    """FROZEN PQ codebooks for the streamed index (m=4 subspaces × k=8
+    codes × 4 dims over the 16-dim hash_embed space): md5-ascii entries
+    (the ``hash_embed`` convention), a pure function of the salt.
+
+    Frozen is the point — PQ encoding is then a pure per-row function,
+    so the stream encodes ONLY each batch's new chunks (O(batch), no
+    corpus state, no drift between epochs), and any engine regenerates
+    the books to verify the stored codes. A production index trains its
+    books offline on a sample and freezes them the same way; retraining
+    is a store rebuild, which :func:`read_index_chunks`'s format gate
+    turns into an explicit error rather than silent code skew."""
+    import hashlib
+
+    return [
+        [
+            [
+                float(ord(hashlib.md5(
+                    f"idx-pq-v1:{j}:{c}".encode()
+                ).hexdigest()[i]) - 77)
+                for i in range(4)
+            ]
+            for c in range(8)
+        ]
+        for j in range(4)
+    ]
+
+
 def stream_index_chunks(
     spark: SparkSession,
     src_dir: str,
@@ -90,7 +118,17 @@ def stream_index_chunks(
             # from the committed rows, no re-embedding
             keep_cols=("doc_id", "n_tokens", "ev"), sim_col="sim",
         )
-        assigned.write.mode("overwrite").parquet(out_ep)
+        # PQ codes ride in the same rows (VERDICT r12 #7): encoding is a
+        # pure function of the frozen books, so only THIS batch's chunks
+        # are encoded — incremental maintenance costs O(batch) exactly
+        # like cell assignment
+        from ..operators.pq import pq_assign
+
+        coded = pq_assign(
+            assigned, pq_books(), vec_col="ev", id_col="chunk_key",
+            keep_cols=("doc_id", "n_tokens", "centroid_id", "sim", "ev"),
+        ).withColumnRenamed("codes", "pq_codes")
+        coded.write.mode("overwrite").parquet(out_ep)
 
     return (
         feed.writeStream.foreachBatch(index_batch)
@@ -114,22 +152,27 @@ def read_index_chunks(spark: SparkSession, out_dir: str) -> DataFrame:
     if not dirs:
         raise FileNotFoundError(f"no committed index epochs under {out_dir}")
     # Store-format gate: since r12 every epoch persists the embedding
-    # ('ev') so search never re-embeds. An out_dir written by the older
-    # format would otherwise surface as an opaque missing-column analysis
-    # error (or a silent schema-merge surprise) deep inside a consumer —
-    # fail here with the remediation instead. Footer-only reads, and
-    # compaction bounds the dir count, so this stays a driver-side
-    # metadata check.
-    stale = [
-        d for d in dirs if "ev" not in spark.read.parquet(d).columns
-    ]
+    # ('ev') so search never re-embeds, and since r13 the frozen-book PQ
+    # codes ('pq_codes') ride in the same rows. An out_dir written by an
+    # older format would otherwise surface as an opaque missing-column
+    # analysis error (or a silent schema-merge surprise) deep inside a
+    # consumer — fail here with the remediation instead. Footer-only
+    # reads, and compaction bounds the dir count, so this stays a
+    # driver-side metadata check.
+    required = ("ev", "pq_codes")
+    stale = {
+        d: [c for c in required if c not in spark.read.parquet(d).columns]
+        for d in dirs
+    }
+    stale = {d: miss for d, miss in stale.items() if miss}
     if stale:
+        d0, miss0 = next(iter(stale.items()))
         raise ValueError(
-            "index store at {} uses the pre-vector format: {} epoch dir(s) "
-            "lack the stored-embedding 'ev' column (e.g. {}). Rebuild the "
-            "index store — delete the store and checkpoint dirs and "
+            "index store at {} uses an older store format: {} epoch "
+            "dir(s) lack required column(s) (e.g. {} misses {}). Rebuild "
+            "the index store — delete the store and checkpoint dirs and "
             "re-ingest the feed — so search/manifest reads see one "
-            "schema.".format(out_dir, len(stale), stale[0])
+            "schema.".format(out_dir, len(stale), d0, miss0)
         )
     return spark.read.parquet(*dirs)
 
@@ -203,6 +246,50 @@ def search_index_chunks(
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select(query_id, "chunk_key", F.round("sim", 4).alias("cosine_sim"))
+    )
+
+
+def search_index_pq(
+    spark: SparkSession,
+    out_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probes: int = 2,
+    shortlist: int | None = None,
+    query_id: str = "qk",
+    query_vec: str = "qv",
+) -> DataFrame:
+    """IVF-PQ probe search over the incrementally maintained store: ADC
+    on the COMMITTED pq_codes of the probed cells, exact re-rank on the
+    stored vectors — ``operators/pq.py::ivf_pq_topk`` fed entirely from
+    store columns (cell, codes, vector) plus the two frozen pure-salt
+    codebooks; nothing is re-embedded, re-assigned or re-encoded.
+
+    Because encoding is a pure function of the frozen books and parquet
+    round-trips the embedding doubles exactly, the answer must EQUAL the
+    batch ``ivf_pq_topk`` over freshly computed codes for the union of
+    every fed document — after any number of epochs and after
+    compaction (the parity contract pinned in tests/test_streaming.py,
+    the PQ twin of :func:`search_index_chunks`'s gate). Note the gate is
+    rank PARITY: hash_embed vectors are unnormalized, so L2-ADC over
+    cosine cells is an approximation contract, not a recall claim — the
+    catalog's ``ivf_pq_search`` demonstrates the metric-coherent
+    unit-vector layout."""
+    from ..operators.pq import ivf_pq_topk
+
+    idx = read_index_chunks(spark, out_dir)
+    return ivf_pq_topk(
+        queries,
+        idx.select(
+            "chunk_key", "centroid_id", F.col("pq_codes").alias("codes")
+        ),
+        pq_books(),
+        _codebook(spark),
+        k=k, n_probes=n_probes, shortlist=shortlist,
+        rerank_vecs=idx.select("chunk_key", F.col("ev").alias("u")),
+        query_id=query_id, query_vec=query_vec,
+        corpus_id="chunk_key", cell_col="centroid_id",
+        cent_id="cid", cent_vec="cv",
     )
 
 

@@ -1311,6 +1311,7 @@ def test_index_store_pre_vector_format_rejected(spark, tmp_path):
     message at read time, not an opaque missing-column analysis error
     deep inside search/manifest consumers (r13, ADVICE fix)."""
     import pytest
+    from pyspark.sql import functions as F
 
     from shopify_etl_spark.streaming import read_index_chunks
 
@@ -1325,6 +1326,14 @@ def test_index_store_pre_vector_format_rejected(spark, tmp_path):
     old.write.mode("overwrite").parquet(str(out / "epoch=0"))
     with pytest.raises(ValueError, match="[Rr]ebuild the .*index store"):
         read_index_chunks(spark, str(out))
+
+    # the r12 format (vector stored, no PQ codes) is likewise one
+    # generation old — same explicit rebuild error, naming the column
+    out2 = tmp_path / "index2"
+    r12 = old.withColumn("ev", F.array(*[F.lit(float(i)) for i in range(4)]))
+    r12.write.mode("overwrite").parquet(str(out2 / "epoch=0"))
+    with pytest.raises(ValueError, match="pq_codes"):
+        read_index_chunks(spark, str(out2))
 
 
 def test_stream_index_search_parity_with_batch(spark, tmp_path):
@@ -1479,6 +1488,166 @@ def test_index_search_unchanged_through_torn_compaction(spark, tmp_path):
 
     assert read_index_chunks(spark, out).count() == n_rows  # no double-read
     after = sorted(map(tuple, search_index_chunks(
+        spark, out, queries, k=5, n_probes=2
+    ).collect()))
+    assert after == before
+
+
+def _pq_query_chunks(spark, rows):
+    """Fixed query chunks embedded with the chain's stub (shared by the
+    PQ parity/crash tests)."""
+    from pyspark.sql import functions as F
+
+    from shopify_etl_spark.operators import similarity
+    from shopify_etl_spark.operators.text import char_chunk_documents
+
+    qdocs = spark.createDataFrame(rows, "doc_id long, text string")
+    return char_chunk_documents(qdocs, chunk_chars=160, overlap=40).filter(
+        F.col("chunk_idx") == 0
+    ).select(
+        F.concat_ws(":", "doc_id", "chunk_idx").alias("qk"),
+        similarity.hash_embed("chunk_text").alias("qv"),
+    )
+
+
+def test_stream_index_pq_search_parity_with_batch(spark, tmp_path):
+    """Streaming↔batch PQ-SEARCH parity (VERDICT r12 #7): the store's
+    incrementally maintained pq_codes — each epoch encodes ONLY its own
+    chunks against the frozen pure-salt books — must answer the IVF-PQ
+    probe search EXACTLY like batch ivf_pq_topk over freshly computed
+    codes for the union of every fed document, after each epoch AND
+    after compaction. Encoding is a pure per-row function and parquet
+    round-trips the embedding doubles, so the comparison is row-exact."""
+    from pyspark.sql import functions as F
+
+    from shopify_etl_spark.operators import similarity
+    from shopify_etl_spark.operators.pq import ivf_pq_topk, pq_assign
+    from shopify_etl_spark.operators.text import char_chunk_documents
+    from shopify_etl_spark.plans.catalog_ext4 import _retrieval_centroid_frame
+    from shopify_etl_spark.streaming import (
+        compact_index_epochs,
+        pq_books,
+        search_index_pq,
+        stream_index_chunks,
+    )
+
+    words = [f"p{i}" for i in range(40)]
+    batches = [
+        [
+            {"doc_id": 100 * b + i,
+             "text": " ".join(words[(2 * b + i + j) % 40] for j in range(90)),
+             "ingested_at": f"2024-09-01T0{b}:{i:02d}:00.000Z"}
+            for i in range(4)
+        ]
+        for b in range(3)
+    ]
+    src = tmp_path / "feed"
+    out, ckpt = str(tmp_path / "index"), str(tmp_path / "ck")
+    queries = _pq_query_chunks(spark, [
+        (9100 + i, " ".join(words[(7 * i + j) % 40] for j in range(50)))
+        for i in range(3)
+    ])
+    queries.cache().count()
+
+    fed: list[dict] = []
+
+    def batch_answer():
+        union = spark.createDataFrame(
+            [(d["doc_id"], d["text"]) for d in fed], "doc_id long, text string"
+        )
+        chunks = char_chunk_documents(union, chunk_chars=160, overlap=40)
+        emb = chunks.select(
+            F.concat_ws(":", "doc_id", "chunk_idx").alias("chunk_key"),
+            similarity.hash_embed("chunk_text").alias("ev"),
+        )
+        cells = similarity.ivf_assign(
+            emb, _retrieval_centroid_frame(spark),
+            corpus_id="chunk_key", corpus_vec="ev",
+            cent_id="cid", cent_vec="cv", keep_cols=("ev",),
+        )
+        codes = pq_assign(
+            cells, pq_books(), vec_col="ev", id_col="chunk_key",
+            keep_cols=("centroid_id",),
+        ).withColumnRenamed("chunk_key", "chunk_key")
+        return sorted(map(tuple, ivf_pq_topk(
+            queries, codes, pq_books(), _retrieval_centroid_frame(spark),
+            k=5, n_probes=2,
+            rerank_vecs=cells.select(
+                "chunk_key", F.col("ev").alias("u")),
+            query_id="qk", query_vec="qv",
+            corpus_id="chunk_key", cell_col="centroid_id",
+            cent_id="cid", cent_vec="cv",
+        ).collect()))
+
+    def stream_answer():
+        return sorted(map(tuple, search_index_pq(
+            spark, out, queries, k=5, n_probes=2
+        ).collect()))
+
+    for b, rows in enumerate(batches):
+        _write_jsonl(src / f"b{b}.jsonl", rows)
+        stream_index_chunks(spark, str(src), out, ckpt).awaitTermination(120)
+        fed.extend(rows)
+        got, want = stream_answer(), batch_answer()
+        assert got and got == want, f"epoch {b}: {got[:3]}..."
+    assert len(got) == 15  # by the 3rd epoch every query fills its top-5
+
+    # compaction folds all but the newest epoch; the answer must not move
+    assert compact_index_epochs(spark, out) is not None
+    assert stream_answer() == got == batch_answer()
+    queries.unpersist()
+
+
+def test_index_pq_search_unchanged_through_torn_compaction(spark, tmp_path):
+    """Torn-compaction crash injection on the PQ search path: with the
+    compact= dir and its subsumed epoch= dirs coexisting on disk, the
+    range-containment reader must count every PQ code exactly once — a
+    double-read would duplicate shortlist candidates and shift the
+    re-ranked top-k."""
+    import shutil
+
+    from shopify_etl_spark.streaming import (
+        compact_index_epochs,
+        read_index_chunks,
+        search_index_pq,
+        stream_index_chunks,
+    )
+
+    words = [f"r{i}" for i in range(30)]
+    src = tmp_path / "feed"
+    out, ckpt = str(tmp_path / "index"), str(tmp_path / "ck")
+    for b in range(3):
+        _write_jsonl(src / f"b{b}.jsonl", [
+            {"doc_id": 50 * b + i,
+             "text": " ".join(words[(b + i + j) % 30] for j in range(80)),
+             "ingested_at": f"2024-10-01T0{b}:{i:02d}:00.000Z"}
+            for i in range(3)
+        ])
+        stream_index_chunks(spark, str(src), out, ckpt).awaitTermination(120)
+
+    queries = _pq_query_chunks(spark, [
+        (7100, " ".join(words[(3 * j + 1) % 30] for j in range(50)))
+    ])
+    before = sorted(map(tuple, search_index_pq(
+        spark, out, queries, k=5, n_probes=2
+    ).collect()))
+    assert before
+    n_rows = read_index_chunks(spark, out).count()
+
+    snap = tmp_path / "snap"
+    shutil.copytree(out, snap)
+    assert compact_index_epochs(spark, out) is not None
+    for name in os.listdir(snap):
+        if name.startswith("epoch=") and not os.path.exists(
+            os.path.join(out, name)
+        ):
+            shutil.copytree(os.path.join(snap, name),
+                            os.path.join(out, name))
+    assert any(n.startswith("compact=") for n in os.listdir(out))
+    assert sum(n.startswith("epoch=") for n in os.listdir(out)) >= 2
+
+    assert read_index_chunks(spark, out).count() == n_rows
+    after = sorted(map(tuple, search_index_pq(
         spark, out, queries, k=5, n_probes=2
     ).collect()))
     assert after == before
