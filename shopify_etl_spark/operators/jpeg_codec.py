@@ -36,8 +36,10 @@ honest baseline subset (ITU-T T.81):
 * **progressive arithmetic coding** (SOF10, T.81 Annex G scan
   structure with the Annex D QM-coder and G.3 models) on both decode
   and encode (``encode_jpeg_arith_progressive``) — the LAST JPEG DCT
-  mode; all four DCT encoders share one coefficient front half, so
-  the four decodes are bit-identical by construction (pinned),
+  mode, including restart intervals (per-segment coder/statistics/DC
+  reset in every scan, T.81 E.2.4 — r13); all four DCT encoders share
+  one coefficient front half, so the four decodes are bit-identical
+  by construction (pinned),
 * **lossless predictive coding** (SOF3, T.81 Annex H) on both decode
   and encode (``encode_jpeg_lossless``): all 7 predictors, 2-16 bit
   precision, point transform, interleaved or one-scan-per-component —
@@ -611,9 +613,11 @@ def decode_jpeg(data: bytes, max_pixels: int = 100_000_000) -> np.ndarray:
     restart intervals; plus lossless predictive (SOF3, T.81 Annex H:
     predictors 1-7, 2-16 bit, point transform, interleaved or
     per-component scans — returns the samples exactly, uint16 above
-    8-bit). Hierarchical modes and lossless/SOF10 restarts raise
+    8-bit). Hierarchical modes and lossless restarts raise
     NotImplementedError — the documented seams, same contract as the
-    other codecs in this package.
+    other codecs in this package. SOF10 restarts (the r12 seam) decode
+    since r13: coder + statistics + DC state reset per segment in
+    every scan, T.81 E.2.4.
 
     Executor-safe on untrusted bytes (fuzz-pinned in tests): every
     malformed stream raises a clean ``ValueError`` — internal parse
@@ -2676,12 +2680,12 @@ def _decode_scan_progressive_arith(
     interleave components in MCU order, AC scans cover one component's
     own non-interleaved grid). The QM decoder, statistics areas, DC
     contexts and predictors all initialize at SOS (each scan is its own
-    entropy stream); reconstruction happens once at EOI through the
-    shared :func:`_reconstruct_from_coefs`."""
-    if restart_interval:
-        raise NotImplementedError(
-            "jpeg: restart intervals in progressive arithmetic scans"
-        )
+    entropy stream); at every RSTn the same full reset happens
+    per T.81 E.2.4/F.1.4.4.3 — the arithmetic coder re-runs INITDEC on
+    the next segment and the statistics areas zero, so restart segments
+    are independently decodable (the resync property DRI exists for).
+    Reconstruction happens once at EOI through the shared
+    :func:`_reconstruct_from_coefs`."""
     comps = frame["comps"]
     grids = _comp_grids(frame)
     if ss == 0 and se != 0:
@@ -2715,14 +2719,38 @@ def _decode_scan_progressive_arith(
             for bx in range(g["ni_bx"])
         ]
 
-    dec = _QMDecoder(scan)
-    dc_stats = {t: bytearray(64) for t in range(4)}
-    ac_stats = {t: bytearray(256) for t in range(4)}
-    fixed = bytearray([_QM_FIXED])
-    dc_context = [0] * len(comps)
-    prev_dc = [0] * len(comps)
+    segments = (
+        _split_restart_segments(scan, restart_interval)
+        if restart_interval
+        else [scan]
+    )
+
+    def fresh(seg):
+        return (
+            _QMDecoder(seg),
+            {t: bytearray(64) for t in range(4)},
+            {t: bytearray(256) for t in range(4)},
+            bytearray([_QM_FIXED]),
+            [0] * len(comps),
+            [0] * len(comps),
+        )
+
+    seg_idx = 0
+    dec, dc_stats, ac_stats, fixed, dc_context, prev_dc = fresh(segments[0])
+    unit_in_seg = 0
     p1 = 1 << al
     for unit in units:
+        # a restart unit is one MCU in interleaved DC scans and one data
+        # unit in single-component scans — exactly one `units` entry
+        if restart_interval and unit_in_seg == restart_interval:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("jpeg: missing restart segment")
+            dec, dc_stats, ac_stats, fixed, dc_context, prev_dc = fresh(
+                segments[seg_idx]
+            )
+            unit_in_seg = 0
+        unit_in_seg += 1
         for ci, tab_id, by, bx in unit:
             zz = coef_store[ci][by, bx]
             if ss == 0:
@@ -2750,6 +2778,7 @@ def encode_jpeg_arith_progressive(
     arr: np.ndarray,
     quality: int = 85,
     subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive arithmetic-coded JPEG (SOF10) — the fixture generator
     that closes the LAST JPEG DCT mode.
@@ -2763,7 +2792,11 @@ def encode_jpeg_arith_progressive(
     encoders share one coefficient front half, ``decode_jpeg`` of this
     stream must equal the baseline, progressive-Huffman AND
     sequential-arithmetic decodes bit-for-bit (pinned in tests — the
-    four-way cross-path gate)."""
+    four-way cross-path gate). ``restart_interval`` > 0 emits DRI and,
+    in EVERY scan, flushes the coder and emits RSTn each N restart
+    units (one MCU in the interleaved DC scans, one data unit in the
+    single-component AC scans), resetting coder + statistics + DC
+    state per T.81 E.2.4 — the r12 seam (VERDICT r12 #6) closed."""
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     center = 128.0
     if arr.ndim == 2:
@@ -2783,7 +2816,9 @@ def encode_jpeg_arith_progressive(
     q_luma, q_chroma = _quality_tables(quality)
     qtabs = [q_luma] + ([q_chroma] if n_comp == 3 else [])
 
-    out = _frame_headers(h, w, n_comp, samp, qtabs, 8, 0, b"\xff\xca")
+    out = _frame_headers(
+        h, w, n_comp, samp, qtabs, 8, restart_interval, b"\xff\xca"
+    )
 
     coefs = []
     ni_grid = []
@@ -2805,66 +2840,100 @@ def encode_jpeg_arith_progressive(
         body += struct.pack(">BBB", ss, se, (ah << 4) | al)
         return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
 
+    def run_scan(units, fresh, unit_fn) -> bytes:
+        """Drive one scan's restart-unit loop: flush + RSTn + full state
+        reset every ``restart_interval`` units (RSTn numbering restarts
+        at 0 each scan per T.81), matching the decoder's per-segment
+        fresh() exactly."""
+        buf = bytearray()
+        state = fresh()
+        n_in_seg, rst_n = 0, 0
+        for u in units:
+            if restart_interval and n_in_seg == restart_interval:
+                buf += state[0].flush()
+                buf += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) % 8
+                state = fresh()
+                n_in_seg = 0
+            unit_fn(state, u)
+            n_in_seg += 1
+        buf += state[0].flush()
+        return bytes(buf)
+
+    mcus = [(my, mx) for my in range(mcuy) for mx in range(mcux)]
+
     def dc_first_scan(al: int) -> bytes:
-        enc = _QMEncoder()
-        dc_stats = {0: bytearray(64), 1: bytearray(64)}
-        dc_context = [0] * n_comp
-        prev = [0] * n_comp
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for c in range(n_comp):
-                    t = 0 if c == 0 else 1
-                    for by in range(samp[c][1]):
-                        for bx in range(samp[c][0]):
-                            gy = my * samp[c][1] + by
-                            gx = mx * samp[c][0] + bx
-                            v = int(coefs[c][gy, gx, 0]) >> al
-                            _arith_encode_dc(
-                                enc, dc_stats[t], dc_context, c,
-                                v - prev[c], 0, 1,
-                            )
-                            prev[c] = v
-        return enc.flush()
+        def fresh():
+            return (
+                _QMEncoder(), {0: bytearray(64), 1: bytearray(64)},
+                [0] * n_comp, [0] * n_comp,
+            )
+
+        def unit_fn(state, u):
+            enc, dc_stats, dc_context, prev = state
+            my, mx = u
+            for c in range(n_comp):
+                t = 0 if c == 0 else 1
+                for by in range(samp[c][1]):
+                    for bx in range(samp[c][0]):
+                        gy = my * samp[c][1] + by
+                        gx = mx * samp[c][0] + bx
+                        v = int(coefs[c][gy, gx, 0]) >> al
+                        _arith_encode_dc(
+                            enc, dc_stats[t], dc_context, c,
+                            v - prev[c], 0, 1,
+                        )
+                        prev[c] = v
+
+        return run_scan(mcus, fresh, unit_fn)
 
     def dc_refine_scan(al: int) -> bytes:
-        enc = _QMEncoder()
-        fixed = bytearray([_QM_FIXED])
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for c in range(n_comp):
-                    for by in range(samp[c][1]):
-                        for bx in range(samp[c][0]):
-                            gy = my * samp[c][1] + by
-                            gx = mx * samp[c][0] + bx
-                            enc.encode(
-                                fixed, 0,
-                                (int(coefs[c][gy, gx, 0]) >> al) & 1,
-                            )
-        return enc.flush()
+        def fresh():
+            return (_QMEncoder(), bytearray([_QM_FIXED]))
+
+        def unit_fn(state, u):
+            enc, fixed = state
+            my, mx = u
+            for c in range(n_comp):
+                for by in range(samp[c][1]):
+                    for bx in range(samp[c][0]):
+                        gy = my * samp[c][1] + by
+                        gx = mx * samp[c][0] + bx
+                        enc.encode(
+                            fixed, 0, (int(coefs[c][gy, gx, 0]) >> al) & 1
+                        )
+
+        return run_scan(mcus, fresh, unit_fn)
 
     def ac_first_scan(c: int, ss: int, se: int, al: int) -> bytes:
-        enc = _QMEncoder()
-        st = bytearray(256)
-        fixed = bytearray([_QM_FIXED])
+        def fresh():
+            return (_QMEncoder(), bytearray(256), bytearray([_QM_FIXED]))
+
+        def unit_fn(state, u):
+            enc, st, fixed = state
+            by, bx = u
+            _arith_encode_ac_first(
+                enc, st, fixed, coefs[c][by, bx], ss, se, al, 5
+            )
+
         ni_by, ni_bx = ni_grid[c]
-        for by in range(ni_by):
-            for bx in range(ni_bx):
-                _arith_encode_ac_first(
-                    enc, st, fixed, coefs[c][by, bx], ss, se, al, 5
-                )
-        return enc.flush()
+        blocks = [(by, bx) for by in range(ni_by) for bx in range(ni_bx)]
+        return run_scan(blocks, fresh, unit_fn)
 
     def ac_refine_scan(c: int, ss: int, se: int, al: int) -> bytes:
-        enc = _QMEncoder()
-        st = bytearray(256)
-        fixed = bytearray([_QM_FIXED])
+        def fresh():
+            return (_QMEncoder(), bytearray(256), bytearray([_QM_FIXED]))
+
+        def unit_fn(state, u):
+            enc, st, fixed = state
+            by, bx = u
+            _arith_encode_ac_refine(
+                enc, st, fixed, coefs[c][by, bx], ss, se, al
+            )
+
         ni_by, ni_bx = ni_grid[c]
-        for by in range(ni_by):
-            for bx in range(ni_bx):
-                _arith_encode_ac_refine(
-                    enc, st, fixed, coefs[c][by, bx], ss, se, al
-                )
-        return enc.flush()
+        blocks = [(by, bx) for by in range(ni_by) for bx in range(ni_bx)]
+        return run_scan(blocks, fresh, unit_fn)
 
     all_ids = [c + 1 for c in range(n_comp)]
     dc_tabs = [0x00 if c == 0 else 0x10 for c in range(n_comp)]

@@ -215,6 +215,7 @@ _CHANGED_R13 = [
     "residual_pq_search",    # NEW: residual-encoded IVF-PQ variant
     "image_decode_stats",    # png decoder: gray/RGB tRNS color-key alpha
     "audio_demux_stats",     # y4m decoder: odd-dim subsampled rejection
+    "prog_arith_jpeg_stats",  # SOF10 decoder: DRI restart segments
 ]
 
 # New or code-changed in round 12 — sample these first.

@@ -946,19 +946,65 @@ class TestProgressiveArithmetic:
         # the adaptive coder must beat the static Annex-K Huffman tables
         assert len(data) < len(encode_jpeg_progressive(img, quality=85))
 
-    def test_restart_intervals_are_the_seam(self):
-        """A SOF10 stream declaring DRI hits the documented seam."""
+    @pytest.mark.parametrize("channels", [1, 3])
+    @pytest.mark.parametrize("interval", [1, 2, 3])
+    def test_restart_intervals_bit_exact(self, channels, interval):
+        """SOF10 + DRI (the r12 seam, closed r13): every scan resets
+        coder + statistics + DC state at each RSTn (T.81 E.2.4), so the
+        decode must STILL equal the baseline decode bit-for-bit — the
+        coefficients are unchanged, only the entropy segmentation moved.
+        The cross-path gate run on restart-bearing streams is the
+        strongest pin available: one missed reset desynchronizes the QM
+        decoder and scrambles whole segments."""
         from shopify_etl_spark.operators.jpeg_codec import (
             encode_jpeg_arith_progressive,
         )
 
-        data = bytearray(
-            encode_jpeg_arith_progressive(_test_image(channels=1))
+        img = _test_image(channels=channels, seed=interval)
+        data = encode_jpeg_arith_progressive(
+            img, quality=60, restart_interval=interval
         )
-        i = bytes(data).index(b"\xff\xda")
-        data[i:i] = b"\xff\xdd\x00\x04\x00\x02"  # splice a DRI segment
-        with pytest.raises(NotImplementedError, match="restart"):
-            decode_jpeg(bytes(data))
+        assert b"\xff\xdd" in data  # DRI emitted
+        assert any(bytes([0xFF, 0xD0 + n]) in data for n in range(8))
+        base = decode_jpeg(encode_jpeg(img, quality=60))
+        assert np.array_equal(base, decode_jpeg(data))
+        # and the no-restart SOF10 stream decodes identically too
+        no_rst = encode_jpeg_arith_progressive(img, quality=60)
+        assert np.array_equal(base, decode_jpeg(no_rst))
+
+    @pytest.mark.parametrize("mode", ["420", "422"])
+    def test_restart_with_subsampling_bit_exact(self, mode):
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_arith_progressive,
+        )
+
+        rng = np.random.default_rng(41 + len(mode))
+        img = rng.integers(0, 256, (19, 29, 3), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=50, subsampling=mode))
+        got = decode_jpeg(encode_jpeg_arith_progressive(
+            img, quality=50, subsampling=mode, restart_interval=2
+        ))
+        assert np.array_equal(base, got)
+
+    def test_missing_restart_segment_raises(self):
+        """Deleting an RSTn pair merges two segments — the decoder must
+        notice the shortfall and raise cleanly, not desync silently."""
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_arith_progressive,
+        )
+
+        data = bytearray(encode_jpeg_arith_progressive(
+            _test_image(channels=1), restart_interval=1
+        ))
+        for n in range(8):
+            i = bytes(data).find(bytes([0xFF, 0xD0 + n]))
+            if i >= 0:
+                del data[i:i + 2]
+                break
+        else:  # pragma: no cover - restart markers must exist
+            raise AssertionError("no RST marker found")
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(data), max_pixels=1_000_000)
 
     def test_fuzz_prog_arith_clean_errors_only(self):
         import random
