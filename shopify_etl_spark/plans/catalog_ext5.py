@@ -390,18 +390,23 @@ def ivf_pq_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def residual_pq_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import pq
 
+    from ..operators.materialize import checkpoint_tracked
+
     unit, cents, cents_df, cells, queries = _coarse_spark(spark, sf_dir)
     cents_arr = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
     )
-    resid = cells.select(
+    # checkpointed: pq_train consumes this frame iters+1 times (init
+    # collect + one pass per Lloyd iteration) — without it each pass
+    # re-executes the ivf_assign argmax window over the corpus
+    resid = checkpoint_tracked(cells.select(
         "vec_id",
         F.zip_with(
             "u",
             F.element_at(cents_arr, F.col("centroid_id") + 1),
             lambda a, b: a - b,
         ).alias("r"),
-    )
+    ))
     books, _hist = pq.pq_train(
         resid, vec_col="r", id_col="vec_id", m=4, k=16, iters=2, init_by="id"
     )
