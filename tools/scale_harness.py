@@ -162,6 +162,15 @@ FAMILY = (
     "lossless_jpeg_stats",       # 0-shuffle Arrow map, ~linear like its twins
     "g711_roundtrip_stats",      # 0-shuffle Arrow map, vectorized companding
     "prog_arith_jpeg_stats",     # 0-shuffle Arrow map, QM-coder constant
+    # r13: the PQ retrieval family — training folds stay (m x k)-row at
+    # any scale, assignment/encoding are map-side GEMMs, the ADC scan is
+    # corpus x 8 broadcast lookups (pq_adc) or probe-bounded (ivf_pq /
+    # residual), re-rank joins are shortlist-sized broadcasts; expected
+    # growth well under 10x wall for 10x vectors (job-overhead dominated
+    # at these row counts, like retrieval_trained_search's 1.1x)
+    "pq_adc_topk",
+    "ivf_pq_search",
+    "residual_pq_search",
 )
 
 
