@@ -613,11 +613,13 @@ def decode_jpeg(data: bytes, max_pixels: int = 100_000_000) -> np.ndarray:
     restart intervals; plus lossless predictive (SOF3, T.81 Annex H:
     predictors 1-7, 2-16 bit, point transform, interleaved or
     per-component scans — returns the samples exactly, uint16 above
-    8-bit). Hierarchical modes and lossless restarts raise
+    8-bit). Hierarchical modes and lossless subsampling raise
     NotImplementedError — the documented seams, same contract as the
-    other codecs in this package. SOF10 restarts (the r12 seam) decode
-    since r13: coder + statistics + DC state reset per segment in
-    every scan, T.81 E.2.4.
+    other codecs in this package. Both r12 restart seams closed in
+    r13: SOF10 restarts (coder + statistics + DC state reset per
+    segment in every scan, T.81 E.2.4) and lossless restarts (entropy
+    realign + prediction anchor reset per T.81 H.1.1 — the pinned
+    reading is documented on ``_lossless_predict``).
 
     Executor-safe on untrusted bytes (fuzz-pinned in tests): every
     malformed stream raises a clean ``ValueError`` — internal parse
@@ -793,11 +795,6 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
                 scan_list.append((ci, tdta >> 4, tdta & 0x0F))
             end = _find_scan_end(data, pos)
             if frame.get("lossless"):
-                if restart_interval:
-                    raise NotImplementedError(
-                        "jpeg: lossless with restart intervals (their "
-                        "prediction-reset semantics vary across codecs)"
-                    )
                 ss = seg[1 + 2 * n_scan]  # predictor selection
                 ahal = seg[3 + 2 * n_scan]
                 pt = ahal & 0x0F
@@ -817,7 +814,7 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
                     )
                 _decode_scan_lossless(
                     data[pos:end], frame, htabs, scan_list,
-                    ss, pt, lossless_planes,
+                    ss, pt, lossless_planes, restart_interval,
                 )
                 pos = end
                 continue
@@ -2320,13 +2317,25 @@ _DC_LOSSLESS = (
 )
 
 
-def _lossless_predict(row, prev_row, x, y, predictor, default):
+def _lossless_predict(row, prev_row, x, y, predictor, default,
+                      ay=0, ax=0):
     """One sample's prediction Px per T.81 H.1.2: the scan's first
     sample and edge samples use the mandated fallbacks (default /
     Ra-on-first-line / Rb-on-first-column); interior samples use the
-    selected predictor 1-7."""
-    if y == 0:
-        return default if x == 0 else row[x - 1]
+    selected predictor 1-7.
+
+    ``(ay, ax)`` is the RESTART ANCHOR — the raster position of the
+    first sample after the most recent RSTn (0, 0 at scan start).
+    T.81 H.1.1: "the one-dimensional horizontal predictor (prediction
+    sample Ra) is used for the first line of samples at the start of
+    the scan and at the beginning of each restart interval", and the
+    interval's first sample uses the default 2^(P−Pt−1) exactly like
+    the scan's first sample. Real lossless codecs diverge on finer
+    points here, so the fixture ENCODER pins the identical reading —
+    the round trip is exact by construction and the interpretation is
+    documented rather than implicit."""
+    if y == ay:
+        return default if x == ax else row[x - 1]
     if x == 0:
         return prev_row[0]
     ra, rb, rc = row[x - 1], prev_row[x], prev_row[x - 1]
@@ -2351,6 +2360,7 @@ def encode_jpeg_lossless(
     precision: int | None = None,
     point_transform: int = 0,
     interleave: bool = True,
+    restart_interval: int = 0,
 ) -> bytes:
     """Sample raster → T.81 Annex H lossless JPEG (SOF3) bytes.
 
@@ -2361,8 +2371,13 @@ def encode_jpeg_lossless(
     when ``point_transform == 0``; with Pt > 0 the decode equals
     ``(x >> Pt) << Pt``, the spec's near-lossless mode). ``predictor``
     selects T.81 H.1.2's 1-7; ``interleave=False`` emits one scan per
-    component. Restart markers are out of scope (their prediction-reset
-    semantics vary across real lossless codecs — documented seam).
+    component. ``restart_interval`` > 0 (in MCUs = raster positions)
+    emits DRI + RSTn and resets the entropy writer AND the prediction
+    anchor per segment — the T.81 H.1.1 reading pinned in
+    :func:`_lossless_predict` (real codecs diverge on lossless restart
+    fine points, so encoder and decoder here pin the SAME documented
+    interpretation and the round trip stays exact by construction —
+    the r12 seam, closed r13).
 
     Exists primarily as the fixture generator for the decoder, like
     ``encode_jpeg_arith`` (the ask is decode: DICOM/raw-camera archives
@@ -2405,16 +2420,37 @@ def encode_jpeg_lossless(
     bits, values = _DC_LOSSLESS
     payload = bytes([0x00]) + bytes(bits) + bytes(values)
     out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    if restart_interval:
+        if not 0 < restart_interval < 65536:
+            raise ValueError(
+                f"jpeg: invalid restart interval {restart_interval}"
+            )
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     enc_t = _build_huffman_encode(bits, values)
 
-    def write_samples(writer, comp_subset):
+    def write_samples(comp_subset) -> bytes:
+        buf = bytearray()
+        writer = _BitWriter()
+        mcu_in_seg, rst_n = 0, 0
+        ay = ax = 0
         for y in range(h):
             for x in range(w):
+                if restart_interval and mcu_in_seg == restart_interval:
+                    writer.flush()
+                    buf += writer.out
+                    buf += bytes([0xFF, 0xD0 + rst_n])
+                    rst_n = (rst_n + 1) % 8
+                    writer = _BitWriter()
+                    mcu_in_seg = 0
+                    ay, ax = y, x
+                mcu_in_seg += 1
                 for c in comp_subset:
                     rows = shifted[c]
                     row = rows[y]
                     prev = rows[y - 1] if y else None
-                    px = _lossless_predict(row, prev, x, y, predictor, default)
+                    px = _lossless_predict(
+                        row, prev, x, y, predictor, default, ay, ax
+                    )
                     d = (row[x] - px) & 0xFFFF
                     if d == 32768:  # SSSS=16: coded with no extra bits
                         code, length = enc_t[16]
@@ -2427,6 +2463,9 @@ def encode_jpeg_lossless(
                     writer.write(code, length)
                     if s:
                         writer.write(extra, s)
+        writer.flush()
+        buf += writer.out
+        return bytes(buf)
 
     def sos_header(comp_ids):
         sos = struct.pack(">B", len(comp_ids))
@@ -2437,22 +2476,17 @@ def encode_jpeg_lossless(
 
     if interleave or n_comp == 1:
         out += sos_header(list(range(1, n_comp + 1)))
-        writer = _BitWriter()
-        write_samples(writer, list(range(n_comp)))
-        writer.flush()
-        out += writer.out
+        out += write_samples(list(range(n_comp)))
     else:
         for c in range(n_comp):
             out += sos_header([c + 1])
-            writer = _BitWriter()
-            write_samples(writer, [c])
-            writer.flush()
-            out += writer.out
+            out += write_samples([c])
     out += b"\xff\xd9"
     return bytes(out)
 
 
-def _decode_scan_lossless(scan, frame, htabs, scan_list, predictor, pt, planes):
+def _decode_scan_lossless(scan, frame, htabs, scan_list, predictor, pt,
+                          planes, restart_interval=0):
     """One lossless scan (full set or subset of components) into the
     shared per-component sample planes (Python row lists — the
     per-sample loop is pure Python, and list indexing beats numpy
@@ -2461,27 +2495,48 @@ def _decode_scan_lossless(scan, frame, htabs, scan_list, predictor, pt, planes):
     Geometry: the supported subset is 1x1 sampling, where the
     interleaved MCU order is raster order with a per-position component
     loop and a non-interleaved scan is a plain raster walk — both
-    handled by the same loop. Reconstruction is ``(Px + diff) mod 2^16``
-    (T.81 H.1.2.2); the SSSS=16 symbol carries diff 32768 with no extra
-    bits."""
+    handled by the same loop (an MCU is one raster position either
+    way, which is also the restart unit). At each RSTn the bit reader
+    realigns on the next segment and prediction resets at the new
+    anchor per T.81 H.1.1 (see :func:`_lossless_predict`).
+    Reconstruction is ``(Px + diff) mod 2^16`` (T.81 H.1.2.2); the
+    SSSS=16 symbol carries diff 32768 with no extra bits."""
     if not 1 <= predictor <= 7:
         raise ValueError(f"jpeg: invalid lossless predictor {predictor}")
     h, w = frame["h"], frame["w"]
     default = 1 << (frame["prec"] - pt - 1)
-    reader = _BitReader(scan)
+    segments = (
+        _split_restart_segments(scan, restart_interval)
+        if restart_interval
+        else [scan]
+    )
+    seg_idx = 0
+    reader = _BitReader(segments[0])
     tabs = []
     for ci, td, _ta in scan_list:
         t = htabs.get(0x00 | td)
         if t is None:
             raise ValueError(f"jpeg: missing Huffman table {td}")
         tabs.append((ci, t))
+    mcu_in_seg = 0
+    ay = ax = 0
     for y in range(h):
         for x in range(w):
+            if restart_interval and mcu_in_seg == restart_interval:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("jpeg: missing restart segment")
+                reader = _BitReader(segments[seg_idx])
+                mcu_in_seg = 0
+                ay, ax = y, x
+            mcu_in_seg += 1
             for ci, dc_t in tabs:
                 rows = planes[ci]
                 row = rows[y]
                 prev = rows[y - 1] if y else None
-                px = _lossless_predict(row, prev, x, y, predictor, default)
+                px = _lossless_predict(
+                    row, prev, x, y, predictor, default, ay, ax
+                )
                 s = reader.read_symbol(dc_t)
                 if s == 0:
                     diff = 0

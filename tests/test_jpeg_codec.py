@@ -785,6 +785,68 @@ class TestLossless:
         ):
             decode_jpeg(bytes(seq))
 
+    @pytest.mark.parametrize("predictor", [1, 4, 6, 7])
+    @pytest.mark.parametrize("interval", [1, 7, 10])
+    def test_restart_intervals_exact_roundtrip(self, predictor, interval):
+        """Lossless + DRI (the second r12 restart seam, closed r13):
+        the round trip must stay EXACT with restarts anywhere —
+        including intervals that land mid-line (7 on a 10-wide raster),
+        where the interval's first sample takes the default prediction
+        and the rest of its line the 1-D predictor (the T.81 H.1.1
+        reading pinned on _lossless_predict). The entropy realign makes
+        a missed anchor reset decode to WRONG sample values, so
+        exactness is the whole gate."""
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_lossless,
+        )
+
+        rng = np.random.default_rng(predictor * 10 + interval)
+        img = rng.integers(0, 256, (9, 10, 3), dtype=np.uint8)
+        data = encode_jpeg_lossless(
+            img, predictor=predictor, restart_interval=interval
+        )
+        assert b"\xff\xdd" in data
+        assert any(bytes([0xFF, 0xD0 + n]) in data for n in range(8))
+        assert np.array_equal(decode_jpeg(data), img)
+        # non-interleaved scans restart independently per component
+        ni = encode_jpeg_lossless(
+            img, predictor=predictor, interleave=False,
+            restart_interval=interval,
+        )
+        assert np.array_equal(decode_jpeg(ni), img)
+
+    def test_restart_16bit_and_point_transform(self):
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_lossless,
+        )
+
+        rng = np.random.default_rng(5)
+        img16 = rng.integers(0, 65536, (8, 11), dtype=np.uint16)
+        data = encode_jpeg_lossless(img16, predictor=2, restart_interval=5)
+        assert np.array_equal(decode_jpeg(data), img16)
+        # near-lossless (Pt=2): decode == (x >> 2) << 2, restarts on
+        img8 = rng.integers(0, 256, (7, 9), dtype=np.uint8)
+        got = decode_jpeg(encode_jpeg_lossless(
+            img8, predictor=5, point_transform=2, restart_interval=4
+        ))
+        assert np.array_equal(got, (img8 >> 2) << 2)
+
+    def test_restart_missing_segment_raises(self):
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_lossless,
+        )
+
+        data = bytearray(encode_jpeg_lossless(
+            _test_image(channels=1), restart_interval=3
+        ))
+        for n in range(8):
+            i = bytes(data).find(bytes([0xFF, 0xD0 + n]))
+            if i >= 0:
+                del data[i:i + 2]
+                break
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(data), max_pixels=1_000_000)
+
     def test_fuzz_lossless_clean_errors_only(self):
         import random
 
