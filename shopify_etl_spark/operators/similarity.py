@@ -1195,3 +1195,144 @@ def knn_label_disagreement(
             ).alias("label_suspect"),
         )
     )
+
+
+def maxsim_topk(
+    query_chunks: DataFrame,
+    corpus_chunks: DataFrame,
+    k: int = 5,
+    query_doc: str = "query_doc",
+    query_chunk: str = "chunk_idx",
+    query_vec: str = "qv",
+    corpus_doc: str = "doc_id",
+    corpus_vec: str = "ev",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Late-interaction (MaxSim) retrieval: multi-vector scoring in the
+    ColBERT family (Khattab & Zaharia, SIGIR 2020) — each document is a
+    BAG of chunk vectors, each query likewise, and
+
+        score(q, d) = Σ_{qc ∈ q}  max_{dc ∈ d}  cos(qc, dc)
+
+    — every query vector independently finds its best-matching document
+    vector, so a long document matching only one aspect of the query
+    can't dominate (the failure mode of single-vector pooling).
+
+    Scale shape — the standard late-interaction serving layout: the
+    QUERY side is small by construction (a handful of chunk vectors per
+    query) and broadcasts; the corpus chunk table never moves. The
+    per-(query-chunk, doc) max and the per-(query, doc) sum are both
+    partial-aggregated map-side before their shuffles, and the final
+    top-k is one window per query doc. At 100 TB you'd bound the
+    cross-score with an ANN prefilter per query chunk (ivf/lsh above)
+    and MaxSim only the union of candidates — the exact-over-candidates
+    step is THIS operator unchanged.
+
+    ``query_chunk`` names the per-chunk key inside a query document
+    (the max-group key) — deterministic by contract.
+
+    Output: (query_doc, corpus_doc, maxsim_score rounded 4), top-k per
+    query by (score desc, doc id asc).
+    """
+    qc = query_chunks.select(
+        F.col(query_doc).alias("_qd"),
+        F.col(query_chunk).alias("_qc"),
+        F.col(query_vec).alias("_qv"),
+    )
+    pairs = (
+        corpus_chunks.withColumn("_cn", _norm(corpus_vec))
+        .crossJoin(F.broadcast(qc.withColumn("_qn", _norm("_qv"))))
+    )
+    if exclude_self:
+        pairs = pairs.filter(F.col(corpus_doc) != F.col("_qd"))
+    sim = _dot("_qv", corpus_vec) / (F.col("_qn") * F.col("_cn"))
+    best = (
+        pairs.select(
+            "_qd", "_qc", F.col(corpus_doc).alias("_cd"), sim.alias("_s")
+        )
+        .groupBy("_qd", "_qc", "_cd")
+        .agg(F.max("_s").alias("_best"))
+    )
+    scored = best.groupBy("_qd", "_cd").agg(F.sum("_best").alias("_score"))
+    w = Window.partitionBy("_qd").orderBy(F.desc("_score"), F.asc("_cd"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col("_qd").alias(query_doc),
+            F.col("_cd").alias(corpus_doc),
+            F.round("_score", 4).alias("maxsim_score"),
+        )
+    )
+
+
+def truncated_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    prefix_dim: int = 16,
+    shortlist: int = 20,
+    k: int = 5,
+    query_id: str = "query_id",
+    query_vec: str = "qv",
+    corpus_id: str = "neighbor_id",
+    corpus_vec: str = "cv",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Matryoshka-style truncated-dimension retrieval (Kusupati et al.,
+    NeurIPS 2022): rank by cosine over the FIRST ``prefix_dim`` dims
+    (an MRL-trained embedding packs coarse semantics into the prefix),
+    keep a ``shortlist``, then re-rank the shortlist with full-dimension
+    cosine — the two-stage funnel that cuts the first-pass FLOPs and
+    memory bandwidth by dim/prefix_dim (4x here) while the exact metric
+    still decides the final order.
+
+    Scale shape: the query frame broadcasts both times; the prefix pass
+    reads only prefix_dim of each corpus vector (with a columnar layout
+    that is genuinely less I/O, not just fewer multiplies); the re-rank
+    join is shortlist-sized against the corpus (broadcast hash join).
+    Output: (query_id, corpus_id, prefix_sim, cosine_sim) rounded 4,
+    top-k per query by (full cosine desc, id asc).
+    """
+    ps = f"slice({corpus_vec}, 1, {prefix_dim})"
+    qs = f"slice({query_vec}, 1, {prefix_dim})"
+    # a TRUNCATED vector can be all-zero even when the full one isn't —
+    # floor the prefix norms (the kmeans 1e-12 convention) so a
+    # zero-prefix row scores 0 instead of dividing by zero
+    cq = F.broadcast(
+        queries.select(query_id, query_vec)
+        .withColumn("_qpn", F.greatest(_norm(qs), F.lit(1e-12)))
+    )
+    pairs = corpus.select(corpus_id, corpus_vec).withColumn(
+        "_cpn", F.greatest(_norm(ps), F.lit(1e-12))
+    ).crossJoin(cq)
+    if exclude_self:
+        pairs = pairs.filter(F.col(corpus_id) != F.col(query_id))
+    psim = (_dot(qs, ps) / (F.col("_qpn") * F.col("_cpn"))).alias("_ps")
+    w1 = Window.partitionBy(query_id).orderBy(F.desc("_ps"), F.asc(corpus_id))
+    short = (
+        pairs.select(query_id, corpus_id, psim)
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= shortlist)
+        .select(query_id, corpus_id, "_ps")
+    )
+    rer = (
+        corpus.select(corpus_id, corpus_vec)
+        .join(F.broadcast(short), corpus_id)
+        .join(F.broadcast(queries.select(query_id, query_vec)), query_id)
+        .withColumn("_qn", _norm(query_vec))
+        .withColumn("_cn", _norm(corpus_vec))
+        .withColumn(
+            "_fs",
+            _dot(query_vec, corpus_vec) / (F.col("_qn") * F.col("_cn")),
+        )
+    )
+    w2 = Window.partitionBy(query_id).orderBy(F.desc("_fs"), F.asc(corpus_id))
+    return (
+        rer.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .select(
+            query_id, corpus_id,
+            F.round("_ps", 4).alias("prefix_sim"),
+            F.round("_fs", 4).alias("cosine_sim"),
+        )
+    )

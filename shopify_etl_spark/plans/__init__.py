@@ -216,6 +216,9 @@ _CHANGED_R13 = [
     "image_decode_stats",    # png decoder: gray/RGB tRNS color-key alpha
     "audio_demux_stats",     # y4m decoder: odd-dim subsampled rejection
     "prog_arith_jpeg_stats",  # SOF10 decoder: DRI restart segments
+    "lossless_jpeg_stats",   # SOF3 decoder: DRI restart anchors
+    "maxsim_late_interaction",  # NEW: ColBERT-family multi-vector scoring
+    "mrl_truncated_search",  # NEW: Matryoshka prefix funnel + re-rank
 ]
 
 # New or code-changed in round 12 — sample these first.

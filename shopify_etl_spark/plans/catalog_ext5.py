@@ -418,3 +418,137 @@ def residual_pq_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank_vecs=unit.withColumnRenamed("vec_id", "neighbor_id"),
         residual=True, exclude_self=True,
     )
+
+
+@register(
+    "maxsim_late_interaction",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n
+      FROM documents WHERE length(text) > 0
+    ), s AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, greatest(n - 40 - 1, 0), 120))
+               AS cstart
+      FROM d
+    ), chunks AS (
+      SELECT doc_id, cstart // 120 AS chunk_idx,
+             substr(text, cstart + 1, 160) AS chunk_text
+      FROM s
+    ), emb AS MATERIALIZED (
+      SELECT doc_id, chunk_idx,
+             list_transform(range(1, 17),
+                 j -> CAST(ascii(substr(md5(chunk_text), j, 1)) - 77
+                           AS DOUBLE)) AS ev
+      FROM chunks
+    ), q AS (
+      SELECT doc_id AS query_doc, chunk_idx, ev AS qv
+      FROM emb WHERE doc_id < 3
+    ), best AS (
+      SELECT q.query_doc, q.chunk_idx, e.doc_id,
+             MAX(list_cosine_similarity(q.qv, e.ev)) AS best_sim
+      FROM q JOIN emb e ON e.doc_id <> q.query_doc
+      GROUP BY q.query_doc, q.chunk_idx, e.doc_id
+    ), scored AS (
+      SELECT query_doc, doc_id, SUM(best_sim) AS score
+      FROM best GROUP BY query_doc, doc_id
+    )
+    SELECT query_doc, doc_id, ROUND(score, 4) AS maxsim_score
+    FROM (
+      SELECT scored.*, ROW_NUMBER() OVER (PARTITION BY query_doc
+               ORDER BY score DESC, doc_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+    doc="Late-interaction (MaxSim / ColBERT-family) retrieval: documents "
+    "and queries are BAGS of chunk vectors (char windows 160/40 + the "
+    "hash_embed stub — the model-encoder seam); score(q,d) = sum over "
+    "query chunks of the max cosine against d's chunks, so one long "
+    "document aspect can't dominate the way single-vector pooling "
+    "lets it. Query side (3 docs' chunks) broadcasts; the per-"
+    "(query-chunk, doc) max and per-(query, doc) sum are partial-"
+    "aggregated; top-5 per query with (score desc, doc) tie-break. At "
+    "100 TB an ANN prefilter bounds the cross-score per query chunk and "
+    "this operator scores the candidate union unchanged. "
+    "operators/similarity.py::maxsim_topk + text.char_chunk_documents.",
+)
+def maxsim_late_interaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity
+    from ..operators.materialize import checkpoint_tracked
+    from ..operators.text import char_chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = char_chunk_documents(docs, chunk_chars=160, overlap=40)
+    emb = checkpoint_tracked(
+        chunks.select(
+            "doc_id", "chunk_idx",
+            similarity.hash_embed("chunk_text").alias("ev"),
+        )
+    )
+    q = emb.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_doc"), "chunk_idx",
+        F.col("ev").alias("qv"),
+    )
+    return similarity.maxsim_topk(q, emb, k=5, exclude_self=True)
+
+
+@register(
+    "mrl_truncated_search",
+    oracle=r"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_slice(embedding::DOUBLE[], 1, 16) AS p
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv, p AS qp
+      FROM e ORDER BY vec_id LIMIT 8
+    ), short AS (
+      SELECT query_id, neighbor_id, ps FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(q.qp, e.p) AS ps,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(q.qp, e.p) DESC,
+                          e.vec_id) AS rn
+        FROM q JOIN e ON e.vec_id <> q.query_id
+      ) WHERE rn <= 20
+    ), rer AS (
+      SELECT s.query_id, s.neighbor_id, s.ps,
+             list_cosine_similarity(q.qv, e.v) AS fs
+      FROM short s JOIN e ON e.vec_id = s.neighbor_id
+      JOIN q ON q.query_id = s.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(ps, 4) AS prefix_sim,
+           ROUND(fs, 4) AS cosine_sim
+    FROM (
+      SELECT rer.*, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY fs DESC, neighbor_id) AS rn
+      FROM rer
+    ) WHERE rn <= 5
+    """,
+    doc="Matryoshka-style truncated-dimension retrieval (MRL): first "
+    "pass ranks by cosine over the FIRST 16 of 64 dims (an MRL-trained "
+    "embedding packs coarse semantics into the prefix — 4x fewer "
+    "first-pass FLOPs and, with a columnar layout, 4x less bandwidth), "
+    "keeps a 20-candidate shortlist, then re-ranks with full-dimension "
+    "cosine for the final top-5. The two-stage funnel every "
+    "dimension-adaptive serving stack runs; both query frames "
+    "broadcast, the re-rank join is shortlist-sized. "
+    "operators/similarity.py::truncated_rerank_topk.",
+)
+def mrl_truncated_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity
+    from ..operators.materialize import checkpoint_tracked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = checkpoint_tracked(
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("cv")
+        )
+    )
+    queries = vecs.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").alias("query_id"), F.col("cv").alias("qv")
+    )
+    return similarity.truncated_rerank_topk(
+        queries, vecs.withColumnRenamed("vec_id", "neighbor_id"),
+        prefix_dim=16, shortlist=20, k=5, exclude_self=True,
+    )

@@ -323,6 +323,10 @@ MAX_SCANS_PER_TABLE = {
                                 # queries AND the re-rank vector table
     "residual_pq_search": 1,    # same checkpoint + the residual frame
                                 # derived from it (no extra parquet scan)
+    "maxsim_late_interaction": 1,  # chunk+embed checkpoint feeds both
+                                   # the corpus and query-chunk sides
+    "mrl_truncated_search": 1,  # cast checkpoint feeds prefix pass,
+                                # re-rank join and the query frame
 }
 
 
@@ -447,6 +451,8 @@ BNLJ_ALLOWED = {
     "pq_adc_topk",              # broadcast ADC-table frame (8 queries)
     "ivf_pq_search",            # trained 8-cell codebook + probe tables
     "residual_pq_search",       # same, tables per (query, probed cell)
+    "maxsim_late_interaction",  # 3 query docs' chunk vectors broadcast
+    "mrl_truncated_search",     # 8-query frame broadcast, both passes
 }
 
 

@@ -574,3 +574,110 @@ def test_knn_label_disagreement_overflow_recall(spark):
     suspects = {r.vec_id for r in out if r.label_suspect}
     recall = len(suspects & planted) / len(planted)
     assert recall >= 0.8, f"overflow recall on planted mislabels {recall:.2f} < 0.8"
+
+
+def test_maxsim_planted_scores_and_pooling_contrast(spark):
+    """MaxSim on a planted corpus: exact hand-computable scores, and the
+    case the operator exists for — a document matching BOTH query
+    aspects must beat one that matches a single aspect many times
+    (single-vector mean pooling would rank them the other way)."""
+    e1, e2, e3 = ([1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+                  [0.0, 0.0, 1.0, 0.0])
+    q = spark.createDataFrame(
+        [(100, 0, e1), (100, 1, e2)],
+        "query_doc long, chunk_idx long, qv array<double>",
+    )
+    corpus = spark.createDataFrame(
+        # doc 1: matches both aspects once -> 1 + 1 = 2
+        [(1, 0, e1), (1, 1, e2),
+         # doc 2: matches one aspect three times -> max collapses to 1,
+         # second query chunk contributes 0 -> total 1
+         (2, 0, e1), (2, 1, e1), (2, 2, e1),
+         # doc 3: matches nothing -> 0
+         (3, 0, e3)],
+        "doc_id long, chunk_idx long, ev array<double>",
+    )
+    out = {r.doc_id: r.maxsim_score
+           for r in similarity.maxsim_topk(q, corpus, k=3).collect()}
+    assert out == {1: 2.0, 2: 1.0, 3: 0.0}
+
+
+def test_maxsim_excludes_self_and_breaks_ties_by_doc(spark):
+    e = [1.0, 0.0]
+    q = spark.createDataFrame(
+        [(7, 0, e)], "query_doc long, chunk_idx long, qv array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [(7, 0, e), (9, 0, e), (8, 0, e)],
+        "doc_id long, chunk_idx long, ev array<double>",
+    )
+    rows = similarity.maxsim_topk(
+        q, corpus, k=2, exclude_self=True
+    ).collect()
+    assert [r.doc_id for r in sorted(rows, key=lambda r: r.doc_id)] == [8, 9]
+    assert all(r.doc_id != 7 for r in rows)
+
+
+def test_truncated_rerank_funnel_contract(spark):
+    """The MRL funnel on real embeddings: with the shortlist covering
+    the whole corpus the answer equals exact cosine_topk; with a small
+    shortlist every returned id must come from the PREFIX shortlist —
+    pinned with a planted prefix trap (full-cosine best neighbor whose
+    prefix is orthogonal to the query): the funnel MUST miss it, which
+    is what proves the first pass really reads only the prefix."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("cv")
+    ).withColumnRenamed("vec_id", "neighbor_id").cache()
+    queries = vecs.filter(F.col("neighbor_id") < 3).select(
+        F.col("neighbor_id").alias("query_id"), F.col("cv").alias("qv")
+    )
+    full = similarity.truncated_rerank_topk(
+        queries, vecs, prefix_dim=16, shortlist=10_000, k=5,
+        exclude_self=True,
+    ).collect()
+    exact = similarity.cosine_topk(
+        queries, vecs, k=5, corpus_vec="cv"
+    ).collect()
+    key = lambda rows: {
+        q: [r.neighbor_id for r in sorted(rs, key=lambda r: r.rnk)]
+        for q, rs in __import__("itertools").groupby(
+            sorted([type("R", (), {"neighbor_id": r.neighbor_id,
+                                   "query_id": r.query_id,
+                                   "rnk": -r.cosine_sim})() for r in rows],
+                   key=lambda r: (r.query_id, r.rnk, r.neighbor_id)),
+            key=lambda r: r.query_id)
+    }
+    got = {}
+    for r in full:
+        got.setdefault(r.query_id, []).append((-r.cosine_sim, r.neighbor_id))
+    want = {}
+    for r in exact:
+        want.setdefault(r.query_id, []).append((-r.cosine_sim, r.neighbor_id))
+    assert {q: sorted(v) for q, v in got.items()} == \
+           {q: sorted(v) for q, v in want.items()}
+
+    # planted prefix trap: the query's mass sits in the TAIL, so the
+    # full-cosine best neighbor (trap: tail-aligned, prefix all zero)
+    # is invisible to the prefix pass
+    q = np.zeros(64); q[:16] = 0.1; q[16:] = 1.0
+    trap = np.zeros(64); trap[16:] = 1.0   # full-cos ~0.998, prefix 0
+    friend = np.zeros(64); friend[:16] = 1.0  # prefix-cos 1, full ~0.06
+    pl = spark.createDataFrame(
+        [(1, friend.tolist()), (2, trap.tolist()), (3, (friend * 0.9).tolist())],
+        "neighbor_id long, cv array<double>",
+    )
+    pq = spark.createDataFrame(
+        [(0, q.tolist())], "query_id long, qv array<double>"
+    )
+    small = similarity.truncated_rerank_topk(
+        pq, pl, prefix_dim=16, shortlist=2, k=2
+    ).collect()
+    assert {r.neighbor_id for r in small} == {1, 3}  # trap funneled out
+    wide = similarity.truncated_rerank_topk(
+        pq, pl, prefix_dim=16, shortlist=3, k=1
+    ).collect()
+    assert [r.neighbor_id for r in wide] == [2]  # exact re-rank finds it
+    vecs.unpersist()

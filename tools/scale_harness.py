@@ -171,6 +171,12 @@ FAMILY = (
     "pq_adc_topk",
     "ivf_pq_search",
     "residual_pq_search",
+    # r13 late additions: MaxSim rides the chunk frame (query side fixed
+    # at 3 docs' chunks, corpus chunks grow 10x -> cross-score and the
+    # max/sum aggregates grow linearly); the MRL funnel's prefix pass
+    # grows linearly, shortlist/re-rank fixed
+    "maxsim_late_interaction",
+    "mrl_truncated_search",
 )
 
 
