@@ -219,6 +219,8 @@ _CHANGED_R13 = [
     "lossless_jpeg_stats",   # SOF3 decoder: DRI restart anchors
     "maxsim_late_interaction",  # NEW: ColBERT-family multi-vector scoring
     "mrl_truncated_search",  # NEW: Matryoshka prefix funnel + re-rank
+    "sq_int8_search",        # NEW: trained int8 SQ asymmetric search
+    "bq_hamming_search",     # NEW: binary sign codes + Hamming re-rank
 ]
 
 # New or code-changed in round 12 — sample these first.

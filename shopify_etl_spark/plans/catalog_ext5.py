@@ -552,3 +552,151 @@ def mrl_truncated_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, vecs.withColumnRenamed("vec_id", "neighbor_id"),
         prefix_dim=16, shortlist=20, k=5, exclude_self=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# Non-PQ quantization paths: trained int8 scalar quantization (asymmetric
+# search) and trained binary quantization (Hamming shortlist + exact
+# re-rank) — operators/quantization.py.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sq_int8_search",
+    oracle=r"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), dims AS (SELECT CAST(i AS INT) AS i FROM range(1, 65) t(i)),
+    grid AS MATERIALIZED (
+      SELECT i, mn,
+             CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS st
+      FROM (SELECT d.i, MIN(e.v[d.i]) AS mn, MAX(e.v[d.i]) AS mx
+            FROM e CROSS JOIN dims d GROUP BY d.i)
+    ), deq AS MATERIALIZED (
+      SELECT vec_id, list(xhat ORDER BY i) AS xhat FROM (
+        SELECT e.vec_id, g.i,
+               g.mn + GREATEST(0, LEAST(255,
+                 CAST(FLOOR((e.v[g.i] - g.mn) / g.st + 0.5) AS INT)))
+                 * g.st AS xhat
+        FROM e CROSS JOIN grid g)
+      GROUP BY vec_id
+    ), q AS (SELECT vec_id AS query_id, v AS qv
+             FROM e ORDER BY vec_id LIMIT 8),
+    d AS (
+      SELECT q.query_id, x.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65),
+               i -> (q.qv[i] - x.xhat[i]) * (q.qv[i] - x.xhat[i])))
+               AS sq_dist
+      FROM q CROSS JOIN deq x WHERE x.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(sq_dist, 4) AS sq_dist
+    FROM (SELECT d.*, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY sq_dist ASC, neighbor_id) AS rn FROM d)
+    WHERE rn <= 10
+    """,
+    doc="Trained int8 scalar quantization with ASYMMETRIC search (Faiss "
+    "SQ8 / Lucene int8 semantics): ONE aggregate pass learns the per-"
+    "dimension [min,max] grid (128 scalars to the driver), encoding is a "
+    "zero-shuffle clamp/floor projection (4x compression), and search "
+    "keeps the query in float against dequantized candidates — "
+    "dequantize-and-accumulate fused into one codegen'd fold, top-10 "
+    "per query with (dist, id) tie-breaks. The oracle re-trains the "
+    "grid, re-encodes and re-ranks entirely in SQL; floor(x+0.5) on "
+    "both sides removes the HALF_UP/half-away rounding-mode divergence. "
+    "operators/quantization.py::sq_train,sq_encode,sq_topk.",
+)
+def sq_int8_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import quantization as qz
+    from ..operators.materialize import checkpoint_tracked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = checkpoint_tracked(
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+        )
+    )
+    mins, maxs = qz.sq_train(vecs, "ev", 64)
+    codes = qz.sq_encode(
+        vecs, mins, maxs, "ev", "vec_id"
+    ).withColumnRenamed("vec_id", "neighbor_id")
+    queries = vecs.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv")
+    )
+    return qz.sq_topk(queries, codes, mins, maxs, k=10)
+
+
+@register(
+    "bq_hamming_search",
+    oracle=r"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), dims AS (SELECT CAST(i AS INT) AS i FROM range(1, 65) t(i)),
+    thr AS MATERIALIZED (
+      SELECT d.i, AVG(e.v[d.i]) AS m
+      FROM e CROSS JOIN dims d GROUP BY d.i
+    ), packed AS MATERIALIZED (
+      SELECT vec_id, list(word ORDER BY w) AS bits FROM (
+        SELECT e.vec_id, (t.i - 1) // 32 AS w,
+               SUM(CASE WHEN e.v[t.i] >= t.m
+                   THEN (1::BIGINT << ((t.i - 1) % 32))
+                   ELSE 0 END) AS word
+        FROM e CROSS JOIN thr t
+        GROUP BY e.vec_id, (t.i - 1) // 32)
+      GROUP BY vec_id
+    ), q AS (SELECT vec_id AS query_id, bits AS qbits
+             FROM packed ORDER BY vec_id LIMIT 8),
+    ham AS (
+      SELECT q.query_id, p.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, 3),
+               i -> CAST(bit_count(xor(q.qbits[i], p.bits[i])) AS BIGINT)))
+               AS BIGINT) AS hamming
+      FROM q CROSS JOIN packed p WHERE p.vec_id <> q.query_id
+    ), short AS (
+      SELECT query_id, neighbor_id, hamming FROM (
+        SELECT ham.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY hamming ASC, neighbor_id) AS rn FROM ham)
+      WHERE rn <= 50
+    ), rr AS (
+      SELECT s.query_id, s.neighbor_id, s.hamming,
+             list_sum(list_transform(range(1, 65),
+                      i -> qe.v[i] * ne.v[i]))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                      i -> qe.v[i] * qe.v[i])))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                      i -> ne.v[i] * ne.v[i])))) AS cosine_sim
+      FROM short s JOIN e qe ON qe.vec_id = s.query_id
+      JOIN e ne ON ne.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, hamming,
+           ROUND(cosine_sim, 4) AS cosine_sim
+    FROM (SELECT rr.*, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id) AS rn FROM rr)
+    WHERE rn <= 5
+    """,
+    doc="Trained binary quantization (1 bit/dim vs per-dimension MEAN "
+    "thresholds, packed into 32-bit words — 1<<31 stays portably "
+    "positive in a BIGINT on both engines) with the production funnel: "
+    "Hamming shortlist-50 from the packed codes (XOR + bit_count word "
+    "fold, pure JVM) then exact-cosine re-rank to top-5 touching floats "
+    "only for the |queries|x50 survivors (recall@5 vs exact cosine measured 0.775 at 50, 0.975 at 100 on the no-cluster gaussian corpus — the worst case for sign codes). 32x compression; Hamming "
+    "tracks angular distance by the Charikar hyperplane bound. "
+    "operators/quantization.py::bq_train,bq_encode,bq_hamming_rerank.",
+)
+def bq_hamming_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import quantization as qz
+    from ..operators.materialize import checkpoint_tracked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = checkpoint_tracked(
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+        )
+    )
+    thr = qz.bq_train(vecs, "ev", 64)
+    packed = qz.bq_encode(
+        vecs, thr, "ev", "vec_id"
+    ).withColumnRenamed("vec_id", "neighbor_id")
+    qp = qz.bq_encode(
+        vecs.orderBy("vec_id").limit(8), thr, "ev", "vec_id"
+    ).select(F.col("vec_id").alias("query_id"), "bits")
+    return qz.bq_hamming_rerank(qp, packed, vecs, k=5, shortlist=50)

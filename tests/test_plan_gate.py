@@ -327,6 +327,10 @@ MAX_SCANS_PER_TABLE = {
                                    # the corpus and query-chunk sides
     "mrl_truncated_search": 1,  # cast checkpoint feeds prefix pass,
                                 # re-rank join and the query frame
+    "sq_int8_search": 1,        # cast checkpoint feeds grid train (one
+                                # agg), encode and the query frame
+    "bq_hamming_search": 1,     # cast checkpoint feeds threshold train,
+                                # both encodes and the re-rank floats
 }
 
 
@@ -453,6 +457,10 @@ BNLJ_ALLOWED = {
     "residual_pq_search",       # same, tables per (query, probed cell)
     "maxsim_late_interaction",  # 3 query docs' chunk vectors broadcast
     "mrl_truncated_search",     # 8-query frame broadcast, both passes
+    "sq_int8_search",           # 8-row float query frame broadcast
+    "bq_hamming_search",        # 8-row packed query frame broadcast;
+    #   the re-rank float join is a broadcast HASH join on the 160-row
+    #   shortlist
 }
 
 

@@ -1,0 +1,178 @@
+"""Scalar + binary quantization (operators/quantization.py): grid
+invariants, the per-dimension reconstruction-error bound, Hamming
+identities, and measured recall gates against exact search."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from shopify_etl_spark.operators import quantization as qz
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+        )
+    )
+    df.cache().count()
+    return df
+
+
+def _exact_top(spark, vecs, qids, k):
+    """Exact L2 top-k per query via numpy — the recall ground truth."""
+    rows = vecs.collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.ev for r in rows])
+    out = {}
+    for qid in qids:
+        q = X[ids == qid][0]
+        d = ((X - q) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d))
+        out[qid] = [int(ids[i]) for i in order if ids[i] != qid][:k]
+    return out
+
+
+class TestScalarQuantization:
+    def test_grid_and_determinism(self, spark, vecs):
+        mins, maxs = qz.sq_train(vecs, "ev", 64)
+        assert len(mins) == len(maxs) == 64
+        assert all(mn <= mx for mn, mx in zip(mins, maxs))
+        mins2, maxs2 = qz.sq_train(vecs, "ev", 64)
+        assert mins == mins2 and maxs == maxs2
+
+    def test_codes_in_range(self, spark, vecs):
+        mins, maxs = qz.sq_train(vecs, "ev", 64)
+        codes = qz.sq_encode(vecs, mins, maxs, "ev", "vec_id")
+        row = codes.agg(
+            F.min(F.array_min("codes")).alias("lo"),
+            F.max(F.array_max("codes")).alias("hi"),
+        ).collect()[0]
+        assert row.lo >= 0 and row.hi <= 255
+        # a full-range grid must actually use its endpoints
+        assert row.lo == 0 and row.hi == 255
+
+    def test_reconstruction_error_bound(self, spark, vecs):
+        """Dequantized value within step/2 of the original, per dim —
+        the defining guarantee of a uniform grid with round-to-nearest."""
+        mins, maxs = qz.sq_train(vecs, "ev", 64)
+        _, steps = qz._grid(mins, maxs, 256)
+        codes = qz.sq_encode(vecs, mins, maxs, "ev", "vec_id")
+        joined = codes.join(vecs, "vec_id")
+        mn_arr = F.array(*[F.lit(v) for v in mins])
+        st_arr = F.array(*[F.lit(v) for v in steps])
+        xhat = F.zip_with(
+            F.col("codes"),
+            F.arrays_zip(mn_arr, st_arr),
+            lambda c, g: g["0"] + c.cast("double") * g["1"],
+        )
+        err = F.zip_with(
+            xhat, F.col("ev"), lambda a, b: F.abs(a - b)
+        )
+        worst = joined.select(
+            F.max(F.array_max(err)).alias("w")
+        ).collect()[0].w
+        # step/2 plus float slack; steps differ per dim so bound by max
+        assert worst <= max(steps) / 2 + 1e-12
+
+    def test_sq_topk_recall_vs_exact(self, spark, vecs):
+        """int8 on a trained grid is a near-lossless compression: ADC
+        top-10 must recover >= 9 of the exact top-10 on average."""
+        mins, maxs = qz.sq_train(vecs, "ev", 64)
+        codes = qz.sq_encode(
+            vecs, mins, maxs, "ev", "vec_id"
+        ).withColumnRenamed("vec_id", "neighbor_id")
+        queries = vecs.orderBy("vec_id").limit(8).select(
+            F.col("vec_id").alias("query_id"), F.col("ev").alias("qv")
+        )
+        got = qz.sq_topk(queries, codes, mins, maxs, k=10).collect()
+        truth = _exact_top(spark, vecs, [r.query_id for r in got], 10)
+        hits = sum(
+            1 for r in got if r.neighbor_id in truth[r.query_id]
+        )
+        assert hits / len(got) >= 0.9
+
+
+class TestBinaryQuantization:
+    def test_packed_words_in_range(self, spark, vecs):
+        thr = qz.bq_train(vecs, "ev", 64)
+        assert len(thr) == 64
+        packed = qz.bq_encode(vecs, thr, "ev", "vec_id")
+        row = packed.agg(
+            F.min(F.array_min("bits")).alias("lo"),
+            F.max(F.array_max("bits")).alias("hi"),
+            F.min(F.size("bits")).alias("nw"),
+        ).collect()[0]
+        assert row.nw == 2
+        assert 0 <= row.lo and row.hi < (1 << 32)
+
+    def test_dim_must_divide_words(self, spark, vecs):
+        with pytest.raises(ValueError, match="divisible"):
+            qz.bq_encode(vecs, [0.0] * 33, "ev", "vec_id")
+
+    def test_hamming_self_is_zero(self, spark, vecs):
+        thr = qz.bq_train(vecs, "ev", 64)
+        packed = qz.bq_encode(vecs, thr, "ev", "vec_id")
+        two = packed.limit(1)
+        q = two.select(F.col("vec_id").alias("query_id"), "bits")
+        ham = (
+            packed.withColumnRenamed("vec_id", "neighbor_id")
+            .crossJoin(F.broadcast(q.withColumnRenamed("bits", "qbits")))
+            .filter(F.col("neighbor_id") == F.col("query_id"))
+            .select(
+                F.aggregate(
+                    F.zip_with(
+                        "bits",
+                        "qbits",
+                        lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast(
+                            "long"
+                        ),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ).alias("h")
+            )
+            .collect()
+        )
+        assert ham[0].h == 0
+
+    def test_rerank_recall_curve_vs_exact_cosine(self, spark, vecs):
+        """The funnel's defining property: recall@5 vs exact cosine rises
+        with the Hamming shortlist size. Measured on the i.i.d.-gaussian
+        sf0.001 corpus (the HARDEST case for 64-bit sign codes — no
+        cluster structure for the bits to exploit): 0.40 / 0.775 / 0.975
+        at shortlist 20 / 50 / 100. Gates sit one notch under the
+        measurement so ulp-level re-rank reshuffles can't flap the test;
+        monotonicity is the structural claim."""
+        thr = qz.bq_train(vecs, "ev", 64)
+        packed = qz.bq_encode(
+            vecs, thr, "ev", "vec_id"
+        ).withColumnRenamed("vec_id", "neighbor_id")
+        qp = qz.bq_encode(
+            vecs.orderBy("vec_id").limit(8), thr, "ev", "vec_id"
+        ).select(F.col("vec_id").alias("query_id"), "bits")
+        rows = vecs.collect()
+        ids = np.array([r.vec_id for r in rows])
+        X = np.array([r.ev for r in rows])
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+
+        def recall(shortlist):
+            got = qz.bq_hamming_rerank(
+                qp, packed, vecs, k=5, shortlist=shortlist
+            ).collect()
+            hits = total = 0
+            for qid in {r.query_id for r in got}:
+                q = Xn[ids == qid][0]
+                sim = Xn @ q
+                order = np.lexsort((ids, -sim))
+                truth = [int(ids[i]) for i in order if ids[i] != qid][:5]
+                mine = [r.neighbor_id for r in got if r.query_id == qid]
+                hits += len(set(mine) & set(truth))
+                total += 5
+            return hits / total
+
+        r20, r50, r100 = recall(20), recall(50), recall(100)
+        assert r20 <= r50 <= r100
+        assert r20 >= 0.3 and r50 >= 0.6 and r100 >= 0.9
