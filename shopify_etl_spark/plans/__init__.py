@@ -221,6 +221,7 @@ _CHANGED_R13 = [
     "mrl_truncated_search",  # NEW: Matryoshka prefix funnel + re-rank
     "sq_int8_search",        # NEW: trained int8 SQ asymmetric search
     "bq_hamming_search",     # NEW: binary sign codes + Hamming re-rank
+    "quality_probe_distill",  # NEW: GD-trained linear gate distillation
 ]
 
 # New or code-changed in round 12 — sample these first.

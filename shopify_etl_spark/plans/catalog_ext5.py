@@ -700,3 +700,136 @@ def bq_hamming_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs.orderBy("vec_id").limit(8), thr, "ev", "vec_id"
     ).select(F.col("vec_id").alias("query_id"), "bits")
     return qz.bq_hamming_rerank(qp, packed, vecs, k=5, shortlist=50)
+
+
+# ---------------------------------------------------------------------------
+# Trained linear quality probe (operators/classifier.py): distill the
+# Gopher-style composite gate into a 4-term linear scorer via full-batch
+# GD — the training itself unrolled into SQL below, one CTE per step.
+# ---------------------------------------------------------------------------
+
+
+def _gd_iter_sql(prev: str, nxt: str, lr: float) -> str:
+    """One unrolled full-batch GD step on the squared loss: the residual
+    ``r = w·z − y`` re-derived inline per sum (GROUP BY keeps the 1-row
+    weight frame's columns as keys — qualified, because DuckDB binds
+    unqualified GROUP BY names to SELECT aliases first)."""
+    return f"""
+    {nxt} AS (
+      SELECT w.w0 - {lr} * (2.0 * SUM(
+               (w.w0 + w.w1*z1 + w.w2*z2 + w.w3*z3 - y)) / w.n) AS w0,
+             w.w1 - {lr} * (2.0 * SUM(
+               (w.w0 + w.w1*z1 + w.w2*z2 + w.w3*z3 - y) * z1) / w.n) AS w1,
+             w.w2 - {lr} * (2.0 * SUM(
+               (w.w0 + w.w1*z1 + w.w2*z2 + w.w3*z3 - y) * z2) / w.n) AS w2,
+             w.w3 - {lr} * (2.0 * SUM(
+               (w.w0 + w.w1*z1 + w.w2*z2 + w.w3*z3 - y) * z3) / w.n) AS w3,
+             w.n AS n
+      FROM z CROSS JOIN {prev} w
+      GROUP BY w.w0, w.w1, w.w2, w.w3, w.n
+    )"""
+
+
+_PROBE_ITERS = 16
+_PROBE_LR = 0.4
+
+_PROBE_CHAIN = ",".join(
+    _gd_iter_sql(f"w{i}", f"w{i + 1}", _PROBE_LR) for i in range(_PROBE_ITERS)
+)
+
+
+@register(
+    "quality_probe_distill",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), b AS (
+      SELECT doc_id, w,
+             CASE WHEN len(w) >= 2
+                  THEN list_transform(range(1, len(w)),
+                                      i -> w[i] || ' ' || w[i + 1])
+                  ELSE [] END AS bg
+      FROM t WHERE len(w) > 0
+    ), f AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(len(w) AS DOUBLE) AS x1,
+             len(list_filter(w, x -> x IN ('the','a','of','and','to')))
+               / len(w) AS x2,
+             len(list_distinct(w)) / len(w) AS x3,
+             (len(w) >= 20 AND len(w) <= 5000
+              AND len(list_distinct(w)) / len(w) >= 0.35
+              AND COALESCE(list_max(list_transform(list_distinct(bg),
+                    x -> len(list_filter(bg, y -> y = x))))
+                    / NULLIF(len(bg), 0) <= 0.20, TRUE)
+              AND len(list_filter(w, x -> x IN ('the','a','of','and','to')))
+                    / len(w) >= 0.01) AS keep
+      FROM b
+    ), stats AS (
+      SELECT COUNT(*) AS n,
+             SUM(x1) AS s1, SUM(x2) AS s2, SUM(x3) AS s3,
+             SUM(x1*x1) AS q1, SUM(x2*x2) AS q2, SUM(x3*x3) AS q3
+      FROM f
+    ), mu AS (
+      SELECT n, s1 / n AS mu1, s2 / n AS mu2, s3 / n AS mu3, q1, q2, q3
+      FROM stats
+    ), norm AS MATERIALIZED (
+      SELECT n, mu1, mu2, mu3,
+             CASE WHEN q1 / n - mu1 * mu1 > 0
+                  THEN sqrt(q1 / n - mu1 * mu1) ELSE 1.0 END AS sd1,
+             CASE WHEN q2 / n - mu2 * mu2 > 0
+                  THEN sqrt(q2 / n - mu2 * mu2) ELSE 1.0 END AS sd2,
+             CASE WHEN q3 / n - mu3 * mu3 > 0
+                  THEN sqrt(q3 / n - mu3 * mu3) ELSE 1.0 END AS sd3
+      FROM mu
+    ), z AS MATERIALIZED (
+      SELECT doc_id, keep, CAST(keep AS DOUBLE) AS y,
+             (x1 - m.mu1) / m.sd1 AS z1,
+             (x2 - m.mu2) / m.sd2 AS z2,
+             (x3 - m.mu3) / m.sd3 AS z3
+      FROM f CROSS JOIN norm m
+    ), w0 AS (
+      SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3,
+             (SELECT n FROM norm) AS n
+    ),{_PROBE_CHAIN}
+    SELECT z.doc_id,
+           ROUND(w.w0 + w.w1*z.z1 + w.w2*z.z2 + w.w3*z.z3, 4) AS score,
+           (w.w0 + w.w1*z.z1 + w.w2*z.z2 + w.w3*z.z3) >= 0.5 AS pred_keep,
+           z.keep AS keep
+    FROM z CROSS JOIN w{_PROBE_ITERS} w
+    """,
+    doc="Trained linear quality probe (fastText-distillation analog): "
+    "the teacher is the engine's own Gopher-style composite gate — whose "
+    "repetitive_bigram rule costs a full bigram fold per document — and "
+    "the student is a 4-term linear scorer over three CHEAP features "
+    "(token count, stopword ratio, distinct ratio), trained by 16 "
+    "full-batch GD steps on the squared loss over standardized features "
+    "(zero init, lr 0.4 — no transcendentals, so the oracle re-runs the "
+    "ENTIRE training as 16 unrolled CTEs and value-checks weights "
+    "through to per-doc scores). Featurize+label is ONE corpus "
+    "projection (checkpointed; each GD step aggregates the tiny feature "
+    "frame, 4 doubles to the driver per step). Learns past the 0.664 "
+    "base rate to 0.758 teacher agreement at sf0.01 — at 100 TB the "
+    "student scores every document for the cost of a dot product. "
+    "operators/classifier.py::quality_probe_frame,probe_train,"
+    "probe_score.",
+)
+def quality_probe_distill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import classifier as C
+    from ..operators.materialize import checkpoint_tracked
+
+    docs = load_table(spark, sf_dir, "documents")
+    frame = checkpoint_tracked(C.quality_probe_frame(docs))
+    mus, sds, n = C.feature_stats(frame)
+    w = C.probe_train(
+        frame, mus, sds, n, iters=_PROBE_ITERS, lr=_PROBE_LR
+    )
+    scored = C.probe_score(frame, w, mus, sds)
+    return scored.select(
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        "pred_keep",
+        "keep",
+    )

@@ -331,6 +331,8 @@ MAX_SCANS_PER_TABLE = {
                                 # agg), encode and the query frame
     "bq_hamming_search": 1,     # cast checkpoint feeds threshold train,
                                 # both encodes and the re-rank floats
+    "quality_probe_distill": 1,  # feature+label checkpoint feeds the
+                                 # stats agg, 16 GD steps and scoring
 }
 
 
