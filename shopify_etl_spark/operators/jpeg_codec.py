@@ -717,10 +717,11 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
                 off += 2
             if off != len(seg):  # trailing odd byte = malformed segment
                 raise ValueError("jpeg: DAC segment length not a pair multiple")
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):  # sequential
-            # / progressive / lossless / arithmetic (seq + progressive)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
+            # sequential / progressive / lossless (Huffman + arithmetic)
+            # / arithmetic (seq + progressive)
             prec, h, w, n_comp = struct.unpack(">BHHB", seg[:6])
-            if marker == 0xC3:
+            if marker in (0xC3, 0xCB):
                 if not 2 <= prec <= 16:  # T.81 Annex H sample precision
                     raise ValueError(
                         f"jpeg: invalid lossless precision {prec}"
@@ -762,21 +763,21 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
                 raise NotImplementedError(
                     "jpeg: non-integer sampling ratios"
                 )
-            if marker == 0xC3 and any(
+            if marker in (0xC3, 0xCB) and any(
                 c["h"] != 1 or c["v"] != 1 for c in comps
             ):
                 raise NotImplementedError("jpeg: lossless with subsampling")
             frame = {
                 "h": h, "w": w, "comps": comps,
                 "prog": marker in (0xC2, 0xCA), "prec": prec,
-                "arith": marker in (0xC9, 0xCA),
-                "lossless": marker == 0xC3,
+                "arith": marker in (0xC9, 0xCA, 0xCB),
+                "lossless": marker in (0xC3, 0xCB),
             }
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"jpeg: only sequential (SOF0/1), progressive (SOF2), "
-                f"lossless (SOF3) and arithmetic (SOF9/SOF10) supported, "
-                f"got SOF{marker - 0xC0}"
+                f"lossless (SOF3/SOF11) and arithmetic (SOF9/SOF10) "
+                f"supported, got SOF{marker - 0xC0} (hierarchical)"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
@@ -812,10 +813,17 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
                     raise ValueError(
                         "jpeg: point transform differs across scans"
                     )
-                _decode_scan_lossless(
-                    data[pos:end], frame, htabs, scan_list,
-                    ss, pt, lossless_planes, restart_interval,
-                )
+                if frame.get("arith"):  # SOF11: QM-coded differences
+                    _decode_scan_lossless_arith(
+                        data[pos:end], frame, scan_list,
+                        ss, pt, lossless_planes, restart_interval,
+                        dc_cond,
+                    )
+                else:
+                    _decode_scan_lossless(
+                        data[pos:end], frame, htabs, scan_list,
+                        ss, pt, lossless_planes, restart_interval,
+                    )
                 pos = end
                 continue
             if frame.get("arith"):
@@ -2554,6 +2562,289 @@ def _assemble_lossless(frame, planes, pt) -> np.ndarray:
         (np.asarray(p, dtype=np.int64) << pt).astype(dtype) for p in planes
     ]
     return full[0] if len(full) == 1 else np.stack(full, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Arithmetic lossless mode (SOF11): T.81 Annex H predictive coding with
+# the Annex D QM-coder and the H.1.2 two-dimensional statistical model —
+# each prediction difference is conditioned on the 5-way CLASSIFICATION
+# (zero / ±small / ±large per the DAC L/U thresholds, the same rule as
+# the DC model's F.1.4.4.1.2 category) of the differences already coded
+# at the LEFT (Da) and ABOVE (Db) positions: 25 contexts × 4 decision
+# bins, plus two magnitude X/M bin sets selected by whether Db is in a
+# large class — the spec's 158-bin statistics area. Out-of-bounds /
+# out-of-segment neighbors condition as class 0; restart intervals
+# reset coder, statistics, class grids AND the prediction anchor
+# (the same pinned H.1.1 reading as the Huffman path — encoder and
+# decoder here share one documented interpretation, so the round trip
+# is exact by construction).
+# ---------------------------------------------------------------------------
+
+
+def _ll_class(m: int, sign: int, L: int, U: int) -> int:
+    """5-way conditioning class of a coded difference from its magnitude
+    path value ``m`` (F.1.4.4.1.2 thresholds): 0 zero/below-L,
+    1/2 small ±, 3/4 large ±."""
+    if m < (1 << L) >> 1:
+        return 0
+    if m > (1 << U) >> 1:
+        return 3 + sign
+    return 1 + sign
+
+
+def _arith_encode_ll_diff(enc, st, s0, x_base, diff, L, U) -> int:
+    """Code one prediction difference at context start ``s0`` with the
+    magnitude tree at ``x_base``; returns the difference's conditioning
+    class for the neighbor grids."""
+    if diff == 0:
+        enc.encode(st, s0, 0)
+        return 0
+    enc.encode(st, s0, 1)
+    if diff > 0:
+        enc.encode(st, s0 + 1, 0)
+        sign, v = 0, diff
+    else:
+        enc.encode(st, s0 + 1, 1)
+        sign, v = 1, -diff
+    pos = s0 + 2 + sign
+    m = 0
+    v -= 1
+    if v:
+        enc.encode(st, pos, 1)
+        m = 1
+        v2 = v
+        pos = x_base
+        while v2 >> 1:
+            v2 >>= 1
+            enc.encode(st, pos, 1)
+            m <<= 1
+            pos += 1
+    enc.encode(st, pos, 0)
+    cls = _ll_class(m, sign, L, U)
+    pos += 14
+    while m >> 1:
+        m >>= 1
+        enc.encode(st, pos, 1 if (m & v) else 0)
+    return cls
+
+
+def _arith_decode_ll_diff(dec, st, s0, x_base, L, U) -> tuple[int, int]:
+    """Mirror of :func:`_arith_encode_ll_diff`; returns (diff, class)."""
+    if dec.decode(st, s0) == 0:
+        return 0, 0
+    sign = dec.decode(st, s0 + 1)
+    pos = s0 + 2 + sign
+    m = dec.decode(st, pos)
+    if m:
+        pos = x_base
+        while dec.decode(st, pos):
+            m <<= 1
+            if m >= 0x8000:
+                raise ValueError(
+                    "jpeg: arithmetic lossless magnitude overflow"
+                )
+            pos += 1
+    cls = _ll_class(m, sign, L, U)
+    v = m
+    pos += 14
+    mm = m >> 1
+    while mm:
+        if dec.decode(st, pos):
+            v |= mm
+        mm >>= 1
+    v += 1
+    return (-v if sign else v), cls
+
+
+def _decode_scan_lossless_arith(scan, frame, scan_list, predictor, pt,
+                                planes, restart_interval, dc_cond):
+    """One SOF11 scan into the shared sample planes — the QM twin of
+    :func:`_decode_scan_lossless` (same raster/MCU geometry, same
+    prediction anchors) with the H.1.2 conditioning state: per
+    component, a full-width row pair of difference classes supplies
+    Qa (left) and Qb (above); both reset to zero-class at scan start
+    and at every restart segment, matching the encoder."""
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"jpeg: invalid lossless predictor {predictor}")
+    h, w = frame["h"], frame["w"]
+    default = 1 << (frame["prec"] - pt - 1)
+    segments = (
+        _split_restart_segments(scan, restart_interval)
+        if restart_interval
+        else [scan]
+    )
+    cis = [ci for ci, _td, _ta in scan_list]
+
+    def fresh(seg):
+        return (
+            _QMDecoder(seg),
+            {td: bytearray(158) for td in range(4)},
+            {ci: [0] * w for ci in cis},  # class of diff ABOVE
+            {ci: [0] * w for ci in cis},  # class of diff in CURRENT row
+        )
+
+    seg_idx = 0
+    dec, stats, above_cls, cur_cls = fresh(segments[0])
+    mcu_in_seg = 0
+    ay = ax = 0
+    for y in range(h):
+        if y:
+            above_cls, cur_cls = cur_cls, {ci: [0] * w for ci in cis}
+        for x in range(w):
+            if restart_interval and mcu_in_seg == restart_interval:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("jpeg: missing restart segment")
+                dec, stats, above_cls, cur_cls = fresh(segments[seg_idx])
+                mcu_in_seg = 0
+                ay, ax = y, x
+            mcu_in_seg += 1
+            for ci, td, _ta in scan_list:
+                L, U = dc_cond.get(td, (0, 1))
+                rows = planes[ci]
+                row = rows[y]
+                prev = rows[y - 1] if y else None
+                px = _lossless_predict(
+                    row, prev, x, y, predictor, default, ay, ax
+                )
+                qa = cur_cls[ci][x - 1] if x else 0
+                qb = above_cls[ci][x]
+                s0 = 4 * (5 * qb + qa)
+                x_base = 129 if qb >= 3 else 100
+                diff, cls = _arith_decode_ll_diff(
+                    dec, stats[td], s0, x_base, L, U
+                )
+                row[x] = (px + diff) & 0xFFFF
+                cur_cls[ci][x] = cls
+
+
+def encode_jpeg_lossless_arith(
+    arr: np.ndarray,
+    predictor: int = 4,
+    precision: int | None = None,
+    point_transform: int = 0,
+    interleave: bool = True,
+    restart_interval: int = 0,
+    dc_cond: tuple[int, int] | None = None,
+) -> bytes:
+    """Sample raster → arithmetic lossless JPEG (SOF11) bytes — the
+    QM twin of :func:`encode_jpeg_lossless` (identical prediction,
+    point-transform and restart semantics; the entropy layer swaps the
+    Huffman SSSS categories for the H.1.2 conditioned difference
+    model). ``dc_cond=(L, U)`` emits a DAC marker and conditions the
+    classification thresholds, exercising the decoder's non-default
+    branch. Exists primarily as the fixture generator for the decoder,
+    like the other arithmetic encoders here.
+    """
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"jpeg: invalid lossless predictor {predictor}")
+    L, U = dc_cond if dc_cond is not None else (0, 1)
+    if not 0 <= L <= U <= 15:
+        raise ValueError(
+            f"jpeg: invalid arithmetic conditioning L={L} U={U}"
+        )
+    arr = np.asarray(arr)
+    if precision is None:
+        precision = 8 if arr.dtype == np.uint8 else 16
+    if not 2 <= precision <= 16:
+        raise ValueError(f"jpeg: invalid lossless precision {precision}")
+    if not 0 <= point_transform < precision:
+        raise ValueError(f"jpeg: invalid point transform {point_transform}")
+    if arr.ndim == 2:
+        planes = [arr]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        planes = [arr[..., c] for c in range(3)]
+    else:
+        raise ValueError(f"jpeg: unsupported raster shape {arr.shape}")
+    h, w = planes[0].shape
+    if h == 0 or w == 0:
+        raise ValueError("jpeg: empty raster")
+    if any(int(p.max(initial=0)) >= (1 << precision) for p in planes):
+        raise ValueError(f"jpeg: sample exceeds {precision}-bit precision")
+    n_comp = len(planes)
+    pt = point_transform
+    default = 1 << (precision - pt - 1)
+    shifted = [(np.asarray(p, dtype=np.int64) >> pt).tolist() for p in planes]
+
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", precision, h, w, n_comp)
+    for c in range(n_comp):
+        sof += struct.pack(">BBB", c + 1, 0x11, 0)
+    out += b"\xff\xcb" + struct.pack(">H", 2 + len(sof)) + sof
+    if dc_cond is not None:
+        dac = bytes([0x00, (U << 4) | L])
+        out += b"\xff\xcc" + struct.pack(">H", 2 + len(dac)) + dac
+    if restart_interval:
+        if not 0 < restart_interval < 65536:
+            raise ValueError(
+                f"jpeg: invalid restart interval {restart_interval}"
+            )
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    def write_samples(comp_subset) -> bytes:
+        buf = bytearray()
+
+        def fresh():
+            return (
+                _QMEncoder(),
+                bytearray(158),
+                {c: [0] * w for c in comp_subset},
+                {c: [0] * w for c in comp_subset},
+            )
+
+        enc, st, above_cls, cur_cls = fresh()
+        mcu_in_seg, rst_n = 0, 0
+        ay = ax = 0
+        for y in range(h):
+            if y:
+                above_cls, cur_cls = cur_cls, {
+                    c: [0] * w for c in comp_subset
+                }
+            for x in range(w):
+                if restart_interval and mcu_in_seg == restart_interval:
+                    buf += enc.flush()
+                    buf += bytes([0xFF, 0xD0 + rst_n])
+                    rst_n = (rst_n + 1) % 8
+                    enc, st, above_cls, cur_cls = fresh()
+                    mcu_in_seg = 0
+                    ay, ax = y, x
+                mcu_in_seg += 1
+                for c in comp_subset:
+                    rows = shifted[c]
+                    row = rows[y]
+                    prev = rows[y - 1] if y else None
+                    px = _lossless_predict(
+                        row, prev, x, y, predictor, default, ay, ax
+                    )
+                    d = (row[x] - px) & 0xFFFF
+                    if d > 32768:
+                        d -= 65536
+                    qa = cur_cls[c][x - 1] if x else 0
+                    qb = above_cls[c][x]
+                    s0 = 4 * (5 * qb + qa)
+                    x_base = 129 if qb >= 3 else 100
+                    cur_cls[c][x] = _arith_encode_ll_diff(
+                        enc, st, s0, x_base, d, L, U
+                    )
+        buf += enc.flush()
+        return bytes(buf)
+
+    def sos_header(comp_ids):
+        sos = struct.pack(">B", len(comp_ids))
+        for cid in comp_ids:
+            sos += struct.pack(">BB", cid, 0x00)  # Td=0 stats table
+        sos += bytes([predictor, 0, pt])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    if interleave or n_comp == 1:
+        out += sos_header(list(range(1, n_comp + 1)))
+        out += write_samples(list(range(n_comp)))
+    else:
+        for c in range(n_comp):
+            out += sos_header([c + 1])
+            out += write_samples([c])
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------

@@ -1049,6 +1049,21 @@ LOSSLESS_JPEG_SCHEMA = StructType(
     ]
 )
 
+ARITH_LOSSLESS_JPEG_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("prec_bits", LongType(), False),
+        StructField("predictor", LongType(), False),
+        StructField("n_channels", LongType(), False),
+        StructField("restart_mcus", LongType(), False),
+        StructField("sample_sum", LongType(), False),
+        StructField("matches_source", BooleanType(), False),
+        StructField("agrees_with_huffman_path", BooleanType(), False),
+    ]
+)
+
 
 def lossless_jpeg_stats(
     docs: DataFrame,
@@ -1126,6 +1141,104 @@ def lossless_jpeg_stats(
 
     return spread_small(docs.select(id_col)).mapInPandas(
         roundtrip, LOSSLESS_JPEG_SCHEMA
+    )
+
+
+def arith_lossless_jpeg_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arithmetic-lossless JPEG round-trip gate (SOF11, T.81 Annex H +
+    the Annex D QM-coder — r13): completes the non-hierarchical T.81
+    mode matrix. Same EXACT contract as :func:`lossless_jpeg_stats`
+    (no DCT, no quantization → ``decode(encode(x)) == x``), with the
+    entropy layer swapped for the H.1.2 conditioned difference model.
+
+    Per key ``d``: the SAME raster synthesis as the Huffman gate
+    (``w = 8 + d % 7`` × ``h = 6 + d % 5``, ``ch = 1 + 2·(d % 2)``,
+    ``prec = 16 if d % 4 == 0 else 8``, predictor ``1 + d % 7``,
+    one-scan-per-component on ``d % 5 == 0``) plus the SOF11-specific
+    axes: a restart interval ``1 + d % 11`` on ``d % 3 == 0`` (QM
+    coder, statistics, class grids and prediction anchor all reset per
+    segment) and non-default DAC conditioning ``(L, U) = (1, 3)`` on
+    ``d % 6 == 0``. Output carries the value-exact ``sample_sum``,
+    ``matches_source``, and ``agrees_with_huffman_path`` — the SOF3
+    decode of the SAME raster must agree bit-for-bit, pinning the two
+    lossless entropy layers against each other on every key. Sweep
+    over the full synthesis-key domain (lcm of all periods = 4620,
+    verified exhaustively pre-ship) backs the blanket-TRUE flags. One
+    narrow ``mapInPandas`` chain, zero shuffles.
+    """
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .jpeg_codec import (
+            decode_jpeg,
+            encode_jpeg_lossless,
+            encode_jpeg_lossless_arith,
+        )
+
+        for pdf in batches:
+            rows = []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = 8 + d % 7, 6 + d % 5
+                prec = 16 if d % 4 == 0 else 8
+                pred = 1 + d % 7
+                nch = 1 + 2 * (d % 2)
+                interleave = d % 5 != 0
+                restart = (1 + d % 11) if d % 3 == 0 else 0
+                cond = (1, 3) if d % 6 == 0 else None
+                r = np.arange(h, dtype=np.int64)[:, None, None]
+                c = np.arange(w, dtype=np.int64)[None, :, None]
+                k = np.arange(nch, dtype=np.int64)[None, None, :]
+                px = (d * 31 + r * 17 + c * 7 + k * 13) % (1 << prec)
+                dtype = np.uint8 if prec == 8 else np.uint16
+                img = px.astype(dtype)
+                if nch == 1:
+                    img = img[..., 0]
+                got = decode_jpeg(
+                    encode_jpeg_lossless_arith(
+                        img, predictor=pred, precision=prec,
+                        interleave=interleave, restart_interval=restart,
+                        dc_cond=cond,
+                    )
+                )
+                huff = decode_jpeg(
+                    encode_jpeg_lossless(
+                        img, predictor=pred, precision=prec,
+                        interleave=interleave,
+                    )
+                )
+                rows.append(
+                    (
+                        d, w, h, prec, pred, nch, restart,
+                        int(got.astype(np.int64).sum()),
+                        bool(
+                            got.dtype == img.dtype
+                            and np.array_equal(got, img)
+                        ),
+                        bool(
+                            got.dtype == huff.dtype
+                            and np.array_equal(got, huff)
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "prec_bits",
+                    "predictor", "n_channels", "restart_mcus",
+                    "sample_sum", "matches_source",
+                    "agrees_with_huffman_path",
+                ],
+            )
+
+    from .text import spread_small
+
+    return spread_small(docs.select(id_col)).mapInPandas(
+        roundtrip, ARITH_LOSSLESS_JPEG_SCHEMA
     )
 
 

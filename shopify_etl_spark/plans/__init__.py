@@ -222,6 +222,7 @@ _CHANGED_R13 = [
     "sq_int8_search",        # NEW: trained int8 SQ asymmetric search
     "bq_hamming_search",     # NEW: binary sign codes + Hamming re-rank
     "quality_probe_distill",  # NEW: GD-trained linear gate distillation
+    "arith_lossless_jpeg_stats",  # NEW: SOF11 QM lossless cross-path gate
 ]
 
 # New or code-changed in round 12 — sample these first.

@@ -1096,3 +1096,127 @@ class TestProgressiveArithmetic:
                 decode_jpeg(bytes(s), max_pixels=1_000_000)
             except (ValueError, NotImplementedError):
                 pass
+
+
+class TestArithLossless:
+    """Arithmetic lossless mode (SOF11, T.81 Annex H + the Annex D
+    QM-coder — r13): the SOF3 exact contract with the H.1.2 conditioned
+    difference model (25 Da/Db contexts, dual magnitude bin sets)."""
+
+    @pytest.mark.parametrize("predictor", range(1, 8))
+    def test_exact_roundtrip_gray(self, predictor):
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_lossless_arith,
+        )
+
+        rng = np.random.default_rng(predictor * 37)
+        img = rng.integers(0, 256, (13, 17), dtype=np.uint8)
+        got = decode_jpeg(
+            encode_jpeg_lossless_arith(img, predictor=predictor)
+        )
+        assert got.dtype == np.uint8 and np.array_equal(got, img)
+
+    @pytest.mark.parametrize("interleave", [True, False])
+    def test_exact_roundtrip_rgb(self, interleave):
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_lossless_arith,
+        )
+
+        rng = np.random.default_rng(int(interleave))
+        img = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+        got = decode_jpeg(
+            encode_jpeg_lossless_arith(img, interleave=interleave)
+        )
+        assert np.array_equal(got, img)
+
+    def test_exact_roundtrip_16bit_extremes(self):
+        """Alternating 0/65535 forces the 14-bit magnitude-tree depth
+        (|diff| up to 32768) through BOTH X/M bin sets — the previous
+        diff is always large-class, so the second set carries the row
+        interior."""
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_lossless_arith,
+        )
+
+        img = np.zeros((4, 8), dtype=np.uint16)
+        img[:, 1::2] = 65535
+        got = decode_jpeg(encode_jpeg_lossless_arith(img, predictor=1))
+        assert got.dtype == np.uint16 and np.array_equal(got, img)
+
+    @pytest.mark.parametrize("restart", [1, 5, 13])
+    def test_restart_intervals_reset_everything(self, restart):
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_lossless_arith,
+        )
+
+        rng = np.random.default_rng(restart)
+        img = rng.integers(0, 256, (12, 7), dtype=np.uint8)
+        got = decode_jpeg(
+            encode_jpeg_lossless_arith(img, restart_interval=restart)
+        )
+        assert np.array_equal(got, img)
+
+    def test_nondefault_conditioning_roundtrip(self):
+        """DAC (L, U) = (2, 5) moves the zero/small/large classification
+        thresholds — encoder and decoder must agree on the new bins."""
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_lossless_arith,
+        )
+
+        rng = np.random.default_rng(99)
+        img = rng.integers(0, 256, (10, 10), dtype=np.uint8)
+        got = decode_jpeg(
+            encode_jpeg_lossless_arith(img, dc_cond=(2, 5))
+        )
+        assert np.array_equal(got, img)
+
+    def test_point_transform_near_lossless(self):
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_lossless_arith,
+        )
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (8, 9), dtype=np.uint8)
+        got = decode_jpeg(
+            encode_jpeg_lossless_arith(img, point_transform=3)
+        )
+        assert np.array_equal(got, (img >> 3) << 3)
+
+    def test_adaptation_beats_huffman_on_smooth_content(self):
+        """The point of the QM coder: on a smooth ramp (tiny diffs,
+        heavily skewed bins) the adaptive coder must beat the static
+        SSSS Huffman alphabet by a wide margin."""
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_lossless,
+            encode_jpeg_lossless_arith,
+        )
+
+        ramp = np.add.outer(np.arange(32), np.arange(32)).astype(np.uint8)
+        a = encode_jpeg_lossless_arith(ramp)
+        hf = encode_jpeg_lossless(ramp)
+        assert np.array_equal(decode_jpeg(a), ramp)
+        assert len(a) < len(hf) / 2
+
+    def test_agrees_with_huffman_path(self):
+        """Cross-path: SOF3 and SOF11 decodes of the same raster agree
+        bit-for-bit (both exact, but this pins the two scan decoders
+        against each other on identical prediction geometry)."""
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_lossless,
+            encode_jpeg_lossless_arith,
+        )
+
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 65536, (7, 9, 3), dtype=np.uint16)
+        a = decode_jpeg(encode_jpeg_lossless_arith(img, predictor=6))
+        hf = decode_jpeg(encode_jpeg_lossless(img, predictor=6))
+        assert np.array_equal(a, hf) and np.array_equal(a, img)
+
+    def test_invalid_conditioning_rejected(self):
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_lossless_arith,
+        )
+
+        img = np.zeros((4, 4), dtype=np.uint8)
+        with pytest.raises(ValueError, match="conditioning"):
+            encode_jpeg_lossless_arith(img, dc_cond=(5, 2))
