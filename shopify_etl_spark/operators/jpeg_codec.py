@@ -46,9 +46,20 @@ honest baseline subset (ITU-T T.81):
   the DICOM/raw-camera mode, pinned by an EXACT round-trip contract
   (no DCT, no quantization; components coded directly, no color
   transform),
-* hierarchical (SOF5+) stays OUTSIDE — it raises
-  ``NotImplementedError`` at the same seam the other codecs use,
-  behind this working default path.
+* **arithmetic lossless coding** (SOF11, Annex H + the Annex D
+  QM-coder, r13) on both decode and encode
+  (``encode_jpeg_lossless_arith``): the H.1.2 two-dimensional
+  statistical model (25 Da/Db classification contexts + dual
+  magnitude bin sets — the 158-bin statistics area), completing the
+  non-hierarchical T.81 mode matrix,
+* **hierarchical progression** (T.81 Annex J, r13) on decode and
+  encode (``encode_jpeg_hierarchical``): DHP, EXP reference expansion
+  (J.1.1.2 filter), a sequential/progressive/lossless base frame plus
+  differential LOSSLESS refinement frames (SOF7/SOF15, Ss=0, mod-2^16
+  accumulation) — the "lossy base + lossless residual" pyramid, EXACT
+  by construction; differential DCT frames (SOF5/6/13/14) and color
+  DCT base frames stay outside as documented ``NotImplementedError``
+  seams, behind this working default path.
 
 JPEG is lossy, so the test contract differs from PNG's bit-exact
 round-trip: ``decode(encode(x, quality=q))`` must reconstruct within a
@@ -640,6 +651,30 @@ def decode_jpeg(data: bytes, max_pixels: int = 100_000_000) -> np.ndarray:
         ) from e
 
 
+def _exp_expand(plane: np.ndarray, eh: int, ev: int) -> np.ndarray:
+    """T.81 J.1.1.2 reference upsampling for the EXP marker: even output
+    samples copy the reference, odd samples are the rounded mean of the
+    straddling pair, the final sample replicates the edge."""
+    out = plane
+    if eh:
+        w = out.shape[1]
+        exp = np.empty((out.shape[0], 2 * w), dtype=np.int64)
+        exp[:, 0::2] = out
+        if w > 1:
+            exp[:, 1:-1:2] = (out[:, :-1] + out[:, 1:] + 1) >> 1
+        exp[:, -1] = out[:, -1]
+        out = exp
+    if ev:
+        h = out.shape[0]
+        exp = np.empty((2 * h, out.shape[1]), dtype=np.int64)
+        exp[0::2, :] = out
+        if h > 1:
+            exp[1:-1:2, :] = (out[:-1, :] + out[1:, :] + 1) >> 1
+        exp[-1, :] = out[-1, :]
+        out = exp
+    return out
+
+
 def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -650,10 +685,63 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
     restart_interval = 0
     coef_store = None  # progressive: per-component coefficient grids
     seq_deq = None  # non-interleaved sequential: dequantized grids
+    seq_pixels = None  # hierarchical: interleaved-sequential frame result
     lossless_planes = None  # lossless: per-component sample rows
     lossless_pt = 0
     dc_cond: dict[int, tuple[int, int]] = {}  # DAC: Tb -> (L, U)
     ac_cond: dict[int, int] = {}  # DAC: Tb -> Kx
+    # Annex J hierarchical state: DHP dims/components, per-component-id
+    # reference planes, and a pending EXP expansion for the next frame
+    hier = None
+
+    def finalize_frame():
+        """Fold the just-decoded frame into the hierarchical reference
+        planes (int64, mod-2^16 accumulation per J/H.2) and reset the
+        per-frame accumulators."""
+        nonlocal coef_store, seq_deq, seq_pixels, lossless_planes
+        if lossless_planes is not None:
+            planes = [
+                np.asarray(pl, dtype=np.int64) << lossless_pt
+                for pl in lossless_planes
+            ]
+        elif coef_store is not None:
+            planes = [
+                _reconstruct_from_coefs(frame, qtabs, coef_store).astype(
+                    np.int64
+                )
+            ]
+        elif seq_deq is not None:
+            planes = [_blocks_to_image(frame, seq_deq).astype(np.int64)]
+        elif seq_pixels is not None:
+            planes = [np.asarray(seq_pixels, dtype=np.int64)]
+        else:
+            raise ValueError("jpeg: hierarchical frame without scan data")
+        coef_store = seq_deq = seq_pixels = lossless_planes = None
+        diff = frame.get("diff", False)
+        for comp, plane in zip(frame["comps"], planes):
+            cid = comp["id"]
+            if diff:
+                ref = hier["refs"].get(cid)
+                if ref is None:
+                    raise ValueError(
+                        "jpeg: differential frame without a reference "
+                        f"for component {cid}"
+                    )
+                if ref.shape[0] < plane.shape[0] or ref.shape[1] < plane.shape[1]:
+                    raise ValueError(
+                        "jpeg: differential frame larger than its "
+                        "reference (missing EXP?)"
+                    )
+                ref = ref[: plane.shape[0], : plane.shape[1]]
+                hier["refs"][cid] = (ref + plane) & 0xFFFF
+            else:
+                if cid in hier["refs"]:
+                    raise NotImplementedError(
+                        "jpeg: hierarchical non-differential re-frame "
+                        "of an existing component"
+                    )
+                hier["refs"][cid] = plane & 0xFFFF
+
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at {pos}")
@@ -717,11 +805,52 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
                 off += 2
             if off != len(seg):  # trailing odd byte = malformed segment
                 raise ValueError("jpeg: DAC segment length not a pair multiple")
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
-            # sequential / progressive / lossless (Huffman + arithmetic)
-            # / arithmetic (seq + progressive)
+        elif marker == 0xDE:  # DHP — hierarchical progression (Annex J)
+            if hier is not None or frame is not None:
+                raise ValueError("jpeg: DHP must precede every frame")
             prec, h, w, n_comp = struct.unpack(">BHHB", seg[:6])
-            if marker in (0xC3, 0xCB):
+            if h == 0 or w == 0 or h * w > max_pixels:
+                raise ValueError(
+                    f"jpeg: DHP dimensions {w}x{h} outside sane bounds "
+                    f"(max_pixels={max_pixels})"
+                )
+            comps = []
+            for c in range(n_comp):
+                cid = seg[6 + 3 * c]
+                comps.append({"id": cid})
+            hier = {
+                "prec": prec, "h": h, "w": w, "comps": comps,
+                "refs": {}, "pending_exp": None,
+            }
+        elif marker == 0xDF:  # EXP — expand reference components (J.1)
+            if hier is None:
+                raise ValueError("jpeg: EXP outside a hierarchical stream")
+            eh, ev = seg[0] >> 4, seg[0] & 0x0F
+            if eh > 1 or ev > 1 or (eh == 0 and ev == 0):
+                raise ValueError(f"jpeg: invalid EXP Eh={eh} Ev={ev}")
+            hier["pending_exp"] = (eh, ev)
+        elif marker in (
+            0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB, 0xC7, 0xCF,
+        ):
+            # sequential / progressive / lossless (Huffman + arithmetic)
+            # / arithmetic (seq + progressive) / differential lossless
+            # (Huffman + arithmetic, hierarchical streams only)
+            if marker in (0xC7, 0xCF) and hier is None:
+                raise ValueError(
+                    "jpeg: differential frame outside a hierarchical "
+                    "stream (no DHP)"
+                )
+            if hier is not None and frame is not None:
+                finalize_frame()  # fold the previous frame into refs
+            if hier is not None and hier["pending_exp"] is not None:
+                eh, ev = hier["pending_exp"]
+                hier["pending_exp"] = None
+                hier["refs"] = {
+                    cid: _exp_expand(ref, eh, ev)
+                    for cid, ref in hier["refs"].items()
+                }
+            prec, h, w, n_comp = struct.unpack(">BHHB", seg[:6])
+            if marker in (0xC3, 0xCB, 0xC7, 0xCF):
                 if not 2 <= prec <= 16:  # T.81 Annex H sample precision
                     raise ValueError(
                         f"jpeg: invalid lossless precision {prec}"
@@ -763,21 +892,35 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
                 raise NotImplementedError(
                     "jpeg: non-integer sampling ratios"
                 )
-            if marker in (0xC3, 0xCB) and any(
+            if marker in (0xC3, 0xCB, 0xC7, 0xCF) and any(
                 c["h"] != 1 or c["v"] != 1 for c in comps
             ):
                 raise NotImplementedError("jpeg: lossless with subsampling")
+            if (
+                hier is not None
+                and marker not in (0xC3, 0xCB, 0xC7, 0xCF)
+                and n_comp != 1
+            ):
+                # a color DCT base frame would route through the YCbCr
+                # conversion while references are per-component — keep
+                # the honest subset explicit
+                raise NotImplementedError(
+                    "jpeg: hierarchical DCT base frames are "
+                    "grayscale-only (lossless base frames may be color)"
+                )
             frame = {
                 "h": h, "w": w, "comps": comps,
                 "prog": marker in (0xC2, 0xCA), "prec": prec,
-                "arith": marker in (0xC9, 0xCA, 0xCB),
-                "lossless": marker in (0xC3, 0xCB),
+                "arith": marker in (0xC9, 0xCA, 0xCB, 0xCF),
+                "lossless": marker in (0xC3, 0xCB, 0xC7, 0xCF),
+                "diff": marker in (0xC7, 0xCF),
             }
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xCD, 0xCE):
             raise NotImplementedError(
-                f"jpeg: only sequential (SOF0/1), progressive (SOF2), "
-                f"lossless (SOF3/SOF11) and arithmetic (SOF9/SOF10) "
-                f"supported, got SOF{marker - 0xC0} (hierarchical)"
+                f"jpeg: differential DCT frames (SOF{marker - 0xC0}) "
+                "not supported — hierarchical streams decode with a "
+                "sequential/progressive/lossless base plus differential "
+                "LOSSLESS (SOF7/SOF15) refinements"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
@@ -802,6 +945,17 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
                 if pt >= frame["prec"]:
                     raise ValueError(
                         f"jpeg: point transform {pt} >= precision"
+                    )
+                if frame.get("diff"):
+                    if ss != 0:  # T.81 Annex J: differential => Ss = 0
+                        raise ValueError(
+                            "jpeg: differential lossless frame requires "
+                            f"Ss=0 (got predictor {ss})"
+                        )
+                elif ss == 0:
+                    raise ValueError(
+                        "jpeg: predictor 0 is only legal in "
+                        "differential frames"
                     )
                 if lossless_planes is None:
                     lossless_planes = [
@@ -853,10 +1007,15 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
                     )
                     pos = end
                     continue
-                return _decode_scan_arith(
+                pixels = _decode_scan_arith(
                     data[pos:end], frame, qtabs, scan_tabs,
                     restart_interval, dc_cond, ac_cond,
                 )
+                if hier is not None:
+                    seq_pixels = pixels
+                    pos = end
+                    continue
+                return pixels
             if frame.get("prog"):
                 if coef_store is None:
                     coef_store = _alloc_coef_store(frame)
@@ -886,8 +1045,33 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
                 data[pos:end], frame, qtabs, htabs, scan_tabs,
                 restart_interval,
             )
+            if hier is not None:
+                seq_pixels = pixels
+                pos = end
+                continue
             return pixels
         # APPn/COM and everything else: skipped
+    if hier is not None:
+        if frame is None:
+            raise ValueError("jpeg: hierarchical stream without frames")
+        finalize_frame()
+        prec = hier["prec"]
+        dtype = np.uint8 if prec <= 8 else np.uint16
+        out = []
+        for comp in hier["comps"]:
+            ref = hier["refs"].get(comp["id"])
+            if ref is None:
+                raise ValueError(
+                    f"jpeg: hierarchical component {comp['id']} never "
+                    "coded"
+                )
+            if ref.shape != (hier["h"], hier["w"]):
+                raise ValueError(
+                    "jpeg: hierarchical reference dimensions "
+                    f"{ref.shape[::-1]} != DHP {hier['w']}x{hier['h']}"
+                )
+            out.append((ref & ((1 << prec) - 1)).astype(dtype))
+        return out[0] if len(out) == 1 else np.stack(out, axis=-1)
     if frame is not None and frame.get("prog") and coef_store is not None:
         return _reconstruct_from_coefs(frame, qtabs, coef_store)
     if frame is not None and seq_deq is not None:
@@ -2330,7 +2514,10 @@ def _lossless_predict(row, prev_row, x, y, predictor, default,
     """One sample's prediction Px per T.81 H.1.2: the scan's first
     sample and edge samples use the mandated fallbacks (default /
     Ra-on-first-line / Rb-on-first-column); interior samples use the
-    selected predictor 1-7.
+    selected predictor 1-7. Predictor 0 (legal ONLY in differential
+    frames of a hierarchical stream, T.81 Annex J) means NO prediction:
+    the coded values are already residuals against the upsampled
+    reference, so Px = 0 everywhere, anchors included.
 
     ``(ay, ax)`` is the RESTART ANCHOR — the raster position of the
     first sample after the most recent RSTn (0, 0 at scan start).
@@ -2342,6 +2529,8 @@ def _lossless_predict(row, prev_row, x, y, predictor, default,
     points here, so the fixture ENCODER pins the identical reading —
     the round trip is exact by construction and the interpretation is
     documented rather than implicit."""
+    if predictor == 0:  # differential frame: values are residuals
+        return 0
     if y == ay:
         return default if x == ax else row[x - 1]
     if x == 0:
@@ -2509,7 +2698,7 @@ def _decode_scan_lossless(scan, frame, htabs, scan_list, predictor, pt,
     anchor per T.81 H.1.1 (see :func:`_lossless_predict`).
     Reconstruction is ``(Px + diff) mod 2^16`` (T.81 H.1.2.2); the
     SSSS=16 symbol carries diff 32768 with no extra bits."""
-    if not 1 <= predictor <= 7:
+    if not 0 <= predictor <= 7:
         raise ValueError(f"jpeg: invalid lossless predictor {predictor}")
     h, w = frame["h"], frame["w"]
     default = 1 << (frame["prec"] - pt - 1)
@@ -2664,7 +2853,7 @@ def _decode_scan_lossless_arith(scan, frame, scan_list, predictor, pt,
     component, a full-width row pair of difference classes supplies
     Qa (left) and Qb (above); both reset to zero-class at scan start
     and at every restart segment, matching the encoder."""
-    if not 1 <= predictor <= 7:
+    if not 0 <= predictor <= 7:
         raise ValueError(f"jpeg: invalid lossless predictor {predictor}")
     h, w = frame["h"], frame["w"]
     default = 1 << (frame["prec"] - pt - 1)
@@ -2843,6 +3032,176 @@ def encode_jpeg_lossless_arith(
         for c in range(n_comp):
             out += sos_header([c + 1])
             out += write_samples([c])
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_diff_lossless_frame(
+    residuals: list, prec: int, h: int, w: int, arith: bool
+) -> bytes:
+    """One differential lossless frame (SOF7 Huffman / SOF15 QM) over
+    mod-2^16 residual planes: Ss = 0 (no prediction — T.81 Annex J),
+    Pt = 0, interleaved, default conditioning. Fixture-encoder half of
+    the hierarchical refinement contract."""
+    n_comp = len(residuals)
+    out = bytearray()
+    sof = struct.pack(">BHHB", prec, h, w, n_comp)
+    for c in range(n_comp):
+        sof += struct.pack(">BBB", c + 1, 0x11, 0)
+    out += (b"\xff\xcf" if arith else b"\xff\xc7")
+    out += struct.pack(">H", 2 + len(sof)) + sof
+    if not arith:
+        bits, values = _DC_LOSSLESS
+        payload = bytes([0x00]) + bytes(bits) + bytes(values)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+        enc_t = _build_huffman_encode(bits, values)
+    sos = struct.pack(">B", n_comp)
+    for c in range(n_comp):
+        sos += struct.pack(">BB", c + 1, 0x00)
+    sos += bytes([0, 0, 0])  # Ss=0 (differential), Se=0, Ah/Al=0
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    if arith:
+        enc = _QMEncoder()
+        st = bytearray(158)
+        above_cls = [[0] * w for _ in range(n_comp)]
+        cur_cls = [[0] * w for _ in range(n_comp)]
+        for y in range(h):
+            if y:
+                above_cls, cur_cls = cur_cls, [
+                    [0] * w for _ in range(n_comp)
+                ]
+            for x in range(w):
+                for c in range(n_comp):
+                    d = residuals[c][y][x]
+                    if d > 32768:
+                        d -= 65536
+                    qa = cur_cls[c][x - 1] if x else 0
+                    qb = above_cls[c][x]
+                    s0 = 4 * (5 * qb + qa)
+                    x_base = 129 if qb >= 3 else 100
+                    cur_cls[c][x] = _arith_encode_ll_diff(
+                        enc, st, s0, x_base, d, 0, 1
+                    )
+        out += enc.flush()
+    else:
+        writer = _BitWriter()
+        for y in range(h):
+            for x in range(w):
+                for c in range(n_comp):
+                    d = residuals[c][y][x]
+                    if d == 32768:  # SSSS=16: no extra bits
+                        code, length = enc_t[16]
+                        writer.write(code, length)
+                        continue
+                    if d > 32768:
+                        d -= 65536
+                    s, extra = _magnitude(d)
+                    code, length = enc_t[s]
+                    writer.write(code, length)
+                    if s:
+                        writer.write(extra, s)
+        writer.flush()
+        out += writer.out
+    return bytes(out)
+
+
+def encode_jpeg_hierarchical(
+    arr: np.ndarray,
+    levels: int = 2,
+    base: str = "lossless",
+    quality: int = 85,
+    predictor: int = 4,
+    precision: int | None = None,
+    arith: bool = False,
+) -> bytes:
+    """Sample raster → hierarchical JPEG (T.81 Annex J) bytes: DHP, a
+    non-differential BASE frame at the coarsest pyramid level, then per
+    finer level an EXP marker (2× reference expansion, J.1.1.2 filter)
+    followed by a differential LOSSLESS refinement frame (SOF7, or
+    SOF15 with ``arith=True``) carrying the mod-2^16 residual against
+    the expanded reference — the classic "lossy base + lossless
+    residual" pyramid. The decode is therefore EXACT regardless of the
+    base mode: the final refinement corrects every sample.
+
+    ``base``: ``"lossless"`` (SOF3), ``"lossless_arith"`` (SOF11) —
+    gray or RGB, any supported precision; ``"baseline"`` (SOF0,
+    ``quality``) — grayscale 8-bit only (a color DCT base would route
+    through the YCbCr transform while hierarchical references are
+    per-component). ``levels >= 1``; each level halves both dimensions
+    by even-sample decimation (the decoder's EXP crop absorbs odd
+    sizes). Fixture generator for the decoder, like the rest of the
+    encoder family here."""
+    if levels < 1:
+        raise ValueError("jpeg: hierarchical levels must be >= 1")
+    if base not in ("lossless", "lossless_arith", "baseline"):
+        raise ValueError(f"jpeg: unsupported hierarchical base {base!r}")
+    arr = np.asarray(arr)
+    if precision is None:
+        precision = 8 if arr.dtype == np.uint8 else 16
+    if arr.ndim == 2:
+        planes = [arr]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        planes = [arr[..., c] for c in range(3)]
+    else:
+        raise ValueError(f"jpeg: unsupported raster shape {arr.shape}")
+    h, w = planes[0].shape
+    if h == 0 or w == 0:
+        raise ValueError("jpeg: empty raster")
+    n_comp = len(planes)
+    if base == "baseline" and (n_comp != 1 or precision != 8):
+        raise ValueError(
+            "jpeg: hierarchical baseline base is grayscale 8-bit only"
+        )
+    if min(h, w) >> (levels - 1) < 1:
+        raise ValueError(
+            f"jpeg: {levels} levels exhaust the {w}x{h} raster"
+        )
+    # pyramid by even-sample decimation; level 0 = full resolution
+    pyramid = [[p.astype(np.int64) for p in planes]]
+    for _ in range(levels - 1):
+        pyramid.append([p[::2, ::2] for p in pyramid[-1]])
+
+    out = bytearray(b"\xff\xd8")
+    dhp = struct.pack(">BHHB", precision, h, w, n_comp)
+    for c in range(n_comp):
+        dhp += struct.pack(">BBB", c + 1, 0x11, 0)
+    out += b"\xff\xde" + struct.pack(">H", 2 + len(dhp)) + dhp
+
+    coarse = pyramid[-1]
+    stack = (
+        np.stack(coarse, axis=-1) if n_comp == 3 else coarse[0]
+    )
+    dtype = np.uint8 if precision <= 8 else np.uint16
+    img = stack.astype(dtype)
+    if base == "lossless":
+        blob = encode_jpeg_lossless(
+            img, predictor=predictor, precision=precision
+        )
+        refs = coarse
+    elif base == "lossless_arith":
+        blob = encode_jpeg_lossless_arith(
+            img, predictor=predictor, precision=precision
+        )
+        refs = coarse
+    else:  # baseline: the decoder's reference is the LOSSY decode
+        blob = encode_jpeg(img, quality=quality)
+        refs = [decode_jpeg(blob).astype(np.int64)]
+    out += blob[2:-2]  # strip the base frame's SOI/EOI
+
+    for level in range(levels - 2, -1, -1):
+        target = pyramid[level]
+        th, tw = target[0].shape
+        out += b"\xff\xdf" + struct.pack(">H", 3) + bytes([0x11])
+        residuals = []
+        new_refs = []
+        for c in range(n_comp):
+            exp = _exp_expand(refs[c], 1, 1)[:th, :tw]
+            residuals.append(((target[c] - exp) & 0xFFFF).tolist())
+            new_refs.append(target[c])
+        refs = new_refs
+        out += _encode_diff_lossless_frame(
+            residuals, precision, th, tw, arith
+        )
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -13,8 +13,9 @@ Decode paths, in preference order:
   is the live path in this environment.
 * **Built-in JPEG codec** (``operators/jpeg_codec.py``, stdlib
   struct + numpy) — real decode of baseline / extended / progressive /
-  arithmetic / lossless JPEG (1/3 components, sampling factors ≤ 4,
-  restart intervals); hierarchical stays at the seam.
+  arithmetic / lossless / hierarchical JPEG (1/3 components, sampling
+  factors ≤ 4, restart intervals; differential DCT refinement frames
+  stay at the seam).
 * **Built-in GIF codec** (``operators/gif_codec.py``, stdlib struct +
   numpy) — real LZW decode of GIF87a/89a stills and animations
   (interlace, local palettes, transparency, frame composition with
@@ -1239,6 +1240,108 @@ def arith_lossless_jpeg_stats(
 
     return spread_small(docs.select(id_col)).mapInPandas(
         roundtrip, ARITH_LOSSLESS_JPEG_SCHEMA
+    )
+
+
+HIER_JPEG_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("prec_bits", LongType(), False),
+        StructField("n_channels", LongType(), False),
+        StructField("levels", LongType(), False),
+        StructField("base_mode", StringType(), False),
+        StructField("sample_sum", LongType(), False),
+        StructField("matches_source", BooleanType(), False),
+    ]
+)
+
+
+def hier_jpeg_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hierarchical JPEG round-trip gate (T.81 Annex J — r13): DHP +
+    EXP reference expansion + a non-differential base frame +
+    differential LOSSLESS refinement frames (SOF7/SOF15). The final
+    refinement corrects every sample, so ``decode(encode(x)) == x``
+    EXACTLY even over a lossy baseline base — which makes this gate
+    value-exact like :func:`lossless_jpeg_stats` (the oracle recomputes
+    the decoded pixel sum from the synthesis formula in SQL).
+
+    Per key ``d``: a ``w = 16 + d % 9`` × ``h = 16 + d % 7`` raster,
+    ``ch = 1 + 2·(d % 2)`` channels, ``prec = 16 if d % 8 == 1 else
+    8``, pyramid ``levels = 1 + d % 3`` (bumped to
+    2 when a baseline base would otherwise ship with no refinement —
+    a lossy base with zero residual frames is honestly lossy); base
+    mode cycles baseline (quality ``60 + d % 35``, the lossy-base
+    profile) / lossless / SOF11 on ``d % 4``, refinements switch to SOF15 QM coding on
+    ``d % 3 == 0``, base predictor ``1 + d % 7``. Sweep over the full
+    synthesis-key domain (lcm of all periods = 2520, verified
+    exhaustively pre-ship) backs the blanket-TRUE flag. One narrow
+    ``mapInPandas`` chain, zero shuffles.
+    """
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .jpeg_codec import decode_jpeg, encode_jpeg_hierarchical
+
+        for pdf in batches:
+            rows = []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = 16 + d % 9, 16 + d % 7
+                nch = 1 + 2 * (d % 2)
+                prec = 16 if d % 8 == 1 else 8
+                levels = 1 + d % 3
+                base = ("baseline", "lossless", "lossless_arith",
+                        "lossless")[d % 4]
+                if base == "baseline" and levels == 1:
+                    # a lossy base with no refinement frame cannot be
+                    # exact — the gate's contract needs >= 1 residual
+                    levels = 2
+                arith = d % 3 == 0
+                pred = 1 + d % 7
+                r = np.arange(h, dtype=np.int64)[:, None, None]
+                c = np.arange(w, dtype=np.int64)[None, :, None]
+                k = np.arange(nch, dtype=np.int64)[None, None, :]
+                px = (d * 31 + r * 17 + c * 7 + k * 13) % (1 << prec)
+                dtype = np.uint8 if prec == 8 else np.uint16
+                img = px.astype(dtype)
+                if nch == 1:
+                    img = img[..., 0]
+                got = decode_jpeg(
+                    encode_jpeg_hierarchical(
+                        img, levels=levels, base=base,
+                        quality=60 + d % 35, predictor=pred,
+                        precision=prec, arith=arith,
+                    )
+                )
+                rows.append(
+                    (
+                        d, w, h, prec, nch, levels, base,
+                        int(got.astype(np.int64).sum()),
+                        bool(
+                            got.dtype == img.dtype
+                            and np.array_equal(got, img)
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "prec_bits",
+                    "n_channels", "levels", "base_mode", "sample_sum",
+                    "matches_source",
+                ],
+            )
+
+    from .text import spread_small
+
+    return spread_small(docs.select(id_col)).mapInPandas(
+        roundtrip, HIER_JPEG_SCHEMA
     )
 
 

@@ -223,6 +223,7 @@ _CHANGED_R13 = [
     "bq_hamming_search",     # NEW: binary sign codes + Hamming re-rank
     "quality_probe_distill",  # NEW: GD-trained linear gate distillation
     "arith_lossless_jpeg_stats",  # NEW: SOF11 QM lossless cross-path gate
+    "hier_jpeg_stats",       # NEW: Annex J hierarchical pyramid gate
 ]
 
 # New or code-changed in round 12 — sample these first.

@@ -1220,3 +1220,146 @@ class TestArithLossless:
         img = np.zeros((4, 4), dtype=np.uint8)
         with pytest.raises(ValueError, match="conditioning"):
             encode_jpeg_lossless_arith(img, dc_cond=(5, 2))
+
+
+class TestHierarchical:
+    """Hierarchical progression (T.81 Annex J — r13): DHP + EXP + a
+    non-differential base frame + differential lossless refinements.
+    The refinement corrects every sample, so decode(encode(x)) is EXACT
+    regardless of the base mode."""
+
+    @pytest.mark.parametrize("levels", [1, 2, 3])
+    def test_exact_roundtrip_gray(self, levels):
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_hierarchical,
+        )
+
+        rng = np.random.default_rng(levels)
+        img = rng.integers(0, 256, (19, 13), dtype=np.uint8)
+        got = decode_jpeg(encode_jpeg_hierarchical(img, levels=levels))
+        assert got.dtype == np.uint8 and np.array_equal(got, img)
+
+    @pytest.mark.parametrize("base", ["lossless", "lossless_arith"])
+    @pytest.mark.parametrize("arith", [False, True])
+    def test_exact_roundtrip_rgb_all_entropy_mixes(self, base, arith):
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_hierarchical,
+        )
+
+        rng = np.random.default_rng(hash((base, arith)) % 1000)
+        img = rng.integers(0, 256, (11, 14, 3), dtype=np.uint8)
+        got = decode_jpeg(
+            encode_jpeg_hierarchical(img, levels=3, base=base, arith=arith)
+        )
+        assert np.array_equal(got, img)
+
+    def test_lossy_base_exact_after_refinement(self):
+        """The headline profile: a quality-70 BASELINE base (lossy) must
+        still reconstruct exactly once the differential lossless
+        refinement lands — and the base alone must NOT equal the
+        source (otherwise the test proves nothing)."""
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg,
+            encode_jpeg_hierarchical,
+        )
+
+        rng = np.random.default_rng(42)
+        img = rng.integers(0, 256, (24, 20), dtype=np.uint8)
+        got = decode_jpeg(
+            encode_jpeg_hierarchical(
+                img, levels=2, base="baseline", quality=70
+            )
+        )
+        assert np.array_equal(got, img)
+        base_only = decode_jpeg(encode_jpeg(img[::2, ::2], quality=70))
+        assert not np.array_equal(base_only, img[::2, ::2])
+
+    def test_exact_roundtrip_16bit(self):
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_hierarchical,
+        )
+
+        rng = np.random.default_rng(16)
+        img = rng.integers(0, 65536, (12, 10), dtype=np.uint16)
+        got = decode_jpeg(encode_jpeg_hierarchical(img, levels=2))
+        assert got.dtype == np.uint16 and np.array_equal(got, img)
+
+    @pytest.mark.parametrize("shape", [(31, 2), (3, 29), (7, 7)])
+    def test_odd_dims_exp_crop(self, shape):
+        """Odd dimensions force the EXP expansion to overshoot by one —
+        the decoder's crop-to-frame-dims must absorb it at every
+        level."""
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_hierarchical,
+        )
+
+        rng = np.random.default_rng(sum(shape))
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        got = decode_jpeg(encode_jpeg_hierarchical(img, levels=2))
+        assert np.array_equal(got, img)
+
+    def test_exp_filter_is_the_spec_interpolation(self):
+        """Pin J.1.1.2: even samples copy, odd samples are the rounded
+        mean, the last sample replicates the edge."""
+        from shopify_etl_spark.operators.jpeg_codec import _exp_expand
+
+        plane = np.array([[0, 10, 255]], dtype=np.int64)
+        got = _exp_expand(plane, 1, 0)
+        assert got.tolist() == [[0, 5, 10, 133, 255, 255]]
+        got_v = _exp_expand(plane.T, 0, 1)
+        assert got_v.T.tolist() == [[0, 5, 10, 133, 255, 255]]
+
+    def test_differential_frame_without_dhp_rejected(self):
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_hierarchical,
+        )
+
+        img = np.zeros((8, 8), dtype=np.uint8)
+        blob = bytearray(encode_jpeg_hierarchical(img, levels=2))
+        # strip the DHP segment (marker 0xFFDE + its length payload)
+        i = blob.find(b"\xff\xde")
+        seglen = int.from_bytes(blob[i + 2:i + 4], "big")
+        del blob[i:i + 2 + seglen]
+        # the EXP guard fires first; stripping it too reaches the
+        # differential-frame guard — both are the same contract
+        with pytest.raises(ValueError, match="hierarchical stream"):
+            decode_jpeg(bytes(blob))
+        j = blob.find(b"\xff\xdf")
+        jlen = int.from_bytes(blob[j + 2:j + 4], "big")
+        del blob[j:j + 2 + jlen]
+        with pytest.raises(ValueError, match="no DHP"):
+            decode_jpeg(bytes(blob))
+
+    def test_differential_dct_is_a_clean_seam(self):
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_hierarchical,
+        )
+
+        img = np.zeros((8, 8), dtype=np.uint8)
+        blob = bytearray(encode_jpeg_hierarchical(img, levels=2))
+        i = blob.find(b"\xff\xc7")
+        blob[i + 1] = 0xC5  # differential sequential DCT
+        with pytest.raises(NotImplementedError, match="differential DCT"):
+            decode_jpeg(bytes(blob))
+
+    def test_nondefault_predictor_base_roundtrip(self):
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_hierarchical,
+        )
+
+        rng = np.random.default_rng(77)
+        img = rng.integers(0, 256, (10, 12), dtype=np.uint8)
+        for pred in (1, 5, 7):
+            got = decode_jpeg(
+                encode_jpeg_hierarchical(img, levels=2, predictor=pred)
+            )
+            assert np.array_equal(got, img)
+
+    def test_levels_exhausting_raster_rejected(self):
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_hierarchical,
+        )
+
+        img = np.zeros((4, 4), dtype=np.uint8)
+        with pytest.raises(ValueError, match="exhaust"):
+            encode_jpeg_hierarchical(img, levels=4)
