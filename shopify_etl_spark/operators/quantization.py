@@ -194,6 +194,7 @@ def bq_encode(
     vec_col: str,
     id_col: str,
     word_bits: int = 32,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Sign bits vs trained thresholds, packed into ``word_bits``-bit words.
 
@@ -219,7 +220,10 @@ def bq_encode(
         for bcol in bits[1:]:
             acc = acc + bcol
         words.append(acc)
-    keep = [c for c in df.columns if c != vec_col]
+    keep = [
+        c for c in df.columns if keep_vec or c != vec_col
+    ]  # dropping the float column is the point — unless the caller's
+    # store deliberately keeps it for an exact re-rank (keep_vec)
     return df.select(*keep, F.array(*words).alias("bits"))
 
 

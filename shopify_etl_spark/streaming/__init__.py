@@ -9,11 +9,14 @@ from .joins_stream import stream_click_purchase_join, stream_event_feed  # noqa:
 from .near_dedup_stream import read_deduped, stream_near_dedup_docs  # noqa: F401
 from .span_stream import read_span_stats, stream_span_screen  # noqa: F401
 from .index_stream import (  # noqa: F401
+    bq_thresholds,
     compact_index_epochs,
+    hamming_topk_frame,
     pq_books,
     read_index_chunks,
     read_index_manifest,
     search_index_chunks,
+    search_index_hamming,
     search_index_pq,
     stream_index_chunks,
 )

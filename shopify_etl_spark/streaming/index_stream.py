@@ -79,6 +79,18 @@ def pq_books():
     ]
 
 
+def bq_thresholds(dim: int = 16) -> list:
+    """FROZEN per-dimension sign thresholds for the streamed index's
+    binary codes: the analytic mean of the md5-ascii ``hash_embed``
+    value distribution (hex digits uniform over 16 symbols →
+    ``(10·52.5 + 6·99.5)/16 − 77 = −6.875``), so bits stay balanced
+    without any training state. Frozen for the same reason as
+    :func:`pq_books`: encoding is then a pure per-row function, each
+    epoch encodes only its own chunks, and any engine regenerates the
+    thresholds to verify stored bits."""
+    return [-6.875] * dim
+
+
 def stream_index_chunks(
     spark: SparkSession,
     src_dir: str,
@@ -128,7 +140,16 @@ def stream_index_chunks(
             assigned, pq_books(), vec_col="ev", id_col="chunk_key",
             keep_cols=("doc_id", "n_tokens", "centroid_id", "sim", "ev"),
         ).withColumnRenamed("codes", "pq_codes")
-        coded.write.mode("overwrite").parquet(out_ep)
+        # binary sign codes ride along too (r13): one 16-bit word per
+        # chunk against the frozen thresholds — the Hamming-shortlist
+        # search path, incremental for the same pure-function reason
+        from ..operators.quantization import bq_encode
+
+        stored = bq_encode(
+            coded, bq_thresholds(), vec_col="ev", id_col="chunk_key",
+            word_bits=16, keep_vec=True,
+        ).withColumnRenamed("bits", "bq_bits")
+        stored.write.mode("overwrite").parquet(out_ep)
 
     return (
         feed.writeStream.foreachBatch(index_batch)
@@ -153,13 +174,13 @@ def read_index_chunks(spark: SparkSession, out_dir: str) -> DataFrame:
         raise FileNotFoundError(f"no committed index epochs under {out_dir}")
     # Store-format gate: since r12 every epoch persists the embedding
     # ('ev') so search never re-embeds, and since r13 the frozen-book PQ
-    # codes ('pq_codes') ride in the same rows. An out_dir written by an
-    # older format would otherwise surface as an opaque missing-column
-    # analysis error (or a silent schema-merge surprise) deep inside a
-    # consumer — fail here with the remediation instead. Footer-only
-    # reads, and compaction bounds the dir count, so this stays a
-    # driver-side metadata check.
-    required = ("ev", "pq_codes")
+    # codes ('pq_codes') and frozen-threshold binary codes ('bq_bits')
+    # ride in the same rows. An out_dir written by an older format would
+    # otherwise surface as an opaque missing-column analysis error (or a
+    # silent schema-merge surprise) deep inside a consumer — fail here
+    # with the remediation instead. Footer-only reads, and compaction
+    # bounds the dir count, so this stays a driver-side metadata check.
+    required = ("ev", "pq_codes", "bq_bits")
     stale = {
         d: [c for c in required if c not in spark.read.parquet(d).columns]
         for d in dirs
@@ -290,6 +311,100 @@ def search_index_pq(
         query_id=query_id, query_vec=query_vec,
         corpus_id="chunk_key", cell_col="centroid_id",
         cent_id="cid", cent_vec="cv",
+    )
+
+
+def hamming_topk_frame(
+    idx: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    query_id: str = "qk",
+    query_vec: str = "qv",
+) -> DataFrame:
+    """Hamming shortlist + exact cosine re-rank over an index frame
+    carrying (chunk_key, bq_bits, ev) — shared by the store search
+    (:func:`search_index_hamming`) and the batch side of its parity
+    gate, so both sides run the identical math and the gate tests the
+    STORE STATE (incrementally written bits/vectors), not the search
+    code."""
+    from pyspark.sql import Window
+
+    from ..operators.quantization import bq_encode
+    from ..operators.similarity import _dot, _norm
+
+    qb = bq_encode(
+        queries, bq_thresholds(), vec_col=query_vec, id_col=query_id,
+        word_bits=16, keep_vec=True,
+    ).select(
+        query_id, F.col("bits").alias("_qbits"), F.col(query_vec)
+    )
+    pairs = idx.crossJoin(F.broadcast(qb)).filter(
+        F.col("chunk_key") != F.col(query_id)
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("bq_bits"),
+            F.col("_qbits"),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w1 = Window.partitionBy(query_id).orderBy(
+        F.asc("hamming"), F.asc("chunk_key")
+    )
+    short = (
+        pairs.select(
+            query_id, "chunk_key", ham.alias("hamming"), query_vec, "ev"
+        )
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= shortlist)
+    )
+    sim = (
+        _dot(query_vec, "ev") / (_norm(query_vec) * _norm("ev"))
+    ).alias("sim")
+    w2 = Window.partitionBy(query_id).orderBy(
+        F.desc("sim"), F.asc("chunk_key")
+    )
+    return (
+        short.select(query_id, "chunk_key", "hamming", sim)
+        .withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .select(
+            query_id, "chunk_key", "hamming",
+            F.round("sim", 4).alias("cosine_sim"),
+        )
+    )
+
+
+def search_index_hamming(
+    spark: SparkSession,
+    out_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    query_id: str = "qk",
+    query_vec: str = "qv",
+) -> DataFrame:
+    """Binary-quantized probe of the incrementally maintained store:
+    Hamming shortlist from the COMMITTED bq_bits (XOR + bit_count,
+    pure JVM over one 16-bit word per chunk), exact cosine re-rank on
+    the stored vectors — the 32×-compressed search path next to
+    :func:`search_index_chunks` (full-precision) and
+    :func:`search_index_pq` (PQ/ADC).
+
+    Because the bits are a pure function of the frozen thresholds and
+    parquet round-trips both bits and embedding doubles exactly, the
+    answer must EQUAL :func:`hamming_topk_frame` over freshly encoded
+    bits for the union of every fed document — after any number of
+    epochs and after compaction (the parity contract pinned in
+    tests/test_streaming.py, completing the search-parity trio)."""
+    idx = read_index_chunks(spark, out_dir)
+    return hamming_topk_frame(
+        idx.select("chunk_key", "bq_bits", "ev"),
+        queries, k=k, shortlist=shortlist,
+        query_id=query_id, query_vec=query_vec,
     )
 
 

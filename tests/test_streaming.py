@@ -1651,3 +1651,162 @@ def test_index_pq_search_unchanged_through_torn_compaction(spark, tmp_path):
         spark, out, queries, k=5, n_probes=2
     ).collect()))
     assert after == before
+
+
+def test_stream_index_hamming_search_parity_with_batch(spark, tmp_path):
+    """Streaming↔batch HAMMING-search parity (r13, completing the
+    search-parity trio next to the full-precision and PQ gates): the
+    store's incrementally maintained bq_bits — each epoch sign-encodes
+    ONLY its own chunks against the frozen thresholds — must answer the
+    Hamming-shortlist + exact-re-rank search EXACTLY like the same math
+    over freshly encoded bits for the union of every fed document,
+    after each epoch AND after compaction."""
+    from pyspark.sql import functions as F
+
+    from shopify_etl_spark.operators import similarity
+    from shopify_etl_spark.operators.quantization import bq_encode
+    from shopify_etl_spark.operators.text import char_chunk_documents
+    from shopify_etl_spark.streaming import (
+        bq_thresholds,
+        compact_index_epochs,
+        hamming_topk_frame,
+        search_index_hamming,
+        stream_index_chunks,
+    )
+
+    words = [f"h{i}" for i in range(40)]
+    batches = [
+        [
+            {"doc_id": 100 * b + i,
+             "text": " ".join(words[(3 * b + i + j) % 40] for j in range(90)),
+             "ingested_at": f"2024-11-01T0{b}:{i:02d}:00.000Z"}
+            for i in range(4)
+        ]
+        for b in range(3)
+    ]
+    src = tmp_path / "feed"
+    out, ckpt = str(tmp_path / "index"), str(tmp_path / "ck")
+    queries = _pq_query_chunks(spark, [
+        (9200 + i, " ".join(words[(5 * i + j) % 40] for j in range(50)))
+        for i in range(3)
+    ])
+    queries.cache().count()
+
+    fed: list[dict] = []
+
+    def batch_answer():
+        union = spark.createDataFrame(
+            [(d["doc_id"], d["text"]) for d in fed], "doc_id long, text string"
+        )
+        chunks = char_chunk_documents(union, chunk_chars=160, overlap=40)
+        emb = chunks.select(
+            F.concat_ws(":", "doc_id", "chunk_idx").alias("chunk_key"),
+            similarity.hash_embed("chunk_text").alias("ev"),
+        )
+        fresh = bq_encode(
+            emb, bq_thresholds(), vec_col="ev", id_col="chunk_key",
+            word_bits=16, keep_vec=True,
+        ).withColumnRenamed("bits", "bq_bits")
+        return sorted(map(tuple, hamming_topk_frame(
+            fresh.select("chunk_key", "bq_bits", "ev"), queries,
+            k=5, shortlist=20,
+        ).collect()))
+
+    def stream_answer():
+        return sorted(map(tuple, search_index_hamming(
+            spark, out, queries, k=5, shortlist=20
+        ).collect()))
+
+    got = None
+    for b, rows in enumerate(batches):
+        _write_jsonl(src / f"b{b}.jsonl", rows)
+        stream_index_chunks(spark, str(src), out, ckpt).awaitTermination(120)
+        fed.extend(rows)
+        got, want = stream_answer(), batch_answer()
+        assert got and got == want, f"epoch {b}: {got[:3]}..."
+    assert len(got) == 15  # by the 3rd epoch every query fills its top-5
+
+    # compaction folds all but the newest epoch; the answer must not move
+    assert compact_index_epochs(spark, out) is not None
+    assert stream_answer() == got == batch_answer()
+    queries.unpersist()
+
+
+def test_index_hamming_search_unchanged_through_torn_compaction(
+    spark, tmp_path
+):
+    """Torn-compaction crash injection on the Hamming search path: with
+    the compact= dir and its subsumed epoch= dirs coexisting, a
+    double-read would duplicate Hamming candidates and shift the
+    re-ranked top-k."""
+    import shutil
+
+    from shopify_etl_spark.streaming import (
+        compact_index_epochs,
+        read_index_chunks,
+        search_index_hamming,
+        stream_index_chunks,
+    )
+
+    words = [f"t{i}" for i in range(30)]
+    src = tmp_path / "feed"
+    out, ckpt = str(tmp_path / "index"), str(tmp_path / "ck")
+    for b in range(3):
+        _write_jsonl(src / f"b{b}.jsonl", [
+            {"doc_id": 50 * b + i,
+             "text": " ".join(words[(b + 2 * i + j) % 30] for j in range(80)),
+             "ingested_at": f"2024-11-02T0{b}:{i:02d}:00.000Z"}
+            for i in range(3)
+        ])
+        stream_index_chunks(spark, str(src), out, ckpt).awaitTermination(120)
+
+    queries = _pq_query_chunks(spark, [
+        (7200, " ".join(words[(3 * j + 2) % 30] for j in range(50)))
+    ])
+    before = sorted(map(tuple, search_index_hamming(
+        spark, out, queries, k=5, shortlist=20
+    ).collect()))
+    assert before
+    n_rows = read_index_chunks(spark, out).count()
+
+    snap = tmp_path / "snap"
+    shutil.copytree(out, snap)
+    assert compact_index_epochs(spark, out) is not None
+    for name in os.listdir(snap):
+        if name.startswith("epoch=") and not os.path.exists(
+            os.path.join(out, name)
+        ):
+            shutil.copytree(os.path.join(snap, name),
+                            os.path.join(out, name))
+    assert any(n.startswith("compact=") for n in os.listdir(out))
+
+    assert read_index_chunks(spark, out).count() == n_rows
+    after = sorted(map(tuple, search_index_hamming(
+        spark, out, queries, k=5, shortlist=20
+    ).collect()))
+    assert after == before
+
+
+def test_index_store_pre_bq_format_rejected(spark, tmp_path):
+    """A store written by the early-r13 format (ev + pq_codes, no
+    bq_bits) is one generation old: the format gate names the missing
+    column in its rebuild message instead of failing deep inside the
+    Hamming search."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from shopify_etl_spark.streaming import read_index_chunks
+
+    out = tmp_path / "index"
+    early_r13 = spark.createDataFrame(
+        [("0:0", 0, 5, 0, 0.5)],
+        "chunk_key string, doc_id long, n_tokens long, "
+        "centroid_id int, sim double",
+    ).withColumn(
+        "ev", F.array(*[F.lit(float(i)) for i in range(4)])
+    ).withColumn(
+        "pq_codes", F.array(F.lit(0), F.lit(1), F.lit(2), F.lit(3))
+    )
+    early_r13.write.mode("overwrite").parquet(str(out / "epoch=0"))
+    with pytest.raises(ValueError, match="bq_bits"):
+        read_index_chunks(spark, str(out))
