@@ -831,11 +831,12 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
             hier["pending_exp"] = (eh, ev)
         elif marker in (
             0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB, 0xC7, 0xCF,
+            0xC5, 0xCD,
         ):
             # sequential / progressive / lossless (Huffman + arithmetic)
-            # / arithmetic (seq + progressive) / differential lossless
-            # (Huffman + arithmetic, hierarchical streams only)
-            if marker in (0xC7, 0xCF) and hier is None:
+            # / arithmetic (seq + progressive) / differential lossless +
+            # differential sequential DCT (hierarchical streams only)
+            if marker in (0xC7, 0xCF, 0xC5, 0xCD) and hier is None:
                 raise ValueError(
                     "jpeg: differential frame outside a hierarchical "
                     "stream (no DHP)"
@@ -911,16 +912,16 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
             frame = {
                 "h": h, "w": w, "comps": comps,
                 "prog": marker in (0xC2, 0xCA), "prec": prec,
-                "arith": marker in (0xC9, 0xCA, 0xCB, 0xCF),
+                "arith": marker in (0xC9, 0xCA, 0xCB, 0xCF, 0xCD),
                 "lossless": marker in (0xC3, 0xCB, 0xC7, 0xCF),
-                "diff": marker in (0xC7, 0xCF),
+                "diff": marker in (0xC7, 0xCF, 0xC5, 0xCD),
             }
-        elif marker in (0xC5, 0xC6, 0xCD, 0xCE):
+        elif marker in (0xC6, 0xCE):
             raise NotImplementedError(
-                f"jpeg: differential DCT frames (SOF{marker - 0xC0}) "
-                "not supported — hierarchical streams decode with a "
-                "sequential/progressive/lossless base plus differential "
-                "LOSSLESS (SOF7/SOF15) refinements"
+                f"jpeg: differential PROGRESSIVE frames "
+                f"(SOF{marker - 0xC0}) not supported — hierarchical "
+                "refinements decode as differential sequential DCT "
+                "(SOF5/SOF13) or differential lossless (SOF7/SOF15)"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
@@ -1140,8 +1141,11 @@ def _decode_scan(scan, frame, qtabs, htabs, scan_tabs, restart_interval):
                         zz = np.zeros(64, dtype=np.int64)
                         s = reader.read_symbol(dc_t)
                         diff = _extend(reader.read_bits(s), s) if s else 0
-                        prev_dc[ci] += diff
-                        zz[0] = prev_dc[ci]
+                        if frame.get("diff"):
+                            zz[0] = diff  # Annex J: DC prediction is zero
+                        else:
+                            prev_dc[ci] += diff
+                            zz[0] = prev_dc[ci]
                         k = 1
                         while k < 64:
                             rs = reader.read_symbol(ac_t)
@@ -1298,6 +1302,12 @@ def _blocks_to_image(frame, comp_blocks) -> np.ndarray:
     dtype = np.uint8 if prec == 8 else np.uint16
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
+    diff = frame.get("diff", False)
+    if diff:
+        # differential frame (Annex J): the IDCT output IS the residual —
+        # no level shift, no clamping (signed; the hierarchical combine
+        # is mod-2^16), grayscale by the hier DCT restriction
+        center = 0.0
     full = []
     for ci, comp in enumerate(comps):
         blocks = comp_blocks[ci]
@@ -1308,6 +1318,8 @@ def _blocks_to_image(frame, comp_blocks) -> np.ndarray:
         if ry > 1 or rx > 1:  # block-replication upsample (4:2:0 / 4:2:2)
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
         full.append(plane[:h, :w])
+    if diff:
+        return np.round(full[0]).astype(np.int64)
     if len(full) == 1:
         return np.clip(np.round(full[0]), 0, maxv).astype(dtype)
     rgb = _ycbcr_to_rgb(np.stack(full, axis=-1), center)
@@ -2376,10 +2388,14 @@ def _decode_scan_arith(
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
                         zz = np.zeros(64, dtype=np.int64)
-                        prev_dc[ci] += _arith_decode_dc(
+                        dcv = _arith_decode_dc(
                             dec, dc_stats[td], dc_context, ci, L, U
                         )
-                        zz[0] = prev_dc[ci]
+                        if frame.get("diff"):
+                            zz[0] = dcv  # Annex J: DC prediction is zero
+                        else:
+                            prev_dc[ci] += dcv
+                            zz[0] = prev_dc[ci]
                         _arith_decode_ac_block(
                             dec, ac_stats[ta], fixed, zz, kx
                         )
@@ -3105,6 +3121,82 @@ def _encode_diff_lossless_frame(
     return bytes(out)
 
 
+def _encode_diff_dct_frame(
+    residual: np.ndarray, quality: int, arith: bool
+) -> tuple[bytes, np.ndarray]:
+    """One differential sequential-DCT frame (SOF5 Huffman / SOF13 QM)
+    over a SIGNED grayscale residual plane: no level shift, DC coded
+    with zero prediction (Annex J), luma quantization at ``quality``.
+    Returns ``(frame_bytes, decoded_residual)`` — the residual the
+    DECODER will reconstruct (dequantize + IDCT + round via the decoder's
+    exact op order), which the caller needs to model the reference for
+    the next refinement level."""
+    h, w = residual.shape
+    n_by, n_bx = -(-h // 8), -(-w // 8)
+    q_luma, _ = _quality_tables(quality)
+    tiles = _tiles(residual.astype(np.float64), n_by, n_bx)
+    coefs = np.einsum("ij,abjk,lk->abil", _DCT, tiles, _DCT)
+    q8 = q_luma.reshape(8, 8)
+    grid = np.round(coefs / q8).astype(np.int64).reshape(n_by, n_bx, 64)
+    # residuals span TWICE the level-shifted sample range, so quantized
+    # coefficients can exceed the 8-bit entropy alphabets (AC SSSS <= 10,
+    # DC <= 11). Clamp before coding — an encoder-side choice the
+    # reconstruction below models exactly; the finest (lossless) rung
+    # absorbs whatever distortion the clamp adds.
+    grid[:, :, 1:] = np.clip(grid[:, :, 1:], -1023, 1023)
+    grid[:, :, 0] = np.clip(grid[:, :, 0], -2047, 2047)
+
+    out = bytearray()
+    # DQT: payload element k is the step for zig-zag position k, i.e.
+    # natural index _ZIGZAG[k] (8-bit entries; quality tables fit)
+    q2d = q_luma.reshape(64)
+    payload = bytes(int(q2d[_ZIGZAG[k]]) for k in range(64))
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + payload
+    sof = struct.pack(">BHHB", 8, h, w, 1) + struct.pack(">BBB", 1, 0x11, 0)
+    out += (b"\xff\xcd" if arith else b"\xff\xc5")
+    out += struct.pack(">H", 2 + len(sof)) + sof
+    if not arith:
+        dc_bits, dc_values = _DC_LUMA
+        ac_bits, ac_values = _AC_LUMA
+        dht = bytes([0x00]) + bytes(dc_bits) + bytes(dc_values)
+        dht += bytes([0x10]) + bytes(ac_bits) + bytes(ac_values)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    sos = struct.pack(">B", 1) + struct.pack(">BB", 1, 0x00)
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    if arith:
+        enc = _QMEncoder()
+        dc_stats = bytearray(64)
+        ac_stats = bytearray(256)
+        fixed = bytearray([_QM_FIXED])
+        dc_context = [0]
+        for gy in range(n_by):
+            for gx in range(n_bx):
+                zz = grid[gy, gx][_ZIGZAG]
+                # Annex J: DC prediction is zero in differential frames
+                _arith_encode_dc(
+                    enc, dc_stats, dc_context, 0, int(zz[0]), 0, 1
+                )
+                _arith_encode_ac_block(enc, ac_stats, fixed, zz, 5)
+        out += enc.flush()
+    else:
+        writer = _BitWriter()
+        dc_t = _build_huffman_encode(*_DC_LUMA)
+        ac_t = _build_huffman_encode(*_AC_LUMA)
+        for gy in range(n_by):
+            for gx in range(n_bx):
+                zz = grid[gy, gx][_ZIGZAG]
+                _encode_block(writer, zz, 0, dc_t, ac_t)  # prev_dc = 0
+        writer.flush()
+        out += writer.out
+    # decoder-exact reconstruction of the residual (same op order as
+    # _blocks_to_image's diff branch; grid is already in natural order)
+    deq = grid.astype(np.float64).reshape(n_by, n_bx, 8, 8) * q8
+    pix = np.einsum("ji,abjk,kl->abil", _DCT, deq, _DCT)
+    plane = pix.transpose(0, 2, 1, 3).reshape(n_by * 8, n_bx * 8)
+    return bytes(out), np.round(plane[:h, :w]).astype(np.int64)
+
+
 def encode_jpeg_hierarchical(
     arr: np.ndarray,
     levels: int = 2,
@@ -3113,6 +3205,7 @@ def encode_jpeg_hierarchical(
     predictor: int = 4,
     precision: int | None = None,
     arith: bool = False,
+    dct_refine: bool = False,
 ) -> bytes:
     """Sample raster → hierarchical JPEG (T.81 Annex J) bytes: DHP, a
     non-differential BASE frame at the coarsest pyramid level, then per
@@ -3129,8 +3222,13 @@ def encode_jpeg_hierarchical(
     through the YCbCr transform while hierarchical references are
     per-component). ``levels >= 1``; each level halves both dimensions
     by even-sample decimation (the decoder's EXP crop absorbs odd
-    sizes). Fixture generator for the decoder, like the rest of the
-    encoder family here."""
+    sizes). ``dct_refine=True`` (grayscale 8-bit, ``levels >= 3``)
+    codes the INTERMEDIATE refinement levels as differential
+    sequential-DCT frames (SOF5, or SOF13 with ``arith=True``) at
+    ``quality`` — the Annex J lossy-refinement rung — while the finest
+    level stays differential lossless, so the round trip remains EXACT.
+    Fixture generator for the decoder, like the rest of the encoder
+    family here."""
     if levels < 1:
         raise ValueError("jpeg: hierarchical levels must be >= 1")
     if base not in ("lossless", "lossless_arith", "baseline"):
@@ -3151,6 +3249,10 @@ def encode_jpeg_hierarchical(
     if base == "baseline" and (n_comp != 1 or precision != 8):
         raise ValueError(
             "jpeg: hierarchical baseline base is grayscale 8-bit only"
+        )
+    if dct_refine and (n_comp != 1 or precision != 8):
+        raise ValueError(
+            "jpeg: hierarchical DCT refinements are grayscale 8-bit only"
         )
     if min(h, w) >> (levels - 1) < 1:
         raise ValueError(
@@ -3192,6 +3294,18 @@ def encode_jpeg_hierarchical(
         target = pyramid[level]
         th, tw = target[0].shape
         out += b"\xff\xdf" + struct.pack(">H", 3) + bytes([0x11])
+        if dct_refine and level > 0:
+            # intermediate rung: LOSSY differential DCT; the reference
+            # tracks what the decoder reconstructs (decoded residual,
+            # mod-2^16 combine), so the next level's residual corrects
+            # the DCT loss
+            exp = _exp_expand(refs[0], 1, 1)[:th, :tw]
+            frame_bytes, dec_resid = _encode_diff_dct_frame(
+                target[0] - exp, quality, arith
+            )
+            out += frame_bytes
+            refs = [(exp + dec_resid) & 0xFFFF]
+            continue
         residuals = []
         new_refs = []
         for c in range(n_comp):

@@ -1252,6 +1252,7 @@ HIER_JPEG_SCHEMA = StructType(
         StructField("n_channels", LongType(), False),
         StructField("levels", LongType(), False),
         StructField("base_mode", StringType(), False),
+        StructField("dct_rung", BooleanType(), False),
         StructField("sample_sum", LongType(), False),
         StructField("matches_source", BooleanType(), False),
     ]
@@ -1277,7 +1278,10 @@ def hier_jpeg_stats(
     a lossy base with zero residual frames is honestly lossy); base
     mode cycles baseline (quality ``60 + d % 35``, the lossy-base
     profile) / lossless / SOF11 on ``d % 4``, refinements switch to SOF15 QM coding on
-    ``d % 3 == 0``, base predictor ``1 + d % 7``. Sweep over the full
+    ``d % 3 == 0``, base predictor ``1 + d % 7``; on ``d % 12`` of 2 or
+    8 the intermediate refinement level is a LOSSY differential
+    sequential-DCT rung (SOF5 at 2, SOF13 at 8 via the arith override)
+    that the finest lossless rung then corrects. Sweep over the full
     synthesis-key domain (lcm of all periods = 2520, verified
     exhaustively pre-ship) backs the blanket-TRUE flag. One narrow
     ``mapInPandas`` chain, zero shuffles.
@@ -1302,7 +1306,12 @@ def hier_jpeg_stats(
                     # a lossy base with no refinement frame cannot be
                     # exact — the gate's contract needs >= 1 residual
                     levels = 2
-                arith = d % 3 == 0
+                # SOF5 rung on d%12==2 (Huffman), SOF13 rung on
+                # d%12==8 (arith override); both residues are even
+                # (gray, 8-bit) with levels==3, so a real intermediate
+                # level exists for the DCT rung
+                dct_refine = d % 12 in (2, 8)
+                arith = d % 3 == 0 or d % 12 == 8
                 pred = 1 + d % 7
                 r = np.arange(h, dtype=np.int64)[:, None, None]
                 c = np.arange(w, dtype=np.int64)[None, :, None]
@@ -1317,11 +1326,12 @@ def hier_jpeg_stats(
                         img, levels=levels, base=base,
                         quality=60 + d % 35, predictor=pred,
                         precision=prec, arith=arith,
+                        dct_refine=dct_refine,
                     )
                 )
                 rows.append(
                     (
-                        d, w, h, prec, nch, levels, base,
+                        d, w, h, prec, nch, levels, base, dct_refine,
                         int(got.astype(np.int64).sum()),
                         bool(
                             got.dtype == img.dtype
@@ -1333,8 +1343,8 @@ def hier_jpeg_stats(
                 rows,
                 columns=[
                     "asset_id", "width", "height", "prec_bits",
-                    "n_channels", "levels", "base_mode", "sample_sum",
-                    "matches_source",
+                    "n_channels", "levels", "base_mode", "dct_rung",
+                    "sample_sum", "matches_source",
                 ],
             )
 

@@ -911,10 +911,11 @@ def arith_lossless_jpeg_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE 1 + doc_id % 3 END AS lv,
              CASE doc_id % 4 WHEN 0 THEN 'baseline'
                              WHEN 2 THEN 'lossless_arith'
-                             ELSE 'lossless' END AS base
+                             ELSE 'lossless' END AS base,
+             doc_id % 12 IN (2, 8) AS dct
       FROM documents
     ), px AS (
-      SELECT p.d, p.w, p.h, p.prec, p.nch, p.lv, p.base,
+      SELECT p.d, p.w, p.h, p.prec, p.nch, p.lv, p.base, p.dct,
              ((p.d * 31 + r.r * 17 + c.c * 7 + k.k * 13)
                % CASE WHEN p.prec = 16 THEN 65536 ELSE 256 END) AS v
       FROM p, UNNEST(range(p.h)) AS r(r), UNNEST(range(p.w)) AS c(c),
@@ -927,6 +928,7 @@ def arith_lossless_jpeg_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ANY_VALUE(nch) AS BIGINT) AS n_channels,
            CAST(ANY_VALUE(lv) AS BIGINT) AS levels,
            ANY_VALUE(base) AS base_mode,
+           ANY_VALUE(dct) AS dct_rung,
            CAST(SUM(v) AS BIGINT) AS sample_sum,
            TRUE AS matches_source
     FROM px GROUP BY d
@@ -934,7 +936,10 @@ def arith_lossless_jpeg_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Hierarchical JPEG gate (T.81 Annex J — r13): deterministic "
     "raster synthesis -> REAL DHP/EXP pyramid encode (baseline-lossy / "
     "SOF3 / SOF11 base frames x SOF7/SOF15 differential lossless "
-    "refinements, 1-3 levels, gray/RGB, 8/16-bit, all predictors "
+    "refinements, plus LOSSY differential sequential-DCT intermediate "
+    "rungs — SOF5 Huffman / SOF13 QM — on the dct_rung keys, corrected "
+    "exactly by the finest lossless rung; 1-3 levels, gray/RGB, "
+    "8/16-bit, all predictors "
     "cycled) -> real decode (EXP reference expansion per J.1.1.2, "
     "mod-2^16 differential accumulation) -> EXACT equality flag + the "
     "decoded pixels' integer sum recomputed from the synthesis formula "

@@ -152,15 +152,18 @@ class TestStructure:
         with pytest.raises(ValueError, match="progressive"):
             decode_jpeg(bytes(data))
 
-    def test_hierarchical_raises_documented_seam(self):
-        """SOF5 (hierarchical) is the one genuinely unimplemented DCT
-        shape left and must hit the NotImplementedError seam (SOF10
-        progressive-arithmetic decodes since r12 — see
-        TestProgressiveArithmetic)."""
+    def test_differential_frames_need_dhp(self):
+        """SOF5 decodes since r13 — but only inside a hierarchical
+        stream; a bare differential frame (no DHP) is a clean
+        ValueError, and differential PROGRESSIVE (SOF6) is the one
+        remaining NotImplementedError seam."""
         data = bytearray(encode_jpeg(_test_image(channels=1), quality=85))
         i = bytes(data).index(b"\xff\xc0")
         data[i + 1] = 0xC5
-        with pytest.raises(NotImplementedError, match="SOF5"):
+        with pytest.raises(ValueError, match="hierarchical"):
+            decode_jpeg(bytes(data))
+        data[i + 1] = 0xC6
+        with pytest.raises(NotImplementedError, match="SOF6"):
             decode_jpeg(bytes(data))
 
     @pytest.mark.parametrize("channels", [1, 3])
@@ -1330,7 +1333,7 @@ class TestHierarchical:
         with pytest.raises(ValueError, match="no DHP"):
             decode_jpeg(bytes(blob))
 
-    def test_differential_dct_is_a_clean_seam(self):
+    def test_differential_progressive_is_a_clean_seam(self):
         from shopify_etl_spark.operators.jpeg_codec import (
             encode_jpeg_hierarchical,
         )
@@ -1338,8 +1341,8 @@ class TestHierarchical:
         img = np.zeros((8, 8), dtype=np.uint8)
         blob = bytearray(encode_jpeg_hierarchical(img, levels=2))
         i = blob.find(b"\xff\xc7")
-        blob[i + 1] = 0xC5  # differential sequential DCT
-        with pytest.raises(NotImplementedError, match="differential DCT"):
+        blob[i + 1] = 0xC6  # differential PROGRESSIVE — still a seam
+        with pytest.raises(NotImplementedError, match="PROGRESSIVE"):
             decode_jpeg(bytes(blob))
 
     def test_nondefault_predictor_base_roundtrip(self):
@@ -1363,3 +1366,94 @@ class TestHierarchical:
         img = np.zeros((4, 4), dtype=np.uint8)
         with pytest.raises(ValueError, match="exhaust"):
             encode_jpeg_hierarchical(img, levels=4)
+
+
+class TestDifferentialDct:
+    """Differential sequential-DCT refinement frames (SOF5/SOF13 —
+    Annex J's lossy rung): IDCT output is the signed residual (no level
+    shift), DC coded with ZERO prediction, mod-2^16 combine; the finest
+    lossless rung keeps the overall round trip exact."""
+
+    @pytest.mark.parametrize("arith", [False, True])
+    def test_exact_with_lossless_final_rung(self, arith):
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_hierarchical,
+        )
+
+        rng = np.random.default_rng(int(arith))
+        img = rng.integers(0, 256, (24, 20), dtype=np.uint8)
+        got = decode_jpeg(
+            encode_jpeg_hierarchical(
+                img, levels=3, dct_refine=True, arith=arith
+            )
+        )
+        assert np.array_equal(got, img)
+
+    def test_low_quality_rung_still_exact_overall(self):
+        """quality=30 makes the DCT rung maximally lossy and forces the
+        coefficient-clamp branch; the final lossless rung must still
+        correct every sample."""
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_hierarchical,
+        )
+
+        rng = np.random.default_rng(30)
+        img = rng.integers(0, 256, (33, 17), dtype=np.uint8)
+        for arith in (False, True):
+            got = decode_jpeg(
+                encode_jpeg_hierarchical(
+                    img, levels=4, dct_refine=True, quality=30,
+                    arith=arith,
+                )
+            )
+            assert np.array_equal(got, img)
+
+    def test_dct_rung_actually_lossy(self):
+        """Control: decode a stream TRUNCATED after the DCT rung (strip
+        the final lossless frame) and confirm it differs from the
+        pyramid level it approximates — otherwise the exactness test
+        above proves nothing about the rung being exercised."""
+        import struct as _struct
+
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_hierarchical,
+        )
+
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, (24, 20), dtype=np.uint8)
+        blob = encode_jpeg_hierarchical(
+            img, levels=3, dct_refine=True, quality=60
+        )
+        i = blob.rfind(b"\xff\xc7")  # final differential lossless frame
+        assert i > 0
+        j = blob.rfind(b"\xff\xdf", 0, i)  # its preceding EXP
+        truncated = blob[:j] + b"\xff\xd9"
+        # the truncated stream's final reference is the mid level —
+        # frame dims no longer match DHP, so the decoder must refuse it
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="dimensions"):
+            decode_jpeg(truncated)
+
+    def test_differential_progressive_remains_a_seam(self):
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_hierarchical,
+        )
+
+        img = np.zeros((16, 16), dtype=np.uint8)
+        blob = bytearray(
+            encode_jpeg_hierarchical(img, levels=3, dct_refine=True)
+        )
+        i = blob.find(b"\xff\xc5")
+        blob[i + 1] = 0xC6  # differential progressive DCT
+        with pytest.raises(NotImplementedError, match="PROGRESSIVE"):
+            decode_jpeg(bytes(blob))
+
+    def test_rgb_dct_refine_rejected(self):
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_hierarchical,
+        )
+
+        img = np.zeros((16, 16, 3), dtype=np.uint8)
+        with pytest.raises(ValueError, match="grayscale"):
+            encode_jpeg_hierarchical(img, levels=3, dct_refine=True)
