@@ -1266,6 +1266,85 @@ def maxsim_topk(
     )
 
 
+def maxsim_pruned_topk(
+    query_chunks: DataFrame,
+    corpus_cells: DataFrame,
+    cents: DataFrame,
+    k: int = 5,
+    n_probes: int = 2,
+    query_doc: str = "query_doc",
+    query_chunk: str = "chunk_idx",
+    query_vec: str = "qv",
+    corpus_doc: str = "doc_id",
+    corpus_vec: str = "ev",
+    cell_col: str = "centroid_id",
+    cent_id: str = "cid",
+    cent_vec: str = "cv",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """ANN-prefiltered late interaction — the 100 TB serving shape
+    :func:`maxsim_topk`'s docstring promises: each QUERY CHUNK probes
+    its ``n_probes`` nearest IVF cells (cosine against the broadcast
+    codebook) and MaxSim-scores ONLY the corpus chunks assigned there —
+    ``|corpus|·n_probes/n_cells`` candidates per query chunk instead of
+    the full chunk table. A document's score sums over the query chunks
+    whose probes reached it; (query-chunk, doc) pairs the probe never
+    saw contribute 0, the standard candidate-union semantics (scoring
+    the union exactly is :func:`maxsim_topk` unchanged — this operator
+    IS that call with the probe join as its candidate generator).
+
+    ``corpus_cells`` carries (``corpus_doc``, ``cell_col``,
+    ``corpus_vec``) — the committed output of :func:`ivf_assign`, so
+    at scale the prefilter reads the index, never re-assigns. Join
+    shape: the per-query-chunk probe frame is tiny and broadcasts; the
+    corpus side joins it by cell with a broadcast HASH join (never a
+    cross)."""
+    qc = query_chunks.select(
+        F.col(query_doc).alias("_qd"),
+        F.col(query_chunk).alias("_qc"),
+        F.col(query_vec).alias("_qv"),
+    ).withColumn("_qn", _norm("_qv"))
+    cfr = cents.withColumn("_cn2", _norm(cent_vec))
+    scored_cells = qc.crossJoin(F.broadcast(cfr)).withColumn(
+        "_csim", _dot("_qv", cent_vec) / (F.col("_qn") * F.col("_cn2"))
+    )
+    wq = Window.partitionBy("_qd", "_qc").orderBy(
+        F.desc("_csim"), F.asc(cent_id)
+    )
+    probes = (
+        scored_cells.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probes)
+        .select(
+            "_qd", "_qc", "_qv", "_qn",
+            F.col(cent_id).alias(cell_col),
+        )
+    )
+    cand = corpus_cells.withColumn("_cn", _norm(corpus_vec)).join(
+        F.broadcast(probes), cell_col
+    )
+    if exclude_self:
+        cand = cand.filter(F.col(corpus_doc) != F.col("_qd"))
+    sim = _dot("_qv", corpus_vec) / (F.col("_qn") * F.col("_cn"))
+    best = (
+        cand.select(
+            "_qd", "_qc", F.col(corpus_doc).alias("_cd"), sim.alias("_s")
+        )
+        .groupBy("_qd", "_qc", "_cd")
+        .agg(F.max("_s").alias("_best"))
+    )
+    scored = best.groupBy("_qd", "_cd").agg(F.sum("_best").alias("_score"))
+    w = Window.partitionBy("_qd").orderBy(F.desc("_score"), F.asc("_cd"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col("_qd").alias(query_doc),
+            F.col("_cd").alias(corpus_doc),
+            F.round("_score", 4).alias("maxsim_score"),
+        )
+    )
+
+
 def truncated_rerank_topk(
     queries: DataFrame,
     corpus: DataFrame,

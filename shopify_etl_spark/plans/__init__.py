@@ -224,6 +224,7 @@ _CHANGED_R13 = [
     "quality_probe_distill",  # NEW: GD-trained linear gate distillation
     "arith_lossless_jpeg_stats",  # NEW: SOF11 QM lossless cross-path gate
     "hier_jpeg_stats",       # NEW: Annex J hierarchical pyramid gate
+    "maxsim_pruned_search",  # NEW: IVF-bounded MaxSim serving shape
 ]
 
 # New or code-changed in round 12 — sample these first.

@@ -954,3 +954,118 @@ def hier_jpeg_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.hier_jpeg_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# ANN-prefiltered late interaction: the IVF-bounded MaxSim serving shape
+# (operators/similarity.py::maxsim_pruned_topk). The fixed pure-salt
+# codebook and its SQL VALUES twin come from catalog_ext4's retrieval
+# chain.
+# ---------------------------------------------------------------------------
+
+from .catalog_ext4 import _RET_CENT_SQL, _retrieval_centroid_frame  # noqa: E402
+
+
+@register(
+    "maxsim_pruned_search",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n
+      FROM documents WHERE length(text) > 0
+    ), s AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, greatest(n - 40 - 1, 0), 120))
+               AS cstart
+      FROM d
+    ), chunks AS (
+      SELECT doc_id, cstart // 120 AS chunk_idx,
+             substr(text, cstart + 1, 160) AS chunk_text
+      FROM s
+    ), emb AS MATERIALIZED (
+      SELECT doc_id, chunk_idx,
+             list_transform(range(1, 17),
+                 j -> CAST(ascii(substr(md5(chunk_text), j, 1)) - 77
+                           AS DOUBLE)) AS ev
+      FROM chunks
+    ), cents AS (
+      SELECT * FROM (VALUES {_RET_CENT_SQL}) AS t(cid, cv)
+    ), assign AS MATERIALIZED (
+      SELECT doc_id, chunk_idx, ev, cid FROM (
+        SELECT e.doc_id, e.chunk_idx, e.ev, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.doc_id, e.chunk_idx
+                   ORDER BY list_cosine_similarity(e.ev,
+                       CAST(c.cv AS DOUBLE[])) DESC, c.cid) AS rn
+        FROM emb e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT doc_id AS query_doc, chunk_idx, ev AS qv
+      FROM emb WHERE doc_id < 3
+    ), probes AS (
+      SELECT query_doc, chunk_idx, qv, cid FROM (
+        SELECT q.query_doc, q.chunk_idx, q.qv, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.query_doc, q.chunk_idx
+                   ORDER BY list_cosine_similarity(q.qv,
+                       CAST(c.cv AS DOUBLE[])) DESC, c.cid) AS rn
+        FROM q CROSS JOIN cents c
+      ) WHERE rn <= 2
+    ), best AS (
+      SELECT p.query_doc, p.chunk_idx, a.doc_id,
+             MAX(list_cosine_similarity(p.qv, a.ev)) AS best_sim
+      FROM probes p
+      JOIN assign a ON a.cid = p.cid AND a.doc_id <> p.query_doc
+      GROUP BY p.query_doc, p.chunk_idx, a.doc_id
+    ), scored AS (
+      SELECT query_doc, doc_id, SUM(best_sim) AS score
+      FROM best GROUP BY query_doc, doc_id
+    )
+    SELECT query_doc, doc_id, ROUND(score, 4) AS maxsim_score
+    FROM (
+      SELECT scored.*, ROW_NUMBER() OVER (PARTITION BY query_doc
+               ORDER BY score DESC, doc_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+    doc="ANN-prefiltered late interaction — the 100 TB MaxSim serving "
+    "shape the exhaustive maxsim_late_interaction only promises: each "
+    "QUERY CHUNK probes its 2 nearest cells of the fixed 8-cell IVF "
+    "codebook and MaxSim-scores ONLY the corpus chunks assigned there "
+    "(|corpus|·n_probes/n_cells candidates per query chunk instead of "
+    "the full chunk table); per-(query-chunk, doc) max and per-(query, "
+    "doc) sum aggregate the candidate union, top-5 per query with "
+    "(score desc, doc) tie-breaks. Cell assignments come from "
+    "ivf_assign over the checkpointed chunk+embed frame — at scale the "
+    "prefilter reads the committed index, never re-assigns. The probe "
+    "frame broadcasts; the corpus joins it by CELL with a broadcast "
+    "hash join, never a cross. operators/similarity.py::"
+    "maxsim_pruned_topk,ivf_assign + text.char_chunk_documents.",
+)
+def maxsim_pruned_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity
+    from ..operators.materialize import checkpoint_tracked
+    from ..operators.text import char_chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = char_chunk_documents(docs, chunk_chars=160, overlap=40)
+    emb = checkpoint_tracked(
+        chunks.select(
+            "doc_id", "chunk_idx",
+            similarity.hash_embed("chunk_text").alias("ev"),
+        )
+    )
+    cells = similarity.ivf_assign(
+        emb.select(
+            F.concat_ws(":", "doc_id", "chunk_idx").alias("ck"),
+            "doc_id", "ev",
+        ),
+        _retrieval_centroid_frame(spark),
+        corpus_id="ck", corpus_vec="ev",
+        cent_id="cid", cent_vec="cv", keep_cols=("doc_id", "ev"),
+    )
+    q = emb.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_doc"), "chunk_idx",
+        F.col("ev").alias("qv"),
+    )
+    return similarity.maxsim_pruned_topk(
+        q, cells, _retrieval_centroid_frame(spark),
+        k=5, n_probes=2, exclude_self=True,
+    )

@@ -333,6 +333,9 @@ MAX_SCANS_PER_TABLE = {
                                 # both encodes and the re-rank floats
     "quality_probe_distill": 1,  # feature+label checkpoint feeds the
                                  # stats agg, 16 GD steps and scoring
+    "maxsim_pruned_search": 1,   # chunk+embed checkpoint feeds cell
+                                 # assignment, the corpus side and the
+                                 # query-chunk frame
 }
 
 
@@ -459,6 +462,9 @@ BNLJ_ALLOWED = {
     "residual_pq_search",       # same, tables per (query, probed cell)
     "maxsim_late_interaction",  # 3 query docs' chunk vectors broadcast
     "mrl_truncated_search",     # 8-query frame broadcast, both passes
+    "maxsim_pruned_search",     # query-chunk x 8-cell codebook probe
+    #   (tiny both sides); the corpus-side candidate join is a
+    #   broadcast HASH join on the cell key
     "sq_int8_search",           # 8-row float query frame broadcast
     "bq_hamming_search",        # 8-row packed query frame broadcast;
     #   the re-rank float join is a broadcast HASH join on the 160-row

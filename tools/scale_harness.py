@@ -177,6 +177,18 @@ FAMILY = (
     # grows linearly, shortlist/re-rank fixed
     "maxsim_late_interaction",
     "mrl_truncated_search",
+    # r13 session-2 additions: SQ's grid train is one 128-expression agg
+    # (map-side partials; model size fixed), encode/search are map-side
+    # folds over 10x codes; BQ's threshold train is one 64-expression
+    # agg, Hamming scan grows linearly, re-rank stays shortlist-sized;
+    # the probe's featurize projection grows 10x while every GD step
+    # aggregates to 4 doubles (driver-latency dominated — 17 tiny jobs);
+    # the two new codec gates are 0-shuffle Arrow maps like their twins
+    "sq_int8_search",
+    "bq_hamming_search",
+    "quality_probe_distill",
+    "arith_lossless_jpeg_stats",
+    "hier_jpeg_stats",
 )
 
 
