@@ -681,3 +681,74 @@ def test_truncated_rerank_funnel_contract(spark):
     ).collect()
     assert [r.neighbor_id for r in wide] == [2]  # exact re-rank finds it
     vecs.unpersist()
+
+
+def test_maxsim_pruned_all_probes_equals_exhaustive(spark):
+    """The funnel contract: probing EVERY cell makes the pruned operator
+    equal the exhaustive maxsim_topk row-for-row (same aggregation, the
+    probe join generates the full candidate set)."""
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    corpus_rows = [
+        (int(d), int(c), rng.normal(size=4).round(3).tolist())
+        for d in range(12) for c in range(3)
+    ]
+    corpus = spark.createDataFrame(
+        corpus_rows, "doc_id long, chunk_idx long, ev array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
+         (2, [0.0, 0.0, 1.0, 0.0]), (3, [0.0, 0.0, 0.0, 1.0])],
+        "cid int, cv array<double>",
+    )
+    cells = similarity.ivf_assign(
+        corpus.selectExpr(
+            "concat(doc_id, ':', chunk_idx) AS ck", "doc_id", "ev"
+        ),
+        cents, corpus_id="ck", corpus_vec="ev",
+        cent_id="cid", cent_vec="cv", keep_cols=("doc_id", "ev"),
+    )
+    q = corpus.filter("doc_id < 2").selectExpr(
+        "doc_id AS query_doc", "chunk_idx", "ev AS qv"
+    )
+    pruned_all = similarity.maxsim_pruned_topk(
+        q, cells, cents, k=5, n_probes=4, exclude_self=True
+    )
+    exhaustive = similarity.maxsim_topk(
+        q, corpus, k=5, exclude_self=True
+    )
+    key = lambda r: (r.query_doc, r.doc_id)
+    assert sorted(map(tuple, pruned_all.collect())) == sorted(
+        map(tuple, exhaustive.collect())
+    )
+
+
+def test_maxsim_pruned_probe_bound_has_teeth(spark):
+    """n_probes=1 must restrict scoring to the probed cell: a document
+    whose only relevant chunk lives in a DIFFERENT cell than the query
+    chunk's probe cannot contribute that chunk."""
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid int, cv array<double>"
+    )
+    # query chunk points at cell 0; doc 5's best chunk sits in cell 1
+    corpus = spark.createDataFrame(
+        [("5:0", 5, [0.9, 0.1]),   # cell 0: weak match
+         ("5:1", 5, [0.1, 2.0]),   # cell 1: would be stronger vs e1 query
+         ("6:0", 6, [1.0, 0.0])],  # cell 0: perfect match
+        "ck string, doc_id long, ev array<double>",
+    )
+    cells = similarity.ivf_assign(
+        corpus, cents, corpus_id="ck", corpus_vec="ev",
+        cent_id="cid", cent_vec="cv", keep_cols=("doc_id", "ev"),
+    )
+    q = spark.createDataFrame(
+        [(100, 0, [1.0, 0.0])],
+        "query_doc long, chunk_idx long, qv array<double>",
+    )
+    got = {r.doc_id: r.maxsim_score for r in similarity.maxsim_pruned_topk(
+        q, cells, cents, k=5, n_probes=1
+    ).collect()}
+    assert got[6] == 1.0
+    # doc 5 scored ONLY by its cell-0 chunk (cos([1,0],[0.9,0.1]) ~= .994)
+    assert 0.9 < got[5] < 1.0
