@@ -55,11 +55,15 @@ honest baseline subset (ITU-T T.81):
 * **hierarchical progression** (T.81 Annex J, r13) on decode and
   encode (``encode_jpeg_hierarchical``): DHP, EXP reference expansion
   (J.1.1.2 filter), a sequential/progressive/lossless base frame plus
-  differential LOSSLESS refinement frames (SOF7/SOF15, Ss=0, mod-2^16
-  accumulation) — the "lossy base + lossless residual" pyramid, EXACT
-  by construction; differential DCT frames (SOF5/6/13/14) and color
-  DCT base frames stay outside as documented ``NotImplementedError``
-  seams, behind this working default path.
+  differential refinement frames — LOSSLESS (SOF7/SOF15, Ss=0,
+  mod-2^16 accumulation), sequential DCT (SOF5/SOF13, zero DC
+  prediction, signed-residual IDCT) and progressive DCT (SOF6/SOF14,
+  spectral-selection scripts) — the "lossy base + lossless residual"
+  pyramid, EXACT by construction when the finest rung is lossless.
+  With that, EVERY non-reserved T.81 frame type decodes
+  (SOF0-3/5-7/9-11/13-15); the remaining documented seams are color
+  DCT base frames inside hierarchical streams, lossless subsampling
+  and non-integer sampling ratios.
 
 JPEG is lossy, so the test contract differs from PNG's bit-exact
 round-trip: ``decode(encode(x, quality=q))`` must reconstruct within a
@@ -831,12 +835,14 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
             hier["pending_exp"] = (eh, ev)
         elif marker in (
             0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB, 0xC7, 0xCF,
-            0xC5, 0xCD,
+            0xC5, 0xCD, 0xC6, 0xCE,
         ):
             # sequential / progressive / lossless (Huffman + arithmetic)
             # / arithmetic (seq + progressive) / differential lossless +
-            # differential sequential DCT (hierarchical streams only)
-            if marker in (0xC7, 0xCF, 0xC5, 0xCD) and hier is None:
+            # differential sequential + differential progressive DCT
+            # (differential frames: hierarchical streams only)
+            if marker in (0xC7, 0xCF, 0xC5, 0xCD, 0xC6, 0xCE) \
+                    and hier is None:
                 raise ValueError(
                     "jpeg: differential frame outside a hierarchical "
                     "stream (no DHP)"
@@ -911,18 +917,11 @@ def _decode_jpeg_impl(data: bytes, max_pixels: int) -> np.ndarray:
                 )
             frame = {
                 "h": h, "w": w, "comps": comps,
-                "prog": marker in (0xC2, 0xCA), "prec": prec,
-                "arith": marker in (0xC9, 0xCA, 0xCB, 0xCF, 0xCD),
+                "prog": marker in (0xC2, 0xCA, 0xC6, 0xCE), "prec": prec,
+                "arith": marker in (0xC9, 0xCA, 0xCB, 0xCF, 0xCD, 0xCE),
                 "lossless": marker in (0xC3, 0xCB, 0xC7, 0xCF),
-                "diff": marker in (0xC7, 0xCF, 0xC5, 0xCD),
+                "diff": marker in (0xC7, 0xCF, 0xC5, 0xCD, 0xC6, 0xCE),
             }
-        elif marker in (0xC6, 0xCE):
-            raise NotImplementedError(
-                f"jpeg: differential PROGRESSIVE frames "
-                f"(SOF{marker - 0xC0}) not supported — hierarchical "
-                "refinements decode as differential sequential DCT "
-                "(SOF5/SOF13) or differential lossless (SOF7/SOF15)"
-            )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -1443,8 +1442,11 @@ def _decode_scan_progressive(
                 if ah == 0:  # DC first: diff-coded point-transformed DC
                     s = reader.read_symbol(htabs[0x00 | tab_id])
                     diff = _extend(reader.read_bits(s), s) if s else 0
-                    prev_dc[ci] += diff
-                    zz[0] = prev_dc[ci] << al
+                    if frame.get("diff"):
+                        zz[0] = diff << al  # Annex J: zero DC prediction
+                    else:
+                        prev_dc[ci] += diff
+                        zz[0] = prev_dc[ci] << al
                 else:  # DC refinement: one raw bit per block
                     if reader.read_bit():
                         zz[0] = int(zz[0]) | p1
@@ -3197,6 +3199,119 @@ def _encode_diff_dct_frame(
     return bytes(out), np.round(plane[:h, :w]).astype(np.int64)
 
 
+def _encode_diff_prog_frame(
+    residual: np.ndarray, quality: int, arith: bool
+) -> tuple[bytes, np.ndarray]:
+    """One differential PROGRESSIVE-DCT frame (SOF6 Huffman / SOF14 QM)
+    over a signed grayscale residual: a spectral-selection scan script
+    (DC scan with zero prediction per Annex J, then AC bands 1-5 and
+    6-63), sharing :func:`_encode_diff_dct_frame`'s quantized residual
+    front half and clamp. Returns ``(frame_bytes, decoded_residual)``."""
+    h, w = residual.shape
+    n_by, n_bx = -(-h // 8), -(-w // 8)
+    q_luma, _ = _quality_tables(quality)
+    tiles = _tiles(residual.astype(np.float64), n_by, n_bx)
+    coefs = np.einsum("ij,abjk,lk->abil", _DCT, tiles, _DCT)
+    q8 = q_luma.reshape(8, 8)
+    grid = np.round(coefs / q8).astype(np.int64).reshape(n_by, n_bx, 64)
+    grid[:, :, 1:] = np.clip(grid[:, :, 1:], -1023, 1023)
+    grid[:, :, 0] = np.clip(grid[:, :, 0], -2047, 2047)
+
+    out = bytearray()
+    q2d = q_luma.reshape(64)
+    payload = bytes(int(q2d[_ZIGZAG[k]]) for k in range(64))
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + payload
+    sof = struct.pack(">BHHB", 8, h, w, 1) + struct.pack(">BBB", 1, 0x11, 0)
+    out += (b"\xff\xce" if arith else b"\xff\xc6")
+    out += struct.pack(">H", 2 + len(sof)) + sof
+    if not arith:
+        dc_bits, dc_values = _DC_LUMA
+        ac_bits, ac_values = _AC_LUMA
+        dht = bytes([0x00]) + bytes(dc_bits) + bytes(dc_values)
+        dht += bytes([0x10]) + bytes(ac_bits) + bytes(ac_values)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+        dc_t = _build_huffman_encode(*_DC_LUMA)
+        ac_t = _build_huffman_encode(*_AC_LUMA)
+
+    def sos(ss, se):
+        hdr = struct.pack(">B", 1) + struct.pack(">BB", 1, 0x00)
+        hdr += bytes([ss, se, 0])  # Ah=Al=0: spectral selection only
+        return b"\xff\xda" + struct.pack(">H", 2 + len(hdr)) + hdr
+
+    # DC scan (zero prediction in differential frames)
+    out += sos(0, 0)
+    if arith:
+        enc = _QMEncoder()
+        dc_stats = bytearray(64)
+        dc_context = [0]
+        for gy in range(n_by):
+            for gx in range(n_bx):
+                _arith_encode_dc(
+                    enc, dc_stats, dc_context, 0,
+                    int(grid[gy, gx, 0]), 0, 1,
+                )
+        out += enc.flush()
+    else:
+        writer = _BitWriter()
+        for gy in range(n_by):
+            for gx in range(n_bx):
+                smag, code = _magnitude(int(grid[gy, gx, 0]))
+                hc, hl = dc_t[smag]
+                writer.write(hc, hl)
+                if smag:
+                    writer.write(code, smag)
+        writer.flush()
+        out += writer.out
+
+    # AC band scans (per-block EOB — a legal degenerate EOB run)
+    for ss, se in ((1, 5), (6, 63)):
+        out += sos(ss, se)
+        if arith:
+            enc = _QMEncoder()
+            ac_stats = bytearray(256)
+            fixed = bytearray([_QM_FIXED])
+            for gy in range(n_by):
+                for gx in range(n_bx):
+                    zz = grid[gy, gx][_ZIGZAG]
+                    _arith_encode_ac_first(
+                        enc, ac_stats, fixed, zz, ss, se, 0, 5
+                    )
+            out += enc.flush()
+        else:
+            writer = _BitWriter()
+            for gy in range(n_by):
+                for gx in range(n_bx):
+                    zz = grid[gy, gx][_ZIGZAG]
+                    band = zz[ss:se + 1]
+                    nz = np.nonzero(band)[0]
+                    run = 0
+                    last = nz[-1] if len(nz) else -1
+                    for i in range(last + 1):
+                        v = int(band[i])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            hc, hl = ac_t[0xF0]
+                            writer.write(hc, hl)
+                            run -= 16
+                        smag, code = _magnitude(v)
+                        hc, hl = ac_t[(run << 4) | smag]
+                        writer.write(hc, hl)
+                        writer.write(code, smag)
+                        run = 0
+                    if last < se - ss:
+                        hc, hl = ac_t[0x00]  # EOB (run length 1)
+                        writer.write(hc, hl)
+            writer.flush()
+            out += writer.out
+
+    deq = grid.astype(np.float64).reshape(n_by, n_bx, 8, 8) * q8
+    pix = np.einsum("ji,abjk,kl->abil", _DCT, deq, _DCT)
+    plane = pix.transpose(0, 2, 1, 3).reshape(n_by * 8, n_bx * 8)
+    return bytes(out), np.round(plane[:h, :w]).astype(np.int64)
+
+
 def encode_jpeg_hierarchical(
     arr: np.ndarray,
     levels: int = 2,
@@ -3206,6 +3321,7 @@ def encode_jpeg_hierarchical(
     precision: int | None = None,
     arith: bool = False,
     dct_refine: bool = False,
+    dct_mode: str = "seq",
 ) -> bytes:
     """Sample raster → hierarchical JPEG (T.81 Annex J) bytes: DHP, a
     non-differential BASE frame at the coarsest pyramid level, then per
@@ -3254,6 +3370,8 @@ def encode_jpeg_hierarchical(
         raise ValueError(
             "jpeg: hierarchical DCT refinements are grayscale 8-bit only"
         )
+    if dct_mode not in ("seq", "prog"):
+        raise ValueError(f"jpeg: unknown dct_mode {dct_mode!r}")
     if min(h, w) >> (levels - 1) < 1:
         raise ValueError(
             f"jpeg: {levels} levels exhaust the {w}x{h} raster"
@@ -3300,7 +3418,12 @@ def encode_jpeg_hierarchical(
             # mod-2^16 combine), so the next level's residual corrects
             # the DCT loss
             exp = _exp_expand(refs[0], 1, 1)[:th, :tw]
-            frame_bytes, dec_resid = _encode_diff_dct_frame(
+            enc_fn = (
+                _encode_diff_prog_frame
+                if dct_mode == "prog"
+                else _encode_diff_dct_frame
+            )
+            frame_bytes, dec_resid = enc_fn(
                 target[0] - exp, quality, arith
             )
             out += frame_bytes
@@ -3575,10 +3698,14 @@ def _decode_scan_progressive_arith(
             if ss == 0:
                 if ah == 0:  # DC first: diff of point-transformed DC
                     L, U = dc_cond.get(tab_id, (0, 1))
-                    prev_dc[ci] += _arith_decode_dc(
+                    dcv = _arith_decode_dc(
                         dec, dc_stats[tab_id], dc_context, ci, L, U
                     )
-                    zz[0] = prev_dc[ci] << al
+                    if frame.get("diff"):
+                        zz[0] = dcv << al  # Annex J: zero DC prediction
+                    else:
+                        prev_dc[ci] += dcv
+                        zz[0] = prev_dc[ci] << al
                 else:  # DC refinement: one fixed-bin bit per block
                     if dec.decode(fixed, 0):
                         zz[0] = int(zz[0]) | p1

@@ -13,9 +13,9 @@ Decode paths, in preference order:
   is the live path in this environment.
 * **Built-in JPEG codec** (``operators/jpeg_codec.py``, stdlib
   struct + numpy) — real decode of baseline / extended / progressive /
-  arithmetic / lossless / hierarchical JPEG (1/3 components, sampling
-  factors ≤ 4, restart intervals; differential DCT refinement frames
-  stay at the seam).
+  arithmetic / lossless / hierarchical JPEG — every non-reserved T.81
+  frame type (1/3 components, sampling factors ≤ 4, restart
+  intervals).
 * **Built-in GIF codec** (``operators/gif_codec.py``, stdlib struct +
   numpy) — real LZW decode of GIF87a/89a stills and animations
   (interlace, local palettes, transparency, frame composition with
@@ -1278,10 +1278,12 @@ def hier_jpeg_stats(
     a lossy base with zero residual frames is honestly lossy); base
     mode cycles baseline (quality ``60 + d % 35``, the lossy-base
     profile) / lossless / SOF11 on ``d % 4``, refinements switch to SOF15 QM coding on
-    ``d % 3 == 0``, base predictor ``1 + d % 7``; on ``d % 12`` of 2 or
-    8 the intermediate refinement level is a LOSSY differential
-    sequential-DCT rung (SOF5 at 2, SOF13 at 8 via the arith override)
-    that the finest lossless rung then corrects. Sweep over the full
+    ``d % 3 == 0``, base predictor ``1 + d % 7``; on ``d % 6 == 2``
+    the intermediate refinement level is a LOSSY differential-DCT rung
+    covering the full 2x2 differential mode matrix by ``d % 24``:
+    SOF5 (2), SOF13 (8, arith override), SOF6 (14, the spectral-
+    selection progressive script), SOF14 (20) — each corrected exactly
+    by the finest lossless rung. Sweep over the full
     synthesis-key domain (lcm of all periods = 2520, verified
     exhaustively pre-ship) backs the blanket-TRUE flag. One narrow
     ``mapInPandas`` chain, zero shuffles.
@@ -1306,12 +1308,13 @@ def hier_jpeg_stats(
                     # a lossy base with no refinement frame cannot be
                     # exact — the gate's contract needs >= 1 residual
                     levels = 2
-                # SOF5 rung on d%12==2 (Huffman), SOF13 rung on
-                # d%12==8 (arith override); both residues are even
-                # (gray, 8-bit) with levels==3, so a real intermediate
-                # level exists for the DCT rung
-                dct_refine = d % 12 in (2, 8)
-                arith = d % 3 == 0 or d % 12 == 8
+                # DCT rungs on d == 2 (mod 6) -- even (gray, 8-bit)
+                # with levels==3, so a real intermediate level exists.
+                # The d%24 residue picks the mode-matrix cell: 2=SOF5,
+                # 8=SOF13 (arith override), 14=SOF6, 20=SOF14
+                dct_refine = d % 6 == 2
+                dct_mode = "prog" if d % 24 in (14, 20) else "seq"
+                arith = d % 3 == 0 or d % 24 in (8, 20)
                 pred = 1 + d % 7
                 r = np.arange(h, dtype=np.int64)[:, None, None]
                 c = np.arange(w, dtype=np.int64)[None, :, None]
@@ -1326,7 +1329,7 @@ def hier_jpeg_stats(
                         img, levels=levels, base=base,
                         quality=60 + d % 35, predictor=pred,
                         precision=prec, arith=arith,
-                        dct_refine=dct_refine,
+                        dct_refine=dct_refine, dct_mode=dct_mode,
                     )
                 )
                 rows.append(

@@ -153,18 +153,15 @@ class TestStructure:
             decode_jpeg(bytes(data))
 
     def test_differential_frames_need_dhp(self):
-        """SOF5 decodes since r13 — but only inside a hierarchical
-        stream; a bare differential frame (no DHP) is a clean
-        ValueError, and differential PROGRESSIVE (SOF6) is the one
-        remaining NotImplementedError seam."""
+        """Every differential SOF (5/6/7/13/14/15) decodes since r13 —
+        but only inside a hierarchical stream; a bare differential
+        frame (no DHP) is a clean ValueError for each of them."""
         data = bytearray(encode_jpeg(_test_image(channels=1), quality=85))
         i = bytes(data).index(b"\xff\xc0")
-        data[i + 1] = 0xC5
-        with pytest.raises(ValueError, match="hierarchical"):
-            decode_jpeg(bytes(data))
-        data[i + 1] = 0xC6
-        with pytest.raises(NotImplementedError, match="SOF6"):
-            decode_jpeg(bytes(data))
+        for m in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
+            data[i + 1] = m
+            with pytest.raises(ValueError, match="hierarchical"):
+                decode_jpeg(bytes(data))
 
     @pytest.mark.parametrize("channels", [1, 3])
     @pytest.mark.parametrize("quality", [10, 50, 85])
@@ -1333,7 +1330,11 @@ class TestHierarchical:
         with pytest.raises(ValueError, match="no DHP"):
             decode_jpeg(bytes(blob))
 
-    def test_differential_progressive_is_a_clean_seam(self):
+    def test_flipped_diff_marker_fails_cleanly(self):
+        """Flipping a differential-lossless frame's marker to SOF6 makes
+        the lossless scan bytes parse as a progressive scan script — a
+        structural error the decoder must surface cleanly (ValueError),
+        never a crash or silent wrong pixels."""
         from shopify_etl_spark.operators.jpeg_codec import (
             encode_jpeg_hierarchical,
         )
@@ -1341,8 +1342,8 @@ class TestHierarchical:
         img = np.zeros((8, 8), dtype=np.uint8)
         blob = bytearray(encode_jpeg_hierarchical(img, levels=2))
         i = blob.find(b"\xff\xc7")
-        blob[i + 1] = 0xC6  # differential PROGRESSIVE — still a seam
-        with pytest.raises(NotImplementedError, match="PROGRESSIVE"):
+        blob[i + 1] = 0xC6  # lossless payload under a progressive SOF
+        with pytest.raises(ValueError):
             decode_jpeg(bytes(blob))
 
     def test_nondefault_predictor_base_roundtrip(self):
@@ -1435,19 +1436,24 @@ class TestDifferentialDct:
         with _pytest.raises(ValueError, match="dimensions"):
             decode_jpeg(truncated)
 
-    def test_differential_progressive_remains_a_seam(self):
+    @pytest.mark.parametrize("arith", [False, True])
+    def test_differential_progressive_exact(self, arith):
+        """SOF6/SOF14 rungs (spectral-selection script: zero-prediction
+        DC scan + AC bands 1-5 / 6-63) — exact overall with the final
+        lossless rung, closing the LAST T.81 frame-type seam."""
         from shopify_etl_spark.operators.jpeg_codec import (
             encode_jpeg_hierarchical,
         )
 
-        img = np.zeros((16, 16), dtype=np.uint8)
-        blob = bytearray(
-            encode_jpeg_hierarchical(img, levels=3, dct_refine=True)
+        rng = np.random.default_rng(14 + int(arith))
+        img = rng.integers(0, 256, (33, 17), dtype=np.uint8)
+        got = decode_jpeg(
+            encode_jpeg_hierarchical(
+                img, levels=4, dct_refine=True, dct_mode="prog",
+                quality=40, arith=arith,
+            )
         )
-        i = blob.find(b"\xff\xc5")
-        blob[i + 1] = 0xC6  # differential progressive DCT
-        with pytest.raises(NotImplementedError, match="PROGRESSIVE"):
-            decode_jpeg(bytes(blob))
+        assert np.array_equal(got, img)
 
     def test_rgb_dct_refine_rejected(self):
         from shopify_etl_spark.operators.jpeg_codec import (
