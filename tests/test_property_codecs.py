@@ -808,3 +808,114 @@ def test_prog_arith_jpeg_equals_baseline_any_geometry(
                                       subsampling=subsampling)
     )
     assert np.array_equal(base, got)
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical JPEG (T.81 Annex J, r13) — randomized pyramid geometry
+# across the whole mode matrix must round-trip exactly (the refinement
+# frame corrects every sample), and mutated streams must fail cleanly.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(8, 40),
+    w=st.integers(8, 40),
+    levels=st.integers(1, 3),
+    base=st.sampled_from(["lossless", "lossless_arith", "baseline"]),
+    dct=st.sampled_from([None, "seq", "prog"]),
+    arith=st.booleans(),
+    channels=st.sampled_from([1, 3]),
+    predictor=st.integers(1, 7),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_hierarchical_roundtrip_any_pyramid(
+    h, w, levels, base, dct, arith, channels, predictor, seed
+):
+    from shopify_etl_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_hierarchical,
+    )
+
+    # respect the documented mode constraints instead of filtering them
+    # out of the strategy (keeps example diversity high)
+    if base == "baseline" and channels == 3:
+        base = "lossless"
+    if dct is not None and channels == 3:
+        dct = None
+    if base == "baseline" and levels == 1:
+        levels = 2
+    if min(h, w) >> (levels - 1) < 1:
+        levels = 1 + max(0, min(h, w).bit_length() - 1)
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if channels == 1 else (h, w, 3)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    blob = encode_jpeg_hierarchical(
+        img, levels=levels, base=base, quality=70, predictor=predictor,
+        arith=arith, dct_refine=dct is not None,
+        dct_mode=dct or "seq",
+    )
+    got = decode_jpeg(blob)
+    assert got.dtype == img.dtype and np.array_equal(got, img)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(6, 24),
+    w=st.integers(6, 24),
+    levels=st.integers(2, 3),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_hierarchical_16bit_roundtrip(h, w, levels, seed):
+    from shopify_etl_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_hierarchical,
+    )
+
+    if min(h, w) >> (levels - 1) < 1:
+        levels = 2
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 65536, (h, w), dtype=np.uint16)
+    got = decode_jpeg(encode_jpeg_hierarchical(img, levels=levels))
+    assert got.dtype == np.uint16 and np.array_equal(got, img)
+
+
+def test_fuzz_hierarchical_clean_errors_only():
+    """800-trial mutation fuzz over four hierarchical stream shapes:
+    every mutation must decode, raise ValueError, or raise
+    NotImplementedError — never crash, hang, or leak a raw numpy/struct
+    error (the executor-safety contract every codec here pins)."""
+    import random
+
+    from shopify_etl_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_hierarchical,
+    )
+
+    rnd = random.Random(13)
+    rng = np.random.default_rng(13)
+    g = rng.integers(0, 256, (20, 16), dtype=np.uint8)
+    c = rng.integers(0, 256, (14, 18, 3), dtype=np.uint8)
+    g16 = rng.integers(0, 65536, (10, 12), dtype=np.uint16)
+    streams = [
+        encode_jpeg_hierarchical(g, levels=3),
+        encode_jpeg_hierarchical(c, levels=2, base="lossless_arith",
+                                 arith=True),
+        encode_jpeg_hierarchical(g, levels=3, base="baseline",
+                                 dct_refine=True, dct_mode="prog"),
+        encode_jpeg_hierarchical(g16, levels=2),
+    ]
+    for _ in range(800):
+        s = bytearray(rnd.choice(streams))
+        for _ in range(rnd.randint(1, 3)):
+            op = rnd.random()
+            if op < 0.5:
+                s[rnd.randrange(len(s))] = rnd.randrange(256)
+            elif op < 0.75:
+                del s[rnd.randrange(len(s))]
+            else:
+                s.insert(rnd.randrange(len(s)), rnd.randrange(256))
+        try:
+            decode_jpeg(bytes(s), max_pixels=1_000_000)
+        except (ValueError, NotImplementedError):
+            pass
