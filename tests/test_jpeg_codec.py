@@ -859,10 +859,16 @@ class TestLossless:
         img16 = np.random.default_rng(3).integers(
             0, 65536, (12, 14), dtype=np.uint16
         )
+        from shopify_etl_spark.operators.jpeg_codec import (
+            encode_jpeg_lossless_arith,
+        )
+
         streams = [
             encode_jpeg_lossless(img, predictor=4),
             encode_jpeg_lossless(img, predictor=7, interleave=False),
             encode_jpeg_lossless(img16, predictor=2),
+            encode_jpeg_lossless_arith(img, predictor=4,
+                                       restart_interval=5),
         ]
         for _ in range(800):
             s = bytearray(rnd.choice(streams))
