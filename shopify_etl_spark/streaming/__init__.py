@@ -8,6 +8,11 @@ from .dedup_stream import stream_dedup_docs  # noqa: F401
 from .joins_stream import stream_click_purchase_join, stream_event_feed  # noqa: F401
 from .near_dedup_stream import read_deduped, stream_near_dedup_docs  # noqa: F401
 from .span_stream import read_span_stats, stream_span_screen  # noqa: F401
+from .probe_stream import (  # noqa: F401
+    compact_probe_store,
+    read_probe_drift,
+    stream_probe_monitor,
+)
 from .index_stream import (  # noqa: F401
     bq_thresholds,
     compact_index_epochs,

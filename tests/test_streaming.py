@@ -1810,3 +1810,189 @@ def test_index_store_pre_bq_format_rejected(spark, tmp_path):
     early_r13.write.mode("overwrite").parquet(str(out / "epoch=0"))
     with pytest.raises(ValueError, match="bq_bits"):
         read_index_chunks(spark, str(out))
+
+
+def _probe_feed_rows(base_id, n, offset=0):
+    """Healthy documents: 30+ mostly-distinct tokens with stopwords —
+    the teacher keeps them and the cheap features agree."""
+    rows = []
+    for i in range(n):
+        toks = [f"tok{base_id}_{i}_{j + offset}" for j in range(28)]
+        toks += ["the", "a", "of", "and"]
+        rows.append({
+            "doc_id": base_id + i,
+            "text": " ".join(toks),
+            "ingested_at": f"2024-12-01T00:{i:02d}:00.000Z",
+        })
+    return rows
+
+
+def _bigram_bomb_rows(base_id, n):
+    """Documents the TEACHER drops (repetitive_bigram) but the cheap
+    features can't see: unit 'u{i} v{i} a b' repeated — distinct ratio
+    ~0.5 (passes), stopword ratio 0.25 ('a' is a stopword — passes),
+    length fine, but the bigram 'a b' carries ~25% of all bigrams
+    (> the 0.20 gate). A student trained on healthy docs predicts keep
+    — agreement collapses, which is exactly the drift signal."""
+    rows = []
+    for i in range(n):
+        units = []
+        for j in range(12):
+            units += [f"u{base_id}_{i}_{j}", f"v{base_id}_{i}_{j}", "a", "b"]
+        rows.append({
+            "doc_id": base_id + i,
+            "text": " ".join(units),
+            "ingested_at": f"2024-12-02T00:{i:02d}:00.000Z",
+        })
+    return rows
+
+
+def test_stream_probe_monitor_parity_and_frozen_weights(spark, tmp_path):
+    """Streaming quality-probe monitor: epoch 0 trains the student
+    (deterministically — the stored weights must equal a fresh
+    batch-side probe_train on the same docs), later epochs score with
+    the FROZEN weights, and the store's cumulative agreement must equal
+    a fresh batch computation with those weights over the union."""
+    from pyspark.sql import functions as F
+
+    from shopify_etl_spark.operators import classifier as C
+    from shopify_etl_spark.streaming import (
+        read_probe_drift,
+        stream_probe_monitor,
+    )
+
+    src = tmp_path / "feed"
+    store, ckpt = str(tmp_path / "probe"), str(tmp_path / "ck")
+    batches = [
+        _probe_feed_rows(0, 6),
+        _probe_feed_rows(100, 5, offset=7),
+        _probe_feed_rows(200, 7, offset=13),
+    ]
+    from shopify_etl_spark.streaming.dedup_stream import DOC_FEED_SCHEMA
+
+    fed = []
+    for b, rows in enumerate(batches):
+        _write_jsonl(src / f"b{b}.jsonl", rows)
+        feed = spark.readStream.schema(DOC_FEED_SCHEMA).json(str(src))
+        stream_probe_monitor(feed, store, ckpt).awaitTermination(120)
+        fed.extend(rows)
+
+    drift = read_probe_drift(spark, store).collect()
+    assert len(drift) == 3
+    assert sum(1 for r in drift if r.trained) == 1
+
+    # frozen weights == deterministic retrain on the epoch-0 docs
+    ep0 = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in batches[0]],
+        "doc_id long, text string",
+    )
+    frame0 = C.quality_probe_frame(ep0).localCheckpoint()
+    mus, sds, n = C.feature_stats(frame0)
+    w = C.probe_train(frame0, mus, sds, n, iters=16, lr=0.4)
+    from shopify_etl_spark.streaming.probe_stream import _frozen_model
+
+    sw, smus, ssds = _frozen_model(spark, store)
+    assert sw == w and smus == mus and ssds == sds
+
+    # cumulative agreement parity: store sums == fresh scoring of the
+    # union with the stored weights
+    union = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in fed], "doc_id long, text string"
+    )
+    uf = C.quality_probe_frame(union)
+    scored = C.probe_score(uf, sw, smus, ssds)
+    fresh = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("pred_keep") == F.col("keep")).cast("long")).alias("a"),
+    ).collect()[0]
+    assert sum(r.n_docs for r in drift) == fresh["n"]
+    assert sum(r.n_agree for r in drift) == fresh["a"]
+
+
+def test_stream_probe_drift_alarm_fires_on_bigram_bomb(spark, tmp_path):
+    """Planted drift: a batch of bigram-bomb documents (teacher drops,
+    cheap features look healthy) must push that epoch's agreement below
+    baseline − 0.15 and set drifted=True — while the healthy epochs stay
+    un-flagged."""
+    from shopify_etl_spark.streaming import (
+        read_probe_drift,
+        stream_probe_monitor,
+    )
+    from shopify_etl_spark.streaming.dedup_stream import DOC_FEED_SCHEMA
+
+    src = tmp_path / "feed"
+    store, ckpt = str(tmp_path / "probe"), str(tmp_path / "ck")
+    for b, rows in enumerate([
+        _probe_feed_rows(0, 8),
+        _bigram_bomb_rows(500, 8),
+    ]):
+        _write_jsonl(src / f"b{b}.jsonl", rows)
+        feed = spark.readStream.schema(DOC_FEED_SCHEMA).json(str(src))
+        stream_probe_monitor(feed, store, ckpt).awaitTermination(120)
+
+    drift = {
+        (r.trained): r for r in read_probe_drift(spark, store).collect()
+    }
+    healthy, bomb = drift[True], drift[False]
+    assert not healthy.drifted
+    assert bomb.drifted
+    assert bomb.agreement <= healthy.baseline - 0.15
+
+
+def test_stream_probe_torn_epoch_rewritten_and_compaction(spark, tmp_path):
+    """Crash injection (the sketch-store protocol): a torn epoch-0 dir
+    (bogus row, no _SUCCESS — the state a crash mid-write leaves) must
+    be rewritten on replay, landing on the same numbers as a clean run;
+    compaction changes no agreement number and preserves the trained
+    model row."""
+    from shopify_etl_spark.streaming import (
+        compact_probe_store,
+        read_probe_drift,
+        stream_probe_monitor,
+    )
+    from shopify_etl_spark.streaming.dedup_stream import DOC_FEED_SCHEMA
+    from shopify_etl_spark.streaming.probe_stream import _frozen_model
+
+    src = tmp_path / "feed"
+    clean = str(tmp_path / "probe_clean")
+    store = tmp_path / "probe_torn"
+
+    # torn store: epoch=0 exists with a bogus row and NO _SUCCESS
+    # BEFORE the stream ever runs against it
+    ep0 = store / "epoch=0"
+    ep0.mkdir(parents=True)
+    bogus = spark.createDataFrame(
+        [(999, 0, 0.0, [0.0], [0.0], [1.0], True)],
+        "n_docs long, n_agree long, sum_score double, w array<double>, "
+        "mus array<double>, sds array<double>, trained boolean",
+    )
+    bogus.coalesce(1).write.mode("overwrite").parquet(str(ep0))
+    (ep0 / "_SUCCESS").unlink()  # the crash: files landed, no marker
+
+    # incremental epochs against BOTH stores (availableNow folds every
+    # already-present file into one batch, so feed files land one at a
+    # time)
+    for b in range(3):
+        _write_jsonl(
+            src / f"b{b}.jsonl", _probe_feed_rows(1000 * b, 5, offset=b)
+        )
+        feed = spark.readStream.schema(DOC_FEED_SCHEMA).json(str(src))
+        stream_probe_monitor(
+            feed, clean, str(tmp_path / "ck_clean")
+        ).awaitTermination(120)
+        feed = spark.readStream.schema(DOC_FEED_SCHEMA).json(str(src))
+        stream_probe_monitor(
+            feed, str(store), str(tmp_path / "ck_torn")
+        ).awaitTermination(120)
+
+    want = sorted(map(tuple, read_probe_drift(spark, clean).collect()))
+    assert len(want) == 3
+    got = sorted(map(tuple, read_probe_drift(spark, str(store)).collect()))
+    assert got == want  # bogus row gone, epoch 0 retrained + rewritten
+
+    # compaction: row-union fold — numbers and the frozen model survive
+    model_before = _frozen_model(spark, str(store))
+    assert compact_probe_store(spark, str(store)) is not None
+    after = sorted(map(tuple, read_probe_drift(spark, str(store)).collect()))
+    assert after == want
+    assert _frozen_model(spark, str(store)) == model_before
