@@ -236,6 +236,7 @@ def bq_hamming_rerank(
     query_id: str = "query_id",
     corpus_id: str = "neighbor_id",
     vec_col: str = "ev",
+    exact_id: str = "vec_id",
 ) -> DataFrame:
     """Hamming shortlist from packed codes, then exact-cosine re-rank.
 
@@ -244,7 +245,7 @@ def bq_hamming_rerank(
     ONLY the ``|queries|·shortlist`` survivors back to the float table
     for exact cosine — the expensive vectors are touched for a bounded
     shortlist, never the whole corpus. ``exact`` must carry
-    (id, ``vec_col``) for both query and neighbor ids.
+    (``exact_id``, ``vec_col``) for both query and neighbor ids.
     """
     qp = queries.select(
         F.col(query_id), F.col("bits").alias("qbits")
@@ -271,10 +272,10 @@ def bq_hamming_rerank(
         .drop("rn")
     )
     qv = exact.select(
-        F.col("vec_id").alias(query_id), F.col(vec_col).alias("_qv")
+        F.col(exact_id).alias(query_id), F.col(vec_col).alias("_qv")
     )
     nv = exact.select(
-        F.col("vec_id").alias(corpus_id), F.col(vec_col).alias("_nv")
+        F.col(exact_id).alias(corpus_id), F.col(vec_col).alias("_nv")
     )
     dot = F.aggregate(
         F.zip_with(F.col("_qv"), F.col("_nv"), lambda a, b: a * b),

@@ -55,10 +55,13 @@ def _epoch_row(spark, frame, w, mus, sds, trained):
         ).alias("n_agree"),
         F.sum("score").alias("sum_score"),
     ).collect()[0]
+    # SUM over zero rows is SQL-null: an empty microbatch (source file
+    # with no valid documents) must land as an n_docs=0 row, not a
+    # driver-side TypeError that kills the stream.
     return spark.createDataFrame(
         [(
-            int(agg["n_docs"]), int(agg["n_agree"]),
-            float(agg["sum_score"]),
+            int(agg["n_docs"]), int(agg["n_agree"] or 0),
+            float(agg["sum_score"] or 0.0),
             [float(x) for x in w],
             [float(x) for x in mus],
             [float(x) for x in sds],
@@ -110,10 +113,20 @@ def stream_probe_monitor(
         frame = quality_probe_frame(batch).localCheckpoint()
         model = _frozen_model(spark, store_dir)
         if model is None:
+            # Never train on an empty epoch (feature_stats divides by
+            # n=0): leave the store untrained and let the FIRST
+            # non-empty batch become the training epoch. Skipping the
+            # commit is safe — epoch ids only grow, so monotonicity
+            # holds, and an uncommitted empty epoch carries no stats.
+            if frame.isEmpty():
+                return
             mus, sds, n = feature_stats(frame)
             w = probe_train(frame, mus, sds, n, iters=iters, lr=lr)
             trained = True
         else:
+            # An empty later batch still commits (as an n_docs=0 row —
+            # _epoch_row tolerates null SUMs) so the epoch ledger stays
+            # dense for the read-side drift scan.
             w, mus, sds = model
             trained = False
         _epoch_row(spark, frame, w, mus, sds, trained).write.mode(
@@ -154,14 +167,20 @@ def read_probe_drift(
             "rebuild the store (delete store + checkpoint dirs and "
             "re-ingest the feed)"
         )
-    agreement = F.col("n_agree") / F.col("n_docs")
+    # try_divide: an n_docs=0 epoch (empty microbatch) reads as null
+    # agreement instead of an ANSI divide-by-zero error.
+    agreement = F.try_divide(F.col("n_agree"), F.col("n_docs"))
     return rows.select(
         "n_docs", "n_agree", "trained",
         F.round(agreement, 4).alias("agreement"),
         F.lit(round(float(base), 4)).alias("baseline"),
-        (agreement < F.lit(float(base)) - F.lit(alarm_below)).alias(
-            "drifted"
-        ),
+        # n_docs=0 epochs (empty microbatch committed under the frozen
+        # model) have null agreement — no evidence either way, so they
+        # never alarm.
+        F.coalesce(
+            agreement < F.lit(float(base)) - F.lit(alarm_below),
+            F.lit(False),
+        ).alias("drifted"),
     )
 
 

@@ -176,3 +176,36 @@ class TestBinaryQuantization:
         r20, r50, r100 = recall(20), recall(50), recall(100)
         assert r20 <= r50 <= r100
         assert r20 >= 0.3 and r50 >= 0.6 and r100 >= 0.9
+
+
+class TestRerankExactIdParam:
+    def test_custom_exact_id_matches_default(self, spark, vecs):
+        """ADVICE r13: the exact-rerank frame's id column is a parameter
+        (exact_id), not a hardcoded 'vec_id' — a renamed float table
+        yields the identical result."""
+        thr = qz.bq_train(vecs, "ev", 64)
+        packed = qz.bq_encode(
+            vecs, thr, "ev", "vec_id"
+        ).withColumnRenamed("vec_id", "neighbor_id")
+        qp = qz.bq_encode(
+            vecs.orderBy("vec_id").limit(4), thr, "ev", "vec_id"
+        ).select(F.col("vec_id").alias("query_id"), "bits")
+        want = sorted(
+            map(
+                tuple,
+                qz.bq_hamming_rerank(
+                    qp, packed, vecs, k=5, shortlist=20
+                ).collect(),
+            )
+        )
+        renamed = vecs.withColumnRenamed("vec_id", "doc_id")
+        got = sorted(
+            map(
+                tuple,
+                qz.bq_hamming_rerank(
+                    qp, packed, renamed, k=5, shortlist=20,
+                    exact_id="doc_id",
+                ).collect(),
+            )
+        )
+        assert got == want and len(got) == 20

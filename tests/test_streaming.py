@@ -1996,3 +1996,43 @@ def test_stream_probe_torn_epoch_rewritten_and_compaction(spark, tmp_path):
     after = sorted(map(tuple, read_probe_drift(spark, str(store)).collect()))
     assert after == want
     assert _frozen_model(spark, str(store)) == model_before
+
+
+def test_stream_probe_empty_batches_never_train_or_crash(spark, tmp_path):
+    """ADVICE r13: an empty microbatch must not kill the monitor. An
+    empty epoch 0 (all documents filtered by the featurizer) must NOT
+    freeze a model — the first non-empty batch trains instead; an empty
+    LATER batch commits an n_docs=0 row (SUM-over-zero-rows nulls
+    tolerated) that never alarms."""
+    from shopify_etl_spark.streaming import (
+        read_probe_drift,
+        stream_probe_monitor,
+    )
+    from shopify_etl_spark.streaming.dedup_stream import DOC_FEED_SCHEMA
+    from shopify_etl_spark.streaming.probe_stream import _frozen_model
+
+    src = tmp_path / "feed"
+    store, ckpt = str(tmp_path / "probe"), str(tmp_path / "ck")
+    empty_docs = [  # zero tokens -> quality_probe_frame filters all rows
+        {"doc_id": 1, "text": "", "ingested_at": "2024-12-01T00:00:00.000Z"}
+    ]
+    for b, rows in enumerate([
+        empty_docs,                      # epoch 0: empty -> skip, no train
+        _probe_feed_rows(100, 6),        # epoch 1: first real docs train
+        empty_docs,                      # epoch 2: empty under frozen model
+    ]):
+        _write_jsonl(src / f"b{b}.jsonl", rows)
+        feed = spark.readStream.schema(DOC_FEED_SCHEMA).json(str(src))
+        stream_probe_monitor(feed, store, ckpt).awaitTermination(120)
+        if b == 0:
+            assert _frozen_model(spark, store) is None  # nothing trained
+
+    drift = sorted(
+        read_probe_drift(spark, store).collect(), key=lambda r: -r.n_docs
+    )
+    assert len(drift) == 2  # the empty epoch 0 was never committed
+    trained, empty = drift
+    assert trained.trained and trained.n_docs == 6
+    assert empty.n_docs == 0 and empty.n_agree == 0
+    assert empty.agreement is None
+    assert empty.drifted is False  # no evidence -> no alarm
