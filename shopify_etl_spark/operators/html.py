@@ -1,0 +1,144 @@
+"""HTML → text extraction for raw-crawl ingest, plus the deterministic
+HTML synthesizer its oracle gate runs against.
+
+Why this exists: the engine's curation operators (``text.py``) start at
+clean ``documents.text`` — but a 100 TB training-data build starts at a
+crawl, where every payload is HTML that must be tag-stripped before any
+quality gate can run (the reference's own front door is likewise an
+ingest scan, ``extract_table.py:134-174``, pulling raw envelopes before
+any transform). This module is the missing step between the WARC record
+splitter (``sources/warc.py``) and the quality/dedup/tokenize pipeline.
+
+Design: :func:`html_to_text` is ONE Column expression — a fixed chain of
+JVM-side ``regexp_replace`` passes, zero Python in the hot path, zero
+shuffle, fully fused into whole-stage codegen with whatever projection
+consumes it. Per-document regex cost is linear in payload size and the
+operator is embarrassingly parallel, so the 100 TB story is simply "as
+many tasks as input splits".
+
+Extraction rules (the boilerplate-free core of every production
+extractor — trafilatura/jusText handle layout heuristics on top, but the
+tag/entity layer below is the deterministic part):
+
+1. drop ``<head>…</head>`` wholesale (title/meta/style/script live
+   there; body text is what trains),
+2. drop ``<script>``/``<style>`` blocks and ``<!-- comments -->``
+   anywhere (their CONTENT must vanish, not just their tags — a comment
+   may contain markup),
+3. block-level tags (``p, div, h1-h6, li, ul, ol, tr, td, th, table,
+   br, section, article, header, footer, blockquote, pre``) become
+   newlines — block boundaries are word boundaries,
+4. every remaining (inline) tag is deleted in place — ``<b>word</b>``
+   must yield ``word``, not ``word`` split in two,
+5. the five XML entities plus ``&nbsp;`` decode ONCE, ``&amp;`` last —
+   single-pass unescape, so ``&amp;copy;`` yields the literal text
+   ``&copy;`` (double-decoding is a classic extractor bug),
+6. optional whitespace normalization (``\\s+`` → one space + trim).
+
+The synthesizer (:func:`synth_html`) is the gate's other half: it embeds
+a document's text into a template that exercises every rule above
+(head with script/style, a body script, a comment containing tags, an
+escaped-entity footer, inline ``<b>`` inside paragraphs), built so the
+round-trip is PROVABLY lossless: escaped text contains no ``<``/``>``
+and only well-formed ``&…;`` escapes, so tag-stripping never touches it
+and the single-pass unescape restores it exactly. The SQL oracle
+(``plans``: ``html_extract_docs``) therefore recomputes the expected
+output from ``documents.text`` alone — a one-byte extraction bug
+hash-mismatches without the oracle ever parsing HTML.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Block-level elements whose boundaries are word boundaries. Kept to a
+# fixed public list so the Spark plan and any reimplementation agree.
+BLOCK_TAGS = (
+    "p|div|h[1-6]|li|ul|ol|table|tr|td|th|section|article|"
+    "header|footer|blockquote|pre"
+)
+
+# Entity decode table, in application order — ``&amp;`` MUST be last so
+# the unescape is single-pass (``&amp;lt;`` → ``&lt;`` literal, never
+# ``<``).
+_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def html_to_text(col: Column | str, normalize_ws: bool = True) -> Column:
+    """Extract visible text from an HTML string column (rules above).
+
+    Pure JVM ``regexp_replace`` chain — usable inside any projection;
+    with ``normalize_ws`` the result is single-spaced and trimmed (the
+    form the tokenizer, shinglers and hashes downstream expect).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    # 1-2: container content drops. (?is) = dot-all + case-insensitive;
+    # non-greedy bodies so adjacent blocks don't merge.
+    c = F.regexp_replace(c, r"(?is)<head\b.*?</head>", " ")
+    c = F.regexp_replace(c, r"(?is)<script\b.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    # 3: block boundaries -> newline (covers open, close, self-closing
+    # and attribute-bearing forms; <br> folded in via the alternation)
+    c = F.regexp_replace(
+        c, r"(?i)</?(?:br|" + BLOCK_TAGS + r")\b[^>]*>", "\n"
+    )
+    # 4: remaining tags (inline elements, doctype, stray closers) vanish
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", "")
+    # 5: single-pass entity decode
+    for ent, ch in _ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    if normalize_ws:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return c
+
+
+def escape_html(text: str) -> str:
+    """Minimal HTML escape (``&`` first — the inverse of the decode
+    table's ``&amp;``-last order)."""
+    return (
+        text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+
+
+def synth_html(doc_id: int, text: str, words_per_para: int = 40) -> str:
+    """Deterministic HTML page embedding ``text`` — the fixture twin of
+    ``multimodal.synth_png_assets``: every :func:`html_to_text` rule is
+    exercised, and the extractable text is exactly
+    ``Doc {doc_id} {ws-normalized text} &copy; example end`` (the SQL
+    oracle's formula). Paragraphs of ``words_per_para`` words, each
+    opening word wrapped in inline ``<b>``.
+    """
+    words = escape_html(text).split()
+    paras = []
+    for i in range(0, len(words), words_per_para):
+        chunk = words[i:i + words_per_para]
+        chunk[0] = f"<b>{chunk[0]}</b>"
+        paras.append("<p>" + " ".join(chunk) + "</p>")
+    body = "\n".join(paras)
+    return (
+        "<!DOCTYPE html>\n"
+        '<html lang="en">\n'
+        f"<head><title>t{doc_id}</title>"
+        "<style>body{color:#000}</style>"
+        '<script>var t="<p>head noise</p>";</script></head>\n'
+        "<body>\n"
+        "<!-- synthetic crawl page with <tags> inside a comment -->\n"
+        f"<h1>Doc {doc_id}</h1>\n"
+        f'<script type="text/javascript">document.write("n{doc_id}");'
+        "</script>\n"
+        f"{body}\n"
+        '<div class="footer">&amp;copy; example<br/>end</div>\n'
+        "</body></html>\n"
+    )
+
+
+__all__ = ["html_to_text", "escape_html", "synth_html", "BLOCK_TAGS"]

@@ -4,6 +4,7 @@ from . import catalog_ext2  # noqa: F401,E402  (round-2 extension queries)
 from . import catalog_ext3  # noqa: F401,E402  (round-5 session-2 queries)
 from . import catalog_ext4  # noqa: F401,E402  (round-6 session-2 queries)
 from . import catalog_ext5  # noqa: F401,E402  (round-13 PQ retrieval family)
+from . import catalog_ext6  # noqa: F401,E402  (round-14 raw-crawl ingest)
 
 # ---------------------------------------------------------------------------
 # Catalog ordering.
@@ -208,6 +209,15 @@ _CHANGED_R10 = [
     "progressive_jpeg_stats",   # same decoder change + 16-bit DQT
 ]
 
+# New or code-changed in round 14 — sample these first.
+_CHANGED_R14 = [
+    "warc_ingest_stats",     # NEW: .warc.gz member split + record inventory
+    "html_extract_docs",     # NEW: lossless crawl-chain HTML→text gate
+    "crawl_curation_chain",  # NEW: end-to-end crawl→extract→quality gate
+    "quality_probe_distill",  # classifier feature_stats untouched; probe
+    #   family re-fronted for the stream-monitor empty-batch fix
+]
+
 # New or code-changed in round 13 — sample these first.
 _CHANGED_R13 = [
     "pq_adc_topk",           # NEW: trained PQ codes + ADC top-k
@@ -259,23 +269,28 @@ _CHANGED_R11 = [
 # round-8, round-6, then everything whose latest official row predates r05
 # (stalest first by construction of the earlier lists), then the
 # r05-sampled set.
-_SAMPLE_FIRST = _CHANGED_R13 + [
-    n for n in _CHANGED_R12 if n not in _CHANGED_R13
+_SAMPLE_FIRST = _CHANGED_R14 + [
+    n for n in _CHANGED_R13 if n not in _CHANGED_R14
 ] + [
-    n for n in _CHANGED_R11 if n not in _CHANGED_R12 + _CHANGED_R13
+    n for n in _CHANGED_R12 if n not in _CHANGED_R13 + _CHANGED_R14
+] + [
+    n for n in _CHANGED_R11
+    if n not in _CHANGED_R12 + _CHANGED_R13 + _CHANGED_R14
 ] + [
     n for n in _CHANGED_R10
-    if n not in _CHANGED_R11 + _CHANGED_R12 + _CHANGED_R13
+    if n not in _CHANGED_R11 + _CHANGED_R12 + _CHANGED_R13 + _CHANGED_R14
 ] + [
     n for n in _CHANGED_R08
     if n not in _CHANGED_R10 + _CHANGED_R11 + _CHANGED_R12 + _CHANGED_R13
+    + _CHANGED_R14
 ] + [
     n for n in _CHANGED_R06
     if n not in _CHANGED_R08 + _CHANGED_R10 + _CHANGED_R11 + _CHANGED_R12
-    + _CHANGED_R13
+    + _CHANGED_R13 + _CHANGED_R14
 ] + [
     n for n in QUERIES
-    if n not in _CHANGED_R13
+    if n not in _CHANGED_R14
+    and n not in _CHANGED_R13
     and n not in _CHANGED_R12
     and n not in _CHANGED_R11
     and n not in _CHANGED_R10

@@ -1,0 +1,336 @@
+"""WARC (ISO 28500) crawl-archive ingest: a distributed record splitter
+over Common-Crawl-shaped ``.warc.gz`` payloads, plus the deterministic
+synthesizer its gates run against.
+
+Why this is the 100 TB front door: a training-data build does not start
+at ``documents.parquet`` — it starts at a crawl dump, petabytes of
+``.warc.gz`` files each holding thousands of records (warcinfo, then
+request/response pairs per fetched URI). The reference engine's front
+door is likewise a raw ingest scan (``extract_table.py:134-174`` — S1
+pulls raw API envelopes before any transform); this module is that scan
+re-shaped for crawl archives.
+
+The distributed-read story rests on the format itself: Common Crawl
+compresses **each record as its own gzip member** (concatenated members
+are a valid gzip stream — RFC 1952 §2.2). That makes a 1 GB ``.warc.gz``
+splittable WITHOUT a central index: any worker can scan to a member
+boundary and decompress records independently, memory bounded by ONE
+record, never the file. The splitter here does exactly that — a
+``zlib.decompressobj`` loop over ``unused_data`` boundaries — inside
+``mapInPandas``, so the plan is scan → Arrow batch → records with zero
+shuffle and zero driver involvement; files parallelize across tasks
+(``spark.read.format("binaryFile")`` at scale, one row per archive) and
+records within a file stream through a generator.
+
+Everything is stdlib ``zlib``/bytes — the same dependency-free
+discipline as the image/audio codecs (``operators/*_codec.py``), so the
+gate is a REAL decompress + parse, not a mock.
+
+Synthesis (:func:`synth_warc_files`) groups documents into archives
+(``file_id = doc_id // docs_per_file`` — mirrored by the SQL oracles),
+wraps each document's text in the provably-lossless HTML template
+(``operators/html.py::synth_html``), adds a request record per fetch and
+a 404 error page for every ``doc_id % 404_every == 0`` (so downstream
+status filtering is exercised), and gzips record-at-a-time exactly like
+Common Crawl. The oracle never sees compressed bytes: the catalog gates
+(``warc_ingest_stats``, ``html_extract_docs``, ``crawl_curation_chain``)
+recompute record accounting and the extracted text from ``documents``
+alone, so a splitter that drops a member, mis-slices a Content-Length,
+or double-decodes an entity hash-mismatches.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..operators.html import synth_html
+
+CRLF = b"\r\n"
+_HDR_END = b"\r\n\r\n"
+
+WARC_FILE_SCHEMA = StructType(
+    [
+        StructField("file_id", LongType(), False),
+        StructField("warc", BinaryType(), False),
+        StructField("n_members", LongType(), False),
+    ]
+)
+
+WARC_RECORD_SCHEMA = StructType(
+    [
+        StructField("file_id", LongType(), False),
+        StructField("rec_index", LongType(), False),
+        StructField("warc_type", StringType(), False),
+        StructField("record_id", StringType(), False),
+        StructField("target_uri", StringType(), True),
+        StructField("http_status", LongType(), True),
+        StructField("mime", StringType(), True),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# record-level gzip (RFC 1952 multi-member) — the splittability primitive
+# ---------------------------------------------------------------------------
+
+
+def gzip_member(data: bytes, level: int = 6) -> bytes:
+    """One self-contained gzip member (wbits=31 adds the gzip wrapper).
+    Concatenated members are one valid gzip stream; per-record members
+    are what makes a WARC archive splittable."""
+    co = zlib.compressobj(level, zlib.DEFLATED, 31)
+    return co.compress(data) + co.flush()
+
+
+def split_gzip_members(blob: bytes) -> Iterator[bytes]:
+    """Yield each gzip member's decompressed bytes. Memory is bounded by
+    one member (one WARC record), never the archive."""
+    rest = bytes(blob)
+    while rest:
+        do = zlib.decompressobj(31)
+        out = do.decompress(rest)
+        if not do.eof:
+            raise ValueError(
+                "truncated gzip member in WARC archive "
+                f"({len(rest)} bytes remaining)"
+            )
+        yield out
+        rest = do.unused_data
+
+
+# ---------------------------------------------------------------------------
+# WARC record build / parse
+# ---------------------------------------------------------------------------
+
+
+def build_record(warc_type: str, headers: list, body: bytes) -> bytes:
+    """Serialize one WARC/1.0 record (version line, named fields,
+    Content-Length, blank line, body, record boundary)."""
+    lines = [b"WARC/1.0", f"WARC-Type: {warc_type}".encode()]
+    lines += [f"{k}: {v}".encode() for k, v in headers]
+    lines.append(b"Content-Length: %d" % len(body))
+    return CRLF.join(lines) + _HDR_END + body + _HDR_END
+
+
+def parse_record(raw: bytes) -> dict:
+    """Parse one decompressed WARC record into (warc_type, record_id,
+    target_uri, http_status, mime, payload).
+
+    For ``application/http`` blocks the HTTP envelope is peeled here —
+    status line parsed, headers dropped, body returned as ``payload`` —
+    because that is the only part downstream text extraction consumes.
+    """
+    if not raw.startswith(b"WARC/"):
+        raise ValueError(
+            f"not a WARC record (leading bytes {raw[:12]!r})"
+        )
+    head_end = raw.index(_HDR_END)
+    hdr_lines = raw[:head_end].split(CRLF)
+    fields = {}
+    for line in hdr_lines[1:]:
+        k, _, v = line.partition(b":")
+        fields[k.strip().lower()] = v.strip()
+    length = int(fields.get(b"content-length", b"-1"))
+    if length < 0:
+        raise ValueError("WARC record missing Content-Length")
+    block = raw[head_end + len(_HDR_END):head_end + len(_HDR_END) + length]
+    if len(block) != length:
+        raise ValueError(
+            f"WARC block truncated: declared {length}, got {len(block)}"
+        )
+    ctype = fields.get(b"content-type", b"").decode("ascii", "replace")
+    status, payload = None, block
+    if ctype.startswith("application/http"):
+        http_end = block.index(_HDR_END)
+        http_head = block[:http_end].split(CRLF)
+        first = http_head[0].decode("ascii", "replace").split()
+        if first and first[0].startswith("HTTP/"):
+            status = int(first[1])
+        payload = block[http_end + len(_HDR_END):]
+    uri = fields.get(b"warc-target-uri")
+    return {
+        "warc_type": fields.get(b"warc-type", b"?").decode(),
+        "record_id": fields.get(b"warc-record-id", b"").decode(),
+        "target_uri": uri.decode() if uri is not None else None,
+        "http_status": status,
+        "mime": ctype,
+        "payload": payload,
+    }
+
+
+# ---------------------------------------------------------------------------
+# distributed splitter
+# ---------------------------------------------------------------------------
+
+
+def warc_records(
+    files: DataFrame, warc_col: str = "warc", file_col: str = "file_id"
+) -> DataFrame:
+    """Split WARC archives into records — one output row per record.
+
+    Zero-shuffle ``mapInPandas``: each task streams its archives'
+    gzip members through :func:`split_gzip_members` (generator — memory
+    is one record), parses, and emits Arrow batches. At 100 TB the input
+    is a ``binaryFile`` scan with one row per ``.warc.gz``; parallelism
+    is the file count, and record parsing never leaves the task.
+    """
+
+    def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WARC_RECORD_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for fid, blob in zip(pdf[file_col], pdf[warc_col]):
+                for i, member in enumerate(split_gzip_members(bytes(blob))):
+                    r = parse_record(member)
+                    rows.append(
+                        (
+                            int(fid), i, r["warc_type"], r["record_id"],
+                            r["target_uri"], r["http_status"], r["mime"],
+                            r["payload"],
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.select(file_col, warc_col).mapInPandas(
+        split, WARC_RECORD_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# synthesis (fixture twin — the oracles recompute its accounting in SQL)
+# ---------------------------------------------------------------------------
+
+NOT_FOUND_HTML = "<html><body><p>not found</p></body></html>"
+
+
+def _http_response(status: int, reason: str, html: str) -> bytes:
+    body = html.encode()
+    return (
+        f"HTTP/1.1 {status} {reason}".encode() + CRLF
+        + b"Content-Type: text/html; charset=utf-8" + CRLF
+        + b"Content-Length: %d" % len(body) + _HDR_END + body
+    )
+
+
+def _http_request(uri: str) -> bytes:
+    path = uri.split("example", 1)[-1]
+    return (
+        f"GET {path} HTTP/1.1".encode() + CRLF
+        + b"Host: crawl.example" + CRLF
+        + b"User-Agent: shopify-etl-spark-synth/1.0" + _HDR_END
+    )
+
+
+def synth_warc_files(
+    docs: DataFrame,
+    docs_per_file: int = 25,
+    not_found_every: int = 17,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic ``.warc.gz`` synthesis from a document table.
+
+    Archive layout (Common Crawl's): one ``warcinfo`` record, then per
+    document (ascending id) a ``request`` + ``response`` pair for
+    ``http://crawl.example/doc/{id}``. Documents with
+    ``id % not_found_every == 0`` respond 404 with an error page (their
+    text must NOT survive extraction); the rest respond 200 with
+    ``synth_html(id, text)``. Every record is its own gzip member.
+
+    Grouping is ``file_id = id // docs_per_file`` — a formula the SQL
+    oracles mirror; ``applyInPandas`` builds each archive in one task
+    (archives are independent — the 100 TB shape).
+    """
+    staged = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_text"),
+        (F.col(id_col) / docs_per_file).cast("long").alias("file_id"),
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        fid = int(pdf["file_id"].iloc[0])
+        parts = [
+            gzip_member(
+                build_record(
+                    "warcinfo",
+                    [
+                        (
+                            "WARC-Record-ID",
+                            f"<urn:uuid:0000-warcinfo-{fid:012d}>",
+                        ),
+                        ("WARC-Date", "2026-01-01T00:00:00Z"),
+                        ("Content-Type", "application/warc-fields"),
+                    ],
+                    b"software: shopify-etl-spark-synth/1.0\r\n",
+                )
+            )
+        ]
+        n = 1
+        for _, row in pdf.sort_values("_id").iterrows():
+            d = int(row["_id"])
+            uri = f"http://crawl.example/doc/{d}"
+            common = [
+                ("WARC-Date", "2026-01-01T00:00:00Z"),
+                ("WARC-Target-URI", uri),
+            ]
+            parts.append(
+                gzip_member(
+                    build_record(
+                        "request",
+                        [("WARC-Record-ID", f"<urn:uuid:req-{d:016d}>")]
+                        + common
+                        + [("Content-Type", "application/http; msgtype=request")],
+                        _http_request(uri),
+                    )
+                )
+            )
+            if d % not_found_every == 0:
+                http = _http_response(404, "Not Found", NOT_FOUND_HTML)
+            else:
+                http = _http_response(
+                    200, "OK", synth_html(d, str(row["_text"]))
+                )
+            parts.append(
+                gzip_member(
+                    build_record(
+                        "response",
+                        [("WARC-Record-ID", f"<urn:uuid:resp-{d:016d}>")]
+                        + common
+                        + [("Content-Type", "application/http; msgtype=response")],
+                        http,
+                    )
+                )
+            )
+            n += 2
+        return pd.DataFrame(
+            [(fid, b"".join(parts), n)],
+            columns=["file_id", "warc", "n_members"],
+        )
+
+    return staged.groupBy("file_id").applyInPandas(build, WARC_FILE_SCHEMA)
+
+
+__all__ = [
+    "WARC_FILE_SCHEMA",
+    "WARC_RECORD_SCHEMA",
+    "NOT_FOUND_HTML",
+    "gzip_member",
+    "split_gzip_members",
+    "build_record",
+    "parse_record",
+    "warc_records",
+    "synth_warc_files",
+]

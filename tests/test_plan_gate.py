@@ -62,6 +62,12 @@ EXPECT = {
     "daily_event_snapshot": dict(max_shuffles=1, max_scan_width=3),
     "current_inventory_analog": dict(max_shuffles=5, min_bhj=3, pushed=True),
     "exact_dedup_docs": dict(max_shuffles=1, max_scan_width=2),
+    # r14 crawl-ingest chain: one shuffle for the archive grouping
+    # (applyInPandas), plus the tiny per-file aggregate where present;
+    # the record splitter and extraction are zero-shuffle map stages.
+    "warc_ingest_stats": dict(max_shuffles=2, max_scan_width=2),
+    "html_extract_docs": dict(max_shuffles=1, max_scan_width=2),
+    "crawl_curation_chain": dict(max_shuffles=2, max_scan_width=2),
     "ann_cosine_topk": dict(max_shuffles=1, max_smj=0, pushed=True),
     # round-5 additions: the CMS family must never sort-merge (sketch and
     # candidate sides are bounded by construction — broadcast hints pinned);
@@ -300,6 +306,11 @@ def test_plan_invariants(gate_spark, name):
 # union IS the executed scan count. This is the pin for "the shared
 # scoring/ivf subtree runs once" (r7 shipped the claim without the pin and
 # the executed plans re-scanned embeddings ~12x).
+# NOTE r14: the crawl-ingest chain (warc_ingest_stats /
+# html_extract_docs / crawl_curation_chain) has no checkpointed subtree
+# — documents are scanned once IN-PLAN (pinned by EXPECT's
+# max_scan_width + the single-Exchange ceilings above), so it does not
+# belong in this gate (which asserts a capture exists).
 MAX_SCANS_PER_TABLE = {
     "lm_bigram_scores": 1,
     "ccnet_ppl_buckets": 1,
