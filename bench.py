@@ -107,6 +107,59 @@ def _cpu_delta(before, after) -> tuple[float, float]:
 _FLAG_SPREAD = 2.0
 _FLAG_MIN_SEC = 0.3
 
+# ---------------------------------------------------------------------------
+# Host calibration (VERDICT r13 #2): the r13 carried-surface +9% had to be
+# adjudicated as host slowdown by hand-collecting witnesses after the fact.
+# These three FIXED, deterministic probes run inside every bench sweep
+# (start and end) and ship in the record, so "the HOST got X% slower"
+# becomes an arithmetic statement against the previous round's record
+# instead of a narrative: a uniform carried-surface drift that matches the
+# calibration ratio is weather; one that exceeds it is code.
+# ---------------------------------------------------------------------------
+
+_CAL_ITERS = 20_000_000  # pinned forever — changing it breaks the ratio
+
+
+def _busy_loop(iters: int = _CAL_ITERS) -> int:
+    """Pure-CPython LCG spin: pinned instruction mix, no allocation, no
+    I/O — the single-core speed probe."""
+    x = 0
+    for _ in range(iters):
+        x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+    return x
+
+
+def _calibration(spark, n_cpus: int, reps: int = 3) -> dict:
+    """Median-of-``reps`` timing for the three pinned probes:
+
+    * ``python_1t_sec`` — one driver-side busy loop (single-core speed;
+      sensitive to per-core steal/frequency, immune to parallelism).
+    * ``python_allcore_sec`` — the SAME loop once per core as concurrent
+      RDD tasks (whole-box throughput; co-tenant pressure shows up here
+      first).
+    * ``spark_agg_sec`` — one canonical codegen'd aggregate
+      (JVM-side speed, the path the catalog queries actually run).
+    """
+
+    def all_core():
+        spark.sparkContext.parallelize(range(n_cpus), n_cpus).map(
+            lambda i: _busy_loop()
+        ).count()
+
+    def spark_agg():
+        spark.range(1_000_000_000, numPartitions=n_cpus).selectExpr(
+            "sum(id % 1000007)"
+        ).collect()
+
+    out = {}
+    for key, fn in (
+        ("python_1t_sec", _busy_loop),
+        ("python_allcore_sec", all_core),
+        ("spark_agg_sec", spark_agg),
+    ):
+        out[key] = round(statistics.median(_timed(fn) for _ in range(reps)), 3)
+    return out
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -163,6 +216,8 @@ def main() -> None:
         ).count()
     except Exception as e:  # noqa: BLE001
         print(f"bench pool pre-warm failed: {e}", file=sys.stderr)
+
+    cal_start = _calibration(spark, n_cpus)
 
     timings: dict[str, float] = {}      # per-query median (the headline)
     runs_detail: dict[str, list[float]] = {}  # every individual run
@@ -479,6 +534,33 @@ def main() -> None:
         }
         timings[name] = min(timings[name], iso_med)
 
+    cal_end = _calibration(spark, n_cpus)
+    calibration = {"start": cal_start, "end": cal_end}
+    # Host-factor ratio vs the previous record: per-probe cur/prev on the
+    # sweep-START probes (both rounds' cleanest window), median across
+    # the three probes as the ONE number adjudications should cite.
+    if prev is not None and prev.get("calibration", {}).get("start"):
+        ps = prev["calibration"]["start"]
+        ratios = {
+            k: round(cal_start[k] / ps[k], 3)
+            for k in cal_start
+            if ps.get(k, 0) > 0
+        }
+        if ratios:
+            calibration["vs_prev"] = {
+                "baseline": prev["_basename"],
+                "per_probe": ratios,
+                "host_factor": round(
+                    statistics.median(ratios.values()), 3
+                ),
+            }
+            print(
+                f"bench calibration host_factor="
+                f"{calibration['vs_prev']['host_factor']} vs "
+                f"{prev['_basename']} (per-probe {ratios})",
+                file=sys.stderr,
+            )
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # Spread summary: per-query relative spread (max-min)/median over the
     # N runs, reported as the suite median and p90 — the round-over-round
@@ -572,6 +654,7 @@ def main() -> None:
         "value": total,
         "headline_total": total,
         "window_load": window_load,
+        "calibration": calibration,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
@@ -627,6 +710,7 @@ def main() -> None:
                 "value": total,
                 "headline_total": total,
                 "window_load": window_load,
+                "calibration": calibration,
                 "unit": "sec",
                 "queries": slowest,
                 "sf": sf,
