@@ -94,12 +94,15 @@ def sq_encode(
     vec_col: str,
     id_col: str,
     levels: int = 256,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """int codes per dimension on the trained grid (zero-shuffle projection).
 
     ``code = clamp(floor((x - min)/step + 0.5), 0, levels-1)`` — floor of
     the shifted value, NOT round(): Spark rounds HALF_UP, DuckDB half away
     from zero, and ``floor(x + 0.5)`` is the same IEEE sequence on both.
+    ``keep_vec`` retains the float column (index stores that pair codes
+    with an exact re-rank path, mirroring :func:`bq_encode`).
     """
     mins, steps = _grid(mins, maxs, levels)
     mn_arr = F.array(*[F.lit(v) for v in mins])
@@ -115,7 +118,7 @@ def sq_encode(
             ),
         ),
     )
-    keep = [c for c in df.columns if c != vec_col]
+    keep = [c for c in df.columns if keep_vec or c != vec_col]
     return df.select(*keep, codes.alias("codes"))
 
 

@@ -11,6 +11,7 @@ from .span_stream import read_span_stats, stream_span_screen  # noqa: F401
 from .probe_stream import (  # noqa: F401
     compact_probe_store,
     read_probe_drift,
+    rebuild_probe_store,
     stream_probe_monitor,
 )
 from .index_stream import (  # noqa: F401
@@ -23,5 +24,7 @@ from .index_stream import (  # noqa: F401
     search_index_chunks,
     search_index_hamming,
     search_index_pq,
+    search_index_sq,
+    sq_grid,
     stream_index_chunks,
 )

@@ -91,6 +91,24 @@ def bq_thresholds(dim: int = 16) -> list:
     return [-6.875] * dim
 
 
+def sq_grid(dim: int = 16) -> tuple[list, list]:
+    """FROZEN per-dimension ``(mins, maxs)`` for the streamed index's
+    int8 scalar-quantization codes — the exact support of the md5-ascii
+    ``hash_embed`` value distribution (hex digits ``'0'..'9'`` → ords
+    48–57 and ``'a'..'f'`` → 97–102, each minus 77: values live in
+    [-29, 25]), so every representable input lands inside the grid
+    without any training state.
+
+    Frozen for the same reason as :func:`pq_books` / :func:`bq_thresholds`
+    (VERDICT r13 #4): encoding is then a pure per-row function of the
+    grid, each epoch encodes ONLY its own chunks (O(batch) maintenance),
+    and any engine regenerates the grid to verify stored codes.
+    Retraining is an explicit store rebuild, which
+    :func:`read_index_chunks`'s format gate makes an error rather than
+    silent skew."""
+    return [-29.0] * dim, [25.0] * dim
+
+
 def stream_index_chunks(
     spark: SparkSession,
     src_dir: str,
@@ -143,12 +161,21 @@ def stream_index_chunks(
         # binary sign codes ride along too (r13): one 16-bit word per
         # chunk against the frozen thresholds — the Hamming-shortlist
         # search path, incremental for the same pure-function reason
-        from ..operators.quantization import bq_encode
+        from ..operators.quantization import bq_encode, sq_encode
 
         stored = bq_encode(
             coded, bq_thresholds(), vec_col="ev", id_col="chunk_key",
             word_bits=16, keep_vec=True,
         ).withColumnRenamed("bits", "bq_bits")
+        # int8 SQ codes complete the compressed-search trio (r14): one
+        # uint8 per dimension against the frozen [min,max] grid — again
+        # a pure per-row function, so the epoch encodes only its own
+        # chunks and search dequantizes straight from committed rows
+        mins, maxs = sq_grid()
+        stored = sq_encode(
+            stored, mins, maxs, vec_col="ev", id_col="chunk_key",
+            keep_vec=True,
+        ).withColumnRenamed("codes", "sq_codes")
         stored.write.mode("overwrite").parquet(out_ep)
 
     return (
@@ -173,14 +200,15 @@ def read_index_chunks(spark: SparkSession, out_dir: str) -> DataFrame:
     if not dirs:
         raise FileNotFoundError(f"no committed index epochs under {out_dir}")
     # Store-format gate: since r12 every epoch persists the embedding
-    # ('ev') so search never re-embeds, and since r13 the frozen-book PQ
+    # ('ev') so search never re-embeds, since r13 the frozen-book PQ
     # codes ('pq_codes') and frozen-threshold binary codes ('bq_bits')
-    # ride in the same rows. An out_dir written by an older format would
+    # ride in the same rows, and since r14 the frozen-grid int8 codes
+    # ('sq_codes'). An out_dir written by an older format would
     # otherwise surface as an opaque missing-column analysis error (or a
     # silent schema-merge surprise) deep inside a consumer — fail here
     # with the remediation instead. Footer-only reads, and compaction
     # bounds the dir count, so this stays a driver-side metadata check.
-    required = ("ev", "pq_codes", "bq_bits")
+    required = ("ev", "pq_codes", "bq_bits", "sq_codes")
     stale = {
         d: [c for c in required if c not in spark.read.parquet(d).columns]
         for d in dirs
@@ -405,6 +433,37 @@ def search_index_hamming(
         idx.select("chunk_key", "bq_bits", "ev"),
         queries, k=k, shortlist=shortlist,
         query_id=query_id, query_vec=query_vec,
+    )
+
+
+def search_index_sq(
+    spark: SparkSession,
+    out_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    query_id: str = "qk",
+    query_vec: str = "qv",
+) -> DataFrame:
+    """Asymmetric int8 search over the incrementally maintained store:
+    the float query against the COMMITTED sq_codes dequantized on the
+    frozen grid (``quantization.sq_topk``'s fused dequantize-accumulate
+    fold, pure JVM) — the 4×-compressed search path completing the
+    store's trio (full-precision / PQ-ADC / Hamming / now SQ).
+
+    Because the codes are a pure function of the frozen grid, the answer
+    must EQUAL the same search over freshly encoded codes for the union
+    of every fed document — after any number of epochs and after
+    compaction (the parity contract pinned in tests/test_streaming.py,
+    the SQ twin of :func:`search_index_hamming`'s gate)."""
+    from ..operators.quantization import sq_topk
+
+    mins, maxs = sq_grid()
+    idx = read_index_chunks(spark, out_dir).select(
+        F.col("chunk_key"), F.col("sq_codes").alias("codes")
+    )
+    return sq_topk(
+        queries, idx, mins, maxs, k=k,
+        query_id=query_id, query_vec=query_vec, corpus_id="chunk_key",
     )
 
 

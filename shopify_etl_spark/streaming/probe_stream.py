@@ -184,6 +184,30 @@ def read_probe_drift(
     )
 
 
+def rebuild_probe_store(
+    spark: SparkSession, store_dir: str, checkpoint_dir: str
+) -> None:
+    """The drift alarm's remediation, as an explicit API: delete the
+    store AND its checkpoint together (the pairing invariant — a fresh
+    checkpoint against an old store is exactly the trap
+    ``check_store_pairing`` refuses), so the next
+    :func:`stream_probe_monitor` run over the feed retrains the student
+    on the CURRENT distribution as its epoch 0 and the agreement
+    baseline resets with it.
+
+    Rebuild-retrains is the frozen-state discipline every frozen model
+    in this engine shares (index store pq_books/bq_thresholds/sq_grid):
+    state is never mutated in place — a drifted student is replaced by
+    re-deriving from the feed, which any engine can replay and verify.
+    Scheme-agnostic recursive deletes via the Hadoop FS API."""
+    from ..pipeline.runner import _hadoop_fs
+
+    for d in (store_dir, checkpoint_dir):
+        fs, p = _hadoop_fs(spark, d)
+        if fs.exists(p):
+            fs.delete(p, True)
+
+
 def compact_probe_store(spark: SparkSession, store_dir: str) -> str | None:
     """Fold all-but-newest epochs into one ``compact=`` dir. Rows are
     per-epoch facts — the merge is a plain row union, so every
@@ -195,5 +219,6 @@ def compact_probe_store(spark: SparkSession, store_dir: str) -> str | None:
 __all__ = [
     "stream_probe_monitor",
     "read_probe_drift",
+    "rebuild_probe_store",
     "compact_probe_store",
 ]

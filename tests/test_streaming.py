@@ -2036,3 +2036,198 @@ def test_stream_probe_empty_batches_never_train_or_crash(spark, tmp_path):
     assert empty.n_docs == 0 and empty.n_agree == 0
     assert empty.agreement is None
     assert empty.drifted is False  # no evidence -> no alarm
+
+
+def test_stream_index_sq_search_parity_with_batch(spark, tmp_path):
+    """Streaming↔batch SQ-search parity (VERDICT r13 #4): the store's
+    incrementally maintained sq_codes — each epoch int8-encodes ONLY its
+    own chunks against the frozen [min,max] grid — must answer the
+    asymmetric dequantize-accumulate search EXACTLY like the same math
+    over freshly encoded codes for the union of every fed document,
+    after each epoch AND after compaction."""
+    from pyspark.sql import functions as F
+
+    from shopify_etl_spark.operators import similarity
+    from shopify_etl_spark.operators.quantization import sq_encode, sq_topk
+    from shopify_etl_spark.operators.text import char_chunk_documents
+    from shopify_etl_spark.streaming import (
+        compact_index_epochs,
+        search_index_sq,
+        sq_grid,
+        stream_index_chunks,
+    )
+
+    words = [f"s{i}" for i in range(40)]
+    batches = [
+        [
+            {"doc_id": 100 * b + i,
+             "text": " ".join(words[(3 * b + i + j) % 40] for j in range(90)),
+             "ingested_at": f"2024-11-03T0{b}:{i:02d}:00.000Z"}
+            for i in range(4)
+        ]
+        for b in range(3)
+    ]
+    src = tmp_path / "feed"
+    out, ckpt = str(tmp_path / "index"), str(tmp_path / "ck")
+    queries = _pq_query_chunks(spark, [
+        (9300 + i, " ".join(words[(5 * i + j) % 40] for j in range(50)))
+        for i in range(3)
+    ])
+    queries.cache().count()
+    mins, maxs = sq_grid()
+
+    fed: list[dict] = []
+
+    def batch_answer():
+        union = spark.createDataFrame(
+            [(d["doc_id"], d["text"]) for d in fed], "doc_id long, text string"
+        )
+        chunks = char_chunk_documents(union, chunk_chars=160, overlap=40)
+        emb = chunks.select(
+            F.concat_ws(":", "doc_id", "chunk_idx").alias("chunk_key"),
+            similarity.hash_embed("chunk_text").alias("ev"),
+        )
+        fresh = sq_encode(
+            emb, mins, maxs, vec_col="ev", id_col="chunk_key"
+        )
+        return sorted(map(tuple, sq_topk(
+            queries, fresh, mins, maxs, k=5,
+            query_id="qk", query_vec="qv", corpus_id="chunk_key",
+        ).collect()))
+
+    def stream_answer():
+        return sorted(map(tuple, search_index_sq(
+            spark, out, queries, k=5
+        ).collect()))
+
+    got = None
+    for b, rows in enumerate(batches):
+        _write_jsonl(src / f"b{b}.jsonl", rows)
+        stream_index_chunks(spark, str(src), out, ckpt).awaitTermination(120)
+        fed.extend(rows)
+        got, want = stream_answer(), batch_answer()
+        assert got and got == want, f"epoch {b}: {got[:3]}..."
+    assert len(got) == 15  # by the 3rd epoch every query fills its top-5
+
+    # compaction folds all but the newest epoch; the answer must not move
+    assert compact_index_epochs(spark, out) is not None
+    assert stream_answer() == got == batch_answer()
+    queries.unpersist()
+
+
+def test_index_sq_search_unchanged_through_torn_compaction(spark, tmp_path):
+    """Torn-compaction crash injection on the SQ search path: with the
+    compact= dir and its subsumed epoch= dirs coexisting, a double-read
+    would duplicate dequantized candidates and shift the top-k."""
+    import shutil
+
+    from shopify_etl_spark.streaming import (
+        compact_index_epochs,
+        read_index_chunks,
+        search_index_sq,
+        stream_index_chunks,
+    )
+
+    words = [f"u{i}" for i in range(30)]
+    src = tmp_path / "feed"
+    out, ckpt = str(tmp_path / "index"), str(tmp_path / "ck")
+    for b in range(3):
+        _write_jsonl(src / f"b{b}.jsonl", [
+            {"doc_id": 50 * b + i,
+             "text": " ".join(words[(b + 2 * i + j) % 30] for j in range(80)),
+             "ingested_at": f"2024-11-04T0{b}:{i:02d}:00.000Z"}
+            for i in range(3)
+        ])
+        stream_index_chunks(spark, str(src), out, ckpt).awaitTermination(120)
+
+    queries = _pq_query_chunks(spark, [
+        (7300, " ".join(words[(3 * j + 2) % 30] for j in range(50)))
+    ])
+    before = sorted(map(tuple, search_index_sq(
+        spark, out, queries, k=5
+    ).collect()))
+    assert before
+    n_rows = read_index_chunks(spark, out).count()
+
+    snap = tmp_path / "snap"
+    shutil.copytree(out, snap)
+    assert compact_index_epochs(spark, out) is not None
+    for name in os.listdir(snap):
+        if name.startswith("epoch=") and not os.path.exists(
+            os.path.join(out, name)
+        ):
+            shutil.copytree(os.path.join(snap, name),
+                            os.path.join(out, name))
+    assert any(n.startswith("compact=") for n in os.listdir(out))
+
+    assert read_index_chunks(spark, out).count() == n_rows
+    after = sorted(map(tuple, search_index_sq(
+        spark, out, queries, k=5
+    ).collect()))
+    assert after == before
+
+
+def test_index_store_pre_sq_format_rejected(spark, tmp_path):
+    """A store written by the r13 format (ev + pq_codes + bq_bits, no
+    sq_codes) is one generation old: the format gate names the missing
+    column in its rebuild message instead of failing deep inside the
+    SQ search."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from shopify_etl_spark.streaming import read_index_chunks
+
+    out = tmp_path / "index"
+    r13_store = spark.createDataFrame(
+        [("0:0", 0, 5, 0, 0.5)],
+        "chunk_key string, doc_id long, n_tokens long, "
+        "centroid_id int, sim double",
+    ).withColumn(
+        "ev", F.array(*[F.lit(float(i)) for i in range(4)])
+    ).withColumn(
+        "pq_codes", F.array(F.lit(0), F.lit(1), F.lit(2), F.lit(3))
+    ).withColumn("bq_bits", F.array(F.lit(7)))
+    r13_store.write.mode("overwrite").parquet(str(out / "epoch=0"))
+    with pytest.raises(ValueError, match="sq_codes"):
+        read_index_chunks(spark, str(out))
+
+
+def test_probe_rebuild_retrains_after_drift_alarm(spark, tmp_path):
+    """The drift alarm's remediation as a tested path (VERDICT r13 #4):
+    a shifted batch fires the alarm against the old student; an explicit
+    rebuild (store + checkpoint deleted TOGETHER) retrains on the
+    current distribution and the new store's agreement is restored."""
+    from shopify_etl_spark.streaming import (
+        read_probe_drift,
+        rebuild_probe_store,
+        stream_probe_monitor,
+    )
+    from shopify_etl_spark.streaming.dedup_stream import DOC_FEED_SCHEMA
+
+    src_old = tmp_path / "feed_old"     # the pre-drift distribution
+    src_new = tmp_path / "feed_new"     # the post-drift distribution
+    store, ckpt = str(tmp_path / "probe"), str(tmp_path / "ck")
+
+    _write_jsonl(src_old / "b0.jsonl", _probe_feed_rows(0, 8))
+    feed = spark.readStream.schema(DOC_FEED_SCHEMA).json(str(src_old))
+    stream_probe_monitor(feed, store, ckpt).awaitTermination(120)
+
+    _write_jsonl(src_new / "b0.jsonl", _bigram_bomb_rows(500, 8))
+    # the drift batch arrives through the BOUND checkpoint's feed dir
+    # (a separate checkpoint would violate the pairing gate)
+    _write_jsonl(src_old / "b1.jsonl", _bigram_bomb_rows(500, 8))
+    feed = spark.readStream.schema(DOC_FEED_SCHEMA).json(str(src_old))
+    stream_probe_monitor(feed, store, ckpt).awaitTermination(120)
+
+    drift = {r.trained: r for r in read_probe_drift(spark, store).collect()}
+    assert drift[False].drifted  # the alarm the rebuild answers
+
+    # remediation: rebuild store+checkpoint together, re-ingest the
+    # CURRENT distribution — the student retrains as the new epoch 0
+    rebuild_probe_store(spark, store, ckpt)
+    feed = spark.readStream.schema(DOC_FEED_SCHEMA).json(str(src_new))
+    stream_probe_monitor(feed, store, ckpt).awaitTermination(120)
+    after = read_probe_drift(spark, store).collect()
+    assert len(after) == 1 and after[0].trained
+    assert not after[0].drifted
+    assert after[0].agreement >= drift[False].agreement + 0.15
