@@ -348,3 +348,109 @@ class TestIvfPq:
         # materialized above)
         assert plan.count("MapInPandas") == 1
 
+
+
+class TestProbeEconomics:
+    """VERDICT r13 #3: the IVF probe bound's SCALING claim, measured.
+
+    The catalog queries pin n_cells=8 for oracle determinism, so their
+    sf1 rows scan 10x more candidates per probe; the production sizing
+    grows cells with the corpus (C ∝ √N keeps probe-scoring and
+    candidate-scanning balanced). This test measures per-query candidate
+    counts — the size of the probe-bounded join — through the engine's
+    own kmeans_fit + ivf_assign at 1x/8-cells and 10x/25-cells and pins
+    both halves of the economics:
+
+    * the formula: mean candidates ≈ |corpus| · n_probes / n_cells at
+      BOTH sizes (within skew tolerance);
+    * the consequence: growing cells 8 → 25 holds candidate growth to
+      ~N·8/25 ≈ 3.2x for 10x rows (sublinear), while the fixed-cells
+      control grows the full ~10x.
+    """
+
+    N_PROBES = 2
+
+    def _mean_candidates(self, spark, corpus, n_cells, n_queries=8):
+        from shopify_etl_spark.operators.clustering import kmeans_fit
+        from shopify_etl_spark.operators.similarity import ivf_assign
+
+        cents, _ = kmeans_fit(
+            corpus, vec_col="ev", id_col="vec_id", k=n_cells, iters=2,
+            init_by="id",
+        )
+        cents_df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(cents)],
+            "cid int, cv array<double>",
+        )
+        cells = ivf_assign(
+            corpus, cents_df, corpus_id="vec_id", corpus_vec="ev"
+        )
+        sizes = {
+            r.centroid_id: r.n
+            for r in cells.groupBy("centroid_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        C = np.array(cents)
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        qs = corpus.orderBy("vec_id").limit(n_queries).collect()
+        cands = []
+        for r in qs:
+            q = np.array(r.ev)
+            sim = Cn @ (q / np.linalg.norm(q))
+            probed = np.lexsort((np.arange(n_cells), -sim))[: self.N_PROBES]
+            cands.append(sum(sizes.get(int(c), 0) for c in probed))
+        return float(np.mean(cands))
+
+    def test_candidates_track_formula_and_grow_sublinearly(self, spark):
+        base = (
+            spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+            .select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("ev"),
+            )
+        )
+        n_base = base.count()
+        # 10x corpus: replicas get disjoint ids and a small deterministic
+        # per-replica perturbation on one coordinate (so the 25-cell fit
+        # sees distinct points, not 10 coincident copies)
+        reps = [
+            base.select(
+                (F.col("vec_id") + F.lit(r * n_base)).alias("vec_id"),
+                F.transform(
+                    "ev",
+                    lambda x, i: x
+                    + F.when(
+                        i == F.lit(r % 64), F.lit(0.01 * r)
+                    ).otherwise(F.lit(0.0)),
+                ).alias("ev"),
+            )
+            for r in range(10)
+        ]
+        big = reps[0]
+        for df in reps[1:]:
+            big = big.unionAll(df)
+        big = big.localCheckpoint()
+        n_big = big.count()
+        assert n_big == 10 * n_base
+
+        m_base = self._mean_candidates(spark, base, 8)
+        m_big = self._mean_candidates(spark, big, 25)
+        m_fixed = self._mean_candidates(spark, big, 8)
+
+        # the probe-bound formula, both sizes (skew tolerance: real
+        # k-means cells are unequal, but the mean over queries must stay
+        # the right order of magnitude around N·p/C)
+        for m, n, c in ((m_base, n_base, 8), (m_big, n_big, 25)):
+            expect = n * self.N_PROBES / c
+            assert 0.35 * expect <= m <= 2.5 * expect, (m, expect)
+
+        # the economics: cells growing with the corpus hold candidate
+        # growth near N·(8/25) ≈ 3.2x; frozen cells pay the full ~10x
+        growth_scaled = m_big / m_base
+        growth_fixed = m_fixed / m_base
+        assert growth_scaled < 0.6 * growth_fixed, (
+            growth_scaled, growth_fixed,
+        )
+        assert growth_scaled <= 6.0, growth_scaled
+        assert growth_fixed >= 6.0, growth_fixed
