@@ -1535,3 +1535,55 @@ def prog_arith_jpeg_stats(
     return spread_small(docs.select(id_col)).mapInPandas(
         roundtrip, PROG_ARITH_JPEG_SCHEMA
     )
+
+
+PATCH_GRID_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("n_patches", LongType(), False),
+        StructField("pixel_sum", LongType(), False),
+    ]
+)
+
+
+def png_patch_grid(
+    assets: DataFrame, patch: int = 4, id_col: str = "asset_id"
+) -> DataFrame:
+    """REAL image decode → ViT-style patch-token geometry per asset:
+    ``n_patches = ceil(h/patch) · ceil(w/patch)`` over the DECODED raster
+    (plus the decoded pixel sum as the byte-stat witness) — the image
+    half of an interleaved multimodal training sample, where each image
+    occupies ``n_patches`` sequence positions next to the document's
+    text tokens (the LLaVA/Fuyu packing geometry).
+
+    Zero-shuffle ``mapInPandas`` over the payload column; dimensions
+    come from the decode itself, never the metadata, so a decoder that
+    mangles geometry changes the downstream interleave manifest and
+    hash-mismatches its oracle (``plans/catalog_ext6.py::
+    interleaved_mm_spans``)."""
+
+    def grid(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for aid, payload, meta in zip(
+                pdf[id_col], pdf["payload"], pdf["meta"]
+            ):
+                raster = _decode_raster(
+                    payload, meta["format"] if meta is not None else None
+                )
+                h, w = raster.shape[0], raster.shape[1]
+                np_ = (-(-h // patch)) * (-(-w // patch))
+                rows.append((int(aid), w, h, np_, int(raster.sum())))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "n_patches", "pixel_sum",
+                ],
+            )
+            rows = []
+
+    return assets.select(id_col, "payload", "meta").mapInPandas(
+        grid, PATCH_GRID_SCHEMA
+    )

@@ -243,3 +243,53 @@ def pack_sequences(
             (chunk_hi - chunk_lo).cast("long").alias("chunk_len"),
         )
     )
+
+
+def pack_interleaved(
+    segs: DataFrame,
+    seq_len: int,
+    group_col: str = "source",
+    key_col: str = "seg_key",
+    n_col: str = "n_tokens",
+    keep_cols: tuple[str, ...] = ("doc_id", "modality"),
+) -> DataFrame:
+    """Sequence packing over pre-tokenized SEGMENTS — the multimodal
+    generalization of :func:`pack_sequences`, where a document is not
+    one token run but an interleaved list of modality segments (image
+    patch tokens, text tokens, …) that concatenate in ``key_col`` order
+    within each group and cut every ``seq_len`` positions.
+
+    Input: one row per segment — ``(group, key, n_tokens, *keep_cols)``
+    with ``key_col`` numeric and globally ordering the interleave (e.g.
+    ``doc_id·2 + seg_idx``). Output: one row per (sequence, segment
+    chunk) — ``(group, seq_id, *keep_cols, seq_start, seg_offset,
+    chunk_len)`` — the boundary map a multimodal trainer needs for its
+    attention/loss masks (image positions are masked out of the LM loss;
+    cross-document attention is masked at chunk boundaries).
+
+    Shape is pack_sequences': the two-phase bounded prefix scan over
+    ``key_col`` (never an unbounded per-group window), then a per-row
+    ``sequence()`` explode of at most ``1 + n/seq_len`` rows per
+    segment. Zero Python; SQL-expressible end to end (oracled by
+    ``plans/catalog_ext6.py::interleaved_mm_spans``).
+    """
+    base = segs.select(
+        key_col, group_col, *keep_cols, F.col(n_col).alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    based = _prefix_start(base, key_col, group_col)
+    first_seq = F.floor(F.col("_start") / seq_len)
+    last_seq = F.floor((F.col("_start") + F.col("n_tokens") - 1) / seq_len)
+    seq_lo = F.col("seq_id") * seq_len
+    chunk_lo = F.greatest(F.col("_start"), seq_lo)
+    chunk_hi = F.least(F.col("_start") + F.col("n_tokens"), seq_lo + seq_len)
+    return (
+        based.withColumn("seq_id", F.explode(F.sequence(first_seq, last_seq)))
+        .select(
+            group_col,
+            F.col("seq_id").cast("long"),
+            *keep_cols,
+            (chunk_lo - seq_lo).cast("long").alias("seq_start"),
+            (chunk_lo - F.col("_start")).cast("long").alias("seg_offset"),
+            (chunk_hi - chunk_lo).cast("long").alias("chunk_len"),
+        )
+    )

@@ -214,6 +214,7 @@ _CHANGED_R14 = [
     "warc_ingest_stats",     # NEW: .warc.gz member split + record inventory
     "html_extract_docs",     # NEW: lossless crawl-chain HTML→text gate
     "crawl_curation_chain",  # NEW: end-to-end crawl→extract→quality gate
+    "interleaved_mm_spans",  # NEW: image-text interleaved packing manifest
     "quality_probe_distill",  # classifier feature_stats untouched; probe
     #   family re-fronted for the stream-monitor empty-batch fix
 ]

@@ -143,3 +143,86 @@ def test_pack_shards_bucketing_order_aligned_random_ids(spark):
             expect[(src, i)] = cum // 10
             cum += n_tok
     assert got == expect
+
+
+class TestPackInterleaved:
+    def test_segments_partition_exactly_with_modalities(self, spark):
+        """Interleaved packing invariants: chunks of one segment across
+        consecutive sequences partition its tokens exactly, sequences
+        fill to seq_len except the last per group, and modality rides
+        through to every chunk row."""
+        from pyspark.sql import functions as F
+
+        from shopify_etl_spark.operators.packing import pack_interleaved
+
+        rows = []
+        for d in range(6):
+            rows.append(("web", d, d * 2, "image", 5 + d % 3))
+            rows.append(("web", d, d * 2 + 1, "text", 20 + 7 * d))
+        segs = spark.createDataFrame(
+            rows,
+            "source string, doc_id long, seg_key long, modality string, "
+            "n_tokens long",
+        )
+        out = pack_interleaved(segs, seq_len=32).collect()
+        # per-(doc, modality) chunk lens sum to the segment's n_tokens
+        got = {}
+        for r in out:
+            got[(r.doc_id, r.modality)] = got.get(
+                (r.doc_id, r.modality), 0
+            ) + r.chunk_len
+            assert 0 < r.chunk_len <= 32
+            assert 0 <= r.seq_start < 32
+        want = {(d, m): n for (_s, d, _k, m, n) in rows}
+        assert got == want
+        # every sequence except the last is exactly full
+        per_seq = {}
+        for r in out:
+            per_seq[r.seq_id] = per_seq.get(r.seq_id, 0) + r.chunk_len
+        last = max(per_seq)
+        assert all(v == 32 for s, v in per_seq.items() if s != last)
+        # interleave order: within a sequence, a doc's image chunk
+        # starts before its text chunk
+        pos = {(r.doc_id, r.modality, r.seq_id): r.seq_start for r in out}
+        for (d, m, s), st in pos.items():
+            if m == "image" and (d, "text", s) in pos:
+                assert st < pos[(d, "text", s)]
+
+    def test_zero_token_segments_pack_nothing(self, spark):
+        from shopify_etl_spark.operators.packing import pack_interleaved
+
+        segs = spark.createDataFrame(
+            [("a", 1, 2, "image", 0), ("a", 1, 3, "text", 10)],
+            "source string, doc_id long, seg_key long, modality string, "
+            "n_tokens long",
+        )
+        out = pack_interleaved(segs, seq_len=8).collect()
+        assert {r.modality for r in out} == {"text"}
+        assert sum(r.chunk_len for r in out) == 10
+
+
+def test_png_patch_grid_from_decoded_raster(spark):
+    """Patch counts come from the DECODE, not metadata: a synth asset's
+    grid equals ceil(h/4)*ceil(w/4) of the synthesis geometry, and the
+    pixel sum equals the generator formula."""
+    from shopify_etl_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(d,) for d in range(12)], "doc_id long"
+    )
+    out = {
+        r.asset_id: r
+        for r in multimodal.png_patch_grid(
+            multimodal.synth_png_assets(docs)
+        ).collect()
+    }
+    for d in range(12):
+        w, h = 8 + d % 5, 6 + d % 4
+        r = out[d]
+        assert (r.width, r.height) == (w, h)
+        assert r.n_patches == (-(-h // 4)) * (-(-w // 4))
+        want_sum = sum(
+            (d * 31 + rr * 17 + cc * 7) % 256
+            for rr in range(h) for cc in range(w)
+        )
+        assert r.pixel_sum == want_sum

@@ -68,6 +68,9 @@ EXPECT = {
     "warc_ingest_stats": dict(max_shuffles=2, max_scan_width=2),
     "html_extract_docs": dict(max_shuffles=1, max_scan_width=2),
     "crawl_curation_chain": dict(max_shuffles=2, max_scan_width=2),
+    # r14 multimodal interleave: join of the two modality sides + the
+    # packer's bounded prefix-scan shuffles over the checkpointed frame
+    "interleaved_mm_spans": dict(max_shuffles=5, max_scan_width=3),
     "ann_cosine_topk": dict(max_shuffles=1, max_smj=0, pushed=True),
     # round-5 additions: the CMS family must never sort-merge (sketch and
     # candidate sides are bounded by construction — broadcast hints pinned);
@@ -312,6 +315,11 @@ def test_plan_invariants(gate_spark, name):
 # max_scan_width + the single-Exchange ceilings above), so it does not
 # belong in this gate (which asserts a capture exists).
 MAX_SCANS_PER_TABLE = {
+    "interleaved_mm_spans": 2,  # r14: one scan per modality side (text
+                                # tokens + the synth/decode chain) into
+                                # the checkpointed join; the union and
+                                # the packer's stats agg read the
+                                # checkpoint, never documents
     "lm_bigram_scores": 1,
     "ccnet_ppl_buckets": 1,
     "curriculum_mix_docs": 1,
