@@ -215,6 +215,7 @@ _CHANGED_R14 = [
     "html_extract_docs",     # NEW: lossless crawl-chain HTML→text gate
     "crawl_curation_chain",  # NEW: end-to-end crawl→extract→quality gate
     "interleaved_mm_spans",  # NEW: image-text interleaved packing manifest
+    "opq_balanced_pq",       # NEW: OPQ variance-balanced allocation gate
     "quality_probe_distill",  # classifier feature_stats untouched; probe
     #   family re-fronted for the stream-monitor empty-batch fix
 ]

@@ -330,3 +330,220 @@ def interleaved_mm_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         segs, seq_len=64,
         keep_cols=("doc_id", "modality", "img_pixel_sum"),
     )
+
+
+def _opq_oracle() -> str:
+    """Full-SQL replay of the OPQ-parametric comparison: scaling,
+    per-dim variances, snake allocation, BOTH PQ trainings (layouts
+    encoded as j∈0..3 plain / j∈4..7 balanced — per-(j) Lloyd chains
+    are independent, so one unrolled chain trains both), ADC top-10,
+    exact top-10, per-query recalls and the integer-count flag."""
+    from .catalog_ext5 import _pq_iter_sql
+
+    return f"""
+    WITH scaled AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(range(1, 65),
+                            i -> embedding[i]::DOUBLE / i) AS ev
+      FROM embeddings
+    ), vars AS (
+      SELECT t.i AS i,
+             AVG(s.ev[t.i] * s.ev[t.i]) - AVG(s.ev[t.i]) * AVG(s.ev[t.i])
+               AS v
+      FROM scaled s CROSS JOIN range(1, 65) t(i) GROUP BY t.i
+    ), alloc AS (
+      SELECT i - 1 AS dim, r,
+             CASE (r % 8) WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
+                          WHEN 3 THEN 3 WHEN 4 THEN 3 WHEN 5 THEN 2
+                          WHEN 6 THEN 1 ELSE 0 END AS sub
+      FROM (SELECT i, v, row_number() OVER (ORDER BY v DESC, i) - 1 AS r
+            FROM vars)
+    ), perm AS (
+      SELECT list(dim ORDER BY sub, r) AS p FROM alloc
+    ), permuted AS MATERIALIZED (
+      SELECT s.vec_id, list_transform(perm.p, d -> s.ev[d + 1]) AS ev
+      FROM scaled s CROSS JOIN perm
+    ), sub AS MATERIALIZED (
+      SELECT vec_id, t.j, list_slice(ev, t.j * 16 + 1, t.j * 16 + 16) AS s
+      FROM scaled CROSS JOIN range(0, 4) t(j)
+      UNION ALL
+      SELECT vec_id, t.j + 4, list_slice(ev, t.j * 16 + 1, t.j * 16 + 16)
+      FROM permuted CROSS JOIN range(0, 4) t(j)
+    ), b0 AS (
+      SELECT j,
+             CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id)
+                  AS INTEGER) - 1 AS cid,
+             s AS c
+      FROM sub
+      WHERE vec_id IN (SELECT vec_id FROM scaled ORDER BY vec_id LIMIT 16)
+    ),{_pq_iter_sql("b0", "pa1", "b1", 16)},{_pq_iter_sql("b1", "pa2", "b2", 16)},
+    codes AS MATERIALIZED (
+      SELECT vec_id, j, cid FROM (
+        SELECT p.vec_id, p.j, c.cid,
+               row_number() OVER (PARTITION BY p.vec_id, p.j
+                 ORDER BY list_sum(list_transform(range(1, 17),
+                          i -> (p.s[i] - c.c[i]) * (p.s[i] - c.c[i]))) ASC,
+                          c.cid) AS rn
+        FROM sub p JOIN b2 c ON c.j = p.j
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id FROM scaled ORDER BY vec_id LIMIT 8),
+    tbl AS MATERIALIZED (
+      SELECT s.vec_id AS query_id, b.j, b.cid,
+             list_sum(list_transform(range(1, 17),
+                      i -> (s.s[i] - b.c[i]) * (s.s[i] - b.c[i]))) AS d
+      FROM sub s JOIN q ON q.query_id = s.vec_id
+      JOIN b2 b ON b.j = s.j
+    ),
+    adc AS (
+      SELECT t.query_id, CAST(e.j >= 4 AS INT) AS layout,
+             e.vec_id AS neighbor_id, SUM(t.d) AS dist
+      FROM codes e
+      JOIN tbl t ON t.j = e.j AND t.cid = e.cid
+      GROUP BY 1, 2, 3
+    ),
+    topk AS (
+      SELECT query_id, layout, neighbor_id FROM (
+        SELECT adc.*, ROW_NUMBER() OVER (PARTITION BY query_id, layout
+                 ORDER BY dist ASC, neighbor_id) AS rn
+        FROM adc
+      ) WHERE rn <= 10
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 list_sum(list_transform(range(1, 65),
+                   i -> (qe.ev[i] - c.ev[i]) * (qe.ev[i] - c.ev[i])))
+                 ASC, c.vec_id) AS rn
+        FROM q JOIN scaled qe ON qe.vec_id = q.query_id
+        CROSS JOIN scaled c
+      ) WHERE rn <= 10
+    ),
+    rec AS (
+      SELECT t.query_id, t.layout,
+             COUNT(e.neighbor_id) AS n_hits
+      FROM topk t LEFT JOIN exact e
+        ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
+      GROUP BY 1, 2
+    ),
+    piv AS (
+      SELECT query_id,
+             MAX(CASE WHEN layout = 0 THEN n_hits END) AS h_plain,
+             MAX(CASE WHEN layout = 1 THEN n_hits END) AS h_bal
+      FROM rec GROUP BY query_id
+    )
+    SELECT query_id,
+           ROUND(h_plain / 10.0, 4)  AS recall_plain,
+           ROUND(h_bal / 10.0, 4)    AS recall_balanced,
+           (SUM(h_bal) OVER () >= SUM(h_plain) OVER ())
+             AS balanced_not_worse
+    FROM piv
+    """
+
+
+@register(
+    "opq_balanced_pq",
+    oracle=_opq_oracle(),
+    doc="OPQ, parametric variant (VERDICT r13 #8) — completing the "
+    "quantization trio (PQ → IVF-PQ/residual → rotated): per-dimension "
+    "variances (ONE agg pass, 64 scalars to the driver) drive a "
+    "variance-balanced snake PERMUTATION of dims across subspaces (the "
+    "OPQ paper's non-learned solution under near-diagonal covariance — "
+    "an exactly-orthogonal rotation with ZERO encode/search overhead), "
+    "then PQ trains on the natural layout AND the balanced layout at "
+    "the SAME codes budget (m=4, k=16, 2 Lloyd iters) and both answer "
+    "ADC top-10; output = per-query recall@10 vs exact L2 for both, "
+    "plus an integer-count flag that balanced allocation is not worse "
+    "(on the installed 1/(1+dim) PCA-decay spectrum it measures ~2x: "
+    "0.275 -> 0.556 mean recall, reconstruction MSE / 2.73). The "
+    "oracle replays EVERYTHING in SQL — scaling, variances, the "
+    "allocation, both trainings (one unrolled chain, layouts encoded "
+    "in the subspace key), ADC, exact search, recalls. Corpus sides "
+    "stay pure JVM; the permutation is a projection re-order fused "
+    "into codegen. operators/pq.py::dim_variances,"
+    "balanced_dim_allocation,apply_dim_permutation.",
+)
+def opq_balanced_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators import pq
+    from ..operators.materialize import checkpoint_tracked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = F.col("embedding").cast("array<double>")
+    scaled = checkpoint_tracked(
+        emb.select(
+            "vec_id",
+            F.transform(
+                ev, lambda x, j: x / (F.lit(1.0) + j.cast("double"))
+            ).alias("ev"),
+        )
+    )
+    variances = pq.dim_variances(scaled, "ev", 64)
+    perm = pq.balanced_dim_allocation(variances, 4)
+    permuted = pq.apply_dim_permutation(scaled, perm, "ev")
+
+    queries0 = scaled.orderBy("vec_id").limit(8)
+
+    def adc_top10(frame, qframe):
+        books, _h = pq.pq_train(
+            frame, vec_col="ev", id_col="vec_id", m=4, k=16, iters=2,
+            init_by="id",
+        )
+        codes = pq.pq_assign(
+            frame, books, vec_col="ev", id_col="vec_id"
+        ).withColumnRenamed("vec_id", "neighbor_id")
+        qs = qframe.select(
+            F.col("vec_id").alias("query_id"), F.col("ev").alias("qv")
+        )
+        return pq.pq_topk(qs, codes, books, k=10).select(
+            "query_id", "neighbor_id"
+        )
+
+    top_plain = adc_top10(scaled, queries0)
+    top_bal = adc_top10(
+        permuted, pq.apply_dim_permutation(queries0, perm, "ev")
+    )
+
+    # exact L2 top-10 on the scaled corpus (the permutation is
+    # orthogonal, so exact neighbors are layout-invariant)
+    qx = queries0.select(
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "ev", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.asc("_d"), F.asc("neighbor_id")
+    )
+    exact = (
+        scaled.withColumnRenamed("vec_id", "neighbor_id")
+        .crossJoin(F.broadcast(qx))
+        .select("query_id", "neighbor_id", d2.alias("_d"))
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+
+    def hits(top, name):
+        return (
+            top.join(exact.withColumn("_hit", F.lit(1)),
+                     ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.coalesce(F.sum("_hit"), F.lit(0)).alias(name))
+        )
+
+    piv = hits(top_plain, "h_plain").join(hits(top_bal, "h_bal"),
+                                          "query_id")
+    wall = Window.partitionBy()  # 8-row frame: the whole-query gate
+    return piv.select(
+        "query_id",
+        F.round(F.col("h_plain") / 10.0, 4).alias("recall_plain"),
+        F.round(F.col("h_bal") / 10.0, 4).alias("recall_balanced"),
+        (F.sum("h_bal").over(wall) >= F.sum("h_plain").over(wall)).alias(
+            "balanced_not_worse"
+        ),
+    )

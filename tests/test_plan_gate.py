@@ -484,6 +484,9 @@ BNLJ_ALLOWED = {
     "maxsim_pruned_search",     # query-chunk x 8-cell codebook probe
     #   (tiny both sides); the corpus-side candidate join is a
     #   broadcast HASH join on the cell key
+    "opq_balanced_pq",          # 8-row ADC-table / query frames broadcast
+    #   over both PQ layouts + the exact-truth cross-score (the
+    #   ann_cosine_topk shape, three bounded instances)
     "sq_int8_search",           # 8-row float query frame broadcast
     "bq_hamming_search",        # 8-row packed query frame broadcast;
     #   the re-rank float join is a broadcast HASH join on the 160-row

@@ -454,3 +454,64 @@ class TestProbeEconomics:
         )
         assert growth_scaled <= 6.0, growth_scaled
         assert growth_fixed >= 6.0, growth_fixed
+
+
+class TestBalancedAllocation:
+    def test_permutation_and_product_balance(self, spark):
+        """The allocation is a true permutation, deals exactly dim/m
+        dims per subspace, and equalizes per-subspace variance products
+        on a decayed spectrum (max/min geometric-mean ratio collapses
+        from ~70x contiguous to <1.5x balanced)."""
+        v = [1.0 / (1 + j) ** 2 for j in range(64)]
+        perm = pq.balanced_dim_allocation(v, 4)
+        assert sorted(perm) == list(range(64))
+
+        def gms(order):
+            return [
+                float(
+                    np.prod([v[d] for d in order[16 * m:16 * m + 16]])
+                ) ** (1 / 16)
+                for m in range(4)
+            ]
+
+        nat, bal = gms(list(range(64))), gms(perm)
+        assert max(nat) / min(nat) > 50
+        assert max(bal) / min(bal) < 1.5
+
+    def test_apply_dim_permutation_reorders(self, spark):
+        df = spark.createDataFrame(
+            [(0, [float(x) for x in range(4)])],
+            "vec_id long, ev array<double>",
+        )
+        out = pq.apply_dim_permutation(df, [3, 1, 0, 2], "ev").collect()[0]
+        assert out.ev == [3.0, 1.0, 0.0, 2.0]
+
+    def test_dim_variances_match_numpy(self, spark, emb):
+        got = pq.dim_variances(
+            emb.select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("ev"),
+            ),
+            "ev", 64,
+        )
+        X = np.array([r.embedding for r in emb.collect()], dtype=np.float64)
+        want = X.var(axis=0)
+        assert np.allclose(got, want, atol=1e-9)
+
+    def test_balanced_layout_improves_recall_on_decayed_spectrum(
+        self, spark, emb
+    ):
+        """The OPQ claim, end to end through the catalog query: on the
+        1/(1+dim) spectrum the balanced layout's total exact-neighbor
+        hits strictly exceed the natural layout's (measured 0.556 vs
+        0.275 mean recall@10 at sf0.001 — gate one notch under)."""
+        from shopify_etl_spark.plans import QUERIES
+
+        rows = QUERIES["opq_balanced_pq"].builder(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert len(rows) == 8
+        assert all(r.balanced_not_worse for r in rows)
+        mean_p = sum(r.recall_plain for r in rows) / 8
+        mean_b = sum(r.recall_balanced for r in rows) / 8
+        assert mean_b >= mean_p + 0.15, (mean_p, mean_b)
