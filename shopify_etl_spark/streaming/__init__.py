@@ -14,6 +14,12 @@ from .probe_stream import (  # noqa: F401
     rebuild_probe_store,
     stream_probe_monitor,
 )
+from .crawl_stream import (  # noqa: F401
+    compact_crawl_store,
+    curate_archives,
+    read_crawl_corpus,
+    stream_crawl_ingest,
+)
 from .index_stream import (  # noqa: F401
     bq_thresholds,
     compact_index_epochs,

@@ -1,0 +1,118 @@
+"""Streaming crawl ingest: the incremental twin of the batch
+crawl→curation chain (``plans/catalog_ext6.py``) — .warc.gz archives
+arrive as a stream, each micro-batch splits records, extracts text and
+runs the quality gate on the NEW archives only, and the curated corpus
+is the union of committed epochs.
+
+Why this shape at 100 TB: a crawl never stops — archives land in object
+storage continuously, and re-running the batch chain over the whole
+bucket per delivery is O(corpus) for O(batch) new data. Every stage of
+the chain is a pure per-archive function (record split, HTML extraction,
+the per-document quality rules), so incremental maintenance is exact:
+stream state is ZERO, each epoch costs O(new archives), and the read
+side over committed epochs must equal the batch chain over the union of
+every archive ever fed — the batch-equivalence contract the tests pin
+(the same discipline as the index/sketch/probe stores).
+
+Feed contract: a parquet directory of ``(file_id long, warc binary)``
+rows — the shape a landing job writes per delivery (Spark's file stream
+source handles parquet natively; the archives themselves stay opaque
+binary through the plan). Store contract: sketch-store epoch machinery
+(pairing gate, ``_SUCCESS`` replay skip, crash rewrite, crash-safe
+compaction); each epoch holds the curated rows
+``(file_id, doc_id, text_out, n_tokens, keep, reasons)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.html import html_to_text
+from ..operators.text import quality_filter
+from ..sources.warc import warc_records
+from .sketch_stream import (
+    _epoch_committed,
+    _epoch_dir,
+    check_store_pairing,
+    compact_sketch_epochs,
+    live_grid_dirs,
+)
+
+#: the streamed feed's schema (what a landing job writes per delivery)
+CRAWL_FEED_SCHEMA = "file_id long, warc binary"
+
+
+def curate_archives(files: DataFrame) -> DataFrame:
+    """The pure per-archive chain shared by the stream and its parity
+    gate: record split → 200-OK responses → html_to_text → quality
+    gate. One narrow pass; zero state, zero corpus dependence."""
+    ex = warc_records(files).filter(
+        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+    ).select(
+        "file_id",
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        html_to_text(F.col("payload").cast("string")).alias("text_out"),
+    )
+    return quality_filter(
+        ex, text_col="text_out", id_col="doc_id",
+        keep_cols=("file_id", "text_out"),
+    ).select(
+        "file_id", "doc_id", "text_out", "n_tokens", "keep", "reasons"
+    )
+
+
+def stream_crawl_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+):
+    """Parquet archive feed → per-epoch curated corpus rows; returns
+    the started query (callers ``awaitTermination()``)."""
+    feed = spark.readStream.schema(CRAWL_FEED_SCHEMA).parquet(src_dir)
+
+    def ingest_batch(batch: DataFrame, epoch: int) -> None:
+        sp = batch.sparkSession
+        check_store_pairing(sp, store_dir, checkpoint_dir, epoch)
+        out = _epoch_dir(store_dir, epoch)
+        if _epoch_committed(sp, out):
+            return  # replayed epoch: already committed
+        curate_archives(batch).write.mode("overwrite").parquet(out)
+
+    return (
+        feed.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_crawl_corpus(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The curated corpus over everything ingested so far (committed
+    epochs only — a crashed epoch's partial files are invisible and the
+    stream rewrites them on replay)."""
+    dirs = live_grid_dirs(spark, store_dir)
+    if not dirs:
+        raise FileNotFoundError(
+            f"no committed crawl epochs under {store_dir}"
+        )
+    return spark.read.parquet(*dirs)
+
+
+def compact_crawl_store(spark: SparkSession, store_dir: str) -> str | None:
+    """Fold all-but-newest epochs into one ``compact=`` dir; rows are
+    per-document facts, so the merge is a plain row union and every
+    curated row survives byte-identical (pinned in tests)."""
+    return compact_sketch_epochs(spark, store_dir, merge=lambda df: df)
+
+
+__all__ = [
+    "CRAWL_FEED_SCHEMA",
+    "curate_archives",
+    "stream_crawl_ingest",
+    "read_crawl_corpus",
+    "compact_crawl_store",
+]

@@ -2231,3 +2231,109 @@ def test_probe_rebuild_retrains_after_drift_alarm(spark, tmp_path):
     assert len(after) == 1 and after[0].trained
     assert not after[0].drifted
     assert after[0].agreement >= drift[False].agreement + 0.15
+
+
+def _crawl_feed_batch(spark, src, name, doc_rows, docs_per_file=5):
+    """Write one parquet feed delivery of synthesized .warc.gz archives.
+    Part files land FLAT in the feed dir (the file stream source lists
+    files, not nested delivery directories)."""
+    import glob
+    import shutil
+
+    from shopify_etl_spark.sources.warc import synth_warc_files
+
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+    tmp = os.path.join(str(src), f"_tmp_{name}")
+    synth_warc_files(docs, docs_per_file=docs_per_file).select(
+        "file_id", "warc"
+    ).write.mode("overwrite").parquet(tmp)
+    for i, part in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*")))):
+        shutil.move(part, os.path.join(str(src), f"{name}-{i}.parquet"))
+    shutil.rmtree(tmp)
+
+
+def test_stream_crawl_ingest_matches_batch_chain(spark, tmp_path):
+    """Streaming↔batch parity for the crawl front door: the curated
+    corpus over committed epochs must equal the batch chain (record
+    split → extraction → quality gate) over the union of every archive
+    ever fed — after each epoch AND after compaction. Exercises real
+    gzip members, the 404 filter (doc 17 is planted), and quality
+    verdicts through the stream."""
+    from pyspark.sql import functions as F
+
+    from shopify_etl_spark.sources.warc import synth_warc_files
+    from shopify_etl_spark.streaming import (
+        compact_crawl_store,
+        curate_archives,
+        read_crawl_corpus,
+        stream_crawl_ingest,
+    )
+
+    words = [f"c{i}" for i in range(40)] + ["the", "a", "of"]
+    def doc(d):
+        return (d, " ".join(words[(d + j) % 43] for j in range(30 + d % 9)))
+
+    batches = [
+        [doc(d) for d in range(0, 10)],
+        [doc(d) for d in range(10, 20)],   # includes the 404-planted 17
+        [doc(d) for d in range(20, 35)],
+    ]
+    src = tmp_path / "feed"
+    src.mkdir()
+    store, ckpt = str(tmp_path / "crawl"), str(tmp_path / "ck")
+
+    fed = []
+    for b, rows in enumerate(batches):
+        _crawl_feed_batch(spark, src, f"d{b}.parquet", rows)
+        stream_crawl_ingest(spark, str(src), store, ckpt).awaitTermination(120)
+        fed.extend(rows)
+        got = sorted(map(tuple, read_crawl_corpus(spark, store).collect()))
+        union = spark.createDataFrame(fed, "doc_id long, text string")
+        want = sorted(map(tuple, curate_archives(
+            synth_warc_files(union, docs_per_file=5).select("file_id", "warc")
+        ).collect()))
+        assert got == want and got, f"epoch {b}"
+
+    # the planted 404 never reaches the corpus; everything else does
+    ids = {r.doc_id for r in read_crawl_corpus(spark, store).collect()}
+    assert 17 not in ids and 0 not in ids  # doc 0: 0 % 17 == 0 too
+    assert ids == {d for d in range(35) if d % 17 != 0}
+
+    # compaction: row-union fold, corpus unchanged
+    before = sorted(map(tuple, read_crawl_corpus(spark, store).collect()))
+    assert compact_crawl_store(spark, store) is not None
+    assert sorted(map(tuple, read_crawl_corpus(spark, store).collect())) \
+        == before
+
+
+def test_stream_crawl_torn_epoch_rewritten_on_replay(spark, tmp_path):
+    """Crash injection (sketch-store protocol): a torn epoch-0 dir
+    (bogus row, no _SUCCESS) must be invisible to readers and rewritten
+    wholesale on replay, landing on clean-run values."""
+    from shopify_etl_spark.streaming import (
+        read_crawl_corpus,
+        stream_crawl_ingest,
+    )
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    store = tmp_path / "crawl"
+    ep0 = store / "epoch=0"
+    ep0.mkdir(parents=True)
+    bogus = spark.createDataFrame(
+        [(999, 999, "bogus", 1, True, "")],
+        "file_id long, doc_id long, text_out string, n_tokens long, "
+        "keep boolean, reasons string",
+    )
+    bogus.coalesce(1).write.mode("overwrite").parquet(str(ep0))
+    (ep0 / "_SUCCESS").unlink()  # the crash: files landed, no marker
+
+    rows = [(d, "w " * 25 + f"tail{d} the a of") for d in range(1, 6)]
+    _crawl_feed_batch(spark, src, "d0.parquet", rows)
+    stream_crawl_ingest(
+        spark, str(src), str(store), str(tmp_path / "ck")
+    ).awaitTermination(120)
+
+    got = read_crawl_corpus(spark, str(store)).collect()
+    assert {r.doc_id for r in got} == {1, 2, 3, 4, 5}
+    assert all(r.doc_id != 999 for r in got)  # bogus row gone
