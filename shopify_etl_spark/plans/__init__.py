@@ -216,6 +216,7 @@ _CHANGED_R14 = [
     "crawl_curation_chain",  # NEW: end-to-end crawl→extract→quality gate
     "interleaved_mm_spans",  # NEW: image-text interleaved packing manifest
     "opq_balanced_pq",       # NEW: OPQ variance-balanced allocation gate
+    "crawl_multimodal_stats",  # NEW: mime-routed HTML+PNG crawl accounting
     "quality_probe_distill",  # classifier feature_stats untouched; probe
     #   family re-fronted for the stream-monitor empty-batch fix
 ]

@@ -547,3 +547,138 @@ def opq_balanced_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "balanced_not_worse"
         ),
     )
+
+
+@register(
+    "crawl_multimodal_stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, doc_id // {_DOCS_PER_FILE} AS file_id,
+             CASE WHEN doc_id % {_NOT_FOUND_EVERY} = 0 THEN 'nf'
+                  WHEN doc_id % 5 = 2 THEN 'img'
+                  ELSE 'html' END AS kind,
+             text
+      FROM documents
+    ), ht AS (
+      SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_html,
+             CAST(SUM(LENGTH({_XT_SQL})) AS BIGINT) AS text_chars
+      FROM d WHERE kind = 'html' GROUP BY file_id
+    ), geo AS (
+      SELECT doc_id, file_id, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h
+      FROM d WHERE kind = 'img'
+    ), px AS (
+      SELECT g.file_id, g.doc_id,
+             ANY_VALUE(g.w * g.h) AS np,
+             SUM((g.doc_id * 31 + r.r * 17 + c.c * 7) % 256) AS ps
+      FROM geo g, UNNEST(range(g.h)) AS r(r), UNNEST(range(g.w)) AS c(c)
+      GROUP BY g.file_id, g.doc_id
+    ), im AS (
+      SELECT file_id, COUNT(*) AS n_images, SUM(np) AS n_pixels,
+             SUM(ps) AS pixel_sum
+      FROM px GROUP BY file_id
+    ), nf AS (
+      SELECT file_id, COUNT(*) AS n_404 FROM d WHERE kind = 'nf'
+      GROUP BY file_id
+    )
+    SELECT ht.file_id, n_html, text_chars,
+           CAST(COALESCE(n_images, 0) AS BIGINT) AS n_images,
+           CAST(COALESCE(n_pixels, 0) AS BIGINT) AS n_pixels,
+           CAST(COALESCE(pixel_sum, 0) AS BIGINT) AS pixel_sum,
+           CAST(COALESCE(n_404, 0) AS BIGINT) AS n_404
+    FROM ht LEFT JOIN im USING (file_id) LEFT JOIN nf USING (file_id)
+    """,
+    doc="Multimodal crawl ingest — the query that marries the WARC "
+    "front door to the codec layer: archives carry a REAL crawl mix "
+    "(HTML pages, image/png fetches with genuine png_codec bytes, "
+    "404s), the splitter routes by the PEELED HTTP Content-Type, HTML "
+    "goes through html_to_text and images through the REAL PNG decode "
+    "(decode_features: zlib inflate + unfilter, pixel stats over "
+    "DECODED rasters); per-archive accounting of both modalities. The "
+    "oracle recomputes everything from first principles (extraction "
+    "formula for text lengths, the raster generator for pixel sums), "
+    "so a mime-routing bug, a decode error, or a dropped record "
+    "hash-mismatches. Zero-shuffle split/extract/decode; three tiny "
+    "per-file aggregates. sources/warc.py, operators/html.py, "
+    "operators/multimodal.py, operators/png_codec.py.",
+)
+def crawl_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.html import html_to_text
+    from ..operators.materialize import checkpoint_tracked
+    from ..operators.multimodal import decode_features
+    from ..sources import warc
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = warc.synth_warc_files(
+        docs, docs_per_file=_DOCS_PER_FILE,
+        not_found_every=_NOT_FOUND_EVERY, image_every=5,
+    )
+    # checkpoint the record table: three modality consumers (html, png,
+    # 404 accounting) read it — without this the synth + gzip split
+    # chain re-executes per consumer
+    recs = checkpoint_tracked(warc.warc_records(files))
+    ok = recs.filter(
+        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+    )
+    doc_id = F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long")
+
+    ht = (
+        ok.filter(F.col("http_mime").startswith("text/html"))
+        .select(
+            "file_id",
+            F.length(
+                html_to_text(F.col("payload").cast("string"))
+            ).alias("_chars"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_html"),
+            F.sum("_chars").cast("long").alias("text_chars"),
+        )
+    )
+    assets = ok.filter(F.col("http_mime") == "image/png").select(
+        doc_id.alias("asset_id"),
+        "payload",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("png").alias("format"),
+            F.lit(None).cast("long").alias("width"),
+            F.lit(None).cast("long").alias("height"),
+            F.length("payload").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    im = (
+        decode_features(assets, fake=False)
+        .select(
+            (F.col("asset_id") / _DOCS_PER_FILE).cast("long").alias(
+                "file_id"
+            ),
+            "n_bytes",
+            "byte_sum",
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("n_bytes").cast("long").alias("n_pixels"),
+            F.sum("byte_sum").cast("long").alias("pixel_sum"),
+        )
+    )
+    nf = (
+        recs.filter(F.col("http_status") == 404)
+        .groupBy("file_id")
+        .agg(F.count(F.lit(1)).alias("n_404"))
+    )
+    return (
+        ht.join(im, "file_id", "left")
+        .join(nf, "file_id", "left")
+        .select(
+            "file_id",
+            "n_html",
+            "text_chars",
+            F.coalesce("n_images", F.lit(0)).cast("long").alias("n_images"),
+            F.coalesce("n_pixels", F.lit(0)).cast("long").alias("n_pixels"),
+            F.coalesce("pixel_sum", F.lit(0))
+            .cast("long")
+            .alias("pixel_sum"),
+            F.coalesce("n_404", F.lit(0)).cast("long").alias("n_404"),
+        )
+    )

@@ -77,6 +77,10 @@ WARC_RECORD_SCHEMA = StructType(
         StructField("target_uri", StringType(), True),
         StructField("http_status", LongType(), True),
         StructField("mime", StringType(), True),
+        # the PAYLOAD's content type (from the peeled HTTP headers) —
+        # what downstream routing dispatches on: text/html → extraction,
+        # image/* → codec decode; null for non-HTTP records
+        StructField("http_mime", StringType(), True),
         StructField("payload", BinaryType(), True),
     ]
 )
@@ -109,6 +113,49 @@ def split_gzip_members(blob: bytes) -> Iterator[bytes]:
             )
         yield out
         rest = do.unused_data
+
+
+def split_plain_records(blob: bytes) -> Iterator[bytes]:
+    """Yield records from an UNCOMPRESSED .warc file (concatenated
+    records): walk version line → headers → Content-Length → body →
+    boundary CRLFCRLF. Local archives and test fixtures ship plain;
+    Common Crawl ships per-record gzip (see :func:`split_gzip_members`).
+    """
+    pos, n = 0, len(blob)
+    while pos < n:
+        if not blob.startswith(b"WARC/", pos):
+            raise ValueError(
+                f"expected a WARC version line at offset {pos} "
+                f"(got {blob[pos:pos + 12]!r})"
+            )
+        head_end = blob.index(_HDR_END, pos)
+        length = None
+        for line in blob[pos:head_end].split(CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            if k.strip().lower() == b"content-length":
+                length = int(v.strip())
+        if length is None:
+            raise ValueError("WARC record missing Content-Length")
+        end = head_end + len(_HDR_END) + length + len(_HDR_END)
+        if end > n:
+            raise ValueError(
+                f"truncated WARC record at offset {pos}: needs {end - n} "
+                "more bytes"
+            )
+        yield blob[pos:end]
+        pos = end
+
+
+def split_records(blob: bytes) -> Iterator[bytes]:
+    """Format auto-detect: gzip magic (1f 8b) → per-member split,
+    ``WARC/`` → plain concatenated records."""
+    if blob[:2] == b"\x1f\x8b":
+        return split_gzip_members(blob)
+    if blob[:5] == b"WARC/":
+        return split_plain_records(blob)
+    raise ValueError(
+        f"neither gzip nor plain WARC (leading bytes {blob[:8]!r})"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -152,13 +199,17 @@ def parse_record(raw: bytes) -> dict:
             f"WARC block truncated: declared {length}, got {len(block)}"
         )
     ctype = fields.get(b"content-type", b"").decode("ascii", "replace")
-    status, payload = None, block
+    status, payload, http_mime = None, block, None
     if ctype.startswith("application/http"):
         http_end = block.index(_HDR_END)
         http_head = block[:http_end].split(CRLF)
         first = http_head[0].decode("ascii", "replace").split()
         if first and first[0].startswith("HTTP/"):
             status = int(first[1])
+        for line in http_head[1:]:
+            k, _, v = line.partition(b":")
+            if k.strip().lower() == b"content-type":
+                http_mime = v.strip().decode("ascii", "replace")
         payload = block[http_end + len(_HDR_END):]
     uri = fields.get(b"warc-target-uri")
     return {
@@ -167,6 +218,7 @@ def parse_record(raw: bytes) -> dict:
         "target_uri": uri.decode() if uri is not None else None,
         "http_status": status,
         "mime": ctype,
+        "http_mime": http_mime,
         "payload": payload,
     }
 
@@ -193,13 +245,13 @@ def warc_records(
         for pdf in batches:
             rows = []
             for fid, blob in zip(pdf[file_col], pdf[warc_col]):
-                for i, member in enumerate(split_gzip_members(bytes(blob))):
+                for i, member in enumerate(split_records(bytes(blob))):
                     r = parse_record(member)
                     rows.append(
                         (
                             int(fid), i, r["warc_type"], r["record_id"],
                             r["target_uri"], r["http_status"], r["mime"],
-                            r["payload"],
+                            r["http_mime"], r["payload"],
                         )
                     )
             yield pd.DataFrame(rows, columns=cols)
@@ -216,11 +268,16 @@ def warc_records(
 NOT_FOUND_HTML = "<html><body><p>not found</p></body></html>"
 
 
-def _http_response(status: int, reason: str, html: str) -> bytes:
-    body = html.encode()
+def _http_response(
+    status: int,
+    reason: str,
+    body: str | bytes,
+    ctype: str = "text/html; charset=utf-8",
+) -> bytes:
+    body = body.encode() if isinstance(body, str) else body
     return (
         f"HTTP/1.1 {status} {reason}".encode() + CRLF
-        + b"Content-Type: text/html; charset=utf-8" + CRLF
+        + f"Content-Type: {ctype}".encode() + CRLF
         + b"Content-Length: %d" % len(body) + _HDR_END + body
     )
 
@@ -238,6 +295,7 @@ def synth_warc_files(
     docs: DataFrame,
     docs_per_file: int = 25,
     not_found_every: int = 17,
+    image_every: int = 0,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -247,7 +305,11 @@ def synth_warc_files(
     document (ascending id) a ``request`` + ``response`` pair for
     ``http://crawl.example/doc/{id}``. Documents with
     ``id % not_found_every == 0`` respond 404 with an error page (their
-    text must NOT survive extraction); the rest respond 200 with
+    text must NOT survive extraction); with ``image_every > 0``, the
+    remaining documents where ``id % image_every == 2`` respond with an
+    ``image/png`` payload instead of HTML (the ``synth_png_assets``
+    raster formula, real ``png_codec`` bytes) — the multimodal crawl
+    mix a real dump carries; the rest respond 200 with
     ``synth_html(id, text)``. Every record is its own gzip member.
 
     Grouping is ``file_id = id // docs_per_file`` — a formula the SQL
@@ -299,6 +361,20 @@ def synth_warc_files(
             )
             if d % not_found_every == 0:
                 http = _http_response(404, "Not Found", NOT_FOUND_HTML)
+            elif image_every > 0 and d % image_every == 2:
+                import numpy as np
+
+                from ..operators.png_codec import encode_png
+
+                w, h = 8 + d % 5, 6 + d % 4
+                r_ = np.arange(h, dtype=np.int64)[:, None]
+                c_ = np.arange(w, dtype=np.int64)[None, :]
+                raster = ((d * 31 + r_ * 17 + c_ * 7) % 256).astype(
+                    np.uint8
+                )
+                http = _http_response(
+                    200, "OK", encode_png(raster), ctype="image/png"
+                )
             else:
                 http = _http_response(
                     200, "OK", synth_html(d, str(row["_text"]))
@@ -329,6 +405,8 @@ __all__ = [
     "NOT_FOUND_HTML",
     "gzip_member",
     "split_gzip_members",
+    "split_plain_records",
+    "split_records",
     "build_record",
     "parse_record",
     "warc_records",

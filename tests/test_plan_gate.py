@@ -71,6 +71,9 @@ EXPECT = {
     # r14 multimodal interleave: join of the two modality sides + the
     # packer's bounded prefix-scan shuffles over the checkpointed frame
     "interleaved_mm_spans": dict(max_shuffles=5, max_scan_width=3),
+    # r14 multimodal crawl: three per-file aggregates + their joins over
+    # the checkpointed record table (synth+split runs once)
+    "crawl_multimodal_stats": dict(max_shuffles=6, max_scan_width=2),
     "ann_cosine_topk": dict(max_shuffles=1, max_smj=0, pushed=True),
     # round-5 additions: the CMS family must never sort-merge (sketch and
     # candidate sides are bounded by construction — broadcast hints pinned);
@@ -315,6 +318,9 @@ def test_plan_invariants(gate_spark, name):
 # max_scan_width + the single-Exchange ceilings above), so it does not
 # belong in this gate (which asserts a capture exists).
 MAX_SCANS_PER_TABLE = {
+    "crawl_multimodal_stats": 1,  # r14: documents feed the archive synth
+                                  # once; the checkpointed record table
+                                  # serves all three modality consumers
     "interleaved_mm_spans": 2,  # r14: one scan per modality side (text
                                 # tokens + the synth/decode chain) into
                                 # the checkpointed join; the union and

@@ -180,3 +180,43 @@ class TestDistributedSplit:
         g = W.split_gzip_members(blob)
         assert isinstance(g, types.GeneratorType)
         assert next(g) == b"r0"
+
+
+class TestPlainWarc:
+    def test_plain_and_gzip_split_agree(self):
+        recs = [
+            W.build_record(
+                "resource",
+                [("Content-Type", "text/plain")],
+                b"payload %d" % i,
+            )
+            for i in range(4)
+        ]
+        plain = b"".join(recs)
+        gz = b"".join(W.gzip_member(r) for r in recs)
+        assert list(W.split_records(plain)) == list(W.split_records(gz))
+
+    def test_plain_truncated_rejected(self):
+        rec = W.build_record(
+            "resource", [("Content-Type", "text/plain")], b"abc"
+        )
+        with pytest.raises(ValueError, match="truncated WARC record"):
+            list(W.split_plain_records(rec[:-6]))
+
+    def test_garbage_rejected(self):
+        with pytest.raises(ValueError, match="neither gzip nor plain"):
+            list(W.split_records(b"\x00\x01junk"))
+
+    def test_http_mime_peeled(self):
+        body = W._http_response(200, "OK", b"\x89PNG fake", "image/png")
+        rec = W.build_record(
+            "response",
+            [
+                ("WARC-Target-URI", "http://crawl.example/doc/2"),
+                ("Content-Type", "application/http; msgtype=response"),
+            ],
+            body,
+        )
+        p = W.parse_record(rec)
+        assert p["http_mime"] == "image/png"
+        assert p["payload"] == b"\x89PNG fake"
