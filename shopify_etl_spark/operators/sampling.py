@@ -200,3 +200,41 @@ def epoch_mix(
             "copy_idx"
         ),
     )
+
+
+def capped_per_key(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    cap: int,
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per key, by ascending ``order_col``
+    (ties impossible when the order column is unique, e.g. a doc id) —
+    the per-domain cap every crawl-curation pipeline applies before
+    training (anti-SEO/spam: one host must not dominate the corpus).
+
+    Scale shape: a bare ``row_number() OVER (PARTITION BY key)`` would
+    total-sort a possibly corpus-dominant key in ONE task. This is the
+    exact two-phase top-N instead (the ``pq.ivf_pq_topk`` shortlist
+    discipline): phase 1 ranks within each (input partition, key) —
+    bounded by the partition size — and drops everything past ``cap``,
+    which is lossless because a key's global top-``cap`` rows are
+    contained in the union of its per-partition top-``cap`` rows; phase
+    2 ranks the ≤ ``cap · n_partitions`` survivors per key. The heavy
+    window never sees more than one partition's rows for any key.
+    """
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy("_pid", key_col).orderBy(F.asc(order_col))
+    w2 = Window.partitionBy(key_col).orderBy(F.asc(order_col))
+    pruned = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= cap)
+        .drop("_pid", "_r1")
+    )
+    out = pruned.withColumn("_rank", F.row_number().over(w2)).filter(
+        F.col("_rank") <= cap
+    )
+    return out if keep_rank else out.drop("_rank")

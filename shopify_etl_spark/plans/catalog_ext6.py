@@ -682,3 +682,81 @@ def crawl_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_404", F.lit(0)).cast("long").alias("n_404"),
         )
     )
+
+
+@register(
+    "crawl_domain_caps",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             'host' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host,
+             doc_id % 13 AS sec
+      FROM documents WHERE doc_id % {_NOT_FOUND_EVERY} <> 0
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY host ORDER BY doc_id)
+                  AS rn
+      FROM d
+    )
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_fetched,
+           CAST(SUM(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(COUNT(DISTINCT sec) AS BIGINT) AS n_sections,
+           MIN(CASE WHEN rn <= 10 THEN doc_id END) AS min_kept,
+           MAX(CASE WHEN rn <= 10 THEN doc_id END) AS max_kept
+    FROM r GROUP BY host
+    """,
+    doc="Per-domain capping — the anti-SEO/spam curation step every "
+    "crawl pipeline runs before training (one host must not dominate "
+    "the corpus): rich-URI archives (hosts/sections in the path) → "
+    "record split → Spark's parse_url extracts HOST and PATH from the "
+    "target URI (pure JVM) → capped_per_key keeps the first 10 docs "
+    "per host via the TWO-PHASE top-N (per-input-partition prune "
+    "before the per-host window — the heavy window never total-sorts "
+    "a corpus-dominant host in one task) → per-host accounting with "
+    "section diversity. The oracle re-derives hosts/sections from the "
+    "synthesis formula and replays the cap, so a URL-parsing bug or a "
+    "lossy prune hash-mismatches. sources/warc.py (rich_uris), "
+    "operators/sampling.py::capped_per_key.",
+)
+def crawl_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.materialize import checkpoint_tracked
+    from ..operators.sampling import capped_per_key
+    from ..sources import warc
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = warc.synth_warc_files(
+        docs, docs_per_file=_DOCS_PER_FILE,
+        not_found_every=_NOT_FOUND_EVERY, rich_uris=True,
+    )
+    fetched = checkpoint_tracked(
+        warc.warc_records(files)
+        .filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+        )
+        .select(
+            F.parse_url("target_uri", F.lit("HOST")).alias("host"),
+            F.regexp_extract(
+                F.parse_url("target_uri", F.lit("PATH")),
+                r"^/(sec\d+)/", 1,
+            ).alias("sec"),
+            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+        )
+    )
+    kept = capped_per_key(fetched, "host", "doc_id", cap=10).groupBy(
+        "host"
+    ).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_kept"),
+        F.max("doc_id").alias("max_kept"),
+    )
+    total = fetched.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_fetched"),
+        F.count_distinct("sec").alias("n_sections"),
+    )
+    return total.join(kept, "host").select(
+        "host", "n_fetched", "n_kept", "n_sections", "min_kept", "max_kept"
+    )

@@ -229,30 +229,54 @@ def parse_record(raw: bytes) -> dict:
 
 
 def warc_records(
-    files: DataFrame, warc_col: str = "warc", file_col: str = "file_id"
+    files: DataFrame,
+    warc_col: str = "warc",
+    file_col: str = "file_id",
+    mode: str = "fail",
 ) -> DataFrame:
     """Split WARC archives into records — one output row per record.
 
     Zero-shuffle ``mapInPandas``: each task streams its archives'
-    gzip members through :func:`split_gzip_members` (generator — memory
+    gzip members through :func:`split_records` (generator — memory
     is one record), parses, and emits Arrow batches. At 100 TB the input
     is a ``binaryFile`` scan with one row per ``.warc.gz``; parallelism
     is the file count, and record parsing never leaves the task.
+
+    ``mode``: ``"fail"`` (default) raises on the first malformed archive
+    — the synthesis/test posture, where corruption means a bug.
+    ``"permissive"`` is the crawl posture: real dumps carry clipped and
+    bit-rotted members, and one bad archive must not kill a 100 TB
+    ingest — records parsed BEFORE the corruption point are kept, then
+    ONE accounting row (``warc_type='corrupt'``, the error message in
+    ``mime``, ``rec_index`` = records salvaged) marks the archive so
+    the loss is countable downstream, never silent.
     """
+    if mode not in ("fail", "permissive"):
+        raise ValueError(f"mode must be 'fail' or 'permissive', got {mode!r}")
 
     def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in WARC_RECORD_SCHEMA.fields]
         for pdf in batches:
             rows = []
             for fid, blob in zip(pdf[file_col], pdf[warc_col]):
-                for i, member in enumerate(split_records(bytes(blob))):
-                    r = parse_record(member)
-                    rows.append(
-                        (
-                            int(fid), i, r["warc_type"], r["record_id"],
-                            r["target_uri"], r["http_status"], r["mime"],
-                            r["http_mime"], r["payload"],
+                i = 0
+                try:
+                    for member in split_records(bytes(blob)):
+                        r = parse_record(member)
+                        rows.append(
+                            (
+                                int(fid), i, r["warc_type"], r["record_id"],
+                                r["target_uri"], r["http_status"],
+                                r["mime"], r["http_mime"], r["payload"],
+                            )
                         )
+                        i += 1
+                except ValueError as e:
+                    if mode == "fail":
+                        raise
+                    rows.append(
+                        (int(fid), i, "corrupt", "", None, None,
+                         str(e), None, None)
                     )
             yield pd.DataFrame(rows, columns=cols)
 
@@ -296,6 +320,7 @@ def synth_warc_files(
     docs_per_file: int = 25,
     not_found_every: int = 17,
     image_every: int = 0,
+    rich_uris: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -343,7 +368,14 @@ def synth_warc_files(
         n = 1
         for _, row in pdf.sort_values("_id").iterrows():
             d = int(row["_id"])
-            uri = f"http://crawl.example/doc/{d}"
+            # rich_uris spreads fetches across hosts/sections (the
+            # per-domain-analytics fixture); the /doc/{id} TAIL is
+            # invariant so id recovery works in both shapes
+            uri = (
+                f"http://host{d % 7}.example/sec{d % 13}/doc/{d}"
+                if rich_uris
+                else f"http://crawl.example/doc/{d}"
+            )
             common = [
                 ("WARC-Date", "2026-01-01T00:00:00Z"),
                 ("WARC-Target-URI", uri),

@@ -74,6 +74,9 @@ EXPECT = {
     # r14 multimodal crawl: three per-file aggregates + their joins over
     # the checkpointed record table (synth+split runs once)
     "crawl_multimodal_stats": dict(max_shuffles=6, max_scan_width=2),
+    # r14 domain caps: two per-host aggregates + join + the two-phase
+    # capped window over the checkpointed fetch table
+    "crawl_domain_caps": dict(max_shuffles=6, max_scan_width=2),
     "ann_cosine_topk": dict(max_shuffles=1, max_smj=0, pushed=True),
     # round-5 additions: the CMS family must never sort-merge (sketch and
     # candidate sides are bounded by construction — broadcast hints pinned);
@@ -318,6 +321,8 @@ def test_plan_invariants(gate_spark, name):
 # max_scan_width + the single-Exchange ceilings above), so it does not
 # belong in this gate (which asserts a capture exists).
 MAX_SCANS_PER_TABLE = {
+    "crawl_domain_caps": 1,       # r14: checkpointed fetch table serves
+                                  # both the cap chain and the totals agg
     "crawl_multimodal_stats": 1,  # r14: documents feed the archive synth
                                   # once; the checkpointed record table
                                   # serves all three modality consumers

@@ -152,3 +152,42 @@ def test_leakage_safe_split_keeps_near_dups_together(spark):
     assert got[100].group_key == got[205].group_key == 100
     assert got[100].split == got[205].split  # never straddles the boundary
     assert got[300].group_key == 300
+
+
+class TestCappedPerKey:
+    def test_cap_and_partitioning_invariance(self, spark):
+        """capped_per_key keeps exactly the first `cap` rows per key by
+        order (the global answer), regardless of how the input is
+        partitioned — the two-phase prune is lossless."""
+        from shopify_etl_spark.operators.sampling import capped_per_key
+
+        rows = [(f"k{i % 3}", i) for i in range(60)]
+        want = {}
+        for k, i in sorted(rows, key=lambda t: t[1]):
+            want.setdefault(k, [])
+            if len(want[k]) < 5:
+                want[k].append(i)
+        for nparts in (1, 7, 32):
+            df = spark.createDataFrame(
+                rows, "host string, doc_id long"
+            ).repartition(nparts)
+            got = {}
+            for r in sorted(
+                capped_per_key(df, "host", "doc_id", cap=5).collect(),
+                key=lambda r: r.doc_id,
+            ):
+                got.setdefault(r.host, []).append(r.doc_id)
+            assert got == want, nparts
+
+    def test_keep_rank(self, spark):
+        from shopify_etl_spark.operators.sampling import capped_per_key
+
+        df = spark.createDataFrame(
+            [("a", 10), ("a", 3), ("a", 7)], "host string, doc_id long"
+        )
+        got = sorted(
+            capped_per_key(df, "host", "doc_id", 2, keep_rank=True)
+            .collect(),
+            key=lambda r: r._rank,
+        )
+        assert [(r.doc_id, r._rank) for r in got] == [(3, 1), (7, 2)]

@@ -220,3 +220,42 @@ class TestPlainWarc:
         p = W.parse_record(rec)
         assert p["http_mime"] == "image/png"
         assert p["payload"] == b"\x89PNG fake"
+
+
+class TestPermissiveMode:
+    def test_bad_archive_salvages_prefix_and_accounts(self, spark):
+        good = [
+            W.gzip_member(
+                W.build_record(
+                    "resource", [("Content-Type", "text/plain")],
+                    b"r%d" % i,
+                )
+            )
+            for i in range(3)
+        ]
+        clipped = b"".join(good) + W.gzip_member(b"x" * 200)[:-4]
+        files = spark.createDataFrame(
+            [(0, b"".join(good)), (1, clipped)],
+            "file_id long, warc binary",
+        )
+        # fail mode: the clipped member kills the job
+        with pytest.raises(Exception, match="truncated gzip member"):
+            W.warc_records(files).collect()
+        rows = W.warc_records(files, mode="permissive").collect()
+        by_file = {}
+        for r in rows:
+            by_file.setdefault(r.file_id, []).append(r)
+        assert len(by_file[0]) == 3
+        assert all(r.warc_type == "resource" for r in by_file[0])
+        # file 1: the 3 records before the corruption point survive,
+        # then ONE accounting row names the error
+        assert [r.warc_type for r in by_file[1]] == [
+            "resource", "resource", "resource", "corrupt",
+        ]
+        bad = by_file[1][-1]
+        assert bad.rec_index == 3 and "truncated" in bad.mime
+
+    def test_mode_validated(self, spark):
+        files = spark.createDataFrame([(0, b"")], "file_id long, warc binary")
+        with pytest.raises(ValueError, match="permissive"):
+            W.warc_records(files, mode="lenient")
