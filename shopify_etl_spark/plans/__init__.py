@@ -218,6 +218,7 @@ _CHANGED_R14 = [
     "opq_balanced_pq",       # NEW: OPQ variance-balanced allocation gate
     "crawl_multimodal_stats",  # NEW: mime-routed HTML+PNG crawl accounting
     "crawl_domain_caps",     # NEW: per-domain cap via two-phase top-N
+    "robots_compliance_audit",  # NEW: robots rules parsed from archives
     "quality_probe_distill",  # classifier feature_stats untouched; probe
     #   family re-fronted for the stream-monitor empty-batch fix
 ]

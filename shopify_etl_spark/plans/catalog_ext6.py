@@ -760,3 +760,94 @@ def crawl_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return total.join(kept, "host").select(
         "host", "n_fetched", "n_kept", "n_sections", "min_kept", "max_kept"
     )
+
+
+@register(
+    "robots_compliance_audit",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, doc_id % 7 AS h, doc_id % 13 AS sec
+      FROM documents WHERE doc_id % {_NOT_FOUND_EVERY} <> 0
+    ), x AS (
+      SELECT 'host' || CAST(h AS VARCHAR) || '.example' AS host,
+             COUNT(*) AS n_fetched,
+             SUM(CASE WHEN sec = (2 * h) % 13
+                        OR sec = (2 * h + 1) % 13
+                      THEN 1 ELSE 0 END) AS n_excluded
+      FROM d GROUP BY h
+    )
+    SELECT host,
+           CAST(n_fetched AS BIGINT)              AS n_fetched,
+           CAST(n_fetched - n_excluded AS BIGINT) AS n_allowed,
+           CAST(n_excluded AS BIGINT)             AS n_excluded
+    FROM x
+    """,
+    doc="Robots-exclusion compliance audit — the governance pass a "
+    "crawl-derived corpus runs before training (documents fetched from "
+    "paths a host's robots.txt disallows must be identified and "
+    "dropped): robots.txt responses are parsed OUT OF THE ARCHIVES "
+    "themselves (explode lines → Disallow prefixes per host, deduped "
+    "across re-fetches), page fetches join the (tiny, broadcast) rule "
+    "table by host with a prefix match, and the audit reports "
+    "fetched/allowed/excluded per host. The oracle re-derives the rule "
+    "formula (host h disallows sections 2h and 2h+1 mod 13) and the "
+    "fetch set from documents alone — a rule-parsing or prefix-match "
+    "bug hash-mismatches. sources/warc.py (robots=True), "
+    "operators/html.py.",
+)
+def robots_compliance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.materialize import checkpoint_tracked
+    from ..sources import warc
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = warc.synth_warc_files(
+        docs, docs_per_file=_DOCS_PER_FILE,
+        not_found_every=_NOT_FOUND_EVERY, rich_uris=True, robots=True,
+    )
+    ok = checkpoint_tracked(
+        warc.warc_records(files).filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+        )
+    )
+    is_robots = F.col("target_uri").endswith("/robots.txt")
+    rules = (
+        ok.filter(is_robots)
+        .select(
+            F.parse_url("target_uri", F.lit("HOST")).alias("host"),
+            F.explode(
+                F.split(F.col("payload").cast("string"), "\n")
+            ).alias("_line"),
+        )
+        .select(
+            "host",
+            F.regexp_extract("_line", r"^Disallow:\s*(\S+)", 1).alias(
+                "prefix"
+            ),
+        )
+        .filter(F.col("prefix") != "")
+        .distinct()  # robots re-fetched per archive: rules dedupe
+    )
+    pages = ok.filter(~is_robots).select(
+        F.parse_url("target_uri", F.lit("HOST")).alias("host"),
+        F.parse_url("target_uri", F.lit("PATH")).alias("path"),
+    )
+    hits = (
+        pages.join(F.broadcast(rules), "host")
+        .filter(F.col("path").startswith(F.col("prefix")))
+        .groupBy("host")
+        # a path can match at most one /secN/ prefix here, but count
+        # via the join defensively as "matched fetches"
+        .agg(F.count(F.lit(1)).alias("n_excluded"))
+    )
+    total = pages.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_fetched")
+    )
+    return total.join(hits, "host", "left").select(
+        "host",
+        "n_fetched",
+        (
+            F.col("n_fetched") - F.coalesce("n_excluded", F.lit(0))
+        ).cast("long").alias("n_allowed"),
+        F.coalesce("n_excluded", F.lit(0)).cast("long").alias("n_excluded"),
+    )

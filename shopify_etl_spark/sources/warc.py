@@ -321,6 +321,7 @@ def synth_warc_files(
     not_found_every: int = 17,
     image_every: int = 0,
     rich_uris: bool = False,
+    robots: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -366,6 +367,41 @@ def synth_warc_files(
             )
         ]
         n = 1
+        if robots:
+            # per-host robots.txt fetches ride in every archive (real
+            # crawlers re-fetch robots per session; consumers dedupe
+            # rules): host h disallows sections (2h)%13 and (2h+1)%13 —
+            # the formula the compliance-audit oracle mirrors
+            for h in range(7):
+                uri = f"http://host{h}.example/robots.txt"
+                body = (
+                    "User-agent: *\n"
+                    f"Disallow: /sec{(2 * h) % 13}/\n"
+                    f"Disallow: /sec{(2 * h + 1) % 13}/\n"
+                )
+                parts.append(
+                    gzip_member(
+                        build_record(
+                            "response",
+                            [
+                                (
+                                    "WARC-Record-ID",
+                                    f"<urn:uuid:robots-{fid:08d}-{h}>",
+                                ),
+                                ("WARC-Date", "2026-01-01T00:00:00Z"),
+                                ("WARC-Target-URI", uri),
+                                (
+                                    "Content-Type",
+                                    "application/http; msgtype=response",
+                                ),
+                            ],
+                            _http_response(
+                                200, "OK", body, ctype="text/plain"
+                            ),
+                        )
+                    )
+                )
+                n += 1
         for _, row in pdf.sort_values("_id").iterrows():
             d = int(row["_id"])
             # rich_uris spreads fetches across hosts/sections (the

@@ -77,6 +77,9 @@ EXPECT = {
     # r14 domain caps: two per-host aggregates + join + the two-phase
     # capped window over the checkpointed fetch table
     "crawl_domain_caps": dict(max_shuffles=6, max_scan_width=2),
+    # r14 robots audit: rule explode/distinct + broadcast prefix join +
+    # two per-host aggregates over the checkpointed response table
+    "robots_compliance_audit": dict(max_shuffles=7, max_scan_width=2),
     "ann_cosine_topk": dict(max_shuffles=1, max_smj=0, pushed=True),
     # round-5 additions: the CMS family must never sort-merge (sketch and
     # candidate sides are bounded by construction — broadcast hints pinned);
@@ -321,6 +324,8 @@ def test_plan_invariants(gate_spark, name):
 # max_scan_width + the single-Exchange ceilings above), so it does not
 # belong in this gate (which asserts a capture exists).
 MAX_SCANS_PER_TABLE = {
+    "robots_compliance_audit": 1,  # r14: checkpointed response table
+                                   # serves rules, pages and totals
     "crawl_domain_caps": 1,       # r14: checkpointed fetch table serves
                                   # both the cap chain and the totals agg
     "crawl_multimodal_stats": 1,  # r14: documents feed the archive synth
@@ -561,6 +566,10 @@ SKEW_WINDOW_ALLOWED = {
     #   never over documents (operators/packing.py::_prefix_start)
     "training_sequence_spans",  # same bucket-totals offset window
     "shard_balance_report",     # same (composes pack_shards)
+    "interleaved_mm_spans",     # same packer machinery (pack_interleaved
+    #   → _prefix_start): the source-keyed window runs over the
+    #   per-(bucket, source) TOTALS frame — one row per 64Ki-segment
+    #   bucket, never over documents
 }
 
 
