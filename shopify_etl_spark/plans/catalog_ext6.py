@@ -344,7 +344,8 @@ def _opq_oracle() -> str:
     WITH scaled AS MATERIALIZED (
       SELECT vec_id,
              list_transform(range(1, 65),
-                            i -> embedding[i]::DOUBLE / i) AS ev
+                            i -> FLOOR(embedding[i]::DOUBLE / i
+                                       * 262144 + 0.5) / 262144) AS ev
       FROM embeddings
     ), vars AS (
       SELECT t.i AS i,
@@ -472,11 +473,28 @@ def opq_balanced_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     ev = F.col("embedding").cast("array<double>")
+    # Scale to the 1/(1+dim) decay spectrum, then snap to the 2^-18
+    # dyadic grid. The grid is the determinism device, not a
+    # simplification: dyadic inputs make every training aggregate
+    # (variance moments, Lloyd update sums — magnitudes bounded well
+    # inside the 53-bit mantissa) an EXACT double sum, so the trained
+    # codebooks are bit-identical regardless of partition/summation
+    # order — across Spark runs AND vs the DuckDB oracle. Without it,
+    # run-to-run 1e-16 aggregate noise can flip a near-tied Lloyd
+    # assignment and shift a rank-10 ADC boundary (observed once in a
+    # full-catalog sweep). Quantization error 2^-19 ≈ 2e-6 is far
+    # below the spectrum structure the query measures.
     scaled = checkpoint_tracked(
         emb.select(
             "vec_id",
             F.transform(
-                ev, lambda x, j: x / (F.lit(1.0) + j.cast("double"))
+                ev,
+                lambda x, j: F.floor(
+                    x / (F.lit(1.0) + j.cast("double"))
+                    * F.lit(262144.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(262144.0),
             ).alias("ev"),
         )
     )
