@@ -42,6 +42,14 @@ python - "$N" << 'EOF'
 import json, sys
 r = json.load(open("BENCH_LOCAL.json"))
 print(f"headline_total={r['headline_total']}s  window_load={r['window_load']}")
+cal = r.get("calibration") or {}
+print(f"calibration start={cal.get('start')}")
+vsp = cal.get("vs_prev")
+if vsp:
+    # the mechanical host-factor ratio (VERDICT r13 #2): adjudicate any
+    # carried-surface drift against THIS number, not a narrative
+    print(f"host_factor={vsp['host_factor']} vs {vsp['baseline']} "
+          f"(per-probe {vsp['per_probe']})")
 vp = r.get("vs_prev")
 if vp:
     print(f"vs {vp['baseline']} (total {vp['prev_total']}s):")
