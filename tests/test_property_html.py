@@ -1,0 +1,82 @@
+"""Property tests for the crawl-ingest extraction layer: the lossless
+synth→extract round-trip (the claim every catalog oracle in
+plans/catalog_ext6.py rests on) and WARC record/member framing, under
+adversarial generated inputs."""
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from shopify_etl_spark.operators import html as H
+from shopify_etl_spark.sources import warc as W
+
+# Adversarial text: printable ASCII incl. markup metacharacters, entity
+# look-alikes, and whitespace runs — everything escape_html must defuse
+# and the single-pass decode must restore literally.
+_text = st.lists(
+    st.sampled_from(
+        list("abcdefghij <>&;/\"'\t\n-!#") + ["&amp;", "&lt;", "<p>", "-->"]
+    ),
+    min_size=0,
+    max_size=120,
+).map("".join)
+
+
+def _norm(s: str) -> str:
+    return re.sub(r"\s+", " ", s.strip())
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.integers(min_value=0, max_value=10**9), _text)
+def test_synth_extract_roundtrip_lossless(spark, doc_id, text):
+    """For ANY text (markup metacharacters, pre-escaped entities,
+    comment terminators, whitespace runs included), extracting
+    synth_html(id, text) yields exactly
+    'Doc {id} {ws-normalized text} &copy; example end'."""
+    got = (
+        spark.range(1)
+        .select(H.html_to_text(F.lit(H.synth_html(doc_id, text))))
+        .collect()[0][0]
+    )
+    want = _norm(f"Doc {doc_id} {_norm(text)} &copy; example end")
+    assert got == want
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.binary(min_size=0, max_size=5000), min_size=1, max_size=8)
+)
+def test_gzip_member_framing_roundtrip(payloads):
+    """Concatenated per-record gzip members split back into exactly the
+    original byte strings, for arbitrary binary payloads and member
+    counts (incl. empty payloads)."""
+    blob = b"".join(W.gzip_member(p) for p in payloads)
+    assert list(W.split_gzip_members(blob)) == payloads
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["response", "request", "resource", "metadata"]),
+            st.binary(min_size=0, max_size=2000),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_warc_record_framing_roundtrip_both_containers(recs):
+    """build_record → (plain | gzip) container → split → parse recovers
+    every record's type and payload verbatim; the two containers agree.
+    Non-HTTP content types, so payloads (arbitrary bytes, CRLFCRLF
+    included) must pass through untouched — the Content-Length slice,
+    not a delimiter scan, is what frames the block."""
+    raws = [
+        W.build_record(t, [("Content-Type", "application/octet-stream")], p)
+        for t, p in recs
+    ]
+    for blob in (b"".join(raws), b"".join(W.gzip_member(r) for r in raws)):
+        parsed = [W.parse_record(m) for m in W.split_records(blob)]
+        assert [(r["warc_type"], r["payload"]) for r in parsed] == recs
