@@ -105,7 +105,15 @@ def split_gzip_members(blob: bytes) -> Iterator[bytes]:
     rest = bytes(blob)
     while rest:
         do = zlib.decompressobj(31)
-        out = do.decompress(rest)
+        try:
+            out = do.decompress(rest)
+        except zlib.error as e:
+            # corrupt deflate stream / bad CRC: surface the clean
+            # ValueError contract (codec-family hardening) so
+            # permissive-mode accounting catches it instead of dying
+            raise ValueError(
+                f"corrupt gzip member in WARC archive: {e}"
+            ) from e
         if not do.eof:
             raise ValueError(
                 "truncated gzip member in WARC archive "

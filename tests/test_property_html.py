@@ -80,3 +80,34 @@ def test_warc_record_framing_roundtrip_both_containers(recs):
     for blob in (b"".join(raws), b"".join(W.gzip_member(r) for r in raws)):
         parsed = [W.parse_record(m) for m in W.split_records(blob)]
         assert [(r["warc_type"], r["payload"]) for r in parsed] == recs
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.binary(min_size=0, max_size=3000))
+def test_untrusted_bytes_raise_cleanly(blob):
+    """The codec-family hardening contract, applied to the WARC layer:
+    arbitrary bytes either parse or raise ValueError (the clean,
+    catchable error permissive mode accounts for) — never an index/
+    struct/zlib error leaking through, never a hang."""
+    try:
+        for member in W.split_records(blob):
+            W.parse_record(member)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.binary(min_size=256, max_size=2000), st.integers(0, 10**9))
+def test_corrupted_member_raises_cleanly(payload, where):
+    """Bit-flip a byte past the gzip header of a valid member: the
+    splitter must either still decode (flip landed in slack) or fail
+    with ValueError — never a raw zlib.error. This fuzz CAUGHT the
+    unwrapped zlib.error (which would have killed permissive-mode
+    ingest on a bit-rotted archive instead of accounting it)."""
+    blob = bytearray(W.gzip_member(payload))
+    pos = 18 + where % (len(blob) - 22)
+    blob[pos] ^= 0xFF
+    try:
+        list(W.split_gzip_members(bytes(blob)))
+    except ValueError:
+        pass
