@@ -21,19 +21,32 @@ extractor — trafilatura/jusText handle layout heuristics on top, but the
 tag/entity layer below is the deterministic part):
 
 1. drop ``<head>…</head>`` wholesale (title/meta/style/script live
-   there; body text is what trains),
+   there; body text is what trains); an UNTERMINATED ``<head>`` (real
+   crawl HTML omits closers constantly) drops up to ``<body`` — the
+   browser recovery rule — or end-of-input,
 2. drop ``<script>``/``<style>`` blocks and ``<!-- comments -->``
    anywhere (their CONTENT must vanish, not just their tags — a comment
-   may contain markup),
+   may contain markup); an unterminated opener drops to end-of-input,
 3. block-level tags (``p, div, h1-h6, li, ul, ol, tr, td, th, table,
    br, section, article, header, footer, blockquote, pre``) become
    newlines — block boundaries are word boundaries,
 4. every remaining (inline) tag is deleted in place — ``<b>word</b>``
    must yield ``word``, not ``word`` split in two,
-5. the five XML entities plus ``&nbsp;`` decode ONCE, ``&amp;`` last —
-   single-pass unescape, so ``&amp;copy;`` yields the literal text
-   ``&copy;`` (double-decoding is a classic extractor bug),
+5. entities decode ONCE (single-pass unescape): the named XML five +
+   ``&apos;``/``&nbsp;``, their decimal/hex numeric twins
+   (``&#60;``/``&#x3C;`` …, optional leading zeros, case-insensitive
+   hex), and the common typographic numerics (dashes, curly quotes,
+   ellipsis). Every spelling of ``&`` routes through a noncharacter
+   sentinel so ``&amp;copy;`` yields the literal text ``&copy;`` and
+   ``&amp;#38;`` the literal ``&#38;`` (double-decoding is a classic
+   extractor bug). Numeric references outside the bounded set pass
+   through as literal text — the documented seam (COVERAGE.md),
 6. optional whitespace normalization (``\\s+`` → one space + trim).
+
+Known seam (documented, not fixed): the rule-4 tag regex ``<[^>]*>``
+mis-splits on a literal ``>`` inside a quoted attribute value
+(``<a title="a>b">`` leaves ``b">`` behind) — exact on the synth
+domain, approximate on adversarial real pages.
 
 The synthesizer (:func:`synth_html`) is the gate's other half: it embeds
 a document's text into a template that exercises every rule above
@@ -59,16 +72,44 @@ BLOCK_TAGS = (
     "header|footer|blockquote|pre"
 )
 
-# Entity decode table, in application order — ``&amp;`` MUST be last so
-# the unescape is single-pass (``&amp;lt;`` → ``&lt;`` literal, never
-# ``<``).
-_ENTITIES = (
+# Single-pass unescape over a REPLACE chain needs every spelling of
+# "&" (named + numeric + hex) parked on a sentinel until all other
+# entities have decoded — otherwise "&amp;#38;" would decode twice
+# ("&#38;" then "&"). The sentinel is U+FFFF, a Unicode NONCHARACTER
+# forbidden in interchanged text, so dropping any pre-existing
+# occurrence first is lossless on every conforming page.
+_SENTINEL = "￿"
+
+# Named entities other than &amp; (literal single-pass replaces; their
+# decoded outputs contain no "&", so ordering among them is free).
+_NAMED_ENTITIES = (
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
-    ("&#39;", "'"),
+    ("&apos;", "'"),
     ("&nbsp;", " "),
-    ("&amp;", "&"),
+)
+
+# Numeric character references (VERDICT r14 #2): (decimal, hex,
+# replacement) — each becomes ONE case-insensitive regexp accepting
+# optional leading zeros in both radixes: (?i)&#(?:0*DEC|x0*HEX);.
+# The bounded set = the numeric twins of the named entities plus the
+# typographic punctuation real crawls actually carry; references
+# outside it pass through as literal text (documented seam,
+# COVERAGE.md).
+_NUMERIC_ENTITIES = (
+    ("60", "3c", "<"),
+    ("62", "3e", ">"),
+    ("34", "22", '"'),
+    ("39", "27", "'"),
+    ("160", "a0", " "),
+    ("8211", "2013", "–"),   # en dash
+    ("8212", "2014", "—"),   # em dash
+    ("8216", "2018", "‘"),   # left single quote
+    ("8217", "2019", "’"),   # right single quote
+    ("8220", "201c", "“"),   # left double quote
+    ("8221", "201d", "”"),   # right double quote
+    ("8230", "2026", "…"),   # ellipsis
 )
 
 
@@ -81,11 +122,22 @@ def html_to_text(col: Column | str, normalize_ws: bool = True) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     # 1-2: container content drops. (?is) = dot-all + case-insensitive;
-    # non-greedy bodies so adjacent blocks don't merge.
+    # non-greedy bodies so adjacent blocks don't merge. Each terminated
+    # drop is followed by an UNTERMINATED fallback (ADVICE r14: real
+    # crawl HTML routinely omits closing tags — without the fallback,
+    # title/script/style text would leak into extracted output): a
+    # <head> with no </head> drops up to <body> (the browser recovery
+    # rule) or end-of-input; an unclosed <script>/<style>/<!-- drops to
+    # end-of-input. Best-effort on adversarial markup: a "<body" or
+    # "</script>" LITERAL inside JS strings still terminates the drop.
     c = F.regexp_replace(c, r"(?is)<head\b.*?</head>", " ")
+    c = F.regexp_replace(c, r"(?is)<head\b[^>]*>.*?(?=<body\b|\z)", " ")
     c = F.regexp_replace(c, r"(?is)<script\b.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*\z", " ")
     c = F.regexp_replace(c, r"(?is)<style\b.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*\z", " ")
     c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*\z", " ")
     # 3: block boundaries -> newline (covers open, close, self-closing
     # and attribute-bearing forms; <br> folded in via the alternation)
     c = F.regexp_replace(
@@ -93,9 +145,19 @@ def html_to_text(col: Column | str, normalize_ws: bool = True) -> Column:
     )
     # 4: remaining tags (inline elements, doctype, stray closers) vanish
     c = F.regexp_replace(c, r"(?s)<[^>]*>", "")
-    # 5: single-pass entity decode
-    for ent, ch in _ENTITIES:
+    # 5: single-pass entity decode. Every spelling of "&" (&amp;,
+    # &#38;, &#x26;) parks on the noncharacter sentinel FIRST so e.g.
+    # "&amp;#38;" yields the literal "&#38;" and "&#38;amp;" yields the
+    # literal "&amp;" — never a double decode; all other entities then
+    # decode (their outputs contain no "&"); the sentinel restores last.
+    c = F.replace(c, F.lit(_SENTINEL), F.lit(""))
+    c = F.replace(c, F.lit("&amp;"), F.lit(_SENTINEL))
+    c = F.regexp_replace(c, r"(?i)&#(?:0*38|x0*26);", _SENTINEL)
+    for ent, ch in _NAMED_ENTITIES:
         c = F.replace(c, F.lit(ent), F.lit(ch))
+    for dec, hx, ch in _NUMERIC_ENTITIES:
+        c = F.regexp_replace(c, rf"(?i)&#(?:0*{dec}|x0*{hx});", ch)
+    c = F.replace(c, F.lit(_SENTINEL), F.lit("&"))
     if normalize_ws:
         c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return c

@@ -81,6 +81,11 @@ WARC_RECORD_SCHEMA = StructType(
         # what downstream routing dispatches on: text/html → extraction,
         # image/* → codec decode; null for non-HTTP records
         StructField("http_mime", StringType(), True),
+        # transport summary of the peeled HTTP envelope, after decoding:
+        # "identity", "chunked", "gzip", "deflate", "chunked+gzip", ... —
+        # ingest accounting for which transport paths a dump exercised;
+        # null for non-HTTP records
+        StructField("http_encoding", StringType(), True),
         StructField("payload", BinaryType(), True),
     ]
 )
@@ -144,6 +149,11 @@ def split_plain_records(blob: bytes) -> Iterator[bytes]:
                 length = int(v.strip())
         if length is None:
             raise ValueError("WARC record missing Content-Length")
+        if length < 0:
+            # same framing contract as parse_record (a negative length
+            # would slide `end` backwards and yield garbled slices that
+            # only fail later with a misleading error)
+            raise ValueError(f"WARC record with negative Content-Length {length}")
         end = head_end + len(_HDR_END) + length + len(_HDR_END)
         if end > n:
             raise ValueError(
@@ -164,6 +174,94 @@ def split_records(blob: bytes) -> Iterator[bytes]:
     raise ValueError(
         f"neither gzip nor plain WARC (leading bytes {blob[:8]!r})"
     )
+
+
+# ---------------------------------------------------------------------------
+# HTTP payload transport decoding (VERDICT r14 #1): real Common Crawl
+# response records routinely carry Transfer-Encoding: chunked framing,
+# Content-Encoding: gzip/deflate bodies, and non-UTF-8 charsets — the
+# layer below absorbs all three before extraction ever sees a byte, the
+# same place the reference absorbs transport encoding before any
+# transform (extract_table.py:134-174). Stdlib-only, ValueError-or-parse
+# (the codec-family hardening contract permissive mode relies on).
+# ---------------------------------------------------------------------------
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode ``Transfer-Encoding: chunked`` framing (RFC 9112 §7.1):
+    ``hex-size[;extensions] CRLF data CRLF`` repeated, terminated by a
+    zero-size chunk plus an optional trailer section (accepted and
+    dropped). Malformed framing raises ValueError — never an index or
+    struct error."""
+    out, pos, n = [], 0, len(body)
+    while True:
+        eol = body.find(CRLF, pos)
+        if eol < 0:
+            raise ValueError("chunked body: missing chunk-size line")
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError as e:
+            raise ValueError(
+                f"chunked body: bad chunk size {size_tok[:16]!r}"
+            ) from e
+        if size < 0:
+            raise ValueError("chunked body: negative chunk size")
+        pos = eol + len(CRLF)
+        if size == 0:
+            # trailer fields (if any) end at the final CRLF; nothing
+            # downstream consumes them, so accept-and-drop
+            return b"".join(out)
+        if pos + size + len(CRLF) > n:
+            raise ValueError(
+                f"chunked body: truncated chunk data (need {size} bytes)"
+            )
+        out.append(body[pos:pos + size])
+        pos += size
+        if body[pos:pos + len(CRLF)] != CRLF:
+            raise ValueError("chunked body: missing chunk-data terminator")
+        pos += len(CRLF)
+
+
+def _inflate(body: bytes, encoding: str) -> bytes:
+    """Decode a ``Content-Encoding: gzip|deflate`` payload body (stdlib
+    zlib — the member splitter's dependency discipline). ``deflate``
+    tries zlib-wrapped first, then raw deflate: real servers ship both
+    (the RFC 9110 §8.4.1.2 compatibility note)."""
+    wbits_options = (31,) if encoding in ("gzip", "x-gzip") else (15, -15)
+    err: Exception | None = None
+    for wbits in wbits_options:
+        do = zlib.decompressobj(wbits)
+        try:
+            out = do.decompress(body)
+            if not do.eof:
+                raise zlib.error("truncated stream")
+            return out
+        except zlib.error as e:
+            err = e
+    raise ValueError(f"bad {encoding} payload body: {err}") from err
+
+
+def payload_text(payload_col="payload", mime_col="http_mime"):
+    """Charset-aware payload → string decode, plan-side and pure JVM:
+    the ``charset=`` parameter of the peeled HTTP Content-Type routes a
+    bounded CASE — ISO-8859-1/latin-1 spellings through ``decode()``
+    (every byte is valid latin-1, so this path never fails), everything
+    else (incl. absent/UTF-8/ASCII) through the binary→string cast. A
+    latin-1 page decoded as UTF-8 garbles every byte ≥ 0x80 into the
+    replacement character, which is exactly what the fidelity oracle
+    catches."""
+    p = F.col(payload_col) if isinstance(payload_col, str) else payload_col
+    m = F.col(mime_col) if isinstance(mime_col, str) else mime_col
+    cs = F.lower(
+        F.regexp_extract(
+            F.coalesce(m, F.lit("")), r"charset=\"?([A-Za-z0-9_\-]+)", 1
+        )
+    )
+    return F.when(
+        cs.isin("iso-8859-1", "iso8859-1", "latin-1", "latin1"),
+        F.decode(p, "ISO-8859-1"),
+    ).otherwise(p.cast("string"))
 
 
 # ---------------------------------------------------------------------------
@@ -207,18 +305,61 @@ def parse_record(raw: bytes) -> dict:
             f"WARC block truncated: declared {length}, got {len(block)}"
         )
     ctype = fields.get(b"content-type", b"").decode("ascii", "replace")
-    status, payload, http_mime = None, block, None
+    status, payload, http_mime, http_enc = None, block, None, None
     if ctype.startswith("application/http"):
-        http_end = block.index(_HDR_END)
+        try:
+            http_end = block.index(_HDR_END)
+        except ValueError:
+            raise ValueError(
+                "application/http block missing header terminator"
+            ) from None
         http_head = block[:http_end].split(CRLF)
         first = http_head[0].decode("ascii", "replace").split()
         if first and first[0].startswith("HTTP/"):
-            status = int(first[1])
+            # status-line hardening (ADVICE r14): 'HTTP/1.1\r\n' with no
+            # status token must surface the clean ValueError contract,
+            # not an IndexError that kills permissive-mode ingest
+            if len(first) < 2:
+                raise ValueError(
+                    f"malformed HTTP status line {http_head[0][:40]!r}"
+                )
+            try:
+                status = int(first[1])
+            except ValueError as e:
+                raise ValueError(
+                    f"malformed HTTP status line {http_head[0][:40]!r}"
+                ) from e
+        hdrs = {}
         for line in http_head[1:]:
             k, _, v = line.partition(b":")
-            if k.strip().lower() == b"content-type":
-                http_mime = v.strip().decode("ascii", "replace")
+            hdrs[k.strip().lower()] = v.strip()
+        hm = hdrs.get(b"content-type")
+        http_mime = (
+            hm.decode("ascii", "replace") if hm is not None else None
+        )
         payload = block[http_end + len(_HDR_END):]
+        # transport decoding: dechunk FIRST (framing wraps the encoded
+        # body), then content-decode — the wire's nesting order
+        te = hdrs.get(b"transfer-encoding", b"").decode(
+            "ascii", "replace"
+        ).lower()
+        ce = hdrs.get(b"content-encoding", b"").decode(
+            "ascii", "replace"
+        ).lower()
+        encs = []
+        if "chunked" in te:
+            payload = _dechunk(payload)
+            encs.append("chunked")
+        if ce and ce != "identity":
+            if ce in ("gzip", "x-gzip", "deflate"):
+                payload = _inflate(payload, ce)
+                encs.append("gzip" if ce == "x-gzip" else ce)
+            else:
+                # unknown codec (e.g. br): bytes pass through LABELED so
+                # downstream can count/route them — one exotic record
+                # must not corrupt-account a whole archive
+                encs.append(ce)
+        http_enc = "+".join(encs) if encs else "identity"
     uri = fields.get(b"warc-target-uri")
     return {
         "warc_type": fields.get(b"warc-type", b"?").decode(),
@@ -227,6 +368,7 @@ def parse_record(raw: bytes) -> dict:
         "http_status": status,
         "mime": ctype,
         "http_mime": http_mime,
+        "http_encoding": http_enc,
         "payload": payload,
     }
 
@@ -275,7 +417,8 @@ def warc_records(
                             (
                                 int(fid), i, r["warc_type"], r["record_id"],
                                 r["target_uri"], r["http_status"],
-                                r["mime"], r["http_mime"], r["payload"],
+                                r["mime"], r["http_mime"],
+                                r["http_encoding"], r["payload"],
                             )
                         )
                         i += 1
@@ -284,7 +427,7 @@ def warc_records(
                         raise
                     rows.append(
                         (int(fid), i, "corrupt", "", None, None,
-                         str(e), None, None)
+                         str(e), None, None, None)
                     )
             yield pd.DataFrame(rows, columns=cols)
 
@@ -300,18 +443,53 @@ def warc_records(
 NOT_FOUND_HTML = "<html><body><p>not found</p></body></html>"
 
 
+def _chunk_encode(body: bytes) -> bytes:
+    """Deterministic chunked framing for synthesis: a small first chunk
+    carrying a chunk extension (the ``;ext`` branch must be exercised),
+    then 64-byte chunks, a trailer field after the zero chunk — every
+    RFC 9112 §7.1 shape :func:`_dechunk` must absorb."""
+    out = []
+    pos = 0
+    first = True
+    while pos < len(body):
+        size = min(7 if first else 64, len(body) - pos)
+        ext = b";synth=1" if first else b""
+        out.append(b"%x" % size + ext + CRLF + body[pos:pos + size] + CRLF)
+        pos += size
+        first = False
+    out.append(b"0" + CRLF + b"X-Synth-Trailer: 1" + CRLF + CRLF)
+    return b"".join(out)
+
+
 def _http_response(
     status: int,
     reason: str,
     body: str | bytes,
     ctype: str = "text/html; charset=utf-8",
+    content_encoding: str | None = None,
+    chunked: bool = False,
 ) -> bytes:
     body = body.encode() if isinstance(body, str) else body
-    return (
-        f"HTTP/1.1 {status} {reason}".encode() + CRLF
-        + f"Content-Type: {ctype}".encode() + CRLF
-        + b"Content-Length: %d" % len(body) + _HDR_END + body
-    )
+    lines = [
+        f"HTTP/1.1 {status} {reason}".encode(),
+        f"Content-Type: {ctype}".encode(),
+    ]
+    if content_encoding == "gzip":
+        body = gzip_member(body)
+        lines.append(b"Content-Encoding: gzip")
+    elif content_encoding == "deflate":
+        body = zlib.compress(body)
+        lines.append(b"Content-Encoding: deflate")
+    elif content_encoding is not None:
+        raise ValueError(f"unsupported synth encoding {content_encoding!r}")
+    if chunked:
+        # chunked framing wraps the (possibly content-encoded) body and
+        # replaces Content-Length — the wire's nesting order
+        body = _chunk_encode(body)
+        lines.append(b"Transfer-Encoding: chunked")
+    else:
+        lines.append(b"Content-Length: %d" % len(body))
+    return CRLF.join(lines) + _HDR_END + body
 
 
 def _http_request(uri: str) -> bytes:
@@ -330,6 +508,7 @@ def synth_warc_files(
     image_every: int = 0,
     rich_uris: bool = False,
     robots: bool = False,
+    http_variants: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -349,6 +528,18 @@ def synth_warc_files(
     Grouping is ``file_id = id // docs_per_file`` — a formula the SQL
     oracles mirror; ``applyInPandas`` builds each archive in one task
     (archives are independent — the 100 TB shape).
+
+    ``http_variants`` turns on the REAL-dump transport mix for the
+    HTML-200 responses (404s and images stay identity): transport
+    variant ``id % 5`` → 0 identity, 1 chunked, 2 gzip, 3 deflate,
+    4 chunked-over-gzip; charset variant ``id % 7 == 3`` → the page is
+    served as ISO-8859-1 with ``" caf\\xe9"`` appended to the text (a
+    non-ASCII byte that garbles under a UTF-8 misdecode), everything
+    else UTF-8. Both formulas are mirrored by the fidelity oracle.
+    The latin-1 leg assumes the document text itself is latin-1
+    encodable (the driver's synthetic corpus is pure ASCII); a
+    non-encodable character fails the build loudly rather than
+    corrupting the fixture.
     """
     staged = docs.select(
         F.col(id_col).alias("_id"),
@@ -451,6 +642,22 @@ def synth_warc_files(
                 http = _http_response(
                     200, "OK", encode_png(raster), ctype="image/png"
                 )
+            elif http_variants:
+                latin = d % 7 == 3
+                txt = str(row["_text"]) + (" caf\xe9" if latin else "")
+                cs = "iso-8859-1" if latin else "utf-8"
+                v = d % 5
+                http = _http_response(
+                    200,
+                    "OK",
+                    synth_html(d, txt).encode(cs),
+                    ctype=f"text/html; charset={cs}",
+                    content_encoding=(
+                        "gzip" if v in (2, 4) else "deflate" if v == 3
+                        else None
+                    ),
+                    chunked=v in (1, 4),
+                )
             else:
                 http = _http_response(
                     200, "OK", synth_html(d, str(row["_text"]))
@@ -480,6 +687,7 @@ __all__ = [
     "WARC_RECORD_SCHEMA",
     "NOT_FOUND_HTML",
     "gzip_member",
+    "payload_text",
     "split_gzip_members",
     "split_plain_records",
     "split_records",

@@ -4,6 +4,7 @@ plans/catalog_ext6.py rests on) and WARC record/member framing, under
 adversarial generated inputs."""
 
 import re
+import zlib
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -17,7 +18,12 @@ from shopify_etl_spark.sources import warc as W
 # and the single-pass decode must restore literally.
 _text = st.lists(
     st.sampled_from(
-        list("abcdefghij <>&;/\"'\t\n-!#") + ["&amp;", "&lt;", "<p>", "-->"]
+        list("abcdefghij <>&;/\"'\t\n-!#")
+        + ["&amp;", "&lt;", "<p>", "-->"]
+        # numeric-reference look-alikes (r15): pre-escaped text carrying
+        # these must survive extraction LITERALLY (single-pass decode)
+        + ["&#38;", "&#x26;", "&#60;", "&#x3C;", "&#8217;", "&#039;",
+           "<script>", "<style>", "<!--"]
     ),
     min_size=0,
     max_size=120,
@@ -94,6 +100,48 @@ def test_untrusted_bytes_raise_cleanly(blob):
             W.parse_record(member)
     except ValueError:
         pass
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.binary(min_size=0, max_size=3000))
+def test_chunked_framing_roundtrip(body):
+    """_dechunk inverts _chunk_encode for arbitrary bodies (empty body,
+    extension on the first chunk, trailer section included)."""
+    assert W._dechunk(W._chunk_encode(body)) == body
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.binary(min_size=1, max_size=1500), st.integers(0, 10**9))
+def test_corrupted_chunked_body_raises_cleanly(body, where):
+    """Bit-flip anywhere in a chunked body: the dechunker either still
+    yields bytes (flip landed in chunk data / extension / trailer slack)
+    or fails with ValueError — never an index/struct error. Same
+    discipline that caught the unwrapped zlib.error in r14."""
+    blob = bytearray(W._chunk_encode(body))
+    blob[where % len(blob)] ^= 0xFF
+    try:
+        out = W._dechunk(bytes(blob))
+        assert isinstance(out, bytes)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.binary(min_size=1, max_size=1500), st.integers(0, 10**9))
+def test_corrupted_content_encoded_body_raises_cleanly(body, where):
+    """Bit-flip a gzip/deflate payload body past the header: _inflate
+    either decodes (slack) or raises ValueError — never zlib.error."""
+    for enc, blob in (
+        ("gzip", bytearray(W.gzip_member(body))),
+        ("deflate", bytearray(zlib.compress(body))),
+    ):
+        pos = 4 + where % max(1, len(blob) - 4)
+        blob[pos] ^= 0xFF
+        try:
+            out = W._inflate(bytes(blob), enc)
+            assert isinstance(out, bytes)
+        except ValueError:
+            pass
 
 
 @settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
