@@ -1,0 +1,71 @@
+"""URL canonicalization for crawl ingest (VERDICT r14 #5).
+
+Real crawls re-fetch: the same page arrives under spelling variants —
+uppercase scheme/host, an explicit default port, duplicate or trailing
+slashes, a ``#fragment`` — and every downstream identity operation
+(refetch dedup, per-domain caps, robots matching, URL joins) silently
+over-counts unless fetches are keyed by a canonical form first. The
+reference keys its envelopes by a cleaned id the same way
+(``clean_id``, transform_table.py) before any merge touches them.
+
+Design: ONE Column expression, pure JVM — ``parse_url`` (Spark's
+Hive-compatible URL part extractor, java.net.URI under the hood)
+splits the URL, string primitives normalize each part, ``concat``
+reassembles. Zero Python, zero shuffle, fuses into whatever projection
+consumes it; the whole formula is SQL-mirrorable so oracles can
+re-derive canonical URLs from first principles.
+
+Normalization rules (the conservative, semantics-preserving core):
+
+* scheme and host lowercase (RFC 3986 §6.2.2.1 — case-insensitive);
+* default port stripped (``http://h:80/`` ≡ ``http://h/``, ``https``
+  443); NON-default ports are preserved;
+* fragment dropped (``#…`` is client-side only — never sent in the
+  request, so two fetches differing only by fragment are the same
+  resource);
+* path: duplicate slashes collapsed, trailing slash stripped (except
+  the root path), empty path becomes ``/``;
+* query string preserved verbatim when present (parameter re-ordering
+  changes semantics for some endpoints, so it is NOT sorted — the
+  documented conservative choice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """Canonical form of an absolute URL column (rules above). Null/
+    unparseable inputs yield null (``parse_url`` returns null parts),
+    so malformed URIs drop out of URL-keyed joins instead of grouping
+    under a garbage key."""
+    u = F.col(col) if isinstance(col, str) else col
+    proto = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
+    host = F.lower(F.parse_url(u, F.lit("HOST")))
+    # parse_url HOST excludes the port; recover it from AUTHORITY and
+    # keep it only when non-default for the scheme
+    port = F.regexp_extract(
+        F.coalesce(F.parse_url(u, F.lit("AUTHORITY")), F.lit("")),
+        r":(\d+)$",
+        1,
+    )
+    is_default = ((proto == "http") & (port == "80")) | (
+        (proto == "https") & (port == "443")
+    )
+    port_part = F.when(
+        (port != "") & ~is_default, F.concat(F.lit(":"), port)
+    ).otherwise(F.lit(""))
+    path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
+    path = F.regexp_replace(path, "/{2,}", "/")      # collapse //
+    path = F.regexp_replace(path, "/+$", "")         # strip trailing /
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.parse_url(u, F.lit("QUERY"))
+    query_part = F.when(
+        query.isNotNull() & (query != ""), F.concat(F.lit("?"), query)
+    ).otherwise(F.lit(""))
+    return F.concat(proto, F.lit("://"), host, port_part, path, query_part)
+
+
+__all__ = ["canonicalize_url"]

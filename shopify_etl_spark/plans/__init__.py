@@ -5,6 +5,7 @@ from . import catalog_ext3  # noqa: F401,E402  (round-5 session-2 queries)
 from . import catalog_ext4  # noqa: F401,E402  (round-6 session-2 queries)
 from . import catalog_ext5  # noqa: F401,E402  (round-13 PQ retrieval family)
 from . import catalog_ext6  # noqa: F401,E402  (round-14 raw-crawl ingest)
+from . import catalog_ext7  # noqa: F401,E402  (round-15 crawl fidelity)
 
 # ---------------------------------------------------------------------------
 # Catalog ordering.
@@ -209,6 +210,22 @@ _CHANGED_R10 = [
     "progressive_jpeg_stats",   # same decoder change + 16-bit DQT
 ]
 
+# New or code-changed in round 15 — sample these first.
+_CHANGED_R15 = [
+    "crawl_http_fidelity",   # NEW: chunked/gzip/deflate/charset fidelity
+    "url_canonical_dedup",   # NEW: canonical-URL re-fetch dedup
+    "training_shard_export",  # NEW: uint16 token shards + manifest
+    "robots_compliance_audit",  # RFC 9309 Allow/longest-match semantics
+    # html_to_text changed (numeric entities, unterminated-container
+    # fallbacks) — every extraction consumer re-fronted:
+    "html_extract_docs",
+    "crawl_curation_chain",
+    "crawl_multimodal_stats",
+    # warc parse_record changed (HTTP transport peel, status hardening):
+    "warc_ingest_stats",
+    "crawl_domain_caps",
+]
+
 # New or code-changed in round 14 — sample these first.
 _CHANGED_R14 = [
     "warc_ingest_stats",     # NEW: .warc.gz member split + record inventory
@@ -274,27 +291,32 @@ _CHANGED_R11 = [
 # round-8, round-6, then everything whose latest official row predates r05
 # (stalest first by construction of the earlier lists), then the
 # r05-sampled set.
-_SAMPLE_FIRST = _CHANGED_R14 + [
-    n for n in _CHANGED_R13 if n not in _CHANGED_R14
+_SAMPLE_FIRST = _CHANGED_R15 + [
+    n for n in _CHANGED_R14 if n not in _CHANGED_R15
 ] + [
-    n for n in _CHANGED_R12 if n not in _CHANGED_R13 + _CHANGED_R14
+    n for n in _CHANGED_R13 if n not in _CHANGED_R14 + _CHANGED_R15
+] + [
+    n for n in _CHANGED_R12
+    if n not in _CHANGED_R13 + _CHANGED_R14 + _CHANGED_R15
 ] + [
     n for n in _CHANGED_R11
-    if n not in _CHANGED_R12 + _CHANGED_R13 + _CHANGED_R14
+    if n not in _CHANGED_R12 + _CHANGED_R13 + _CHANGED_R14 + _CHANGED_R15
 ] + [
     n for n in _CHANGED_R10
     if n not in _CHANGED_R11 + _CHANGED_R12 + _CHANGED_R13 + _CHANGED_R14
+    + _CHANGED_R15
 ] + [
     n for n in _CHANGED_R08
     if n not in _CHANGED_R10 + _CHANGED_R11 + _CHANGED_R12 + _CHANGED_R13
-    + _CHANGED_R14
+    + _CHANGED_R14 + _CHANGED_R15
 ] + [
     n for n in _CHANGED_R06
     if n not in _CHANGED_R08 + _CHANGED_R10 + _CHANGED_R11 + _CHANGED_R12
-    + _CHANGED_R13 + _CHANGED_R14
+    + _CHANGED_R13 + _CHANGED_R14 + _CHANGED_R15
 ] + [
     n for n in QUERIES
-    if n not in _CHANGED_R14
+    if n not in _CHANGED_R15
+    and n not in _CHANGED_R14
     and n not in _CHANGED_R13
     and n not in _CHANGED_R12
     and n not in _CHANGED_R11

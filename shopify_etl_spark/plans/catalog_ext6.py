@@ -789,7 +789,8 @@ def crawl_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), x AS (
       SELECT 'host' || CAST(h AS VARCHAR) || '.example' AS host,
              COUNT(*) AS n_fetched,
-             SUM(CASE WHEN sec = (2 * h) % 13
+             SUM(CASE WHEN (sec = (2 * h) % 13
+                            AND CAST(doc_id AS VARCHAR) NOT LIKE '1%')
                         OR sec = (2 * h + 1) % 13
                       THEN 1 ELSE 0 END) AS n_excluded
       FROM d GROUP BY h
@@ -800,18 +801,23 @@ def crawl_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_excluded AS BIGINT)             AS n_excluded
     FROM x
     """,
-    doc="Robots-exclusion compliance audit — the governance pass a "
-    "crawl-derived corpus runs before training (documents fetched from "
-    "paths a host's robots.txt disallows must be identified and "
-    "dropped): robots.txt responses are parsed OUT OF THE ARCHIVES "
-    "themselves (explode lines → Disallow prefixes per host, deduped "
-    "across re-fetches), page fetches join the (tiny, broadcast) rule "
-    "table by host with a prefix match, and the audit reports "
-    "fetched/allowed/excluded per host. The oracle re-derives the rule "
-    "formula (host h disallows sections 2h and 2h+1 mod 13) and the "
-    "fetch set from documents alone — a rule-parsing or prefix-match "
-    "bug hash-mismatches. sources/warc.py (robots=True), "
-    "operators/html.py.",
+    doc="Robots-exclusion compliance audit with RFC 9309 semantics "
+    "(VERDICT r14 #7) — the governance pass a crawl-derived corpus "
+    "runs before training: robots.txt responses are parsed OUT OF THE "
+    "ARCHIVES themselves (explode lines → Allow AND Disallow prefixes "
+    "per host, deduped across re-fetches, collapsed to one tiny "
+    "per-host rule array), page fetches join the broadcast rule table "
+    "by host, and the verdict per fetch is the RFC longest-match rule: "
+    "excluded iff the longest matching Disallow prefix is strictly "
+    "longer than the longest matching Allow prefix (ties → Allow, the "
+    "least-restrictive tiebreak). The match itself is a zero-shuffle "
+    "array higher-order expression (filter/transform/array_max over "
+    "the per-host rules), so no per-(page,rule) blowup ever shuffles. "
+    "The oracle re-derives the rule formula — host h disallows "
+    "sections 2h and 2h+1 mod 13 but allows /sec{{2h}}/doc/1* via the "
+    "longer prefix — from documents alone; a rule-parsing, precedence "
+    "or prefix-match bug hash-mismatches. sources/warc.py "
+    "(robots=True), functions/urls.py.",
 )
 def robots_compliance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.materialize import checkpoint_tracked
@@ -829,6 +835,7 @@ def robots_compliance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     is_robots = F.col("target_uri").endswith("/robots.txt")
+    rule_pat = r"^(Allow|Disallow):\s*(\S+)"
     rules = (
         ok.filter(is_robots)
         .select(
@@ -839,33 +846,51 @@ def robots_compliance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "host",
-            F.regexp_extract("_line", r"^Disallow:\s*(\S+)", 1).alias(
-                "prefix"
-            ),
+            F.lower(F.regexp_extract("_line", rule_pat, 1)).alias("rule"),
+            F.regexp_extract("_line", rule_pat, 2).alias("prefix"),
         )
         .filter(F.col("prefix") != "")
         .distinct()  # robots re-fetched per archive: rules dedupe
+        .groupBy("host")
+        .agg(F.collect_list(F.struct("rule", "prefix")).alias("rules"))
     )
     pages = ok.filter(~is_robots).select(
         F.parse_url("target_uri", F.lit("HOST")).alias("host"),
         F.parse_url("target_uri", F.lit("PATH")).alias("path"),
     )
-    hits = (
-        pages.join(F.broadcast(rules), "host")
-        .filter(F.col("path").startswith(F.col("prefix")))
+
+    def match_len(kind: str):
+        # longest matching prefix of the given rule kind, -1 if none —
+        # array HOFs over the broadcast per-host rule array: the
+        # longest-match precedence never leaves the projection
+        return F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.filter(
+                        "rules",
+                        lambda r: (r["rule"] == kind)
+                        & F.col("path").startswith(r["prefix"]),
+                    ),
+                    lambda r: F.length(r["prefix"]),
+                )
+            ),
+            F.lit(-1),
+        )
+
+    excluded = match_len("disallow") > match_len("allow")
+    return (
+        pages.join(F.broadcast(rules), "host", "left")
         .groupBy("host")
-        # a path can match at most one /secN/ prefix here, but count
-        # via the join defensively as "matched fetches"
-        .agg(F.count(F.lit(1)).alias("n_excluded"))
-    )
-    total = pages.groupBy("host").agg(
-        F.count(F.lit(1)).alias("n_fetched")
-    )
-    return total.join(hits, "host", "left").select(
-        "host",
-        "n_fetched",
-        (
-            F.col("n_fetched") - F.coalesce("n_excluded", F.lit(0))
-        ).cast("long").alias("n_allowed"),
-        F.coalesce("n_excluded", F.lit(0)).cast("long").alias("n_excluded"),
+        .agg(
+            F.count(F.lit(1)).alias("n_fetched"),
+            F.sum(excluded.cast("long")).alias("n_excluded"),
+        )
+        .select(
+            "host",
+            "n_fetched",
+            (F.col("n_fetched") - F.col("n_excluded"))
+            .cast("long")
+            .alias("n_allowed"),
+            F.col("n_excluded").cast("long"),
+        )
     )

@@ -1,0 +1,271 @@
+"""Round-15 extension queries — closing the distance between the WARC
+front door and a REAL crawl dump (VERDICT r14 asks #1/#4/#5):
+
+* ``crawl_http_fidelity`` — transport-encoded archives (chunked /
+  gzip / deflate / chunked-over-gzip bodies, latin-1 charset pages)
+  must extract VALUE-EXACTLY: the synthesis marks which transport each
+  document rides (``doc_id`` formulas) and the oracle recomputes both
+  the routing and the full text from ``documents`` alone, so a
+  dechunking, inflation or charset bug garbles a byte and
+  hash-mismatches.
+* ``url_canonical_dedup`` — re-fetch dedup keyed by canonical URL:
+  messy spellings (case, default port, doubled/trailing slashes,
+  fragments) collapse onto one key; latest-wins selection and
+  digest-aware accounting are both observable because some re-fetches
+  carry updated content and some are byte-identical.
+* ``training_shard_export`` — the pipeline's end product: fixed-length
+  token-id shards (uint16 blobs) + the integrity manifest, with the
+  checksum computed from ids RE-READ out of the packed bytes and the
+  oracle recomputing vocabulary ranks, global positions, shard
+  arithmetic and the closed-form pad checksum from ``documents``.
+
+Scale shapes: the crawl chains are the ext6 shape (zero-shuffle
+split/extract, tiny aggregates); the dedup groups on an 8-byte-ish
+canonical-URL key with ``max_by`` latest-wins (ONE shuffle, no window);
+the shard export uses the two-phase bounded prefix scan and a per-shard
+(KB-sized) Arrow packer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table, register
+from .catalog_ext6 import _DOCS_PER_FILE, _NOT_FOUND_EVERY
+
+# Extraction formula with the transport-variant markers, as one DuckDB
+# expression (the catalog_ext6._XT_SQL shape + the latin-1 café marker
+# and the re-fetch v2 marker where the caller's synthesis plants them).
+_XT_LATIN_SQL = (
+    "regexp_replace('Doc ' || CAST(doc_id AS VARCHAR) || ' ' || "
+    "trim(text) || CASE WHEN doc_id % 7 = 3 THEN ' café' ELSE '' END || "
+    "' &copy; example end', '\\s+', ' ', 'g')"
+)
+
+
+@register(
+    "crawl_http_fidelity",
+    oracle=f"""
+    SELECT doc_id,
+           CASE doc_id % 5
+             WHEN 0 THEN 'identity'
+             WHEN 1 THEN 'chunked'
+             WHEN 2 THEN 'gzip'
+             WHEN 3 THEN 'deflate'
+             ELSE 'chunked+gzip' END AS enc,
+           CASE WHEN doc_id % 7 = 3 THEN 'iso-8859-1'
+                ELSE 'utf-8' END AS charset,
+           {_XT_LATIN_SQL} AS text_out,
+           CAST(LENGTH({_XT_LATIN_SQL}) AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id % {_NOT_FOUND_EVERY} <> 0
+    """,
+    doc="HTTP payload fidelity through the FULL crawl chain (VERDICT "
+    "r14 #1 — the distance between the synth front door and a real "
+    "Common Crawl dump): archives are synthesized with the real "
+    "transport mix — Transfer-Encoding: chunked framing (hex sizes, a "
+    "chunk extension, a trailer), Content-Encoding: gzip and deflate "
+    "bodies, chunked-OVER-gzip nesting, and ISO-8859-1 pages whose "
+    "non-ASCII byte (0xE9) garbles under a UTF-8 misdecode — and the "
+    "ingest path must dechunk (warc._dechunk), inflate (warc._inflate, "
+    "stdlib zlib), route the charset (warc.payload_text: a bounded JVM "
+    "CASE over the peeled Content-Type) and extract VALUE-EXACT full "
+    "text. The oracle recomputes the transport routing (doc_id % 5), "
+    "the charset routing (doc_id % 7) and the complete text body from "
+    "documents alone — a one-byte dechunk/inflate/decode bug "
+    "hash-mismatches. Zero-shuffle split+decode+extract; the transport "
+    "work is C-speed zlib inside the existing Arrow splitter. "
+    "sources/warc.py::_dechunk,_inflate,payload_text.",
+)
+def crawl_http_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.html import html_to_text
+    from ..sources import warc
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = warc.synth_warc_files(
+        docs, docs_per_file=_DOCS_PER_FILE,
+        not_found_every=_NOT_FOUND_EVERY, http_variants=True,
+    )
+    recs = warc.warc_records(files)
+    txt = html_to_text(warc.payload_text())
+    return (
+        recs.filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+        )
+        .select(
+            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("http_encoding").alias("enc"),
+            F.regexp_extract(
+                "http_mime", r"charset=([A-Za-z0-9\-]+)", 1
+            ).alias("charset"),
+            txt.alias("text_out"),
+        )
+        .withColumn("n_chars", F.length("text_out").cast("long"))
+    )
+
+
+@register(
+    "url_canonical_dedup",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, trim(text) AS t
+      FROM documents WHERE doc_id % {_NOT_FOUND_EVERY} <> 0
+    )
+    SELECT 'http://host' || CAST(doc_id % 7 AS VARCHAR) || '.example/sec'
+             || CAST(doc_id % 13 AS VARCHAR) || '/doc/'
+             || CAST(doc_id AS VARCHAR) AS canon_url,
+           doc_id,
+           CAST(CASE WHEN doc_id % 10 = 4 THEN 2 ELSE 1 END AS BIGINT)
+             AS n_fetches,
+           CAST(CASE WHEN doc_id % 20 = 4 THEN 2 ELSE 1 END AS BIGINT)
+             AS n_digests,
+           CAST(LENGTH(regexp_replace(
+             'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || t ||
+             CASE WHEN doc_id % 20 = 4 THEN ' v2' ELSE '' END ||
+             ' &copy; example end', '\\s+', ' ', 'g')) AS BIGINT)
+             AS kept_chars
+    FROM d
+    """,
+    doc="URL canonicalization + re-fetch dedup (VERDICT r14 #5) — the "
+    "identity step between the splitter and extraction every real "
+    "crawl needs: archives carry re-fetches of the same page under "
+    "messy URL spellings (HTTP://HOST:80//sec//doc/N/#frag), "
+    "canonicalize_url (functions/urls.py — ONE JVM parse_url + string "
+    "expression: lowercase scheme/host, default port stripped, "
+    "duplicate+trailing slashes collapsed, fragment dropped) collapses "
+    "them onto one key, and the digest-aware W1 generalization keeps "
+    "the LATEST fetch per canonical URL via max_by over (file_id, "
+    "rec_index) — ONE shuffle on the canonical key, no window, no "
+    "sort. Observable on both axes: id%20==4 re-fetches carry updated "
+    "content (' v2' — kept_chars proves latest-wins), id%20==14 "
+    "re-fetches are byte-identical (n_digests proves the md5 digest "
+    "accounting). The oracle re-derives canonical URLs, fetch counts, "
+    "digest counts and the kept revision's text length from documents "
+    "alone. functions/urls.py::canonicalize_url, sources/warc.py "
+    "(refetch=True).",
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.urls import canonicalize_url
+    from ..operators.html import html_to_text
+    from ..sources import warc
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = warc.synth_warc_files(
+        docs, docs_per_file=_DOCS_PER_FILE,
+        not_found_every=_NOT_FOUND_EVERY, rich_uris=True, refetch=True,
+    )
+    fetches = warc.warc_records(files).filter(
+        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+    ).select(
+        canonicalize_url("target_uri").alias("canon_url"),
+        "file_id",
+        "rec_index",
+        F.md5("payload").alias("_digest"),
+        "payload",
+    )
+    return fetches.groupBy("canon_url").agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.count_distinct("_digest").alias("n_digests"),
+        F.max_by(
+            "payload", F.struct("file_id", "rec_index")
+        ).alias("_latest"),
+    ).select(
+        "canon_url",
+        F.regexp_extract("canon_url", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "n_fetches",
+        "n_digests",
+        F.length(html_to_text(F.col("_latest").cast("string")))
+        .cast("long")
+        .alias("kept_chars"),
+    )
+
+
+# shard-export layout constants — mirrored literally in the oracle
+_VOCAB = 256          # vocab ids 0..255, OOV = 256, pad = 257
+_SEQ_LEN = 128
+_SEQS_PER_SHARD = 8   # shard span = 1024 positions
+
+
+@register(
+    "training_shard_export",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ), d2 AS (
+      SELECT * FROM d WHERE len(ws) > 0
+    ), tok AS (
+      SELECT doc_id, source, ws[i + 1] AS w, i
+      FROM d2, UNNEST(range(len(ws))) AS t(i)
+    ), vocab AS (
+      SELECT w, row_number() OVER (ORDER BY cnt DESC, w) - 1 AS tid
+      FROM (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w
+            ORDER BY cnt DESC, w LIMIT {_VOCAB})
+    ), ids AS (
+      SELECT t.source,
+             row_number() OVER (PARTITION BY t.source
+                                ORDER BY t.doc_id, t.i) - 1 AS p,
+             COALESCE(v.tid, {_VOCAB}) AS tid
+      FROM tok t LEFT JOIN vocab v ON v.w = t.w
+    ), sh AS (
+      SELECT source, p // {_SEQ_LEN * _SEQS_PER_SHARD} AS shard_id,
+             p % {_SEQ_LEN * _SEQS_PER_SHARD} AS q, tid
+      FROM ids
+    ), agg AS (
+      SELECT source, shard_id, COUNT(*) AS r,
+             SUM((tid + 1) * (q + 1)) AS ck_real
+      FROM sh GROUP BY source, shard_id
+    ), m AS (
+      SELECT source, shard_id, r, ck_real,
+             ((r + {_SEQ_LEN - 1}) // {_SEQ_LEN}) AS n_seqs,
+             ((r + {_SEQ_LEN - 1}) // {_SEQ_LEN}) * {_SEQ_LEN} AS total
+      FROM agg
+    )
+    SELECT source, CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(n_seqs AS BIGINT)    AS n_seqs,
+           CAST(r AS BIGINT)         AS n_tokens,
+           CAST(total - r AS BIGINT) AS n_pad,
+           CAST(2 * total AS BIGINT) AS byte_len,
+           CAST(ck_real + {_VOCAB + 2} *
+                (total * (total + 1) // 2 - r * (r + 1) // 2)
+                AS BIGINT)           AS checksum
+    FROM m
+    """,
+    doc="Tokenized training-shard export (VERDICT r14 #4) — the "
+    "trainer-consumable end product the pipeline existed to produce: "
+    "whitespace tokens map through a corpus-ranked 256-token "
+    "vocabulary (rank by term-freq desc, token asc — deterministic "
+    "and SQL-mirrorable; OOV=256), ids concatenate per source in "
+    "doc_id order (TWO-PHASE bounded prefix scan, never a corpus "
+    "window), cut into 128-position sequences, 8 sequences per shard, "
+    "the final short sequence padded with id 257, and each shard "
+    "packs little-endian uint16 into an mmap-ready blob. The manifest "
+    "row per shard carries counts, byte length and an integrity "
+    "checksum Σ(id+1)·(pos+1) computed from ids RE-READ out of the "
+    "packed bytes (np.frombuffer), so the oracle — which recomputes "
+    "vocabulary ranks, global positions, shard arithmetic and the "
+    "closed-form pad-run checksum from documents alone — catches a "
+    "byte-order, truncation, padding or position bug in the BINARY "
+    "artifact, not just in the plan. Per-shard Arrow packer groups "
+    "are KB-sized; the crash-safe one-rename publish "
+    "(export_training_shards) is pinned in tests/test_shards.py. "
+    "operators/shards.py.",
+)
+def training_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    stream = shards.shard_token_stream(
+        docs, vocab_size=_VOCAB, seq_len=_SEQ_LEN,
+        seqs_per_shard=_SEQS_PER_SHARD,
+    )
+    return shards.shard_manifest(
+        shards.shard_blobs(stream, vocab_size=_VOCAB, seq_len=_SEQ_LEN)
+    )

@@ -509,6 +509,7 @@ def synth_warc_files(
     rich_uris: bool = False,
     robots: bool = False,
     http_variants: bool = False,
+    refetch: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -540,12 +541,40 @@ def synth_warc_files(
     encodable (the driver's synthetic corpus is pure ASCII); a
     non-encodable character fails the build loudly rather than
     corrupting the fixture.
+
+    ``refetch`` (requires ``rich_uris``) plants the re-fetch duplicates
+    a real crawl carries: non-404 documents with ``id % 10 == 4`` are
+    fetched AGAIN in the NEXT archive (``file_id + 1``) under a messy
+    spelling of the same URL (uppercase scheme/host, explicit ``:80``,
+    doubled + trailing slashes, a fragment) — the input URL
+    canonicalization must collapse. ``id % 20 == 4`` re-fetches serve
+    UPDATED content (text + ``" v2"`` — latest-wins selection is
+    observable); ``id % 20 == 14`` re-fetches are byte-identical
+    (digest-aware accounting is observable). Formulas mirrored by the
+    ``url_canonical_dedup`` oracle.
     """
+    if refetch and not rich_uris:
+        raise ValueError("refetch=True requires rich_uris=True")
     staged = docs.select(
         F.col(id_col).alias("_id"),
         F.col(text_col).alias("_text"),
         (F.col(id_col) / docs_per_file).cast("long").alias("file_id"),
+        F.lit(False).alias("_dup"),
     )
+    if refetch:
+        staged = staged.unionByName(
+            docs.filter(
+                (F.col(id_col) % 10 == 4)
+                & (F.col(id_col) % not_found_every != 0)
+            ).select(
+                F.col(id_col).alias("_id"),
+                F.col(text_col).alias("_text"),
+                ((F.col(id_col) / docs_per_file).cast("long") + 1).alias(
+                    "file_id"
+                ),
+                F.lit(True).alias("_dup"),
+            )
+        )
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         fid = int(pdf["file_id"].iloc[0])
@@ -569,14 +598,19 @@ def synth_warc_files(
         if robots:
             # per-host robots.txt fetches ride in every archive (real
             # crawlers re-fetch robots per session; consumers dedupe
-            # rules): host h disallows sections (2h)%13 and (2h+1)%13 —
-            # the formula the compliance-audit oracle mirrors
+            # rules): host h disallows sections a=(2h)%13 and b=(2h+1)%13
+            # but ALLOWS the longer prefix /sec{a}/doc/1 (RFC 9309
+            # longest-match override — docs in section a whose id starts
+            # with '1' are allowed) — the formula the compliance-audit
+            # oracle mirrors
             for h in range(7):
                 uri = f"http://host{h}.example/robots.txt"
+                a, b = (2 * h) % 13, (2 * h + 1) % 13
                 body = (
                     "User-agent: *\n"
-                    f"Disallow: /sec{(2 * h) % 13}/\n"
-                    f"Disallow: /sec{(2 * h + 1) % 13}/\n"
+                    f"Disallow: /sec{a}/\n"
+                    f"Disallow: /sec{b}/\n"
+                    f"Allow: /sec{a}/doc/1\n"
                 )
                 parts.append(
                     gzip_member(
@@ -601,8 +635,9 @@ def synth_warc_files(
                     )
                 )
                 n += 1
-        for _, row in pdf.sort_values("_id").iterrows():
+        for _, row in pdf.sort_values(["_id", "_dup"]).iterrows():
             d = int(row["_id"])
+            dup = bool(row["_dup"])
             # rich_uris spreads fetches across hosts/sections (the
             # per-domain-analytics fixture); the /doc/{id} TAIL is
             # invariant so id recovery works in both shapes
@@ -611,22 +646,40 @@ def synth_warc_files(
                 if rich_uris
                 else f"http://crawl.example/doc/{d}"
             )
+            if dup:
+                # the messy re-fetch spelling of the SAME resource —
+                # canonicalization must collapse it onto `uri`
+                uri = (
+                    f"HTTP://HOST{d % 7}.EXAMPLE:80"
+                    f"//sec{d % 13}//doc/{d}/#frag"
+                )
             common = [
-                ("WARC-Date", "2026-01-01T00:00:00Z"),
+                (
+                    "WARC-Date",
+                    "2026-02-01T00:00:00Z" if dup
+                    else "2026-01-01T00:00:00Z",
+                ),
                 ("WARC-Target-URI", uri),
             ]
+            rid_sfx = "-r2" if dup else ""
             parts.append(
                 gzip_member(
                     build_record(
                         "request",
-                        [("WARC-Record-ID", f"<urn:uuid:req-{d:016d}>")]
+                        [("WARC-Record-ID",
+                          f"<urn:uuid:req-{d:016d}{rid_sfx}>")]
                         + common
                         + [("Content-Type", "application/http; msgtype=request")],
                         _http_request(uri),
                     )
                 )
             )
-            if d % not_found_every == 0:
+            if dup:
+                # re-fetch: same page, possibly updated (id%20==4 → a
+                # " v2" revision; id%20==14 → byte-identical)
+                txt = str(row["_text"]) + (" v2" if d % 20 == 4 else "")
+                http = _http_response(200, "OK", synth_html(d, txt))
+            elif d % not_found_every == 0:
                 http = _http_response(404, "Not Found", NOT_FOUND_HTML)
             elif image_every > 0 and d % image_every == 2:
                 import numpy as np
@@ -666,7 +719,8 @@ def synth_warc_files(
                 gzip_member(
                     build_record(
                         "response",
-                        [("WARC-Record-ID", f"<urn:uuid:resp-{d:016d}>")]
+                        [("WARC-Record-ID",
+                          f"<urn:uuid:resp-{d:016d}{rid_sfx}>")]
                         + common
                         + [("Content-Type", "application/http; msgtype=response")],
                         http,
