@@ -38,16 +38,16 @@ from pyspark.sql import functions as F
 
 def canonicalize_url(col: Column | str) -> Column:
     """Canonical form of an absolute URL column (rules above). Null/
-    unparseable inputs yield null (``parse_url`` returns null parts),
+    unparseable inputs yield null (``try_parse_url`` returns null parts),
     so malformed URIs drop out of URL-keyed joins instead of grouping
     under a garbage key."""
     u = F.col(col) if isinstance(col, str) else col
-    proto = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
-    host = F.lower(F.parse_url(u, F.lit("HOST")))
+    proto = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(u, F.lit("HOST")))
     # parse_url HOST excludes the port; recover it from AUTHORITY and
     # keep it only when non-default for the scheme
     port = F.regexp_extract(
-        F.coalesce(F.parse_url(u, F.lit("AUTHORITY")), F.lit("")),
+        F.coalesce(F.try_parse_url(u, F.lit("AUTHORITY")), F.lit("")),
         r":(\d+)$",
         1,
     )
@@ -57,11 +57,11 @@ def canonicalize_url(col: Column | str) -> Column:
     port_part = F.when(
         (port != "") & ~is_default, F.concat(F.lit(":"), port)
     ).otherwise(F.lit(""))
-    path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
+    path = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
     path = F.regexp_replace(path, "/{2,}", "/")      # collapse //
     path = F.regexp_replace(path, "/+$", "")         # strip trailing /
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.parse_url(u, F.lit("QUERY"))
+    query = F.try_parse_url(u, F.lit("QUERY"))
     query_part = F.when(
         query.isNotNull() & (query != ""), F.concat(F.lit("?"), query)
     ).otherwise(F.lit(""))

@@ -278,19 +278,20 @@ def read_training_shards(
     manifest = spark.read.parquet(f"{root}/v{v}/manifest")
     blobs = spark.read.parquet(f"{root}/v{v}/blobs")
     if validate:
-        def recheck(pdf: pd.DataFrame) -> pd.DataFrame:
-            outs = []
-            for _, row in pdf.iterrows():
-                rec = np.frombuffer(
-                    bytes(row["blob"]), dtype="<u2"
-                ).astype(np.int64)
-                ck = int(((rec + 1) * (np.arange(len(rec)) + 1)).sum())
-                outs.append(
-                    (row["source"], int(row["shard_id"]), ck)
+        def recheck(batches):
+            for pdf in batches:
+                outs = []
+                for _, row in pdf.iterrows():
+                    rec = np.frombuffer(
+                        bytes(row["blob"]), dtype="<u2"
+                    ).astype(np.int64)
+                    ck = int(((rec + 1) * (np.arange(len(rec)) + 1)).sum())
+                    outs.append(
+                        (row["source"], int(row["shard_id"]), ck)
+                    )
+                yield pd.DataFrame(
+                    outs, columns=["source", "shard_id", "stored_ck"]
                 )
-            return pd.DataFrame(
-                outs, columns=["source", "shard_id", "stored_ck"]
-            )
 
         stored = blobs.mapInPandas(
             recheck, "source string, shard_id long, stored_ck long"

@@ -77,9 +77,27 @@ EXPECT = {
     # r14 domain caps: two per-host aggregates + join + the two-phase
     # capped window over the checkpointed fetch table
     "crawl_domain_caps": dict(max_shuffles=6, max_scan_width=2),
-    # r14 robots audit: rule explode/distinct + broadcast prefix join +
-    # two per-host aggregates over the checkpointed response table
-    "robots_compliance_audit": dict(max_shuffles=7, max_scan_width=2),
+    # r15 robots audit (RFC 9309): rule explode/distinct/collapse + ONE
+    # per-host aggregate over the broadcast-joined pages (the
+    # longest-match precedence is an array HOF projection, zero
+    # shuffle), all over the checkpointed response table
+    "robots_compliance_audit": dict(
+        max_shuffles=7, min_bhj=1, max_smj=0, max_scan_width=2
+    ),
+    # r15 transport fidelity: the html_extract_docs shape — synth
+    # grouping is the only shuffle; dechunk/inflate ride the splitter
+    "crawl_http_fidelity": dict(max_shuffles=1, max_scan_width=2),
+    # r15 canonical-URL dedup: synth staging union + archive grouping +
+    # ONE groupBy on the canonical key (max_by latest-wins — no window)
+    "url_canonical_dedup": dict(
+        max_shuffles=3, max_smj=0, max_scan_width=2
+    ),
+    # r15 shard export: vocab agg (broadcast out) + the two-phase
+    # prefix-scan machinery + the per-shard packer grouping; both small
+    # sides broadcast (vocab, bucket offsets) — corpus never sort-merges
+    "training_shard_export": dict(
+        max_shuffles=7, min_bhj=2, max_smj=0, max_scan_width=3
+    ),
     "ann_cosine_topk": dict(max_shuffles=1, max_smj=0, pushed=True),
     # round-5 additions: the CMS family must never sort-merge (sketch and
     # candidate sides are bounded by construction — broadcast hints pinned);
@@ -368,6 +386,10 @@ MAX_SCANS_PER_TABLE = {
                                 # both encodes and the re-rank floats
     "quality_probe_distill": 1,  # feature+label checkpoint feeds the
                                  # stats agg, 16 GD steps and scoring
+    "training_shard_export": 1,  # r15: the tokenized-base checkpoint
+                                 # feeds the vocab agg, the prefix-scan
+                                 # stats job AND the position explode —
+                                 # documents parquet scans once
     "maxsim_pruned_search": 1,   # chunk+embed checkpoint feeds cell
                                  # assignment, the corpus side and the
                                  # query-chunk frame
@@ -570,6 +592,9 @@ SKEW_WINDOW_ALLOWED = {
     #   → _prefix_start): the source-keyed window runs over the
     #   per-(bucket, source) TOTALS frame — one row per 64Ki-segment
     #   bucket, never over documents
+    "training_shard_export",    # same _prefix_start bucket-totals
+    #   offset window; the other window (vocab row_number) runs over
+    #   the 256-row LIMIT'd vocabulary, not a corpus key
 }
 
 
