@@ -17,6 +17,7 @@ from .probe_stream import (  # noqa: F401
 from .crawl_stream import (  # noqa: F401
     compact_crawl_store,
     curate_archives,
+    curate_archives_mm,
     read_crawl_corpus,
     stream_crawl_ingest,
 )

@@ -64,15 +64,103 @@ def curate_archives(files: DataFrame) -> DataFrame:
     )
 
 
+def curate_archives_mm(files: DataFrame) -> DataFrame:
+    """Multimodal twin of :func:`curate_archives` (VERDICT r14 #6): the
+    pure per-archive chain with MIME routing on the peeled HTTP
+    Content-Type — ``text/html`` fetches run extraction + the quality
+    gate, ``image/png`` fetches run the REAL PNG decode
+    (``multimodal.decode_features``: zlib inflate + unfilter, stats
+    over DECODED rasters). One unified row schema; modality-specific
+    columns null on the other route. Still zero state, zero corpus
+    dependence — exactly the batch chain ``crawl_multimodal_stats``
+    composes, so incremental maintenance stays exact."""
+    from ..operators.materialize import checkpoint_tracked
+    from ..operators.multimodal import decode_features
+
+    # two modality consumers read the record table: checkpoint so the
+    # member split runs once per micro-batch, not once per route
+    ok = checkpoint_tracked(
+        warc_records(files).filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+        )
+    )
+    doc_id = F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long")
+    html = quality_filter(
+        ok.filter(F.col("http_mime").startswith("text/html")).select(
+            "file_id",
+            doc_id.alias("doc_id"),
+            html_to_text(F.col("payload").cast("string")).alias(
+                "text_out"
+            ),
+        ),
+        text_col="text_out",
+        id_col="doc_id",
+        keep_cols=("file_id", "text_out"),
+    ).select(
+        "file_id",
+        "doc_id",
+        F.lit("text").alias("modality"),
+        "text_out",
+        F.col("n_tokens").cast("long"),
+        "keep",
+        "reasons",
+        F.lit(None).cast("long").alias("n_pixels"),
+        F.lit(None).cast("long").alias("pixel_sum"),
+    )
+    imgs = ok.filter(F.col("http_mime") == "image/png")
+    assets = imgs.select(
+        doc_id.alias("asset_id"),
+        "payload",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("png").alias("format"),
+            F.lit(None).cast("long").alias("width"),
+            F.lit(None).cast("long").alias("height"),
+            F.length("payload").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    # decode_features drops ride-along columns — recover the archive id
+    # by joining back to the (doc, file) map off the same checkpoint
+    img_files = imgs.select(
+        doc_id.alias("doc_id"), "file_id"
+    )
+    png = (
+        decode_features(assets, fake=False)
+        .select(
+            F.col("asset_id").alias("doc_id"),
+            F.col("n_bytes").cast("long").alias("n_pixels"),
+            F.col("byte_sum").cast("long").alias("pixel_sum"),
+        )
+        .join(img_files, "doc_id")
+        .select(
+            "file_id",
+            "doc_id",
+            F.lit("image").alias("modality"),
+            F.lit(None).cast("string").alias("text_out"),
+            F.lit(None).cast("long").alias("n_tokens"),
+            F.lit(True).alias("keep"),
+            F.lit("").alias("reasons"),
+            "n_pixels",
+            "pixel_sum",
+        )
+    )
+    return html.unionByName(png)
+
+
 def stream_crawl_ingest(
     spark: SparkSession,
     src_dir: str,
     store_dir: str,
     checkpoint_dir: str,
+    multimodal: bool = False,
 ):
     """Parquet archive feed → per-epoch curated corpus rows; returns
-    the started query (callers ``awaitTermination()``)."""
+    the started query (callers ``awaitTermination()``). With
+    ``multimodal`` each epoch holds the MIME-routed union
+    (:func:`curate_archives_mm`) instead of the text-only chain."""
     feed = spark.readStream.schema(CRAWL_FEED_SCHEMA).parquet(src_dir)
+    chain = curate_archives_mm if multimodal else curate_archives
 
     def ingest_batch(batch: DataFrame, epoch: int) -> None:
         sp = batch.sparkSession
@@ -80,7 +168,7 @@ def stream_crawl_ingest(
         out = _epoch_dir(store_dir, epoch)
         if _epoch_committed(sp, out):
             return  # replayed epoch: already committed
-        curate_archives(batch).write.mode("overwrite").parquet(out)
+        chain(batch).write.mode("overwrite").parquet(out)
 
     return (
         feed.writeStream.foreachBatch(ingest_batch)
@@ -112,6 +200,7 @@ def compact_crawl_store(spark: SparkSession, store_dir: str) -> str | None:
 __all__ = [
     "CRAWL_FEED_SCHEMA",
     "curate_archives",
+    "curate_archives_mm",
     "stream_crawl_ingest",
     "read_crawl_corpus",
     "compact_crawl_store",

@@ -2233,7 +2233,9 @@ def test_probe_rebuild_retrains_after_drift_alarm(spark, tmp_path):
     assert after[0].agreement >= drift[False].agreement + 0.15
 
 
-def _crawl_feed_batch(spark, src, name, doc_rows, docs_per_file=5):
+def _crawl_feed_batch(
+    spark, src, name, doc_rows, docs_per_file=5, image_every=0
+):
     """Write one parquet feed delivery of synthesized .warc.gz archives.
     Part files land FLAT in the feed dir (the file stream source lists
     files, not nested delivery directories)."""
@@ -2244,7 +2246,9 @@ def _crawl_feed_batch(spark, src, name, doc_rows, docs_per_file=5):
 
     docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
     tmp = os.path.join(str(src), f"_tmp_{name}")
-    synth_warc_files(docs, docs_per_file=docs_per_file).select(
+    synth_warc_files(
+        docs, docs_per_file=docs_per_file, image_every=image_every
+    ).select(
         "file_id", "warc"
     ).write.mode("overwrite").parquet(tmp)
     for i, part in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*")))):
@@ -2337,3 +2341,110 @@ def test_stream_crawl_torn_epoch_rewritten_on_replay(spark, tmp_path):
     got = read_crawl_corpus(spark, str(store)).collect()
     assert {r.doc_id for r in got} == {1, 2, 3, 4, 5}
     assert all(r.doc_id != 999 for r in got)  # bogus row gone
+
+
+def test_stream_crawl_mm_matches_batch_chain(spark, tmp_path):
+    """Streaming↔batch parity for the MULTIMODAL crawl route (r15):
+    epochs hold the mime-routed union — HTML fetches through
+    extraction + the quality gate, image/png fetches through the REAL
+    PNG decode — and the committed corpus must equal curate_archives_mm
+    over the union of every archive ever fed. Image rows additionally
+    pin the decoded pixel sums against the synth raster formula, so a
+    silently-degraded decode (not just a dropped row) fails parity."""
+    from shopify_etl_spark.sources.warc import synth_warc_files
+    from shopify_etl_spark.streaming import (
+        curate_archives_mm,
+        read_crawl_corpus,
+        stream_crawl_ingest,
+    )
+
+    words = [f"c{i}" for i in range(40)] + ["the", "a", "of"]
+
+    def doc(d):
+        return (d, " ".join(words[(d + j) % 43] for j in range(30 + d % 9)))
+
+    batches = [
+        [doc(d) for d in range(0, 12)],    # 2, 7, 12 are png fetches
+        [doc(d) for d in range(12, 25)],   # includes the 404-planted 17
+    ]
+    src = tmp_path / "feed"
+    src.mkdir()
+    store, ckpt = str(tmp_path / "crawl_mm"), str(tmp_path / "ck_mm")
+
+    fed = []
+    for b, rows in enumerate(batches):
+        _crawl_feed_batch(
+            spark, src, f"d{b}.parquet", rows, image_every=5
+        )
+        stream_crawl_ingest(
+            spark, str(src), store, ckpt, multimodal=True
+        ).awaitTermination(120)
+        fed.extend(rows)
+        got = sorted(map(tuple, read_crawl_corpus(spark, store).collect()))
+        union = spark.createDataFrame(fed, "doc_id long, text string")
+        want = sorted(map(tuple, curate_archives_mm(
+            synth_warc_files(
+                union, docs_per_file=5, image_every=5
+            ).select("file_id", "warc")
+        ).collect()))
+        assert got == want and got, f"epoch {b}"
+
+    rows = read_crawl_corpus(spark, store).collect()
+    by_mod = {}
+    for r in rows:
+        by_mod.setdefault(r.modality, []).append(r)
+    # png fetches: d % 5 == 2, d % 17 != 0, over both batches
+    want_imgs = {d for d in range(25) if d % 5 == 2 and d % 17 != 0}
+    assert {r.doc_id for r in by_mod["image"]} == want_imgs
+    # decoded pixel sums match the synth raster formula exactly
+    for r in by_mod["image"]:
+        d = r.doc_id
+        w, h = 8 + d % 5, 6 + d % 4
+        want_sum = sum(
+            (d * 31 + rr * 17 + cc * 7) % 256
+            for rr in range(h)
+            for cc in range(w)
+        )
+        assert (r.n_pixels, r.pixel_sum) == (w * h, want_sum), d
+    # text route: planted 404s excluded, image docs not in the text side
+    text_ids = {r.doc_id for r in by_mod["text"]}
+    assert text_ids == {
+        d for d in range(25) if d % 17 != 0 and d % 5 != 2
+    }
+
+
+def test_stream_crawl_mm_torn_epoch_rewritten_on_replay(spark, tmp_path):
+    """Crash injection on the multimodal route: a torn epoch-0 dir
+    (bogus row in the UNIFIED schema, no _SUCCESS) is invisible and
+    rewritten wholesale on replay."""
+    from shopify_etl_spark.streaming import (
+        read_crawl_corpus,
+        stream_crawl_ingest,
+    )
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    store = tmp_path / "crawl_mm"
+    ep0 = store / "epoch=0"
+    ep0.mkdir(parents=True)
+    bogus = spark.createDataFrame(
+        [(999, 999, "image", None, None, True, "", 1, 1)],
+        "file_id long, doc_id long, modality string, text_out string, "
+        "n_tokens long, keep boolean, reasons string, n_pixels long, "
+        "pixel_sum long",
+    )
+    bogus.coalesce(1).write.mode("overwrite").parquet(str(ep0))
+    (ep0 / "_SUCCESS").unlink()  # the crash: files landed, no marker
+
+    rows = [(d, "w " * 25 + f"tail{d} the a of") for d in range(1, 8)]
+    _crawl_feed_batch(spark, src, "d0.parquet", rows, image_every=5)
+    stream_crawl_ingest(
+        spark, str(src), str(store), str(tmp_path / "ck"),
+        multimodal=True,
+    ).awaitTermination(120)
+
+    got = read_crawl_corpus(spark, str(store)).collect()
+    assert all(r.doc_id != 999 for r in got)  # bogus row gone
+    assert {r.doc_id for r in got if r.modality == "image"} == {2, 7}
+    assert {r.doc_id for r in got if r.modality == "text"} == \
+        {1, 3, 4, 5, 6}
