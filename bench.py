@@ -158,6 +158,10 @@ def _calibration(spark, n_cpus: int, reps: int = 3) -> dict:
         ("spark_agg_sec", spark_agg),
     ):
         out[key] = round(statistics.median(_timed(fn) for _ in range(reps)), 3)
+    # box-shape witness (ADVICE r14): allcore/agg scale with core count,
+    # so the host_factor comparison below must refuse a record taken at
+    # a different width rather than read it as host speed drift
+    out["n_cpus"] = n_cpus
     return out
 
 
@@ -541,25 +545,37 @@ def main() -> None:
     # the three probes as the ONE number adjudications should cite.
     if prev is not None and prev.get("calibration", {}).get("start"):
         ps = prev["calibration"]["start"]
-        ratios = {
-            k: round(cal_start[k] / ps[k], 3)
-            for k in cal_start
-            if ps.get(k, 0) > 0
-        }
-        if ratios:
+        prev_cpus = ps.get("n_cpus")
+        if prev_cpus is not None and prev_cpus != n_cpus:
+            # a box-shape change, not host speed drift: flag, don't ratio
             calibration["vs_prev"] = {
                 "baseline": prev["_basename"],
-                "per_probe": ratios,
-                "host_factor": round(
-                    statistics.median(ratios.values()), 3
+                "skipped": (
+                    f"core-count change ({prev_cpus} -> {n_cpus}): "
+                    "probe ratios would read as host drift"
                 ),
             }
-            print(
-                f"bench calibration host_factor="
-                f"{calibration['vs_prev']['host_factor']} vs "
-                f"{prev['_basename']} (per-probe {ratios})",
-                file=sys.stderr,
-            )
+        else:
+            _PROBES = ("python_1t_sec", "python_allcore_sec", "spark_agg_sec")
+            ratios = {
+                k: round(cal_start[k] / ps[k], 3)
+                for k in _PROBES
+                if ps.get(k, 0) > 0
+            }
+            if ratios:
+                calibration["vs_prev"] = {
+                    "baseline": prev["_basename"],
+                    "per_probe": ratios,
+                    "host_factor": round(
+                        statistics.median(ratios.values()), 3
+                    ),
+                }
+                print(
+                    f"bench calibration host_factor="
+                    f"{calibration['vs_prev']['host_factor']} vs "
+                    f"{prev['_basename']} (per-probe {ratios})",
+                    file=sys.stderr,
+                )
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # Spread summary: per-query relative spread (max-min)/median over the
@@ -648,11 +664,17 @@ def main() -> None:
                 + (" [survived isolation]" if n in isolation else ""),
                 file=sys.stderr,
             )
+    # Host-normalized headline (VERDICT r14 #3): wall ÷ host_factor —
+    # the number cross-round trend lines should read, with host speed
+    # drift divided out mechanically instead of adjudicated in prose.
+    _hf = calibration.get("vs_prev", {}).get("host_factor")
+    total_norm = round(total / _hf, 3) if _hf else None
     record = {
         "git_head": _git_head(),
         "metric": "catalog_queries_total_wall",
         "value": total,
         "headline_total": total,
+        "headline_total_normalized": total_norm,
         "window_load": window_load,
         "calibration": calibration,
         "unit": "sec",
@@ -709,6 +731,7 @@ def main() -> None:
                 "metric": "catalog_queries_total_wall",
                 "value": total,
                 "headline_total": total,
+                "headline_total_normalized": total_norm,
                 "window_load": window_load,
                 "calibration": calibration,
                 "unit": "sec",
