@@ -140,3 +140,97 @@ def pagerank(
             F.round("r", 4).alias("pagerank"),
         )
     )
+
+
+def pagerank_directed(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping: float = 0.85,
+    iters: int = 3,
+) -> DataFrame:
+    """Weighted PageRank over a DIRECTED edge list — the web-graph
+    centrality a crawl pipeline runs over the HOST link graph (a
+    domain-level quality prior: hosts the web links into are worth
+    crawling/keeping; the same role harmonic centrality plays in
+    Common Crawl's ranked host lists).
+
+    ``edges`` carries (src, dst[, weight]) as-is — no symmetrization
+    (links point). Mass splits along out-edges proportionally to
+    ``weight`` (uniformly when None). Nodes = vertices appearing on
+    either side. Fixed ``iters`` with per-step rounding to 10 decimals,
+    so a SQL oracle replays the whole recipe value-for-value (the
+    :func:`pagerank` discipline).
+
+    Dangling nodes (no out-edges) are supported as rank RECEIVERS but
+    their mass evaporates instead of redistributing — the pinned,
+    SQL-expressible recipe (redistribution needs a global scalar per
+    step). Rankings are unaffected for graphs where every node links
+    out; callers with heavy dangling mass should add self-edges
+    upstream. Documented, deterministic, oracle-mirrored.
+
+    Returns (node, out_degree, pagerank-rounded-to-4).
+    """
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("t"), w.alias("_w")
+    )
+    out_w = e.groupBy("s").agg(
+        F.sum("_w").alias("_ow"), F.count(F.lit(1)).alias("_od")
+    )
+    # one small materialized edge table feeds every unrolled iteration
+    ed = e.join(out_w, "s").select(
+        "s", "t", (F.col("_w") / F.col("_ow")).alias("_frac")
+    ).localCheckpoint(eager=False)
+    nodes = (
+        ed.select(F.col("s").alias("node"))
+        .unionByName(ed.select(F.col("t").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n_nodes")))
+    ranks = nodes.join(n).select(
+        "node", (F.lit(1.0) / F.col("n_nodes")).alias("r")
+    )
+    # rank/contrib/degree frames are NODE-bounded (hosts, not docs) —
+    # broadcast them explicitly so every iteration is one broadcast
+    # join + one grouped sum over the aggregated edge table, never a
+    # shuffle join keyed on a frame this small
+    for _ in range(iters):
+        contribs = (
+            ed.join(F.broadcast(ranks), ed["s"] == ranks["node"])
+            .select(
+                F.col("t").alias("node"),
+                (F.col("r") * F.col("_frac")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        # total over the node set: sources with no in-edges keep their
+        # teleport-only rank and keep SENDING mass next step
+        ranks = (
+            nodes.join(F.broadcast(contribs), "node", "left")
+            .join(n)
+            .select(
+                "node",
+                F.round(
+                    (1.0 - damping) / F.col("n_nodes")
+                    + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0)),
+                    10,
+                ).alias("r"),
+            )
+        )
+    return (
+        nodes.join(
+            F.broadcast(out_w.select(F.col("s").alias("node"), "_od")),
+            "node",
+            "left",
+        )
+        .join(F.broadcast(ranks), "node")
+        .select(
+            "node",
+            F.coalesce("_od", F.lit(0)).cast("long").alias("out_degree"),
+            F.round("r", 4).alias("pagerank"),
+        )
+    )

@@ -171,13 +171,26 @@ def escape_html(text: str) -> str:
     )
 
 
-def synth_html(doc_id: int, text: str, words_per_para: int = 40) -> str:
+def synth_html(
+    doc_id: int,
+    text: str,
+    words_per_para: int = 40,
+    links: tuple[str, ...] = (),
+    meta_charset: str | None = None,
+) -> str:
     """Deterministic HTML page embedding ``text`` — the fixture twin of
     ``multimodal.synth_png_assets``: every :func:`html_to_text` rule is
     exercised, and the extractable text is exactly
     ``Doc {doc_id} {ws-normalized text} &copy; example end`` (the SQL
     oracle's formula). Paragraphs of ``words_per_para`` words, each
     opening word wrapped in inline ``<b>``.
+
+    ``links`` renders an outlink nav with EMPTY anchor text (the hrefs
+    are extractable by the link-graph queries while tag-stripping adds
+    zero visible text — the lossless formula above holds unchanged);
+    ``meta_charset`` plants a ``<meta charset=…>`` declaration in the
+    head (dropped by extraction) for the header-less charset-sniffing
+    fixture.
     """
     words = escape_html(text).split()
     paras = []
@@ -186,10 +199,18 @@ def synth_html(doc_id: int, text: str, words_per_para: int = 40) -> str:
         chunk[0] = f"<b>{chunk[0]}</b>"
         paras.append("<p>" + " ".join(chunk) + "</p>")
     body = "\n".join(paras)
+    meta = f'<meta charset="{meta_charset}">' if meta_charset else ""
+    nav = (
+        '<div class="nav">'
+        + "".join(f'<a href="{u}"></a>' for u in links)
+        + "</div>\n"
+        if links
+        else ""
+    )
     return (
         "<!DOCTYPE html>\n"
         '<html lang="en">\n'
-        f"<head><title>t{doc_id}</title>"
+        f"<head>{meta}<title>t{doc_id}</title>"
         "<style>body{color:#000}</style>"
         '<script>var t="<p>head noise</p>";</script></head>\n'
         "<body>\n"
@@ -198,6 +219,7 @@ def synth_html(doc_id: int, text: str, words_per_para: int = 40) -> str:
         f'<script type="text/javascript">document.write("n{doc_id}");'
         "</script>\n"
         f"{body}\n"
+        f"{nav}"
         '<div class="footer">&amp;copy; example<br/>end</div>\n'
         "</body></html>\n"
     )

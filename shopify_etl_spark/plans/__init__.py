@@ -215,6 +215,7 @@ _CHANGED_R15 = [
     "crawl_http_fidelity",   # NEW: chunked/gzip/deflate/charset fidelity
     "url_canonical_dedup",   # NEW: canonical-URL re-fetch dedup
     "training_shard_export",  # NEW: uint16 token shards + manifest
+    "host_link_pagerank",    # NEW: directed weighted host-graph centrality
     "robots_compliance_audit",  # RFC 9309 Allow/longest-match semantics
     # html_to_text changed (numeric entities, unterminated-container
     # fallbacks) — every extraction consumer re-fronted:

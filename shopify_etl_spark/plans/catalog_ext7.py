@@ -68,8 +68,10 @@ _XT_LATIN_SQL = (
     "bodies, chunked-OVER-gzip nesting, and ISO-8859-1 pages whose "
     "non-ASCII byte (0xE9) garbles under a UTF-8 misdecode — and the "
     "ingest path must dechunk (warc._dechunk), inflate (warc._inflate, "
-    "stdlib zlib), route the charset (warc.payload_text: a bounded JVM "
-    "CASE over the peeled Content-Type) and extract VALUE-EXACT full "
+    "stdlib zlib), route the charset (warc.payload_text over the "
+    "EFFECTIVE charset — header charset= parameter, else the sniffed "
+    "<meta charset>: pages with doc_id % 14 == 10 declare it ONLY in "
+    "the meta tag) and extract VALUE-EXACT full "
     "text. The oracle recomputes the transport routing (doc_id % 5), "
     "the charset routing (doc_id % 7) and the complete text body from "
     "documents alone — a one-byte dechunk/inflate/decode bug "
@@ -98,9 +100,9 @@ def crawl_http_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("doc_id"),
             F.col("http_encoding").alias("enc"),
-            F.regexp_extract(
-                "http_mime", r"charset=([A-Za-z0-9\-]+)", 1
-            ).alias("charset"),
+            F.when(
+                warc.payload_charset() == "", F.lit("utf-8")
+            ).otherwise(warc.payload_charset()).alias("charset"),
             txt.alias("text_out"),
         )
         .withColumn("n_chars", F.length("text_out").cast("long"))
@@ -269,3 +271,110 @@ def training_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shards.shard_manifest(
         shards.shard_blobs(stream, vocab_size=_VOCAB, seq_len=_SEQ_LEN)
     )
+
+
+def _host_pr_oracle(iters: int = 3, damping: float = 0.85) -> str:
+    """Unrolled replay of pagerank_directed over the synth host link
+    graph: edges from the _synth_links formula (ring host (d+1)%7 +
+    mixing host ((d//7)+2d)%7, self-links dropped), weight = link
+    count, then ``iters`` rounded message-passing steps."""
+    steps = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        steps.append(f"""
+    r{i} AS (
+      SELECT nodes.node,
+             ROUND((1 - {damping}) / nn.n + {damping} *
+                   COALESCE(m.in_sum, 0), 10) AS r
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (SELECT ef.t AS node, SUM({prev}.r * ef.frac) AS in_sum
+                 FROM ef JOIN {prev} ON {prev}.node = ef.s
+                 GROUP BY ef.t) m
+        ON m.node = nodes.node
+    )""")
+        prev = f"r{i}"
+    return f"""
+    WITH d AS (
+      SELECT doc_id, doc_id % 7 AS s
+      FROM documents WHERE doc_id % {_NOT_FOUND_EVERY} <> 0
+    ), l AS (
+      SELECT s, (doc_id + 1) % 7 AS t FROM d
+      UNION ALL
+      SELECT s, ((doc_id // 7) + 2 * doc_id) % 7 FROM d
+    ), e AS (
+      SELECT s, t, CAST(COUNT(*) AS DOUBLE) AS w
+      FROM l WHERE s <> t GROUP BY s, t
+    ), ow AS (
+      SELECT s, SUM(w) AS ow, COUNT(*) AS od FROM e GROUP BY s
+    ), ef AS (
+      SELECT e.s, e.t, e.w / ow.ow AS frac FROM e JOIN ow USING (s)
+    ), nodes AS (
+      SELECT DISTINCT node
+      FROM (SELECT s AS node FROM e UNION ALL SELECT t FROM e)
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+    ), r0 AS (
+      SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn
+    ),{",".join(steps)}
+    SELECT 'host' || CAST(nodes.node AS VARCHAR) || '.example' AS host,
+           CAST(COALESCE(ow.od, 0) AS BIGINT) AS out_degree,
+           ROUND({prev}.r, 4) AS pagerank
+    FROM nodes
+    LEFT JOIN ow ON ow.s = nodes.node
+    JOIN {prev} ON {prev}.node = nodes.node
+    """
+
+
+@register(
+    "host_link_pagerank",
+    oracle=_host_pr_oracle(),
+    doc="Host-level link-graph centrality — the crawl-frontier quality "
+    "prior every large crawl maintains (Common Crawl publishes exactly "
+    "this: a centrality-ranked host list; hosts the web links into are "
+    "worth crawling and their documents worth keeping): pages' outlinks "
+    "are extracted from the ARCHIVES themselves (regexp_extract_all "
+    "href over the extracted payload — pure JVM), resolved to hosts "
+    "(try_parse_url), aggregated into a directed WEIGHTED host edge "
+    "list (self-links dropped), and ranked by pagerank_directed — "
+    "fixed 3 iterations, per-step rounding, mass split along out-edges "
+    "by weight, dangling mass evaporates by pinned recipe — so the "
+    "DuckDB oracle replays the entire computation (edge formula from "
+    "_synth_links, out-weight normalization, every unrolled step) "
+    "value-for-value. Scale shape: the edge list is host×host-bounded "
+    "(aggregated BEFORE any iteration), each step is one equi-join + "
+    "grouped sum over that tiny frame, and the corpus is touched "
+    "exactly once by the splitter. operators/graph.py::"
+    "pagerank_directed, sources/warc.py::_synth_links (links=True).",
+)
+def host_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank_directed
+    from ..sources import warc
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = warc.synth_warc_files(
+        docs, docs_per_file=_DOCS_PER_FILE,
+        not_found_every=_NOT_FOUND_EVERY, rich_uris=True, links=True,
+    )
+    pages = warc.warc_records(files).filter(
+        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+    ).select(
+        F.try_parse_url("target_uri", F.lit("HOST")).alias("src"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col("payload").cast("string"),
+                F.lit(r"href=\"(http://[^\"]+)\""),
+                1,
+            )
+        ).alias("href"),
+    )
+    edges = (
+        pages.select(
+            "src", F.try_parse_url("href", F.lit("HOST")).alias("dst")
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return pagerank_directed(
+        edges, src="src", dst="dst", weight="w"
+    ).withColumnRenamed("node", "host")

@@ -242,9 +242,30 @@ def _inflate(body: bytes, encoding: str) -> bytes:
     raise ValueError(f"bad {encoding} payload body: {err}") from err
 
 
+def payload_charset(payload_col="payload", mime_col="http_mime"):
+    """Effective charset of an HTML payload, plan-side: the HTTP
+    header's ``charset=`` parameter when present, else a ``<meta
+    charset=…>`` / ``http-equiv`` declaration sniffed from the payload
+    head (the tag is pure ASCII, so sniffing through the UTF-8 cast is
+    safe whatever the body encoding), else empty (→ UTF-8 default).
+    Real dumps declare charsets in BOTH places; header-less pages are
+    routine."""
+    p = F.col(payload_col) if isinstance(payload_col, str) else payload_col
+    m = F.col(mime_col) if isinstance(mime_col, str) else mime_col
+    pat = r"(?i)charset=[\"']?([A-Za-z0-9_\-]+)"
+    hdr = F.regexp_extract(F.coalesce(m, F.lit("")), pat, 1)
+    meta = F.regexp_extract(
+        F.coalesce(p.cast("string"), F.lit("")),
+        r"(?i)<meta[^>]*charset=[\"']?([A-Za-z0-9_\-]+)",
+        1,
+    )
+    return F.lower(F.when(hdr != "", hdr).otherwise(meta))
+
+
 def payload_text(payload_col="payload", mime_col="http_mime"):
     """Charset-aware payload → string decode, plan-side and pure JVM:
-    the ``charset=`` parameter of the peeled HTTP Content-Type routes a
+    the effective charset (header ``charset=`` parameter, else the
+    sniffed ``<meta charset>`` — :func:`payload_charset`) routes a
     bounded CASE — ISO-8859-1/latin-1 spellings through ``decode()``
     (every byte is valid latin-1, so this path never fails), everything
     else (incl. absent/UTF-8/ASCII) through the binary→string cast. A
@@ -252,12 +273,7 @@ def payload_text(payload_col="payload", mime_col="http_mime"):
     replacement character, which is exactly what the fidelity oracle
     catches."""
     p = F.col(payload_col) if isinstance(payload_col, str) else payload_col
-    m = F.col(mime_col) if isinstance(mime_col, str) else mime_col
-    cs = F.lower(
-        F.regexp_extract(
-            F.coalesce(m, F.lit("")), r"charset=\"?([A-Za-z0-9_\-]+)", 1
-        )
-    )
+    cs = payload_charset(payload_col, mime_col)
     return F.when(
         cs.isin("iso-8859-1", "iso8859-1", "latin-1", "latin1"),
         F.decode(p, "ISO-8859-1"),
@@ -492,6 +508,17 @@ def _http_response(
     return CRLF.join(lines) + _HDR_END + body
 
 
+def _synth_links(d: int) -> tuple[str, str]:
+    """Deterministic outlinks for page ``d`` — the host link graph the
+    link-analytics oracles mirror: the ring neighbor host (d+1)%7 and
+    the mixing host ((d//7)+2d)%7, whose weight distribution varies
+    with the archive index so the graph is NOT regular."""
+    return (
+        f"http://host{(d + 1) % 7}.example/",
+        f"http://host{((d // 7) + 2 * d) % 7}.example/",
+    )
+
+
 def _http_request(uri: str) -> bytes:
     path = uri.split("example", 1)[-1]
     return (
@@ -510,6 +537,7 @@ def synth_warc_files(
     robots: bool = False,
     http_variants: bool = False,
     refetch: bool = False,
+    links: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -699,12 +727,24 @@ def synth_warc_files(
                 latin = d % 7 == 3
                 txt = str(row["_text"]) + (" caf\xe9" if latin else "")
                 cs = "iso-8859-1" if latin else "utf-8"
+                # real dumps declare the charset in the header OR only
+                # in a <meta> tag: latin pages with d % 14 == 10 ship a
+                # bare "text/html" header and the meta declaration —
+                # the sniffing leg of payload_charset
+                meta_only = latin and d % 14 == 10
                 v = d % 5
                 http = _http_response(
                     200,
                     "OK",
-                    synth_html(d, txt).encode(cs),
-                    ctype=f"text/html; charset={cs}",
+                    synth_html(
+                        d, txt,
+                        links=_synth_links(d) if links else (),
+                        meta_charset=cs if meta_only else None,
+                    ).encode(cs),
+                    ctype=(
+                        "text/html" if meta_only
+                        else f"text/html; charset={cs}"
+                    ),
                     content_encoding=(
                         "gzip" if v in (2, 4) else "deflate" if v == 3
                         else None
@@ -713,7 +753,12 @@ def synth_warc_files(
                 )
             else:
                 http = _http_response(
-                    200, "OK", synth_html(d, str(row["_text"]))
+                    200,
+                    "OK",
+                    synth_html(
+                        d, str(row["_text"]),
+                        links=_synth_links(d) if links else (),
+                    ),
                 )
             parts.append(
                 gzip_member(
@@ -741,6 +786,7 @@ __all__ = [
     "WARC_RECORD_SCHEMA",
     "NOT_FOUND_HTML",
     "gzip_member",
+    "payload_charset",
     "payload_text",
     "split_gzip_members",
     "split_plain_records",

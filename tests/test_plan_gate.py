@@ -98,6 +98,12 @@ EXPECT = {
     "training_shard_export": dict(
         max_shuffles=7, min_bhj=2, max_smj=0, max_scan_width=3
     ),
+    # r15 host link graph: synth grouping + ONE corpus-sized edge agg;
+    # the pagerank iterations broadcast-join host-bounded frames only
+    # (measured 10 exchanges: edge agg + per-step grouped sums)
+    "host_link_pagerank": dict(
+        max_shuffles=10, min_bhj=6, max_smj=0, max_scan_width=2
+    ),
     "ann_cosine_topk": dict(max_shuffles=1, max_smj=0, pushed=True),
     # round-5 additions: the CMS family must never sort-merge (sketch and
     # candidate sides are bounded by construction — broadcast hints pinned);
@@ -494,6 +500,8 @@ BNLJ_ALLOWED = {
     "dsir_importance_weights",  # one-row token totals under the model fit
     "dup_graph_pagerank",       # one-row node count (teleport term, x4 steps)
     "pagerank_degree_capped",   # one-row node count (teleport term, x4 steps)
+    "host_link_pagerank",       # one-row node count (pagerank_directed,
+    #   x(iters+1) steps over the host-bounded edge frame)
     "lsh_ann_topk",             # query vectors broadcast (exact-top-1 twin)
     "cms_join_size",            # one-row totals/truth/estimate assembly
     "hll_key_overlap",          # one-row sketch/truth assembly

@@ -553,3 +553,109 @@ class TestPsiBetweenHistograms:
         # (a single row would stay quiet — smoothing treats tiny samples
         # as weak evidence, which is the intended behavior)
         assert out["new_seg"]["psi"] > 0.25
+
+
+class TestPagerankDirected:
+    @staticmethod
+    def _reference(edges, damping=0.85, iters=3):
+        # mirror of the pinned directed recipe: weighted out-splits,
+        # uniform init over ALL endpoints, dangling mass evaporates,
+        # per-step round(10), final round(4)
+        nodes = {v for e in edges for v in e[:2]}
+        out = {}
+        for s, t, w in edges:
+            out.setdefault(s, []).append((t, w))
+        ow = {s: sum(w for _, w in ts) for s, ts in out.items()}
+        n = len(nodes)
+        r = {v: 1.0 / n for v in nodes}
+        for _ in range(iters):
+            msg = {v: 0.0 for v in nodes}
+            for s, ts in out.items():
+                for t, w in ts:
+                    msg[t] += r[s] * w / ow[s]
+            r = {
+                v: round((1 - damping) / n + damping * msg[v], 10)
+                for v in nodes
+            }
+        return {v: round(x, 4) for v, x in r.items()}
+
+    def test_weighted_hand_values(self, spark):
+        from shopify_etl_spark.operators.graph import pagerank_directed
+
+        edges = [
+            (0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0),
+            (2, 0, 1.0), (3, 0, 5.0),
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long, w double")
+        got = {
+            r["node"]: r
+            for r in pagerank_directed(df, weight="w").collect()
+        }
+        for v, pr in self._reference(edges).items():
+            assert got[v]["pagerank"] == pytest.approx(pr, abs=1e-4), v
+        # out-degrees are post-aggregation edge counts
+        assert got[0]["out_degree"] == 2 and got[3]["out_degree"] == 1
+
+    def test_direction_matters(self, spark):
+        """A pure sink accumulates rank a pure source never gets —
+        the property the undirected operator cannot express."""
+        from shopify_etl_spark.operators.graph import pagerank_directed
+
+        df = spark.createDataFrame(
+            [(0, 2, 1.0), (1, 2, 1.0), (2, 3, 1.0), (3, 2, 1.0)],
+            "src long, dst long, w double",
+        )
+        got = {
+            r["node"]: r["pagerank"]
+            for r in pagerank_directed(df, weight="w").collect()
+        }
+        assert got[2] > got[3] > got[0] == got[1]
+
+    def test_weight_proportional_split(self, spark):
+        """Mass splits along out-edges by weight: with 9:1 weights the
+        heavy target's received mass is 9x the light one's."""
+        from shopify_etl_spark.operators.graph import pagerank_directed
+
+        df = spark.createDataFrame(
+            # 1 and 2 link back so every node has out-edges
+            [(0, 1, 9.0), (0, 2, 1.0), (1, 0, 1.0), (2, 0, 1.0)],
+            "src long, dst long, w double",
+        )
+        got = {
+            r["node"]: r["pagerank"]
+            for r in pagerank_directed(df, weight="w").collect()
+        }
+        ref = self._reference(
+            [(0, 1, 9.0), (0, 2, 1.0), (1, 0, 1.0), (2, 0, 1.0)]
+        )
+        for v, pr in ref.items():
+            assert got[v] == pytest.approx(pr, abs=1e-4)
+        assert got[1] > got[2]
+
+    def test_dangling_receiver_supported(self, spark):
+        """A node with only in-edges still ranks (receives mass; its own
+        mass evaporates by the pinned recipe — documented)."""
+        from shopify_etl_spark.operators.graph import pagerank_directed
+
+        df = spark.createDataFrame(
+            [(0, 1, 1.0), (0, 2, 1.0)], "src long, dst long, w double"
+        )
+        got = {
+            r["node"]: r
+            for r in pagerank_directed(df, weight="w").collect()
+        }
+        assert set(got) == {0, 1, 2}
+        assert got[1]["out_degree"] == 0
+        assert got[1]["pagerank"] == got[2]["pagerank"] > got[0]["pagerank"]
+
+    def test_unweighted_default(self, spark):
+        from shopify_etl_spark.operators.graph import pagerank_directed
+
+        df = spark.createDataFrame(
+            [(0, 1), (1, 0)], "src long, dst long"
+        )
+        got = {
+            r["node"]: r["pagerank"]
+            for r in pagerank_directed(df).collect()
+        }
+        assert got[0] == got[1] == pytest.approx(0.5, abs=1e-4)

@@ -264,6 +264,35 @@ class TestHttpTransport:
         ]
         assert got == ["café", "café", "café", "plain"]
 
+    def test_meta_charset_sniffing(self, spark):
+        # header-less pages declare the charset only in <meta> — common
+        # in real dumps; the meta tag is ASCII so sniffing survives a
+        # latin-1 body; a header charset OVERRIDES any meta declaration
+        rows = [
+            (b'<meta charset="iso-8859-1"><p>caf\xe9</p>', "text/html"),
+            (
+                b'<META HTTP-EQUIV="Content-Type" CONTENT="text/html; '
+                b'charset=ISO-8859-1"><p>caf\xe9</p>',
+                "text/html",
+            ),
+            (
+                b'<meta charset="iso-8859-1"><p>caf\xc3\xa9</p>',
+                "text/html; charset=utf-8",  # header wins
+            ),
+            (b"<p>caf\xc3\xa9</p>", "text/html"),  # neither: utf-8
+        ]
+        df = spark.createDataFrame(
+            rows, "payload binary, http_mime string"
+        )
+        out = df.select(
+            W.payload_charset().alias("cs"),
+            W.payload_text().alias("txt"),
+        ).collect()
+        assert [r["cs"] for r in out] == [
+            "iso-8859-1", "iso-8859-1", "utf-8", "",
+        ]
+        assert all("café" in r["txt"] for r in out)
+
 
 class TestWarcFormat:
     def test_member_split_and_boundaries(self):
