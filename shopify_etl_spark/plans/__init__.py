@@ -216,6 +216,7 @@ _CHANGED_R15 = [
     "url_canonical_dedup",   # NEW: canonical-URL re-fetch dedup
     "training_shard_export",  # NEW: uint16 token shards + manifest
     "host_link_pagerank",    # NEW: directed weighted host-graph centrality
+    "wet_export_roundtrip",  # NEW: WET writer + double split round-trip
     "robots_compliance_audit",  # RFC 9309 Allow/longest-match semantics
     # html_to_text changed (numeric entities, unterminated-container
     # fallbacks) — every extraction consumer re-fronted:

@@ -378,3 +378,53 @@ def host_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_directed(
         edges, src="src", dst="dst", weight="w"
     ).withColumnRenamed("node", "host")
+
+
+@register(
+    "wet_export_roundtrip",
+    oracle=f"""
+    WITH e AS (
+      SELECT doc_id,
+             regexp_replace('Doc ' || CAST(doc_id AS VARCHAR) || ' ' ||
+               trim(text) || ' &copy; example end', '\\s+', ' ', 'g')
+               AS text_out
+      FROM documents WHERE doc_id % {_NOT_FOUND_EVERY} <> 0
+    )
+    SELECT doc_id,
+           CAST(doc_id // {_DOCS_PER_FILE} AS BIGINT) AS wet_file_id,
+           text_out,
+           CAST(LENGTH(text_out) AS BIGINT) AS n_chars
+    FROM e
+    """,
+    doc="WET export round-trip — the WRITER side of the crawl front "
+    "door: a real pipeline materializes extraction as the derivative "
+    "text archives (Common Crawl's .warc.wet.gz: per-record-gzip "
+    "'conversion' records, text/plain) that downstream consumers read "
+    "instead of raw crawl. The chain here is the double round-trip: "
+    "synth .warc.gz → member split → HTTP peel → html_to_text → "
+    "wet_archives (build conversion records, re-gzip per record — the "
+    "written archives are as splittable as the input) → member split "
+    "AGAIN → parse → per-doc text. The oracle recomputes the expected "
+    "text from documents alone, so a one-byte loss in EITHER "
+    "direction (reader or writer framing, Content-Length arithmetic, "
+    "gzip member boundaries, UTF-8 encode) hash-mismatches on the "
+    "full text body. Zero-shuffle except the two archive groupings. "
+    "sources/warc.py::wet_archives.",
+)
+def wet_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog_ext6 import _extracted
+    from ..sources import warc
+
+    ex = _extracted(spark, sf_dir).select("doc_id", "text_out")
+    wet = warc.wet_archives(ex, docs_per_file=_DOCS_PER_FILE)
+    recs = warc.warc_records(wet)
+    return recs.filter(F.col("warc_type") == "conversion").select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("file_id").alias("wet_file_id"),
+        F.col("payload").cast("string").alias("text_out"),
+        F.length(F.col("payload").cast("string"))
+        .cast("long")
+        .alias("n_chars"),
+    )

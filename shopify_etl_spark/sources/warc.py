@@ -453,6 +453,86 @@ def warc_records(
 
 
 # ---------------------------------------------------------------------------
+# WET export — the writer side of the front door
+# ---------------------------------------------------------------------------
+
+
+def wet_archives(
+    extracted: DataFrame,
+    docs_per_file: int = 25,
+    id_col: str = "doc_id",
+    text_col: str = "text_out",
+    uri_prefix: str = "http://crawl.example/doc/",
+) -> DataFrame:
+    """Materialize extracted text as WET archives — per-record-gzip
+    ``conversion`` records (`Content-Type: text/plain`), the derivative
+    format Common Crawl publishes next to every dump and what most
+    text-pipeline consumers actually read. One ``warcinfo`` then one
+    conversion record per document (ascending id); grouping is
+    ``file_id = id // docs_per_file`` (the synthesis formula, so
+    oracles re-derive the layout). Every record is its own gzip member
+    — the written archives are as splittable as the input ones, and
+    :func:`warc_records` reads them back with zero new code (conversion
+    records are non-HTTP: payload passes through verbatim).
+
+    Scale shape: one ``applyInPandas`` per archive group (archives are
+    independent); memory per task is one archive's text. At production
+    scale the output rows map 1:1 onto ``.warc.wet.gz`` objects.
+    """
+    staged = extracted.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_text"),
+        (F.col(id_col) / docs_per_file).cast("long").alias("file_id"),
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        fid = int(pdf["file_id"].iloc[0])
+        parts = [
+            gzip_member(
+                build_record(
+                    "warcinfo",
+                    [
+                        (
+                            "WARC-Record-ID",
+                            f"<urn:uuid:0000-wetinfo-{fid:012d}>",
+                        ),
+                        ("WARC-Date", "2026-01-01T00:00:00Z"),
+                        ("Content-Type", "application/warc-fields"),
+                    ],
+                    b"software: shopify-etl-spark-wet/1.0\r\n",
+                )
+            )
+        ]
+        n = 1
+        for _, row in pdf.sort_values("_id").iterrows():
+            d = int(row["_id"])
+            parts.append(
+                gzip_member(
+                    build_record(
+                        "conversion",
+                        [
+                            (
+                                "WARC-Record-ID",
+                                f"<urn:uuid:wet-{d:016d}>",
+                            ),
+                            ("WARC-Date", "2026-01-01T00:00:00Z"),
+                            ("WARC-Target-URI", f"{uri_prefix}{d}"),
+                            ("Content-Type", "text/plain"),
+                        ],
+                        str(row["_text"]).encode("utf-8"),
+                    )
+                )
+            )
+            n += 1
+        return pd.DataFrame(
+            [(fid, b"".join(parts), n)],
+            columns=["file_id", "warc", "n_members"],
+        )
+
+    return staged.groupBy("file_id").applyInPandas(build, WARC_FILE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # synthesis (fixture twin — the oracles recompute its accounting in SQL)
 # ---------------------------------------------------------------------------
 
@@ -794,5 +874,6 @@ __all__ = [
     "build_record",
     "parse_record",
     "warc_records",
+    "wet_archives",
     "synth_warc_files",
 ]

@@ -104,6 +104,9 @@ EXPECT = {
     "host_link_pagerank": dict(
         max_shuffles=10, min_bhj=6, max_smj=0, max_scan_width=2
     ),
+    # r15 WET round-trip: the two archive groupings (synth + WET write)
+    # are the only shuffles; both splits are zero-shuffle map stages
+    "wet_export_roundtrip": dict(max_shuffles=2, max_scan_width=2),
     "ann_cosine_topk": dict(max_shuffles=1, max_smj=0, pushed=True),
     # round-5 additions: the CMS family must never sort-merge (sketch and
     # candidate sides are bounded by construction — broadcast hints pinned);

@@ -470,3 +470,39 @@ class TestPermissiveMode:
         files = spark.createDataFrame([(0, b"")], "file_id long, warc binary")
         with pytest.raises(ValueError, match="permissive"):
             W.warc_records(files, mode="lenient")
+
+
+class TestWetExport:
+    def test_wet_roundtrip_arbitrary_text(self, spark):
+        # CRLFCRLF inside a text body must survive (Content-Length
+        # framing, not delimiter scanning)
+        rows = [
+            (0, "plain words"),
+            (1, "embedded\r\n\r\nboundary bytes"),
+            (26, "second archive doc"),
+        ]
+        ex = spark.createDataFrame(rows, "doc_id long, text_out string")
+        wet = W.wet_archives(ex, docs_per_file=25)
+        assert wet.count() == 2  # docs 0,1 -> file 0; doc 26 -> file 1
+        recs = W.warc_records(wet)
+        conv = {
+            r.target_uri: bytes(r.payload).decode()
+            for r in recs.filter(
+                recs.warc_type == "conversion"
+            ).collect()
+        }
+        assert conv == {
+            f"http://crawl.example/doc/{d}": t for d, t in rows
+        }
+        # one warcinfo per archive; n_members accounted
+        inv = {r.file_id: r.n_members for r in wet.collect()}
+        assert inv == {0: 3, 1: 2}
+
+    def test_wet_records_are_per_record_gzip(self, spark):
+        ex = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(3)], "doc_id long, text_out string"
+        )
+        blob = bytes(W.wet_archives(ex).collect()[0].warc)
+        members = list(W.split_gzip_members(blob))
+        assert len(members) == 4  # warcinfo + 3 conversions
+        assert all(m.startswith(b"WARC/1.0") for m in members)
