@@ -172,9 +172,19 @@ def pagerank_directed(
 
     Returns (node, out_degree, pagerank-rounded-to-4).
     """
+    from .materialize import checkpoint_tracked
+
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
-    e = edges.select(
-        F.col(src).alias("s"), F.col(dst).alias("t"), w.alias("_w")
+    # checkpoint the INPUT edge list before deriving anything: out_w and
+    # the normalization join are two consumers, and without the cut the
+    # (often expensive) upstream edge build — e.g. a whole crawl
+    # split+extract chain — executes once per consumer (the pagerank()
+    # discipline; measured 2x the edge-build cost on the host link
+    # graph). Tracked, so the scans-per-table gate sees the subtree.
+    e = checkpoint_tracked(
+        edges.select(
+            F.col(src).alias("s"), F.col(dst).alias("t"), w.alias("_w")
+        )
     )
     out_w = e.groupBy("s").agg(
         F.sum("_w").alias("_ow"), F.count(F.lit(1)).alias("_od")

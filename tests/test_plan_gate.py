@@ -399,6 +399,10 @@ MAX_SCANS_PER_TABLE = {
                                  # feeds the vocab agg, the prefix-scan
                                  # stats job AND the position explode —
                                  # documents parquet scans once
+    "host_link_pagerank": 1,     # r15: the aggregated edge checkpoint
+                                 # (inside pagerank_directed) feeds
+                                 # out_w + the normalization join —
+                                 # the synth+split chain runs once
     "maxsim_pruned_search": 1,   # chunk+embed checkpoint feeds cell
                                  # assignment, the corpus side and the
                                  # query-chunk frame
