@@ -234,12 +234,19 @@ def quality_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
-def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def lang_id(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Heuristic language ID: argmax of marker-word hit counts.
 
     Score computation is a handful of `size(filter(tokens))` expressions —
     one codegen'd projection per document, embarrassingly parallel.
     Ties resolve to the lexicographically first language (deterministic).
+    ``keep_cols`` ride through the same projection (no re-scan / re-join
+    for callers that need grouping keys downstream).
     """
     toks = tokens(F.lower(F.col(text_col)))
 
@@ -253,13 +260,16 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         F.size(F.filter(toks, _in_set(markers))).alias(f"score_{lang}")
         for lang, markers in sorted(LANG_MARKERS.items())
     ]
-    scored = df.select(id_col, *scores)
+    scored = df.select(id_col, *keep_cols, *scores)
     langs = sorted(LANG_MARKERS)
     best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
     pred = F.coalesce(
         *[F.when(F.col(f"score_{lang}") == best, F.lit(lang)) for lang in langs]
     )
-    return scored.select(id_col, pred.alias("pred_lang"), best.alias("marker_hits"))
+    return scored.select(
+        id_col, *keep_cols, pred.alias("pred_lang"),
+        best.alias("marker_hits"),
+    )
 
 
 def _pushdown_barrier(df: DataFrame) -> DataFrame:

@@ -217,6 +217,8 @@ _CHANGED_R15 = [
     "training_shard_export",  # NEW: uint16 token shards + manifest
     "host_link_pagerank",    # NEW: directed weighted host-graph centrality
     "wet_export_roundtrip",  # NEW: WET writer + double split round-trip
+    "cdx_index_coverage",    # NEW: CDX byte coordinates + tiling flags
+    "crawl_language_routing",  # NEW: per-archive lang-ID partition step
     "robots_compliance_audit",  # RFC 9309 Allow/longest-match semantics
     # html_to_text changed (numeric entities, unterminated-container
     # fallbacks) — every extraction consumer re-fronted:

@@ -428,3 +428,171 @@ def wet_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_chars"),
     )
+
+
+@register(
+    "crawl_language_routing",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, doc_id // {_DOCS_PER_FILE} AS file_id,
+        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            x -> x IN ('der','die','und','das','ist'))) AS s_de,
+        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            x -> x IN ('the','and','of','to','is')))    AS s_en,
+        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            x -> x IN ('el','la','que','los','es')))    AS s_es,
+        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            x -> x IN ('le','la','et','les','est')))    AS s_fr,
+        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            x -> x IN ('的','是','了','在','我')))      AS s_zh
+      FROM documents WHERE doc_id % {_NOT_FOUND_EVERY} <> 0
+    ), p AS (
+      SELECT file_id,
+        CASE
+          WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+          WHEN s_en >= greatest(s_es, s_fr, s_zh)       THEN 'en'
+          WHEN s_es >= greatest(s_fr, s_zh)             THEN 'es'
+          WHEN s_fr >= s_zh                             THEN 'fr'
+          ELSE 'zh' END AS pred_lang,
+        greatest(s_de, s_en, s_es, s_fr, s_zh) AS hits
+      FROM s
+    )
+    SELECT file_id, pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(hits) AS BIGINT) AS marker_hits
+    FROM p GROUP BY file_id, pred_lang
+    """,
+    doc="Language routing over the crawl chain — the partition step a "
+    "multilingual 100 TB build runs right after extraction (each "
+    "language gets its own downstream curation config): archives → "
+    "record split → HTTP peel → html_to_text → the marker-word "
+    "language-ID heuristic (argmax over per-language hit counts, "
+    "deterministic tie-break, all JVM size(filter(tokens)) "
+    "expressions, file_id riding the same projection via keep_cols — "
+    "no re-scan, no join) → per-(archive, language) accounting. The "
+    "oracle recomputes the scores from documents.text alone, which is "
+    "exact because the synth page's extra tokens ('Doc', id, '&copy;', "
+    "'example', 'end') contain no marker words — so an extraction bug "
+    "that garbles real tokens changes a count and hash-mismatches. "
+    "operators/text.py::lang_id, sources/warc.py.",
+)
+def crawl_language_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text
+    from .catalog_ext6 import _extracted
+
+    ex = _extracted(spark, sf_dir)
+    lid = text.lang_id(
+        ex, text_col="text_out", id_col="doc_id", keep_cols=("file_id",)
+    )
+    return lid.groupBy("file_id", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("marker_hits").cast("long").alias("marker_hits"),
+    )
+
+
+@register(
+    "cdx_index_coverage",
+    # guarantee-gate shape: record identity/ordering mirrored exactly
+    # from documents; the byte coordinates (not SQL-derivable — gzip
+    # output lengths are opaque) ship as in-plan self-check flags that
+    # must read literal TRUE (offsets strictly chain, compressed
+    # lengths tile the archive byte-for-byte); random access itself is
+    # pinned in tests/test_warc.py::TestCdxIndex.
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, doc_id // {_DOCS_PER_FILE} AS file_id,
+             row_number() OVER (PARTITION BY doc_id // {_DOCS_PER_FILE}
+                                ORDER BY doc_id) - 1 AS k
+      FROM documents
+    )
+    SELECT file_id,
+           CAST(1 + 2 * COUNT(*) AS BIGINT) AS n_records,
+           CAST(COUNT(*) AS BIGINT) AS n_responses,
+           CAST(SUM(CASE WHEN doc_id % 17 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_distinct_digests,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+           TRUE AS offsets_chain,
+           TRUE AS bytes_accounted
+    FROM d GROUP BY file_id
+    """,
+    doc="CDX index coverage — the random-access derivative every real "
+    "archive store publishes (Common Crawl's cdx-*.gz): one row per "
+    "record with BYTE COORDINATES (offset, compressed length) so a "
+    "consumer fetches one record by ranged read instead of streaming "
+    "the archive. The index is built by the linear chunked-feed "
+    "indexed splitter (memoryview, no per-member tail copy) in one "
+    "zero-shuffle mapInPandas; per-archive accounting checks record "
+    "identity against the synthesis formula AND ships two in-plan "
+    "self-check flags the oracle pins to literal TRUE: offsets_chain "
+    "(each record's offset == previous offset + previous compressed "
+    "length, per archive, from offset 0) and bytes_accounted "
+    "(Σ comp_len == the archive's byte length — the coordinates TILE "
+    "the file exactly, no gap, no overlap). Payload digests (md5 of "
+    "decoded payloads) are distinct per response because every synth "
+    "page embeds its doc id. Actual ranged-read decode is pinned in "
+    "tests (slice → one self-contained gzip member → same record). "
+    "sources/warc.py::cdx_records,split_gzip_members_indexed.",
+)
+def cdx_index_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.materialize import checkpoint_tracked
+    from ..sources import warc
+
+    docs = load_table(spark, sf_dir, "documents")
+    # two consumers (the index build + the byte-length check): without
+    # the cut the synthesis applyInPandas chain executes per consumer
+    files = checkpoint_tracked(
+        warc.synth_warc_files(
+            docs, docs_per_file=_DOCS_PER_FILE,
+            not_found_every=_NOT_FOUND_EVERY,
+        )
+    )
+    cdx = warc.cdx_records(files)
+    # per-archive window (bounded: 2·docs_per_file+1 rows) proving the
+    # coordinates chain exactly
+    w = Window.partitionBy("file_id").orderBy("rec_index")
+    chained = cdx.withColumn(
+        "_prev_end",
+        F.lag(F.col("offset") + F.col("comp_len")).over(w),
+    ).withColumn(
+        "_ok",
+        F.coalesce(F.col("_prev_end"), F.lit(0)) == F.col("offset"),
+    )
+    doc_id = F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long")
+    agg = chained.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum((F.col("warc_type") == "response").cast("long")).alias(
+            "n_responses"
+        ),
+        # 200-OK only: every synth PAGE embeds its doc id, but the 404
+        # error page is one shared constant body across docs
+        F.count_distinct(
+            F.when(
+                (F.col("warc_type") == "response")
+                & (F.col("http_status") == 200),
+                F.col("digest"),
+            )
+        ).alias("n_distinct_digests"),
+        F.min(F.when(F.col("warc_type") == "response", doc_id)).alias(
+            "min_doc"
+        ),
+        F.max(F.when(F.col("warc_type") == "response", doc_id)).alias(
+            "max_doc"
+        ),
+        F.every(F.col("_ok")).alias("offsets_chain"),
+        F.sum("comp_len").alias("_clen_sum"),
+    )
+    sizes = files.select(
+        "file_id", F.length("warc").cast("long").alias("_blen")
+    )
+    return agg.join(sizes, "file_id").select(
+        "file_id",
+        "n_records",
+        "n_responses",
+        "n_distinct_digests",
+        "min_doc",
+        "max_doc",
+        "offsets_chain",
+        (F.col("_clen_sum") == F.col("_blen")).alias("bytes_accounted"),
+    )

@@ -107,6 +107,13 @@ EXPECT = {
     # r15 WET round-trip: the two archive groupings (synth + WET write)
     # are the only shuffles; both splits are zero-shuffle map stages
     "wet_export_roundtrip": dict(max_shuffles=2, max_scan_width=2),
+    # r15 CDX index: per-archive chaining window (bounded: 2·dpf+1 rows
+    # per archive) + per-file agg + the byte-length join over the
+    # checkpointed synth output
+    "cdx_index_coverage": dict(max_shuffles=5, max_smj=1),
+    # r15 language routing: synth grouping + ONE per-(file,lang) agg;
+    # lang-id is a projection riding the extraction pass
+    "crawl_language_routing": dict(max_shuffles=2, max_scan_width=2),
     "ann_cosine_topk": dict(max_shuffles=1, max_smj=0, pushed=True),
     # round-5 additions: the CMS family must never sort-merge (sketch and
     # candidate sides are bounded by construction — broadcast hints pinned);
@@ -403,6 +410,10 @@ MAX_SCANS_PER_TABLE = {
                                  # (inside pagerank_directed) feeds
                                  # out_w + the normalization join —
                                  # the synth+split chain runs once
+    "cdx_index_coverage": 1,     # r15: the checkpointed synth output
+                                 # feeds the index build AND the
+                                 # byte-length check — documents scans
+                                 # once
     "maxsim_pruned_search": 1,   # chunk+embed checkpoint feeds cell
                                  # assignment, the corpus side and the
                                  # query-chunk frame

@@ -102,6 +102,38 @@ def test_untrusted_bytes_raise_cleanly(blob):
         pass
 
 
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.binary(min_size=0, max_size=5000), min_size=1, max_size=8)
+)
+def test_indexed_split_parity_with_plain_split(payloads):
+    """The indexed splitter (chunked feed, byte coordinates) yields the
+    SAME member sequence as the streaming splitter, with coordinates
+    that tile the blob exactly."""
+    blob = b"".join(W.gzip_member(p) for p in payloads)
+    idx = list(W.split_gzip_members_indexed(blob))
+    assert [m for m, _, _ in idx] == list(W.split_gzip_members(blob))
+    pos = 0
+    for _, off, clen in idx:
+        assert off == pos
+        pos += clen
+    assert pos == len(blob)
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.binary(min_size=256, max_size=2000), st.integers(0, 10**9))
+def test_corrupted_indexed_member_raises_cleanly(payload, where):
+    """Bit-flip past the gzip header: the indexed splitter keeps the
+    ValueError-or-parse contract (never zlib/index errors)."""
+    blob = bytearray(W.gzip_member(payload))
+    pos = 18 + where % (len(blob) - 22)
+    blob[pos] ^= 0xFF
+    try:
+        list(W.split_gzip_members_indexed(bytes(blob)))
+    except ValueError:
+        pass
+
+
 @settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.binary(min_size=0, max_size=3000))
 def test_chunked_framing_roundtrip(body):

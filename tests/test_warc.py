@@ -506,3 +506,72 @@ class TestWetExport:
         members = list(W.split_gzip_members(blob))
         assert len(members) == 4  # warcinfo + 3 conversions
         assert all(m.startswith(b"WARC/1.0") for m in members)
+
+
+class TestCdxIndex:
+    def test_indexed_split_parity_and_coordinates(self):
+        parts = [b"alpha", b"b" * 70000, b"", b"tail rec"]
+        blob = b"".join(W.gzip_member(p) for p in parts)
+        got = list(W.split_gzip_members_indexed(blob))
+        assert [m for m, _, _ in got] == parts
+        # coordinates tile the blob exactly: chained, gapless, complete
+        pos = 0
+        for _, off, clen in got:
+            assert off == pos and clen > 0
+            pos += clen
+        assert pos == len(blob)
+
+    def test_ranged_read_recovers_one_record(self):
+        """The CDX contract: blob[offset:offset+len] is a SELF-CONTAINED
+        gzip member — a consumer fetches one record without touching the
+        rest of the archive."""
+        recs = [
+            W.build_record(
+                "resource", [("Content-Type", "text/plain")], b"r%d" % i
+            )
+            for i in range(5)
+        ]
+        blob = b"".join(W.gzip_member(r) for r in recs)
+        idx = list(W.split_gzip_members_indexed(blob))
+        for i, (_, off, clen) in enumerate(idx):
+            member = next(W.split_gzip_members(blob[off:off + clen]))
+            assert W.parse_record(member)["payload"] == b"r%d" % i
+
+    def test_indexed_truncation_raises(self):
+        blob = W.gzip_member(b"x" * 500)[:-3]
+        with pytest.raises(ValueError, match="truncated gzip member"):
+            list(W.split_gzip_members_indexed(blob))
+
+    def test_cdx_records_dataframe(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"w{i} " * 20) for i in range(10)],
+            "doc_id long, text string",
+        )
+        files = W.synth_warc_files(docs, docs_per_file=5)
+        cdx = W.cdx_records(files).collect()
+        by_file = {}
+        for r in cdx:
+            by_file.setdefault(r.file_id, []).append(r)
+        blobs = {r.file_id: bytes(r.warc) for r in files.collect()}
+        for fid, rows in by_file.items():
+            rows.sort(key=lambda r: r.rec_index)
+            assert rows[0].warc_type == "warcinfo"
+            assert sum(r.comp_len for r in rows) == len(blobs[fid])
+            # ranged read of the LAST response matches its digest
+            import hashlib
+            last = [r for r in rows if r.warc_type == "response"][-1]
+            member = next(W.split_gzip_members(
+                blobs[fid][last.offset:last.offset + last.comp_len]
+            ))
+            p = W.parse_record(member)
+            assert hashlib.md5(p["payload"]).hexdigest() == last.digest
+
+    def test_cdx_requires_gzip_container(self, spark):
+        rec = W.build_record(
+            "resource", [("Content-Type", "text/plain")], b"x"
+        )
+        files = spark.createDataFrame(
+            [(0, rec)], "file_id long, warc binary"
+        )
+        with pytest.raises(Exception, match="per-record-gzip"):
+            W.cdx_records(files).collect()
