@@ -83,6 +83,27 @@ SHARD_SCHEMA = StructType(
 )
 
 
+def train_vocab(
+    docs: DataFrame,
+    vocab_size: int = 256,
+    text_col: str = "text",
+) -> list[str]:
+    """The ranked vocabulary as a driver-side list (rank order = token
+    id): top ``vocab_size`` tokens by (term_freq desc, token asc). A
+    model-sized collect (V strings) — the frozen-model artifact the
+    streaming shard store persists, exactly the ranking
+    :func:`shard_token_stream` derives internally."""
+    rows = (
+        docs.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+        .orderBy(F.desc("_tf"), F.asc("token"))
+        .limit(vocab_size)
+        .collect()
+    )
+    return [r["token"] for r in rows]
+
+
 def shard_token_stream(
     docs: DataFrame,
     vocab_size: int = 256,
@@ -91,6 +112,7 @@ def shard_token_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     group_col: str = "source",
+    vocab: list[str] | None = None,
 ) -> DataFrame:
     """One row per token occurrence with its shard address:
     ``(group, shard_id, q, tid)`` where ``q`` is the position inside
@@ -99,7 +121,13 @@ def shard_token_stream(
     The global per-group position is ``_start`` (two-phase bounded
     prefix scan over per-doc token counts) + the in-doc index — no
     corpus-wide window, no corpus-sized join (positions ride the same
-    checkpointed frame the vocabulary pass reads)."""
+    checkpointed frame the vocabulary pass reads).
+
+    ``vocab`` (a rank-ordered token list, e.g. from
+    :func:`train_vocab`) uses a FROZEN vocabulary instead of deriving
+    one from this corpus — the streaming shard store's frozen-model
+    path: ids stay stable across epochs no matter how the batch
+    distribution moves."""
     base = checkpoint_tracked(
         docs.select(
             id_col,
@@ -108,22 +136,35 @@ def shard_token_stream(
         ).withColumn("n_tokens", F.size("_toks"))
         .filter(F.col("n_tokens") > 0)
     )
-    vocab = (
-        base.select(F.explode("_toks").alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("_tf"))
-        .orderBy(F.desc("_tf"), F.asc("token"))
-        .limit(vocab_size)
-    )
     from pyspark.sql import Window
 
-    vocab = vocab.select(
-        "token",
-        (
-            F.row_number().over(Window.orderBy(F.desc("_tf"), F.asc("token")))
-            - 1
-        ).cast("long").alias("tid"),
-    )
+    if vocab is not None:
+        if len(vocab) > vocab_size:
+            raise ValueError(
+                f"frozen vocab has {len(vocab)} entries > vocab_size "
+                f"{vocab_size}"
+            )
+        vocab_df = docs.sparkSession.createDataFrame(
+            [(t, i) for i, t in enumerate(vocab)], "token string, tid long"
+        )
+    else:
+        vocab_df = (
+            base.select(F.explode("_toks").alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("_tf"))
+            .orderBy(F.desc("_tf"), F.asc("token"))
+            .limit(vocab_size)
+            .select(
+                "token",
+                (
+                    F.row_number().over(
+                        Window.orderBy(F.desc("_tf"), F.asc("token"))
+                    )
+                    - 1
+                ).cast("long").alias("tid"),
+            )
+        )
+    vocab = vocab_df
     positions = (
         _prefix_start(base, id_col, group_col)
         .select(
@@ -315,6 +356,7 @@ def read_training_shards(
 
 __all__ = [
     "SHARD_SCHEMA",
+    "train_vocab",
     "shard_token_stream",
     "shard_blobs",
     "shard_manifest",

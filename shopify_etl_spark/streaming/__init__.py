@@ -14,6 +14,13 @@ from .probe_stream import (  # noqa: F401
     rebuild_probe_store,
     stream_probe_monitor,
 )
+from .shard_stream import (  # noqa: F401
+    compact_shard_store,
+    epoch_shards,
+    read_shard_store,
+    rebuild_shard_store,
+    stream_shard_export,
+)
 from .crawl_stream import (  # noqa: F401
     compact_crawl_store,
     curate_archives,

@@ -2448,3 +2448,225 @@ def test_stream_crawl_mm_torn_epoch_rewritten_on_replay(spark, tmp_path):
     assert {r.doc_id for r in got if r.modality == "image"} == {2, 7}
     assert {r.doc_id for r in got if r.modality == "text"} == \
         {1, 3, 4, 5, 6}
+
+
+def _shard_feed_batch(spark, src, name, rows):
+    """One parquet delivery of (doc_id, source, text) docs, part files
+    flat in the feed dir."""
+    import glob
+    import shutil
+
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    tmp = os.path.join(str(src), f"_tmp_{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    for i, part in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*")))):
+        shutil.move(part, os.path.join(str(src), f"{name}-{i}.parquet"))
+    shutil.rmtree(tmp)
+
+
+def _shard_rows(df):
+    return sorted(
+        (r.source, r.shard_id, r.n_seqs, r.n_tokens, r.n_pad,
+         r.byte_len, r.checksum, bytes(r.blob))
+        for r in df.collect()
+    )
+
+
+def test_stream_shard_export_matches_batch_under_frozen_vocab(
+    spark, tmp_path
+):
+    """Streaming↔batch parity for the shard store (r15): the frozen
+    vocabulary is trained on epoch 0 ONLY; every epoch's stored shard
+    rows (blobs included, byte-for-byte) equal the batch export of
+    that epoch's documents under the same frozen vocab — even when a
+    later epoch's token distribution is disjoint from the training
+    epoch (everything maps to OOV, ids stay stable)."""
+    from shopify_etl_spark.operators import shards as S
+    from shopify_etl_spark.streaming import (
+        epoch_shards,
+        read_shard_store,
+        stream_shard_export,
+    )
+
+    def doc(d, src, words):
+        return (d, src, " ".join(words[(d + j) % len(words)]
+                                 for j in range(20 + d % 5)))
+
+    w0 = [f"a{i}" for i in range(30)]
+    w1 = [f"b{i}" for i in range(30)]  # disjoint: all-OOV under frozen
+    batches = [
+        [doc(d, "s0", w0) for d in range(8)],
+        [doc(d, "s0", w1) for d in range(8, 14)]
+        + [doc(d, "s1", w0) for d in range(14, 18)],
+    ]
+    src = tmp_path / "feed"
+    src.mkdir()
+    store, ckpt = str(tmp_path / "shards"), str(tmp_path / "ck")
+
+    kw = dict(vocab_size=16, seq_len=8, seqs_per_shard=2)
+    for b, rows in enumerate(batches):
+        _shard_feed_batch(spark, src, f"d{b}.parquet", rows)
+        stream_shard_export(
+            spark, str(src), store, ckpt, **kw
+        ).awaitTermination(120)
+
+    stored = read_shard_store(spark, store)
+    # frozen vocab == vocab trained on epoch-0 docs alone
+    e0 = spark.createDataFrame(
+        batches[0], "doc_id long, source string, text string"
+    )
+    frozen = S.train_vocab(e0, vocab_size=16, text_col="text")
+    vocabs = {tuple(r["vocab"]) for r in stored.select("vocab").collect()}
+    assert vocabs == {tuple(frozen)}
+    # exactly one trained epoch
+    assert set(
+        r["trained"]
+        for r in stored.select("trained").distinct().collect()
+    ) == {True, False}
+
+    # per-epoch parity: union of batch exports == stored rows
+    want = []
+    for rows in batches:
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        want += _shard_rows(epoch_shards(df, frozen, **kw))
+    got = _shard_rows(
+        stored.select(
+            "source", "shard_id", "n_seqs", "n_tokens", "n_pad",
+            "byte_len", "checksum", "blob",
+        )
+    )
+    assert got == sorted(want) and got
+
+    # the disjoint-vocab epoch really is all-OOV: decode one s0 blob
+    # from epoch 1 and check ids are OOV (16) or pad (17)
+    import numpy as np
+
+    e1_rows = [
+        r for r in stored.collect()
+        if not r.trained and r.source == "s0"
+    ]
+    assert e1_rows
+    ids = set(
+        np.frombuffer(bytes(e1_rows[0].blob), dtype="<u2").tolist()
+    )
+    assert ids <= {16, 17}
+
+
+def test_stream_shard_store_crash_and_compaction(spark, tmp_path):
+    """Torn epoch-0 (rows but no _SUCCESS) is invisible and rewritten
+    on replay; compaction preserves every row byte-identically
+    including the trained vocab row; validation catches a tampered
+    checksum."""
+    from pyspark.sql import functions as F
+
+    from shopify_etl_spark.streaming import (
+        compact_shard_store,
+        read_shard_store,
+        stream_shard_export,
+    )
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    store = tmp_path / "shards"
+    ep0 = store / "epoch=0"
+    ep0.mkdir(parents=True)
+    bogus = spark.createDataFrame(
+        [("sX", 0, 1, 1, 7, 16, 999, b"xx", ["t"], True)],
+        "source string, shard_id long, n_seqs long, n_tokens long, "
+        "n_pad long, byte_len long, checksum long, blob binary, "
+        "vocab array<string>, trained boolean",
+    )
+    bogus.coalesce(1).write.mode("overwrite").parquet(str(ep0))
+    (ep0 / "_SUCCESS").unlink()  # the crash
+
+    rows = [(d, "s0", "w " * 12 + f"t{d}") for d in range(6)]
+    _shard_feed_batch(spark, src, "d0.parquet", rows)
+    stream_shard_export(
+        spark, str(src), str(store), str(tmp_path / "ck"),
+        vocab_size=16, seq_len=8, seqs_per_shard=2,
+    ).awaitTermination(120)
+
+    got = read_shard_store(spark, str(store))
+    assert got.filter(F.col("source") == "sX").count() == 0  # bogus gone
+    before = _shard_rows(
+        got.select("source", "shard_id", "n_seqs", "n_tokens", "n_pad",
+                   "byte_len", "checksum", "blob")
+    )
+    assert before
+
+    # two more epochs then compact (the fold needs >= 2 inputs besides
+    # the protected newest epoch): row union, byte-identical
+    for b, ids in (("d1", (7, 8)), ("d2", (9, 10))):
+        _shard_feed_batch(
+            spark, src, f"{b}.parquet",
+            [(d, "s0", f"u{d} v w") for d in ids],
+        )
+        stream_shard_export(
+            spark, str(src), str(store), str(tmp_path / "ck"),
+            vocab_size=16, seq_len=8, seqs_per_shard=2,
+        ).awaitTermination(120)
+    full = read_shard_store(spark, str(store))
+    pre = _shard_rows(full.select(
+        "source", "shard_id", "n_seqs", "n_tokens", "n_pad",
+        "byte_len", "checksum", "blob"))
+    n_trained = full.filter("trained").count()
+    assert compact_shard_store(spark, str(store)) is not None
+    post_df = read_shard_store(spark, str(store))
+    assert _shard_rows(post_df.select(
+        "source", "shard_id", "n_seqs", "n_tokens", "n_pad",
+        "byte_len", "checksum", "blob")) == pre
+    assert post_df.filter("trained").count() == n_trained
+
+    # tampered checksum: validation refuses
+    dirs = [str(p) for p in store.iterdir() if p.name.startswith(
+        ("epoch=", "compact="))]
+    tampered = spark.read.parquet(dirs[0]).withColumn(
+        "checksum", F.col("checksum") + 1
+    )
+    tampered.cache().count()
+    tampered.write.mode("overwrite").parquet(dirs[0])
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="checksum"):
+        read_shard_store(spark, str(store))
+
+
+def test_stream_shard_empty_first_epoch_never_trains(spark, tmp_path):
+    """An empty first delivery must not train a garbage vocab: the
+    store stays untrained (no commit) and the first NON-empty batch
+    becomes the training epoch."""
+    from shopify_etl_spark.streaming import (
+        read_shard_store,
+        stream_shard_export,
+    )
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    store, ckpt = str(tmp_path / "shards"), str(tmp_path / "ck")
+    empty = spark.createDataFrame([], "doc_id long, source string, text string")
+    import glob
+    import shutil
+
+    tmp = os.path.join(str(src), "_tmp_e")
+    empty.coalesce(1).write.mode("overwrite").parquet(tmp)
+    for i, part in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*")))):
+        shutil.move(part, os.path.join(str(src), f"e-{i}.parquet"))
+    shutil.rmtree(tmp)
+    stream_shard_export(
+        spark, str(src), store, ckpt, vocab_size=16, seq_len=8,
+        seqs_per_shard=2,
+    ).awaitTermination(120)
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        read_shard_store(spark, store)
+
+    _shard_feed_batch(
+        spark, src, "d0.parquet", [(1, "s0", "x y z w v u")]
+    )
+    stream_shard_export(
+        spark, str(src), store, ckpt, vocab_size=16, seq_len=8,
+        seqs_per_shard=2,
+    ).awaitTermination(120)
+    got = read_shard_store(spark, store)
+    assert got.count() > 0 and got.filter("trained").count() == got.count()
