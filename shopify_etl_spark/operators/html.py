@@ -130,13 +130,18 @@ def html_to_text(col: Column | str, normalize_ws: bool = True) -> Column:
     # rule) or end-of-input; an unclosed <script>/<style>/<!-- drops to
     # end-of-input. Best-effort on adversarial markup: a "<body" or
     # "</script>" LITERAL inside JS strings still terminates the drop.
+    # Pass order matters: TERMINATED containers first (a script body may
+    # itself contain "<!--" — the classic comment-hiding idiom), then
+    # terminated comments (so a commented-out "<script>" opener vanishes
+    # WITH its comment instead of tripping the unterminated fallback and
+    # wiping the rest of the page), then the unterminated fallbacks.
     c = F.regexp_replace(c, r"(?is)<head\b.*?</head>", " ")
-    c = F.regexp_replace(c, r"(?is)<head\b[^>]*>.*?(?=<body\b|\z)", " ")
     c = F.regexp_replace(c, r"(?is)<script\b.*?</script>", " ")
-    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*\z", " ")
     c = F.regexp_replace(c, r"(?is)<style\b.*?</style>", " ")
-    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*\z", " ")
     c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?is)<head\b[^>]*>.*?(?=<body\b|\z)", " ")
+    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*\z", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*\z", " ")
     c = F.regexp_replace(c, r"(?s)<!--.*\z", " ")
     # 3: block boundaries -> newline (covers open, close, self-closing
     # and attribute-bearing forms; <br> folded in via the alternation)

@@ -83,6 +83,16 @@ SHARD_SCHEMA = StructType(
 )
 
 
+def blob_checksum(blob: bytes) -> int:
+    """Integrity checksum of a packed shard payload: Σ (id+1)·(pos+1)
+    over the little-endian uint16 ids RE-READ from the bytes. ONE
+    definition shared by the packer and every validating reader (batch
+    and streaming) — the formula the SQL oracles mirror in closed
+    form."""
+    rec = np.frombuffer(blob, dtype="<u2").astype(np.int64)
+    return int(((rec + 1) * (np.arange(len(rec)) + 1)).sum())
+
+
 def train_vocab(
     docs: DataFrame,
     vocab_size: int = 256,
@@ -207,8 +217,9 @@ def shard_blobs(
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         src = pdf[group_col].iloc[0]
         shard = int(pdf["shard_id"].iloc[0])
-        ids = pdf.sort_values("q")["tid"].to_numpy(dtype=np.int64)
-        qs = pdf.sort_values("q")["q"].to_numpy(dtype=np.int64)
+        ordered = pdf.sort_values("q")
+        ids = ordered["tid"].to_numpy(dtype=np.int64)
+        qs = ordered["q"].to_numpy(dtype=np.int64)
         r = len(ids)
         if not (qs == np.arange(r)).all():
             raise ValueError(
@@ -221,8 +232,7 @@ def shard_blobs(
         padded[:r] = ids
         blob = padded.astype("<u2").tobytes()
         # integrity checksum over the ids RECOVERED from the bytes
-        rec = np.frombuffer(blob, dtype="<u2").astype(np.int64)
-        checksum = int(((rec + 1) * (np.arange(total) + 1)).sum())
+        checksum = blob_checksum(blob)
         return pd.DataFrame(
             [
                 (
@@ -292,12 +302,10 @@ def export_training_shards(
     stage = f"{root}/_stage.v{version}"
     final = f"{root}/v{version}"
     blobs.write.mode("overwrite").parquet(f"{stage}/blobs")
-    spark.read.parquet(f"{stage}/blobs").createOrReplaceTempView(
-        "_shard_stage"
+    staged = spark.read.parquet(f"{stage}/blobs")
+    shard_manifest(staged).write.mode("overwrite").parquet(
+        f"{stage}/manifest"
     )
-    shard_manifest(spark.table("_shard_stage")).write.mode(
-        "overwrite"
-    ).parquet(f"{stage}/manifest")
     fs, stage_p = _fs(spark, stage)
     _, final_p = _fs(spark, final)
     if not fs.rename(stage_p, final_p):
@@ -321,15 +329,13 @@ def read_training_shards(
     if validate:
         def recheck(batches):
             for pdf in batches:
-                outs = []
-                for _, row in pdf.iterrows():
-                    rec = np.frombuffer(
-                        bytes(row["blob"]), dtype="<u2"
-                    ).astype(np.int64)
-                    ck = int(((rec + 1) * (np.arange(len(rec)) + 1)).sum())
-                    outs.append(
-                        (row["source"], int(row["shard_id"]), ck)
+                outs = [
+                    (
+                        row["source"], int(row["shard_id"]),
+                        blob_checksum(bytes(row["blob"])),
                     )
+                    for _, row in pdf.iterrows()
+                ]
                 yield pd.DataFrame(
                     outs, columns=["source", "shard_id", "stored_ck"]
                 )
@@ -356,6 +362,7 @@ def read_training_shards(
 
 __all__ = [
     "SHARD_SCHEMA",
+    "blob_checksum",
     "train_vocab",
     "shard_token_stream",
     "shard_blobs",

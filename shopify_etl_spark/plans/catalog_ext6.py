@@ -67,7 +67,11 @@ def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
         .cast("long")
         .alias("doc_id"),
-        html_to_text(F.col("payload").cast("string")).alias("text_out"),
+        # charset-aware decode (header charset= / sniffed <meta>): the
+        # synth default is UTF-8, where this is byte-identical to the
+        # plain cast — but the chain contract is "transport absorbed
+        # below extraction", so every extraction front shares it
+        html_to_text(warc.payload_text()).alias("text_out"),
     )
 
 
@@ -644,7 +648,7 @@ def crawl_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "file_id",
             F.length(
-                html_to_text(F.col("payload").cast("string"))
+                html_to_text(warc.payload_text())
             ).alias("_chars"),
         )
         .groupBy("file_id")

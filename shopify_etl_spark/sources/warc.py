@@ -292,8 +292,11 @@ def payload_charset(payload_col="payload", mime_col="http_mime"):
     m = F.col(mime_col) if isinstance(mime_col, str) else mime_col
     pat = r"(?i)charset=[\"']?([A-Za-z0-9_\-]+)"
     hdr = F.regexp_extract(F.coalesce(m, F.lit("")), pat, 1)
+    # the sniff is bounded to the first 1 KiB (the browser prescan
+    # bound): a charset-looking string deep in the body — a code
+    # sample, a description meta — must not re-route the decoder
     meta = F.regexp_extract(
-        F.coalesce(p.cast("string"), F.lit("")),
+        F.coalesce(F.substring(p, 1, 1024).cast("string"), F.lit("")),
         r"(?i)<meta[^>]*charset=[\"']?([A-Za-z0-9_\-]+)",
         1,
     )
@@ -514,6 +517,7 @@ def cdx_records(
     files: DataFrame,
     warc_col: str = "warc",
     file_col: str = "file_id",
+    mode: str = "fail",
 ) -> DataFrame:
     """Build a CDX-style index over per-record-gzip archives: one row
     per record with its BYTE COORDINATES (``offset``, ``comp_len`` — a
@@ -526,8 +530,19 @@ def cdx_records(
     indexed splitter feeds 64 KiB chunks — no per-member tail copy).
 
     Requires the per-record-gzip container (coordinates only exist
-    there); a plain ``.warc`` raises the usual ValueError."""
+    there); a plain ``.warc`` raises the usual ValueError.
+
+    ``mode``: the warc_records contract — ``"fail"`` raises on the
+    first malformed archive (synthesis/test posture); ``"permissive"``
+    keeps the records indexed BEFORE the corruption point and appends
+    ONE accounting row (``warc_type='corrupt'``, the error in
+    ``target_uri``, ``offset`` = the failure position, ``comp_len`` =
+    the unindexable remainder) so one bit-rotted archive in a 100 TB
+    dump costs its tail, not the job."""
     import hashlib
+
+    if mode not in ("fail", "permissive"):
+        raise ValueError(f"mode must be 'fail' or 'permissive', got {mode!r}")
 
     def index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in CDX_SCHEMA.fields]
@@ -535,24 +550,37 @@ def cdx_records(
             rows = []
             for fid, blob in zip(pdf[file_col], pdf[warc_col]):
                 blob = bytes(blob)
-                if blob[:2] != b"\x1f\x8b":
-                    raise ValueError(
-                        "cdx_records requires per-record-gzip archives "
-                        f"(leading bytes {blob[:4]!r})"
-                    )
-                for i, (member, off, clen) in enumerate(
-                    split_gzip_members_indexed(blob)
-                ):
-                    r = parse_record(member)
-                    digest = (
-                        hashlib.md5(r["payload"]).hexdigest()
-                        if r["payload"] is not None
-                        else None
-                    )
+                i, pos = 0, 0
+                try:
+                    if blob[:2] != b"\x1f\x8b":
+                        raise ValueError(
+                            "cdx_records requires per-record-gzip archives "
+                            f"(leading bytes {blob[:4]!r})"
+                        )
+                    for member, off, clen in split_gzip_members_indexed(
+                        blob
+                    ):
+                        r = parse_record(member)
+                        digest = (
+                            hashlib.md5(r["payload"]).hexdigest()
+                            if r["payload"] is not None
+                            else None
+                        )
+                        rows.append(
+                            (
+                                int(fid), i, off, clen, r["warc_type"],
+                                r["target_uri"], r["http_status"], digest,
+                            )
+                        )
+                        i += 1
+                        pos = off + clen
+                except ValueError as e:
+                    if mode == "fail":
+                        raise
                     rows.append(
                         (
-                            int(fid), i, off, clen, r["warc_type"],
-                            r["target_uri"], r["http_status"], digest,
+                            int(fid), i, pos, len(blob) - pos,
+                            "corrupt", str(e), None, None,
                         )
                     )
             yield pd.DataFrame(rows, columns=cols)
@@ -771,6 +799,13 @@ def synth_warc_files(
     """
     if refetch and not rich_uris:
         raise ValueError("refetch=True requires rich_uris=True")
+    if refetch and (http_variants or image_every):
+        # the dup branch serves plain-identity HTML only: combining it
+        # with transport variants or image routing would silently break
+        # the documented byte-identical (id%20==14) re-fetch invariant
+        raise ValueError(
+            "refetch=True is incompatible with http_variants/image_every"
+        )
     staged = docs.select(
         F.col(id_col).alias("_id"),
         F.col(text_col).alias("_text"),

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..operators.html import html_to_text
 from ..operators.text import quality_filter
-from ..sources.warc import warc_records
+from ..sources.warc import payload_text, warc_records
 from .sketch_stream import (
     _epoch_committed,
     _epoch_dir,
@@ -54,7 +54,7 @@ def curate_archives(files: DataFrame) -> DataFrame:
         F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
         .cast("long")
         .alias("doc_id"),
-        html_to_text(F.col("payload").cast("string")).alias("text_out"),
+        html_to_text(payload_text()).alias("text_out"),
     )
     return quality_filter(
         ex, text_col="text_out", id_col="doc_id",
@@ -90,9 +90,7 @@ def curate_archives_mm(files: DataFrame) -> DataFrame:
         ok.filter(F.col("http_mime").startswith("text/html")).select(
             "file_id",
             doc_id.alias("doc_id"),
-            html_to_text(F.col("payload").cast("string")).alias(
-                "text_out"
-            ),
+            html_to_text(payload_text()).alias("text_out"),
         ),
         text_col="text_out",
         id_col="doc_id",

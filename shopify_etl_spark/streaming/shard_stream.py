@@ -106,14 +106,19 @@ def stream_shard_export(
         vocab = _frozen_vocab(sp, store_dir)
         trained = False
         if vocab is None:
-            # Never train on an empty epoch: leave the store untrained
-            # and let the FIRST non-empty batch become the training
-            # epoch (skipping the commit is safe — epoch ids only grow).
-            if batch.isEmpty():
-                return
+            # Never train on an epoch with no tokens: leave the store
+            # untrained and let the FIRST token-bearing batch become
+            # the training epoch (skipping the commit is safe — epoch
+            # ids only grow). The guard is on the VOCAB, not just
+            # batch.isEmpty(): a batch of empty/whitespace-only docs
+            # would otherwise commit a zero-row epoch with no trained
+            # marker and wedge every later epoch on _frozen_vocab's
+            # missing-model error.
             vocab = S.train_vocab(
                 batch, vocab_size=vocab_size, text_col="text"
             )
+            if not vocab:
+                return
             trained = True
         rows = epoch_shards(
             batch, vocab, vocab_size=vocab_size, seq_len=seq_len,
@@ -143,7 +148,6 @@ def read_shard_store(
     With ``validate`` the stored checksums are re-verified against ids
     RE-READ from the stored bytes — bit rot fails loudly before a
     trainer consumes garbage (the batch reader's contract)."""
-    import numpy as np
     import pandas as pd
 
     dirs = live_grid_dirs(spark, store_dir)
@@ -155,16 +159,15 @@ def read_shard_store(
     if validate:
         def recheck(batches):
             for pdf in batches:
-                out = []
-                for _, row in pdf.iterrows():
-                    rec = np.frombuffer(
-                        bytes(row["blob"]), dtype="<u2"
-                    ).astype(np.int64)
-                    ck = int(
-                        ((rec + 1) * (np.arange(len(rec)) + 1)).sum()
-                    )
-                    out.append(ck == int(row["checksum"]))
-                yield pd.DataFrame({"ok": out})
+                yield pd.DataFrame(
+                    {
+                        "ok": [
+                            S.blob_checksum(bytes(row["blob"]))
+                            == int(row["checksum"])
+                            for _, row in pdf.iterrows()
+                        ]
+                    }
+                )
 
         bad = (
             rows.select("blob", "checksum")

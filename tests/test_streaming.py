@@ -2670,3 +2670,42 @@ def test_stream_shard_empty_first_epoch_never_trains(spark, tmp_path):
     ).awaitTermination(120)
     got = read_shard_store(spark, store)
     assert got.count() > 0 and got.filter("trained").count() == got.count()
+
+
+def test_stream_shard_whitespace_only_first_epoch_never_wedges(
+    spark, tmp_path
+):
+    """Review fix: a first batch whose docs all tokenize to ZERO tokens
+    (empty/whitespace text) must not commit an untrained epoch — that
+    would wedge every later epoch on the missing-model error. The
+    store stays uncommitted and the first token-bearing batch trains."""
+    from shopify_etl_spark.streaming import (
+        read_shard_store,
+        stream_shard_export,
+    )
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    store, ckpt = str(tmp_path / "shards"), str(tmp_path / "ck")
+    _shard_feed_batch(
+        spark, src, "d0.parquet",
+        [(1, "s0", "   "), (2, "s0", ""), (3, "s0", "\t\n")],
+    )
+    stream_shard_export(
+        spark, str(src), store, ckpt, vocab_size=16, seq_len=8,
+        seqs_per_shard=2,
+    ).awaitTermination(120)
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        read_shard_store(spark, store)
+
+    _shard_feed_batch(
+        spark, src, "d1.parquet", [(4, "s0", "a b c d e f")]
+    )
+    stream_shard_export(
+        spark, str(src), store, ckpt, vocab_size=16, seq_len=8,
+        seqs_per_shard=2,
+    ).awaitTermination(120)
+    got = read_shard_store(spark, store)
+    assert got.count() > 0
+    assert got.filter("trained").count() == got.count()

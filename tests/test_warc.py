@@ -575,3 +575,78 @@ class TestCdxIndex:
         )
         with pytest.raises(Exception, match="per-record-gzip"):
             W.cdx_records(files).collect()
+
+
+class TestReviewFixes:
+    """Round-15 self-review fixes (code-review findings)."""
+
+    def test_commented_out_script_opener_does_not_wipe_page(self, spark):
+        # comment removal must run before the unterminated-script
+        # fallback, else the commented opener eats the rest of the page
+        page = '<p>keep</p><!-- <script src="a.js"> --><p>more text</p>'
+        assert _extract(spark, page) == "keep more text"
+        page = "<p>keep</p><!-- <style> --><p>tail</p>"
+        assert _extract(spark, page) == "keep tail"
+        # comment-hiding INSIDE a terminated script still vanishes
+        page = "<p>a</p><script><!-- hide() --></script><p>b</p>"
+        assert _extract(spark, page) == "a b"
+
+    def test_meta_sniff_bounded_to_head(self, spark):
+        # a charset-looking string deep in the body must not re-route
+        # the decoder (browser prescan bound: first 1 KiB)
+        body = (b"<p>" + b"x " * 900
+                + b'</p><meta charset="iso-8859-1"><p>caf\xc3\xa9</p>')
+        df = spark.createDataFrame(
+            [(body, "text/html")], "payload binary, http_mime string"
+        )
+        out = df.select(
+            W.payload_charset().alias("cs"),
+            W.payload_text().alias("txt"),
+        ).collect()[0]
+        assert out["cs"] == ""  # late meta ignored -> UTF-8 default
+        assert "café" in out["txt"]
+
+    def test_refetch_flag_combinations_rejected(self, spark):
+        docs = spark.createDataFrame(
+            [(4, "t")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="incompatible"):
+            W.synth_warc_files(
+                docs, rich_uris=True, refetch=True, http_variants=True
+            )
+        with pytest.raises(ValueError, match="incompatible"):
+            W.synth_warc_files(
+                docs, rich_uris=True, refetch=True, image_every=5
+            )
+
+    def test_cdx_permissive_salvages_prefix(self, spark):
+        good = [
+            W.gzip_member(
+                W.build_record(
+                    "resource", [("Content-Type", "text/plain")],
+                    b"r%d" % i,
+                )
+            )
+            for i in range(3)
+        ]
+        clipped = b"".join(good) + W.gzip_member(b"x" * 200)[:-4]
+        files = spark.createDataFrame(
+            [(0, b"".join(good)), (1, clipped)],
+            "file_id long, warc binary",
+        )
+        with pytest.raises(Exception, match="truncated gzip member"):
+            W.cdx_records(files).collect()
+        rows = W.cdx_records(files, mode="permissive").collect()
+        by_file = {}
+        for r in rows:
+            by_file.setdefault(r.file_id, []).append(r)
+        assert [r.warc_type for r in sorted(
+            by_file[1], key=lambda r: r.rec_index)] == [
+            "resource", "resource", "resource", "corrupt",
+        ]
+        bad = sorted(by_file[1], key=lambda r: r.rec_index)[-1]
+        # the corrupt row accounts the unindexable tail
+        assert bad.offset == sum(len(g) for g in good)
+        assert bad.offset + bad.comp_len == len(clipped)
+        assert "truncated" in bad.target_uri
+        assert len(by_file[0]) == 3
