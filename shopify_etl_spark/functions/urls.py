@@ -6,7 +6,8 @@ slashes, a ``#fragment`` — and every downstream identity operation
 (refetch dedup, per-domain caps, robots matching, URL joins) silently
 over-counts unless fetches are keyed by a canonical form first. The
 reference keys its envelopes by a cleaned id the same way
-(``clean_id``, transform_table.py) before any merge touches them.
+(``clean_id``, incremental_loaders.py:63) before any merge touches
+them.
 
 Design: ONE Column expression, pure JVM — ``parse_url`` (Spark's
 Hive-compatible URL part extractor, java.net.URI under the hood)
@@ -15,7 +16,14 @@ reassembles. Zero Python, zero shuffle, fuses into whatever projection
 consumes it; the whole formula is SQL-mirrorable so oracles can
 re-derive canonical URLs from first principles.
 
-Normalization rules (the conservative, semantics-preserving core):
+Normalization rules (a conservative core — but NOT lossless in full
+generality: per RFC 3986 ``/a`` and ``/a/`` (or ``//a``) MAY name
+distinct resources, so the slash rules below can alias distinct pages
+on adversarial real-crawl URL spaces. Keyed latest-wins dedup on this
+form trades that rare aliasing for collapsing the overwhelmingly more
+common re-fetch spellings; a deployment that must preserve the
+distinction should key on the raw URL with only the case/port/fragment
+rules applied):
 
 * scheme and host lowercase (RFC 3986 §6.2.2.1 — case-insensitive);
 * default port stripped (``http://h:80/`` ≡ ``http://h/``, ``https``

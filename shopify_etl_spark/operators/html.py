@@ -43,10 +43,14 @@ tag/entity layer below is the deterministic part):
    through as literal text — the documented seam (COVERAGE.md),
 6. optional whitespace normalization (``\\s+`` → one space + trim).
 
-Known seam (documented, not fixed): the rule-4 tag regex ``<[^>]*>``
-mis-splits on a literal ``>`` inside a quoted attribute value
-(``<a title="a>b">`` leaves ``b">`` behind) — exact on the synth
-domain, approximate on adversarial real pages.
+Tag spans are QUOTED-ATTRIBUTE-AWARE (r16 — the former documented
+seam, closed): rules 3-4 match ``<(?:"[^"]*"|'[^']*'|[^>"'])*>`` — one
+JVM regex, linear (the alternatives are disjoint on their first
+character), so ``<a title="a>b">`` is consumed whole instead of
+mis-splitting at the quoted ``>``. A MALFORMED tag (unpaired quote
+before the closing ``>``) falls back to the old first-``>`` deletion
+in a second pass, so sloppy real-crawl markup (``<a title=it's>``)
+still strips instead of leaking tag text.
 
 The synthesizer (:func:`synth_html`) is the gate's other half: it embeds
 a document's text into a template that exercises every rule above
@@ -71,6 +75,12 @@ BLOCK_TAGS = (
     "p|div|h[1-6]|li|ul|ol|table|tr|td|th|section|article|"
     "header|footer|blockquote|pre"
 )
+
+# A tag's attribute span: quoted values may contain ">" (the r15
+# verdict's extractor seam), so tag regexes consume "…" / '…' atoms or
+# non-quote-non-">" characters — never a bare [^>]*. Disjoint first
+# characters keep the scan linear (no backtracking ambiguity).
+_TAG_ATTRS = "(?:\"[^\"]*\"|'[^']*'|[^>\"'])*"
 
 # Single-pass unescape over a REPLACE chain needs every spelling of
 # "&" (named + numeric + hex) parked on a sentinel until all other
@@ -144,11 +154,16 @@ def html_to_text(col: Column | str, normalize_ws: bool = True) -> Column:
     c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*\z", " ")
     c = F.regexp_replace(c, r"(?s)<!--.*\z", " ")
     # 3: block boundaries -> newline (covers open, close, self-closing
-    # and attribute-bearing forms; <br> folded in via the alternation)
+    # and attribute-bearing forms; <br> folded in via the alternation;
+    # quoted-attribute-aware so a ">" inside title="a>b" doesn't split
+    # the tag)
     c = F.regexp_replace(
-        c, r"(?i)</?(?:br|" + BLOCK_TAGS + r")\b[^>]*>", "\n"
+        c, r"(?i)</?(?:br|" + BLOCK_TAGS + r")\b" + _TAG_ATTRS + ">", "\n"
     )
     # 4: remaining tags (inline elements, doctype, stray closers) vanish
+    # — quoted-attribute-aware first, then the first-">" fallback for
+    # malformed tags (unpaired quote) so sloppy markup still strips
+    c = F.regexp_replace(c, r"(?s)<" + _TAG_ATTRS + ">", "")
     c = F.regexp_replace(c, r"(?s)<[^>]*>", "")
     # 5: single-pass entity decode. Every spelling of "&" (&amp;,
     # &#38;, &#x26;) parks on the noncharacter sentinel FIRST so e.g.

@@ -6,6 +6,7 @@ from . import catalog_ext4  # noqa: F401,E402  (round-6 session-2 queries)
 from . import catalog_ext5  # noqa: F401,E402  (round-13 PQ retrieval family)
 from . import catalog_ext6  # noqa: F401,E402  (round-14 raw-crawl ingest)
 from . import catalog_ext7  # noqa: F401,E402  (round-15 crawl fidelity)
+from . import catalog_ext8  # noqa: F401,E402  (round-16 routing/revisit)
 
 # ---------------------------------------------------------------------------
 # Catalog ordering.

@@ -61,7 +61,15 @@ def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     recs = warc.warc_records(files)
     return recs.filter(
-        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        # transport routing (VERDICT r15 #1): only fully-decoded
+        # payloads may reach extraction — an unknown Content-Encoding
+        # (br, zstd) record passes through the splitter LABELED and
+        # must be routed out here, never fed to html_to_text as if it
+        # were text; crawl_encoding_routing carries the skipped-record
+        # accounting for the fixture that plants such records
+        & warc.is_decoded(F.col("http_encoding"))
     ).select(
         "file_id",
         F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
@@ -639,7 +647,9 @@ def crawl_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chain re-executes per consumer
     recs = checkpoint_tracked(warc.warc_records(files))
     ok = recs.filter(
-        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & warc.is_decoded(F.col("http_encoding"))  # transport routing
     )
     doc_id = F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long")
 

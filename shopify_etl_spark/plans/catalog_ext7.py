@@ -34,6 +34,13 @@ from pyspark.sql import functions as F
 from .catalog import load_table, register
 from .catalog_ext6 import _DOCS_PER_FILE, _NOT_FOUND_EVERY
 
+# Unknown-Content-Encoding leg (VERDICT r15 #1): non-404 docs with
+# id % _UNKNOWN_ENC_EVERY == 6 ship `Content-Encoding: br` bodies the
+# parser passes through labeled-but-compressed; every extraction front
+# routes them OUT via warc.is_decoded. Mirrored by the fidelity and
+# encoding-routing oracles.
+_UNKNOWN_ENC_EVERY = 9
+
 # Extraction formula with the transport-variant markers, as one DuckDB
 # expression (the catalog_ext6._XT_SQL shape + the latin-1 café marker
 # and the re-fetch v2 marker where the caller's synthesis plants them).
@@ -58,7 +65,9 @@ _XT_LATIN_SQL = (
                 ELSE 'utf-8' END AS charset,
            {_XT_LATIN_SQL} AS text_out,
            CAST(LENGTH({_XT_LATIN_SQL}) AS BIGINT) AS n_chars
-    FROM documents WHERE doc_id % {_NOT_FOUND_EVERY} <> 0
+    FROM documents
+    WHERE doc_id % {_NOT_FOUND_EVERY} <> 0
+      AND doc_id % {_UNKNOWN_ENC_EVERY} <> 6
     """,
     doc="HTTP payload fidelity through the FULL crawl chain (VERDICT "
     "r14 #1 — the distance between the synth front door and a real "
@@ -75,9 +84,13 @@ _XT_LATIN_SQL = (
     "text. The oracle recomputes the transport routing (doc_id % 5), "
     "the charset routing (doc_id % 7) and the complete text body from "
     "documents alone — a one-byte dechunk/inflate/decode bug "
-    "hash-mismatches. Zero-shuffle split+decode+extract; the transport "
+    "hash-mismatches. The fixture mix also plants the UNKNOWN-codec "
+    "leg (doc_id % 9 == 6 ships Content-Encoding: br, r16): those "
+    "records are routed out via warc.is_decoded and the oracle "
+    "excludes them — crawl_encoding_routing carries their accounting. "
+    "Zero-shuffle split+decode+extract; the transport "
     "work is C-speed zlib inside the existing Arrow splitter. "
-    "sources/warc.py::_dechunk,_inflate,payload_text.",
+    "sources/warc.py::_dechunk,_inflate,payload_text,is_decoded.",
 )
 def crawl_http_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.html import html_to_text
@@ -87,6 +100,7 @@ def crawl_http_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = warc.synth_warc_files(
         docs, docs_per_file=_DOCS_PER_FILE,
         not_found_every=_NOT_FOUND_EVERY, http_variants=True,
+        unknown_encoding_every=_UNKNOWN_ENC_EVERY,
     )
     recs = warc.warc_records(files)
     txt = html_to_text(warc.payload_text())
@@ -94,6 +108,7 @@ def crawl_http_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         recs.filter(
             (F.col("warc_type") == "response")
             & (F.col("http_status") == 200)
+            & warc.is_decoded(F.col("http_encoding"))
         )
         .select(
             F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
@@ -508,7 +523,8 @@ def crawl_language_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT file_id,
            CAST(1 + 2 * COUNT(*) AS BIGINT) AS n_records,
            CAST(COUNT(*) AS BIGINT) AS n_responses,
-           CAST(SUM(CASE WHEN doc_id % 17 <> 0 THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN doc_id % {_NOT_FOUND_EVERY} <> 0
+                     THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_distinct_digests,
            MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
            TRUE AS offsets_chain,

@@ -219,8 +219,9 @@ def split_records(blob: bytes) -> Iterator[bytes]:
 # response records routinely carry Transfer-Encoding: chunked framing,
 # Content-Encoding: gzip/deflate bodies, and non-UTF-8 charsets — the
 # layer below absorbs all three before extraction ever sees a byte, the
-# same place the reference absorbs transport encoding before any
-# transform (extract_table.py:134-174). Stdlib-only, ValueError-or-parse
+# same place the reference absorbs its transport (HTTP → JSON envelope
+# in ``_make_request``, extract_table.py:101-131, before any
+# transform touches a record). Stdlib-only, ValueError-or-parse
 # (the codec-family hardening contract permissive mode relies on).
 # ---------------------------------------------------------------------------
 
@@ -278,6 +279,30 @@ def _inflate(body: bytes, encoding: str) -> bytes:
         except zlib.error as e:
             err = e
     raise ValueError(f"bad {encoding} payload body: {err}") from err
+
+
+# http_encoding labels whose transport the parser FULLY absorbed —
+# every "+"-joined token is one the decode chain handled. Anything else
+# (br, zstd, x-custom, …) passed through still-compressed and LABELED;
+# extraction fronts must route those records OUT (and count them)
+# instead of feeding opaque bytes to a text extractor as if decoded.
+_DECODED_LABEL_RE = (
+    r"^(identity|(chunked|gzip|deflate)(\+(chunked|gzip|deflate))*)$"
+)
+
+
+def is_decoded(col="http_encoding"):
+    """Boolean Column: the record's HTTP transport is fully decoded
+    (``http_encoding`` ∈ identity / chunked / gzip / deflate and their
+    ``+`` combinations). The routing predicate EVERY extraction front
+    applies before ``payload_text`` — on a real dump ~25-40% of pages
+    ship Content-Encoding: br, which :func:`parse_record` passes
+    through labeled-but-compressed; without this predicate those bytes
+    would enter curation as silently garbled text (the failure mode
+    the permissive-mode accounting philosophy forbids). Null labels
+    (non-HTTP records) are not decoded payloads and return false."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.isNotNull() & c.rlike(_DECODED_LABEL_RE)
 
 
 def payload_charset(payload_col="payload", mime_col="http_mime"):
@@ -712,6 +737,15 @@ def _http_response(
     elif content_encoding == "deflate":
         body = zlib.compress(body)
         lines.append(b"Content-Encoding: deflate")
+    elif content_encoding == "br":
+        # the unknown-codec leg: a deterministic opaque stand-in for a
+        # brotli body (raw-deflate bytes — genuinely compressed, so a
+        # front that ignores the label feeds garbage to extraction and
+        # the routing oracle catches it). parse_record must pass these
+        # through LABELED, never attempt a decode.
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        body = co.compress(body) + co.flush()
+        lines.append(b"Content-Encoding: br")
     elif content_encoding is not None:
         raise ValueError(f"unsupported synth encoding {content_encoding!r}")
     if chunked:
@@ -752,6 +786,7 @@ def synth_warc_files(
     rich_uris: bool = False,
     robots: bool = False,
     http_variants: bool = False,
+    unknown_encoding_every: int = 0,
     refetch: bool = False,
     links: bool = False,
     id_col: str = "doc_id",
@@ -786,6 +821,17 @@ def synth_warc_files(
     non-encodable character fails the build loudly rather than
     corrupting the fixture.
 
+    ``unknown_encoding_every`` (requires ``http_variants``) plants the
+    unknown-transport leg a real dump carries (~25-40% of the live web
+    is brotli): non-404 HTML documents with ``id % N == 6`` ship
+    ``Content-Encoding: br`` with a raw-deflate body stand-in —
+    genuinely compressed bytes :func:`parse_record` passes through
+    LABELED (``http_encoding = 'br'``), never decoded. Extraction
+    fronts must route these records out via :func:`is_decoded` and
+    COUNT them; the ``crawl_encoding_routing`` oracle mirrors the
+    formula. The br leg takes precedence over the ``id % 5`` transport
+    variant and the charset leg.
+
     ``refetch`` (requires ``rich_uris``) plants the re-fetch duplicates
     a real crawl carries: non-404 documents with ``id % 10 == 4`` are
     fetched AGAIN in the NEXT archive (``file_id + 1``) under a messy
@@ -799,6 +845,10 @@ def synth_warc_files(
     """
     if refetch and not rich_uris:
         raise ValueError("refetch=True requires rich_uris=True")
+    if unknown_encoding_every and not http_variants:
+        raise ValueError(
+            "unknown_encoding_every requires http_variants=True"
+        )
     if refetch and (http_variants or image_every):
         # the dup branch serves plain-identity HTML only: combining it
         # with transport variants or image routing would silently break
@@ -946,6 +996,17 @@ def synth_warc_files(
                 http = _http_response(
                     200, "OK", encode_png(raster), ctype="image/png"
                 )
+            elif unknown_encoding_every and d % unknown_encoding_every == 6:
+                # the br leg: plain UTF-8 HTML, raw-deflate-compressed,
+                # labeled with a codec the parser does not decode
+                http = _http_response(
+                    200, "OK",
+                    synth_html(
+                        d, str(row["_text"]),
+                        links=_synth_links(d) if links else (),
+                    ),
+                    content_encoding="br",
+                )
             elif http_variants:
                 latin = d % 7 == 3
                 txt = str(row["_text"]) + (" caf\xe9" if latin else "")
@@ -1009,6 +1070,7 @@ __all__ = [
     "WARC_RECORD_SCHEMA",
     "NOT_FOUND_HTML",
     "gzip_member",
+    "is_decoded",
     "payload_charset",
     "payload_text",
     "split_gzip_members",

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..operators.html import html_to_text
 from ..operators.text import quality_filter
-from ..sources.warc import payload_text, warc_records
+from ..sources.warc import is_decoded, payload_text, warc_records
 from .sketch_stream import (
     _epoch_committed,
     _epoch_dir,
@@ -45,23 +45,51 @@ CRAWL_FEED_SCHEMA = "file_id long, warc binary"
 
 def curate_archives(files: DataFrame) -> DataFrame:
     """The pure per-archive chain shared by the stream and its parity
-    gate: record split → 200-OK responses → html_to_text → quality
-    gate. One narrow pass; zero state, zero corpus dependence."""
-    ex = warc_records(files).filter(
-        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
-    ).select(
+    gate: record split → 200-OK responses → transport routing →
+    html_to_text → quality gate. One narrow pass; zero state, zero
+    corpus dependence.
+
+    Transport routing (VERDICT r15 #1): a record whose
+    ``http_encoding`` the parser did not fully decode (br, zstd, …)
+    must NOT feed still-compressed bytes to extraction — it becomes an
+    ACCOUNTING row (``keep=false``, ``reasons='transport:<label>'``,
+    null text) so the loss is countable downstream, never silent (the
+    permissive-mode philosophy)."""
+    from ..operators.materialize import checkpoint_tracked
+
+    # two routes read the record table: checkpoint so the member split
+    # runs once per micro-batch, not once per route
+    ok = checkpoint_tracked(
+        warc_records(files).filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+        )
+    )
+    doc_id = F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long")
+    ex = ok.filter(is_decoded("http_encoding")).select(
         "file_id",
-        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
-        .cast("long")
-        .alias("doc_id"),
+        doc_id.alias("doc_id"),
         html_to_text(payload_text()).alias("text_out"),
     )
-    return quality_filter(
+    curated = quality_filter(
         ex, text_col="text_out", id_col="doc_id",
         keep_cols=("file_id", "text_out"),
     ).select(
-        "file_id", "doc_id", "text_out", "n_tokens", "keep", "reasons"
+        "file_id", "doc_id", "text_out",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "keep", "reasons",
     )
+    skipped = ok.filter(~is_decoded("http_encoding")).select(
+        "file_id",
+        doc_id.alias("doc_id"),
+        F.lit(None).cast("string").alias("text_out"),
+        F.lit(0).cast("long").alias("n_tokens"),
+        F.lit(False).alias("keep"),
+        F.concat(F.lit("transport:"), F.col("http_encoding")).alias(
+            "reasons"
+        ),
+    )
+    return curated.unionByName(skipped)
 
 
 def curate_archives_mm(files: DataFrame) -> DataFrame:
@@ -73,7 +101,16 @@ def curate_archives_mm(files: DataFrame) -> DataFrame:
     over DECODED rasters). One unified row schema; modality-specific
     columns null on the other route. Still zero state, zero corpus
     dependence — exactly the batch chain ``crawl_multimodal_stats``
-    composes, so incremental maintenance stays exact."""
+    composes, so incremental maintenance stays exact.
+
+    Routing closes BOTH silent-drop paths (VERDICT r15 #1 + ADVICE
+    r15): a 200-OK fetch whose transport is not fully decoded
+    (``is_decoded`` false — e.g. brotli) or whose MIME matches neither
+    route (parameterized ``image/png; …`` now matches via startswith,
+    like the text branch; anything else — PDFs, JSON APIs — does not)
+    becomes a ``modality='other'`` ACCOUNTING row (``keep=false``,
+    ``reasons='transport:<enc>'`` or ``'mime:<type>'``) instead of
+    vanishing from the curated corpus."""
     from ..operators.materialize import checkpoint_tracked
     from ..operators.multimodal import decode_features
 
@@ -86,8 +123,11 @@ def curate_archives_mm(files: DataFrame) -> DataFrame:
         )
     )
     doc_id = F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long")
+    dec = is_decoded("http_encoding")
+    is_html = F.col("http_mime").startswith("text/html")
+    is_png = F.col("http_mime").startswith("image/png")
     html = quality_filter(
-        ok.filter(F.col("http_mime").startswith("text/html")).select(
+        ok.filter(dec & is_html).select(
             "file_id",
             doc_id.alias("doc_id"),
             html_to_text(payload_text()).alias("text_out"),
@@ -106,7 +146,7 @@ def curate_archives_mm(files: DataFrame) -> DataFrame:
         F.lit(None).cast("long").alias("n_pixels"),
         F.lit(None).cast("long").alias("pixel_sum"),
     )
-    imgs = ok.filter(F.col("http_mime") == "image/png")
+    imgs = ok.filter(dec & is_png)
     assets = imgs.select(
         doc_id.alias("asset_id"),
         "payload",
@@ -143,7 +183,22 @@ def curate_archives_mm(files: DataFrame) -> DataFrame:
             "pixel_sum",
         )
     )
-    return html.unionByName(png)
+    other = ok.filter(~(dec & (is_html | is_png))).select(
+        "file_id",
+        doc_id.alias("doc_id"),
+        F.lit("other").alias("modality"),
+        F.lit(None).cast("string").alias("text_out"),
+        F.lit(None).cast("long").alias("n_tokens"),
+        F.lit(False).alias("keep"),
+        F.when(
+            ~dec, F.concat(F.lit("transport:"), F.col("http_encoding"))
+        ).otherwise(
+            F.concat(F.lit("mime:"), F.coalesce("http_mime", F.lit("?")))
+        ).alias("reasons"),
+        F.lit(None).cast("long").alias("n_pixels"),
+        F.lit(None).cast("long").alias("pixel_sum"),
+    )
+    return html.unionByName(png).unionByName(other)
 
 
 def stream_crawl_ingest(

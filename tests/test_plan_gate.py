@@ -87,6 +87,9 @@ EXPECT = {
     # r15 transport fidelity: the html_extract_docs shape — synth
     # grouping is the only shuffle; dechunk/inflate ride the splitter
     "crawl_http_fidelity": dict(max_shuffles=1, max_scan_width=2),
+    # r16 encoding routing: synth grouping + ONE per-label aggregate;
+    # the is_decoded predicate and the routed extraction are projections
+    "crawl_encoding_routing": dict(max_shuffles=2, max_scan_width=2),
     # r15 canonical-URL dedup: synth staging union + archive grouping +
     # ONE groupBy on the canonical key (max_by latest-wins — no window)
     "url_canonical_dedup": dict(

@@ -191,3 +191,29 @@ def test_corrupted_member_raises_cleanly(payload, where):
         list(W.split_gzip_members(bytes(blob)))
     except ValueError:
         pass
+
+
+# Attribute values for the r16 quoted-attribute-aware tag rules: '>' and
+# '<' inside quoted values must never split a tag. Double-quoted values
+# exclude '"', single-quoted exclude "'".
+_attr_dq = st.text(alphabet="ab ><='!-;/", min_size=0, max_size=24)
+_attr_sq = st.text(alphabet="cd ><=\"!-;/", min_size=0, max_size=24)
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_attr_dq, _attr_sq, _text)
+def test_gt_in_attribute_pages_extract_exactly(spark, dq, sq, text):
+    """Pages whose tags carry '>'/'<'-bearing quoted attribute values
+    extract the SAME text as the attribute-free page — the tag span is
+    consumed whole, never split at a quoted '>' (r16, former seam)."""
+    safe = H.escape_html(text)
+    page = (
+        f'<div data-x="{dq}"><p title=\'{sq}\'>{safe}</p></div>'
+        f'<a rel="{dq}">tail</a>'
+    )
+    got = (
+        spark.range(1)
+        .select(H.html_to_text(F.lit(page)))
+        .collect()[0][0]
+    )
+    assert got == _norm(f"{_norm(text)} tail")
