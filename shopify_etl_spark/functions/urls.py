@@ -76,4 +76,40 @@ def canonicalize_url(col: Column | str) -> Column:
     return F.concat(proto, F.lit("://"), host, port_part, path, query_part)
 
 
-__all__ = ["canonicalize_url"]
+def surt_key(col: Column | str) -> Column:
+    """SURT-form index key of a URL column (r16, VERDICT r15 #6): the
+    Sort-friendly URI Reordering Transform every web-archive CDX index
+    keys on — host labels REVERSED and comma-joined so all of a
+    domain's subdomains sort adjacently, then ``)`` + path + query:
+
+        http://www.host3.example/sec5/doc/42?x=1
+          → example,host3,www)/sec5/doc/42?x=1
+
+    Built ON TOP of :func:`canonicalize_url` (case, default port,
+    fragment, slash normalization all applied first), so two messy
+    spellings of one resource land on one index key — the lookup
+    contract ``cdx_surt_lookup`` gates. One JVM expression chain;
+    null for unparseable URLs (they cannot be looked up)."""
+    u = canonicalize_url(col)
+    host = F.try_parse_url(u, F.lit("HOST"))
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    port = F.regexp_extract(
+        F.coalesce(F.try_parse_url(u, F.lit("AUTHORITY")), F.lit("")),
+        r":(\d+)$",
+        1,
+    )
+    port_part = F.when(
+        port != "", F.concat(F.lit(":"), port)
+    ).otherwise(F.lit(""))
+    path = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
+    query = F.try_parse_url(u, F.lit("QUERY"))
+    query_part = F.when(
+        query.isNotNull() & (query != ""), F.concat(F.lit("?"), query)
+    ).otherwise(F.lit(""))
+    return F.when(
+        host.isNotNull(),
+        F.concat(rev, port_part, F.lit(")"), path, query_part),
+    )
+
+
+__all__ = ["canonicalize_url", "surt_key"]

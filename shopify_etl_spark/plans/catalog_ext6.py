@@ -803,10 +803,16 @@ def crawl_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), x AS (
       SELECT 'host' || CAST(h AS VARCHAR) || '.example' AS host,
              COUNT(*) AS n_fetched,
-             SUM(CASE WHEN (sec = (2 * h) % 13
-                            AND CAST(doc_id AS VARCHAR) NOT LIKE '1%')
-                        OR sec = (2 * h + 1) % 13
-                      THEN 1 ELSE 0 END) AS n_excluded
+             SUM(CASE WHEN h % 2 = 0 THEN
+                   CASE WHEN sec = (2 * h + 5) % 13
+                         AND CAST(doc_id AS VARCHAR) NOT LIKE '1%'
+                        THEN 1 ELSE 0 END
+                 ELSE
+                   CASE WHEN (sec = (2 * h) % 13
+                              AND CAST(doc_id AS VARCHAR) NOT LIKE '1%')
+                          OR sec = (2 * h + 1) % 13
+                        THEN 1 ELSE 0 END
+                 END) AS n_excluded
       FROM d GROUP BY h
     )
     SELECT host,
@@ -815,28 +821,35 @@ def crawl_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_excluded AS BIGINT)             AS n_excluded
     FROM x
     """,
-    doc="Robots-exclusion compliance audit with RFC 9309 semantics "
-    "(VERDICT r14 #7) — the governance pass a crawl-derived corpus "
-    "runs before training: robots.txt responses are parsed OUT OF THE "
-    "ARCHIVES themselves (explode lines → Allow AND Disallow prefixes "
-    "per host, deduped across re-fetches, collapsed to one tiny "
-    "per-host rule array), page fetches join the broadcast rule table "
-    "by host, and the verdict per fetch is the RFC longest-match rule: "
-    "excluded iff the longest matching Disallow prefix is strictly "
-    "longer than the longest matching Allow prefix (ties → Allow, the "
-    "least-restrictive tiebreak). The match itself is a zero-shuffle "
-    "array higher-order expression (filter/transform/array_max over "
-    "the per-host rules), so no per-(page,rule) blowup ever shuffles. "
-    "The oracle re-derives the rule formula — host h disallows "
-    "sections 2h and 2h+1 mod 13 but allows /sec{{2h}}/doc/1* via the "
-    "longer prefix — from documents alone; a rule-parsing, precedence "
-    "or prefix-match bug hash-mismatches. sources/warc.py "
+    doc="Robots-exclusion compliance audit with FULL RFC 9309 "
+    "semantics (VERDICT r14 #7 + r15 #5) — the governance pass a "
+    "crawl-derived corpus runs before training. Two RFC layers: "
+    "(1) §2.2.1 GROUP SELECTION — rules belong to User-agent groups; "
+    "a fetcher obeys ONLY the group matching its product token "
+    "(case-insensitive), falling back to the `*` group when no "
+    "specific group exists. The synthesis plants CONFLICTING groups "
+    "on even hosts (`*` disallows sections 2h/2h+1; the "
+    "shopify-etl-spark group disallows section 2h+5 instead), so a "
+    "parser that pools all groups' rules — last round's shape — "
+    "hash-mismatches. Group membership is recovered by a running "
+    "count of User-agent lines over the per-host line sequence "
+    "(a BOUNDED window: one robots.txt of lines per host, never "
+    "corpus-keyed). (2) §2.2.2 longest-match precedence — excluded "
+    "iff the longest matching Disallow prefix beats the longest "
+    "matching Allow prefix (ties → Allow), evaluated as a "
+    "zero-shuffle array higher-order expression over the broadcast "
+    "per-host CHOSEN-group rule array. The oracle re-derives both "
+    "layers from documents alone (even hosts use the specific-group "
+    "formula, odd hosts the `*` formula). sources/warc.py "
     "(robots=True), functions/urls.py.",
 )
 def robots_compliance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     from ..operators.materialize import checkpoint_tracked
     from ..sources import warc
 
+    agent = "shopify-etl-spark"  # our fetcher's product token
     docs = load_table(spark, sf_dir, "documents")
     files = warc.synth_warc_files(
         docs, docs_per_file=_DOCS_PER_FILE,
@@ -849,24 +862,60 @@ def robots_compliance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     is_robots = F.col("target_uri").endswith("/robots.txt")
-    rule_pat = r"^(Allow|Disallow):\s*(\S+)"
-    rules = (
+    ua_pat = r"(?i)^user-agent:\s*(\S+)"
+    rule_pat = r"(?i)^(allow|disallow):\s*(\S+)"
+    # one robots body per host (re-fetched per archive, byte-identical
+    # — dedupe BEFORE parsing), then per-host line sequence with group
+    # ids: a User-agent line starts a new group (running count over a
+    # window bounded by one robots.txt's line count)
+    bodies = (
         ok.filter(is_robots)
         .select(
             F.parse_url("target_uri", F.lit("HOST")).alias("host"),
-            F.explode(
-                F.split(F.col("payload").cast("string"), "\n")
-            ).alias("_line"),
+            F.col("payload").cast("string").alias("_body"),
         )
+        .distinct()
+    )
+    lines = bodies.select(
+        "host",
+        F.posexplode(F.split("_body", "\n")).alias("pos", "_line"),
+    )
+    wh = Window.partitionBy("host").orderBy("pos")
+    lines = lines.withColumn(
+        "grp",
+        F.sum(
+            (F.regexp_extract("_line", ua_pat, 1) != "").cast("int")
+        ).over(wh),
+    )
+    grp_agent = (
+        lines.filter(F.regexp_extract("_line", ua_pat, 1) != "")
         .select(
             "host",
-            F.lower(F.regexp_extract("_line", rule_pat, 1)).alias("rule"),
-            F.regexp_extract("_line", rule_pat, 2).alias("prefix"),
+            "grp",
+            F.lower(F.regexp_extract("_line", ua_pat, 1)).alias("agent"),
         )
-        .filter(F.col("prefix") != "")
-        .distinct()  # robots re-fetched per archive: rules dedupe
-        .groupBy("host")
-        .agg(F.collect_list(F.struct("rule", "prefix")).alias("rules"))
+    )
+    grp_rules = lines.select(
+        "host",
+        "grp",
+        F.lower(F.regexp_extract("_line", rule_pat, 1)).alias("rule"),
+        F.regexp_extract("_line", rule_pat, 2).alias("prefix"),
+    ).filter(F.col("prefix") != "")
+    # RFC 9309 §2.2.1: obey the group matching our product token;
+    # fall back to `*` only when no specific group exists on the host.
+    # grp_agent is host×group-bounded (one row per User-agent line in
+    # the web's robots files) — broadcast at any SF
+    tagged = grp_rules.join(F.broadcast(grp_agent), ["host", "grp"])
+    wh_all = Window.partitionBy("host")
+    chosen = tagged.withColumn(
+        "_has_specific",
+        F.max((F.col("agent") == agent).cast("int")).over(wh_all),
+    ).filter(
+        (F.col("agent") == agent)
+        | ((F.col("_has_specific") == 0) & (F.col("agent") == "*"))
+    )
+    rules = chosen.groupBy("host").agg(
+        F.collect_list(F.struct("rule", "prefix")).alias("rules")
     )
     pages = ok.filter(~is_robots).select(
         F.parse_url("target_uri", F.lit("HOST")).alias("host"),

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import load_table, register
-from .catalog_ext6 import _DOCS_PER_FILE, _NOT_FOUND_EVERY
+from .catalog_ext6 import _DOCS_PER_FILE, _NOT_FOUND_EVERY, _XT_SQL
 from .catalog_ext7 import _UNKNOWN_ENC_EVERY, _XT_LATIN_SQL
 
 
@@ -112,4 +112,165 @@ def crawl_encoding_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("_dec").cast("long")).alias("n_extracted"),
         F.sum((~F.col("_dec")).cast("long")).alias("n_skipped"),
         F.sum("_chars").alias("extracted_chars"),
+    )
+
+
+@register(
+    "warc_revisit_resolution",
+    oracle=f"""
+    SELECT doc_id,
+           TRUE AS resolved,
+           TRUE AS refers_to_match,
+           CAST(0 AS BIGINT) AS revisit_body_bytes,
+           CAST(LENGTH({_XT_SQL}) AS BIGINT) AS saved_chars
+    FROM documents
+    WHERE doc_id % {_NOT_FOUND_EVERY} <> 0 AND doc_id % 20 = 14
+    """,
+    doc="WARC revisit resolution (VERDICT r15 #4) — the one real-dump "
+    "record type the engine had not seen: Common Crawl deduplicates "
+    "byte-identical re-fetches as WARC-Type: revisit records carrying "
+    "WARC-Refers-To (the original response's record id) and "
+    "WARC-Payload-Digest instead of re-storing the body (zero payload "
+    "bytes — that is the format's point). The synthesis "
+    "(revisits=True) converts the id%20==14 byte-identical re-fetches "
+    "to exactly that shape; the query resolves each revisit against "
+    "the stored responses by DIGEST JOIN (md5 of the decoded payload "
+    "— the same digest cdx_records computes), cross-checks the "
+    "refers-to record id, and values the resolution by the referenced "
+    "page's extracted char mass. The oracle re-derives the revisit "
+    "doc set from the synthesis formula, pins resolved/"
+    "refers_to_match literal TRUE (a digest mismatch, a missed "
+    "original, or a record-id drift flips them) and revisit_body_"
+    "bytes literal 0 (bodies must NOT ride revisits), and recomputes "
+    "saved_chars from documents alone. Scale shape: the revisit side "
+    "is a small fraction of the corpus; the digest join is one "
+    "equi-join on an 32-hex key; the record table is checkpointed "
+    "(two consumers, the splitter runs once). "
+    "sources/warc.py (revisits=True), parse_record refers_to/"
+    "payload_digest columns.",
+)
+def warc_revisit_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.html import html_to_text
+    from ..operators.materialize import checkpoint_tracked
+    from ..sources import warc
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = warc.synth_warc_files(
+        docs, docs_per_file=_DOCS_PER_FILE,
+        not_found_every=_NOT_FOUND_EVERY, rich_uris=True, refetch=True,
+        revisits=True,
+    )
+    recs = checkpoint_tracked(warc.warc_records(files))
+    revisit = recs.filter(F.col("warc_type") == "revisit").select(
+        # the revisit rides the MESSY re-fetch spelling (trailing
+        # slash + fragment), so the id is not $-anchored
+        F.regexp_extract("target_uri", r"/doc/(\d+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("refers_to"),
+        F.regexp_replace("payload_digest", "^md5:", "").alias("_dg"),
+        F.length("payload").cast("long").alias("revisit_body_bytes"),
+    )
+    originals = recs.filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & warc.is_decoded(F.col("http_encoding"))
+    ).select(
+        F.col("record_id"),
+        F.md5("payload").alias("_dg"),
+        F.length(html_to_text(warc.payload_text()))
+        .cast("long")
+        .alias("saved_chars"),
+    )
+    return revisit.join(originals, "_dg", "left").select(
+        "doc_id",
+        F.col("record_id").isNotNull().alias("resolved"),
+        (F.col("refers_to") == F.col("record_id")).alias(
+            "refers_to_match"
+        ),
+        "revisit_body_bytes",
+        "saved_chars",
+    )
+
+
+@register(
+    "cdx_surt_lookup",
+    oracle=f"""
+    SELECT doc_id,
+           'example,host' || CAST(doc_id % 7 AS VARCHAR) || ')/sec' ||
+             CAST(doc_id % 13 AS VARCHAR) || '/doc/' ||
+             CAST(doc_id AS VARCHAR) AS surt,
+           TRUE AS resolved,
+           CAST(LENGTH({_XT_SQL}) AS BIGINT) AS recovered_chars
+    FROM documents
+    WHERE doc_id % {_NOT_FOUND_EVERY} <> 0 AND doc_id % 50 = 3
+    """,
+    doc="SURT-keyed CDX lookup + ranged-read recovery (VERDICT r15 #6) "
+    "— the consumer story a CDX index exists for: given a MESSY URL "
+    "spelling (uppercase scheme/host, explicit :80, doubled+trailing "
+    "slashes, a fragment), canonicalize → SURT key (functions/urls.py::"
+    "surt_key — host labels reversed, the form real web-archive "
+    "indexes sort by) → broadcast-join the key set against the index "
+    "(cdx_records now carries the surt column) → resolve (file_id, "
+    "offset, comp_len) → fetch_record_ranges decompresses ONLY "
+    "blob[offset:offset+len] (one self-contained gzip member — at "
+    "production an object-store ranged GET; the archive is never "
+    "streamed) → parse → extract. The oracle re-derives the lookup "
+    "doc set (doc_id % 50 == 3, non-404), the SURT key VALUE, and the "
+    "recovered page's extracted char mass from documents alone, and "
+    "pins resolved (self_contained ∧ HTTP 200) literal TRUE — a "
+    "canonicalization drift, a wrong coordinate, or a non-clean slice "
+    "hash-mismatches. Scale shape: the key set broadcasts to the "
+    "index AND to the archives; the fetch is a zero-shuffle "
+    "mapInPandas whose memory is one record. sources/warc.py::"
+    "cdx_records,fetch_record_ranges, functions/urls.py::surt_key.",
+)
+def cdx_surt_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.urls import surt_key
+    from ..operators.html import html_to_text
+    from ..operators.materialize import checkpoint_tracked
+    from ..sources import warc
+
+    docs = load_table(spark, sf_dir, "documents")
+    # two consumers of the synthesized archives (index build + the
+    # blob side of the ranged fetch): checkpoint so synthesis runs once
+    files = checkpoint_tracked(
+        warc.synth_warc_files(
+            docs, docs_per_file=_DOCS_PER_FILE,
+            not_found_every=_NOT_FOUND_EVERY, rich_uris=True,
+        )
+    )
+    # the lookup set arrives as MESSY spellings — canonicalization is
+    # part of the lookup contract, not a fixture convenience
+    d = F.col("doc_id")
+    messy = F.concat(
+        F.lit("HTTP://HOST"), (d % 7).cast("string"),
+        F.lit(".EXAMPLE:80//sec"), (d % 13).cast("string"),
+        F.lit("//doc/"), d.cast("string"), F.lit("/#frag"),
+    )
+    keys = docs.filter(
+        (d % 50 == 3) & (d % _NOT_FOUND_EVERY != 0)
+    ).select("doc_id", surt_key(messy).alias("surt"))
+    idx = warc.cdx_records(files).filter(
+        F.col("warc_type") == "response"
+    ).select("surt", "file_id", "offset", "comp_len")
+    hits = idx.join(F.broadcast(keys), "surt").select(
+        "surt", "file_id", "offset", "comp_len"
+    )
+    ranged = warc.fetch_record_ranges(
+        files.join(F.broadcast(hits), "file_id")
+    )
+    # doc identity rides the SURT key itself (…)/doc/{id}) — no second
+    # pass over documents for the recovery side
+    return ranged.select(
+        F.regexp_extract("surt", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "surt",
+        (
+            F.col("self_contained") & (F.col("http_status") == 200)
+        ).alias("resolved"),
+        F.length(html_to_text(warc.payload_text()))
+        .cast("long")
+        .alias("recovered_chars"),
     )

@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     LongType,
     StringType,
     StructField,
@@ -86,6 +87,12 @@ WARC_RECORD_SCHEMA = StructType(
         # ingest accounting for which transport paths a dump exercised;
         # null for non-HTTP records
         StructField("http_encoding", StringType(), True),
+        # revisit-record reference headers (real Common Crawl dedup:
+        # WARC-Type: revisit + WARC-Refers-To / WARC-Payload-Digest
+        # point at an earlier byte-identical response instead of
+        # re-storing the body); null on non-revisit records
+        StructField("refers_to", StringType(), True),
+        StructField("payload_digest", StringType(), True),
         StructField("payload", BinaryType(), True),
     ]
 )
@@ -443,6 +450,8 @@ def parse_record(raw: bytes) -> dict:
                 encs.append(ce)
         http_enc = "+".join(encs) if encs else "identity"
     uri = fields.get(b"warc-target-uri")
+    refers = fields.get(b"warc-refers-to")
+    pdigest = fields.get(b"warc-payload-digest")
     return {
         "warc_type": fields.get(b"warc-type", b"?").decode(),
         "record_id": fields.get(b"warc-record-id", b"").decode(),
@@ -451,6 +460,10 @@ def parse_record(raw: bytes) -> dict:
         "mime": ctype,
         "http_mime": http_mime,
         "http_encoding": http_enc,
+        "refers_to": refers.decode() if refers is not None else None,
+        "payload_digest": (
+            pdigest.decode() if pdigest is not None else None
+        ),
         "payload": payload,
     }
 
@@ -500,7 +513,8 @@ def warc_records(
                                 int(fid), i, r["warc_type"], r["record_id"],
                                 r["target_uri"], r["http_status"],
                                 r["mime"], r["http_mime"],
-                                r["http_encoding"], r["payload"],
+                                r["http_encoding"], r["refers_to"],
+                                r["payload_digest"], r["payload"],
                             )
                         )
                         i += 1
@@ -509,7 +523,7 @@ def warc_records(
                         raise
                     rows.append(
                         (int(fid), i, "corrupt", "", None, None,
-                         str(e), None, None, None)
+                         str(e), None, None, None, None, None)
                     )
             yield pd.DataFrame(rows, columns=cols)
 
@@ -610,7 +624,82 @@ def cdx_records(
                     )
             yield pd.DataFrame(rows, columns=cols)
 
-    return files.select(file_col, warc_col).mapInPandas(index, CDX_SCHEMA)
+    out = files.select(file_col, warc_col).mapInPandas(index, CDX_SCHEMA)
+    # SURT index key (r16): the host-reversed canonical form real CDX
+    # files are keyed and sorted by — one JVM expression riding the
+    # index projection (canonicalize_url under the hood, so messy URL
+    # spellings resolve to the stored record); null where no URI
+    # (warcinfo) or the URI does not parse (corrupt accounting rows)
+    from ..functions.urls import surt_key
+
+    return out.withColumn("surt", surt_key("target_uri"))
+
+
+RANGED_FETCH_SCHEMA = StructType(
+    [
+        StructField("surt", StringType(), True),
+        StructField("warc_type", StringType(), False),
+        StructField("target_uri", StringType(), True),
+        StructField("http_status", LongType(), True),
+        StructField("http_mime", StringType(), True),
+        StructField("payload", BinaryType(), True),
+        # the CDX contract check: the slice decompressed as EXACTLY one
+        # self-contained gzip member (eof reached, zero trailing bytes)
+        StructField("self_contained", BooleanType(), False),
+    ]
+)
+
+
+def fetch_record_ranges(
+    df: DataFrame,
+    warc_col: str = "warc",
+    offset_col: str = "offset",
+    len_col: str = "comp_len",
+    key_col: str = "surt",
+) -> DataFrame:
+    """Ranged-read record recovery — the consumer side of the CDX
+    index: each input row carries a resolved coordinate triple
+    (archive bytes, ``offset``, ``comp_len``) plus the lookup key, and
+    the fetch decompresses ONLY ``blob[offset:offset+len]`` (one
+    self-contained gzip member — at production scale this is an HTTP
+    ranged GET against the object store; the archive is never
+    streamed). Zero-shuffle ``mapInPandas``; memory is one record. A
+    slice that is not a clean single member (stale index, bit rot)
+    yields a ``warc_type='corrupt'`` accounting row with
+    ``self_contained=false`` — countable, never silent."""
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in RANGED_FETCH_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for key, blob, off, clen in zip(
+                pdf[key_col], pdf[warc_col], pdf[offset_col], pdf[len_col]
+            ):
+                sl = bytes(blob)[int(off):int(off) + int(clen)]
+                do = zlib.decompressobj(31)
+                try:
+                    member = do.decompress(sl)
+                    if not do.eof or do.unused_data:
+                        raise ValueError(
+                            "range is not one self-contained gzip member"
+                        )
+                    r = parse_record(member)
+                    rows.append(
+                        (
+                            key, r["warc_type"], r["target_uri"],
+                            r["http_status"], r["http_mime"],
+                            r["payload"], True,
+                        )
+                    )
+                except (zlib.error, ValueError) as e:
+                    rows.append(
+                        (key, "corrupt", str(e), None, None, None, False)
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(
+        key_col, warc_col, offset_col, len_col
+    ).mapInPandas(fetch, RANGED_FETCH_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -788,6 +877,7 @@ def synth_warc_files(
     http_variants: bool = False,
     unknown_encoding_every: int = 0,
     refetch: bool = False,
+    revisits: bool = False,
     links: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -842,9 +932,24 @@ def synth_warc_files(
     observable); ``id % 20 == 14`` re-fetches are byte-identical
     (digest-aware accounting is observable). Formulas mirrored by the
     ``url_canonical_dedup`` oracle.
+
+    ``revisits`` (requires ``refetch``) switches the byte-identical
+    re-fetches (``id % 20 == 14``) to the real Common Crawl dedup
+    format: instead of re-storing the body, the second fetch is a
+    ``WARC-Type: revisit`` record carrying ``WARC-Refers-To`` (the
+    original response's record id), ``WARC-Payload-Digest``
+    (``md5:<hex>`` of the original DECODED payload — the digest
+    :func:`cdx_records` computes), the identical-payload-digest
+    ``WARC-Profile``, and an HTTP block with headers only (zero body
+    bytes — that is the point of the format). The ``id % 20 == 4``
+    updated re-fetches stay full responses (content changed, nothing
+    to deduplicate against). Consumers resolve revisits against
+    responses by digest (``warc_revisit_resolution``).
     """
     if refetch and not rich_uris:
         raise ValueError("refetch=True requires rich_uris=True")
+    if revisits and not refetch:
+        raise ValueError("revisits=True requires refetch=True")
     if unknown_encoding_every and not http_variants:
         raise ValueError(
             "unknown_encoding_every requires http_variants=True"
@@ -899,11 +1004,16 @@ def synth_warc_files(
         if robots:
             # per-host robots.txt fetches ride in every archive (real
             # crawlers re-fetch robots per session; consumers dedupe
-            # rules): host h disallows sections a=(2h)%13 and b=(2h+1)%13
-            # but ALLOWS the longer prefix /sec{a}/doc/1 (RFC 9309
-            # longest-match override — docs in section a whose id starts
-            # with '1' are allowed) — the formula the compliance-audit
-            # oracle mirrors
+            # rules): the `*` group of host h disallows sections
+            # a=(2h)%13 and b=(2h+1)%13 but ALLOWS the longer prefix
+            # /sec{a}/doc/1 (RFC 9309 longest-match override — docs in
+            # section a whose id starts with '1' are allowed). EVEN
+            # hosts additionally carry a SPECIFIC-agent group
+            # (User-agent: shopify-etl-spark) with CONFLICTING rules —
+            # section c=(2h+5)%13 disallowed, /sec{c}/doc/1 allowed —
+            # which a compliant fetcher must obey INSTEAD of `*`
+            # (RFC 9309 §2.2.1 group selection). Formulas mirrored by
+            # the compliance-audit oracle.
             for h in range(7):
                 uri = f"http://host{h}.example/robots.txt"
                 a, b = (2 * h) % 13, (2 * h + 1) % 13
@@ -913,6 +1023,14 @@ def synth_warc_files(
                     f"Disallow: /sec{b}/\n"
                     f"Allow: /sec{a}/doc/1\n"
                 )
+                if h % 2 == 0:
+                    c = (2 * h + 5) % 13
+                    body += (
+                        "\n"
+                        "User-agent: shopify-etl-spark\n"
+                        f"Disallow: /sec{c}/\n"
+                        f"Allow: /sec{c}/doc/1\n"
+                    )
                 parts.append(
                     gzip_member(
                         build_record(
@@ -975,7 +1093,34 @@ def synth_warc_files(
                     )
                 )
             )
-            if dup:
+            rec_type, extra_hdrs = "response", []
+            if dup and revisits and d % 20 == 14:
+                # byte-identical re-fetch as the real CC dedup format:
+                # a revisit record referencing the original response by
+                # record id + payload digest, HTTP headers only (the
+                # body is NOT re-stored — zero payload bytes)
+                import hashlib
+
+                orig = synth_html(d, str(row["_text"])).encode()
+                rec_type = "revisit"
+                extra_hdrs = [
+                    ("WARC-Refers-To", f"<urn:uuid:resp-{d:016d}>"),
+                    (
+                        "WARC-Payload-Digest",
+                        f"md5:{hashlib.md5(orig).hexdigest()}",
+                    ),
+                    (
+                        "WARC-Profile",
+                        "http://netpreserve.org/warc/1.0/revisit/"
+                        "identical-payload-digest",
+                    ),
+                ]
+                http = (
+                    b"HTTP/1.1 200 OK" + CRLF
+                    + b"Content-Type: text/html; charset=utf-8"
+                    + _HDR_END
+                )
+            elif dup:
                 # re-fetch: same page, possibly updated (id%20==4 → a
                 # " v2" revision; id%20==14 → byte-identical)
                 txt = str(row["_text"]) + (" v2" if d % 20 == 4 else "")
@@ -1047,10 +1192,11 @@ def synth_warc_files(
             parts.append(
                 gzip_member(
                     build_record(
-                        "response",
+                        rec_type,
                         [("WARC-Record-ID",
                           f"<urn:uuid:resp-{d:016d}{rid_sfx}>")]
                         + common
+                        + extra_hdrs
                         + [("Content-Type", "application/http; msgtype=response")],
                         http,
                     )
@@ -1081,7 +1227,9 @@ __all__ = [
     "parse_record",
     "warc_records",
     "cdx_records",
+    "fetch_record_ranges",
     "CDX_SCHEMA",
+    "RANGED_FETCH_SCHEMA",
     "wet_archives",
     "synth_warc_files",
 ]

@@ -77,12 +77,14 @@ EXPECT = {
     # r14 domain caps: two per-host aggregates + join + the two-phase
     # capped window over the checkpointed fetch table
     "crawl_domain_caps": dict(max_shuffles=6, max_scan_width=2),
-    # r15 robots audit (RFC 9309): rule explode/distinct/collapse + ONE
-    # per-host aggregate over the broadcast-joined pages (the
-    # longest-match precedence is an array HOF projection, zero
-    # shuffle), all over the checkpointed response table
+    # r15/r16 robots audit (RFC 9309): body dedupe + line window +
+    # group join + rule collapse — ALL keyed on host (bounded by the
+    # host count, never corpus-sized) — plus ONE per-host aggregate
+    # over the broadcast-joined pages (the longest-match precedence is
+    # an array HOF projection, zero shuffle), all over the
+    # checkpointed response table
     "robots_compliance_audit": dict(
-        max_shuffles=7, min_bhj=1, max_smj=0, max_scan_width=2
+        max_shuffles=8, min_bhj=2, max_smj=0, max_scan_width=2
     ),
     # r15 transport fidelity: the html_extract_docs shape — synth
     # grouping is the only shuffle; dechunk/inflate ride the splitter
@@ -90,6 +92,13 @@ EXPECT = {
     # r16 encoding routing: synth grouping + ONE per-label aggregate;
     # the is_decoded predicate and the routed extraction are projections
     "crawl_encoding_routing": dict(max_shuffles=2, max_scan_width=2),
+    # r16 revisit resolution: synth staging union + archive grouping
+    # over the checkpointed record table, then ONE digest equi-join
+    # (revisit side ~5% of corpus, responses corpus-sized — SMJ is the
+    # scale-correct plan)
+    "warc_revisit_resolution": dict(
+        max_shuffles=4, max_smj=1, max_scan_width=2
+    ),
     # r15 canonical-URL dedup: synth staging union + archive grouping +
     # ONE groupBy on the canonical key (max_by latest-wins — no window)
     "url_canonical_dedup": dict(
@@ -114,6 +123,13 @@ EXPECT = {
     # per archive) + per-file agg + the byte-length join over the
     # checkpointed synth output
     "cdx_index_coverage": dict(max_shuffles=5, max_smj=1),
+    # r16 SURT lookup: synth grouping over the checkpointed archives;
+    # the key set broadcasts to the index, the resolved coordinates
+    # broadcast to the blob side (doc identity rides the SURT key) —
+    # the corpus never sort-merges and the blobs never shuffle
+    "cdx_surt_lookup": dict(
+        max_shuffles=2, min_bhj=2, max_smj=0, max_scan_width=2
+    ),
     # r15 language routing: synth grouping + ONE per-(file,lang) agg;
     # lang-id is a projection riding the extraction pass
     "crawl_language_routing": dict(max_shuffles=2, max_scan_width=2),
@@ -417,6 +433,14 @@ MAX_SCANS_PER_TABLE = {
                                  # feeds the index build AND the
                                  # byte-length check — documents scans
                                  # once
+    "warc_revisit_resolution": 2,  # r16: the checkpointed record table
+                                   # feeds the revisit AND response
+                                   # sides; documents scans in the
+                                   # synth staging union (base + dup)
+    "cdx_surt_lookup": 2,        # r16: the checkpointed archive blobs
+                                 # feed the index build AND the ranged
+                                 # fetch; documents scans for synth +
+                                 # the lookup key set
     "maxsim_pruned_search": 1,   # chunk+embed checkpoint feeds cell
                                  # assignment, the corpus side and the
                                  # query-chunk frame

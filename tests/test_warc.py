@@ -773,3 +773,106 @@ class TestAttributeAwareTags:
     def test_mixed_quotes(self, spark):
         page = '<a data-a="x>1" data-b=\'y>2\' rel=z>w</a>'
         assert _extract(spark, page) == "w"
+
+
+class TestRevisitRecords:
+    """Round-16: WARC-Type: revisit synthesis + parse (the real CC
+    dedup format — byte-identical re-fetches reference the original
+    response instead of re-storing the body)."""
+
+    def test_revisit_shape_and_reference(self, spark):
+        import hashlib
+
+        # doc 14: 14%10==4 (re-fetched), 14%20==14 (byte-identical →
+        # revisit); doc 4: 4%20==4 (updated → stays a full response)
+        docs = spark.createDataFrame(
+            [(4, "alpha beta"), (14, "gamma delta")],
+            "doc_id long, text string",
+        )
+        files = W.synth_warc_files(
+            docs, docs_per_file=25, rich_uris=True, refetch=True,
+            revisits=True,
+        )
+        recs = W.warc_records(files).collect()
+        by_type = {}
+        for r in recs:
+            by_type.setdefault(r.warc_type, []).append(r)
+        assert len(by_type["revisit"]) == 1
+        rv = by_type["revisit"][0]
+        assert rv.payload == bytearray(b"")        # body NOT re-stored
+        assert rv.refers_to == f"<urn:uuid:resp-{14:016d}>"
+        origs = {r.record_id: r for r in by_type["response"]}
+        orig = origs[rv.refers_to]
+        assert rv.payload_digest == \
+            "md5:" + hashlib.md5(bytes(orig.payload)).hexdigest()
+        # the updated (v2) re-fetch stays a full response pair
+        v2 = [
+            r for r in by_type["response"]
+            if r.record_id.endswith("-r2>")
+        ]
+        assert len(v2) == 1 and b" v2" in bytes(v2[0].payload)
+        # extraction fronts filter warc_type='response', so the revisit
+        # (http_status 200) never reaches extraction
+        assert rv.http_status == 200
+
+    def test_revisits_requires_refetch(self, spark):
+        docs = spark.createDataFrame([(14, "t")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="refetch"):
+            W.synth_warc_files(docs, rich_uris=True, revisits=True)
+
+
+class TestSurtLookup:
+    """Round-16: SURT index keys + ranged-read record recovery."""
+
+    def test_surt_key_values(self, spark):
+        rows = [
+            ("http://www.host3.example/sec5/doc/42?x=1",
+             "example,host3,www)/sec5/doc/42?x=1"),
+            # canonicalization feeds the key: case, :80, doubled +
+            # trailing slashes, fragment all collapse
+            ("HTTP://HOST3.EXAMPLE:80//sec5//doc/42/#frag",
+             "example,host3)/sec5/doc/42"),
+            ("https://a.b.c:8443/p", "c,b,a:8443)/p"),
+            ("http://h.example/", "example,h)/"),
+            ("not a url", None),
+        ]
+        from shopify_etl_spark.functions.urls import surt_key
+
+        df = spark.createDataFrame([(u,) for u, _ in rows], "u string")
+        got = [r[0] for r in df.select(surt_key("u")).collect()]
+        assert got == [want for _, want in rows]
+
+    def test_cdx_records_carry_surt(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "w " * 10)], "doc_id long, text string"
+        )
+        files = W.synth_warc_files(docs, docs_per_file=5, rich_uris=True)
+        rows = {r.warc_type: r for r in W.cdx_records(files).collect()}
+        assert rows["response"].surt == "example,host1)/sec1/doc/1"
+        assert rows["warcinfo"].surt is None  # no target URI
+
+    def test_fetch_record_ranges_recovers_and_flags(self, spark):
+        recs = [
+            W.build_record(
+                "resource", [("Content-Type", "text/plain")], b"r%d" % i
+            )
+            for i in range(4)
+        ]
+        blob = b"".join(W.gzip_member(r) for r in recs)
+        idx = list(W.split_gzip_members_indexed(blob))
+        rows = [
+            (f"k{i}", blob, off, clen)
+            for i, (_, off, clen) in enumerate(idx)
+        ]
+        # a stale coordinate (straddles two members) must be a counted
+        # corrupt row, not a silent partial record
+        rows.append(("bad", blob, idx[0][2] - 3, idx[1][2] + 6))
+        df = spark.createDataFrame(
+            rows, "surt string, warc binary, offset long, comp_len long"
+        )
+        got = {r.surt: r for r in W.fetch_record_ranges(df).collect()}
+        for i in range(4):
+            r = got[f"k{i}"]
+            assert r.self_contained and r.payload == b"r%d" % i
+        assert got["bad"].warc_type == "corrupt"
+        assert got["bad"].self_contained is False
