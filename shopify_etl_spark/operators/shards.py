@@ -123,6 +123,7 @@ def shard_token_stream(
     id_col: str = "doc_id",
     group_col: str = "source",
     vocab: list[str] | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """One row per token occurrence with its shard address:
     ``(group, shard_id, q, tid)`` where ``q`` is the position inside
@@ -137,12 +138,21 @@ def shard_token_stream(
     :func:`train_vocab`) uses a FROZEN vocabulary instead of deriving
     one from this corpus — the streaming shard store's frozen-model
     path: ids stay stable across epochs no matter how the batch
-    distribution moves."""
+    distribution moves.
+
+    ``tokens_col`` (r16) feeds a PRE-TOKENIZED array column instead of
+    whitespace-tokenizing ``text_col`` — the seam the subword (BPE)
+    export plugs into: ``bpe_apply`` emits ``bpe_tokens`` and the
+    whole position/vocab/shard machinery downstream is unit-agnostic
+    (a token is whatever string the tokenizer produced)."""
+    tok_expr = (
+        F.col(tokens_col) if tokens_col is not None else tokens(text_col)
+    )
     base = checkpoint_tracked(
         docs.select(
             id_col,
             group_col,
-            tokens(text_col).alias("_toks"),
+            tok_expr.alias("_toks"),
         ).withColumn("n_tokens", F.size("_toks"))
         .filter(F.col("n_tokens") > 0)
     )

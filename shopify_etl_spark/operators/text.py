@@ -871,6 +871,7 @@ def bpe_apply(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Segment every document with learned BPE merges (the tokenizer
     APPLY step every training pipeline runs over the full corpus).
@@ -882,7 +883,9 @@ def bpe_apply(
     in a batch is segmented once regardless of its frequency, the same
     dict-not-corpus economics as training. Emits per-document BPE token
     counts plus the segmented tokens; deterministic for a fixed merge
-    table.
+    table. ``keep_cols`` ride through unchanged (the engine-wide
+    ride-along pattern), so a downstream grouping (e.g. the per-source
+    shard export) needs no corpus join back to the input.
     """
     import re as _re
 
@@ -920,6 +923,10 @@ def bpe_apply(
     schema = StructType(
         [
             StructField(id_col, df.schema[id_col].dataType, False),
+            *[
+                StructField(c, df.schema[c].dataType, True)
+                for c in keep_cols
+            ],
             StructField("n_bpe_tokens", LongType(), False),
             StructField("bpe_tokens", ArrayType(StringType()), False),
         ]
@@ -937,13 +944,14 @@ def bpe_apply(
                     out.extend(encode_word(w, memo))
                 ns.append(len(out))
                 toks.append(out)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].reset_index(drop=True),
-                 "n_bpe_tokens": pd.Series(ns, dtype="int64"),
-                 "bpe_tokens": pd.Series(toks, dtype=object)}
-            )
+            cols = {id_col: pdf[id_col].reset_index(drop=True)}
+            for c in keep_cols:
+                cols[c] = pdf[c].reset_index(drop=True)
+            cols["n_bpe_tokens"] = pd.Series(ns, dtype="int64")
+            cols["bpe_tokens"] = pd.Series(toks, dtype=object)
+            yield pd.DataFrame(cols)
 
-    return df.select(id_col, text_col).mapInPandas(seg, schema)
+    return df.select(id_col, *keep_cols, text_col).mapInPandas(seg, schema)
 
 
 def oov_rates(

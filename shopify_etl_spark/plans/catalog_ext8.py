@@ -13,9 +13,10 @@ the round-15 verdict ranked (VERDICT r15 asks #1/#3/#4/#5/#6):
   ``WARC-Type: revisit`` records referencing earlier byte-identical
   responses resolve against them by payload digest, accounting the
   bytes the crawler saved.
-* ``robots_agent_groups`` — RFC 9309 §2.2.1 group selection: rules
-  live in per-User-agent groups, and a fetcher obeys the MOST SPECIFIC
-  matching group only (``*`` as fallback), before longest-match.
+* RFC 9309 §2.2.1 group selection landed IN ``robots_compliance_audit``
+  (catalog_ext6): rules live in per-User-agent groups, and a fetcher
+  obeys the group matching its product token (``*`` as fallback)
+  before longest-match.
 * ``cdx_surt_lookup`` — the consumer story CDX exists for: resolve a
   canonical (SURT-keyed) URL to (file, offset, length) through the
   index and recover THE one record by ranged read.
@@ -273,4 +274,177 @@ def cdx_surt_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(html_to_text(warc.payload_text()))
         .cast("long")
         .alias("recovered_chars"),
+    )
+
+
+# BPE shard-export constants (mirrored in the test-side reference
+# replay): 40 merges, the word-level export's vocab/seq/shard layout.
+_BPE_MERGES = 40
+_BPE_VOCAB = 256
+_BPE_SEQ_LEN = 128
+_BPE_SEQS_PER_SHARD = 8
+
+# the GPT-2-style pretoken split, DuckDB spelling (catalog_ext2's
+# bpe_pretoken_counts pattern — Java-regex ∩ RE2 subset, identical on
+# both engines; '' escapes the quote inside the SQL literal)
+_PRETOK_SQL = (
+    "'(?:''s|''t|''re|''ve|''m|''ll|''d)"
+    r"| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+|\s+'"
+)
+
+
+@register(
+    "training_shard_export_bpe",
+    # guarantee-gate shape (the codec-gate discipline for a computation
+    # SQL cannot replay — BPE merges compose beyond one step): the
+    # SQL-visible side (per-source pretoken counts + char mass, both
+    # plain regex aggregates) is value-graded, and four in-plan
+    # self-check flags pin the non-SQL side: character conservation
+    # (BPE segmentation must tile the pretokens exactly), token-count
+    # bounds (n_pretokens ≤ n_bpe_tokens ≤ pretoken_chars), shard
+    # arithmetic (contiguous ids, all-but-last full, byte/pad algebra,
+    # manifest totals == apply totals) and checksums recomputed FROM
+    # the stored blob bytes. Byte-level shard parity vs an independent
+    # pure-Python BPE+pack replay is pinned in tests/test_shards.py.
+    oracle=f"""
+    SELECT source,
+           CAST(SUM(COALESCE(list_sum(list_transform(
+               regexp_extract_all(text, {_PRETOK_SQL}, 0),
+               x -> LENGTH(x))), 0)) AS BIGINT) AS pretoken_chars,
+           CAST(SUM(len(regexp_extract_all(text, {_PRETOK_SQL}, 0)))
+               AS BIGINT) AS n_pretokens,
+           TRUE AS chars_conserved,
+           TRUE AS token_count_bounded,
+           TRUE AS shard_arith_ok,
+           TRUE AS checksums_ok
+    FROM documents GROUP BY source
+    """,
+    doc="Subword (BPE) training-shard export (VERDICT r15 #3) — real "
+    "trainer shards are subword, not word-level: bpe_train learns 40 "
+    "ranked merges (driver-side fold over the frequency-pruned "
+    "pretoken dict — model-sized, corpus-independent loop), bpe_apply "
+    "segments the corpus (Arrow mapInPandas, per-batch pretoken memo, "
+    "source riding keep_cols), and the SAME shard machinery as "
+    "training_shard_export packs the ids: shard_token_stream consumes "
+    "the pre-tokenized column (tokens_col seam, r16), ranks a "
+    "256-entry subword vocabulary, assigns global positions by the "
+    "two-phase bounded prefix scan, and shard_blobs packs uint16 "
+    "little-endian blobs whose checksums are recomputed from the "
+    "packed bytes. Because merge composition is not SQL-replayable "
+    "(the documented bpe_apply_one_merge seam), the gate is the "
+    "guarantee pattern: value-graded pretoken counts/char mass (same "
+    "regex both engines) + pinned-TRUE conservation/bounds/shard-"
+    "arithmetic/checksum flags, with byte-level parity vs a "
+    "pure-Python reference replay in tests/test_shards.py. "
+    "operators/text.py::bpe_train,bpe_apply, operators/shards.py.",
+)
+def training_shard_export_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import shards, text
+    from ..operators.materialize import checkpoint_tracked
+
+    span = _BPE_SEQ_LEN * _BPE_SEQS_PER_SHARD
+    docs = load_table(spark, sf_dir, "documents")
+    merges = text.bpe_train(docs, n_merges=_BPE_MERGES)
+    seg = checkpoint_tracked(
+        text.bpe_apply(docs, merges, keep_cols=("source",))
+    )
+    stream = shards.shard_token_stream(
+        seg, vocab_size=_BPE_VOCAB, seq_len=_BPE_SEQ_LEN,
+        seqs_per_shard=_BPE_SEQS_PER_SHARD, tokens_col="bpe_tokens",
+    )
+    blobs = checkpoint_tracked(
+        shards.shard_blobs(
+            stream, vocab_size=_BPE_VOCAB, seq_len=_BPE_SEQ_LEN
+        )
+    )
+
+    # apply-side facts: BPE token totals + concatenated char mass
+    bpe_stats = seg.groupBy("source").agg(
+        F.sum("n_bpe_tokens").alias("_n_tok"),
+        F.sum(F.length(F.array_join("bpe_tokens", ""))).alias(
+            "_bpe_chars"
+        ),
+    )
+    # SQL-mirrorable side: pretoken counts + char mass (same regex the
+    # oracle runs)
+    pre = text.bpe_pretokens("text")
+    pre_stats = docs.groupBy("source").agg(
+        F.sum(F.size(pre)).cast("long").alias("n_pretokens"),
+        F.sum(F.length(F.array_join(pre, ""))).cast("long").alias(
+            "pretoken_chars"
+        ),
+    )
+    # manifest arithmetic, per shard then per source
+    byte_ok = F.col("byte_len") == 2 * _BPE_SEQ_LEN * F.col("n_seqs")
+    pad_ok = (
+        (F.col("n_pad")
+         == F.col("n_seqs") * _BPE_SEQ_LEN - F.col("n_tokens"))
+        & (F.col("n_pad") >= 0)
+        & (F.col("n_pad") < _BPE_SEQ_LEN)
+    )
+    arith = blobs.groupBy("source").agg(
+        F.sum("n_tokens").alias("_m_tok"),
+        F.count(F.lit(1)).alias("_n_shards"),
+        F.max("shard_id").alias("_max_sid"),
+        F.every(byte_ok & pad_ok).alias("_per_shard_ok"),
+        F.sum((F.col("n_tokens") == span).cast("long")).alias("_n_full"),
+    )
+    # independent checksum recheck from the STORED blob bytes
+    import pandas as pd
+
+    def recheck(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "source": pdf["source"],
+                    "shard_id": pdf["shard_id"],
+                    "_ck2": [
+                        shards.blob_checksum(bytes(b)) for b in pdf["blob"]
+                    ],
+                }
+            )
+
+    ck = (
+        blobs.mapInPandas(
+            recheck, "source string, shard_id long, _ck2 long"
+        )
+        .join(
+            # manifest rows are shard-count-sized (corpus/1024) —
+            # broadcast against the recheck stream
+            F.broadcast(
+                shards.shard_manifest(blobs).select(
+                    "source", "shard_id", "checksum"
+                )
+            ),
+            ["source", "shard_id"],
+        )
+        .groupBy("source")
+        .agg(F.every(F.col("_ck2") == F.col("checksum")).alias(
+            "checksums_ok"
+        ))
+    )
+    # every joined frame is #sources-sized — broadcast all of them
+    return (
+        pre_stats.join(F.broadcast(bpe_stats), "source")
+        .join(F.broadcast(arith), "source")
+        .join(F.broadcast(ck), "source")
+        .select(
+            "source",
+            "pretoken_chars",
+            "n_pretokens",
+            (F.col("_bpe_chars") == F.col("pretoken_chars")).alias(
+                "chars_conserved"
+            ),
+            (
+                (F.col("_n_tok") >= F.col("n_pretokens"))
+                & (F.col("_n_tok") <= F.col("pretoken_chars"))
+            ).alias("token_count_bounded"),
+            (
+                F.col("_per_shard_ok")
+                & (F.col("_n_shards") == F.col("_max_sid") + 1)
+                & (F.col("_n_full") >= F.col("_n_shards") - 1)
+                & (F.col("_m_tok") == F.col("_n_tok"))
+            ).alias("shard_arith_ok"),
+            "checksums_ok",
+        )
     )

@@ -110,6 +110,14 @@ EXPECT = {
     "training_shard_export": dict(
         max_shuffles=7, min_bhj=2, max_smj=0, max_scan_width=3
     ),
+    # r16 BPE shard export: the word-level export's machinery over the
+    # checkpointed bpe_apply output (vocab agg broadcast, prefix-scan
+    # buckets broadcast, per-shard packer grouping) + four per-SOURCE
+    # aggregates broadcast-joined at the end — the corpus never
+    # sort-merges
+    "training_shard_export_bpe": dict(
+        max_shuffles=7, min_bhj=3, max_smj=0, max_scan_width=3
+    ),
     # r15 host link graph: synth grouping + ONE corpus-sized edge agg;
     # the pagerank iterations broadcast-join host-bounded frames only
     # (measured 10 exchanges: edge agg + per-step grouped sums)
@@ -441,6 +449,12 @@ MAX_SCANS_PER_TABLE = {
                                  # feed the index build AND the ranged
                                  # fetch; documents scans for synth +
                                  # the lookup key set
+    "training_shard_export_bpe": 2,  # r16: the checkpointed bpe_apply
+                                     # output feeds the shard stream +
+                                     # the apply-side stats; documents
+                                     # scans for apply + the pretoken
+                                     # stats (the bpe_train wc pass is
+                                     # a build-time model collect)
     "maxsim_pruned_search": 1,   # chunk+embed checkpoint feeds cell
                                  # assignment, the corpus side and the
                                  # query-chunk frame

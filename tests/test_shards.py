@@ -194,3 +194,137 @@ class TestCanonicalizeUrl:
         # unparseable: parse_url yields null parts -> null key (drops
         # out of URL-keyed joins instead of grouping under garbage)
         assert got[1] is None
+
+
+class TestBpeShardParity:
+    """Round-16 byte-level differential for the SUBWORD shard export:
+    an independent pure-Python replay of the whole chain (pretokenize →
+    BPE train → greedy apply → ranked subword vocab → positions →
+    shards → uint16 LE pack) must reproduce the Spark chain's blobs
+    BYTE-FOR-BYTE — the codec-differential discipline applied to the
+    non-SQL-replayable half of training_shard_export_bpe."""
+
+    def _ref_blobs(self, rows, n_merges, vocab_size, seq_len, sps):
+        import re
+        from collections import Counter
+
+        from shopify_etl_spark.operators.text import BPE_PRETOKEN_PATTERN
+
+        pat = re.compile(BPE_PRETOKEN_PATTERN)
+        # --- train (frequency dict fold; ties: count desc, pair asc)
+        wc = Counter(w for _, _, t in rows for w in pat.findall(t))
+        vocab = {tuple(w): n for w, n in wc.items()}
+        merges = []
+        for _ in range(n_merges):
+            pc = Counter()
+            for word, n in vocab.items():
+                for pair in zip(word, word[1:]):
+                    pc[pair] += n
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append(best)
+            nv = Counter()
+            for word, n in vocab.items():
+                out, i = [], 0
+                while i < len(word):
+                    if i + 1 < len(word) and (word[i], word[i + 1]) == best:
+                        out.append(word[i] + word[i + 1])
+                        i += 2
+                    else:
+                        out.append(word[i])
+                        i += 1
+                nv[tuple(out)] += n
+            vocab = nv
+        # --- apply (lowest-rank-first, leftmost on rank ties)
+        ranks = {p: i for i, p in enumerate(merges)}
+        def enc(w):
+            syms = list(w)
+            while len(syms) > 1:
+                cands = [
+                    (ranks[(a, b)], i)
+                    for i, (a, b) in enumerate(zip(syms, syms[1:]))
+                    if (a, b) in ranks
+                ]
+                if not cands:
+                    break
+                _, i = min(cands)
+                syms[i:i + 2] = [syms[i] + syms[i + 1]]
+            return syms
+        doc_toks = {}
+        for d, s, t in rows:
+            out = []
+            for w in pat.findall(t):
+                out.extend(enc(w))
+            if out:
+                doc_toks[(d, s)] = out
+        # --- ranked subword vocab (tf desc, token asc), OOV/pad ids
+        tf = Counter(tok for ts in doc_toks.values() for tok in ts)
+        ranked = sorted(tf, key=lambda w: (-tf[w], w))[:vocab_size]
+        tid = {w: i for i, w in enumerate(ranked)}
+        streams = {}
+        for (d, s), ts in sorted(doc_toks.items()):
+            streams.setdefault(s, []).extend(
+                tid.get(w, vocab_size) for w in ts
+            )
+        # --- shard + pack
+        span = seq_len * sps
+        blobs = {}
+        for s, ids in streams.items():
+            for sh in range(0, (len(ids) + span - 1) // span):
+                chunk = ids[sh * span:(sh + 1) * span]
+                n_seqs = -(-len(chunk) // seq_len)
+                chunk = chunk + [vocab_size + 1] * (
+                    n_seqs * seq_len - len(chunk)
+                )
+                blobs[(s, sh)] = np.array(
+                    chunk, dtype="<u2"
+                ).tobytes()
+        return blobs
+
+    def test_spark_chain_matches_reference_bytes(self, spark):
+        from shopify_etl_spark.operators import text as T
+
+        rows = [
+            (0, "a", "the cat sat on the mat, the cat!"),
+            (1, "a", "a catapult category 42 cats (category b)"),
+            (2, "b", "the mat the cat the catapult 4242"),
+            (3, "b", "don't categorize the cat's mat"),
+            (4, "a", ""),
+            (5, "b", "mat mat mat the the cat cat izer"),
+        ]
+        n_merges, v, seq_len, sps = 12, 16, 4, 2
+        docs = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        merges = T.bpe_train(docs, n_merges=n_merges)
+        seg = T.bpe_apply(docs, merges, keep_cols=("source",))
+        stream = S.shard_token_stream(
+            seg, vocab_size=v, seq_len=seq_len, seqs_per_shard=sps,
+            tokens_col="bpe_tokens",
+        )
+        got = {
+            (r["source"], r["shard_id"]): bytes(r["blob"])
+            for r in S.shard_blobs(
+                stream, vocab_size=v, seq_len=seq_len
+            ).collect()
+        }
+        want = self._ref_blobs(rows, n_merges, v, seq_len, sps)
+        assert got == want
+        # the checksums certify the same bytes (one formula, both ends)
+        for key, blob in want.items():
+            assert S.blob_checksum(blob) == S.blob_checksum(got[key])
+
+    def test_bpe_apply_keep_cols_ride_through(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "x", "ab ab"), (2, "y", "cd")],
+            "doc_id long, source string, text string",
+        )
+        out = {r.doc_id: r for r in T_apply(docs).collect()}
+        assert out[1].source == "x" and out[2].source == "y"
+
+
+def T_apply(docs):
+    from shopify_etl_spark.operators import text as T
+
+    return T.bpe_apply(docs, [("a", "b")], keep_cols=("source",))
