@@ -52,6 +52,9 @@ def main() -> int:
         "failed": counts["failed"] + counts["error"],
         # the skip reason, made explicit: image differentials need Pillow
         "pillow_version": pillow,
+        # which backend the image differentials ran against (r16: the
+        # clean-room tests/ref_codecs.py fallback means they ALWAYS run)
+        "image_backend": "pillow" if pillow else "ref_codecs",
         "exit_code": r.returncode,
         "wall_sec": round(time.time() - t0, 1),
         "summary": tail,
