@@ -331,6 +331,38 @@ _SAMPLE_FIRST = _CHANGED_R15 + [
     and n not in _R05_SAMPLED
 ]
 
+# New or code-changed in round 16 — sample these first (prepended to
+# the freshness order below; the comprehension keeps it duplicate-free).
+_CHANGED_R16 = [
+    "crawl_encoding_routing",    # NEW: per-label extracted-vs-skipped gate
+    "warc_revisit_resolution",   # NEW: CC revisit digest resolution
+    "cdx_surt_lookup",           # NEW: SURT key + ranged-read recovery
+    "training_shard_export_bpe",  # NEW: subword shard export
+    "robots_compliance_audit",   # RFC 9309 §2.2.1 group selection
+    "crawl_http_fidelity",       # br leg in the fixture + is_decoded
+    # html_to_text rules 3-4 now quoted-attribute-aware + _extracted
+    # gained the transport-routing predicate — extraction consumers
+    # re-fronted:
+    "html_extract_docs",
+    "crawl_curation_chain",
+    "crawl_language_routing",
+    "wet_export_roundtrip",
+    "crawl_multimodal_stats",
+    "url_canonical_dedup",
+    # warc record schema gained refers_to/payload_digest; cdx gained
+    # the surt column; shard_token_stream gained tokens_col; bpe_apply
+    # gained keep_cols:
+    "warc_ingest_stats",
+    "cdx_index_coverage",
+    "host_link_pagerank",
+    "crawl_domain_caps",
+    "training_shard_export",
+    "bpe_apply_one_merge",
+]
+_SAMPLE_FIRST = _CHANGED_R16 + [
+    n for n in _SAMPLE_FIRST if n not in _CHANGED_R16
+]
+
 # _SAMPLE_FIRST must stay duplicate-free by construction — the dict
 # rebuild below would silently hide a repeat introduced by a future
 # _CHANGED_R1X edit, so assert it here instead.

@@ -2234,7 +2234,7 @@ def test_probe_rebuild_retrains_after_drift_alarm(spark, tmp_path):
 
 
 def _crawl_feed_batch(
-    spark, src, name, doc_rows, docs_per_file=5, image_every=0
+    spark, src, name, doc_rows, docs_per_file=5, image_every=0, **synth_kw
 ):
     """Write one parquet feed delivery of synthesized .warc.gz archives.
     Part files land FLAT in the feed dir (the file stream source lists
@@ -2247,7 +2247,8 @@ def _crawl_feed_batch(
     docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
     tmp = os.path.join(str(src), f"_tmp_{name}")
     synth_warc_files(
-        docs, docs_per_file=docs_per_file, image_every=image_every
+        docs, docs_per_file=docs_per_file, image_every=image_every,
+        **synth_kw
     ).select(
         "file_id", "warc"
     ).write.mode("overwrite").parquet(tmp)
@@ -2709,3 +2710,55 @@ def test_stream_shard_whitespace_only_first_epoch_never_wedges(
     got = read_shard_store(spark, store)
     assert got.count() > 0
     assert got.filter("trained").count() == got.count()
+
+
+def test_stream_crawl_routes_unknown_encoding_as_accounting_rows(
+    spark, tmp_path
+):
+    """Transport routing through the STREAM (r16, VERDICT r15 #1): a
+    feed whose archives carry unknown-Content-Encoding (br) fetches
+    commits them as ACCOUNTING rows (keep=false,
+    reasons='transport:br', null text) — counted, never extracted,
+    never silently dropped — and the committed corpus still equals the
+    batch chain over the union of everything fed."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from shopify_etl_spark.sources.warc import synth_warc_files
+    from shopify_etl_spark.streaming import (
+        curate_archives,
+        read_crawl_corpus,
+        stream_crawl_ingest,
+    )
+
+    words = [f"c{i}" for i in range(40)] + ["the", "a", "of"]
+
+    def doc(d):
+        return (d, " ".join(words[(d + j) % 43] for j in range(30 + d % 9)))
+
+    # ids 1..12: 6 rides the br leg (6 % 9 == 6); the rest decode
+    rows = [doc(d) for d in range(1, 13)]
+    src = tmp_path / "feed"
+    src.mkdir()
+    store, ckpt = str(tmp_path / "crawl_enc"), str(tmp_path / "ck_enc")
+    _crawl_feed_batch(
+        spark, src, "d0.parquet", rows,
+        http_variants=True, unknown_encoding_every=9,
+    )
+    stream_crawl_ingest(spark, str(src), store, ckpt).awaitTermination(120)
+    got = {r.doc_id: r for r in read_crawl_corpus(spark, store).collect()}
+    assert set(got) == set(range(1, 13))
+    skipped = got[6]
+    assert skipped.keep is False
+    assert skipped.reasons == "transport:br"
+    assert skipped.text_out is None
+    assert all(got[d].text_out is not None for d in got if d != 6)
+    # batch-equivalence over the same feed
+    union = spark.createDataFrame(rows, "doc_id long, text string")
+    want = sorted(map(tuple, curate_archives(
+        synth_warc_files(
+            union, docs_per_file=5, http_variants=True,
+            unknown_encoding_every=9,
+        ).select("file_id", "warc")
+    ).collect()))
+    assert sorted(map(tuple, read_crawl_corpus(spark, store).collect())) \
+        == want
