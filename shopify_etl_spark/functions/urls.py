@@ -44,12 +44,15 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def canonicalize_url(col: Column | str) -> Column:
-    """Canonical form of an absolute URL column (rules above). Null/
-    unparseable inputs yield null (``try_parse_url`` returns null parts),
-    so malformed URIs drop out of URL-keyed joins instead of grouping
-    under a garbage key."""
-    u = F.col(col) if isinstance(col, str) else col
+def _canonical_parts(
+    u: Column,
+) -> tuple[Column, Column, Column, Column, Column]:
+    """(proto, host, port_part, path, query_part) of a URL column with
+    every normalization rule applied — the ONE parse both
+    :func:`canonicalize_url` and :func:`surt_key` assemble from (the
+    r16 self-review: surt_key previously re-parsed the reassembled
+    canonical string, doubling the JVM URI parses per row and
+    duplicating the port/path/query handling)."""
     proto = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
     host = F.lower(F.try_parse_url(u, F.lit("HOST")))
     # parse_url HOST excludes the port; recover it from AUTHORITY and
@@ -73,6 +76,16 @@ def canonicalize_url(col: Column | str) -> Column:
     query_part = F.when(
         query.isNotNull() & (query != ""), F.concat(F.lit("?"), query)
     ).otherwise(F.lit(""))
+    return proto, host, port_part, path, query_part
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """Canonical form of an absolute URL column (rules above). Null/
+    unparseable inputs yield null (``try_parse_url`` returns null parts),
+    so malformed URIs drop out of URL-keyed joins instead of grouping
+    under a garbage key."""
+    u = F.col(col) if isinstance(col, str) else col
+    proto, host, port_part, path, query_part = _canonical_parts(u)
     return F.concat(proto, F.lit("://"), host, port_part, path, query_part)
 
 
@@ -85,29 +98,16 @@ def surt_key(col: Column | str) -> Column:
         http://www.host3.example/sec5/doc/42?x=1
           → example,host3,www)/sec5/doc/42?x=1
 
-    Built ON TOP of :func:`canonicalize_url` (case, default port,
-    fragment, slash normalization all applied first), so two messy
-    spellings of one resource land on one index key — the lookup
-    contract ``cdx_surt_lookup`` gates. One JVM expression chain;
-    null for unparseable URLs (they cannot be looked up)."""
-    u = canonicalize_url(col)
-    host = F.try_parse_url(u, F.lit("HOST"))
+    Built from the SAME normalized parts as :func:`canonicalize_url`
+    (case, default port, fragment, slash rules — one parse, shared), so
+    two messy spellings of one resource land on one index key — the
+    lookup contract ``cdx_surt_lookup`` gates. One JVM expression
+    chain; null for unparseable URLs (they cannot be looked up)."""
+    u = F.col(col) if isinstance(col, str) else col
+    proto, host, port_part, path, query_part = _canonical_parts(u)
     rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
-    port = F.regexp_extract(
-        F.coalesce(F.try_parse_url(u, F.lit("AUTHORITY")), F.lit("")),
-        r":(\d+)$",
-        1,
-    )
-    port_part = F.when(
-        port != "", F.concat(F.lit(":"), port)
-    ).otherwise(F.lit(""))
-    path = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
-    query = F.try_parse_url(u, F.lit("QUERY"))
-    query_part = F.when(
-        query.isNotNull() & (query != ""), F.concat(F.lit("?"), query)
-    ).otherwise(F.lit(""))
     return F.when(
-        host.isNotNull(),
+        proto.isNotNull() & host.isNotNull(),
         F.concat(rev, port_part, F.lit(")"), path, query_part),
     )
 

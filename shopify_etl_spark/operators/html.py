@@ -44,13 +44,15 @@ tag/entity layer below is the deterministic part):
 6. optional whitespace normalization (``\\s+`` → one space + trim).
 
 Tag spans are QUOTED-ATTRIBUTE-AWARE (r16 — the former documented
-seam, closed): rules 3-4 match ``<(?:"[^"]*"|'[^']*'|[^>"'])*>`` — one
-JVM regex, linear (the alternatives are disjoint on their first
-character), so ``<a title="a>b">`` is consumed whole instead of
-mis-splitting at the quoted ``>``. A MALFORMED tag (unpaired quote
-before the closing ``>``) falls back to the old first-``>`` deletion
-in a second pass, so sloppy real-crawl markup (``<a title=it's>``)
-still strips instead of leaking tag text.
+seam, closed): rules 3-4 consume ``="…"`` / ``='…'`` attribute-value
+atoms (a quote opens a value only after ``=``, the HTML5 rule) or
+plain non-``<``/``>`` characters — one possessive JVM regex, linear —
+so ``<a title="a>b">`` is consumed whole instead of mis-splitting at
+the quoted ``>``, while a stray apostrophe in an UNQUOTED value
+(``<a title=it's>``) stays a plain character and the tag ends at the
+first ``>`` (browser behavior — no text is swallowed). A tag whose
+span cannot complete (a ``<`` before any ``>``) falls back to the old
+first-``>`` deletion in a second pass.
 
 The synthesizer (:func:`synth_html`) is the gate's other half: it embeds
 a document's text into a template that exercises every rule above
@@ -77,10 +79,24 @@ BLOCK_TAGS = (
 )
 
 # A tag's attribute span: quoted values may contain ">" (the r15
-# verdict's extractor seam), so tag regexes consume "…" / '…' atoms or
-# non-quote-non-">" characters — never a bare [^>]*. Disjoint first
-# characters keep the scan linear (no backtracking ambiguity).
-_TAG_ATTRS = "(?:\"[^\"]*\"|'[^']*'|[^>\"'])*"
+# verdict's extractor seam), so tag regexes consume quoted atoms or
+# plain characters — never a bare [^>]*. Two refinements from the r16
+# self-review:
+# * a quote opens a quoted value ONLY when it follows "=" (the HTML5
+#   attribute-value rule) — a stray apostrophe in an UNQUOTED value
+#   (<a title=it's>) is a plain character, not a span opener that
+#   would swallow text up to the next apostrophe in the document;
+# * possessive quantifiers (*+): the alternatives overlap ("=" can
+#   start a quoted atom or be a plain char), and without possessive
+#   matching a long attribute run with no closing ">" backtracks
+#   combinatorially in Java's engine. Possessive = one deterministic
+#   pass, fail fast.
+# Plain chars exclude "<" (a new tag opener bounds the span; the
+# leftover malformed tag is handled by the first-">" fallback pass).
+# A properly "="-opened quote may still span ">" — that is the
+# feature, and it matches the HTML5 tokenizer (browsers too consume a
+# quoted value to its closing quote even across ">").
+_TAG_ATTRS = "(?:=\\s*+\"[^\"]*+\"|=\\s*+'[^']*+'|[^<>])*+"
 
 # Single-pass unescape over a REPLACE chain needs every spelling of
 # "&" (named + numeric + hex) parked on a sentinel until all other

@@ -807,6 +807,9 @@ def crawl_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN sec = (2 * h + 5) % 13
                          AND CAST(doc_id AS VARCHAR) NOT LIKE '1%'
                         THEN 1 ELSE 0 END
+                 WHEN h = 1 THEN  -- stacked-UA group, no Allow line
+                   CASE WHEN sec = (2 * h + 7) % 13 THEN 1 ELSE 0 END
+                 WHEN h = 3 THEN 0  -- empty specific group: allow-all
                  ELSE
                    CASE WHEN (sec = (2 * h) % 13
                               AND CAST(doc_id AS VARCHAR) NOT LIKE '1%')
@@ -881,14 +884,22 @@ def robots_compliance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.split("_body", "\n")).alias("pos", "_line"),
     )
     wh = Window.partitionBy("host").orderBy("pos")
-    lines = lines.withColumn(
+    # RFC 9309 §2.2.1: ADJACENT User-agent lines share one group (the
+    # stacked-UA form), so a new group starts only at a UA line whose
+    # PREDECESSOR is not a UA line — a running count of group STARTS,
+    # not of UA lines
+    is_ua = F.regexp_extract("_line", ua_pat, 1) != ""
+    lines = lines.withColumn("_is_ua", is_ua).withColumn(
         "grp",
         F.sum(
-            (F.regexp_extract("_line", ua_pat, 1) != "").cast("int")
+            (
+                F.col("_is_ua")
+                & ~F.coalesce(F.lag("_is_ua").over(wh), F.lit(False))
+            ).cast("int")
         ).over(wh),
     )
     grp_agent = (
-        lines.filter(F.regexp_extract("_line", ua_pat, 1) != "")
+        lines.filter(F.col("_is_ua"))
         .select(
             "host",
             "grp",
@@ -901,16 +912,20 @@ def robots_compliance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.regexp_extract("_line", rule_pat, 1)).alias("rule"),
         F.regexp_extract("_line", rule_pat, 2).alias("prefix"),
     ).filter(F.col("prefix") != "")
-    # RFC 9309 §2.2.1: obey the group matching our product token;
-    # fall back to `*` only when no specific group exists on the host.
-    # grp_agent is host×group-bounded (one row per User-agent line in
-    # the web's robots files) — broadcast at any SF
+    # RFC 9309 §2.2.1: obey the group(s) matching our product token;
+    # fall back to `*` only when NO specific group exists on the host.
+    # The existence check comes from grp_agent ALONE (not the
+    # rules⋈agent join), so an EMPTY specific group — RFC: allow-all
+    # for that agent — still suppresses the `*` fallback. grp_agent is
+    # host×group-bounded (one row per User-agent line in the web's
+    # robots files) — broadcast at any SF
+    host_spec = grp_agent.groupBy("host").agg(
+        F.max((F.col("agent") == agent).cast("int")).alias(
+            "_has_specific"
+        )
+    )
     tagged = grp_rules.join(F.broadcast(grp_agent), ["host", "grp"])
-    wh_all = Window.partitionBy("host")
-    chosen = tagged.withColumn(
-        "_has_specific",
-        F.max((F.col("agent") == agent).cast("int")).over(wh_all),
-    ).filter(
+    chosen = tagged.join(F.broadcast(host_spec), "host").filter(
         (F.col("agent") == agent)
         | ((F.col("_has_specific") == 0) & (F.col("agent") == "*"))
     )

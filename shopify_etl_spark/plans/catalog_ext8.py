@@ -172,6 +172,12 @@ def warc_revisit_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("payload_digest", "^md5:", "").alias("_dg"),
         F.length("payload").cast("long").alias("revisit_body_bytes"),
     )
+    # extraction (saved_chars) is computed BEFORE the digest shuffle by
+    # design: it keeps payload bytes out of the exchange (16-byte rows
+    # ride the join instead of KB pages). The alternative — join first,
+    # extract the revisit-sized subset — would shuffle every response's
+    # payload; the revisit side grows with the corpus, so it cannot be
+    # broadcast-semi-joined at scale either. CPU-for-IO, deliberately.
     originals = recs.filter(
         (F.col("warc_type") == "response")
         & (F.col("http_status") == 200)

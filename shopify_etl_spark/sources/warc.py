@@ -1031,6 +1031,21 @@ def synth_warc_files(
                         f"Disallow: /sec{c}/\n"
                         f"Allow: /sec{c}/doc/1\n"
                     )
+                elif h == 1:
+                    # STACKED User-agent lines share ONE group
+                    # (RFC 9309 §2.2.1) — a parser that starts a new
+                    # group per UA line attaches the rule to otherbot
+                    # only and wrongly falls back to `*`
+                    body += (
+                        "\n"
+                        "User-agent: otherbot\n"
+                        "User-agent: shopify-etl-spark\n"
+                        f"Disallow: /sec{(2 * h + 7) % 13}/\n"
+                    )
+                elif h == 3:
+                    # an EMPTY specific group: RFC allow-all for this
+                    # agent — it must still SUPPRESS the `*` fallback
+                    body += "\nUser-agent: shopify-etl-spark\n"
                 parts.append(
                     gzip_member(
                         build_record(
@@ -1094,6 +1109,10 @@ def synth_warc_files(
                 )
             )
             rec_type, extra_hdrs = "response", []
+            # the dup branches must mirror the ORIGINAL response's body
+            # formula exactly (links included) — the byte-identical
+            # invariant and the revisit digest both depend on it
+            page_links = _synth_links(d) if links else ()
             if dup and revisits and d % 20 == 14:
                 # byte-identical re-fetch as the real CC dedup format:
                 # a revisit record referencing the original response by
@@ -1101,7 +1120,9 @@ def synth_warc_files(
                 # body is NOT re-stored — zero payload bytes)
                 import hashlib
 
-                orig = synth_html(d, str(row["_text"])).encode()
+                orig = synth_html(
+                    d, str(row["_text"]), links=page_links
+                ).encode()
                 rec_type = "revisit"
                 extra_hdrs = [
                     ("WARC-Refers-To", f"<urn:uuid:resp-{d:016d}>"),
@@ -1124,7 +1145,9 @@ def synth_warc_files(
                 # re-fetch: same page, possibly updated (id%20==4 → a
                 # " v2" revision; id%20==14 → byte-identical)
                 txt = str(row["_text"]) + (" v2" if d % 20 == 4 else "")
-                http = _http_response(200, "OK", synth_html(d, txt))
+                http = _http_response(
+                    200, "OK", synth_html(d, txt, links=page_links)
+                )
             elif d % not_found_every == 0:
                 http = _http_response(404, "Not Found", NOT_FOUND_HTML)
             elif image_every > 0 and d % image_every == 2:

@@ -876,3 +876,56 @@ class TestSurtLookup:
             assert r.self_contained and r.payload == b"r%d" % i
         assert got["bad"].warc_type == "corrupt"
         assert got["bad"].self_contained is False
+
+
+class TestAttributeQuoteDiscipline:
+    """r16 self-review regressions: a quote opens an attribute value
+    ONLY after '=' (the HTML5 rule) — stray quotes in unquoted values
+    or body text never swallow downstream text."""
+
+    def test_unquoted_apostrophe_does_not_swallow_text(self, spark):
+        page = "<a title=it's>word</a> isn't it great> yes"
+        assert _extract(spark, page) == "word isn't it great> yes"
+
+    def test_unpaired_eq_quote_falls_back_bounded(self, spark):
+        # an '='-opened quote with no closing quote cannot complete the
+        # quoted atom; the plain-char path ends the tag at the first
+        # '>' and the text survives
+        page = '<a title="oops>word rest'
+        assert _extract(spark, page) == "word rest"
+
+    def test_quote_not_after_eq_is_plain(self, spark):
+        page = '<p class="x>one "two" three" four>tail'
+        # HTML5 semantics: class="x>one " is the quoted value, the tag
+        # then runs to the first unquoted '>' (after ' four')
+        assert _extract(spark, page) == "tail"
+
+
+class TestRevisitWithLinks:
+    def test_revisit_digest_matches_original_with_links(self, spark):
+        """r16 self-review: the dup/revisit body formula must mirror
+        the original INCLUDING the outlink nav, else refetch+links
+        breaks the byte-identical invariant and every revisit digest
+        misses."""
+        import hashlib
+
+        docs = spark.createDataFrame(
+            [(14, "gamma delta"), (24, "x y")],
+            "doc_id long, text string",
+        )
+        files = W.synth_warc_files(
+            docs, docs_per_file=25, rich_uris=True, refetch=True,
+            revisits=True, links=True,
+        )
+        recs = W.warc_records(files).collect()
+        rv = [r for r in recs if r.warc_type == "revisit"]
+        assert len(rv) == 1  # doc 14 (24 % 20 == 4 → updated response)
+        origs = {r.record_id: bytes(r.payload) for r in recs
+                 if r.warc_type == "response"}
+        want = "md5:" + hashlib.md5(origs[rv[0].refers_to]).hexdigest()
+        assert rv[0].payload_digest == want
+        # the v2 re-fetch (doc 24) must carry the SAME outlinks as the
+        # original so only the ' v2' text differs
+        v2 = next(r for r in recs if r.record_id.endswith("-r2>")
+                  and r.warc_type == "response")
+        assert b'href="http://host' in bytes(v2.payload)
