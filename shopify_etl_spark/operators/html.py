@@ -199,6 +199,15 @@ def html_to_text(col: Column | str, normalize_ws: bool = True) -> Column:
     return c
 
 
+def html_title(col: Column | str) -> Column:
+    """The ``<title>`` text of an HTML string column (one JVM regex
+    over the RAW page — titles live in ``<head>``, which
+    :func:`html_to_text` deliberately drops, so metadata extraction
+    reads it separately; the WAT export's field). Empty when absent."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract(c, r"(?is)<title[^>]*>(.*?)</title>", 1)
+
+
 def escape_html(text: str) -> str:
     """Minimal HTML escape (``&`` first — the inverse of the decode
     table's ``&amp;``-last order)."""
@@ -261,4 +270,7 @@ def synth_html(
     )
 
 
-__all__ = ["html_to_text", "escape_html", "synth_html", "BLOCK_TAGS"]
+__all__ = [
+    "html_to_text", "html_title", "escape_html", "synth_html",
+    "BLOCK_TAGS",
+]

@@ -334,6 +334,8 @@ _SAMPLE_FIRST = _CHANGED_R15 + [
 # New or code-changed in round 16 — sample these first (prepended to
 # the freshness order below; the comprehension keeps it duplicate-free).
 _CHANGED_R16 = [
+    "wat_export_roundtrip",      # NEW: WAT metadata derivative round-trip
+    "crawl_snapshot_diff",       # NEW: dump-over-dump delta by digest
     "crawl_encoding_routing",    # NEW: per-label extracted-vs-skipped gate
     "warc_revisit_resolution",   # NEW: CC revisit digest resolution
     "cdx_surt_lookup",           # NEW: SURT key + ranged-read recovery

@@ -783,6 +783,83 @@ def wet_archives(
 
 
 # ---------------------------------------------------------------------------
+# WAT export — the metadata derivative (completes the CC trio with WET/CDX)
+# ---------------------------------------------------------------------------
+
+
+def wat_archives(
+    meta: DataFrame,
+    file_col: str = "file_id",
+    idx_col: str = "rec_index",
+    refers_col: str = "record_id",
+    json_col: str = "wat_json",
+) -> DataFrame:
+    """Materialize per-record metadata as WAT archives — per-record-gzip
+    ``metadata`` records (``Content-Type: application/json``), each
+    carrying ``WARC-Refers-To`` back to the response it describes: the
+    third derivative Common Crawl publishes next to every dump
+    (WARC → WAT/WET/CDX; this module now writes all three). The JSON
+    itself is built JVM-side by the caller (``to_json(struct(...))`` —
+    urls, status, outlinks, title), so the only Python is the per-
+    archive gzip packer, the wet_archives discipline exactly: one
+    ``applyInPandas`` per archive group, memory = one archive's
+    metadata, output rows map 1:1 onto ``.warc.wat.gz`` objects, and
+    :func:`warc_records` reads them back with zero new code."""
+    staged = meta.select(
+        F.col(file_col).alias("file_id"),
+        F.col(idx_col).alias("_idx"),
+        F.col(refers_col).alias("_refers"),
+        F.col(json_col).alias("_json"),
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        fid = int(pdf["file_id"].iloc[0])
+        parts = [
+            gzip_member(
+                build_record(
+                    "warcinfo",
+                    [
+                        (
+                            "WARC-Record-ID",
+                            f"<urn:uuid:0000-watinfo-{fid:012d}>",
+                        ),
+                        ("WARC-Date", "2026-01-01T00:00:00Z"),
+                        ("Content-Type", "application/warc-fields"),
+                    ],
+                    b"software: shopify-etl-spark-wat/1.0\r\n",
+                )
+            )
+        ]
+        n = 1
+        for _, row in pdf.sort_values("_idx").iterrows():
+            parts.append(
+                gzip_member(
+                    build_record(
+                        "metadata",
+                        [
+                            (
+                                "WARC-Record-ID",
+                                f"<urn:uuid:wat-{fid:08d}-"
+                                f"{int(row['_idx']):08d}>",
+                            ),
+                            ("WARC-Date", "2026-01-01T00:00:00Z"),
+                            ("WARC-Refers-To", str(row["_refers"])),
+                            ("Content-Type", "application/json"),
+                        ],
+                        str(row["_json"]).encode("utf-8"),
+                    )
+                )
+            )
+            n += 1
+        return pd.DataFrame(
+            [(fid, b"".join(parts), n)],
+            columns=["file_id", "warc", "n_members"],
+        )
+
+    return staged.groupBy("file_id").applyInPandas(build, WARC_FILE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # synthesis (fixture twin — the oracles recompute its accounting in SQL)
 # ---------------------------------------------------------------------------
 
@@ -1254,5 +1331,6 @@ __all__ = [
     "CDX_SCHEMA",
     "RANGED_FETCH_SCHEMA",
     "wet_archives",
+    "wat_archives",
     "synth_warc_files",
 ]

@@ -127,6 +127,16 @@ EXPECT = {
     # r15 WET round-trip: the two archive groupings (synth + WET write)
     # are the only shuffles; both splits are zero-shuffle map stages
     "wet_export_roundtrip": dict(max_shuffles=2, max_scan_width=2),
+    # r16 WAT round-trip: same shape — synth grouping + the WAT packer
+    # grouping; metadata extraction and JSON build/parse are JVM
+    # projections
+    "wat_export_roundtrip": dict(max_shuffles=2, max_scan_width=2),
+    # r16 snapshot diff: two synth groupings + ONE full-outer join of
+    # (url, md5) projections — both sides corpus-sized, SMJ is the
+    # scale-correct plan; payloads never ride the exchange
+    "crawl_snapshot_diff": dict(
+        max_shuffles=4, max_smj=1, max_scan_width=2
+    ),
     # r15 CDX index: per-archive chaining window (bounded: 2·dpf+1 rows
     # per archive) + per-file agg + the byte-length join over the
     # checkpointed synth output

@@ -929,3 +929,61 @@ class TestRevisitWithLinks:
         v2 = next(r for r in recs if r.record_id.endswith("-r2>")
                   and r.warc_type == "response")
         assert b'href="http://host' in bytes(v2.payload)
+
+
+class TestWatExport:
+    """r16: the WAT metadata derivative (WARC -> WAT/WET/CDX trio)."""
+
+    def test_wat_records_shape_and_json(self, spark):
+        import json as _json
+
+        from pyspark.sql import functions as F2
+
+        docs = spark.createDataFrame(
+            [(1, "w " * 10), (2, "x " * 10)], "doc_id long, text string"
+        )
+        files = W.synth_warc_files(docs, docs_per_file=5, links=True)
+        ok = W.warc_records(files).filter(
+            (F2.col("warc_type") == "response")
+            & (F2.col("http_status") == 200)
+        )
+        from shopify_etl_spark.operators.html import html_title
+
+        meta = ok.select(
+            "file_id", "rec_index", "record_id",
+            F2.to_json(
+                F2.struct(
+                    F2.col("target_uri").alias("url"),
+                    html_title(W.payload_text()).alias("title"),
+                )
+            ).alias("wat_json"),
+        )
+        out = {
+            r.record_id: r
+            for r in W.warc_records(W.wat_archives(meta)).collect()
+        }
+        metas = [r for r in out.values() if r.warc_type == "metadata"]
+        assert len(metas) == 2
+        for m in metas:
+            body = _json.loads(bytes(m.payload).decode())
+            d = int(body["url"].rsplit("/", 1)[-1])
+            assert body["title"] == f"t{d}"
+            assert m.refers_to == f"<urn:uuid:resp-{d:016d}>"
+        # per-record gzip: the written WAT archive is splittable
+        blob = bytes(
+            W.wat_archives(meta).collect()[0]["warc"]
+        )
+        assert blob[:2] == b"\x1f\x8b"
+        assert len(list(W.split_gzip_members(blob))) == 3  # info + 2
+
+    def test_html_title(self, spark):
+        rows = [
+            ("<html><head><title>Hello World</title></head>", "Hello World"),
+            ("<TITLE lang=en>x</TITLE>", "x"),
+            ("no title here", ""),
+        ]
+        from shopify_etl_spark.operators.html import html_title
+
+        df = spark.createDataFrame([(h,) for h, _ in rows], "h string")
+        got = [r[0] for r in df.select(html_title("h")).collect()]
+        assert got == [w for _, w in rows]
