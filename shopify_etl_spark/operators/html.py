@@ -200,12 +200,38 @@ def html_to_text(col: Column | str, normalize_ws: bool = True) -> Column:
 
 
 def html_title(col: Column | str) -> Column:
-    """The ``<title>`` text of an HTML string column (one JVM regex
-    over the RAW page — titles live in ``<head>``, which
-    :func:`html_to_text` deliberately drops, so metadata extraction
-    reads it separately; the WAT export's field). Empty when absent."""
+    """The ``<title>`` text of an HTML string column — titles live in
+    ``<head>``, which :func:`html_to_text` deliberately drops, so
+    metadata extraction (the WAT export) reads it separately. Empty
+    when absent.
+
+    Applies the SAME container discipline as extraction (the r16
+    review): terminated scripts drop first (a script string may
+    contain ``<title>`` markup), then terminated comments (a
+    commented-out title vanishes WITH its comment), then the
+    unterminated fallbacks — so the first *visible* title wins, and
+    the title tag's own attribute span is quoted-attribute-aware."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract(c, r"(?is)<title[^>]*>(.*?)</title>", 1)
+    c = F.regexp_replace(c, r"(?is)<script\b.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*\z", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*\z", " ")
+    return F.regexp_extract(
+        c, r"(?is)<title\b" + _TAG_ATTRS + r">(.*?)</title>", 1
+    )
+
+
+def html_outlinks(col: Column | str) -> Column:
+    """Outlink URLs of an HTML string column: ``href="…"`` values with
+    an absolute http/https scheme, one JVM ``regexp_extract_all`` —
+    the ONE link-extraction definition shared by the link-graph
+    queries and the WAT export (the r16 review: two verbatim copies
+    had already appeared; a pattern fix must not silently diverge the
+    two consumers)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(
+        c, F.lit(r"href=\"(https?://[^\"]+)\""), 1
+    )
 
 
 def escape_html(text: str) -> str:
@@ -271,6 +297,6 @@ def synth_html(
 
 
 __all__ = [
-    "html_to_text", "html_title", "escape_html", "synth_html",
-    "BLOCK_TAGS",
+    "html_to_text", "html_title", "html_outlinks", "escape_html",
+    "synth_html", "BLOCK_TAGS",
 ]

@@ -370,17 +370,13 @@ def host_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, docs_per_file=_DOCS_PER_FILE,
         not_found_every=_NOT_FOUND_EVERY, rich_uris=True, links=True,
     )
+    from ..operators.html import html_outlinks
+
     pages = warc.warc_records(files).filter(
         (F.col("warc_type") == "response") & (F.col("http_status") == 200)
     ).select(
         F.try_parse_url("target_uri", F.lit("HOST")).alias("src"),
-        F.explode(
-            F.regexp_extract_all(
-                F.col("payload").cast("string"),
-                F.lit(r"href=\"(http://[^\"]+)\""),
-                1,
-            )
-        ).alias("href"),
+        F.explode(html_outlinks(warc.payload_text())).alias("href"),
     )
     edges = (
         pages.select(

@@ -503,7 +503,7 @@ def wat_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    from ..operators.html import html_title
+    from ..operators.html import html_outlinks, html_title
     from ..sources import warc
 
     docs = load_table(spark, sf_dir, "documents")
@@ -524,11 +524,7 @@ def wat_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(
                 F.col("target_uri").alias("url"),
                 F.col("http_status").alias("status"),
-                F.regexp_extract_all(
-                    F.col("payload").cast("string"),
-                    F.lit(r"href=\"(http://[^\"]+)\""),
-                    1,
-                ).alias("outlinks"),
+                html_outlinks(warc.payload_text()).alias("outlinks"),
                 html_title(warc.payload_text()).alias("title"),
             )
         ).alias("wat_json"),

@@ -707,6 +707,33 @@ def fetch_record_ranges(
 # ---------------------------------------------------------------------------
 
 
+def _archive_row(fid: int, kind: str, members: list) -> pd.DataFrame:
+    """One packed per-record-gzip archive row: the ``kind``-stamped
+    warcinfo member + the given record members — the assembly shared
+    by every derivative writer (WET/WAT; the r16 review folded three
+    near-identical skeletons into this one)."""
+    parts = [
+        gzip_member(
+            build_record(
+                "warcinfo",
+                [
+                    (
+                        "WARC-Record-ID",
+                        f"<urn:uuid:0000-{kind}info-{fid:012d}>",
+                    ),
+                    ("WARC-Date", "2026-01-01T00:00:00Z"),
+                    ("Content-Type", "application/warc-fields"),
+                ],
+                f"software: shopify-etl-spark-{kind}/1.0\r\n".encode(),
+            )
+        )
+    ] + members
+    return pd.DataFrame(
+        [(fid, b"".join(parts), len(parts))],
+        columns=["file_id", "warc", "n_members"],
+    )
+
+
 def wet_archives(
     extracted: DataFrame,
     docs_per_file: int = 25,
@@ -737,26 +764,10 @@ def wet_archives(
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         fid = int(pdf["file_id"].iloc[0])
-        parts = [
-            gzip_member(
-                build_record(
-                    "warcinfo",
-                    [
-                        (
-                            "WARC-Record-ID",
-                            f"<urn:uuid:0000-wetinfo-{fid:012d}>",
-                        ),
-                        ("WARC-Date", "2026-01-01T00:00:00Z"),
-                        ("Content-Type", "application/warc-fields"),
-                    ],
-                    b"software: shopify-etl-spark-wet/1.0\r\n",
-                )
-            )
-        ]
-        n = 1
+        members = []
         for _, row in pdf.sort_values("_id").iterrows():
             d = int(row["_id"])
-            parts.append(
+            members.append(
                 gzip_member(
                     build_record(
                         "conversion",
@@ -773,11 +784,7 @@ def wet_archives(
                     )
                 )
             )
-            n += 1
-        return pd.DataFrame(
-            [(fid, b"".join(parts), n)],
-            columns=["file_id", "warc", "n_members"],
-        )
+        return _archive_row(fid, "wet", members)
 
     return staged.groupBy("file_id").applyInPandas(build, WARC_FILE_SCHEMA)
 
@@ -814,25 +821,9 @@ def wat_archives(
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         fid = int(pdf["file_id"].iloc[0])
-        parts = [
-            gzip_member(
-                build_record(
-                    "warcinfo",
-                    [
-                        (
-                            "WARC-Record-ID",
-                            f"<urn:uuid:0000-watinfo-{fid:012d}>",
-                        ),
-                        ("WARC-Date", "2026-01-01T00:00:00Z"),
-                        ("Content-Type", "application/warc-fields"),
-                    ],
-                    b"software: shopify-etl-spark-wat/1.0\r\n",
-                )
-            )
-        ]
-        n = 1
+        members = []
         for _, row in pdf.sort_values("_idx").iterrows():
-            parts.append(
+            members.append(
                 gzip_member(
                     build_record(
                         "metadata",
@@ -850,11 +841,7 @@ def wat_archives(
                     )
                 )
             )
-            n += 1
-        return pd.DataFrame(
-            [(fid, b"".join(parts), n)],
-            columns=["file_id", "warc", "n_members"],
-        )
+        return _archive_row(fid, "wat", members)
 
     return staged.groupBy("file_id").applyInPandas(build, WARC_FILE_SCHEMA)
 

@@ -987,3 +987,25 @@ class TestWatExport:
         df = spark.createDataFrame([(h,) for h, _ in rows], "h string")
         got = [r[0] for r in df.select(html_title("h")).collect()]
         assert got == [w for _, w in rows]
+
+
+class TestHtmlTitleHardening:
+    """r16 review: html_title shares the extraction container
+    discipline — scripts/comments cannot fake a title, attribute
+    spans are quote-aware."""
+
+    def test_commented_title_invisible(self, spark):
+        from shopify_etl_spark.operators.html import html_title
+
+        df = spark.createDataFrame(
+            [
+                ("<!-- <title>Old</title> --><title>New</title>",),
+                ('<script>var t="<title>x</title>";</script>'
+                 "<title>Real</title>",),
+                ('<title data-x="a>b">Real</title>',),
+                ("<title>only", ),  # unterminated: no visible title
+            ],
+            "h string",
+        )
+        got = [r[0] for r in df.select(html_title("h")).collect()]
+        assert got == ["New", "Real", "Real", ""]
