@@ -334,6 +334,7 @@ _SAMPLE_FIRST = _CHANGED_R15 + [
 # New or code-changed in round 16 — sample these first (prepended to
 # the freshness order below; the comprehension keeps it duplicate-free).
 _CHANGED_R16 = [
+    "sitemap_coverage_audit",    # NEW: sharded-sitemap frontier audit
     "wat_export_roundtrip",      # NEW: WAT metadata derivative round-trip
     "crawl_snapshot_diff",       # NEW: dump-over-dump delta by digest
     "crawl_encoding_routing",    # NEW: per-label extracted-vs-skipped gate

@@ -28,6 +28,9 @@ the round-15 verdict ranked (VERDICT r15 asks #1/#3/#4/#5/#6):
   to it), completing the Common Crawl WAT/WET/CDX trio.
 * ``crawl_snapshot_diff`` (stretch) — the dump-over-dump delta
   (added/removed/changed/unchanged) by canonical-URL digest compare.
+* ``sitemap_coverage_audit`` (stretch) — frontier seeding/coverage:
+  sharded per-archive sitemaps parsed out of the crawl, canonical-key
+  full-outer joined against fetched pages, per-host gap accounting.
 
 Scale shapes are inherited from the ext6/ext7 chains: zero-shuffle
 split/extract with tiny per-label aggregates; the revisit resolution is
@@ -626,4 +629,103 @@ def crawl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("dg_prev") == F.col("dg_cur"), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
         .alias("change"),
+    )
+
+
+@register(
+    "sitemap_coverage_audit",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, doc_id % 7 AS h FROM documents
+    )
+    SELECT 'host' || CAST(h AS VARCHAR) || '.example' AS host,
+           CAST(SUM(CASE WHEN doc_id % 3 <> 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_listed,
+           CAST(SUM(CASE WHEN doc_id % {_NOT_FOUND_EVERY} <> 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_fetched_ok,
+           CAST(SUM(CASE WHEN doc_id % 3 <> 1
+                          AND doc_id % {_NOT_FOUND_EVERY} <> 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_listed_ok,
+           CAST(SUM(CASE WHEN doc_id % 3 <> 1
+                          AND doc_id % {_NOT_FOUND_EVERY} = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dead_listed,
+           CAST(SUM(CASE WHEN doc_id % 3 = 1
+                          AND doc_id % {_NOT_FOUND_EVERY} <> 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_unlisted_fetched
+    FROM d GROUP BY h
+    """,
+    doc="Sitemap coverage audit (r16 stretch) — the frontier-seeding "
+    "side of the crawl front door: real crawlers seed and audit their "
+    "frontier against the sites' own sitemap shards. The synthesis "
+    "rides per-archive sharded sitemap-{{fid}}.xml responses into the "
+    "crawl (per-host <loc> listings; docs with id%3==1 deliberately "
+    "unlisted, 404 docs deliberately listed — the two coverage gaps "
+    "that matter); the audit parses <loc> entries out of the archives "
+    "(one JVM regexp_extract_all — no XML library), canonicalizes "
+    "BOTH sides (sitemap URLs and fetched URLs must meet on the "
+    "canonical key), full-outer joins them, and accounts per host: "
+    "listed, fetched-OK, listed∧fetched (covered), listed-but-dead "
+    "(404 — stale sitemap entries), fetched-but-unlisted (frontier "
+    "found what the site didn't declare). The oracle re-derives all "
+    "five counts from the synthesis formulas, so a <loc> parse bug, a "
+    "canonicalization mismatch, or a lossy join changes a count and "
+    "hash-mismatches. Scale shape: ONE full-outer join of (url) keys "
+    "— 8-byte-ish rows, payloads never shuffle — + one per-host "
+    "aggregate over the checkpointed record table. "
+    "sources/warc.py (sitemaps=True), functions/urls.py.",
+)
+def sitemap_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.urls import canonicalize_url
+    from ..operators.materialize import checkpoint_tracked
+    from ..sources import warc
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = warc.synth_warc_files(
+        docs, docs_per_file=_DOCS_PER_FILE,
+        not_found_every=_NOT_FOUND_EVERY, rich_uris=True, sitemaps=True,
+    )
+    recs = checkpoint_tracked(
+        warc.warc_records(files).filter(F.col("warc_type") == "response")
+    )
+    is_sitemap = F.col("target_uri").rlike(r"/sitemap-\d+\.xml$")
+    listed = (
+        recs.filter((F.col("http_status") == 200) & is_sitemap)
+        .select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col("payload").cast("string"),
+                    F.lit(r"<loc>([^<]+)</loc>"),
+                    1,
+                )
+            ).alias("_raw")
+        )
+        .select(canonicalize_url("_raw").alias("url"))
+        .withColumn("_listed", F.lit(True))
+    )
+    fetched = (
+        recs.filter(
+            (F.col("http_status") == 200)
+            & ~is_sitemap
+            & warc.is_decoded(F.col("http_encoding"))
+        )
+        .select(canonicalize_url("target_uri").alias("url"))
+        .withColumn("_fetched", F.lit(True))
+    )
+    j = listed.join(fetched, "url", "full").select(
+        F.try_parse_url("url", F.lit("HOST")).alias("host"),
+        F.coalesce("_listed", F.lit(False)).alias("_l"),
+        F.coalesce("_fetched", F.lit(False)).alias("_f"),
+    )
+    return j.groupBy("host").agg(
+        F.sum(F.col("_l").cast("long")).alias("n_listed"),
+        F.sum(F.col("_f").cast("long")).alias("n_fetched_ok"),
+        F.sum((F.col("_l") & F.col("_f")).cast("long")).alias(
+            "n_listed_ok"
+        ),
+        F.sum((F.col("_l") & ~F.col("_f")).cast("long")).alias(
+            "n_dead_listed"
+        ),
+        F.sum((F.col("_f") & ~F.col("_l")).cast("long")).alias(
+            "n_unlisted_fetched"
+        ),
     )

@@ -938,6 +938,7 @@ def synth_warc_files(
     image_every: int = 0,
     rich_uris: bool = False,
     robots: bool = False,
+    sitemaps: bool = False,
     http_variants: bool = False,
     unknown_encoding_every: int = 0,
     refetch: bool = False,
@@ -974,6 +975,15 @@ def synth_warc_files(
     encodable (the driver's synthetic corpus is pure ASCII); a
     non-encodable character fails the build loudly rather than
     corrupting the fixture.
+
+    ``sitemaps`` (requires ``rich_uris``) rides per-archive SHARDED
+    sitemaps into the crawl: for each host with documents in an
+    archive, a ``sitemap-{{fid}}.xml`` response listing the host's
+    canonical doc URLs — docs with ``id % 3 == 1`` are UNLISTED (the
+    fetched-but-not-listed coverage gap) while 404 docs ARE listed
+    (dead sitemap entries). Consumers union the shards, the real
+    sitemap-index semantics; formulas mirrored by the
+    ``sitemap_coverage_audit`` oracle.
 
     ``unknown_encoding_every`` (requires ``http_variants``) plants the
     unknown-transport leg a real dump carries (~25-40% of the live web
@@ -1014,6 +1024,8 @@ def synth_warc_files(
         raise ValueError("refetch=True requires rich_uris=True")
     if revisits and not refetch:
         raise ValueError("revisits=True requires refetch=True")
+    if sitemaps and not rich_uris:
+        raise ValueError("sitemaps=True requires rich_uris=True")
     if unknown_encoding_every and not http_variants:
         raise ValueError(
             "unknown_encoding_every requires http_variants=True"
@@ -1128,6 +1140,58 @@ def synth_warc_files(
                             ],
                             _http_response(
                                 200, "OK", body, ctype="text/plain"
+                            ),
+                        )
+                    )
+                )
+                n += 1
+        if sitemaps:
+            # per-archive SHARDED sitemaps (the real format — large
+            # sites publish sitemap shards, consumers union them): for
+            # each host with docs in THIS archive, a sitemap-{fid}.xml
+            # listing the host's canonical doc URLs — except docs with
+            # id % 3 == 1 (unlisted-but-fetched, the coverage gap the
+            # audit measures); 404 docs ARE listed (dead sitemap
+            # entries — the other gap). Formulas mirrored by the
+            # sitemap_coverage_audit oracle.
+            ids = sorted(int(v) for v in pdf.loc[~pdf["_dup"], "_id"])
+            for h in range(7):
+                locs = [
+                    f"http://host{d % 7}.example/sec{d % 13}/doc/{d}"
+                    for d in ids
+                    if d % 7 == h and d % 3 != 1
+                ]
+                if not locs:
+                    continue
+                body = (
+                    '<?xml version="1.0" encoding="UTF-8"?>\n<urlset>\n'
+                    + "".join(
+                        f"<url><loc>{u}</loc></url>\n" for u in locs
+                    )
+                    + "</urlset>\n"
+                )
+                parts.append(
+                    gzip_member(
+                        build_record(
+                            "response",
+                            [
+                                (
+                                    "WARC-Record-ID",
+                                    f"<urn:uuid:sitemap-{fid:08d}-{h}>",
+                                ),
+                                ("WARC-Date", "2026-01-01T00:00:00Z"),
+                                (
+                                    "WARC-Target-URI",
+                                    f"http://host{h}.example/"
+                                    f"sitemap-{fid}.xml",
+                                ),
+                                (
+                                    "Content-Type",
+                                    "application/http; msgtype=response",
+                                ),
+                            ],
+                            _http_response(
+                                200, "OK", body, ctype="application/xml"
                             ),
                         )
                     )

@@ -137,6 +137,12 @@ EXPECT = {
     "crawl_snapshot_diff": dict(
         max_shuffles=4, max_smj=1, max_scan_width=2
     ),
+    # r16 sitemap audit: synth grouping over the checkpointed record
+    # table + ONE full-outer join of url keys (both sides corpus-sized
+    # — SMJ correct) + the per-host aggregate
+    "sitemap_coverage_audit": dict(
+        max_shuffles=4, max_smj=1, max_scan_width=2
+    ),
     # r15 CDX index: per-archive chaining window (bounded: 2·dpf+1 rows
     # per archive) + per-file agg + the byte-length join over the
     # checkpointed synth output
@@ -455,6 +461,9 @@ MAX_SCANS_PER_TABLE = {
                                    # feeds the revisit AND response
                                    # sides; documents scans in the
                                    # synth staging union (base + dup)
+    "sitemap_coverage_audit": 1,  # r16: the checkpointed record table
+                                  # feeds the sitemap AND page sides;
+                                  # documents scans once (synth)
     "cdx_surt_lookup": 2,        # r16: the checkpointed archive blobs
                                  # feed the index build AND the ranged
                                  # fetch; documents scans for synth +

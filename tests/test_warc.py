@@ -1009,3 +1009,38 @@ class TestHtmlTitleHardening:
         )
         got = [r[0] for r in df.select(html_title("h")).collect()]
         assert got == ["New", "Real", "Real", ""]
+
+
+class TestSitemapSynth:
+    """r16: per-archive sharded sitemaps ride the crawl."""
+
+    def test_sitemap_shards_list_expected_urls(self, spark):
+        # archive 0 holds docs 0..5: host h lists its docs with
+        # d % 3 != 1 (so doc 4 host 4 is unlisted); doc 0 (404) IS
+        # listed under host 0 — the dead-entry fixture
+        docs = spark.createDataFrame(
+            [(d, "w " * 5) for d in range(6)], "doc_id long, text string"
+        )
+        files = W.synth_warc_files(
+            docs, docs_per_file=25, rich_uris=True, sitemaps=True
+        )
+        recs = W.warc_records(files).collect()
+        sm = {
+            r.target_uri: bytes(r.payload).decode()
+            for r in recs
+            if "/sitemap-" in (r.target_uri or "")
+        }
+        # hosts 0,2,3,5 have listable docs (1%3==1 and 4%3==1 unlisted)
+        assert set(sm) == {
+            f"http://host{h}.example/sitemap-0.xml" for h in (0, 2, 3, 5)
+        }
+        assert "<loc>http://host0.example/sec0/doc/0</loc>" in sm[
+            "http://host0.example/sitemap-0.xml"
+        ]
+        all_locs = "".join(sm.values())
+        assert "/doc/1<" not in all_locs and "/doc/4<" not in all_locs
+
+    def test_sitemaps_requires_rich_uris(self, spark):
+        docs = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="rich_uris"):
+            W.synth_warc_files(docs, sitemaps=True)
