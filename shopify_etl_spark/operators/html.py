@@ -222,15 +222,34 @@ def html_title(col: Column | str) -> Column:
 
 
 def html_outlinks(col: Column | str) -> Column:
-    """Outlink URLs of an HTML string column: ``href="…"`` values with
-    an absolute http/https scheme, one JVM ``regexp_extract_all`` —
-    the ONE link-extraction definition shared by the link-graph
-    queries and the WAT export (the r16 review: two verbatim copies
-    had already appeared; a pattern fix must not silently diverge the
-    two consumers)."""
+    """Outlink URLs of an HTML string column: ``href`` values with an
+    absolute http/https scheme — the ONE link-extraction definition
+    shared by the link-graph queries and the WAT export (the r16
+    review: two verbatim copies had already appeared; a pattern fix
+    must not silently diverge the two consumers).
+
+    Real-page coverage (ADVICE r16): all three HTML attribute-value
+    forms match — double-quoted, single-quoted, and unquoted
+    (terminated by whitespace/quote/``>``; each alternative excludes
+    the other two's opener, so no href double-counts) — and extracted
+    URLs are entity-decoded for ``&amp;`` (the one entity HTML
+    serializers are required to escape inside attribute values;
+    ``&amp;x`` in markup means the literal ``&x`` in the URL). Link
+    ORDER is by-form then by-position, not document order — every
+    consumer aggregates (edge counts, outlink counts), none is
+    order-sensitive. Three JVM ``regexp_extract_all`` + one array
+    ``transform``; zero Python."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract_all(
+    dq = F.regexp_extract_all(
         c, F.lit(r"href=\"(https?://[^\"]+)\""), 1
+    )
+    sq = F.regexp_extract_all(c, F.lit(r"href='(https?://[^']+)'"), 1)
+    uq = F.regexp_extract_all(
+        c, F.lit(r"href=(https?://[^\s\"'<>]+)"), 1
+    )
+    return F.transform(
+        F.concat(dq, sq, uq),
+        lambda u: F.replace(u, F.lit("&amp;"), F.lit("&")),
     )
 
 

@@ -143,8 +143,12 @@ def crawl_encoding_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bytes — that is the format's point). The synthesis "
     "(revisits=True) converts the id%20==14 byte-identical re-fetches "
     "to exactly that shape; the query resolves each revisit against "
-    "the stored responses by DIGEST JOIN (md5 of the decoded payload "
-    "— the same digest cdx_records computes), cross-checks the "
+    "the stored responses by (DIGEST, CANONICAL URL) JOIN (md5 of the "
+    "decoded payload — the same digest cdx_records computes — plus the "
+    "canonicalized target, r17: on a real dump many distinct URLs "
+    "serve byte-identical boilerplate bodies, so a digest-only join "
+    "fans out; the original side is also collapsed to one row per key "
+    "via max_by), cross-checks the "
     "refers-to record id, and values the resolution by the referenced "
     "page's extracted char mass. The oracle re-derives the revisit "
     "doc set from the synthesis formula, pins resolved/"
@@ -170,41 +174,26 @@ def warc_revisit_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         revisits=True,
     )
     recs = checkpoint_tracked(warc.warc_records(files))
-    revisit = recs.filter(F.col("warc_type") == "revisit").select(
-        # the revisit rides the MESSY re-fetch spelling (trailing
-        # slash + fragment), so the id is not $-anchored
-        F.regexp_extract("target_uri", r"/doc/(\d+)", 1)
-        .cast("long")
-        .alias("doc_id"),
-        F.col("refers_to"),
-        F.regexp_replace("payload_digest", "^md5:", "").alias("_dg"),
-        F.length("payload").cast("long").alias("revisit_body_bytes"),
+    # resolve_revisits (r17: hoisted into sources/warc.py so the
+    # revisit-aware curation chain shares it) joins on (digest,
+    # canonical URL) with a latest-wins collapse on the original side
+    # — duplicate-digest-safe — and evaluates the value column
+    # (extraction) BEFORE the shuffle so payload bytes never ride the
+    # exchange; 16-byte digest rows do. The revisit side grows with
+    # the corpus, so neither side broadcasts — the SMJ is the
+    # scale-correct plan.
+    resolved = warc.resolve_revisits(
+        recs,
+        value=F.length(html_to_text(warc.payload_text())).cast("long"),
     )
-    # extraction (saved_chars) is computed BEFORE the digest shuffle by
-    # design: it keeps payload bytes out of the exchange (16-byte rows
-    # ride the join instead of KB pages). The alternative — join first,
-    # extract the revisit-sized subset — would shuffle every response's
-    # payload; the revisit side grows with the corpus, so it cannot be
-    # broadcast-semi-joined at scale either. CPU-for-IO, deliberately.
-    originals = recs.filter(
-        (F.col("warc_type") == "response")
-        & (F.col("http_status") == 200)
-        & warc.is_decoded(F.col("http_encoding"))
-    ).select(
-        F.col("record_id"),
-        F.md5("payload").alias("_dg"),
-        F.length(html_to_text(warc.payload_text()))
-        .cast("long")
-        .alias("saved_chars"),
-    )
-    return revisit.join(originals, "_dg", "left").select(
+    return resolved.select(
         "doc_id",
         F.col("record_id").isNotNull().alias("resolved"),
         (F.col("refers_to") == F.col("record_id")).alias(
             "refers_to_match"
         ),
         "revisit_body_bytes",
-        "saved_chars",
+        F.col("orig_value").alias("saved_chars"),
     )
 
 

@@ -703,6 +703,79 @@ def fetch_record_ranges(
 
 
 # ---------------------------------------------------------------------------
+# revisit resolution — the consumer side of Common Crawl's dedup format
+# ---------------------------------------------------------------------------
+
+
+def resolve_revisits(records: DataFrame, value=None) -> DataFrame:
+    """Resolve ``WARC-Type: revisit`` records against the stored
+    responses they deduplicate — by ``(payload digest, canonical
+    URL)``, the duplicate-digest-safe key (ADVICE r16): on a real dump
+    MANY distinct URLs serve byte-identical bodies (boilerplate, error
+    pages — that is WHY revisits exist), so a digest-only join fans one
+    revisit out across every matching original and can pair it with
+    the wrong page. A revisit targets the SAME resource as the
+    response it dedupes (its spelling canonicalizes onto the
+    original's), and per (digest, url) the LATEST original wins via
+    ``max_by`` — one row per key, no fan-out.
+
+    Output: one row per revisit record — ``doc_id`` (recovered from
+    the target URI tail), ``refers_to``, ``revisit_body_bytes``
+    (pinned 0 by the format), ``record_id`` (the resolved original's,
+    null if unresolved) and ``orig_value`` (the ``value`` Column
+    evaluated on the original BEFORE the shuffle — extraction never
+    rides the exchange; 16-byte digest rows do).
+
+    Scale shape: the revisit side is a small fraction of the corpus
+    but grows with it — neither side broadcasts; one equi-join on a
+    (32-hex, url) key after a same-keyed collapse aggregate (AQE
+    reuses the partitioning between them)."""
+    from ..functions.urls import canonicalize_url
+
+    revisit = records.filter(F.col("warc_type") == "revisit").select(
+        # the revisit may ride a MESSY re-fetch spelling (trailing
+        # slash + fragment), so the id is not $-anchored
+        F.regexp_extract("target_uri", r"/doc/(\d+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        canonicalize_url("target_uri").alias("_cu"),
+        F.col("refers_to"),
+        F.regexp_replace("payload_digest", "^md5:", "").alias("_dg"),
+        F.length("payload").cast("long").alias("revisit_body_bytes"),
+    )
+    originals = (
+        records.filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+            & is_decoded("http_encoding")
+        )
+        .select(
+            canonicalize_url("target_uri").alias("_cu"),
+            F.md5("payload").alias("_dg"),
+            F.col("record_id"),
+            (value if value is not None else F.lit(None).cast("long"))
+            .alias("orig_value"),
+        )
+        .groupBy("_dg", "_cu")
+        .agg(
+            F.max_by(
+                F.struct("record_id", "orig_value"), "record_id"
+            ).alias("_o")
+        )
+        .select(
+            "_dg", "_cu", F.col("_o.record_id"), F.col("_o.orig_value")
+        )
+    )
+    return revisit.join(originals, ["_dg", "_cu"], "left").select(
+        "doc_id",
+        "refers_to",
+        "revisit_body_bytes",
+        "record_id",
+        "orig_value",
+    )
+
+
+# ---------------------------------------------------------------------------
 # WET export — the writer side of the front door
 # ---------------------------------------------------------------------------
 

@@ -124,8 +124,19 @@ def curate_archives_mm(files: DataFrame) -> DataFrame:
     )
     doc_id = F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long")
     dec = is_decoded("http_encoding")
-    is_html = F.col("http_mime").startswith("text/html")
-    is_png = F.col("http_mime").startswith("image/png")
+    # null-safe route predicates (ADVICE r16): a 200-OK record with NO
+    # Content-Type header has null http_mime, so a bare startswith
+    # yields NULL — which fails the html/png filters AND the catch-all
+    # ~(dec & (html|png)) filter, vanishing the row from every route
+    # (the exact silent-drop path this routing exists to close).
+    # Coalesced to false, header-less records fall into the
+    # modality='other' accounting route with reasons='mime:?'.
+    is_html = F.coalesce(
+        F.col("http_mime").startswith("text/html"), F.lit(False)
+    )
+    is_png = F.coalesce(
+        F.col("http_mime").startswith("image/png"), F.lit(False)
+    )
     html = quality_filter(
         ok.filter(dec & is_html).select(
             "file_id",

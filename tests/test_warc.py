@@ -1044,3 +1044,147 @@ class TestSitemapSynth:
         docs = spark.createDataFrame([(1, "t")], "doc_id long, text string")
         with pytest.raises(ValueError, match="rich_uris"):
             W.synth_warc_files(docs, sitemaps=True)
+
+
+class TestR17AdviceFixes:
+    """Round-17 ADVICE closures: null-MIME records must not silently
+    vanish from the multimodal router, outlinks must cover all three
+    HTML attribute-value forms, and revisit resolution must not fan
+    out on duplicate payload digests."""
+
+    def test_mm_null_mime_routes_to_accounting(self, spark):
+        # a 200-OK response with NO Content-Type header: http_mime is
+        # null, and a bare startswith() makes every route predicate
+        # NULL — the row must land in the 'other' accounting route
+        # with reasons='mime:?', never vanish
+        from shopify_etl_spark.streaming.crawl_stream import (
+            curate_archives_mm,
+        )
+
+        http = b"HTTP/1.1 200 OK\r\nContent-Length: 5\r\n\r\nhello"
+        rec = W.build_record(
+            "response",
+            [
+                ("WARC-Record-ID", "<urn:uuid:nomime-1>"),
+                ("WARC-Target-URI", "http://h.example/doc/7"),
+                ("Content-Type", "application/http; msgtype=response"),
+            ],
+            http,
+        )
+        files = spark.createDataFrame(
+            [(0, bytearray(W.gzip_member(rec)))],
+            "file_id long, warc binary",
+        )
+        rows = curate_archives_mm(files).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.doc_id == 7
+        assert r.modality == "other"
+        assert r.keep is False
+        assert r.reasons == "mime:?"
+
+    def test_outlinks_cover_all_attribute_forms(self, spark):
+        page = (
+            '<a href="http://a.example/x?p=1&amp;q=2"></a>'
+            "<a href='http://b.example/y'></a>"
+            "<a href=http://c.example/z class=k>t</a>"
+            '<a href="/relative"></a>'
+            "<a href=ftp://d.example/skip></a>"
+        )
+        out = (
+            spark.range(1)
+            .select(H.html_outlinks(F.lit(page)).alias("o"))
+            .collect()[0][0]
+        )
+        assert sorted(out) == [
+            "http://a.example/x?p=1&q=2",   # entity-decoded &amp;
+            "http://b.example/y",           # single-quoted
+            "http://c.example/z",           # unquoted, stops at space
+        ]
+
+    def test_shared_link_definition_still_matches_synth(self, spark):
+        # the synth nav renders double-quoted absolute hrefs — the
+        # broadened pattern must extract exactly the same two links
+        page = H.synth_html(
+            3, "w1 w2", links=("http://host4.example/", "http://host1.example/")
+        )
+        out = (
+            spark.range(1)
+            .select(H.html_outlinks(F.lit(page)).alias("o"))
+            .collect()[0][0]
+        )
+        assert sorted(out) == [
+            "http://host1.example/", "http://host4.example/"
+        ]
+
+    def test_revisit_duplicate_digest_no_fanout(self, spark):
+        # two DISTINCT URLs serve byte-identical bodies (the real-dump
+        # boilerplate case) and the revisited URL has TWO snapshots —
+        # resolution must yield exactly ONE row, paired with the
+        # revisited URL's LATEST original, never the other URL's
+        import hashlib
+
+        body = b"<html><body><p>same boilerplate</p></body></html>"
+
+        def resp(rid, uri):
+            http = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                b"Content-Length: %d\r\n\r\n" % len(body)
+            ) + body
+            return W.gzip_member(
+                W.build_record(
+                    "response",
+                    [
+                        ("WARC-Record-ID", rid),
+                        ("WARC-Target-URI", uri),
+                        (
+                            "Content-Type",
+                            "application/http; msgtype=response",
+                        ),
+                    ],
+                    http,
+                )
+            )
+
+        rev_http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        )
+        rev = W.gzip_member(
+            W.build_record(
+                "revisit",
+                [
+                    ("WARC-Record-ID", "<urn:uuid:rev-1>"),
+                    # messy spelling of a.example/doc/7
+                    ("WARC-Target-URI", "HTTP://A.EXAMPLE:80//doc/7/#f"),
+                    ("WARC-Refers-To", "<urn:uuid:a-1>"),
+                    (
+                        "WARC-Payload-Digest",
+                        "md5:" + hashlib.md5(body).hexdigest(),
+                    ),
+                    (
+                        "Content-Type",
+                        "application/http; msgtype=response",
+                    ),
+                ],
+                rev_http,
+            )
+        )
+        blob = (
+            resp("<urn:uuid:a-0>", "http://a.example/doc/7")
+            + resp("<urn:uuid:a-1>", "http://a.example/doc/7")
+            + resp("<urn:uuid:b-9>", "http://b.example/doc/8")
+            + rev
+        )
+        files = spark.createDataFrame(
+            [(0, bytearray(blob))], "file_id long, warc binary"
+        )
+        out = W.resolve_revisits(
+            W.warc_records(files), value=F.length("payload")
+        ).collect()
+        assert len(out) == 1  # no fan-out across the 3 digest matches
+        r = out[0]
+        assert r.doc_id == 7
+        assert r.record_id == "<urn:uuid:a-1>"   # latest snapshot wins
+        assert r.refers_to == "<urn:uuid:a-1>"
+        assert r.revisit_body_bytes == 0
+        assert r.orig_value == len(body)
