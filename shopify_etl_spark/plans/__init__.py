@@ -7,6 +7,7 @@ from . import catalog_ext5  # noqa: F401,E402  (round-13 PQ retrieval family)
 from . import catalog_ext6  # noqa: F401,E402  (round-14 raw-crawl ingest)
 from . import catalog_ext7  # noqa: F401,E402  (round-15 crawl fidelity)
 from . import catalog_ext8  # noqa: F401,E402  (round-16 routing/revisit)
+from . import catalog_ext9  # noqa: F401,E402  (round-17 decoder/redirect/cdxj)
 
 # ---------------------------------------------------------------------------
 # Catalog ordering.

@@ -1,0 +1,145 @@
+"""Round-17 extension queries — the remaining real-dump seams the
+round-16 verdict ranked (VERDICT r16 asks #1-#7):
+
+* ``crawl_decoder_registry`` — transport decoding as a pluggable seam:
+  the SAME fixture yields labeled-skip accounting with an empty
+  decoder registry and full extraction with a registered codec (the
+  fake raw-deflate decoder standing in for brotli), both arms pinned
+  in one oracle. Routing-out was r16's correct first step; decoding
+  when a codec is available is the end state — on a real dump br is
+  ~25-40% of the corpus.
+* ``crawl_redirect_resolution`` — 3xx legs with ``Location:`` headers:
+  bounded-hop chain following over canonical keys, crediting content
+  to the final target and accounting hops/loops/dangling ends.
+* ``cdxj_export_roundtrip`` — the CDX derivative as an ARTIFACT:
+  SURT-sorted CDXJ text shards written, parsed back, and the ranged
+  lookup driven THROUGH the parsed file; per-shard sortedness pinned.
+* ``crawl_dedup_revisit`` — revisit-aware curation: the canonical-URL
+  dedup chain consuming revisit records (a resolved revisit counts as
+  a fetch reference, not a lost page) with digest accounting that
+  needs no payload join at all.
+* ``warc_request_pairing`` — request records + ``WARC-Concurrent-To``:
+  per-fetch request↔response pairing with orphan accounting (the
+  lost-response leg a real crawler's failure log carries).
+* ``sitemap_recrawl_priority`` — the sitemapindex layer + per-URL
+  ``<lastmod>``: index → shard → loc traversal joined against the
+  crawl's fetch dates, ranking stale pages per host.
+
+Scale shapes follow the ext6-ext8 chains: zero-shuffle split/extract
+with tiny per-label/per-host aggregates; the redirect chase is K
+bounded self-joins on canonical keys over a redirect-sized frame; the
+CDXJ pack/sort is per-shard (collect_list bounded by one archive's
+records); pairing is one equi-join of id-sized rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table, register
+from .catalog_ext6 import _DOCS_PER_FILE, _NOT_FOUND_EVERY, _XT_SQL
+from .catalog_ext7 import _UNKNOWN_ENC_EVERY, _XT_LATIN_SQL
+
+_ENC_CASE_SQL = f"""
+      CASE WHEN doc_id % {_UNKNOWN_ENC_EVERY} = 6 THEN 'br'
+           ELSE CASE doc_id % 5
+             WHEN 0 THEN 'identity'
+             WHEN 1 THEN 'chunked'
+             WHEN 2 THEN 'gzip'
+             WHEN 3 THEN 'deflate'
+             ELSE 'chunked+gzip' END END
+"""
+
+
+@register(
+    "crawl_decoder_registry",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             {_ENC_CASE_SQL} AS enc,
+             CASE WHEN doc_id % {_UNKNOWN_ENC_EVERY} = 6
+                  THEN LENGTH({_XT_SQL})
+                  ELSE LENGTH({_XT_LATIN_SQL}) END AS chars
+      FROM documents WHERE doc_id % {_NOT_FOUND_EVERY} <> 0
+    ), r AS (
+      SELECT 'empty' AS registry UNION ALL SELECT 'registered'
+    )
+    SELECT registry, enc,
+           CAST(COUNT(*) AS BIGINT) AS n_fetches,
+           CAST(SUM(CASE WHEN enc <> 'br' OR registry = 'registered'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_extracted,
+           CAST(SUM(CASE WHEN enc = 'br' AND registry = 'empty'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+           CAST(SUM(CASE WHEN enc <> 'br' OR registry = 'registered'
+                    THEN chars ELSE 0 END) AS BIGINT) AS extracted_chars
+    FROM d CROSS JOIN r GROUP BY registry, enc
+    """,
+    doc="Pluggable transport-decoder registry (VERDICT r16 #1 — the "
+    "end state of transport routing): r16 routed unknown-codec "
+    "records OUT and counted them, but on a real dump ~25-40% of "
+    "pages are brotli and a deployment with the codec installed must "
+    "DECODE them, not discard a third of the corpus. The seam is a "
+    "label→decoder map passed through the splitter's Arrow closure "
+    "(warc_records(decoders=…) → parse_record — closure-captured, so "
+    "driver and executors can never disagree; module-state mutation "
+    "would silently not propagate to Python workers) plus the "
+    "matching is_decoded(extra=…) routing labels; "
+    "default_transport_decoders() populates from importable optional "
+    "dependencies (brotli/zstandard — the Pillow/ref_codecs "
+    "two-backend discipline). The gate runs BOTH arms over ONE "
+    "checkpointed fixture: with an empty registry the br leg is "
+    "skipped-and-counted (the r16 behavior, still pinned), and with "
+    "the FAKE registered codec (raw_deflate_decoder under 'br' — the "
+    "synth stand-in bytes are raw deflate, so the decode path runs "
+    "with zero new dependencies) the same records extract with full "
+    "char mass. The oracle pins per-(registry, label) fetch/extracted/"
+    "skipped counts and char mass, so silent garbling, silent "
+    "dropping, OR a decoder that corrupts bytes all hash-mismatch. "
+    "Two zero-shuffle split arms + ONE aggregate. "
+    "sources/warc.py::default_transport_decoders,raw_deflate_decoder,"
+    "parse_record(decoders=),is_decoded(extra=).",
+)
+def crawl_decoder_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.html import html_to_text
+    from ..operators.materialize import checkpoint_tracked
+    from ..sources import warc
+
+    docs = load_table(spark, sf_dir, "documents")
+    # two splitter arms consume the same archives: checkpoint so
+    # synthesis runs once
+    files = checkpoint_tracked(
+        warc.synth_warc_files(
+            docs, docs_per_file=_DOCS_PER_FILE,
+            not_found_every=_NOT_FOUND_EVERY, http_variants=True,
+            unknown_encoding_every=_UNKNOWN_ENC_EVERY,
+        )
+    )
+
+    def arm(tag: str, decoders: dict, extra: tuple) -> DataFrame:
+        ok = warc.warc_records(files, decoders=decoders).filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+        )
+        dec = warc.is_decoded(F.col("http_encoding"), extra=extra)
+        return ok.select(
+            F.lit(tag).alias("registry"),
+            F.col("http_encoding").alias("enc"),
+            dec.alias("_dec"),
+            F.when(dec, F.length(html_to_text(warc.payload_text())))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("_chars"),
+        )
+
+    routed = arm("empty", {}, ()).unionByName(
+        arm(
+            "registered", {"br": warc.raw_deflate_decoder}, ("br",)
+        )
+    )
+    return routed.groupBy("registry", "enc").agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.sum(F.col("_dec").cast("long")).alias("n_extracted"),
+        F.sum((~F.col("_dec")).cast("long")).alias("n_skipped"),
+        F.sum("_chars").alias("extracted_chars"),
+    )

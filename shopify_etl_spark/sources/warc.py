@@ -93,6 +93,16 @@ WARC_RECORD_SCHEMA = StructType(
         # re-storing the body); null on non-revisit records
         StructField("refers_to", StringType(), True),
         StructField("payload_digest", StringType(), True),
+        # the HTTP Location header (r17): 3xx responses carry the
+        # redirect target a crawl consumer must follow to credit
+        # content to the final canonical URL; null elsewhere
+        StructField("http_location", StringType(), True),
+        # WARC-Concurrent-To (r17): request records pair to the
+        # response captured in the same fetch; null when absent
+        StructField("concurrent_to", StringType(), True),
+        # WARC-Date (r17): the capture timestamp — what recrawl
+        # scheduling compares against sitemap <lastmod>
+        StructField("warc_date", StringType(), True),
         StructField("payload", BinaryType(), True),
     ]
 )
@@ -293,12 +303,10 @@ def _inflate(body: bytes, encoding: str) -> bytes:
 # (br, zstd, x-custom, …) passed through still-compressed and LABELED;
 # extraction fronts must route those records OUT (and count them)
 # instead of feeding opaque bytes to a text extractor as if decoded.
-_DECODED_LABEL_RE = (
-    r"^(identity|(chunked|gzip|deflate)(\+(chunked|gzip|deflate))*)$"
-)
+_BUILTIN_DECODED = ("chunked", "gzip", "deflate")
 
 
-def is_decoded(col="http_encoding"):
+def is_decoded(col="http_encoding", extra: tuple = ()):
     """Boolean Column: the record's HTTP transport is fully decoded
     (``http_encoding`` ∈ identity / chunked / gzip / deflate and their
     ``+`` combinations). The routing predicate EVERY extraction front
@@ -307,9 +315,83 @@ def is_decoded(col="http_encoding"):
     through labeled-but-compressed; without this predicate those bytes
     would enter curation as silently garbled text (the failure mode
     the permissive-mode accounting philosophy forbids). Null labels
-    (non-HTTP records) are not decoded payloads and return false."""
+    (non-HTTP records) are not decoded payloads and return false.
+
+    ``extra`` (r17, VERDICT r16 #1): additional labels the CALLER
+    decoded by passing a transport-decoder registry to the splitter —
+    a front that ran ``warc_records(files, decoders={'br': …})`` routes
+    with ``is_decoded(…, extra=('br',))``. The label set is part of the
+    plan (closure-captured like the registry itself), so driver and
+    executors can never disagree about what counts as decoded."""
+    toks = "|".join(_BUILTIN_DECODED + tuple(extra))
+    pat = rf"^(identity|({toks})(\+({toks}))*)$"
     c = F.col(col) if isinstance(col, str) else col
-    return c.isNotNull() & c.rlike(_DECODED_LABEL_RE)
+    return c.isNotNull() & c.rlike(pat)
+
+
+# ---------------------------------------------------------------------------
+# pluggable transport decoders (VERDICT r16 #1): routing unknown labels
+# OUT was the correct first step, but on a real dump ~25-40% of pages
+# are brotli — a deployment with the codec installed should DECODE
+# them, not discard a third of the corpus. The seam is a label→decoder
+# mapping passed through the splitter's closure (the Spark-correct
+# config path: pickled with the UDF, so driver and executors always
+# agree — module-level mutation would silently NOT propagate to Python
+# workers). ``default_transport_decoders()`` populates from importable
+# optional dependencies (the Pillow/ref_codecs two-backend discipline);
+# unregistered labels keep the labeled-skip+count behavior.
+# ---------------------------------------------------------------------------
+
+
+def _decode_br(body: bytes) -> bytes:
+    import brotli  # optional dependency — guarded by the default map
+
+    return brotli.decompress(body)
+
+
+def _decode_zstd(body: bytes) -> bytes:
+    import zstandard  # optional dependency — guarded by the default map
+
+    return zstandard.ZstdDecompressor().decompress(body)
+
+
+def raw_deflate_decoder(body: bytes) -> bytes:
+    """Raw-DEFLATE (RFC 1951, no zlib/gzip wrapper) decoder — the FAKE
+    registered codec the decoder-registry gate runs with: the synth
+    ``br`` leg's stand-in bytes are raw deflate, so registering this
+    under ``'br'`` exercises the full decode-when-registered path with
+    zero new dependencies. Also a real decoder for servers that ship
+    raw-deflate under ``Content-Encoding: deflate`` miscounted as a
+    custom label."""
+    do = zlib.decompressobj(-15)
+    out = do.decompress(body)
+    if not do.eof:
+        raise ValueError("truncated raw-deflate payload body")
+    return out
+
+
+def default_transport_decoders() -> dict:
+    """Label→decoder map from IMPORTABLE optional dependencies:
+    ``brotli`` registers ``br``, ``zstandard`` registers ``zstd``.
+    Deterministic per environment (import-probe only — no state), so
+    a cluster whose workers share the driver's image resolves the same
+    map everywhere. Callers pass the result (or their own map) to
+    ``warc_records(decoders=…)`` and route with the matching
+    ``is_decoded(extra=…)`` labels."""
+    out: dict = {}
+    try:
+        import brotli  # noqa: F401
+
+        out["br"] = _decode_br
+    except ImportError:
+        pass
+    try:
+        import zstandard  # noqa: F401
+
+        out["zstd"] = _decode_zstd
+    except ImportError:
+        pass
+    return out
 
 
 def payload_charset(payload_col="payload", mime_col="http_mime"):
@@ -367,13 +449,19 @@ def build_record(warc_type: str, headers: list, body: bytes) -> bytes:
     return CRLF.join(lines) + _HDR_END + body + _HDR_END
 
 
-def parse_record(raw: bytes) -> dict:
+def parse_record(raw: bytes, decoders: dict | None = None) -> dict:
     """Parse one decompressed WARC record into (warc_type, record_id,
     target_uri, http_status, mime, payload).
 
     For ``application/http`` blocks the HTTP envelope is peeled here —
     status line parsed, headers dropped, body returned as ``payload`` —
     because that is the only part downstream text extraction consumes.
+
+    ``decoders`` (r17): an optional label→decoder map for
+    Content-Encoding values beyond the built-in gzip/deflate — a
+    registered label's body is DECODED (decoder failures surface the
+    ValueError contract); an unregistered label passes through
+    still-compressed and labeled, for :func:`is_decoded` routing.
     """
     if not raw.startswith(b"WARC/"):
         raise ValueError(
@@ -395,6 +483,7 @@ def parse_record(raw: bytes) -> dict:
         )
     ctype = fields.get(b"content-type", b"").decode("ascii", "replace")
     status, payload, http_mime, http_enc = None, block, None, None
+    http_location = None
     if ctype.startswith("application/http"):
         try:
             http_end = block.index(_HDR_END)
@@ -426,6 +515,10 @@ def parse_record(raw: bytes) -> dict:
         http_mime = (
             hm.decode("ascii", "replace") if hm is not None else None
         )
+        loc = hdrs.get(b"location")
+        http_location = (
+            loc.decode("ascii", "replace") if loc is not None else None
+        )
         payload = block[http_end + len(_HDR_END):]
         # transport decoding: dechunk FIRST (framing wraps the encoded
         # body), then content-decode — the wire's nesting order
@@ -443,6 +536,22 @@ def parse_record(raw: bytes) -> dict:
             if ce in ("gzip", "x-gzip", "deflate"):
                 payload = _inflate(payload, ce)
                 encs.append("gzip" if ce == "x-gzip" else ce)
+            elif decoders and ce in decoders:
+                # registered codec (r17): decode, keep the label —
+                # the caller routes with is_decoded(extra=(ce,)) since
+                # it knows which labels its registry absorbed
+                try:
+                    payload = decoders[ce](payload)
+                except ValueError:
+                    raise
+                except Exception as e:
+                    # decoder contract hardening: a codec's internal
+                    # error class must surface as the clean ValueError
+                    # permissive-mode accounting understands
+                    raise ValueError(
+                        f"bad {ce} payload body: {e}"
+                    ) from e
+                encs.append(ce)
             else:
                 # unknown codec (e.g. br): bytes pass through LABELED so
                 # downstream can count/route them — one exotic record
@@ -452,6 +561,8 @@ def parse_record(raw: bytes) -> dict:
     uri = fields.get(b"warc-target-uri")
     refers = fields.get(b"warc-refers-to")
     pdigest = fields.get(b"warc-payload-digest")
+    conc = fields.get(b"warc-concurrent-to")
+    wdate = fields.get(b"warc-date")
     return {
         "warc_type": fields.get(b"warc-type", b"?").decode(),
         "record_id": fields.get(b"warc-record-id", b"").decode(),
@@ -464,6 +575,9 @@ def parse_record(raw: bytes) -> dict:
         "payload_digest": (
             pdigest.decode() if pdigest is not None else None
         ),
+        "http_location": http_location,
+        "concurrent_to": conc.decode() if conc is not None else None,
+        "warc_date": wdate.decode() if wdate is not None else None,
         "payload": payload,
     }
 
@@ -478,6 +592,7 @@ def warc_records(
     warc_col: str = "warc",
     file_col: str = "file_id",
     mode: str = "fail",
+    decoders: dict | None = None,
 ) -> DataFrame:
     """Split WARC archives into records — one output row per record.
 
@@ -495,6 +610,10 @@ def warc_records(
     ONE accounting row (``warc_type='corrupt'``, the error message in
     ``mime``, ``rec_index`` = records salvaged) marks the archive so
     the loss is countable downstream, never silent.
+
+    ``decoders``: optional Content-Encoding label→decoder map (r17,
+    VERDICT r16 #1) — closure-captured into the Arrow task, so driver
+    and executors always agree; see :func:`default_transport_decoders`.
     """
     if mode not in ("fail", "permissive"):
         raise ValueError(f"mode must be 'fail' or 'permissive', got {mode!r}")
@@ -507,14 +626,16 @@ def warc_records(
                 i = 0
                 try:
                     for member in split_records(bytes(blob)):
-                        r = parse_record(member)
+                        r = parse_record(member, decoders=decoders)
                         rows.append(
                             (
                                 int(fid), i, r["warc_type"], r["record_id"],
                                 r["target_uri"], r["http_status"],
                                 r["mime"], r["http_mime"],
                                 r["http_encoding"], r["refers_to"],
-                                r["payload_digest"], r["payload"],
+                                r["payload_digest"], r["http_location"],
+                                r["concurrent_to"], r["warc_date"],
+                                r["payload"],
                             )
                         )
                         i += 1
@@ -523,7 +644,8 @@ def warc_records(
                         raise
                     rows.append(
                         (int(fid), i, "corrupt", "", None, None,
-                         str(e), None, None, None, None, None)
+                         str(e), None, None, None, None, None, None,
+                         None, None)
                     )
             yield pd.DataFrame(rows, columns=cols)
 
@@ -557,6 +679,7 @@ def cdx_records(
     warc_col: str = "warc",
     file_col: str = "file_id",
     mode: str = "fail",
+    decoders: dict | None = None,
 ) -> DataFrame:
     """Build a CDX-style index over per-record-gzip archives: one row
     per record with its BYTE COORDINATES (``offset``, ``comp_len`` — a
@@ -599,7 +722,7 @@ def cdx_records(
                     for member, off, clen in split_gzip_members_indexed(
                         blob
                     ):
-                        r = parse_record(member)
+                        r = parse_record(member, decoders=decoders)
                         digest = (
                             hashlib.md5(r["payload"]).hexdigest()
                             if r["payload"] is not None
@@ -656,6 +779,7 @@ def fetch_record_ranges(
     offset_col: str = "offset",
     len_col: str = "comp_len",
     key_col: str = "surt",
+    decoders: dict | None = None,
 ) -> DataFrame:
     """Ranged-read record recovery — the consumer side of the CDX
     index: each input row carries a resolved coordinate triple
@@ -683,7 +807,7 @@ def fetch_record_ranges(
                         raise ValueError(
                             "range is not one self-contained gzip member"
                         )
-                    r = parse_record(member)
+                    r = parse_record(member, decoders=decoders)
                     rows.append(
                         (
                             key, r["warc_type"], r["target_uri"],
@@ -1450,6 +1574,9 @@ __all__ = [
     "build_record",
     "parse_record",
     "warc_records",
+    "default_transport_decoders",
+    "raw_deflate_decoder",
+    "resolve_revisits",
     "cdx_records",
     "fetch_record_ranges",
     "CDX_SCHEMA",

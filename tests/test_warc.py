@@ -1188,3 +1188,95 @@ class TestR17AdviceFixes:
         assert r.refers_to == "<urn:uuid:a-1>"
         assert r.revisit_body_bytes == 0
         assert r.orig_value == len(body)
+
+
+class TestTransportDecoderRegistry:
+    """Round-17 (VERDICT r16 #1): a label→decoder map threaded through
+    the splitter's closure decodes registered Content-Encoding labels
+    instead of discarding them; unregistered labels keep the
+    labeled-skip behavior, and is_decoded(extra=...) widens routing to
+    the labels the caller's registry absorbed."""
+
+    def _br_files(self, spark):
+        words = " ".join(f"w{i}" for i in range(20))
+        docs = spark.createDataFrame(
+            [(5, words), (6, words)], "doc_id long, text string"
+        )
+        return W.synth_warc_files(
+            docs, docs_per_file=25, http_variants=True,
+            unknown_encoding_every=9,
+        )
+
+    def test_registered_label_decodes_payload(self, spark):
+        files = self._br_files(spark)
+        recs = {
+            r["target_uri"].rsplit("/", 1)[-1]: r
+            for r in W.warc_records(
+                files, decoders={"br": W.raw_deflate_decoder}
+            )
+            .filter(F.col("warc_type") == "response")
+            .collect()
+        }
+        br = recs["6"]
+        assert br["http_encoding"] == "br"    # label preserved
+        assert b"<html" in bytes(br["payload"])  # but DECODED now
+        assert b"w3 w4" in bytes(br["payload"])
+
+    def test_empty_registry_keeps_labeled_skip(self, spark):
+        files = self._br_files(spark)
+        recs = {
+            r["target_uri"].rsplit("/", 1)[-1]: r
+            for r in W.warc_records(files, decoders={})
+            .filter(F.col("warc_type") == "response")
+            .collect()
+        }
+        assert recs["6"]["http_encoding"] == "br"
+        assert b"<html" not in bytes(recs["6"]["payload"])
+
+    def test_is_decoded_extra_widens_routing(self, spark):
+        df = spark.createDataFrame(
+            [("br",), ("chunked+gzip",), ("zstd",), (None,)],
+            "http_encoding string",
+        )
+        base = df.select(
+            W.is_decoded("http_encoding").alias("d")
+        ).collect()
+        assert [r.d for r in base] == [False, True, False, False]
+        extra = df.select(
+            W.is_decoded("http_encoding", extra=("br",)).alias("d")
+        ).collect()
+        assert [r.d for r in extra] == [True, True, False, False]
+
+    def test_decoder_failure_surfaces_value_error(self):
+        # a corrupt registered-codec body must raise the clean
+        # ValueError contract (permissive-mode accounting), never the
+        # codec's internal error class
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Encoding: br\r\nContent-Length: 9\r\n\r\nnotbrotli"
+        )
+        rec = W.build_record(
+            "response",
+            [("WARC-Record-ID", "<urn:uuid:x>"),
+             ("Content-Type", "application/http; msgtype=response")],
+            http,
+        )
+        with pytest.raises(ValueError):
+            W.parse_record(rec, decoders={"br": W.raw_deflate_decoder})
+
+    def test_default_registry_is_import_probe(self):
+        d = W.default_transport_decoders()
+        assert isinstance(d, dict)
+        assert set(d) <= {"br", "zstd"}  # only known optional codecs
+
+    def test_new_record_fields_default_null(self, spark):
+        # schema extension (r17): http_location/concurrent_to/warc_date
+        # ride every record row; absent headers yield nulls
+        docs = spark.createDataFrame(
+            [(1, "alpha beta")], "doc_id long, text string"
+        )
+        files = W.synth_warc_files(docs, docs_per_file=25)
+        rows = W.warc_records(files).collect()
+        resp = [r for r in rows if r.warc_type == "response"][0]
+        assert resp.http_location is None
+        assert resp.warc_date == "2026-01-01T00:00:00Z"
