@@ -143,3 +143,132 @@ def crawl_decoder_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((~F.col("_dec")).cast("long")).alias("n_skipped"),
         F.sum("_chars").alias("extracted_chars"),
     )
+
+
+@register(
+    "crawl_redirect_resolution",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % {_NOT_FOUND_EVERY} <> 0
+    )
+    SELECT doc_id, 'r' AS kind, CAST(1 AS BIGINT) AS hops,
+           'resolved' AS outcome
+    FROM d WHERE doc_id % 11 = 5
+    UNION ALL
+    SELECT doc_id, 'rr', CAST(2 AS BIGINT), 'resolved'
+    FROM d WHERE doc_id % 33 = 5
+    UNION ALL
+    SELECT doc_id, 'loopA', CAST(1 AS BIGINT), 'loop'
+    FROM d WHERE doc_id % 33 = 16
+    UNION ALL
+    SELECT doc_id, 'loopB', CAST(1 AS BIGINT), 'loop'
+    FROM d WHERE doc_id % 33 = 16
+    UNION ALL
+    SELECT doc_id, 'dg', CAST(1 AS BIGINT), 'dangling'
+    FROM d WHERE doc_id % 33 = 27
+    """,
+    doc="HTTP redirect-chain resolution (VERDICT r16 #2): real dumps "
+    "are ~15-20% 3xx responses carrying Location: headers, and a "
+    "crawl consumer must follow chains to credit content to the "
+    "final canonical URL — and detect the chains that never get "
+    "there. The synthesis (redirects=True) plants four leg shapes "
+    "per the oracle formulas: 1-hop 301→canonical (id%11==5), 2-hop "
+    "302→301→canonical (id%33==5), a 2-cycle loop (id%33==16, "
+    "loopA⇄loopB), and a dangling 301 into a never-fetched URL "
+    "(id%33==27). The resolver is a BOUNDED-hop iterated self-join "
+    "(4 hops — the policy browsers/crawlers apply, not an unbounded "
+    "fixpoint) on CANONICAL keys over the redirect-sized edge frame: "
+    "each round follows dst through the redirect map, carries the "
+    "visited array, and flags a loop when the next target is already "
+    "seen; afterwards the final URL joins the 200-content set to "
+    "split resolved from dangling. The oracle re-derives every "
+    "chain's hop count and outcome class from the synthesis "
+    "formulas, so a mis-followed Location, an uncanonicalized join "
+    "key, a missed loop, or an over-deep chase hash-mismatches. "
+    "Scale shape: the record table is checkpointed (split once); "
+    "chains/edges are redirect-sized (~15% of fetches), each of the "
+    "4 bounded rounds is one equi-join of (url,url) rows — payloads "
+    "never ride any of it; the content probe is one more key join. "
+    "Reference analog: the HTTP layer of S1 follows redirects before "
+    "pagination sees a page (extract_table.py _make_request). "
+    "sources/warc.py (redirects=True, http_location), "
+    "functions/urls.py::canonicalize_url.",
+)
+def crawl_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.urls import canonicalize_url
+    from ..operators.materialize import checkpoint_tracked
+    from ..sources import warc
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = warc.synth_warc_files(
+        docs, docs_per_file=_DOCS_PER_FILE,
+        not_found_every=_NOT_FOUND_EVERY, rich_uris=True, redirects=True,
+    )
+    recs = checkpoint_tracked(
+        warc.warc_records(files).filter(F.col("warc_type") == "response")
+    )
+    # redirect edge map: src -> Location target, both canonicalized
+    # (the identity every cross-URL op keys on)
+    edges = recs.filter(
+        F.col("http_status").between(300, 399)
+        & F.col("http_location").isNotNull()
+    ).select(
+        canonicalize_url("target_uri").alias("_s"),
+        canonicalize_url("http_location").alias("_d"),
+    )
+    content = recs.filter(
+        (F.col("http_status") == 200)
+        & warc.is_decoded(F.col("http_encoding"))
+    ).select(canonicalize_url("target_uri").alias("_c")).distinct()
+
+    chains = edges.select(
+        F.col("_s").alias("src"),
+        F.col("_d").alias("dst"),
+        F.lit(1).cast("long").alias("hops"),
+        F.array("_s").alias("_seen"),
+        F.lit(False).alias("looped"),
+    )
+    # bounded-hop chase: 3 more rounds -> chains of up to 4 hops.
+    # Each round: follow dst through the edge map when it is itself a
+    # redirect source; a target already in the visited set flags a
+    # loop and freezes the chain (dst/hops stop moving).
+    for _ in range(3):
+        nxt = edges.select(
+            F.col("_s").alias("_ns"), F.col("_d").alias("_nd")
+        )
+        joined = chains.join(
+            nxt, chains["dst"] == nxt["_ns"], "left"
+        )
+        can = F.col("_nd").isNotNull() & ~F.col("looped")
+        revisits_seen = can & F.array_contains("_seen", F.col("_nd"))
+        advance = can & ~F.array_contains("_seen", F.col("_nd"))
+        chains = joined.select(
+            "src",
+            F.when(advance, F.col("_nd")).otherwise(F.col("dst")).alias(
+                "dst"
+            ),
+            F.when(advance, F.col("hops") + 1)
+            .otherwise(F.col("hops"))
+            .alias("hops"),
+            F.when(advance, F.array_append("_seen", F.col("dst")))
+            .otherwise(F.col("_seen"))
+            .alias("_seen"),
+            (F.col("looped") | revisits_seen).alias("looped"),
+        )
+    resolved = chains.join(
+        content, chains["dst"] == content["_c"], "left"
+    ).select(
+        F.regexp_extract("src", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.regexp_extract("src", r"/(r|rr|loopA|loopB|dg)/doc/", 1).alias(
+            "kind"
+        ),
+        "hops",
+        F.when(F.col("looped"), F.lit("loop"))
+        .when(F.col("_c").isNotNull(), F.lit("resolved"))
+        .otherwise(F.lit("dangling"))
+        .alias("outcome"),
+    )
+    return resolved

@@ -1075,12 +1075,15 @@ def _http_response(
     ctype: str = "text/html; charset=utf-8",
     content_encoding: str | None = None,
     chunked: bool = False,
+    location: str | None = None,
 ) -> bytes:
     body = body.encode() if isinstance(body, str) else body
     lines = [
         f"HTTP/1.1 {status} {reason}".encode(),
         f"Content-Type: {ctype}".encode(),
     ]
+    if location is not None:
+        lines.append(f"Location: {location}".encode())
     if content_encoding == "gzip":
         body = gzip_member(body)
         lines.append(b"Content-Encoding: gzip")
@@ -1141,6 +1144,9 @@ def synth_warc_files(
     refetch: bool = False,
     revisits: bool = False,
     links: bool = False,
+    redirects: bool = False,
+    request_pairing: bool = False,
+    lost_responses_every: int = 0,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -1216,6 +1222,27 @@ def synth_warc_files(
     updated re-fetches stay full responses (content changed, nothing
     to deduplicate against). Consumers resolve revisits against
     responses by digest (``warc_revisit_resolution``).
+
+    ``redirects`` (requires ``rich_uris``, r17) plants the 3xx legs a
+    real dump carries (~15-20% of responses): for each non-404 doc,
+    alias URLs on the doc's host respond 3xx with a ``Location:``
+    header — ``id % 11 == 5`` → ``/r/doc/{{id}}`` 301→canonical (a
+    1-hop chain); ``id % 33 == 5`` → additionally ``/rr/doc/{{id}}``
+    302→``/r/…`` (a 2-hop chain); ``id % 33 == 16`` →
+    ``/loopA/doc/{{id}}`` ⇄ ``/loopB/doc/{{id}}`` 301s at each other
+    (a redirect LOOP — never reaches content); ``id % 33 == 27`` →
+    ``/dg/doc/{{id}}`` 301→``/missing/doc/{{id}}`` which is never
+    fetched (a DANGLING end). Redirect responses carry a tiny HTML
+    body that must never enter curation. Formulas mirrored by the
+    ``crawl_redirect_resolution`` oracle.
+
+    ``request_pairing`` (r17) adds ``WARC-Concurrent-To`` to every
+    request record (pointing at its paired response's record id — the
+    real-dump pairing header) and, with ``lost_responses_every > 0``,
+    OMITS the response for non-404 docs with ``id % N == 9`` (the
+    fetch-failed leg a crawler's log carries: the request was made,
+    no response was captured) — the ``warc_request_pairing`` oracle
+    accounts pairs and orphaned requests.
     """
     if refetch and not rich_uris:
         raise ValueError("refetch=True requires rich_uris=True")
@@ -1233,6 +1260,12 @@ def synth_warc_files(
         # the documented byte-identical (id%20==14) re-fetch invariant
         raise ValueError(
             "refetch=True is incompatible with http_variants/image_every"
+        )
+    if redirects and not rich_uris:
+        raise ValueError("redirects=True requires rich_uris=True")
+    if lost_responses_every and not request_pairing:
+        raise ValueError(
+            "lost_responses_every requires request_pairing=True"
         )
     staged = docs.select(
         F.col(id_col).alias("_id"),
@@ -1421,6 +1454,11 @@ def synth_warc_files(
                 ("WARC-Target-URI", uri),
             ]
             rid_sfx = "-r2" if dup else ""
+            pair_hdrs = (
+                [("WARC-Concurrent-To", f"<urn:uuid:resp-{d:016d}{rid_sfx}>")]
+                if request_pairing
+                else []
+            )
             parts.append(
                 gzip_member(
                     build_record(
@@ -1428,11 +1466,23 @@ def synth_warc_files(
                         [("WARC-Record-ID",
                           f"<urn:uuid:req-{d:016d}{rid_sfx}>")]
                         + common
+                        + pair_hdrs
                         + [("Content-Type", "application/http; msgtype=request")],
                         _http_request(uri),
                     )
                 )
             )
+            if (
+                lost_responses_every
+                and not dup
+                and d % not_found_every != 0
+                and d % lost_responses_every == 9
+            ):
+                # the fetch-failed leg: the request rides the archive,
+                # the response was never captured — an orphaned request
+                # the pairing audit must account, not a parse error
+                n += 1
+                continue
             rec_type, extra_hdrs = "response", []
             # the dup branches must mirror the ORIGINAL response's body
             # formula exactly (links included) — the byte-identical
@@ -1551,6 +1601,54 @@ def synth_warc_files(
                 )
             )
             n += 2
+            if redirects and not dup and d % not_found_every != 0:
+                # the 3xx legs (formulas mirrored by the
+                # crawl_redirect_resolution oracle): alias URLs on the
+                # doc's host redirecting toward (or around) the
+                # canonical content URL
+                h7 = f"http://host{d % 7}.example"
+                canon = f"{h7}/sec{d % 13}/doc/{d}"
+                legs = []
+                if d % 11 == 5:
+                    legs.append((f"{h7}/r/doc/{d}", 301, canon))
+                if d % 33 == 5:
+                    legs.append(
+                        (f"{h7}/rr/doc/{d}", 302, f"{h7}/r/doc/{d}")
+                    )
+                if d % 33 == 16:
+                    la, lb = f"{h7}/loopA/doc/{d}", f"{h7}/loopB/doc/{d}"
+                    legs += [(la, 301, lb), (lb, 301, la)]
+                if d % 33 == 27:
+                    legs.append(
+                        (f"{h7}/dg/doc/{d}", 301, f"{h7}/missing/doc/{d}")
+                    )
+                for li, (lu, lst, loc) in enumerate(legs):
+                    parts.append(
+                        gzip_member(
+                            build_record(
+                                "response",
+                                [
+                                    (
+                                        "WARC-Record-ID",
+                                        f"<urn:uuid:redir-{d:016d}-{li}>",
+                                    ),
+                                    ("WARC-Date", "2026-01-01T00:00:00Z"),
+                                    ("WARC-Target-URI", lu),
+                                    (
+                                        "Content-Type",
+                                        "application/http; msgtype=response",
+                                    ),
+                                ],
+                                _http_response(
+                                    lst,
+                                    "Moved",
+                                    "<html><body>moved</body></html>",
+                                    location=loc,
+                                ),
+                            )
+                        )
+                    )
+                    n += 1
         return pd.DataFrame(
             [(fid, b"".join(parts), n)],
             columns=["file_id", "warc", "n_members"],

@@ -54,19 +54,30 @@ def curate_archives(files: DataFrame) -> DataFrame:
     must NOT feed still-compressed bytes to extraction — it becomes an
     ACCOUNTING row (``keep=false``, ``reasons='transport:<label>'``,
     null text) so the loss is countable downstream, never silent (the
-    permissive-mode philosophy)."""
+    permissive-mode philosophy).
+
+    Redirect routing (r17, VERDICT r16 #2): 3xx responses carry a
+    Location: header instead of content — they become accounting rows
+    too (``reasons='status:<code>'``) so a dump's redirect mass is
+    countable at the curation front (chain resolution itself is the
+    ``crawl_redirect_resolution`` consumer's job). 404s stay excluded
+    by the status gate — the planted dead leg whose exclusion every
+    extraction oracle pins."""
     from ..operators.materialize import checkpoint_tracked
 
     # two routes read the record table: checkpoint so the member split
     # runs once per micro-batch, not once per route
+    redirect = F.col("http_status").between(300, 399)
     ok = checkpoint_tracked(
         warc_records(files).filter(
             (F.col("warc_type") == "response")
-            & (F.col("http_status") == 200)
+            & ((F.col("http_status") == 200) | redirect)
         )
     )
     doc_id = F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long")
-    ex = ok.filter(is_decoded("http_encoding")).select(
+    ex = ok.filter(
+        ~redirect & is_decoded("http_encoding")
+    ).select(
         "file_id",
         doc_id.alias("doc_id"),
         html_to_text(payload_text()).alias("text_out"),
@@ -79,15 +90,20 @@ def curate_archives(files: DataFrame) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n_tokens"),
         "keep", "reasons",
     )
-    skipped = ok.filter(~is_decoded("http_encoding")).select(
+    skipped = ok.filter(
+        redirect | ~is_decoded("http_encoding")
+    ).select(
         "file_id",
         doc_id.alias("doc_id"),
         F.lit(None).cast("string").alias("text_out"),
         F.lit(0).cast("long").alias("n_tokens"),
         F.lit(False).alias("keep"),
-        F.concat(F.lit("transport:"), F.col("http_encoding")).alias(
-            "reasons"
-        ),
+        F.when(
+            redirect,
+            F.concat(F.lit("status:"), F.col("http_status")),
+        ).otherwise(
+            F.concat(F.lit("transport:"), F.col("http_encoding"))
+        ).alias("reasons"),
     )
     return curated.unionByName(skipped)
 
@@ -110,20 +126,23 @@ def curate_archives_mm(files: DataFrame) -> DataFrame:
     like the text branch; anything else — PDFs, JSON APIs — does not)
     becomes a ``modality='other'`` ACCOUNTING row (``keep=false``,
     ``reasons='transport:<enc>'`` or ``'mime:<type>'``) instead of
-    vanishing from the curated corpus."""
+    vanishing from the curated corpus. 3xx responses (r17) route the
+    same way with ``reasons='status:<code>'`` — see
+    :func:`curate_archives`."""
     from ..operators.materialize import checkpoint_tracked
     from ..operators.multimodal import decode_features
 
     # two modality consumers read the record table: checkpoint so the
     # member split runs once per micro-batch, not once per route
+    redirect = F.col("http_status").between(300, 399)
     ok = checkpoint_tracked(
         warc_records(files).filter(
             (F.col("warc_type") == "response")
-            & (F.col("http_status") == 200)
+            & ((F.col("http_status") == 200) | redirect)
         )
     )
     doc_id = F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long")
-    dec = is_decoded("http_encoding")
+    dec = is_decoded("http_encoding") & ~redirect
     # null-safe route predicates (ADVICE r16): a 200-OK record with NO
     # Content-Type header has null http_mime, so a bare startswith
     # yields NULL — which fails the html/png filters AND the catch-all
@@ -202,7 +221,10 @@ def curate_archives_mm(files: DataFrame) -> DataFrame:
         F.lit(None).cast("long").alias("n_tokens"),
         F.lit(False).alias("keep"),
         F.when(
-            ~dec, F.concat(F.lit("transport:"), F.col("http_encoding"))
+            redirect, F.concat(F.lit("status:"), F.col("http_status"))
+        ).when(
+            ~is_decoded("http_encoding"),
+            F.concat(F.lit("transport:"), F.col("http_encoding")),
         ).otherwise(
             F.concat(F.lit("mime:"), F.coalesce("http_mime", F.lit("?")))
         ).alias("reasons"),

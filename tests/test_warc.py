@@ -1280,3 +1280,72 @@ class TestTransportDecoderRegistry:
         resp = [r for r in rows if r.warc_type == "response"][0]
         assert resp.http_location is None
         assert resp.warc_date == "2026-01-01T00:00:00Z"
+
+
+class TestRedirects:
+    """Round-17 (VERDICT r16 #2): 3xx legs with Location headers —
+    synthesis shapes, parser surfacing, and the curation fronts'
+    status accounting."""
+
+    def test_synth_redirect_legs_and_location_header(self, spark):
+        # doc 5: 5%11==5 (1-hop) and 5%33==5 (2-hop); doc 16: loop;
+        # doc 27: dangling
+        docs = spark.createDataFrame(
+            [(d, "alpha beta") for d in (5, 16, 27)],
+            "doc_id long, text string",
+        )
+        files = W.synth_warc_files(
+            docs, docs_per_file=50, rich_uris=True, redirects=True
+        )
+        recs = {
+            r.target_uri: r
+            for r in W.warc_records(files)
+            .filter(F.col("warc_type") == "response")
+            .collect()
+        }
+        r5 = recs["http://host5.example/r/doc/5"]
+        assert r5.http_status == 301
+        assert r5.http_location == "http://host5.example/sec5/doc/5"
+        rr5 = recs["http://host5.example/rr/doc/5"]
+        assert rr5.http_status == 302
+        assert rr5.http_location == "http://host5.example/r/doc/5"
+        la = recs["http://host2.example/loopA/doc/16"]
+        assert la.http_location == "http://host2.example/loopB/doc/16"
+        lb = recs["http://host2.example/loopB/doc/16"]
+        assert lb.http_location == "http://host2.example/loopA/doc/16"
+        dg = recs["http://host6.example/dg/doc/27"]
+        assert dg.http_location == "http://host6.example/missing/doc/27"
+        # content responses carry no Location
+        assert recs["http://host5.example/sec5/doc/5"].http_location is None
+
+    def test_redirects_require_rich_uris(self, spark):
+        docs = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="rich_uris"):
+            W.synth_warc_files(docs, redirects=True)
+
+    def test_curation_fronts_account_redirects(self, spark):
+        from shopify_etl_spark.streaming.crawl_stream import (
+            curate_archives,
+            curate_archives_mm,
+        )
+
+        words = " ".join(["the", "a", "of"] + [f"w{i}" for i in range(30)])
+        docs = spark.createDataFrame(
+            [(5, words)], "doc_id long, text string"
+        )
+        files = W.synth_warc_files(
+            docs, docs_per_file=50, rich_uris=True, redirects=True
+        ).select("file_id", "warc")
+        out = curate_archives(files).collect()
+        by_reason = {r.reasons: r for r in out if not r.keep}
+        kept = [r for r in out if r.keep]
+        assert len(kept) == 1 and kept[0].doc_id == 5  # the content page
+        assert "status:301" in by_reason   # /r leg
+        assert "status:302" in by_reason   # /rr leg
+        assert by_reason["status:301"].text_out is None
+        mm = curate_archives_mm(files).collect()
+        mm_reasons = sorted(
+            r.reasons for r in mm if r.modality == "other"
+        )
+        assert mm_reasons == ["status:301", "status:302"]
+        assert [r.doc_id for r in mm if r.modality == "text"] == [5]
