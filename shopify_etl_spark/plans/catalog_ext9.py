@@ -272,3 +272,177 @@ def crawl_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("outcome"),
     )
     return resolved
+
+
+@register(
+    "warc_request_pairing",
+    oracle=f"""
+    SELECT doc_id,
+           NOT (doc_id % 23 = 9 AND doc_id % {_NOT_FOUND_EVERY} <> 0)
+             AS paired,
+           NOT (doc_id % 23 = 9 AND doc_id % {_NOT_FOUND_EVERY} <> 0)
+             AS uri_match,
+           CASE WHEN doc_id % 23 = 9 AND doc_id % {_NOT_FOUND_EVERY} <> 0
+                  THEN NULL
+                WHEN doc_id % {_NOT_FOUND_EVERY} = 0 THEN 404
+                ELSE 200 END AS status
+    FROM documents
+    """,
+    doc="WARC request records + WARC-Concurrent-To pairing (VERDICT "
+    "r16 #5 — the last real-dump record type the engine had not "
+    "modeled): real dumps interleave request records whose "
+    "WARC-Concurrent-To header names the response captured in the "
+    "same fetch, and a consumer joins the two to reconstruct "
+    "per-fetch context — and to find ORPHANED requests (the fetch "
+    "was attempted, no response was captured: the crawler's failure "
+    "log). The synthesis (request_pairing=True) stamps every request "
+    "with its response's record id; lost_responses_every=23 OMITS "
+    "the response for non-404 docs with id%23==9. The query joins "
+    "request→response on the REAL pairing key (concurrent_to == "
+    "record_id — not the URI, which is the thing being "
+    "cross-checked), then verifies the paired response's target URI "
+    "matches the request's (a header pointing at the wrong record "
+    "flips uri_match) and surfaces the response status. The oracle "
+    "re-derives paired/uri_match/status per doc from the synthesis "
+    "formulas — a dropped request record, a mis-parsed header, or a "
+    "lossy join flips a row. Scale shape: ONE equi-join on the "
+    "record-id key; both sides are id-plus-two-string rows "
+    "(payloads projected away before the exchange). "
+    "sources/warc.py (request_pairing=True, concurrent_to).",
+)
+def warc_request_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.materialize import checkpoint_tracked
+    from ..sources import warc
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = warc.synth_warc_files(
+        docs, docs_per_file=_DOCS_PER_FILE,
+        not_found_every=_NOT_FOUND_EVERY, rich_uris=True,
+        request_pairing=True, lost_responses_every=23,
+    )
+    recs = checkpoint_tracked(warc.warc_records(files))
+    reqs = recs.filter(F.col("warc_type") == "request").select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("target_uri").alias("_req_uri"),
+        F.col("concurrent_to"),
+    )
+    resps = recs.filter(F.col("warc_type") == "response").select(
+        F.col("record_id"),
+        F.col("target_uri").alias("_resp_uri"),
+        F.col("http_status"),
+    )
+    return reqs.join(
+        resps, reqs["concurrent_to"] == resps["record_id"], "left"
+    ).select(
+        "doc_id",
+        F.col("record_id").isNotNull().alias("paired"),
+        F.coalesce(
+            F.col("_req_uri") == F.col("_resp_uri"), F.lit(False)
+        ).alias("uri_match"),
+        F.col("http_status").alias("status"),
+    )
+
+
+@register(
+    "cdxj_export_roundtrip",
+    oracle=f"""
+    SELECT doc_id,
+           'example,host' || CAST(doc_id % 7 AS VARCHAR) || ')/sec' ||
+             CAST(doc_id % 13 AS VARCHAR) || '/doc/' ||
+             CAST(doc_id AS VARCHAR) AS surt,
+           TRUE AS resolved,
+           CAST(LENGTH({_XT_SQL}) AS BIGINT) AS recovered_chars,
+           TRUE AS shard_sorted
+    FROM documents
+    WHERE doc_id % {_NOT_FOUND_EVERY} <> 0 AND doc_id % 40 = 7
+    """,
+    doc="CDXJ file export round-trip (VERDICT r16 #3 — the derivative "
+    "trio AS ARTIFACTS): WET and WAT already round-trip through real "
+    ".warc.*.gz archives; CDX existed only as a DataFrame. This chain "
+    "writes the index as SURT-SORTED CDXJ text shards (cdxj_shards — "
+    "pure JVM collect_list/array_sort/array_join per archive; the "
+    "sort is the format's entire point, a CDXJ file is "
+    "binary-searchable by key), parses the FILES back (parse_cdxj — "
+    "split/regexp/from_json, zero Python), pins per-shard sortedness "
+    "SQL-side (the parsed line positions must carry a monotone key "
+    "sequence — an unsorted writer flips shard_sorted), and then "
+    "drives the FULL lookup chain THROUGH the parsed artifact: messy "
+    "URL → surt_key → join against the PARSED index → ranged fetch "
+    "of one gzip member → extraction. The oracle re-derives the "
+    "lookup set (doc_id % 40 == 7, non-404), the SURT value, and the "
+    "recovered char mass from documents alone and pins resolved + "
+    "shard_sorted TRUE. Scale shape: the shard pack/sort is bounded "
+    "by ONE archive's index lines (KB — coordinates, never "
+    "payloads); the lookup key set broadcasts to the parsed index "
+    "and the archives; the ranged fetch is zero-shuffle. "
+    "sources/warc.py::cdxj_shards,parse_cdxj,fetch_record_ranges.",
+)
+def cdxj_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.urls import surt_key
+    from ..operators.html import html_to_text
+    from ..operators.materialize import checkpoint_tracked
+    from ..sources import warc
+
+    docs = load_table(spark, sf_dir, "documents")
+    # two consumers of the archives (index build + ranged-fetch blobs)
+    files = checkpoint_tracked(
+        warc.synth_warc_files(
+            docs, docs_per_file=_DOCS_PER_FILE,
+            not_found_every=_NOT_FOUND_EVERY, rich_uris=True,
+        )
+    )
+    idx = warc.cdx_records(files).filter(
+        F.col("warc_type") == "response"
+    )
+    # write the artifact, then CONSUME ONLY the parsed-back file —
+    # the in-memory index frame never feeds the lookup
+    parsed = checkpoint_tracked(warc.parse_cdxj(warc.cdxj_shards(idx)))
+    w = Window.partitionBy("file_id").orderBy("pos")
+    sortedness = parsed.select(
+        "file_id",
+        (
+            F.lag("surt").over(w).isNull()
+            | (F.col("surt") >= F.lag("surt").over(w))
+        ).alias("_ok"),
+    ).groupBy("file_id").agg(F.every("_ok").alias("shard_sorted"))
+    d = F.col("doc_id")
+    messy = F.concat(
+        F.lit("HTTP://HOST"), (d % 7).cast("string"),
+        F.lit(".EXAMPLE:80//sec"), (d % 13).cast("string"),
+        F.lit("//doc/"), d.cast("string"), F.lit("/#frag"),
+    )
+    keys = docs.filter(
+        (d % 40 == 7) & (d % _NOT_FOUND_EVERY != 0)
+    ).select("doc_id", surt_key(messy).alias("surt"))
+    hits = parsed.join(F.broadcast(keys.select("surt")), "surt").select(
+        "surt", "file_id", "offset", "comp_len"
+    )
+    ranged = warc.fetch_record_ranges(
+        files.join(F.broadcast(hits), "file_id")
+    )
+    per_doc = ranged.join(
+        F.broadcast(
+            hits.select("surt", F.col("file_id").alias("_fid"))
+        ),
+        "surt",
+    )
+    return per_doc.join(
+        F.broadcast(sortedness.withColumnRenamed("file_id", "_fid")),
+        "_fid",
+    ).select(
+        F.regexp_extract("surt", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "surt",
+        (
+            F.col("self_contained") & (F.col("http_status") == 200)
+        ).alias("resolved"),
+        F.length(html_to_text(warc.payload_text()))
+        .cast("long")
+        .alias("recovered_chars"),
+        "shard_sorted",
+    )
