@@ -586,6 +586,7 @@ def opq_balanced_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, doc_id // {_DOCS_PER_FILE} AS file_id,
              CASE WHEN doc_id % {_NOT_FOUND_EVERY} = 0 THEN 'nf'
                   WHEN doc_id % 5 = 2 THEN 'img'
+                  WHEN doc_id % 9 = 3 THEN 'plain'
                   ELSE 'html' END AS kind,
              text
       FROM documents
@@ -593,6 +594,11 @@ def opq_balanced_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_html,
              CAST(SUM(LENGTH({_XT_SQL})) AS BIGINT) AS text_chars
       FROM d WHERE kind = 'html' GROUP BY file_id
+    ), pl AS (
+      SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_plain,
+             CAST(SUM(LENGTH('Doc ' || CAST(doc_id AS VARCHAR) || ' '
+               || trim(text) || ' end')) AS BIGINT) AS plain_chars
+      FROM d WHERE kind = 'plain' GROUP BY file_id
     ), geo AS (
       SELECT doc_id, file_id, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h
       FROM d WHERE kind = 'img'
@@ -611,19 +617,25 @@ def opq_balanced_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY file_id
     )
     SELECT ht.file_id, n_html, text_chars,
+           CAST(COALESCE(n_plain, 0) AS BIGINT) AS n_plain,
+           CAST(COALESCE(plain_chars, 0) AS BIGINT) AS plain_chars,
            CAST(COALESCE(n_images, 0) AS BIGINT) AS n_images,
            CAST(COALESCE(n_pixels, 0) AS BIGINT) AS n_pixels,
            CAST(COALESCE(pixel_sum, 0) AS BIGINT) AS pixel_sum,
            CAST(COALESCE(n_404, 0) AS BIGINT) AS n_404
     FROM ht LEFT JOIN im USING (file_id) LEFT JOIN nf USING (file_id)
+         LEFT JOIN pl USING (file_id)
     """,
     doc="Multimodal crawl ingest — the query that marries the WARC "
     "front door to the codec layer: archives carry a REAL crawl mix "
-    "(HTML pages, image/png fetches with genuine png_codec bytes, "
-    "404s), the splitter routes by the PEELED HTTP Content-Type, HTML "
-    "goes through html_to_text and images through the REAL PNG decode "
-    "(decode_features: zlib inflate + unfilter, pixel stats over "
-    "DECODED rasters); per-archive accounting of both modalities. The "
+    "(HTML pages, text/plain documents (r17, VERDICT r16 #7 — "
+    "curated WITHOUT a tag strip), image/png fetches with genuine "
+    "png_codec bytes, 404s), the splitter routes by the PEELED HTTP "
+    "Content-Type, HTML goes through html_to_text, plain text "
+    "straight through payload_text, and images through the REAL PNG "
+    "decode (decode_features: zlib inflate + unfilter, pixel stats "
+    "over DECODED rasters); per-archive accounting of all "
+    "modalities. The "
     "oracle recomputes everything from first principles (extraction "
     "formula for text lengths, the raster generator for pixel sums), "
     "so a mime-routing bug, a decode error, or a dropped record "
@@ -641,10 +653,11 @@ def crawl_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = warc.synth_warc_files(
         docs, docs_per_file=_DOCS_PER_FILE,
         not_found_every=_NOT_FOUND_EVERY, image_every=5,
+        plain_text_every=9,
     )
-    # checkpoint the record table: three modality consumers (html, png,
-    # 404 accounting) read it — without this the synth + gzip split
-    # chain re-executes per consumer
+    # checkpoint the record table: four modality consumers (html,
+    # plain, png, 404 accounting) read it — without this the synth +
+    # gzip split chain re-executes per consumer
     recs = checkpoint_tracked(warc.warc_records(files))
     ok = recs.filter(
         (F.col("warc_type") == "response")
@@ -665,6 +678,18 @@ def crawl_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_html"),
             F.sum("_chars").cast("long").alias("text_chars"),
+        )
+    )
+    pl = (
+        ok.filter(F.col("http_mime").startswith("text/plain"))
+        .select(
+            "file_id",
+            F.length(warc.payload_text()).alias("_pchars"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_plain"),
+            F.sum("_pchars").cast("long").alias("plain_chars"),
         )
     )
     assets = ok.filter(F.col("http_mime") == "image/png").select(
@@ -702,10 +727,15 @@ def crawl_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ht.join(im, "file_id", "left")
         .join(nf, "file_id", "left")
+        .join(pl, "file_id", "left")
         .select(
             "file_id",
             "n_html",
             "text_chars",
+            F.coalesce("n_plain", F.lit(0)).cast("long").alias("n_plain"),
+            F.coalesce("plain_chars", F.lit(0))
+            .cast("long")
+            .alias("plain_chars"),
             F.coalesce("n_images", F.lit(0)).cast("long").alias("n_images"),
             F.coalesce("n_pixels", F.lit(0)).cast("long").alias("n_pixels"),
             F.coalesce("pixel_sum", F.lit(0))

@@ -446,3 +446,249 @@ def cdxj_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("recovered_chars"),
         "shard_sorted",
     )
+
+
+@register(
+    "crawl_dedup_revisit",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, trim(text) AS t
+      FROM documents WHERE doc_id % {_NOT_FOUND_EVERY} <> 0
+    )
+    SELECT 'http://host' || CAST(doc_id % 7 AS VARCHAR) || '.example/sec'
+             || CAST(doc_id % 13 AS VARCHAR) || '/doc/'
+             || CAST(doc_id AS VARCHAR) AS canon_url,
+           doc_id,
+           CAST(CASE WHEN doc_id % 10 = 4 THEN 2 ELSE 1 END AS BIGINT)
+             AS n_fetches,
+           CAST(CASE WHEN doc_id % 20 = 4 THEN 2 ELSE 1 END AS BIGINT)
+             AS n_digests,
+           CAST(CASE WHEN doc_id % 20 = 14 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_revisits,
+           TRUE AS revisits_resolved,
+           CAST(LENGTH(regexp_replace(
+             'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || t ||
+             CASE WHEN doc_id % 20 = 4 THEN ' v2' ELSE '' END ||
+             ' &copy; example end', '\\s+', ' ', 'g')) AS BIGINT)
+             AS kept_chars
+    FROM d
+    """,
+    doc="Revisit-aware canonical-URL dedup (VERDICT r16 #4) — the "
+    "curation integration of the revisit format: a resolved revisit "
+    "is a REFERENCE to stored content, not a lost fetch, so the "
+    "per-URL accounting must count it as a fetch, fold its digest "
+    "into the digest set, and still select the latest FULL response "
+    "as the kept revision (a revisit has no body to keep). The chain "
+    "consumes revisits=True archives (id%20==4 re-fetches stay full "
+    "v2 responses; id%20==14 re-fetches are headers-only revisit "
+    "records), aggregates responses and revisits per canonical URL "
+    "SEPARATELY, and joins the two small aggregates — NO payload "
+    "ever rides a shuffle (extraction chars and md5 digests are "
+    "computed in the split projection, an improvement over the "
+    "url_canonical_dedup shape whose max_by carries payloads; the "
+    "digest-set algebra replaces any payload join entirely). "
+    "revisits_resolved pins that every revisit digest is present in "
+    "its URL's response digest set (array_except — a revisit "
+    "referencing content the crawl never stored would flip it). The "
+    "oracle re-derives fetch/digest/revisit counts and the kept "
+    "revision's char mass from documents alone. Scale shape: two "
+    "per-URL aggregates of (url, 32-hex, long) rows + ONE equi-join "
+    "on the canonical key. sources/warc.py (revisits=True), "
+    "functions/urls.py::canonicalize_url.",
+)
+def crawl_dedup_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.urls import canonicalize_url
+    from ..operators.html import html_to_text
+    from ..operators.materialize import checkpoint_tracked
+    from ..sources import warc
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = warc.synth_warc_files(
+        docs, docs_per_file=_DOCS_PER_FILE,
+        not_found_every=_NOT_FOUND_EVERY, rich_uris=True, refetch=True,
+        revisits=True,
+    )
+    recs = checkpoint_tracked(warc.warc_records(files))
+    resp = (
+        recs.filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+            & warc.is_decoded(F.col("http_encoding"))
+        )
+        .select(
+            canonicalize_url("target_uri").alias("canon_url"),
+            "file_id",
+            "rec_index",
+            F.md5("payload").alias("_dg"),
+            # extraction BEFORE the shuffle: only chars ride it
+            F.length(html_to_text(warc.payload_text()))
+            .cast("long")
+            .alias("_chars"),
+        )
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("_n_resp"),
+            F.collect_set("_dg").alias("_resp_dgs"),
+            F.max_by(
+                "_chars", F.struct("file_id", "rec_index")
+            ).alias("kept_chars"),
+        )
+    )
+    rev = (
+        recs.filter(F.col("warc_type") == "revisit")
+        .select(
+            canonicalize_url("target_uri").alias("canon_url"),
+            F.regexp_replace("payload_digest", "^md5:", "").alias("_dg"),
+        )
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("_n_rev"),
+            F.collect_set("_dg").alias("_rev_dgs"),
+        )
+    )
+    j = resp.join(rev, "canon_url", "left")
+    empty = F.array().cast("array<string>")
+    rev_dgs = F.coalesce(F.col("_rev_dgs"), empty)
+    return j.select(
+        "canon_url",
+        F.regexp_extract("canon_url", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        (F.col("_n_resp") + F.coalesce(F.col("_n_rev"), F.lit(0)))
+        .cast("long")
+        .alias("n_fetches"),
+        F.size(F.array_union("_resp_dgs", rev_dgs))
+        .cast("long")
+        .alias("n_digests"),
+        F.coalesce(F.col("_n_rev"), F.lit(0))
+        .cast("long")
+        .alias("n_revisits"),
+        (F.size(F.array_except(rev_dgs, F.col("_resp_dgs"))) == 0)
+        .alias("revisits_resolved"),
+        "kept_chars",
+    )
+
+
+@register(
+    "sitemap_recrawl_priority",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, doc_id % 7 AS h, doc_id % 28 AS stale_days
+      FROM documents
+      WHERE doc_id % 3 <> 1 AND doc_id % {_NOT_FOUND_EVERY} <> 0
+    )
+    SELECT 'host' || CAST(h AS VARCHAR) || '.example' AS host,
+           doc_id,
+           CAST(stale_days AS BIGINT) AS staleness_days,
+           stale_days > 0 AS stale,
+           CAST(RANK() OVER (
+             PARTITION BY h ORDER BY stale_days DESC, doc_id
+           ) AS BIGINT) AS recrawl_rank
+    FROM d
+    """,
+    doc="Sitemap-index traversal + <lastmod> recrawl priority (VERDICT "
+    "r16 #6 — the scheduling half of the frontier story the coverage "
+    "audit started): real sites publish a sitemapindex REFERENCING "
+    "shards (consumers must traverse index → shard, not assume shard "
+    "names), and per-URL <lastmod> against the crawl's own fetch "
+    "dates is the signal that drives recrawl scheduling. The "
+    "synthesis (sitemap_index=True) adds both layers; the query "
+    "parses shard locations out of the INDEX responses, semi-joins "
+    "the shard responses through that reference set (an unreferenced "
+    "shard would be ignored — the traversal is real), zips each "
+    "shard's <loc>/<lastmod> pairs (two JVM regexp_extract_all + "
+    "arrays_zip — no XML library), joins listed URLs to fetched "
+    "pages on the canonical key with the record's WARC-Date, and "
+    "ranks each host's pages by staleness (datediff(lastmod, fetch "
+    "date) — the synthesis makes id % 28 the staleness in days). The "
+    "oracle re-derives host, staleness and the per-host rank from "
+    "the formulas, so a skipped index hop, a mis-zipped lastmod, or "
+    "a date-arithmetic bug reorders ranks and hash-mismatches. Scale "
+    "shape: index/shard frames are archive-count-sized; the "
+    "listed↔fetched join exchanges (url, date) rows; the per-host "
+    "rank window is the deliverable (a production variant bounds it "
+    "to top-N per host — documented, not silently applied). "
+    "sources/warc.py (sitemap_index=True, warc_date).",
+)
+def sitemap_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.urls import canonicalize_url
+    from ..operators.materialize import checkpoint_tracked
+    from ..sources import warc
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = warc.synth_warc_files(
+        docs, docs_per_file=_DOCS_PER_FILE,
+        not_found_every=_NOT_FOUND_EVERY, rich_uris=True, sitemaps=True,
+        sitemap_index=True,
+    )
+    recs = checkpoint_tracked(
+        warc.warc_records(files).filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+        )
+    )
+    is_index = F.col("target_uri").rlike(r"/sitemap-index-\d+\.xml$")
+    is_shard = F.col("target_uri").rlike(r"/sitemap-\d+\.xml$")
+    loc_pat = F.lit(r"<loc>([^<]+)</loc>")
+    # 1: the index layer names the shards a consumer may read
+    shard_refs = (
+        recs.filter(is_index)
+        .select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col("payload").cast("string"), loc_pat, 1
+                )
+            ).alias("_raw")
+        )
+        .select(canonicalize_url("_raw").alias("_shard_url"))
+        .distinct()
+    )
+    # 2: shard responses reachable THROUGH the index references
+    shards = recs.filter(is_shard).select(
+        canonicalize_url("target_uri").alias("_shard_url"),
+        F.col("payload").cast("string").alias("_xml"),
+    ).join(shard_refs, "_shard_url", "semi")
+    # 3: per-entry (loc, lastmod) pairs — two extract_all arrays zipped
+    entries = shards.select(
+        F.explode(
+            F.arrays_zip(
+                F.regexp_extract_all("_xml", loc_pat, F.lit(1)).alias(
+                    "url"
+                ),
+                F.regexp_extract_all(
+                    "_xml", F.lit(r"<lastmod>([^<]+)</lastmod>"), F.lit(1)
+                ).alias("lastmod"),
+            )
+        ).alias("_e")
+    ).select(
+        canonicalize_url(F.col("_e.url")).alias("url"),
+        F.to_date(F.col("_e.lastmod")).alias("_lastmod"),
+    )
+    # 4: the crawl's own fetch dates
+    fetched = recs.filter(
+        ~is_index & ~is_shard & warc.is_decoded(F.col("http_encoding"))
+    ).select(
+        canonicalize_url("target_uri").alias("url"),
+        F.to_date(F.substring("warc_date", 1, 10)).alias("_fetched"),
+    )
+    j = entries.join(fetched, "url").select(
+        F.try_parse_url("url", F.lit("HOST")).alias("host"),
+        F.regexp_extract("url", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.datediff("_lastmod", "_fetched").cast("long").alias(
+            "staleness_days"
+        ),
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("staleness_days").desc(), F.col("doc_id")
+    )
+    return j.select(
+        "host",
+        "doc_id",
+        "staleness_days",
+        (F.col("staleness_days") > 0).alias("stale"),
+        F.rank().over(w).cast("long").alias("recrawl_rank"),
+    )

@@ -1226,9 +1226,11 @@ def synth_warc_files(
     docs_per_file: int = 25,
     not_found_every: int = 17,
     image_every: int = 0,
+    plain_text_every: int = 0,
     rich_uris: bool = False,
     robots: bool = False,
     sitemaps: bool = False,
+    sitemap_index: bool = False,
     http_variants: bool = False,
     unknown_encoding_every: int = 0,
     refetch: bool = False,
@@ -1250,7 +1252,11 @@ def synth_warc_files(
     remaining documents where ``id % image_every == 2`` respond with an
     ``image/png`` payload instead of HTML (the ``synth_png_assets``
     raster formula, real ``png_codec`` bytes) — the multimodal crawl
-    mix a real dump carries; the rest respond 200 with
+    mix a real dump carries; with ``plain_text_every > 0``, documents
+    where ``id % N == 3`` (after the 404/image branches) respond
+    ``text/plain`` with the raw body ``Doc {{id}} {{text}} end`` — the
+    non-HTML textual mix (READMEs, robots, data files) a real corpus
+    curates WITHOUT an HTML strip; the rest respond 200 with
     ``synth_html(id, text)``. Every record is its own gzip member.
 
     Grouping is ``file_id = id // docs_per_file`` — a formula the SQL
@@ -1340,6 +1346,8 @@ def synth_warc_files(
         raise ValueError("revisits=True requires refetch=True")
     if sitemaps and not rich_uris:
         raise ValueError("sitemaps=True requires rich_uris=True")
+    if sitemap_index and not sitemaps:
+        raise ValueError("sitemap_index=True requires sitemaps=True")
     if unknown_encoding_every and not http_variants:
         raise ValueError(
             "unknown_encoding_every requires http_variants=True"
@@ -1476,20 +1484,65 @@ def synth_warc_files(
             # sitemap_coverage_audit oracle.
             ids = sorted(int(v) for v in pdf.loc[~pdf["_dup"], "_id"])
             for h in range(7):
-                locs = [
-                    f"http://host{d % 7}.example/sec{d % 13}/doc/{d}"
+                listed = [
+                    (d, f"http://host{d % 7}.example/sec{d % 13}/doc/{d}")
                     for d in ids
                     if d % 7 == h and d % 3 != 1
                 ]
-                if not locs:
+                if not listed:
                     continue
                 body = (
                     '<?xml version="1.0" encoding="UTF-8"?>\n<urlset>\n'
                     + "".join(
-                        f"<url><loc>{u}</loc></url>\n" for u in locs
+                        (
+                            f"<url><loc>{u}</loc>"
+                            f"<lastmod>2026-01-{1 + d % 28:02d}</lastmod>"
+                            "</url>\n"
+                            if sitemap_index
+                            else f"<url><loc>{u}</loc></url>\n"
+                        )
+                        for d, u in listed
                     )
                     + "</urlset>\n"
                 )
+                if sitemap_index:
+                    # the index layer: the shard is REFERENCED, never
+                    # assumed — consumers traverse index -> shard
+                    idx_body = (
+                        '<?xml version="1.0" encoding="UTF-8"?>\n'
+                        "<sitemapindex>\n"
+                        f"<sitemap><loc>http://host{h}.example/"
+                        f"sitemap-{fid}.xml</loc></sitemap>\n"
+                        "</sitemapindex>\n"
+                    )
+                    parts.append(
+                        gzip_member(
+                            build_record(
+                                "response",
+                                [
+                                    (
+                                        "WARC-Record-ID",
+                                        f"<urn:uuid:smidx-{fid:08d}-{h}>",
+                                    ),
+                                    ("WARC-Date", "2026-01-01T00:00:00Z"),
+                                    (
+                                        "WARC-Target-URI",
+                                        f"http://host{h}.example/"
+                                        f"sitemap-index-{fid}.xml",
+                                    ),
+                                    (
+                                        "Content-Type",
+                                        "application/http; msgtype=response",
+                                    ),
+                                ],
+                                _http_response(
+                                    200, "OK", idx_body,
+                                    ctype="application/xml",
+                                ),
+                            )
+                        )
+                    )
+                    n += 1
                 parts.append(
                     gzip_member(
                         build_record(
@@ -1628,6 +1681,15 @@ def synth_warc_files(
                 )
                 http = _http_response(
                     200, "OK", encode_png(raster), ctype="image/png"
+                )
+            elif plain_text_every and d % plain_text_every == 3:
+                # the plain-text leg (r17, VERDICT r16 #7): textual
+                # content that is NOT HTML — curation must route it
+                # straight to the quality gate, no tag strip
+                http = _http_response(
+                    200, "OK",
+                    f"Doc {d} {str(row['_text']).strip()} end",
+                    ctype="text/plain; charset=utf-8",
                 )
             elif unknown_encoding_every and d % unknown_encoding_every == 6:
                 # the br leg: plain UTF-8 HTML, raw-deflate-compressed,

