@@ -367,6 +367,30 @@ _SAMPLE_FIRST = _CHANGED_R16 + [
     n for n in _SAMPLE_FIRST if n not in _CHANGED_R16
 ]
 
+# New or code-changed in round 17 — sample these first (prepended to
+# the freshness order below; the comprehension keeps it duplicate-free).
+_CHANGED_R17 = [
+    "crawl_decoder_registry",     # NEW: pluggable transport decoders
+    "crawl_redirect_resolution",  # NEW: 3xx chain following + loop/dangle
+    "cdxj_export_roundtrip",      # NEW: SURT-sorted CDXJ artifact trip
+    "crawl_dedup_revisit",        # NEW: revisit-aware canonical dedup
+    "warc_request_pairing",       # NEW: Concurrent-To pairing + orphans
+    "sitemap_recrawl_priority",   # NEW: sitemapindex + lastmod ranking
+    "crawl_multimodal_stats",     # re-oracled: text/plain curation route
+    "warc_revisit_resolution",    # duplicate-digest-safe (digest,url) join
+    "wat_export_roundtrip",       # html_outlinks broadened (3 attr forms)
+    "host_link_pagerank",         # same shared link definition
+    # warc record schema gained http_location/concurrent_to/warc_date;
+    # the streaming fronts gained redirect + plain routes:
+    "warc_ingest_stats",
+    "crawl_curation_chain",
+    "url_canonical_dedup",
+    "cdx_surt_lookup",
+]
+_SAMPLE_FIRST = _CHANGED_R17 + [
+    n for n in _SAMPLE_FIRST if n not in _CHANGED_R17
+]
+
 # _SAMPLE_FIRST must stay duplicate-free by construction — the dict
 # rebuild below would silently hide a repeat introduced by a future
 # _CHANGED_R1X edit, so assert it here instead.

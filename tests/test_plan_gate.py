@@ -300,6 +300,38 @@ EXPECT = {
     # filter table and member set BROADCAST (floor pinned) — the probe
     # corpus must never sort-merge against the fixed-size filter
     "bloom_ingest_screen": dict(max_shuffles=5, min_bhj=2, max_smj=0),
+    # r17 decoder registry: two zero-shuffle split arms (decoders ride
+    # the Arrow closure) union into ONE per-(registry,label) aggregate;
+    # the synth grouping lives in the checkpointed subtree
+    "crawl_decoder_registry": dict(max_shuffles=2, max_scan_width=2),
+    # r17 redirect resolution: the bounded-hop chase is 3 chained
+    # self-joins + the content probe — 4 SMJs over the REDIRECT-sized
+    # edge frame (never corpus payloads), each with its two exchanges;
+    # bounded by the 4-hop policy, not data size
+    "crawl_redirect_resolution": dict(
+        max_shuffles=9, max_smj=4, max_scan_width=2
+    ),
+    # r17 CDXJ artifact: shard pack/sort rides the checkpointed
+    # subtree; final plan is the sortedness window's one exchange plus
+    # broadcast joins ONLY (keys → parsed index → archives → flags)
+    "cdxj_export_roundtrip": dict(
+        max_shuffles=2, min_bhj=4, max_smj=0, max_scan_width=2
+    ),
+    # r17 revisit-aware dedup: two per-URL aggregates + one canonical-
+    # key join (partitioning reused — 2 exchanges total measured);
+    # extraction chars/digests computed BEFORE the shuffle
+    "crawl_dedup_revisit": dict(
+        max_shuffles=3, max_smj=1, max_scan_width=2
+    ),
+    # r17 request pairing: ONE record-id equi-join of id+string rows
+    "warc_request_pairing": dict(
+        max_shuffles=3, max_smj=1, max_scan_width=2
+    ),
+    # r17 recrawl priority: index→shard semi-join + listed↔fetched
+    # join + the per-host rank window over the checkpointed records
+    "sitemap_recrawl_priority": dict(
+        max_shuffles=6, max_smj=2, max_scan_width=2
+    ),
 }
 
 
