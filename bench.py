@@ -517,7 +517,19 @@ def main() -> None:
         and t / _prev_sweep(n) > 1.3
     ]
     flagged = spread_flagged + drift_flagged
-    for name in flagged:
+    # Standing watch (VERDICT r16): queries with a history of sweep-only
+    # volatility ALWAYS get an end-of-sweep isolation re-run, so the
+    # record itself carries the warm median and the flag
+    # self-adjudicates (three rounds of interleaved_mm_spans being the
+    # sole >1.3x entry, each time isolating to noise). Watch entries do
+    # NOT correct the headline unless they were ALSO flagged — the
+    # sweep number stays the official reading.
+    _STANDING_WATCH = ("interleaved_mm_spans",)
+    watch_only = [
+        n for n in _STANDING_WATCH
+        if n in rerunnable and n not in flagged
+    ]
+    for name in flagged + watch_only:
         samples, loads = [], []
         try:
             for _ in range(n_runs):
@@ -536,7 +548,10 @@ def main() -> None:
             "median": iso_med,
             "sweep_median": timings[name],
         }
-        timings[name] = min(timings[name], iso_med)
+        if name in flagged:
+            timings[name] = min(timings[name], iso_med)
+        else:
+            isolation[name]["standing_watch"] = True
 
     cal_end = _calibration(spark, n_cpus)
     calibration = {"start": cal_start, "end": cal_end}

@@ -376,6 +376,7 @@ _CHANGED_R17 = [
     "crawl_dedup_revisit",        # NEW: revisit-aware canonical dedup
     "warc_request_pairing",       # NEW: Concurrent-To pairing + orphans
     "sitemap_recrawl_priority",   # NEW: sitemapindex + lastmod ranking
+    "crawl_alias_crediting",      # NEW: chain-resolved alias credit mass
     "crawl_multimodal_stats",     # re-oracled: text/plain curation route
     "warc_revisit_resolution",    # duplicate-digest-safe (digest,url) join
     "wat_export_roundtrip",       # html_outlinks broadened (3 attr forms)

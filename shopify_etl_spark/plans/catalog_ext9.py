@@ -145,6 +145,48 @@ def crawl_decoder_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _follow_chains(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Bounded-hop redirect chase shared by the redirect queries:
+    ``edges`` is (``_s`` → ``_d``) canonical-key redirect rows; output
+    is one row per chain start — (src, dst, hops, looped). Each round
+    follows ``dst`` through the edge map when it is itself a redirect
+    source; a target already in the visited array flags a loop and
+    freezes the chain. ``rounds`` extension joins → chains of up to
+    ``rounds + 1`` hops (4 by default — the crawler policy bound, not
+    a data-size fixpoint)."""
+    chains = edges.select(
+        F.col("_s").alias("src"),
+        F.col("_d").alias("dst"),
+        F.lit(1).cast("long").alias("hops"),
+        F.array("_s").alias("_seen"),
+        F.lit(False).alias("looped"),
+    )
+    for _ in range(rounds):
+        nxt = edges.select(
+            F.col("_s").alias("_ns"), F.col("_d").alias("_nd")
+        )
+        joined = chains.join(
+            nxt, chains["dst"] == nxt["_ns"], "left"
+        )
+        can = F.col("_nd").isNotNull() & ~F.col("looped")
+        revisits_seen = can & F.array_contains("_seen", F.col("_nd"))
+        advance = can & ~F.array_contains("_seen", F.col("_nd"))
+        chains = joined.select(
+            "src",
+            F.when(advance, F.col("_nd")).otherwise(F.col("dst")).alias(
+                "dst"
+            ),
+            F.when(advance, F.col("hops") + 1)
+            .otherwise(F.col("hops"))
+            .alias("hops"),
+            F.when(advance, F.array_append("_seen", F.col("dst")))
+            .otherwise(F.col("_seen"))
+            .alias("_seen"),
+            (F.col("looped") | revisits_seen).alias("looped"),
+        )
+    return chains.select("src", "dst", "hops", "looped")
+
+
 @register(
     "crawl_redirect_resolution",
     oracle=f"""
@@ -222,40 +264,7 @@ def crawl_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         & warc.is_decoded(F.col("http_encoding"))
     ).select(canonicalize_url("target_uri").alias("_c")).distinct()
 
-    chains = edges.select(
-        F.col("_s").alias("src"),
-        F.col("_d").alias("dst"),
-        F.lit(1).cast("long").alias("hops"),
-        F.array("_s").alias("_seen"),
-        F.lit(False).alias("looped"),
-    )
-    # bounded-hop chase: 3 more rounds -> chains of up to 4 hops.
-    # Each round: follow dst through the edge map when it is itself a
-    # redirect source; a target already in the visited set flags a
-    # loop and freezes the chain (dst/hops stop moving).
-    for _ in range(3):
-        nxt = edges.select(
-            F.col("_s").alias("_ns"), F.col("_d").alias("_nd")
-        )
-        joined = chains.join(
-            nxt, chains["dst"] == nxt["_ns"], "left"
-        )
-        can = F.col("_nd").isNotNull() & ~F.col("looped")
-        revisits_seen = can & F.array_contains("_seen", F.col("_nd"))
-        advance = can & ~F.array_contains("_seen", F.col("_nd"))
-        chains = joined.select(
-            "src",
-            F.when(advance, F.col("_nd")).otherwise(F.col("dst")).alias(
-                "dst"
-            ),
-            F.when(advance, F.col("hops") + 1)
-            .otherwise(F.col("hops"))
-            .alias("hops"),
-            F.when(advance, F.array_append("_seen", F.col("dst")))
-            .otherwise(F.col("_seen"))
-            .alias("_seen"),
-            (F.col("looped") | revisits_seen).alias("looped"),
-        )
+    chains = _follow_chains(edges)
     resolved = chains.join(
         content, chains["dst"] == content["_c"], "left"
     ).select(
@@ -691,4 +700,88 @@ def sitemap_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "staleness_days",
         (F.col("staleness_days") > 0).alias("stale"),
         F.rank().over(w).cast("long").alias("recrawl_rank"),
+    )
+
+
+@register(
+    "crawl_alias_crediting",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 33 = 5 THEN 2
+                     WHEN doc_id % 11 = 5 THEN 1
+                     ELSE 0 END AS BIGINT) AS n_aliases,
+           CAST(CASE WHEN doc_id % 33 = 5 THEN 3
+                     WHEN doc_id % 11 = 5 THEN 1
+                     ELSE 0 END AS BIGINT) AS alias_hops_total,
+           CAST(LENGTH({_XT_SQL}) AS BIGINT) AS content_chars
+    FROM documents WHERE doc_id % {_NOT_FOUND_EVERY} <> 0
+    """,
+    doc="Redirect alias crediting (r17 stretch — the consumer side of "
+    "chain resolution): once chains resolve, a curation pipeline "
+    "credits every alias spelling's traffic/links to the FINAL "
+    "canonical URL — the per-page alias count and hop mass are the "
+    "link-graph correction a real crawl applies before any URL-keyed "
+    "analysis. The chase (_follow_chains, shared with "
+    "crawl_redirect_resolution) resolves each redirect source; "
+    "resolved non-loop chains aggregate per final target (count + "
+    "total hops) and LEFT-join onto the extracted content pages, so "
+    "every non-404 page reports its alias mass (zero for pages "
+    "nothing redirects to — loops and dangling chains credit "
+    "nothing). The oracle re-derives alias counts and hop totals "
+    "from the leg formulas (id%33==5 pages are credited by BOTH "
+    "their /r and /rr aliases: 1+2 hops). Scale shape: the chase "
+    "plus ONE aggregate of (url, hops) rows and one key join against "
+    "the extracted frame — the credit table is redirect-sized, "
+    "payloads never ride it. plans/catalog_ext9.py::_follow_chains.",
+)
+def crawl_alias_crediting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.urls import canonicalize_url
+    from ..operators.html import html_to_text
+    from ..operators.materialize import checkpoint_tracked
+    from ..sources import warc
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = warc.synth_warc_files(
+        docs, docs_per_file=_DOCS_PER_FILE,
+        not_found_every=_NOT_FOUND_EVERY, rich_uris=True, redirects=True,
+    )
+    recs = checkpoint_tracked(
+        warc.warc_records(files).filter(F.col("warc_type") == "response")
+    )
+    edges = recs.filter(
+        F.col("http_status").between(300, 399)
+        & F.col("http_location").isNotNull()
+    ).select(
+        canonicalize_url("target_uri").alias("_s"),
+        canonicalize_url("http_location").alias("_d"),
+    )
+    chains = _follow_chains(edges)
+    credits = (
+        chains.filter(~F.col("looped"))
+        .groupBy("dst")
+        .agg(
+            F.count(F.lit(1)).alias("n_aliases"),
+            F.sum("hops").alias("alias_hops_total"),
+        )
+    )
+    content = recs.filter(
+        (F.col("http_status") == 200)
+        & warc.is_decoded(F.col("http_encoding"))
+    ).select(
+        canonicalize_url("target_uri").alias("url"),
+        F.length(html_to_text(warc.payload_text()))
+        .cast("long")
+        .alias("content_chars"),
+    )
+    return content.join(
+        credits, content["url"] == credits["dst"], "left"
+    ).select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.coalesce("n_aliases", F.lit(0)).cast("long").alias("n_aliases"),
+        F.coalesce("alias_hops_total", F.lit(0))
+        .cast("long")
+        .alias("alias_hops_total"),
+        "content_chars",
     )

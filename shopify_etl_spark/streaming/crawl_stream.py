@@ -43,11 +43,18 @@ from .sketch_stream import (
 CRAWL_FEED_SCHEMA = "file_id long, warc binary"
 
 
-def curate_archives(files: DataFrame) -> DataFrame:
+def curate_archives(
+    files: DataFrame, decoders: dict | None = None
+) -> DataFrame:
     """The pure per-archive chain shared by the stream and its parity
     gate: record split → 200-OK responses → transport routing →
     html_to_text → quality gate. One narrow pass; zero state, zero
     corpus dependence.
+
+    ``decoders`` (r17): the transport-decoder registry — labels it
+    absorbs are DECODED by the splitter and extract normally; the
+    accounting route keeps counting only the labels no decoder
+    handles (see ``warc.default_transport_decoders``).
 
     Transport routing (VERDICT r15 #1): a record whose
     ``http_encoding`` the parser did not fully decode (br, zstd, …)
@@ -68,15 +75,16 @@ def curate_archives(files: DataFrame) -> DataFrame:
     # two routes read the record table: checkpoint so the member split
     # runs once per micro-batch, not once per route
     redirect = F.col("http_status").between(300, 399)
+    extra = tuple(sorted(decoders)) if decoders else ()
     ok = checkpoint_tracked(
-        warc_records(files).filter(
+        warc_records(files, decoders=decoders).filter(
             (F.col("warc_type") == "response")
             & ((F.col("http_status") == 200) | redirect)
         )
     )
     doc_id = F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long")
     ex = ok.filter(
-        ~redirect & is_decoded("http_encoding")
+        ~redirect & is_decoded("http_encoding", extra=extra)
     ).select(
         "file_id",
         doc_id.alias("doc_id"),
@@ -91,7 +99,7 @@ def curate_archives(files: DataFrame) -> DataFrame:
         "keep", "reasons",
     )
     skipped = ok.filter(
-        redirect | ~is_decoded("http_encoding")
+        redirect | ~is_decoded("http_encoding", extra=extra)
     ).select(
         "file_id",
         doc_id.alias("doc_id"),
@@ -108,7 +116,9 @@ def curate_archives(files: DataFrame) -> DataFrame:
     return curated.unionByName(skipped)
 
 
-def curate_archives_mm(files: DataFrame) -> DataFrame:
+def curate_archives_mm(
+    files: DataFrame, decoders: dict | None = None
+) -> DataFrame:
     """Multimodal twin of :func:`curate_archives` (VERDICT r14 #6): the
     pure per-archive chain with MIME routing on the peeled HTTP
     Content-Type — ``text/html`` fetches run extraction + the quality
@@ -135,14 +145,15 @@ def curate_archives_mm(files: DataFrame) -> DataFrame:
     # two modality consumers read the record table: checkpoint so the
     # member split runs once per micro-batch, not once per route
     redirect = F.col("http_status").between(300, 399)
+    extra = tuple(sorted(decoders)) if decoders else ()
     ok = checkpoint_tracked(
-        warc_records(files).filter(
+        warc_records(files, decoders=decoders).filter(
             (F.col("warc_type") == "response")
             & ((F.col("http_status") == 200) | redirect)
         )
     )
     doc_id = F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long")
-    dec = is_decoded("http_encoding") & ~redirect
+    dec = is_decoded("http_encoding", extra=extra) & ~redirect
     # null-safe route predicates (ADVICE r16): a 200-OK record with NO
     # Content-Type header has null http_mime, so a bare startswith
     # yields NULL — which fails the html/png filters AND the catch-all
@@ -232,7 +243,7 @@ def curate_archives_mm(files: DataFrame) -> DataFrame:
         F.when(
             redirect, F.concat(F.lit("status:"), F.col("http_status"))
         ).when(
-            ~is_decoded("http_encoding"),
+            ~is_decoded("http_encoding", extra=extra),
             F.concat(F.lit("transport:"), F.col("http_encoding")),
         ).otherwise(
             F.concat(F.lit("mime:"), F.coalesce("http_mime", F.lit("?")))
@@ -249,13 +260,21 @@ def stream_crawl_ingest(
     store_dir: str,
     checkpoint_dir: str,
     multimodal: bool = False,
+    decoders: dict | None = None,
 ):
     """Parquet archive feed → per-epoch curated corpus rows; returns
     the started query (callers ``awaitTermination()``). With
     ``multimodal`` each epoch holds the MIME-routed union
-    (:func:`curate_archives_mm`) instead of the text-only chain."""
+    (:func:`curate_archives_mm`) instead of the text-only chain.
+    ``decoders`` (r17) is the transport-decoder registry, threaded
+    into every epoch's splitter — a deployment with brotli installed
+    passes ``warc.default_transport_decoders()`` and the stream
+    decodes br legs instead of skip-counting them."""
     feed = spark.readStream.schema(CRAWL_FEED_SCHEMA).parquet(src_dir)
-    chain = curate_archives_mm if multimodal else curate_archives
+
+    def chain(batch):
+        fn = curate_archives_mm if multimodal else curate_archives
+        return fn(batch, decoders=decoders)
 
     def ingest_batch(batch: DataFrame, epoch: int) -> None:
         sp = batch.sparkSession

@@ -332,6 +332,11 @@ EXPECT = {
     "sitemap_recrawl_priority": dict(
         max_shuffles=6, max_smj=2, max_scan_width=2
     ),
+    # r17 alias crediting: the shared bounded chase (3 self-joins) +
+    # one credit aggregate + one content join — redirect-sized frames
+    "crawl_alias_crediting": dict(
+        max_shuffles=9, max_smj=4, max_scan_width=2
+    ),
 }
 
 
