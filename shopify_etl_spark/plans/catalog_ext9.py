@@ -145,6 +145,38 @@ def crawl_decoder_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _redirect_edges(recs: DataFrame) -> DataFrame:
+    """Canonical redirect edge map (src → Location target) shared by
+    the redirect queries — LATEST capture wins per source (real dumps
+    capture the same 3xx URL repeatedly, sometimes with a CHANGED
+    Location; without the per-src collapse every duplicate capture
+    multiplies chain rows through each extension join and over-credits
+    aliases), and CHECKPOINTED: the bounded chase references the edge
+    frame once per round, so materializing the redirect-sized collapse
+    keeps each round a scan instead of a re-aggregation."""
+    from ..functions.urls import canonicalize_url
+    from ..operators.materialize import checkpoint_tracked
+
+    return checkpoint_tracked(
+        recs.filter(
+            F.col("http_status").between(300, 399)
+            & F.col("http_location").isNotNull()
+        )
+        .select(
+            canonicalize_url("target_uri").alias("_s"),
+            canonicalize_url("http_location").alias("_d"),
+            "file_id",
+            "rec_index",
+        )
+        .groupBy("_s")
+        .agg(
+            F.max_by(
+                "_d", F.struct("file_id", "rec_index")
+            ).alias("_d")
+        )
+    )
+
+
 def _follow_chains(edges: DataFrame, rounds: int = 3) -> DataFrame:
     """Bounded-hop redirect chase shared by the redirect queries:
     ``edges`` is (``_s`` → ``_d``) canonical-key redirect rows; output
@@ -250,15 +282,7 @@ def crawl_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     recs = checkpoint_tracked(
         warc.warc_records(files).filter(F.col("warc_type") == "response")
     )
-    # redirect edge map: src -> Location target, both canonicalized
-    # (the identity every cross-URL op keys on)
-    edges = recs.filter(
-        F.col("http_status").between(300, 399)
-        & F.col("http_location").isNotNull()
-    ).select(
-        canonicalize_url("target_uri").alias("_s"),
-        canonicalize_url("http_location").alias("_d"),
-    )
+    edges = _redirect_edges(recs)
     content = recs.filter(
         (F.col("http_status") == 200)
         & warc.is_decoded(F.col("http_encoding"))
@@ -748,13 +772,7 @@ def crawl_alias_crediting(spark: SparkSession, sf_dir: str) -> DataFrame:
     recs = checkpoint_tracked(
         warc.warc_records(files).filter(F.col("warc_type") == "response")
     )
-    edges = recs.filter(
-        F.col("http_status").between(300, 399)
-        & F.col("http_location").isNotNull()
-    ).select(
-        canonicalize_url("target_uri").alias("_s"),
-        canonicalize_url("http_location").alias("_d"),
-    )
+    edges = _redirect_edges(recs)
     chains = _follow_chains(edges)
     credits = (
         chains.filter(~F.col("looped"))

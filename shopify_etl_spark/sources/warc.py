@@ -322,8 +322,16 @@ def is_decoded(col="http_encoding", extra: tuple = ()):
     a front that ran ``warc_records(files, decoders={'br': …})`` routes
     with ``is_decoded(…, extra=('br',))``. The label set is part of the
     plan (closure-captured like the registry itself), so driver and
-    executors can never disagree about what counts as decoded."""
-    toks = "|".join(_BUILTIN_DECODED + tuple(extra))
+    executors can never disagree about what counts as decoded. Labels
+    are regex-escaped: content-coding tokens may legally contain
+    ``.``/``+``/``!``, and an unescaped ``.`` would classify
+    still-compressed near-miss labels as decoded — the silent-garbling
+    path this predicate exists to prevent."""
+    import re as _re
+
+    toks = "|".join(
+        _re.escape(t) for t in _BUILTIN_DECODED + tuple(extra)
+    )
     pat = rf"^(identity|({toks})(\+({toks}))*)$"
     c = F.col(col) if isinstance(col, str) else col
     return c.isNotNull() & c.rlike(pat)
@@ -352,7 +360,13 @@ def _decode_br(body: bytes) -> bytes:
 def _decode_zstd(body: bytes) -> bytes:
     import zstandard  # optional dependency — guarded by the default map
 
-    return zstandard.ZstdDecompressor().decompress(body)
+    # decompressobj, NOT one-shot decompress(): streamed HTTP zstd
+    # bodies are frames WITHOUT an embedded content size (the normal
+    # server output), which the one-shot API refuses
+    dobj = zstandard.ZstdDecompressor().decompressobj()
+    out = dobj.decompress(body)
+    out += dobj.flush()
+    return out
 
 
 def raw_deflate_decoder(body: bytes) -> bytes:
@@ -539,19 +553,21 @@ def parse_record(raw: bytes, decoders: dict | None = None) -> dict:
             elif decoders and ce in decoders:
                 # registered codec (r17): decode, keep the label —
                 # the caller routes with is_decoded(extra=(ce,)) since
-                # it knows which labels its registry absorbed
+                # it knows which labels its registry absorbed. A
+                # decoder FAILURE (truncated/bit-rotted body — routine
+                # on real dumps) degrades to THIS record only: the
+                # bytes pass through with an error-marked label
+                # ("br(error)" — parentheses are illegal in coding
+                # tokens, so it can never match is_decoded even with
+                # the label registered) and the record becomes a
+                # countable accounting row downstream. Raising here
+                # would corrupt-account the archive's entire tail in
+                # permissive mode — one bad body must cost one record.
                 try:
                     payload = decoders[ce](payload)
-                except ValueError:
-                    raise
-                except Exception as e:
-                    # decoder contract hardening: a codec's internal
-                    # error class must surface as the clean ValueError
-                    # permissive-mode accounting understands
-                    raise ValueError(
-                        f"bad {ce} payload body: {e}"
-                    ) from e
-                encs.append(ce)
+                    encs.append(ce)
+                except Exception:
+                    encs.append(f"{ce}(error)")
             else:
                 # unknown codec (e.g. br): bytes pass through LABELED so
                 # downstream can count/route them — one exotic record
@@ -670,6 +686,9 @@ CDX_SCHEMA = StructType(
         # md5 hex of the DECODED payload (transport already peeled) —
         # the content-dedup key a CDX consumer joins on
         StructField("digest", StringType(), True),
+        # WARC-Date of the indexed record (r17): the capture timestamp
+        # a CDXJ line publishes — lookup services pick captures by it
+        StructField("warc_date", StringType(), True),
     ]
 )
 
@@ -732,6 +751,7 @@ def cdx_records(
                             (
                                 int(fid), i, off, clen, r["warc_type"],
                                 r["target_uri"], r["http_status"], digest,
+                                r["warc_date"],
                             )
                         )
                         i += 1
@@ -742,7 +762,7 @@ def cdx_records(
                     rows.append(
                         (
                             int(fid), i, pos, len(blob) - pos,
-                            "corrupt", str(e), None, None,
+                            "corrupt", str(e), None, None, None,
                         )
                     )
             yield pd.DataFrame(rows, columns=cols)
@@ -781,9 +801,21 @@ def cdxj_shards(idx: DataFrame) -> DataFrame:
     ``.cdxj`` object next to its archive. Rows without a SURT
     (warcinfo, unparseable URIs) are not indexable and are dropped
     here — the in-frame index keeps them for accounting."""
+    # CDX timestamp = the record's OWN WARC-Date digits (a capture
+    # timestamp is what lookup services select captures by — a
+    # constant here would publish wrong capture times for anything
+    # not fetched at that instant, e.g. the dup re-fetches the synth
+    # dates 2026-02-01)
+    ts14 = F.substring(
+        F.regexp_replace(
+            F.coalesce(F.col("warc_date"), F.lit("19700101000000")),
+            "[^0-9]", "",
+        ),
+        1, 14,
+    )
     line = F.concat(
         F.col("surt"),
-        F.lit(" 20260101000000 "),
+        F.lit(" "), ts14, F.lit(" "),
         F.to_json(
             F.struct(
                 F.col("target_uri").alias("url"),
@@ -967,13 +999,16 @@ def resolve_revisits(records: DataFrame, value=None) -> DataFrame:
             canonicalize_url("target_uri").alias("_cu"),
             F.md5("payload").alias("_dg"),
             F.col("record_id"),
+            "file_id",
+            "rec_index",
             (value if value is not None else F.lit(None).cast("long"))
             .alias("orig_value"),
         )
         .groupBy("_dg", "_cu")
         .agg(
             F.max_by(
-                F.struct("record_id", "orig_value"), "record_id"
+                F.struct("record_id", "orig_value"),
+                F.struct("file_id", "rec_index"),
             ).alias("_o")
         )
         .select(

@@ -1247,10 +1247,12 @@ class TestTransportDecoderRegistry:
         ).collect()
         assert [r.d for r in extra] == [True, True, False, False]
 
-    def test_decoder_failure_surfaces_value_error(self):
-        # a corrupt registered-codec body must raise the clean
-        # ValueError contract (permissive-mode accounting), never the
-        # codec's internal error class
+    def test_decoder_failure_degrades_to_error_label(self):
+        # a corrupt registered-codec body must cost ONE record, not the
+        # archive's tail: the bytes pass through with an error-marked
+        # label that can never match is_decoded (parentheses are
+        # illegal in coding tokens), so the record becomes a countable
+        # accounting row downstream instead of a parse failure
         http = (
             b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
             b"Content-Encoding: br\r\nContent-Length: 9\r\n\r\nnotbrotli"
@@ -1261,8 +1263,29 @@ class TestTransportDecoderRegistry:
              ("Content-Type", "application/http; msgtype=response")],
             http,
         )
-        with pytest.raises(ValueError):
-            W.parse_record(rec, decoders={"br": W.raw_deflate_decoder})
+        r = W.parse_record(rec, decoders={"br": W.raw_deflate_decoder})
+        assert r["http_encoding"] == "br(error)"
+        assert r["payload"] == b"notbrotli"   # untouched bytes
+
+    def test_error_label_never_routes_as_decoded(self, spark):
+        df = spark.createDataFrame(
+            [("br(error)",)], "http_encoding string"
+        )
+        got = df.select(
+            W.is_decoded("http_encoding", extra=("br",)).alias("d")
+        ).collect()
+        assert got[0].d is False
+
+    def test_is_decoded_escapes_extra_label_metachars(self, spark):
+        # 'x.custom' must not classify 'xacustom' as decoded (an
+        # unescaped '.' would) — coding tokens may contain metachars
+        df = spark.createDataFrame(
+            [("x.custom",), ("xacustom",)], "http_encoding string"
+        )
+        got = df.select(
+            W.is_decoded("http_encoding", extra=("x.custom",)).alias("d")
+        ).collect()
+        assert [r.d for r in got] == [True, False]
 
     def test_default_registry_is_import_probe(self):
         d = W.default_transport_decoders()
@@ -1410,6 +1433,8 @@ class TestCdxjArtifact:
         keys = [ln.split(" ", 1)[0] for ln in lines]
         assert keys == sorted(keys)          # SURT-sorted on disk
         assert '"status":"200"' in lines[0] or '"status":"404"' in lines[0]
+        # the CDX timestamp column is the record's OWN WARC-Date digits
+        assert lines[0].split(" ")[1] == "20260101000000"
         back = {
             r.surt: r for r in W.parse_cdxj(shards).collect()
         }
@@ -1437,3 +1462,53 @@ class TestCdxjArtifact:
         got = W.fetch_record_ranges(files.join(parsed, "file_id")).collect()
         assert len(got) == 1 and got[0].self_contained
         assert b"<b>gamma</b> delta" in bytes(got[0].payload)
+
+
+class TestRedirectEdgeCollapse:
+    """Round-17 self-review: duplicate captures of the same 3xx URL
+    must not fan chains out — the edge map collapses per source with
+    the LATEST capture's Location winning."""
+
+    def test_duplicate_capture_latest_location_wins(self, spark):
+        from shopify_etl_spark.plans.catalog_ext9 import (
+            _follow_chains,
+            _redirect_edges,
+        )
+
+        def redir(rid, uri, loc):
+            http = (
+                b"HTTP/1.1 301 Moved\r\nContent-Type: text/html\r\n"
+                b"Location: " + loc.encode() + b"\r\n"
+                b"Content-Length: 0\r\n\r\n"
+            )
+            return W.gzip_member(
+                W.build_record(
+                    "response",
+                    [
+                        ("WARC-Record-ID", rid),
+                        ("WARC-Target-URI", uri),
+                        (
+                            "Content-Type",
+                            "application/http; msgtype=response",
+                        ),
+                    ],
+                    http,
+                )
+            )
+
+        # same source captured twice, Location CHANGED between captures
+        blob = (
+            redir("<urn:uuid:r-old>", "http://a.example/r",
+                  "http://a.example/old")
+            + redir("<urn:uuid:r-new>", "http://a.example/r",
+                    "http://a.example/new")
+        )
+        files = spark.createDataFrame(
+            [(0, bytearray(blob))], "file_id long, warc binary"
+        )
+        edges = _redirect_edges(W.warc_records(files))
+        rows = edges.collect()
+        assert len(rows) == 1                       # one edge per src
+        assert rows[0]._d == "http://a.example/new"  # latest capture
+        chains = _follow_chains(edges).collect()
+        assert len(chains) == 1                     # no chain fan-out
