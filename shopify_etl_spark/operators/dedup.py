@@ -92,7 +92,7 @@ def shingle_postings(
     shuffle volume; a 64-bit collision merging two distinct shingles has
     p≈n²/2⁶⁴ — irrelevant at any realistic corpus size).
 
-    Lazily localCheckpointed: the posting list feeds several consumers
+    Lazily persisted: the posting list feeds several consumers
     (self-join sides, per-doc sizes, document-frequency counts); as a
     plain DataFrame subtree Spark re-evaluates the scan+explode for each.
     The checkpoint collapses lineage to one RDD that computes once per
@@ -107,7 +107,7 @@ def shingle_postings(
             F.explode(word_shingles(text_col, n)).alias("s_raw"),
         )
         .select("doc", F.xxhash64("s_raw").alias("s"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
 
 
@@ -506,9 +506,10 @@ def duplicate_clusters(
     a single ``groupBy(u).min(label-of-neighbor)`` yields the new label,
     and the self-loop row (v == u) smuggles the node's OLD label through
     the same aggregation — change detection costs no second join. Lineage
-    is cut per round with a lazy localCheckpoint so the plan doesn't grow
-    exponentially across iterations; the per-round convergence check
-    aggregates a single count — the only driver-side data movement.
+    is cut per round with a lazy localCheckpoint so neither the physical
+    work nor the LOGICAL plan grows across iterations; the per-round
+    convergence check aggregates a single count — the only driver-side
+    data movement.
 
     (GraphFrames/GraphX ship the same algorithm; implemented here on the
     plain DataFrame API to stay dependency-free.)
@@ -519,7 +520,7 @@ def duplicate_clusters(
     edges = (
         both.unionByName(both.select("u", F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .persist()
     )
     labels = edges.select(F.col("u").alias("v"), F.col("u").alias("label")).distinct()
 
@@ -531,6 +532,14 @@ def duplicate_clusters(
                 F.min("label").alias("label"),
                 F.min(F.when(F.col("v") == F.col("u"), F.col("label"))).alias("_old"),
             )
+            # deliberately localCheckpoint, NOT persist (r17): an iterative
+            # fixpoint needs LOGICAL-plan truncation — persist keeps full
+            # lineage, so round N's plan is O(N) nodes and the per-round
+            # convergence action pays O(N) re-analysis plus a CacheManager
+            # lookup against every earlier round's entry (measured 6x the
+            # whole build). The convergence count materializes the blocks
+            # immediately, so the checkpoint's build-time planning is work
+            # the action needed anyway.
             .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("label") != F.col("_old")).limit(1).count()
@@ -772,7 +781,7 @@ def source_overlap_matrix(
         # three consumers (sizes + both self-join sides) — checkpoint so
         # the corpus-sized scan+explode+distinct computes once, not three
         # times (the shingle_postings pattern)
-        .localCheckpoint(eager=False)
+        .persist()
     )
     sizes = src_shingles.groupBy("src").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = src_shingles.alias("a"), src_shingles.alias("b")
@@ -809,7 +818,7 @@ def _span_hash_windows(
     through token-level 64-bit collisions — the same accepted exposure
     as ``shingle_postings``.
 
-    Lazily localCheckpointed: every caller feeds the spans to at least
+    Lazily persisted: every caller feeds the spans to at least
     two consumers (explode + per-doc sizes / island pass). The span
     family accepts a prebuilt ``windows`` frame so a pipeline running
     stats + intervals + trim over one corpus shingles it once
@@ -837,7 +846,7 @@ def _span_hash_windows(
             .alias("spans"),
         )
         .filter(F.size("spans") > 0)
-        .localCheckpoint(eager=False)
+        .persist()
     )
 
 

@@ -26,16 +26,37 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 STOPWORDS = ("the", "a", "of", "and", "to")
 
 
+# spread_small fires below this optimizer size estimate. Generous on
+# purpose: the frames it protects feed explode/shingle stages that
+# amplify rows 10-100x, so "small" is measured BEFORE amplification; a
+# sub-256MB frame's extra round-robin exchange costs one bounded pass at
+# any scale, while a production corpus scan estimates far above it and
+# skips the shuffle entirely.
+_SPREAD_MAX_BYTES = 256 << 20
+
+
 def spread_small(df: DataFrame) -> DataFrame:
-    """Repartition up to the cluster's parallelism when the input arrives
-    under-partitioned (e.g. one small parquet file → one task). Explode
+    """Repartition up to the cluster's parallelism when the input is small
+    enough to arrive under-partitioned (e.g. one small parquet file → one
+    task, or an AQE-coalesced single post-shuffle partition). Explode
     stages amplify rows 10-100×, so a single input partition serializes
     the whole downstream computation (measured 7.5× on the shingle stage
-    and ~4× on the bigram-LM scorer at sf0.1). A wide input
-    (≥ defaultParallelism partitions) skips the shuffle entirely — at
-    100 TB this is a no-op."""
+    and ~4× on the bigram-LM scorer at sf0.1). A large input (by the
+    optimizer's static size estimate) skips the shuffle entirely — at
+    100 TB this is a no-op.
+
+    The decision reads ``optimizedPlan().stats().sizeInBytes`` — a pure
+    plan-time estimate. The r2–r16 implementation asked the ACTUAL
+    partition count via ``df.rdd.getNumPartitions()``, which under AQE
+    must finalize the adaptive plan: for a frame downstream of a shuffle
+    or a ``persist()`` boundary that EXECUTES every upstream stage at
+    query-construction time (measured: the whole LM-gate chain of
+    curation_v2_corpus ran during builder construction). The estimate
+    needs no execution and is exactly as accurate at the two ends that
+    matter (raw file scans: true bytes; 100 TB corpora: huge)."""
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if est < _SPREAD_MAX_BYTES:
         return df.repartition(sc.defaultParallelism)
     return df
 
@@ -976,7 +997,7 @@ def oov_rates(
     toks = (
         spread_small(df)
         .select(F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("t"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     vocab = (
         toks.groupBy("t")

@@ -340,21 +340,127 @@ EXPECT = {
 }
 
 
-def _plan_features(plan: str) -> dict:
-    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
-    scans = re.findall(r"ReadSchema: struct<([^>\n]*)", plan)
+# ---------------------------------------------------------------------------
+# Formatted-plan parsing (r17). Shared subtrees are materialized with
+# ``persist()`` (see operators/materialize.py) instead of ``localCheckpoint``,
+# so a consumer plan INLINES the cached subtree's plan once per consumer where
+# the checkpoint used to truncate it at a ``Scan ExistingRDD`` leaf. The
+# cached subtree still EXECUTES exactly once, and this gate audits it through
+# the ``capture_subtrees`` list exactly as it audited checkpointed subtrees —
+# so static feature counting must not multiply-count the inlined copies.
+# ``explain("formatted")`` is the robust substrate for that: its operator tree
+# is uniformly indented (raw ``toString`` restarts indentation inside cached
+# blocks, which defeats any string-level stripper), every operator carries a
+# stable id, and a shared cached plan keeps ONE id across occurrences. All
+# feature counting below is "kept-scope": unique operator ids OUTSIDE
+# InMemoryTableScan-nested blocks — exactly the scope the old
+# checkpoint-truncated ``toString`` counting had.
+# ---------------------------------------------------------------------------
+
+_TREE_NODE = re.compile(
+    r"^([ :+\-*]*)([A-Za-z][\w]*(?:[ \w.,#\[\]=]*?)?)"
+    r" \((\d+)\)(?:\s*\([^)]*\))*\s*$"
+)
+_DETAIL_HDR = re.compile(r"^\((\d+)\) (\S.*?)\s*$")
+
+
+def fmt_plan(df) -> str:
+    """``explain('formatted')`` text of a DataFrame, pre-execution."""
+    jvm = df.sparkSession._jvm
+    return jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _parse_fmt(txt: str) -> tuple[dict, dict]:
+    """(kept, details) from a formatted plan:
+
+    ``kept``: operator id -> node name for every tree node OUTSIDE
+    InMemoryTableScan-nested blocks (cache-build plans excluded — they
+    are audited once via the capture list), deduplicated by id (a reused
+    subtree prints many times under one id).
+    ``details``: operator id -> full detail block text (ALL ids)."""
+    kept: dict[int, str] = {}
+    details: dict[int, list[str]] = {}
+    cur = None
+    skip_deeper_than = None
+    for line in txt.splitlines():
+        m = _TREE_NODE.match(line)
+        if m:
+            cur = None
+            depth = len(m.group(1))
+            name, op_id = m.group(2), int(m.group(3))
+            if skip_deeper_than is not None:
+                if depth > skip_deeper_than:
+                    continue
+                skip_deeper_than = None
+            if name.startswith(("InMemoryTableScan", "InMemoryRelation")):
+                # cache leaf: the cached plan prints nested below, either
+                # under an InMemoryTableScan or (inside AQE stages) under
+                # a bare InMemoryRelation — skip it in both shapes
+                skip_deeper_than = depth
+                continue
+            kept.setdefault(op_id, name)
+            continue
+        # non-tree lines (wrapped expression text, '== Final Plan ==' markers
+        # inside an executed cache's block) do NOT end a cache block — only a
+        # tree node at depth <= the cache leaf's depth does. A detail header
+        # ends the tree section entirely.
+        dm = _DETAIL_HDR.match(line)
+        if dm:
+            skip_deeper_than = None
+            cur = int(dm.group(1))
+            details.setdefault(cur, []).append(line)
+        elif cur is not None:
+            details[cur].append(line)
+    return kept, {k: "\n".join(v) for k, v in details.items()}
+
+
+_SHUFFLE_PART = re.compile(
+    r"(hashpartitioning|rangepartitioning|SinglePartition)"
+)
+
+
+def _plan_features(txt: str) -> dict:
+    """Kept-scope plan features of a formatted plan string (same keys and
+    calibration scope as the r2–r16 toString-based counting)."""
+    kept, details = _parse_fmt(txt)
+    shuffles = sum(
+        1
+        for i, n in kept.items()
+        if n == "Exchange" and _SHUFFLE_PART.search(details.get(i, ""))
+    )
+    scan_ids = [i for i, n in kept.items() if n.startswith("Scan parquet")]
+    pushed = []
+    widths = []
+    for i in scan_ids:
+        d = details.get(i, "")
+        pm = re.search(r"PushedFilters: \[([^\]]*)\]", d)
+        if pm:
+            pushed.append(pm.group(1))
+        sm = re.search(r"ReadSchema: struct<([^>\n]*)", d)
+        if sm:
+            widths.append(sm.group(1).count(":"))
     return {
-        "shuffles": len(
-            re.findall(
-                r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan
-            )
-        ),
-        "bhj": plan.count("BroadcastHashJoin"),
-        "smj": plan.count("SortMergeJoin"),
+        "shuffles": shuffles,
+        "bhj": sum(1 for n in kept.values() if n.startswith("BroadcastHashJoin")),
+        "smj": sum(1 for n in kept.values() if n.startswith("SortMergeJoin")),
         "pushed_nonempty": sum(1 for p in pushed if p.strip()),
         "n_pushed_slots": len(pushed),
-        "scan_widths": [s.count(":") for s in scans],
+        "scan_widths": widths,
     }
+
+
+def _kept_names(txt: str) -> list[str]:
+    """Kept-scope node names of a formatted plan (whole-catalog checks)."""
+    kept, _ = _parse_fmt(txt)
+    return list(kept.values())
+
+
+def _kept_details(txt: str) -> str:
+    """Concatenated detail blocks of kept-scope operators only."""
+    kept, details = _parse_fmt(txt)
+    return "\n".join(details.get(i, "") for i in kept)
 
 
 @pytest.fixture(scope="module")
@@ -381,19 +487,22 @@ def gate_spark(spark):
 def test_plan_invariants(gate_spark, name):
     from shopify_etl_spark.operators.materialize import capture_subtrees
 
+    # builders persist() shared subtrees, and CacheManager substitution is
+    # session-global — without isolation a LATER test's plan picks up an
+    # EARLIER test's cached building blocks (and its features vanish into
+    # InMemoryTableScan leaves). Mirrors bench.py's release between queries.
+    gate_spark.catalog.clearCache()
     with capture_subtrees() as subtrees:
         df = QUERIES[name].builder(gate_spark, SF_DIR)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    feats = _plan_features(plan)
-    # scan-shaped checks (width, pushdown) must see THROUGH checkpoints:
-    # a materialized subtree hides its FileScan from the final plan, so
+    feats = _plan_features(fmt_plan(df))
+    gate_spark.catalog.clearCache()
+    # scan-shaped checks (width, pushdown) must see THROUGH materialized
+    # subtrees: a cached subtree's scans are excluded from kept scope, so
     # fold the captured subtree plans into those features only. Shuffle/
     # join ceilings stay final-plan-scoped — they were calibrated there,
     # and the scans-per-table gate owns cross-subtree execution counts.
     for s in subtrees:
-        sub_feats = _plan_features(
-            s._jdf.queryExecution().executedPlan().toString()
-        )
+        sub_feats = _plan_features(s)
         feats["scan_widths"].extend(sub_feats["scan_widths"])
         feats["pushed_nonempty"] += sub_feats["pushed_nonempty"]
         feats["n_pushed_slots"] += sub_feats["n_pushed_slots"]
@@ -518,26 +627,32 @@ MAX_SCANS_PER_TABLE = {
 
 
 def _count_scans(plan: str) -> dict[str, int]:
-    """FileScan occurrences per source table, counted on the CURRENT plan
-    section only — an executed AQE plan's toString appends an
-    '== Initial Plan ==' section that duplicates every node."""
-    cur = plan.split("== Initial Plan ==")[0]
-    return {
-        m.rsplit("/", 1)[-1].removesuffix(".parquet"): cur.count(m)
-        for m in set(re.findall(r"[^ ,\[\]]*\.parquet", cur))
-    }
+    """Distinct parquet scan OPERATORS per source table in a formatted
+    plan, kept-scope (cache-build plans excluded — each cached subtree is
+    a separate entry in the plans list, so its scans count exactly
+    once)."""
+    kept, details = _parse_fmt(plan)
+    out: dict[str, int] = {}
+    for i, n in kept.items():
+        if not n.startswith("Scan parquet"):
+            continue
+        m = re.search(r"([^/\[\] ,]+)\.parquet", details.get(i, ""))
+        if m:
+            out[m.group(1)] = out.get(m.group(1), 0) + 1
+    return out
 
 
 @pytest.mark.parametrize("name", sorted(MAX_SCANS_PER_TABLE))
 def test_scans_per_table(gate_spark, name):
     from shopify_etl_spark.operators.materialize import capture_subtrees
 
+    gate_spark.catalog.clearCache()
     with capture_subtrees() as subtrees:
         df = QUERIES[name].builder(gate_spark, SF_DIR)
     totals: dict[str, int] = {}
-    plans = [df] + subtrees
-    for p in plans:
-        plan = p._jdf.queryExecution().executedPlan().toString()
+    plans = [fmt_plan(df)] + subtrees
+    gate_spark.catalog.clearCache()
+    for plan in plans:
         for table, n in _count_scans(plan).items():
             totals[table] = totals.get(table, 0) + n
     assert subtrees, (
@@ -579,8 +694,7 @@ def test_gate_detects_lost_broadcast_hint(gate_spark):
         .groupBy("n_name")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
-    plan = unhinted._jdf.queryExecution().executedPlan().toString()
-    feats = _plan_features(plan)
+    feats = _plan_features(fmt_plan(unhinted))
     assert feats["bhj"] < EXPECT["q5_region_revenue"]["min_bhj"], (
         "hint removal was NOT detectable — gate has no teeth",
         feats,
@@ -662,14 +776,12 @@ def test_no_cartesian_or_unplanned_nested_loop_anywhere(gate_spark):
     crossJoins broadcast provably tiny sides — this pins that audit)."""
     offenders = {}
     for name, spec in QUERIES.items():
-        plan = (
-            spec.builder(gate_spark, SF_DIR)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
+        gate_spark.catalog.clearCache()
+        names = _kept_names(fmt_plan(spec.builder(gate_spark, SF_DIR)))
+        cp = sum(1 for n in names if n.startswith("CartesianProduct"))
+        bnlj = sum(
+            1 for n in names if n.startswith("BroadcastNestedLoopJoin")
         )
-        cp = plan.count("CartesianProduct")
-        bnlj = plan.count("BroadcastNestedLoopJoin")
         if cp or (bnlj and name not in BNLJ_ALLOWED):
             offenders[name] = {"cartesian": cp, "bnlj": bnlj}
     assert not offenders, offenders
@@ -684,13 +796,9 @@ def test_no_row_python_udfs_anywhere(gate_spark):
     the round-3 verdict verified by hand."""
     offenders = {}
     for name, spec in QUERIES.items():
-        plan = (
-            spec.builder(gate_spark, SF_DIR)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
-        n = plan.count("BatchEvalPython")
+        gate_spark.catalog.clearCache()
+        names = _kept_names(fmt_plan(spec.builder(gate_spark, SF_DIR)))
+        n = sum(1 for x in names if x.startswith("BatchEvalPython"))
         if n:
             offenders[name] = n
     assert not offenders, offenders
@@ -737,12 +845,8 @@ def test_no_window_over_skewed_corpus_keys(gate_spark):
     )
     offenders = {}
     for name, spec in QUERIES.items():
-        plan = (
-            spec.builder(gate_spark, SF_DIR)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
+        gate_spark.catalog.clearCache()
+        plan = _kept_details(fmt_plan(spec.builder(gate_spark, SF_DIR)))
         hits = len(pat.findall(plan))
         if hits and name not in SKEW_WINDOW_ALLOWED:
             offenders[name] = hits
