@@ -253,9 +253,11 @@ def shard_blobs(
             columns=[f.name for f in SHARD_SCHEMA.fields],
         )
 
-    return stream.groupBy(group_col, "shard_id").applyInPandas(
-        pack, SHARD_SCHEMA
-    )
+    from .text import spread_groups
+
+    return spread_groups(stream, group_col, "shard_id").groupBy(
+        group_col, "shard_id"
+    ).applyInPandas(pack, SHARD_SCHEMA)
 
 
 def shard_manifest(blobs: DataFrame) -> DataFrame:

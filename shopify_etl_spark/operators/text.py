@@ -61,6 +61,30 @@ def spread_small(df: DataFrame) -> DataFrame:
     return df
 
 
+def spread_groups(df: DataFrame, *keys: str) -> DataFrame:
+    """The :func:`spread_small` decision for a frame about to feed a
+    KEYED Python group stage (``groupBy(keys).applyInPandas``).
+
+    AQE coalesces post-shuffle partitions by BYTES (parallelism-first
+    floor is ``minPartitionSize`` = 1 MB), which is the right call for
+    codegen'd JVM operators but serializes Python stages whose cost per
+    byte is orders of magnitude higher: a 0.9 MB shuffle output collapsed
+    to ONE partition put an entire synth→parse→extract crawl chain on a
+    single core (measured 4.1 s of a 5.2 s query in one task). For a
+    small input (static estimate), pre-partitioning BY THE GROUP KEYS to
+    the cluster's parallelism satisfies the group stage's required
+    distribution — same single exchange, but user-specified
+    (REPARTITION_BY_NUM), which AQE does not coalesce. A large input
+    skips this and lets the group stage's own exchange + AQE sizing
+    handle it — at 100 TB bytes-based sizing is correct even for Python
+    stages because every partition is long past the per-task floor."""
+    sc = df.sparkSession.sparkContext
+    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if est < _SPREAD_MAX_BYTES:
+        return df.repartition(sc.defaultParallelism, *keys)
+    return df
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens with empties removed (ArrayType<String>).
 

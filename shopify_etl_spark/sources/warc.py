@@ -1108,7 +1108,11 @@ def wet_archives(
             )
         return _archive_row(fid, "wet", members)
 
-    return staged.groupBy("file_id").applyInPandas(build, WARC_FILE_SCHEMA)
+    from ..operators.text import spread_groups
+
+    return spread_groups(staged, "file_id").groupBy("file_id").applyInPandas(
+        build, WARC_FILE_SCHEMA
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1165,7 +1169,11 @@ def wat_archives(
             )
         return _archive_row(fid, "wat", members)
 
-    return staged.groupBy("file_id").applyInPandas(build, WARC_FILE_SCHEMA)
+    from ..operators.text import spread_groups
+
+    return spread_groups(staged, "file_id").groupBy("file_id").applyInPandas(
+        build, WARC_FILE_SCHEMA
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1841,7 +1849,11 @@ def synth_warc_files(
             columns=["file_id", "warc", "n_members"],
         )
 
-    return staged.groupBy("file_id").applyInPandas(build, WARC_FILE_SCHEMA)
+    from ..operators.text import spread_groups
+
+    return spread_groups(staged, "file_id").groupBy("file_id").applyInPandas(
+        build, WARC_FILE_SCHEMA
+    )
 
 
 __all__ = [
