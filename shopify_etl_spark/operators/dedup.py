@@ -92,13 +92,18 @@ def shingle_postings(
     shuffle volume; a 64-bit collision merging two distinct shingles has
     p≈n²/2⁶⁴ — irrelevant at any realistic corpus size).
 
-    Lazily persisted: the posting list feeds several consumers
+    Lazily localCheckpointed: the posting list feeds several consumers
     (self-join sides, per-doc sizes, document-frequency counts); as a
     plain DataFrame subtree Spark re-evaluates the scan+explode for each.
     The checkpoint collapses lineage to one RDD that computes once per
-    job. A cluster deployment would materialize it as a staging table;
-    callers running several dedup ops over one corpus should build this
-    once and pass it to each (see bench.py).
+    job. Deliberately NOT ``persist()`` (r18, reverting r17): the
+    exploded posting list is 10-100x the corpus row count, and the
+    columnar InMemoryRelation build plus per-consumer full-plan
+    re-analysis measured 3.6-4.5x slower than checkpointed raw blocks on
+    the driver's bench (BENCH_r17 vs r16, reproducing at 8 and 32
+    cores). A cluster deployment would materialize it as a staging
+    table; callers running several dedup ops over one corpus should
+    build this once and pass it to each (see bench.py).
     """
     return (
         _spread(df)
@@ -107,7 +112,7 @@ def shingle_postings(
             F.explode(word_shingles(text_col, n)).alias("s_raw"),
         )
         .select("doc", F.xxhash64("s_raw").alias("s"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
 
 
@@ -520,7 +525,7 @@ def duplicate_clusters(
     edges = (
         both.unionByName(both.select("u", F.col("u").alias("v")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     labels = edges.select(F.col("u").alias("v"), F.col("u").alias("label")).distinct()
 
@@ -781,7 +786,7 @@ def source_overlap_matrix(
         # three consumers (sizes + both self-join sides) — checkpoint so
         # the corpus-sized scan+explode+distinct computes once, not three
         # times (the shingle_postings pattern)
-        .persist()
+        .localCheckpoint(eager=False)
     )
     sizes = src_shingles.groupBy("src").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = src_shingles.alias("a"), src_shingles.alias("b")
@@ -818,7 +823,7 @@ def _span_hash_windows(
     through token-level 64-bit collisions — the same accepted exposure
     as ``shingle_postings``.
 
-    Lazily persisted: every caller feeds the spans to at least
+    Lazily localCheckpointed: every caller feeds the spans to at least
     two consumers (explode + per-doc sizes / island pass). The span
     family accepts a prebuilt ``windows`` frame so a pipeline running
     stats + intervals + trim over one corpus shingles it once
@@ -846,7 +851,7 @@ def _span_hash_windows(
             .alias("spans"),
         )
         .filter(F.size("spans") > 0)
-        .persist()
+        .localCheckpoint(eager=False)
     )
 
 

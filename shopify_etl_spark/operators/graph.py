@@ -11,7 +11,7 @@ Design for both scale and verification:
 
 * Each iteration is one equi-join (edge src → current rank, 8-byte
   keys) + one grouped sum — the classic message-passing shape; the
-  edge list with degrees is persisted once so ``iters``
+  edge list with degrees is localCheckpointed once so ``iters``
   iterations reuse a single materialization instead of re-deriving
   the similarity join per step.
 * The iteration count is FIXED and each iterate is rounded to 10
@@ -85,16 +85,21 @@ def pagerank(
             .withColumn("_rn", F.row_number().over(wnd))
             .filter(F.col("_rn") <= max_degree)
             .select("s", "t")
-            .persist()
+            .localCheckpoint(eager=False)
         )
     else:
         sym = fwd.unionByName(
             edges.select(F.col(dst).alias("s"), F.col(src).alias("t"))
-        ).persist()
+        ).localCheckpoint(eager=False)
     deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     # one materialization feeds every iteration (and the degree/node
-    # side) — each unrolled join reuses this single small edge table
-    ed = sym.join(deg, "s").persist()
+    # side) — each unrolled join reuses this single small edge table.
+    # localCheckpoint, NOT persist (r18, reverting r17): the unrolled
+    # iterations are many consumers of this frame, and each one's action
+    # re-analyzes the FULL lineage under persist — measured 1.8x slower
+    # (pagerank_degree_capped, BENCH_r17 vs r16); the checkpoint
+    # truncates every iteration's plan at a Scan ExistingRDD stub
+    ed = sym.join(deg, "s").localCheckpoint(eager=False)
     nodes = ed.select(F.col("s").alias("node"), "deg").distinct()
     n = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n_nodes")))
     ranks = nodes.join(n).select(
@@ -192,12 +197,12 @@ def pagerank_directed(
     # one small materialized edge table feeds every unrolled iteration
     ed = e.join(out_w, "s").select(
         "s", "t", (F.col("_w") / F.col("_ow")).alias("_frac")
-    ).persist()
+    ).localCheckpoint(eager=False)
     nodes = (
         ed.select(F.col("s").alias("node"))
         .unionByName(ed.select(F.col("t").alias("node")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     n = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n_nodes")))
     ranks = nodes.join(n).select(

@@ -5,36 +5,44 @@ that subtree ONCE — AQE never fires ``ReusedExchange`` across stage
 boundaries for these shapes (VERDICT r7: without a materialization,
 ``mutual_knn_pairs`` re-scanned the embeddings table ~12x).
 
-Mechanism (r17): ``df.persist()``. The r7–r16 implementation was a lazy
-``localCheckpoint(eager=False)``, which has the same compute-once
-execution semantics but a hidden DRIVER cost: constructing the
-checkpointed Dataset calls ``queryExecution.toRdd``, which runs the full
-analyzer/optimizer/physical-planning (and whole-stage codegen) pipeline
-for the subtree AT BUILD TIME, serially, before any job starts. Measured
-across the r17 catalog sweep that planning was ~1s per checkpoint call
-per run — ~45% of total bench wall was driver-side query construction.
-``persist()`` just registers the plan with the CacheManager (no planning
-at build); the first action plans it once, materializes the
-InMemoryRelation on first touch, and every other consumer reads the
-cached blocks — identical execution sharing, zero build-time planning.
-It also keeps lineage (a lost cached block recomputes from source —
-strictly better fault behavior at 100 TB than a lineage-truncating
-localCheckpoint, whose lost blocks are unrecoverable), and the cache is
-storage-evictable under memory pressure where checkpoint blocks are not.
-Subtrees whose recomputation would be NON-deterministic (RangePartitioner
-sampling, ``spark_partition_id`` layouts) must keep an eager
-``localCheckpoint`` — see ``operators/indexing.py`` — because an evicted
-cache partition recomputes; everything materialized through this module
-is deterministic by the engine's oracle discipline.
+Mechanism (r18): lazy ``localCheckpoint(eager=False)`` — the r7–r16
+implementation, restored. The r17 round swapped every site to
+``df.persist()`` on the theory that the checkpoint's build-time planning
+(constructing the checkpointed Dataset calls ``queryExecution.toRdd``,
+which runs the analyzer/optimizer/physical-planning pipeline at query
+construction) was the dominant cost. The swap measurably LOST on the
+driver's own bench (BENCH_r17 vs r16: containment_dedup_pairs 4.5x,
+ngram_jaccard_pairs 3.6x, pagerank_degree_capped 1.8x, ivf_pq_search
+1.5x, residual_pq_search 1.7x slower — reproducing at 8 and 32 cores),
+for two mechanism reasons the r17 commit itself documented for
+``duplicate_clusters`` and then did not apply elsewhere:
 
-Plan visibility: a persisted subtree appears in consumer plans as an
-``InMemoryRelation`` block (the checkpoint's ``Scan ExistingRDD`` hid it
-entirely). The plan gate (``tests/test_plan_gate.py``) strips those
-blocks before counting — the cached subtree executes once, and the gate
-audits it through the capture list exactly as it audited checkpointed
-subtrees. ``checkpoint_tracked`` records the pre-persist DataFrame in an
-(opt-in) capture list so the gate can union the final plan with every
-materialized subtree's plan and assert each source table is scanned at
+* ``persist()`` keeps the FULL logical plan under every consumer, so
+  each consumer action pays O(plan) re-analysis plus a CacheManager
+  canonicalization lookup; iterative shapes (PQ/k-means training loops,
+  unrolled pagerank steps) multiply that by the consumer count. The
+  checkpoint truncates the consumer plan at a ``Scan ExistingRDD`` leaf,
+  so each action re-plans a stub.
+* The first action under ``persist()`` builds a COLUMNAR
+  InMemoryRelation — encoding exploded posting lists / array<double>
+  embedding frames into cached column batches costs far more than the
+  checkpoint's raw UnsafeRow block writes, and those frames are 10-100x
+  the input size by construction.
+
+The checkpoint's build-time planning cost is real but second-order at
+both ends: per call it is O(plan) once, while persist pays O(plan) per
+consumer action; and the bench numbers above are the ground truth.
+
+Subtrees whose recomputation would be NON-deterministic
+(RangePartitioner sampling, ``spark_partition_id`` layouts) must keep an
+EAGER ``localCheckpoint`` — see ``operators/indexing.py``.
+
+Plan visibility: the consumer's plan is truncated at ``Scan
+ExistingRDD``, so the plan-regression gate cannot see the subtree's
+scans/shuffles in the final plan. ``checkpoint_tracked`` fixes that: it
+records the PRE-checkpoint plan in an (opt-in) capture list, so the gate
+(``tests/test_plan_gate.py``) unions the final plan with every
+materialized subtree's plan and asserts each source table is scanned at
 most twice per executed query.
 
 Use ``checkpoint_tracked`` (or ``persist_shared`` where gate capture is
@@ -49,29 +57,26 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame
 
 # Capture list for the plan gate: ``None`` (the default) means tracking is
-# off and checkpoint_tracked is exactly df.persist().
+# off and checkpoint_tracked is exactly the bare materialization.
 _capture: list[DataFrame] | None = None
 
 
 def persist_shared(df: DataFrame) -> DataFrame:
-    """Materialize a shared subtree once (lazy ``persist()``: the cache is
-    registered now, planned once at the first action, computed by the
-    first consuming stage, then reused by every other consumer) WITHOUT
-    recording it for the plan gate — the drop-in replacement for the
-    former bare ``localCheckpoint(eager=False)`` call sites."""
-    return df.persist()
+    """Materialize a shared subtree once (lazy ``localCheckpoint``: blocks
+    are computed by the first stage that needs them, every later consumer
+    reads the persisted blocks) WITHOUT recording it for the plan gate."""
+    return df.localCheckpoint(eager=False)
 
 
 def checkpoint_tracked(df: DataFrame) -> DataFrame:
     """Materialize a shared subtree once (see module docstring) and record
-    the pre-persist plan for the scans-per-table gate.
+    the pre-checkpoint plan for the scans-per-table gate.
 
-    The capture snapshots the subtree's physical-plan STRING eagerly,
-    BEFORE ``persist()`` registers the plan with the CacheManager — after
-    registration the same analyzed plan re-plans as a bare
-    ``InMemoryTableScan`` and the gate would see no scans at all. Eager
-    planning here costs nothing in production: ``_capture`` is only
-    non-None inside the test-only ``capture_subtrees`` block."""
+    The capture snapshots the subtree's physical-plan STRING (the
+    checkpointed Dataset's own plan is a bare ``Scan ExistingRDD`` stub,
+    so it must be taken from the pre-checkpoint frame). Formatting the
+    plan costs nothing in production: ``_capture`` is only non-None
+    inside the test-only ``capture_subtrees`` block."""
     global _capture
     if _capture is not None:
         jvm = df.sparkSession._jvm
@@ -80,14 +85,14 @@ def checkpoint_tracked(df: DataFrame) -> DataFrame:
                 df._jdf.queryExecution(), "formatted"
             )
         )
-    return df.persist()
+    return df.localCheckpoint(eager=False)
 
 
 @contextmanager
 def capture_subtrees():
     """Record every ``checkpoint_tracked`` subtree built inside the block.
 
-    Yields the list the pre-persist physical-plan STRINGS are appended
+    Yields the list the pre-checkpoint physical-plan STRINGS are appended
     to; the plan gate walks ``[final_plan] + subtrees`` to count
     per-table scans across the WHOLE executed query. Nested captures are
     not supported (tests run one builder at a time)."""

@@ -220,7 +220,7 @@ def hard_negative_pairs(
             text_col=text_col, id_col=id_col,
         )
         .select("token", "doc_id")
-        .persist()
+        .localCheckpoint(eager=False)
     )
     a, b = champs.alias("a"), champs.alias("b")
     pairs = (

@@ -72,7 +72,7 @@ def dsir_token_stream(
             F.explode(tokens(text_col)).alias("_tok"),
         )
         .select(id_col, "is_target", dsir_feature(F.col("_tok"), n_buckets).alias("f"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
 
 
@@ -88,7 +88,7 @@ def dsir_fit(stream: DataFrame) -> DataFrame:
     return stream.groupBy("f").agg(
         F.count(F.lit(1)).alias("c_r"),
         F.sum(F.col("is_target").cast("long")).alias("c_t"),
-    ).persist()
+    ).localCheckpoint(eager=False)
 
 
 def dsir_score(

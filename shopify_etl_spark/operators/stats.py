@@ -129,7 +129,7 @@ def psi_from_histogram(
     different bucket count than ``n_buckets`` raises in-plan
     (:func:`_checked_bucket`) instead of silently skewing the score."""
     hist = hist.withColumn("bucket", _checked_bucket(n_buckets))
-    hist = hist.persist()  # four consumers below
+    hist = hist.localCheckpoint(eager=False)  # four consumers below
     seg_totals = hist.groupBy("seg").agg(F.sum("n_sb").alias("n_s"))
     all_counts = hist.groupBy("bucket").agg(F.sum("n_sb").alias("n_b"))
     all_total = hist.agg(F.sum("n_sb").alias("n"))
@@ -214,7 +214,7 @@ def psi_between_histograms(
                    F.col("n_sb").alias("n_cur"))
     segs = (
         r.select("seg").union(c.select("seg")).distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     rt = r.groupBy("seg").agg(F.sum("n_ref").alias("t_ref"))
     ct = c.groupBy("seg").agg(F.sum("n_cur").alias("t_cur"))

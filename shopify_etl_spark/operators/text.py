@@ -1021,7 +1021,7 @@ def oov_rates(
     toks = (
         spread_small(df)
         .select(F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("t"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     vocab = (
         toks.groupBy("t")

@@ -1458,7 +1458,7 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # times (same pattern as dedup.shingle_postings)
     toks = docs.select(
         F.explode(text.tokens("text")).alias("token")
-    ).persist()
+    ).localCheckpoint(eager=False)
     exact = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1641,7 +1641,7 @@ def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(text.tokens("text")).alias("token")
-    ).persist()
+    ).localCheckpoint(eager=False)
     hh = sketches.cms_heavy_hitters(
         toks, "token", F.pmod(F.col("doc_id"), F.lit(10)) == 0,
         n_candidates=40, width=width, depth=depth,

@@ -355,7 +355,7 @@ def oov_rates_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "just the mirror pairs). Ranks hub/template documents whose "
     "content radiates through the corpus — the signal connected "
     "components flattens away. Iterations are one 8-byte-key equi-join "
-    "+ grouped sum each over a persisted edge list; fixed "
+    "+ grouped sum each over a localCheckpointed edge list; fixed "
     "3-step recipe with per-step rounding, so the DuckDB oracle "
     "reproduces the whole iteration value-for-value (the PCA power-"
     "iteration pattern). Oracle note: the teleport constant is written "
@@ -794,7 +794,7 @@ def cms_join_size_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull())
         .select("event_type", "user_id")
-        .persist()
+        .localCheckpoint(eager=False)
     )
     clicks = ev.filter(F.col("event_type") == "click").select("user_id")
     purch = ev.filter(F.col("event_type") == "purchase").select("user_id")
@@ -866,7 +866,7 @@ def hll_key_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull())
         .select("event_type", "user_id")
-        .persist()
+        .localCheckpoint(eager=False)
     )
     clicks = ev.filter(F.col("event_type") == "click")
     purch = ev.filter(F.col("event_type") == "purchase")
@@ -1215,7 +1215,7 @@ def psi_time_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
         .select("event_type", "value", F.unix_micros("ts").alias("us"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     bounds = F.broadcast(ev.agg(F.min("us").alias("mn"), F.max("us").alias("mx")))
     tagged = ev.join(bounds).withColumn(
@@ -1268,7 +1268,7 @@ def corpus_datasheet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text", "lang", "source", token_count("text").alias("n_toks"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     dup = F.broadcast(
         docs.groupBy("text")
@@ -1352,7 +1352,7 @@ def lang_id_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = text_ops.lang_id(docs).select("doc_id", "pred_lang")
     joined = (
         docs.select("doc_id", "lang").join(pred, "doc_id")
-        .persist()
+        .localCheckpoint(eager=False)
     )
     tot = joined.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
     return (

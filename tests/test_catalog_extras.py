@@ -37,13 +37,16 @@ def test_approx_event_stats_within_tolerance(spark, sf_dir):
         assert abs(e.approx_median - e.median) <= max(0.05 * abs(e.median), 0.5), et
 
 
-def test_every_query_has_doc_and_runs_lazily(spark, sf_dir):
+def test_every_query_has_doc_and_runs_lazily(catalog_plans):
     """Contract hygiene: every catalog entry documents its operator
-    coverage and builds a plan without triggering execution."""
+    coverage and builds a plan that yields columns. The build itself
+    happens ONCE per session in the shared ``catalog_plans`` fixture
+    (tests/_plan_cache.py) — the r17 version re-built all ~200 builders
+    here on top of the plan gate's rebuilds, which helped blow the
+    driver's verify budget."""
     for name, spec in QUERIES.items():
         assert spec.doc and len(spec.doc) > 20, name
-        df = spec.builder(spark, sf_dir)  # plan only — no action
-        assert df.columns, name
+        assert catalog_plans[name]["columns"], name
 
 
 def test_hash_embed_contract(spark):
